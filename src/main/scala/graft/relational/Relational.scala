@@ -1,0 +1,358 @@
+package graft.relational
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import java.sql.Timestamp
+
+/** The relational core: the SQL surface the reference exposes through
+  * Calcite over its HBase scan (reference: HBaseTable.kt:24-52 —
+  * scan/filter/project pushed down, Calcite supplies joins/agg/sort).
+  *
+  * Spark-first: everything is declarative DataFrame API so Catalyst
+  * performs pushdown, pruning, join selection, and AQE re-planning.
+  * Oracle-parity conventions (driver compares vs DuckDB):
+  *  - double aggregates go through exact DECIMAL sums, then cast to
+  *    double (bit-for-bit reproducible across engines);
+  *  - every query has a total deterministic ORDER BY;
+  *  - every computed column is aliased identically in Spark + SQL.
+  */
+object Relational {
+
+  /** Exact decimal sum surfaced as double: SUM(CAST(c AS DEC(18,s))) → double. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  private val ts = (s: String) => lit(Timestamp.valueOf(s + " 00:00:00"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" <= ts("1998-09-02"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("sum_disc_price"),
+          dsum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"), 6).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    "q2_filter_project" -> { (s, d) =>
+      import s.implicits._
+      Tables.part(s, d)
+        .filter($"p_size" >= 20 && $"p_type" === "ECONOMY")
+        .select($"p_partkey", $"p_name", $"p_retailprice")
+        .orderBy($"p_partkey")
+    },
+
+    "q3_join_agg" -> { (s, d) =>
+      import s.implicits._
+      val c = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+      val o = Tables.orders(s, d).filter($"o_orderdate" < ts("1998-01-01"))
+      val l = Tables.lineitem(s, d)
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey")
+        .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    },
+
+    "q4_broadcast_join" -> { (s, d) =>
+      import s.implicits._
+      val r = Tables.region(s, d)
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      o.join(c, $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(dsum($"o_totalprice").as("total_sales"), count(lit(1)).as("n_orders"))
+        .orderBy($"r_name", $"n_name")
+    },
+
+    "q5_semijoin" -> { (s, d) =>
+      import s.implicits._
+      val urgent = Tables.orders(s, d).filter($"o_orderpriority" === "1-URGENT")
+      Tables.customer(s, d)
+        .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_custkey")
+    },
+
+    "q6_antijoin" -> { (s, d) =>
+      import s.implicits._
+      val f = Tables.orders(s, d).filter($"o_orderstatus" === "F")
+      Tables.customer(s, d)
+        .join(f, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+
+    "q7_window" -> { (s, d) =>
+      import s.implicits._
+      val byPrice = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      val byDate = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(byPrice))
+        .withColumn("running_spend",
+          sum($"o_totalprice".cast(DecimalType(18, 2))).over(byDate).cast("double"))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"rn", $"running_spend")
+        .orderBy($"o_custkey", $"rn", $"o_orderkey")
+    },
+
+    "q8_distinct" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          countDistinct($"l_orderkey").as("n_orders"))
+        .orderBy($"l_returnflag")
+    },
+
+    "q9_setops" -> { (s, d) =>
+      import s.implicits._
+      val building = Tables.customer(s, d)
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey".as("k"))
+      val open = Tables.orders(s, d)
+        .filter($"o_orderstatus" === "O").select($"o_custkey".as("k"))
+      val i = building.intersect(open).withColumn("op", lit("intersect"))
+      val e = building.except(open).withColumn("op", lit("except"))
+      i.unionAll(e).select($"op", $"k").orderBy($"op", $"k")
+    },
+
+    "q10_topk" -> { (s, d) =>
+      import s.implicits._
+      Tables.part(s, d)
+        .filter($"p_type".isin("PROMO", "LARGE"))
+        .select($"p_partkey", $"p_name", $"p_brand", $"p_retailprice")
+        .orderBy($"p_retailprice".desc, $"p_partkey")
+        .limit(15)
+    },
+
+    "q11_having" -> { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .groupBy($"c_mktsegment")
+        .agg((dsum($"c_acctbal") / count(lit(1))).as("avg_bal"), count(lit(1)).as("n"))
+        .filter($"n" > 25)
+        .orderBy($"c_mktsegment")
+    },
+
+    "q12_case_expr" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .withColumn("prio_class",
+          when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), "hi").otherwise("lo"))
+        .withColumn("yr", year($"o_orderdate"))
+        .groupBy($"yr", $"prio_class")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+        .orderBy($"yr", $"prio_class")
+    },
+
+    "q13_in_subquery" -> { (s, d) =>
+      import s.implicits._
+      val keys = Tables.part(s, d).filter($"p_brand" === "Brand#13").select($"p_partkey")
+      Tables.lineitem(s, d)
+        .join(broadcast(keys), $"l_partkey" === $"p_partkey", "left_semi")
+        .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("total"))
+    },
+
+    "q14_scalar_subquery" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val avgPrice = li.agg((dsum($"l_extendedprice") / count(lit(1))).as("a"))
+      li.crossJoin(broadcast(avgPrice))
+        .filter($"l_extendedprice" > lit(1.5) * $"a")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_expensive"))
+        .orderBy($"l_returnflag")
+    },
+
+    "q15_rollup" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
+    "q16_cube_groupingsets" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(
+          grouping($"o_orderstatus").cast("int").as("g_status"),
+          grouping($"o_orderpriority").cast("int").as("g_prio"),
+          count(lit(1)).as("n"))
+        .orderBy($"g_status", $"g_prio",
+          $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    },
+
+    "q17_self_join" -> { (s, d) =>
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val hi = o.filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_custkey".as("k"), $"o_orderkey".as("hi_key"))
+      val lo = o.filter($"o_orderpriority" === "5-LOW")
+        .select($"o_custkey".as("k"), $"o_orderkey".as("lo_key"))
+      hi.join(lo, "k")
+        .groupBy($"k").agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"k")
+    },
+
+    "q18_cross_small" -> { (s, d) =>
+      import s.implicits._
+      val r = Tables.region(s, d).select($"r_name")
+      val n = Tables.nation(s, d).select($"n_name")
+      r.crossJoin(n).orderBy($"r_name", $"n_name")
+    },
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter_project" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE p_size >= 20 AND p_type = 'ECONOMY' ORDER BY p_partkey""".stripMargin,
+
+    "q3_join_agg" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q4_broadcast_join" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q5_semijoin" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q6_antijoin" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q7_window" ->
+      """SELECT o_custkey, o_orderkey, rn, running_spend FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn, o_orderkey""".stripMargin,
+
+    "q8_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q9_setops" ->
+      """SELECT op, k FROM (
+        |  SELECT 'intersect' AS op, k FROM (
+        |    SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |    INTERSECT
+        |    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+        |  UNION ALL
+        |  SELECT 'except' AS op, k FROM (
+        |    SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |    EXCEPT
+        |    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'))
+        |ORDER BY op, k""".stripMargin,
+
+    "q10_topk" ->
+      """SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
+        |WHERE p_type IN ('PROMO','LARGE')
+        |ORDER BY p_retailprice DESC, p_partkey LIMIT 15""".stripMargin,
+
+    "q11_having" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal,
+        |  COUNT(*) AS n
+        |FROM customer GROUP BY c_mktsegment HAVING COUNT(*) > 25
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q12_case_expr" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |  CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'hi' ELSE 'lo' END AS prio_class,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY yr, prio_class ORDER BY yr, prio_class""".stripMargin,
+
+    "q13_in_subquery" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13')""".stripMargin,
+
+    "q14_scalar_subquery" ->
+      """SELECT l_returnflag, COUNT(*) AS n_expensive FROM lineitem
+        |WHERE l_extendedprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q15_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q16_cube_groupingsets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q17_self_join" ->
+      """SELECT hi.o_custkey AS k, COUNT(*) AS n_pairs
+        |FROM (SELECT o_custkey, o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') hi
+        |JOIN (SELECT o_custkey, o_orderkey FROM orders WHERE o_orderpriority = '5-LOW') lo
+        |  ON hi.o_custkey = lo.o_custkey
+        |GROUP BY hi.o_custkey ORDER BY k""".stripMargin,
+
+    "q18_cross_small" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+  )
+}
