@@ -1,0 +1,113 @@
+package graft.kv
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths, Path}
+import java.util.Comparator
+import scala.collection.JavaConverters._
+
+/** DDL + metadata catalog, the Spark-native re-expression of the
+  * reference's system tables (reference: HBaseSchema.kt:107-259
+  * createTable/dropTable/createIndex/dropIndex; HBaseTable.kt:197-216
+  * SystemAttribute/ColumnAttribute stored in `table.sys`/`column.sys`).
+  *
+  * Here the warehouse is a directory tree:
+  *   warehouse/<table>/_graft_meta.json   — table.sys row equivalent
+  *   warehouse/<table>/data/  (parquet)   — rowkey-sorted data
+  *   warehouse/<table>.<type>.<index>/    — index tables, same naming
+  *     scheme as the reference (README.md "{表名}.{系统功能}.{扩展描述}",
+  *     HBaseSchema.kt:306 indexTableRowkey).
+  *
+  * Metadata the reference stores per table: primary key, transactional
+  * flag, index type, charset, comment (HBaseSchema.kt:118-137); per
+  * column: datatype, precision, position, nullable, default
+  * (HBaseSchema.kt:141-160). We persist the same fields. At cluster
+  * scale this JSON-per-table catalog would be swapped for a metastore,
+  * but the API surface is what matters here.
+  */
+final class Catalog(val spark: SparkSession, val warehouse: String) {
+
+  private def tableDir(name: String): Path = Paths.get(warehouse, name)
+  private def metaFile(name: String): Path = tableDir(name).resolve("_graft_meta.json")
+  private def dataDir(name: String): String = tableDir(name).resolve("data").toString
+
+  /** Reference: column names may not be `id` (reserved for the
+    * implicit uuid primary key) — HBaseSchema.kt:112-117. */
+  def createTable(name: String,
+                  schema: StructType,
+                  primaryKey: Seq[String],
+                  isTransactional: Boolean = true,
+                  comment: String = ""): Unit = {
+    require(primaryKey.nonEmpty, "no primary key") // PrimaryKeyMissedException
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase("id")),
+      "column name should not be id") // IllegalColumnNameException
+    require(!tableExists(name), s"table $name exists")
+    Files.createDirectories(tableDir(name))
+    val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"name":"${f.name}","datatype":"${f.dataType.sql}","position":$i,""" +
+        s""""nullable":${f.nullable},"isPrimary":${primaryKey.contains(f.name)}}"""
+    }.mkString("[", ",", "]")
+    val json =
+      s"""{"table":"$name","primary":"${primaryKey.mkString(",")}",""" +
+        s""""isTransactional":$isTransactional,"indexType":"NONE",""" +
+        s""""lockStatus":"UNLOCK","charset":"UTF-8","comment":"$comment",""" +
+        s""""columns":$cols}"""
+    Files.writeString(metaFile(name), json)
+    // materialize an empty rowkey-sorted layout
+    KvLayout.writeSorted(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
+      primaryKey, dataDir(name))
+  }
+
+  def tableExists(name: String): Boolean = Files.exists(metaFile(name))
+
+  /** Bulk load rows (the "Bulk read/write" path). */
+  def bulkLoad(name: String, rows: DataFrame): Unit = {
+    val pk = primaryKeyOf(name)
+    KvLayout.writeSorted(rows, pk, dataDir(name))
+  }
+
+  def table(name: String): KvTable =
+    KvTable(spark.read.parquet(dataDir(name)), primaryKeyOf(name))
+
+  def primaryKeyOf(name: String): Seq[String] = {
+    val meta = Files.readString(metaFile(name))
+    "\"primary\":\"([^\"]*)\"".r.findFirstMatchIn(meta).get.group(1).split(",").toSeq
+  }
+
+  /** Reference dropTable: disable + delete + purge sys rows
+    * (HBaseSchema.kt:225-259). Here: recursive delete of the dir. */
+  def dropTable(name: String): Unit = {
+    require(tableExists(name), s"table $name does not exist")
+    val dir = tableDir(name)
+    Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.delete)
+  }
+
+  def listTables(): Seq[String] =
+    if (!Files.exists(Paths.get(warehouse))) Seq.empty
+    else Files.list(Paths.get(warehouse)).iterator().asScala
+      .filter(p => Files.exists(p.resolve("_graft_meta.json")))
+      .map(_.getFileName.toString).toSeq.sorted
+
+  /** column.sys dump: one row per column with the reference's
+    * ColumnAttribute fields (datatype, position, nullable, primary). */
+  def describeTable(name: String): DataFrame = {
+    val meta = Files.readString(metaFile(name))
+    val colRe = ("\\{\"name\":\"([^\"]+)\",\"datatype\":\"([^\"]+)\"," +
+      "\"position\":(\\d+),\"nullable\":(true|false),\"isPrimary\":(true|false)\\}").r
+    val rows = colRe.findAllMatchIn(meta).map { m =>
+      Row(name, m.group(1), m.group(2), m.group(3).toInt,
+        m.group(4).toBoolean, m.group(5).toBoolean)
+    }.toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("table_name", StringType, false),
+        StructField("column_name", StringType, false),
+        StructField("datatype", StringType, false),
+        StructField("position", IntegerType, false),
+        StructField("nullable", BooleanType, false),
+        StructField("is_primary", BooleanType, false))))
+  }
+}

@@ -1,0 +1,157 @@
+package graft.kv
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SparkEntry wiring for the KV-store surface (SURVEY.md §2 "KV-store
+  * semantics"). Each query exercises KvTable/Catalog against the
+  * TPC-H-ish tables with a DuckDB oracle where SQL can express it.
+  */
+object KvQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kv_point_get" -> { (s, d) =>
+      KvTable(Tables.customer(s, d), Seq("c_custkey")).pointGet(42L)
+    },
+
+    "kv_multi_get" -> { (s, d) =>
+      import s.implicits._
+      KvTable(Tables.part(s, d), Seq("p_partkey"))
+        .multiGet(Seq(1L, 5L, 10L, 99L, 123L))
+        .orderBy($"p_partkey")
+    },
+
+    "kv_prefix_scan" -> { (s, d) =>
+      import s.implicits._
+      KvTable(Tables.customer(s, d), Seq("c_custkey"))
+        .prefixScan("c_name", "Customer#00000012")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+
+    "kv_range_scan" -> { (s, d) =>
+      import s.implicits._
+      KvTable(Tables.orders(s, d), Seq("o_orderkey"))
+        .rangeScan(500L, 600L)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
+
+    "kv_filter_scan" -> { (s, d) =>
+      import s.implicits._
+      // =, >=, < conjunction — the reference's FilterList(MUST_PASS_ALL)
+      // of Row/SingleColumnValue filters; here Catalyst pushes all three
+      // into the parquet scan (PushedFilters).
+      KvTable(Tables.lineitem(s, d), Seq("l_orderkey", "l_linenumber"))
+        .filterScan($"l_returnflag" === "R", $"l_quantity" >= 30.0, $"l_discount" < 0.05)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    "kv_insert" -> { (s, d) =>
+      import s.implicits._
+      val newRows = s.createDataFrame(Seq(
+        (900001L, "graft widget", "Brand#99", "ECONOMY", 7, 101.25),
+        (900002L, "graft bolt", "Brand#99", "PROMO", 21, 55.5)
+      )).toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      KvTable(Tables.part(s, d), Seq("p_partkey"))
+        .insert(newRows)
+        .df.select($"p_partkey", $"p_name", $"p_brand", $"p_retailprice")
+        .orderBy($"p_partkey")
+    },
+
+    "kv_update" -> { (s, d) =>
+      import s.implicits._
+      KvTable(Tables.customer(s, d), Seq("c_custkey"))
+        .updateWhere($"c_custkey" <= 10L, "c_acctbal", lit(9999.25))
+        .df.filter($"c_custkey" <= 30L)
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_custkey")
+    },
+
+    "kv_delete" -> { (s, d) =>
+      import s.implicits._
+      KvTable(Tables.orders(s, d), Seq("o_orderkey"))
+        .delete(Seq(10L, 11L, 12L, 13L, 14L))
+        .df.filter($"o_orderkey" < 30L)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+        .orderBy($"o_orderkey")
+    },
+
+    "ddl_catalog" -> { (s, d) =>
+      import s.implicits._
+      val wh = Files.tempWarehouse()
+      val cat = new Catalog(s, wh)
+      if (cat.tableExists("kv_demo")) cat.dropTable("kv_demo")
+      cat.createTable("kv_demo",
+        StructType(Seq(
+          StructField("k", LongType, false),
+          StructField("v", StringType, true),
+          StructField("score", DoubleType, true))),
+        primaryKey = Seq("k"))
+      cat.bulkLoad("kv_demo",
+        s.createDataFrame(Seq((1L, "a", 0.5), (2L, "b", 1.5), (3L, "c", 2.5)))
+          .toDF("k", "v", "score"))
+      val loaded = cat.table("kv_demo").pointGet(2L)
+        .select($"k".cast("string").as("column_name"), lit("POINT_GET").as("datatype"))
+      // dump column.sys-equivalent metadata + prove the round-trip read
+      val described = cat.describeTable("kv_demo")
+        .select($"column_name", $"datatype")
+      val tables = cat.listTables().toDF("column_name")
+        .withColumn("datatype", lit("TABLE"))
+      described.unionByName(loaded).unionByName(tables)
+        .orderBy($"datatype", $"column_name")
+    },
+  )
+
+  private object Files {
+    def tempWarehouse(): String =
+      java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_warehouse").toString
+  }
+
+  def oracles: Map[String, String] = Map(
+    "kv_point_get" ->
+      "SELECT * FROM customer WHERE c_custkey = 42",
+
+    "kv_multi_get" ->
+      """SELECT * FROM part WHERE p_partkey IN (1,5,10,99,123)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "kv_prefix_scan" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_name LIKE 'Customer#00000012%' ORDER BY c_custkey""".stripMargin,
+
+    "kv_range_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey >= 500 AND o_orderkey < 600 ORDER BY o_orderkey""".stripMargin,
+
+    "kv_filter_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity >= 30.0 AND l_discount < 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "kv_insert" ->
+      """SELECT p_partkey, p_name, p_brand, p_retailprice FROM (
+        |  SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |      (CAST(900001 AS BIGINT), 'graft widget', 'Brand#99', CAST(101.25 AS DOUBLE)),
+        |      (CAST(900002 AS BIGINT), 'graft bolt', 'Brand#99', CAST(55.5 AS DOUBLE)))
+        |    t(p_partkey, p_name, p_brand, p_retailprice))
+        |ORDER BY p_partkey""".stripMargin,
+
+    "kv_update" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey <= 10 THEN CAST(9999.25 AS DOUBLE) ELSE c_acctbal END AS c_acctbal
+        |FROM customer WHERE c_custkey <= 30 ORDER BY c_custkey""".stripMargin,
+
+    "kv_delete" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_orderkey NOT IN (10,11,12,13,14) AND o_orderkey < 30
+        |ORDER BY o_orderkey""".stripMargin,
+    // ddl_catalog: rows-only (filesystem catalog side effects aren't SQL)
+  )
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all suites. */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+/** Every declared query runs and returns rows at sf0.001, and every
+  * oracle key refers to a declared query. */
+class EntrySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle keys are a subset of query keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("all declared queries run non-empty at sf0.001") {
+    val empty = SparkEntry.queries.flatMap { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empty.isEmpty, s"queries with zero rows: $empty")
+  }
+}
