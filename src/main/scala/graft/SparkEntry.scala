@@ -12,10 +12,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relational.Relational.queries ++ kv.KvQueries.queries
+    relational.Relational.queries ++ kv.KvQueries.queries ++
+      index.IndexQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
-    relational.Relational.oracles ++ kv.KvQueries.oracles
+    relational.Relational.oracles ++ kv.KvQueries.oracles ++
+      index.IndexQueries.oracles
 }

@@ -1,0 +1,164 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import java.nio.ByteBuffer
+import scala.collection.mutable
+
+/** Bitmap inverted index.
+  *
+  * The reference declares a RoaringBitmap-backed inverted index
+  * (reference: index/bmindex/BitMapIndexTable.kt — stub; README.md
+  * names `bitmap` as a first-class index flavor). This is the real
+  * implementation, Spark-native: one row per distinct column value
+  * holding a compressed bitmap of the rowkeys (as a binary column).
+  *
+  * Bitmap encoding is two-level, roaring-style: row ids are split into
+  * 64Ki-id chunks; each present chunk stores a 1024-word bitset. Dense
+  * chunks cost 8 KiB regardless of cardinality; absent chunks cost
+  * nothing — so a 1-billion-row table's index row is ~MBs, and
+  * predicate AND/OR become word-wise bitmap ops instead of row-set
+  * shuffles (the point of a bitmap index at 100 TB: combining
+  * predicates touches index rows, never the fact table).
+  *
+  * Chunks are built distributed via a typed Aggregator with map-side
+  * partial aggregation (each partition sets bits locally; merge ORs
+  * chunk maps), so build cost is one pass + tiny shuffle.
+  */
+object Bitmap {
+  private final val ChunkBits = 16                 // 65536 ids per chunk
+  private final val WordsPerChunk = 1 << (ChunkBits - 6)
+
+  type Chunks = mutable.HashMap[Int, Array[Long]]
+
+  def set(chunks: Chunks, id: Long): Unit = {
+    val chunk = (id >> ChunkBits).toInt
+    val off = (id & ((1L << ChunkBits) - 1)).toInt
+    val words = chunks.getOrElseUpdate(chunk, new Array[Long](WordsPerChunk))
+    words(off >> 6) |= (1L << (off & 63))
+  }
+
+  def orInto(into: Chunks, from: Chunks): Chunks = {
+    from.foreach { case (c, w) =>
+      into.get(c) match {
+        case Some(tw) => var i = 0; while (i < WordsPerChunk) { tw(i) |= w(i); i += 1 }
+        case None     => into.update(c, w.clone())
+      }
+    }
+    into
+  }
+
+  def serialize(chunks: Chunks): Array[Byte] = {
+    val buf = ByteBuffer.allocate(4 + chunks.size * (4 + 8 * WordsPerChunk))
+    buf.putInt(chunks.size)
+    chunks.toSeq.sortBy(_._1).foreach { case (c, w) =>
+      buf.putInt(c); w.foreach(buf.putLong)
+    }
+    buf.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): Chunks = {
+    val buf = ByteBuffer.wrap(bytes)
+    val n = buf.getInt
+    val chunks = new Chunks()
+    (0 until n).foreach { _ =>
+      val c = buf.getInt
+      val w = new Array[Long](WordsPerChunk)
+      (0 until WordsPerChunk).foreach(i => w(i) = buf.getLong)
+      chunks.update(c, w)
+    }
+    chunks
+  }
+
+  def and(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val ca = deserialize(a); val cb = deserialize(b)
+    val out = new Chunks()
+    ca.foreach { case (c, wa) =>
+      cb.get(c).foreach { wb =>
+        val w = new Array[Long](WordsPerChunk)
+        var i = 0; var nonEmpty = false
+        while (i < WordsPerChunk) {
+          w(i) = wa(i) & wb(i); if (w(i) != 0L) nonEmpty = true; i += 1
+        }
+        if (nonEmpty) out.update(c, w)
+      }
+    }
+    serialize(out)
+  }
+
+  def or(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    serialize(orInto(deserialize(a), deserialize(b)))
+
+  def ids(bytes: Array[Byte]): Array[Long] = {
+    val chunks = deserialize(bytes)
+    val out = mutable.ArrayBuilder.make[Long]
+    chunks.foreach { case (c, w) =>
+      var i = 0
+      while (i < WordsPerChunk) {
+        var word = w(i)
+        while (word != 0L) {
+          val bit = java.lang.Long.numberOfTrailingZeros(word)
+          out += (c.toLong << ChunkBits) | (i.toLong << 6) | bit.toLong
+          word &= word - 1
+        }
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  def cardinality(bytes: Array[Byte]): Long =
+    deserialize(bytes).valuesIterator.map(_.map(java.lang.Long.bitCount(_).toLong).sum).sum
+}
+
+/** Distributed bitmap build: Aggregator[rowid → chunked bitset]. */
+class BitmapAgg extends Aggregator[Long, Bitmap.Chunks, Array[Byte]] {
+  override def zero: Bitmap.Chunks = new Bitmap.Chunks()
+  override def reduce(b: Bitmap.Chunks, id: Long): Bitmap.Chunks = { Bitmap.set(b, id); b }
+  override def merge(a: Bitmap.Chunks, b: Bitmap.Chunks): Bitmap.Chunks = Bitmap.orInto(a, b)
+  override def finish(r: Bitmap.Chunks): Array[Byte] = Bitmap.serialize(r)
+  override def bufferEncoder: Encoder[Bitmap.Chunks] = Encoders.kryo[Bitmap.Chunks]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+object BitmapIndex {
+  /** Build: one (value, bitmap, card) row per distinct value. */
+  def build(base: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val agg = udaf(new BitmapAgg(), Encoders.scalaLong)
+    base.groupBy(col(valueCol).as("iv"))
+      .agg(agg(col(keyCol)).as("bm"))
+      .withColumn("card", Ops.bitmapCard(col("bm")))
+  }
+
+  object Ops {
+    val bitmapAnd: (Column, Column) => Column =
+      udf((a: Array[Byte], b: Array[Byte]) => Bitmap.and(a, b)).apply(_, _)
+    val bitmapOr: (Column, Column) => Column =
+      udf((a: Array[Byte], b: Array[Byte]) => Bitmap.or(a, b)).apply(_, _)
+    val bitmapIds: Column => Column =
+      udf((a: Array[Byte]) => Bitmap.ids(a)).apply(_)
+    val bitmapCard: Column => Column =
+      udf((a: Array[Byte]) => Bitmap.cardinality(a)).apply(_)
+  }
+
+  /** Equality: fetch the value's bitmap, expand to rowids. */
+  def lookupIds(index: DataFrame, value: Any): DataFrame =
+    index.filter(col("iv") === lit(value))
+      .select(explode(Ops.bitmapIds(col("bm"))).as("rk"))
+
+  /** Combine two values' bitmaps (possibly from different indexes)
+    * with AND/OR, then expand. Index rows are tiny vs the base table.
+    */
+  def combineIds(left: DataFrame, lval: Any, right: DataFrame, rval: Any,
+                 op: String): DataFrame = {
+    val l = left.filter(col("iv") === lit(lval)).select(col("bm").as("lbm"))
+    val r = right.filter(col("iv") === lit(rval)).select(col("bm").as("rbm"))
+    val combined = op match {
+      case "and" => l.crossJoin(r).select(Ops.bitmapAnd(col("lbm"), col("rbm")).as("bm"))
+      case "or"  => l.crossJoin(r).select(Ops.bitmapOr(col("lbm"), col("rbm")).as("bm"))
+      case other => throw new IllegalArgumentException(s"op $other")
+    }
+    combined.select(explode(Ops.bitmapIds(col("bm"))).as("rk"))
+  }
+}

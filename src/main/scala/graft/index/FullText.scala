@@ -1,0 +1,68 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full-text inverted index + search.
+  *
+  * The reference's full-text flavor is Lucene persisted on HBase
+  * (reference: index/lucene/HBaseDirectory.kt — a Lucene Directory
+  * whose blocks are HBase cells; LuceneIndexTable.kt declares the
+  * index table; README.md lists `lucene` as an index flavor).
+  *
+  * Spark-first re-expression: the inverted index IS a DataFrame —
+  * postings (term, doc_id, tf) plus a dictionary (term, df), built in
+  * one explode+groupBy pass (map-side combine; shuffle keyed by term,
+  * which is exactly how a distributed index shard layout looks at
+  * 100 TB: term-range partitions = index segments). Search never
+  * re-scans documents: it filters the postings by term (pushed to
+  * parquet when persisted), intersects/unions doc lists, and ranks
+  * with tf-idf computed from the same two frames.
+  */
+object FullText {
+
+  /** Lowercase alnum tokenizer — deliberately simple and replicable in
+    * the DuckDB oracle (string_split_regex with the same pattern). */
+  def tokenize(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Postings list: one row per (term, doc) with term frequency. */
+  def buildPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(tokenize(col(textCol))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+
+  /** Dictionary: document frequency per term. */
+  def buildDictionary(postings: DataFrame): DataFrame =
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** AND search: docs containing every query term. */
+  def searchAll(docs: DataFrame, idCol: String, postings: DataFrame,
+                terms: Seq[String]): DataFrame = {
+    val hits = postings.filter(col("term").isin(terms: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("nterms"))
+      .filter(col("nterms") === terms.length)
+      .select("doc_id")
+    docs.join(broadcast(hits), docs(idCol) === hits("doc_id"), "left_semi")
+  }
+
+  /** OR search: docs containing any query term. */
+  def searchAny(docs: DataFrame, idCol: String, postings: DataFrame,
+                terms: Seq[String]): DataFrame = {
+    val hits = postings.filter(col("term").isin(terms: _*))
+      .select("doc_id").distinct()
+    docs.join(broadcast(hits), docs(idCol) === hits("doc_id"), "left_semi")
+  }
+
+  /** tf-idf ranked top-k: score(d) = Σ_t tf(t,d) · ln(N/df(t)).
+    * Rounded to 4 dp so the ranking column is reproducible bit-for-bit
+    * against other engines' libm. */
+  def tfidfTopK(postings: DataFrame, dictionary: DataFrame, nDocs: Long,
+                terms: Seq[String], k: Int): DataFrame = {
+    val scored = postings.filter(col("term").isin(terms: _*))
+      .join(broadcast(dictionary.filter(col("term").isin(terms: _*))), "term")
+      .withColumn("w", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .groupBy("doc_id").agg(round(sum(col("w")), 4).as("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+}

@@ -1,0 +1,130 @@
+package graft.index
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SparkEntry wiring for SURVEY.md §2 "Secondary indexes". */
+object IndexQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "idx_kv_lookup" -> { (s, d) =>
+      import s.implicits._
+      val cust = Tables.customer(s, d)
+      val idx = KvIndex.build(cust, "c_custkey", "c_mktsegment")
+      KvIndex.lookup(cust, "c_custkey", idx, "BUILDING")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+
+    "idx_kv_range" -> { (s, d) =>
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val idx = KvIndex.build(o, "o_orderkey", "o_totalprice")
+      KvIndex.rangeLookup(o, "o_orderkey", idx, 100000.0, 150000.0)
+        .select($"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
+
+    "idx_bitmap_eq" -> { (s, d) =>
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val idx = BitmapIndex.build(o, "o_orderkey", "o_orderpriority")
+      BitmapIndex.lookupIds(idx, "1-URGENT")
+        .select($"rk".as("o_orderkey"))
+        .orderBy($"o_orderkey")
+    },
+
+    "idx_bitmap_and_or" -> { (s, d) =>
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val statusIdx = BitmapIndex.build(o, "o_orderkey", "o_orderstatus")
+      val prioIdx = BitmapIndex.build(o, "o_orderkey", "o_orderpriority")
+      val andIds = BitmapIndex.combineIds(statusIdx, "F", prioIdx, "5-LOW", "and")
+        .withColumn("op", lit("and"))
+      val orIds = BitmapIndex.combineIds(statusIdx, "F", prioIdx, "5-LOW", "or")
+        .withColumn("op", lit("or"))
+      andIds.unionByName(orIds)
+        .select($"op", $"rk".as("o_orderkey"))
+        .orderBy($"op", $"o_orderkey")
+    },
+
+    "ft_search_and" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val postings = FullText.buildPostings(docs, "doc_id", "text")
+      FullText.searchAll(docs, "doc_id", postings, Seq("spark", "join"))
+        .select($"doc_id", $"lang", $"source")
+        .orderBy($"doc_id")
+    },
+
+    "ft_search_or" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val postings = FullText.buildPostings(docs, "doc_id", "text")
+      FullText.searchAny(docs, "doc_id", postings, Seq("vector", "stream"))
+        .select($"doc_id", $"lang", $"source")
+        .orderBy($"doc_id")
+    },
+
+    "ft_tfidf_topk" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val postings = FullText.buildPostings(docs, "doc_id", "text")
+      val dict = FullText.buildDictionary(postings)
+      FullText.tfidfTopK(postings, dict, docs.count(), Seq("spark", "join"), 20)
+    },
+  )
+
+  def oracles: Map[String, String] = Map(
+    "idx_kv_lookup" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+
+    "idx_kv_range" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice >= 100000.0 AND o_totalprice < 150000.0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "idx_bitmap_eq" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "idx_bitmap_and_or" ->
+      """SELECT op, o_orderkey FROM (
+        |  SELECT 'and' AS op, o_orderkey FROM orders
+        |  WHERE o_orderstatus = 'F' AND o_orderpriority = '5-LOW'
+        |  UNION ALL
+        |  SELECT 'or' AS op, o_orderkey FROM orders
+        |  WHERE o_orderstatus = 'F' OR o_orderpriority = '5-LOW')
+        |ORDER BY op, o_orderkey""".stripMargin,
+
+    "ft_search_and" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'spark')
+        |  AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'join')
+        |ORDER BY doc_id""".stripMargin,
+
+    "ft_search_or" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'vector')
+        |  OR list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'stream')
+        |ORDER BY doc_id""".stripMargin,
+
+    "ft_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('spark','join') GROUP BY doc_id, term),
+        |df AS (
+        |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+        |  WHERE term IN ('spark','join') GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT doc_id,
+        |  ROUND(SUM(tf * ln(CAST(n.n AS DOUBLE) / df.df)), 4) AS score
+        |FROM tf JOIN df USING(term) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+  )
+}

@@ -1,0 +1,43 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** KV secondary index, Spark-native.
+  *
+  * The reference maintains an index table whose rowkey is
+  * `qualifier | value | rowkey` and whose cell points back at the base
+  * rowkey; an equality lookup is a prefix scan on the index followed by
+  * a multi-Get on the base table (reference: KVIndexTable.kt:64-84
+  * getByIndex, :95-125 put — index rows written alongside every base
+  * Put; HBaseSchema.kt:262-287 createIndex backfill scan).
+  *
+  * Spark-first: the index is a (ik, rk) DataFrame range-partitioned and
+  * sorted by ik, persisted as parquet. A lookup filters the index (the
+  * filter is pushed to the scan; min/max stats prune to the right
+  * partition, the analog of the index-table region seek) and semi-joins
+  * the resulting rowkeys back to the base table. The rowkey set for a
+  * selective value is small, so the join side is broadcast — at 100 TB
+  * the base table is never shuffled for an index lookup.
+  */
+object KvIndex {
+
+  /** Backfill build, the analog of HBaseSchema.createIndex's scan. */
+  def build(base: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    base.select(col(valueCol).as("ik"), col(keyCol).as("rk"))
+      .repartitionByRange(col("ik"), col("rk"))
+      .sortWithinPartitions("ik", "rk")
+
+  /** Equality lookup: index seek + multi-Get back to base. */
+  def lookup(base: DataFrame, keyCol: String, index: DataFrame, value: Any): DataFrame = {
+    val rks = index.filter(col("ik") === lit(value)).select(col("rk"))
+    base.join(broadcast(rks), base(keyCol) === rks("rk"), "left_semi")
+  }
+
+  /** Range lookup [lo, hi) over the sorted index. */
+  def rangeLookup(base: DataFrame, keyCol: String, index: DataFrame,
+                  lo: Any, hi: Any): DataFrame = {
+    val rks = index.filter(col("ik") >= lit(lo) && col("ik") < lit(hi)).select(col("rk"))
+    base.join(broadcast(rks), base(keyCol) === rks("rk"), "left_semi")
+  }
+}

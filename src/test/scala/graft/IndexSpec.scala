@@ -1,0 +1,67 @@
+package graft
+
+import graft.index.{Bitmap, BitmapIndex, FullText, KvIndex}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IndexSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("bitmap core ops: set/ids/and/or/cardinality round-trip") {
+    val a = new Bitmap.Chunks()
+    Seq(0L, 1L, 63L, 64L, 65535L, 65536L, 1000000L).foreach(Bitmap.set(a, _))
+    val sa = Bitmap.serialize(a)
+    assert(Bitmap.ids(sa).toSeq == Seq(0L, 1L, 63L, 64L, 65535L, 65536L, 1000000L))
+    assert(Bitmap.cardinality(sa) == 7)
+
+    val b = new Bitmap.Chunks()
+    Seq(1L, 64L, 5000000L).foreach(Bitmap.set(b, _))
+    val sb = Bitmap.serialize(b)
+    assert(Bitmap.ids(Bitmap.and(sa, sb)).toSeq == Seq(1L, 64L))
+    assert(Bitmap.cardinality(Bitmap.or(sa, sb)) == 8)
+  }
+
+  test("bitmap index matches a plain filter") {
+    val o = Tables.orders(spark, sf)
+    val idx = BitmapIndex.build(o, "o_orderkey", "o_orderstatus")
+    val viaIndex = BitmapIndex.lookupIds(idx, "F").collect().map(_.getLong(0)).sorted
+    val direct = o.filter(col("o_orderstatus") === "F")
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(viaIndex.sameElements(direct))
+  }
+
+  test("kv index lookup matches a plain filter") {
+    val c = Tables.customer(spark, sf)
+    val idx = KvIndex.build(c, "c_custkey", "c_nationkey")
+    val viaIndex = KvIndex.lookup(c, "c_custkey", idx, 3)
+      .select("c_custkey").collect().map(_.getLong(0)).sorted
+    val direct = c.filter(col("c_nationkey") === 3)
+      .select("c_custkey").collect().map(_.getLong(0)).sorted
+    assert(viaIndex.nonEmpty && viaIndex.sameElements(direct))
+  }
+
+  test("full-text AND is the intersection of single-term searches") {
+    val docs = Tables.documents(spark, sf)
+    val postings = FullText.buildPostings(docs, "doc_id", "text").cache()
+    val both = FullText.searchAll(docs, "doc_id", postings, Seq("spark", "join"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sparkOnly = FullText.searchAll(docs, "doc_id", postings, Seq("spark"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val joinOnly = FullText.searchAll(docs, "doc_id", postings, Seq("join"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(both == (sparkOnly intersect joinOnly))
+    val any = FullText.searchAny(docs, "doc_id", postings, Seq("spark", "join"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(any == (sparkOnly union joinOnly))
+    postings.unpersist()
+  }
+
+  test("tfidf ranks a doc with more query-term hits first") {
+    val docs = Tables.documents(spark, sf)
+    val postings = FullText.buildPostings(docs, "doc_id", "text")
+    val dict = FullText.buildDictionary(postings)
+    val top = FullText.tfidfTopK(postings, dict, docs.count(), Seq("spark"), 5).collect()
+    assert(top.length == 5)
+    assert(top.sliding(2).forall(p => p(0).getDouble(1) >= p(1).getDouble(1)))
+  }
+}
