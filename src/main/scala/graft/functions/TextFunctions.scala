@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for the LLM-data-pipeline surface
+  * (SURVEY.md §2 "text analysis").
+  *
+  * Everything here is composed from `org.apache.spark.sql.functions`
+  * higher-order array expressions — fully codegen'd, no UDFs, so the
+  * whole pipeline stays inside WholeStageCodegen and scales linearly:
+  * one pass over the text column, no shuffle, no driver involvement.
+  *
+  * Formulas are deliberately expressible in portable SQL (the DuckDB
+  * oracle replicates them term for term), which also pins down their
+  * semantics exactly.
+  */
+object TextFunctions {
+
+  /** Lowercase alnum word tokens (same tokenizer as FullText). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword count: alpha runs, single digits, single
+    * non-alnum-non-space marks — a cheap proxy for BPE token count. */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+
+  val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val StopDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein")
+  val StopEs: Seq[String] = Seq("el", "la", "de", "los", "es", "y")
+
+  private def stopHits(toks: Column, stops: Seq[String]): Column = {
+    val arr = array(stops.map(lit): _*)
+    size(filter(toks, t => array_contains(arr, t)))
+  }
+
+  /** Stopword hit ratio against the English list. */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    stopHits(t, StopEn).cast("double") / size(t)
+  }
+
+  /** Ratio of alphanumeric chars to all chars. */
+  def alnumRatio(text: Column): Column =
+    length(regexp_replace(lower(text), "[^a-z0-9]", "")).cast("double") / length(text)
+
+  /** Composite quality score in [0,1]:
+    * 0.5·min(1, n_tokens/120) + 0.3·stopword_ratio + 0.2·alnum_ratio,
+    * rounded to 4 dp. Left-assoc sum, identical in the oracle. */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val lenTerm = lit(0.5) * least(lit(1.0), size(t).cast("double") / lit(120.0))
+    val stopTerm = lit(0.3) * (stopHits(t, StopEn).cast("double") / size(t))
+    val alnumTerm = lit(0.2) * alnumRatio(text)
+    round(lenTerm + stopTerm + alnumTerm, 4)
+  }
+
+  /** Stopword-profile language ID over {en, de, es}: argmax of
+    * per-language stopword hits, ties resolved en > de > es. */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val en = stopHits(t, StopEn); val de = stopHits(t, StopDe); val es = stopHits(t, StopEs)
+    when(en >= de && en >= es, "en").when(de >= es, "de").otherwise("es")
+  }
+
+  /** Positional rolling-hash fingerprint (mod p = 1e9+7):
+    * Σ_i (ascii(tok_i)·len(tok_i)) · ((i·2654435761) mod p) mod p,
+    * i 1-based. Order-sensitive (a permuted doc fingerprints
+    * differently) yet exact-integer portable across engines. */
+  def fingerprint(text: Column): Column = {
+    val p = lit(1000000007L)
+    val t = tokens(text)
+    val terms = transform(sequence(lit(1), size(t)), i =>
+      (ascii(element_at(t, i)).cast("long") * length(element_at(t, i)) %p
+        * ((i.cast("long") * lit(2654435761L)) % p)) % p)
+    aggregate(terms, lit(0L), (acc, x) => (acc + x) % p)
+  }
+
+  /** Character bigrams of the raw lowercased text (spaces included). */
+  def charBigrams(text: Column): Column =
+    transform(sequence(lit(1), length(text) - 1), i => lower(text).substr(i, lit(2)))
+
+  /** Word n-gram shingles of the token array (space-joined). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    array_distinct(transform(sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
+      i => array_join(slice(t, i, lit(n)), " ")))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SparkEntry wiring for SURVEY.md §2 "text analysis". */
+object TextQueries {
+  import TextFunctions._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_tokens" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          wsTokenCount($"text").as("n_ws"),
+          size(tokens($"text")).as("n_words"),
+          bpeishCount($"text").as("n_bpeish"))
+        .orderBy($"doc_id")
+    },
+
+    "txt_quality" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          length($"text").as("n_chars"),
+          round(stopwordRatio($"text"), 4).as("stop_ratio"),
+          round(alnumRatio($"text"), 4).as("alnum_ratio"),
+          qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    },
+
+    "txt_langid" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", langId($"text").as("lang_detected"))
+        .groupBy($"lang_detected").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang_detected")
+    },
+
+    "txt_fingerprint" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", fingerprint($"text").as("fp"))
+        .orderBy($"doc_id")
+    },
+
+    "txt_ngram_profile" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(explode(charBigrams($"text")).as("bigram"))
+        .groupBy($"bigram").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"bigram")
+        .limit(25)
+    },
+  )
+
+  private val Tok = "string_split_regex(lower(text), '[^a-z0-9]+')"
+  private def cleanTok = // DuckDB split keeps empty edge tokens; drop them
+    s"list_filter($Tok, t -> length(t) > 0)"
+  private def hits(langList: String) =
+    s"len(list_filter($cleanTok, t -> list_contains($langList, t)))"
+  private val EnL = "['the','a','of','and','to','in','is']"
+  private val DeL = "['der','die','das','und','ist','ein']"
+  private val EsL = "['el','la','de','los','es','y']"
+
+  def oracles: Map[String, String] = Map(
+    "txt_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_ws,
+         |  CAST(len($cleanTok) AS INT) AS n_words,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS INT) AS n_bpeish
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS INT) AS n_chars,
+         |  ROUND(CAST(${hits(EnL)} AS DOUBLE) / len($cleanTok), 4) AS stop_ratio,
+         |  ROUND(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text), 4) AS alnum_ratio,
+         |  ROUND(0.5 * least(1.0, CAST(len($cleanTok) AS DOUBLE) / 120.0)
+         |      + 0.3 * (CAST(${hits(EnL)} AS DOUBLE) / len($cleanTok))
+         |      + 0.2 * (CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text)), 4) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_langid" ->
+      s"""SELECT lang_detected, COUNT(*) AS n_docs FROM (
+         |  SELECT CASE
+         |    WHEN ${hits(EnL)} >= ${hits(DeL)} AND ${hits(EnL)} >= ${hits(EsL)} THEN 'en'
+         |    WHEN ${hits(DeL)} >= ${hits(EsL)} THEN 'de'
+         |    ELSE 'es' END AS lang_detected
+         |  FROM documents)
+         |GROUP BY lang_detected ORDER BY lang_detected""".stripMargin,
+
+    "txt_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $cleanTok AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(1, len(toks) + 1), i ->
+         |    ((ascii(toks[CAST(i AS INT)]) * length(toks[CAST(i AS INT)]) % 1000000007)
+         |      * ((i * 2654435761) % 1000000007)) % 1000000007)) % 1000000007 AS BIGINT) AS fp
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "txt_ngram_profile" ->
+      """SELECT bigram, COUNT(*) AS n FROM (
+        |  SELECT unnest(list_transform(range(1, length(text)),
+        |    i -> substring(lower(text), CAST(i AS INT), 2))) AS bigram
+        |  FROM documents)
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25""".stripMargin,
+  )
+}
