@@ -13,11 +13,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.Relational.queries ++ kv.KvQueries.queries ++
-      index.IndexQueries.queries ++ functions.TextQueries.queries
+      index.IndexQueries.queries ++ functions.TextQueries.queries ++
+      dedup.DedupQueries.queries ++ streaming.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     relational.Relational.oracles ++ kv.KvQueries.oracles ++
-      index.IndexQueries.oracles ++ functions.TextQueries.oracles
+      index.IndexQueries.oracles ++ functions.TextQueries.oracles ++
+      dedup.DedupQueries.oracles ++ streaming.StreamQueries.oracles
 }

@@ -20,7 +20,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
+    * read as a timestamp. With spark.sql.legacy.parquet.nanosAsLong=true
+    * (set by Verify/Bench/tests) it arrives as epoch-nanos long; we
+    * truncate to µs with exact integer division (never double math —
+    * 1.7e18 doesn't fit a double mantissa) and restore TimestampType. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -1,0 +1,155 @@
+package graft.dedup
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the LLM-data-pipeline surface
+  * (SURVEY.md §2 "dedup"). Five flavors: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * Scale stance (the whole point at 100 TB): candidate generation is
+  * ALWAYS a hash shuffle on a signature key (content hash, shingle,
+  * LSH band, SimHash band, hyperplane bucket) — never an O(n²)
+  * cross join. Signatures are computed with codegen'd expressions
+  * (xxhash64 + higher-order array functions), one pass, map-side.
+  */
+object Dedup {
+
+  /** Whitespace-normalized lowercase content hash. */
+  def contentKey(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Exact dedup: group by content hash; keeper = min doc_id.
+    * One shuffle keyed by the hash; at 100 TB this is the standard
+    * first pass of a corpus dedup. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(contentKey(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
+  /** Distinct word-n-gram shingle sets per doc. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TextFunctions.wordShingles(col(textCol), n).as("sh"))
+
+  /** n-gram Jaccard near-dup pairs (a<b, J ≥ threshold).
+    * Inverted shingle index → pairs sharing ≥1 shingle → shared
+    * counts → J = shared/(|A|+|B|−shared). The self-join shuffles on
+    * the shingle key; frequent shingles are the skew risk, so
+    * shingles above `maxDf` docs are dropped (standard df-cut — an
+    * ubiquitous shingle carries no dedup signal anyway). */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double, maxDf: Long = 1000): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+    val posting = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val rare = posting.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+    val p = posting.join(rare.select("s"), Seq("s"))
+    val shared = p.as("a").join(p.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("sza") + col("szb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signature: sigLen independent permutations approximated
+    * by seeded xxhash64; sig_i = min over shingles of hash(s, i). */
+  def minhashSig(sh: Column, sigLen: Int): Column =
+    transform(sequence(lit(0), lit(sigLen - 1)),
+      i => array_min(transform(sh, s => xxhash64(s, i))))
+
+  /** MinHash + LSH banding: candidates collide on ≥1 of
+    * (bands = sigLen/rowsPerBand) band hashes; estimated Jaccard =
+    * fraction of agreeing signature positions; keep est ≥ threshold.
+    * Shuffle key is (band, bandHash) — duplicate candidate pairs from
+    * multiple colliding bands are deduped before estimation. */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3, sigLen: Int = 64, rowsPerBand: Int = 4,
+                 threshold: Double = 0.5): DataFrame = {
+    val bands = sigLen / rowsPerBand
+    val sig = shingles(docs, idCol, textCol, n)
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashSig(col("sh"), sigLen).as("sig"))
+    val banded = sig.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("siga"), col("b.sig").as("sigb"))
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), b => b))
+          .cast("double") / lit(64.0))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash built from codegen'd array expressions.
+    * Bit b of the result is the sign of Σ_tokens (±1 by bit b of
+    * xxhash64(token)). Dynamic shifts aren't expressible, so bit
+    * tests use a constant powers-of-two array + element_at. */
+  object SimhashExpr {
+    private val powers: Column =
+      array((0 until 64).map(b => lit(1L << b)): _*)
+
+    def simhash64(text: Column): Column = {
+      val toks = TextFunctions.tokens(text)
+      val counters = aggregate(toks, array_repeat(lit(0), 64),
+        (acc, t) => zip_with(acc,
+          transform(sequence(lit(0), lit(63)),
+            b => when(xxhash64(t).bitwiseAND(element_at(powers, b + 1)) =!= 0L, 1)
+              .otherwise(-1)),
+          (a, x) => a + x))
+      aggregate(
+        zip_with(counters, powers, (c, p) => when(c >= 0, p).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x)
+    }
+  }
+
+  /** Banded SimHash near-dup pairs: 4 × 16-bit bands; pairs agreeing
+    * on ≥1 band, kept if hamming(simhash) ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"), SimhashExpr.simhash64(col(textCol)).as("sh64"))
+    val banded = sh.select(col("doc_id"), col("sh64"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("sh64"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh64").as("ha"), col("b.sh64").as("hb"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Embedding-cosine near-dup pairs via hyperplane-LSH buckets:
+    * pairs sharing a bucket, kept if round(cos, 3) ≥ threshold.
+    * Bucket key shuffle (candidate set ≪ n²); exact cosine only on
+    * candidates. */
+  def embeddingDups(embs: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double = 0.95): DataFrame = {
+    val b = embs.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      VectorFunctions.lshBucket(col(vecCol)).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
+      .withColumn("sim", round(VectorFunctions.cosine(col("a.v"), col("b.v")), 3))
+      .filter(col("sim") >= threshold)
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"), col("sim"))
+  }
+}

@@ -1,0 +1,156 @@
+package graft.dedup
+
+import graft.Tables
+import graft.similarity.Ann
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SparkEntry wiring for SURVEY.md §2 "dedup" + "similarity search".
+  *
+  * The driver's corpus has no duplicate documents, so dup-finding
+  * queries run against the corpus plus a deterministic planted-dup
+  * overlay (copies of low-id docs, id+1000000, some with a trailing
+  * token appended). The DuckDB oracle replicates the same overlay, so
+  * the expected answer is exactly the planted pairs — a real
+  * ground-truth check of recall AND precision.
+  */
+object DedupQueries {
+
+  /** documents ∪ exact copies of doc_id<10 ∪ near copies (one
+    * appended token) of 10≤doc_id<20, with ids offset by 1e6. */
+  private def plantedDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val exactCopies = docs.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val nearCopies = docs.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", concat(col("text"), lit(" graftdup")))
+    docs.unionByName(exactCopies).unionByName(nearCopies)
+  }
+
+  private val plantedDocsSql =
+    """SELECT * FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id < 10
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' graftdup' AS text, lang, source, n_chars
+      |  FROM documents WHERE doc_id >= 10 AND doc_id < 20""".stripMargin
+
+  /** embeddings ∪ exact vector copies of vec_id<5 (ids +1e6). */
+  private def plantedEmbs(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    e.unionByName(e.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 1000000L))
+  }
+
+  private val plantedEmbsSql =
+    """SELECT * FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id, embedding, label
+      |  FROM embeddings WHERE vec_id < 5""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> { (s, d) =>
+      import s.implicits._
+      Dedup.exact(plantedDocs(s, d), "doc_id", "text")
+        .orderBy($"keeper")
+    },
+
+    "dd_ngram_jaccard" -> { (s, d) =>
+      import s.implicits._
+      Dedup.ngramJaccard(plantedDocs(s, d), "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    "dd_minhash_lsh" -> { (s, d) =>
+      import s.implicits._
+      Dedup.minhashLsh(plantedDocs(s, d), "doc_id", "text", threshold = 0.5)
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    "dd_simhash" -> { (s, d) =>
+      import s.implicits._
+      Dedup.simhashPairs(plantedDocs(s, d), "doc_id", "text", maxHamming = 3)
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    "dd_embedding" -> { (s, d) =>
+      import s.implicits._
+      Dedup.embeddingDups(plantedEmbs(s, d), "vec_id", "embedding", threshold = 0.95)
+        .orderBy($"id_a", $"id_b")
+    },
+
+    "sim_brute_topk" -> { (s, d) =>
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      Ann.bruteTopK(e, "vec_id", "embedding", e.filter($"vec_id" < 20), k = 3)
+        .orderBy($"qid", $"rn")
+    },
+
+    "sim_lsh_ann" -> { (s, d) =>
+      import s.implicits._
+      val e = plantedEmbs(s, d)
+      Ann.lshTopK(e, "vec_id", "embedding", e.filter($"vec_id" < 20), k = 3)
+        .orderBy($"qid", $"rn")
+    },
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      s"""WITH corpus AS ($plantedDocsSql)
+         |SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h,
+         |  MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+         |FROM corpus
+         |GROUP BY h HAVING COUNT(*) > 1 ORDER BY keeper""".stripMargin,
+
+    "dd_ngram_jaccard" ->
+      s"""WITH corpus AS ($plantedDocsSql),
+         |t AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
+         |  FROM corpus),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+         |    i -> array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))) AS s
+         |  FROM t),
+         |sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+         |posting AS (SELECT doc_id, unnest(s) AS sgl FROM sh),
+         |rare AS (SELECT sgl FROM posting GROUP BY sgl
+         |         HAVING COUNT(*) <= 1000 AND COUNT(*) >= 2),
+         |p AS (SELECT posting.doc_id, posting.sgl FROM posting JOIN rare USING (sgl)),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |  FROM p a JOIN p b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  ROUND(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 4) AS jaccard
+         |FROM shared
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd_embedding" ->
+      s"""WITH corpus AS ($plantedEmbsSql)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ROUND(list_cosine_similarity(a.embedding, b.embedding), 3) AS sim
+         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+         |WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 3) >= 0.95
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS nn,
+        |    ROUND(list_cosine_similarity(q.qv, e.embedding), 3) AS score
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+        |ranked AS (
+        |  SELECT qid, nn, score,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nn) AS rn
+        |  FROM scored)
+        |SELECT qid, CAST(rn AS INT) AS rn, nn, score FROM ranked
+        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    // dd_minhash_lsh, dd_simhash, sim_lsh_ann: hash-seeded signatures
+    // aren't reproducible in SQL → rows-only + ground-truth ScalaTest.
+  )
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SparkEntry wiring for SURVEY.md §2 "Streaming" + "multimodal".
+  * Streaming transforms run here in batch mode (same plan) so the
+  * DuckDB oracle can check them; genuine readStream runs live in
+  * StreamingSpec. */
+object StreamQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_window_agg" -> { (s, d) =>
+      import s.implicits._
+      Streams.hourlyTypeAgg(Tables.events(s, d))
+        .orderBy($"hour", $"event_type")
+    },
+
+    "st_sessionize" -> { (s, d) =>
+      import s.implicits._
+      Streams.sessionize(Tables.events(s, d))
+        .select($"user_id", $"session_id", $"n_events", $"session_start", $"session_end")
+        .orderBy($"user_id", $"session_id")
+    },
+
+    "mm_meta_extract" -> { (s, d) =>
+      import s.implicits._
+      Multimodal.extractMeta(s, Multimodal.withPayload(Tables.documents(s, d)))
+        .toDF().orderBy($"doc_id")
+    },
+
+    "mm_frame_sample" -> { (s, d) =>
+      import s.implicits._
+      Multimodal.sampleFrames(s, Multimodal.withPayload(Tables.documents(s, d)))
+        .toDF().orderBy($"doc_id", $"frame_idx")
+    },
+  )
+
+  def oracles: Map[String, String] = Map(
+    "st_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+
+    "st_sessionize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts FROM events),
+        |w AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER uw IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT)
+        |            - CAST(floor(epoch(lag(ts) OVER uw)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM w)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "mm_meta_extract" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |  CAST(64 + octet_length(encode(text)) % 640 AS INT) AS width,
+        |  CAST(48 + (octet_length(encode(text)) * 7) % 480 AS INT) AS height,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'IMAGE/PNG'
+        |       WHEN doc_id % 3 = 1 THEN 'AUDIO/WAV'
+        |       ELSE 'VIDEO/MP4' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS blen FROM documents)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(least(64, blen - i * 64) AS INT) AS frame_len
+        |FROM m, LATERAL unnest(range(0, CAST(ceil(blen / 64.0) AS BIGINT))) AS u(i)
+        |WHERE i % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
+  )
+}

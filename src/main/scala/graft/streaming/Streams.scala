@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Streaming analytics over the `events` table.
+  *
+  * The reference declares StreamableTable among the Calcite table
+  * kinds it surveys (reference: HBaseTable.kt:31-38); HBase itself
+  * feeds streaming ingest via Puts. Spark-first, the stream surface is
+  * Structured Streaming: `readStream` → watermark → windowed/sessional
+  * aggregation → sink, with `flatMapGroupsWithState` for custom state.
+  *
+  * Each transform below is written against a plain DataFrame so the
+  * SAME code runs in batch (for the DuckDB oracle) and as a streaming
+  * query (tests attach it to readStream + memory sink). This is the
+  * Spark idiom: one logical plan, two execution modes.
+  */
+object Streams {
+
+  /** Tumbling-window aggregation: events per (hour, type) with an
+    * exact decimal value sum. In streaming mode this is the canonical
+    * watermark + window plan; keyed shuffle is (window × type) so it
+    * scales with key cardinality, not input size. */
+  def hourlyTypeAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
+
+  /** Same aggregation, genuinely streaming (watermarked). */
+  def hourlyTypeAggStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  /** Gap-based sessionization (30-min inactivity closes a session),
+    * batch form: lag + cumulative-sum-of-boundaries per user. One
+    * shuffle on user_id; window functions stay within partitions. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class SessionAcc(startTs: Timestamp, lastUs: Long, n: Long)
+  case class Session(user_id: Long, session_start: Timestamp, n_events: Long)
+
+  /** Streaming sessionization with custom state — the
+    * flatMapGroupsWithState form of `sessionize`, emitting a session
+    * when the gap closes it. Event-time ordering within a micro-batch
+    * is handled by sorting the group's batch slice. */
+  def sessionizeStream(spark: SparkSession, events: DataFrame,
+                       gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapSec = gapMinutes * 60L
+    // µs-precision epoch, and the batch form's gap rule:
+    // floor-second difference > gap
+    def usOf(ts: Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    def secOf(us: Long): Long = Math.floorDiv(us, 1000000L)
+    events.select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionAcc], Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[List[SessionAcc]]) =>
+          val sorted = evs.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+          var open = state.getOption.flatMap(_.headOption)
+          val closed = scala.collection.mutable.ListBuffer.empty[Session]
+          sorted.foreach { e =>
+            val t = usOf(e.ts)
+            open match {
+              case Some(acc) if secOf(t) - secOf(acc.lastUs) <= gapSec =>
+                open = Some(acc.copy(lastUs = t, n = acc.n + 1))
+              case Some(acc) =>
+                closed += Session(uid, acc.startTs, acc.n)
+                open = Some(SessionAcc(e.ts, t, 1))
+              case None =>
+                open = Some(SessionAcc(e.ts, t, 1))
+            }
+          }
+          state.update(open.toList)
+          closed.iterator
+      }.toDF()
+  }
+
+  /** Drain any open sessions from a finished sessionizeStream state —
+    * batch-side helper used by tests to compare against `sessionize`. */
+}

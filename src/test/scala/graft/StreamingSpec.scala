@@ -1,0 +1,93 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Genuine Structured Streaming runs (readStream → memory sink),
+  * checked against the batch forms of the same transforms. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def events = Tables.events(spark, sf)
+
+  /** readStream needs a directory; stage the single events.parquet
+    * file into a temp dir once. */
+  private lazy val streamDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+
+  test("streaming windowed agg equals batch hourly agg") {
+    val schema = events.schema
+    // stream the same parquet through the watermarked plan
+    val stream = spark.readStream.schema(
+        Tables.load(spark, sf, "events").schema)
+      .parquet(streamDir)
+    val streamEvents =
+      if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream
+    val q = Streams.hourlyTypeAggStream(streamEvents)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_out")
+        .select("hour", "event_type", "n", "total_value")
+        .collect().map(_.toSeq).toSet
+      val batch = Streams.hourlyTypeAgg(events)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch, "streaming result differs from batch")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization matches batch closed sessions") {
+    val batch = Streams.sessionize(events)
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    // the streaming form only emits CLOSED sessions (the last session
+    // per user stays open in state), so compare on the closed subset
+    val lastPerUser = Streams.sessionize(events)
+      .groupBy("user_id").agg(max("session_id").as("last_sid"))
+    val closedBatch = Streams.sessionize(events)
+      .join(lastPerUser, Seq("user_id"))
+      .filter(col("session_id") < col("last_sid"))
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+
+    val stream = spark.readStream.schema(
+        Tables.load(spark, sf, "events").schema)
+      .parquet(streamDir)
+    val streamEvents =
+      if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream
+    val q = Streams.sessionizeStream(spark, streamEvents)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_out")
+        .select("user_id", "session_start", "n_events")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      // single micro-batch ⇒ closed sessions must match the batch ones
+      assert(streamed == closedBatch,
+        s"streamed=${streamed.size} closedBatch=${closedBatch.size}")
+    } finally q.stop()
+  }
+
+  test("multimodal meta extract preserves row count and is deterministic") {
+    import graft.multimodal.Multimodal
+    val docs = Tables.documents(spark, sf)
+    val meta1 = Multimodal.extractMeta(spark, Multimodal.withPayload(docs))
+      .collect().map(m => (m.doc_id, m.byte_len, m.width, m.height, m.format)).toSet
+    val meta2 = Multimodal.extractMeta(spark, Multimodal.withPayload(docs))
+      .collect().map(m => (m.doc_id, m.byte_len, m.width, m.height, m.format)).toSet
+    assert(meta1 == meta2 && meta1.size == docs.count())
+  }
+}
