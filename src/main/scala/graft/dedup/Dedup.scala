@@ -28,10 +28,11 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
 
-  /** Distinct word-n-gram shingle sets per doc. */
+  /** Distinct word-n-gram shingle sets per doc (native expression;
+    * semantics of TextFunctions.wordShingles). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      TextFunctions.wordShingles(col(textCol), n).as("sh"))
+      graft.plans.HashExpressions.wordShingles(col(textCol), n).as("sh"))
 
   /** n-gram Jaccard near-dup pairs (a<b, J ≥ threshold).
     * Inverted shingle index → pairs sharing ≥1 shingle → shared
@@ -43,7 +44,10 @@ object Dedup {
                    n: Int, threshold: Double, maxDf: Long = 1000): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
-    val posting = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    // posting key is the 64-bit hash of the shingle: same join/group
+    // semantics (collisions ~ |shingles|^2/2^64 ~ 0), 2-3x less shuffle
+    val posting = sh.select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
     val rare = posting.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
     val p = posting.join(rare.select("s"), Seq("s"))
@@ -61,10 +65,11 @@ object Dedup {
   }
 
   /** MinHash signature: sigLen independent permutations approximated
-    * by seeded xxhash64; sig_i = min over shingles of hash(s, i). */
+    * by seeded XXH64; sig_i = min over shingles of hash(s, seed=i).
+    * Native Catalyst expression (graft.plans.MinHashSigExpr) — the
+    * composed-HOF form was ~60x slower at sf0.1. */
   def minhashSig(sh: Column, sigLen: Int): Column =
-    transform(sequence(lit(0), lit(sigLen - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i))))
+    graft.plans.HashExpressions.minhashSig(sh, sigLen)
 
   /** MinHash + LSH banding: candidates collide on ≥1 of
     * (bands = sigLen/rowsPerBand) band hashes; estimated Jaccard =
@@ -78,17 +83,21 @@ object Dedup {
     val sig = shingles(docs, idCol, textCol, n)
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), minhashSig(col("sh"), sigLen).as("sig"))
-    val banded = sig.select(col("doc_id"), col("sig"),
+    // Banding rows carry only (doc_id, band, bandHash) — the 8·sigLen-
+    // byte signature would otherwise dominate the candidate-join
+    // shuffle. Signatures rejoin only for the (small) candidate set.
+    val banded = sig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("siga"), col("b.sig").as("sigb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     cands
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("siga")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sigb")), "doc_b")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), b => b))
           .cast("double") / lit(64.0))
@@ -96,26 +105,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
-  /** 64-bit SimHash built from codegen'd array expressions.
-    * Bit b of the result is the sign of Σ_tokens (±1 by bit b of
-    * xxhash64(token)). Dynamic shifts aren't expressible, so bit
-    * tests use a constant powers-of-two array + element_at. */
+  /** 64-bit SimHash: bit b is the sign of Σ_tokens (±1 by bit b of
+    * XXH64(token)). Native Catalyst expression
+    * (graft.plans.SimHash64Expr) over the token array. */
   object SimhashExpr {
-    private val powers: Column =
-      array((0 until 64).map(b => lit(1L << b)): _*)
-
-    def simhash64(text: Column): Column = {
-      val toks = TextFunctions.tokens(text)
-      val counters = aggregate(toks, array_repeat(lit(0), 64),
-        (acc, t) => zip_with(acc,
-          transform(sequence(lit(0), lit(63)),
-            b => when(xxhash64(t).bitwiseAND(element_at(powers, b + 1)) =!= 0L, 1)
-              .otherwise(-1)),
-          (a, x) => a + x))
-      aggregate(
-        zip_with(counters, powers, (c, p) => when(c >= 0, p).otherwise(lit(0L))),
-        lit(0L), (acc, x) => acc + x)
-    }
+    def simhash64(text: Column): Column =
+      graft.plans.HashExpressions.simhash64(TextFunctions.tokens(text))
   }
 
   /** Banded SimHash near-dup pairs: 4 × 16-bit bands; pairs agreeing
@@ -145,7 +140,7 @@ object Dedup {
   def embeddingDups(embs: DataFrame, idCol: String, vecCol: String,
                     threshold: Double = 0.95): DataFrame = {
     val b = embs.select(col(idCol).as("vid"), col(vecCol).as("v"),
-      VectorFunctions.lshBucket(col(vecCol)).as("bucket"))
+      graft.plans.HashExpressions.lshBucket(col(vecCol)).as("bucket"))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
       .withColumn("sim", round(VectorFunctions.cosine(col("a.v"), col("b.v")), 3))

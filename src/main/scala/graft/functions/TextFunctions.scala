@@ -80,9 +80,11 @@ object TextFunctions {
     aggregate(terms, lit(0L), (acc, x) => (acc + x) % p)
   }
 
-  /** Character bigrams of the raw lowercased text (spaces included). */
+  /** Character bigrams of the raw lowercased text (spaces included).
+    * Native expression (graft.plans.CharBigramsExpr); equivalent to
+    * transform(sequence(1, length-1), i -> substr(lower(text), i, 2)). */
   def charBigrams(text: Column): Column =
-    transform(sequence(lit(1), length(text) - 1), i => lower(text).substr(i, lit(2)))
+    graft.plans.HashExpressions.charBigrams(text)
 
   /** Word n-gram shingles of the token array (space-joined). */
   def wordShingles(text: Column, n: Int): Column = {

@@ -1,0 +1,200 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the signature hot paths.
+  *
+  * The composed higher-order-function forms (transform/aggregate
+  * lambdas) are evaluated interpreted per element — at sf0.1 the
+  * MinHash signature alone (~5M shingles × 64 seeded hashes) made
+  * dd_minhash_lsh take ~9 minutes. These expressions do the same
+  * work in a tight JVM loop over the already-decoded array, the
+  * (b) tier of the preference order: compose built-ins < custom
+  * Expression < custom operator (SURVEY.md §3).
+  *
+  * CodegenFallback is fine here: the expensive part is the inner
+  * hash loop (native code either way), not expression dispatch.
+  */
+
+/** MinHash signature: sig(j) = min over shingles s of XXH64(s, seed=j).
+  * Input array<string>, output array<long> of length sigLen.
+  * Empty input → all Long.MaxValue (no shingles ⇒ never collides). */
+case class MinHashSigExpr(child: Expression, sigLen: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(sigLen)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      var j = 0
+      while (j < sigLen) {
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, j.toLong)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr = copy(child = c)
+}
+
+/** 64-bit SimHash over an array<string> of tokens: bit b of the result
+  * is set iff Σ_tokens (±1 by bit b of XXH64(token, 0)) ≥ 0. */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counters = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(child = c)
+}
+
+/** Hyperplane-LSH bucket over array<float|double>: `bits` sign bits of
+  * dot(v, plane_j) with plane_j[d] = sin(j·131 + d·7), packed into a
+  * "0"/"1" string (matches VectorFunctions.lshBucket). Plane values
+  * are memoized per (bits, dims). */
+case class LshBucketExpr(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+
+  @transient private lazy val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+  private def planes(dims: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent(dims, d =>
+      Array.tabulate(bits, d)((j, dd) => math.sin(j * 131.0 + dd * 7.0)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val v = new Array[Double](n)
+    var d = 0
+    while (d < n) {
+      v(d) = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+      d += 1
+    }
+    val ps = planes(n)
+    val sb = new java.lang.StringBuilder(bits)
+    var j = 0
+    while (j < bits) {
+      val p = ps(j)
+      var acc = 0.0
+      d = 0
+      while (d < n) { acc += v(d) * p(d); d += 1 }
+      sb.append(if (acc >= 0.0) '1' else '0')
+      j += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+  override protected def withNewChildInternal(c: Expression): LshBucketExpr = copy(child = c)
+}
+
+/** Character bigrams of the lowercased input in one tight loop — the
+  * HOF form (transform + substr per index) evaluated ~25M interpreted
+  * lambdas at sf0.1. Matches TextFunctions.charBigrams semantics:
+  * bigrams of code-unit positions 1..len-1, lowercased. */
+case class CharBigramsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val n = s.length
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      out(i) = UTF8String.fromString(s.substring(i, i + 2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): CharBigramsExpr = copy(child = c)
+}
+
+/** Distinct word n-gram shingles in one pass: lowercase, tokenize on
+  * non-[a-z0-9] runs, emit space-joined n-token windows (or one
+  * shingle of all tokens if fewer than n), first-occurrence order.
+  * Matches TextFunctions.wordShingles / the DuckDB oracle exactly for
+  * ASCII text. The HOF form ran ~5M interpreted slice+join lambdas at
+  * sf0.1. */
+case class WordShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        val start = i
+        while (i < len && {
+          val d = s.charAt(i); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) i += 1
+        toks += s.substring(start, i)
+      } else i += 1
+    }
+    val out = new java.util.LinkedHashSet[String]()
+    if (toks.length <= n) {
+      if (toks.nonEmpty) out.add(toks.mkString(" "))
+    } else {
+      var w = 0
+      while (w <= toks.length - n) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(w + j)); j += 1
+        }
+        out.add(sb.toString); w += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(arr)
+  }
+  override protected def withNewChildInternal(c: Expression): WordShinglesExpr = copy(child = c)
+}
+
+object HashExpressions {
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+  def minhashSig(c: Column, sigLen: Int = 64): Column =
+    column(MinHashSigExpr(expression(c), sigLen))
+  def simhash64(c: Column): Column = column(SimHash64Expr(expression(c)))
+  def lshBucket(c: Column, bits: Int = 16): Column =
+    column(LshBucketExpr(expression(c), bits))
+  def charBigrams(c: Column): Column = column(CharBigramsExpr(expression(c)))
+  def wordShingles(c: Column, n: Int): Column = column(WordShinglesExpr(expression(c), n))
+}

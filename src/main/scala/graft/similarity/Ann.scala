@@ -40,9 +40,9 @@ object Ann {
   def lshTopK(embs: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, k: Int, bits: Int = 12): DataFrame = {
     val corpus = embs.select(col(idCol).as("nn"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), bits).as("bucket"))
+      graft.plans.HashExpressions.lshBucket(col(vecCol), bits).as("bucket"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), bits).as("bucket"))
+      graft.plans.HashExpressions.lshBucket(col(vecCol), bits).as("bucket"))
     val scored = corpus.join(broadcast(q), Seq("bucket"))
       .filter(col("nn") =!= col("qid"))
       .withColumn("score", round(cosine(col("qv"), col("v")), 3))

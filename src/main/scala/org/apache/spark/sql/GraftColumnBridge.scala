@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the private[sql] Column ↔ Expression converters, the
+  * standard technique for libraries shipping custom Catalyst
+  * expressions against Spark 4's Column API (which no longer exposes
+  * `.expr` / `new Column(expr)` publicly). */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

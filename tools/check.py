@@ -6,6 +6,8 @@ import duckdb
 import pandas as pd
 
 outdir, sfdir = sys.argv[1], sys.argv[2]
+# guard against stale results: oracle_sql.json must be newer than any
+# result dir left over from a previous run (Verify rewrites everything)
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
