@@ -49,7 +49,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     }.mkString("[", ",", "]")
     val json =
       s"""{"table":"$name","primary":"${primaryKey.mkString(",")}",""" +
-        s""""isTransactional":$isTransactional,"indexType":"NONE",""" +
+        s""""isTransactional":$isTransactional,"indexType":"NONE","index":"",""" +
         s""""lockStatus":"UNLOCK","charset":"UTF-8","comment":"$comment",""" +
         s""""columns":$cols}"""
     Files.writeString(metaFile(name), json)
@@ -89,6 +89,62 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     else Files.list(Paths.get(warehouse)).iterator().asScala
       .filter(p => Files.exists(p.resolve("_graft_meta.json")))
       .map(_.getFileName.toString).toSeq.sorted
+
+  /** Index DDL (reference: HBaseSchema.kt:262-319 createIndex — build
+    * index table `{table}.{type}.{index}`, backfill from a scan, flip
+    * the table's indexType/index attributes; dropIndex reverses).
+    * Index flavors: "kv" (graft.index.KvIndex layout) and "bitmap"
+    * (graft.index.BitmapIndex layout). */
+  def createIndex(table: String, indexName: String, indexType: String,
+                  cols: Seq[String]): Unit = {
+    require(tableExists(table), s"table $table does not exist")
+    val dir = indexDir(table, indexName, indexType)
+    require(!Files.exists(dir),
+      s"$table $indexName $indexType exists when create index") // IndexExistsException
+    val t = this.table(table)
+    val pk = primaryKeyOf(table).head
+    val df = indexType.toLowerCase match {
+      case "kv" => graft.index.KvIndex.build(t.df, pk, cols.head)
+      case "bitmap" => graft.index.BitmapIndex.build(t.df, pk, cols.head)
+      case other => throw new IllegalArgumentException(s"index type $other")
+    }
+    Files.createDirectories(dir)
+    df.write.mode("overwrite").parquet(dir.resolve("data").toString)
+    setMetaAttr(table, "indexType", indexType.toUpperCase)
+    setMetaAttr(table, "index", cols.mkString(","))
+  }
+
+  def dropIndex(table: String, indexName: String, indexType: String): Unit = {
+    val dir = indexDir(table, indexName, indexType)
+    require(Files.exists(dir),
+      s"$table $indexName $indexType not exists when drop index")
+    Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.delete)
+    setMetaAttr(table, "indexType", "NONE")
+    setMetaAttr(table, "index", "")
+  }
+
+  def indexData(table: String, indexName: String, indexType: String): DataFrame =
+    spark.read.parquet(indexDir(table, indexName, indexType).resolve("data").toString)
+
+  def listIndexes(table: String): Seq[String] =
+    if (!Files.exists(Paths.get(warehouse))) Seq.empty
+    else Files.list(Paths.get(warehouse)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith(s"$table."))
+      .toSeq.sorted
+
+  /** Reference naming: {table}.{type}.{index} (HBaseSchema.kt:306,
+    * README.md metadata scheme). */
+  private def indexDir(table: String, indexName: String, indexType: String): Path =
+    Paths.get(warehouse, s"$table.${indexType.toLowerCase}.$indexName")
+
+  private def setMetaAttr(table: String, attr: String, value: String): Unit = {
+    val meta = Files.readString(metaFile(table))
+    val updated = s""""$attr":"[^"]*"""".r
+      .replaceFirstIn(meta, s""""$attr":"$value"""")
+    Files.writeString(metaFile(table), updated)
+  }
 
   /** column.sys dump: one row per column with the reference's
     * ColumnAttribute fields (datatype, position, nullable, primary). */

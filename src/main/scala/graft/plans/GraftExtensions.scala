@@ -1,0 +1,69 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftColumnBridge, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions registration: the graft surface as SQL
+  * functions, so the engine is usable from pure SQL the way the
+  * reference is usable from Calcite SQL (reference exposes its whole
+  * surface through the JDBC/SQL front; HBaseSchemaFactory.kt wires the
+  * adapter into the planner the way this class wires into Catalyst).
+  *
+  * Usage:
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  * or spark.sql.extensions=graft.plans.GraftExtensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, usage, builder) =>
+      ext.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo("graft", name, usage), builder))
+    }
+}
+
+object GraftExtensions {
+
+  /** Register the same functions on an already-running session (the
+    * withExtensions path only applies at session construction). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, _, builder) =>
+      GraftColumnBridge.registerFunction(spark, name, builder)
+    }
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Seq[Expression] => Expression)]
+    def inject(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+      out += ((name, usage, builder))
+
+    inject("graft_minhash_sig", "graft_minhash_sig(shingles[, sigLen]) - MinHash signature") {
+      case Seq(c) => MinHashSigExpr(c, 64)
+      case Seq(c, n) => MinHashSigExpr(c, intArg(n, "sigLen"))
+    }
+    inject("graft_simhash64", "graft_simhash64(tokens) - 64-bit SimHash of a token array") {
+      case Seq(c) => SimHash64Expr(c)
+    }
+    inject("graft_lsh_bucket", "graft_lsh_bucket(vec[, bits]) - hyperplane LSH bucket") {
+      case Seq(c) => LshBucketExpr(c, 16)
+      case Seq(c, b) => LshBucketExpr(c, intArg(b, "bits"))
+    }
+    inject("graft_char_bigrams", "graft_char_bigrams(str) - lowercased char bigrams") {
+      case Seq(c) => CharBigramsExpr(c)
+    }
+    inject("graft_word_shingles", "graft_word_shingles(str, n) - distinct word n-gram shingles") {
+      case Seq(c, n) => WordShinglesExpr(c, intArg(n, "n"))
+    }
+
+    // Column-composed functions (tokens/quality/langId/fingerprint/
+    // cosine) stay Column-API only: a function builder must return a
+    // self-contained catalyst tree, and expressions lifted from
+    // public functions._ Columns carry unresolved ColumnNode wrappers.
+    out.toSeq
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape audits: the 100-TB design claims, checked against the
+  * actual physical plans, plus SQL-surface registration. */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q4 star join broadcasts the dimension tables") {
+    val p = planOf("q4_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("q2 filter+projection reach the parquet scan") {
+    val p = planOf("q2_filter_project")
+    assert(p.contains("PushedFilters") && p.contains("p_size"),
+      s"filter not pushed:\n$p")
+    assert(!p.contains("p_brand"), "scan reads columns the query never uses")
+  }
+
+  test("q1 scan schema is pruned to used columns") {
+    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(!scan.contains("l_partkey") && !scan.contains("l_suppkey"),
+      "q1 reads join keys it never uses")
+  }
+
+  test("kv point get prunes via pushed rowkey filter") {
+    val p = planOf("kv_point_get")
+    assert(p.contains("PushedFilters") && p.contains("c_custkey"), p)
+  }
+
+  test("semi/anti joins stay semi/anti in the physical plan") {
+    assert(planOf("q5_semijoin").contains("LeftSemi"))
+    assert(planOf("q6_antijoin").contains("LeftAnti"))
+  }
+
+  test("graft SQL functions are registered on the session") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT size(graft_word_shingles('a b c d', 3)) AS nsh,
+        |  graft_simhash64(array('x', 'y', 'z')) AS sh,
+        |  graft_minhash_sig(graft_word_shingles('a b c d', 3), 8) AS sig,
+        |  size(graft_char_bigrams('abc')) AS nbg""".stripMargin).head()
+    assert(r.getInt(0) == 2)
+    assert(r.getSeq[Long](2).length == 8)
+    assert(r.getInt(3) == 2)
+  }
+
+  test("catalog index DDL round-trip (kv + bitmap)") {
+    import org.apache.spark.sql.functions.col
+    val wh = java.nio.file.Files.createTempDirectory("graft_idx_wh").toString
+    val cat = new graft.kv.Catalog(spark, wh)
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("grp", org.apache.spark.sql.types.StringType, true)))
+    cat.createTable("t2", schema, primaryKey = Seq("k"))
+    cat.bulkLoad("t2", Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "grp"))
+    cat.createIndex("t2", "by_grp", "kv", Seq("grp"))
+    assert(cat.listIndexes("t2") == Seq("t2.kv.by_grp"))
+    val hits = graft.index.KvIndex.lookup(
+      cat.table("t2").df, "k", cat.indexData("t2", "by_grp", "kv"), "a")
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(hits.sameElements(Array(1L, 3L)))
+    intercept[IllegalArgumentException](cat.createIndex("t2", "by_grp", "kv", Seq("grp")))
+    cat.dropIndex("t2", "by_grp", "kv")
+    assert(cat.listIndexes("t2").isEmpty)
+    cat.createIndex("t2", "bm_grp", "bitmap", Seq("grp"))
+    val ids = graft.index.BitmapIndex.lookupIds(
+      cat.indexData("t2", "bm_grp", "bitmap"), "a")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(Array(1L, 3L)))
+    cat.dropTable("t2")
+  }
+}
