@@ -49,6 +49,23 @@ object IndexQueries {
         .orderBy($"op", $"o_orderkey")
     },
 
+    "idx_txn_upsert" -> { (s, d) =>
+      import s.implicits._
+      val cust = Tables.customer(s, d)
+      val idx = KvIndex.build(cust, "c_custkey", "c_mktsegment")
+      val patch = cust.filter($"c_custkey" <= 5)
+        .withColumn("c_mktsegment", lit("GRAFT"))
+        .unionByName(s.createDataFrame(Seq(
+          (9000001L, "Customer#GRAFT", 0, 0.0, "GRAFT")))
+          .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+          .withColumn("c_nationkey", $"c_nationkey".cast("int")))
+      val (newBase, newIndex) = KvIndex.upsertWithIndex(
+        cust, "c_custkey", "c_mktsegment", idx, patch)
+      KvIndex.lookup(newBase, "c_custkey", newIndex, "GRAFT")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+
     "ft_search_and" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
@@ -98,6 +115,15 @@ object IndexQueries {
         |  SELECT 'or' AS op, o_orderkey FROM orders
         |  WHERE o_orderstatus = 'F' OR o_orderpriority = '5-LOW')
         |ORDER BY op, o_orderkey""".stripMargin,
+
+    "idx_txn_upsert" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey <= 5 THEN 'GRAFT' ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT CAST(9000001 AS BIGINT), 'Customer#GRAFT', 'GRAFT')
+        |WHERE c_mktsegment = 'GRAFT' ORDER BY c_custkey""".stripMargin,
 
     "ft_search_and" ->
       """SELECT doc_id, lang, source FROM documents

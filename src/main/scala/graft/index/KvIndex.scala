@@ -34,6 +34,22 @@ object KvIndex {
     base.join(broadcast(rks), base(keyCol) === rks("rk"), "left_semi")
   }
 
+  /** Atomic base+index upsert, the COW analog of the reference's
+    * transactional index maintenance (KVTransactionalIndexTable.kt:
+    * every Put writes the base row and its index row inside one Tephra
+    * transaction — partial states are never visible). Here both
+    * post-images derive from the same patch in one lineage, so a bulk
+    * job either publishes both snapshots or neither. */
+  def upsertWithIndex(base: DataFrame, keyCol: String, valueCol: String,
+                      index: DataFrame, patch: DataFrame): (DataFrame, DataFrame) = {
+    val newBase = base.join(patch.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .unionByName(patch)
+    val patchKeys = patch.select(col(keyCol).as("rk"))
+    val newIndex = index.join(patchKeys, Seq("rk"), "left_anti")
+      .unionByName(patch.select(col(valueCol).as("ik"), col(keyCol).as("rk")))
+    (newBase, newIndex)
+  }
+
   /** Range lookup [lo, hi) over the sorted index. */
   def rangeLookup(base: DataFrame, keyCol: String, index: DataFrame,
                   lo: Any, hi: Any): DataFrame = {

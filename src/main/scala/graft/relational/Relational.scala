@@ -219,6 +219,49 @@ object Relational {
       val n = Tables.nation(s, d).select($"n_name")
       r.crossJoin(n).orderBy($"r_name", $"n_name")
     },
+
+    "q19_left_outer" -> { (s, d) =>
+      import s.implicits._
+      val c = Tables.customer(s, d).filter($"c_custkey" <= 100)
+      val o = Tables.orders(s, d).filter($"o_orderstatus" === "F")
+      c.join(o, $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey", $"c_name")
+        .agg(count($"o_orderkey").as("n_f_orders"),
+          coalesce(dsum($"o_totalprice"), lit(0.0)).as("f_total"))
+        .orderBy($"c_custkey")
+    },
+
+    "q20_full_outer" -> { (s, d) =>
+      import s.implicits._
+      val a = Tables.orders(s, d).filter($"o_custkey" < 50)
+        .groupBy($"o_custkey".as("k")).agg(count(lit(1)).as("n_orders"))
+      val b = Tables.customer(s, d)
+        .filter($"c_custkey" >= 25 && $"c_custkey" < 75)
+        .select($"c_custkey".as("k"), $"c_name")
+      a.join(b, Seq("k"), "full_outer")
+        .select($"k", coalesce($"n_orders", lit(0L)).as("n_orders"),
+          coalesce($"c_name", lit("<none>")).as("c_name"))
+        .orderBy($"k")
+    },
+
+    "q21_percentile" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"))
+        .orderBy($"o_orderstatus")
+    },
+
+    "q22_offset_page" -> { (s, d) =>
+      import s.implicits._
+      Tables.part(s, d)
+        .select($"p_partkey", $"p_name", $"p_retailprice")
+        .orderBy($"p_retailprice".desc, $"p_partkey")
+        .offset(10).limit(5)
+    },
   )
 
   def oracles: Map[String, String] = Map(
@@ -354,5 +397,35 @@ object Relational {
     "q18_cross_small" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+
+    "q19_left_outer" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_f_orders,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS f_total
+        |FROM customer LEFT OUTER JOIN orders
+        |  ON c_custkey = o_custkey AND o_orderstatus = 'F'
+        |WHERE c_custkey <= 100
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+
+    "q20_full_outer" ->
+      """SELECT COALESCE(a.k, b.k) AS k,
+        |  COALESCE(a.n_orders, 0) AS n_orders,
+        |  COALESCE(b.c_name, '<none>') AS c_name
+        |FROM (SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders
+        |      WHERE o_custkey < 50 GROUP BY o_custkey) a
+        |FULL OUTER JOIN (SELECT c_custkey AS k, c_name FROM customer
+        |      WHERE c_custkey >= 25 AND c_custkey < 75) b
+        |  ON a.k = b.k
+        |ORDER BY k""".stripMargin,
+
+    "q21_percentile" ->
+      """SELECT o_orderstatus,
+        |  ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q22_offset_page" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |ORDER BY p_retailprice DESC, p_partkey LIMIT 5 OFFSET 10""".stripMargin,
   )
 }
