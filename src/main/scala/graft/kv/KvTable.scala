@@ -71,6 +71,18 @@ final case class KvTable(df: DataFrame, keyCols: Seq[String]) {
 }
 
 object KvLayout {
+  /** Persist a table bucketed+sorted by its key into the session
+    * catalog. Two tables bucketed the same way join WITHOUT a
+    * shuffle (no Exchange in the plan) — at 100 TB this is how
+    * repeated fact⋈fact joins on the rowkey amortize their shuffle
+    * to zero (asserted in BucketSpec). */
+  def writeBucketed(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+                    table: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .saveAsTable(table)
+
   /** Persist a table in rowkey layout: range-partitioned and sorted by
     * key so parquet min/max stats give HBase-region-like pruning for
     * pointGet/rangeScan at scale. Partition count scales with input

@@ -31,9 +31,18 @@ object Ann {
       .crossJoin(broadcast(q))
       .filter(col("nn") =!= col("qid"))
       .withColumn("score", round(cosine(col("qv"), col("v")), 3))
+    rank(scored, k)
+  }
+
+  /** Bounded-heap reduction (graft.plans.TopKPerGroup) first — never
+    * window-sorts the full scored set — then a row_number over the
+    * ≤k survivors per query for the rank column. */
+  private def rank(scored: org.apache.spark.sql.DataFrame, k: Int) = {
+    val reduced = graft.plans.TopK.perGroup(
+      scored.select(col("qid"), col("nn"), col("score")),
+      Seq("qid"), Seq(("score", true), ("nn", false)), k)
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nn"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    reduced.withColumn("rn", row_number().over(w))
       .select(col("qid"), col("rn"), col("nn"), col("score"))
   }
 
@@ -46,9 +55,6 @@ object Ann {
     val scored = corpus.join(broadcast(q), Seq("bucket"))
       .filter(col("nn") =!= col("qid"))
       .withColumn("score", round(cosine(col("qv"), col("v")), 3))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nn"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("rn"), col("nn"), col("score"))
+    rank(scored, k)
   }
 }

@@ -10,6 +10,17 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Wrap a custom LogicalPlan as a DataFrame (Dataset.ofRows is
+    * private[sql]). */
+  def dataFrame(spark: SparkSession,
+                plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(
+      classic.ClassicConversions.castToImpl(spark), plan)
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    classic.ClassicConversions.castToImpl(df).logicalPlan
+
   /** Register a temp function on a live session (functionRegistry is
     * private[sql]). */
   def registerFunction(spark: SparkSession, name: String,
