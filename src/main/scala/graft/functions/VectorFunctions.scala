@@ -19,7 +19,15 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Native expression (graft.plans.CosineSimExpr); numerically
+    * identical to dot(a,b)/(norm(a)·norm(b)) with sequential
+    * accumulation. */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.HashExpressions.cosineSim(a, b)
+
+  /** The composed form (reference implementation of the semantics). */
+  def cosineComposed(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Random-hyperplane LSH signature: `bits` sign-bits packed into a
     * long. Hyperplane j, dim d has (deterministic, engine-portable)

@@ -22,11 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object KvIndex {
 
-  /** Backfill build, the analog of HBaseSchema.createIndex's scan. */
+  /** Backfill build, the analog of HBaseSchema.createIndex's scan.
+    * Plain projection — the value-sorted layout is applied when the
+    * index is PERSISTED (Catalog.createIndex via KvLayout.writeSorted);
+    * shuffling here would just duplicate that work for in-flight use. */
   def build(base: DataFrame, keyCol: String, valueCol: String): DataFrame =
     base.select(col(valueCol).as("ik"), col(keyCol).as("rk"))
-      .repartitionByRange(col("ik"), col("rk"))
-      .sortWithinPartitions("ik", "rk")
 
   /** Equality lookup: index seek + multi-Get back to base. */
   def lookup(base: DataFrame, keyCol: String, index: DataFrame, value: Any): DataFrame = {

@@ -109,7 +109,10 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       case other => throw new IllegalArgumentException(s"index type $other")
     }
     Files.createDirectories(dir)
-    df.write.mode("overwrite").parquet(dir.resolve("data").toString)
+    indexType.toLowerCase match {
+      case "kv" => KvLayout.writeSorted(df, Seq("ik"), dir.resolve("data").toString)
+      case _ => df.write.mode("overwrite").parquet(dir.resolve("data").toString)
+    }
     setMetaAttr(table, "indexType", indexType.toUpperCase)
     setMetaAttr(table, "index", cols.mkString(","))
   }
