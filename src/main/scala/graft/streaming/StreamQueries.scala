@@ -25,6 +25,26 @@ object StreamQueries {
         .orderBy($"user_id", $"session_id")
     },
 
+    "evt_json_agg" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(get_json_object($"props", "$.k").cast("long")).as("sum_k"),
+          sum($"value".cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+        .orderBy($"event_type")
+    },
+
+    "evt_top_users" -> { (s, d) =>
+      import s.implicits._
+      val counts = Tables.events(s, d)
+        .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("n_events"))
+      graft.plans.TopK.perGroup(counts, Seq("event_type"),
+          Seq(("n_events", true), ("user_id", false)), 3)
+        .orderBy($"event_type", $"n_events".desc, $"user_id")
+    },
+
     "mm_meta_extract" -> { (s, d) =>
       import s.implicits._
       Multimodal.extractMeta(s, Multimodal.withPayload(Tables.documents(s, d)))
@@ -62,6 +82,20 @@ object StreamQueries {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "evt_json_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "evt_top_users" ->
+      """SELECT event_type, user_id, n_events FROM (
+        |  SELECT event_type, user_id, COUNT(*) AS n_events,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY COUNT(*) DESC, user_id) AS rn
+        |  FROM events GROUP BY event_type, user_id)
+        |WHERE rn <= 3 ORDER BY event_type, n_events DESC, user_id""".stripMargin,
 
     "mm_meta_extract" ->
       """SELECT doc_id,
