@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lowercase alnum word tokens (same tokenizer as FullText). */
+  /** Lowercase alnum word tokens (same tokenizer as FullText).
+    * Native expression (graft.plans.TokensExpr); identical to
+    * filter(split(lower(text), "[^a-z0-9]+"), len > 0). */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+    graft.plans.HashExpressions.tokens(text)
 
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(split(trim(text), "\\s+"))

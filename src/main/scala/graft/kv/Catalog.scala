@@ -103,19 +103,41 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       s"$table $indexName $indexType exists when create index") // IndexExistsException
     val t = this.table(table)
     val pk = primaryKeyOf(table).head
-    val df = indexType.toLowerCase match {
-      case "kv" => graft.index.KvIndex.build(t.df, pk, cols.head)
-      case "bitmap" => graft.index.BitmapIndex.build(t.df, pk, cols.head)
-      case other => throw new IllegalArgumentException(s"index type $other")
-    }
-    Files.createDirectories(dir)
-    indexType.toLowerCase match {
-      case "kv" => KvLayout.writeSorted(df, Seq("ik"), dir.resolve("data").toString)
-      case _ => df.write.mode("overwrite").parquet(dir.resolve("data").toString)
-    }
-    setMetaAttr(table, "indexType", indexType.toUpperCase)
-    setMetaAttr(table, "index", cols.mkString(","))
+    // reference locks the table during DDL (table.sys lockStatus,
+    // HBaseSchema.kt README: DDL修改时会锁定); COW analog: flip the
+    // attribute around the backfill so readers can see DDL-in-progress
+    setMetaAttr(table, "lockStatus", "LOCKED")
+    try {
+      Files.createDirectories(dir)
+      indexType.toLowerCase match {
+        case "kv" =>
+          KvLayout.writeSorted(graft.index.KvIndex.build(t.df, pk, cols.head),
+            Seq("ik"), dir.resolve("data").toString)
+        case "bitmap" =>
+          graft.index.BitmapIndex.build(t.df, pk, cols.head)
+            .write.mode("overwrite").parquet(dir.resolve("data").toString)
+        case "fulltext" =>
+          // the reference's Lucene flavor: persisted inverted index
+          // (postings term-sorted ⇒ term filters prune row groups)
+          val postings = graft.index.FullText.buildPostings(t.df, pk, cols.head)
+          KvLayout.writeSorted(postings, Seq("term"),
+            dir.resolve("data").toString)
+          KvLayout.writeSorted(graft.index.FullText.buildDictionary(postings),
+            Seq("term"), dir.resolve("dict").toString)
+        case other => throw new IllegalArgumentException(s"index type $other")
+      }
+      setMetaAttr(table, "indexType", indexType.toUpperCase)
+      setMetaAttr(table, "index", cols.mkString(","))
+    } finally setMetaAttr(table, "lockStatus", "UNLOCK")
   }
+
+  def lockStatusOf(table: String): String = {
+    val meta = Files.readString(metaFile(table))
+    "\"lockStatus\":\"([^\"]*)\"".r.findFirstMatchIn(meta).get.group(1)
+  }
+
+  def indexDictionary(table: String, indexName: String, indexType: String): DataFrame =
+    spark.read.parquet(indexDir(table, indexName, indexType).resolve("dict").toString)
 
   def dropIndex(table: String, indexName: String, indexType: String): Unit = {
     val dir = indexDir(table, indexName, indexType)

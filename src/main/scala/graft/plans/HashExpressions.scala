@@ -140,6 +140,33 @@ case class CharBigramsExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): CharBigramsExpr = copy(child = c)
 }
 
+/** Lowercase [a-z0-9]-run tokens in one pass — identical output to
+  * filter(split(lower(text), "[^a-z0-9]+"), len>0) for ASCII text,
+  * which the DuckDB oracle replicates. Feeds every text-analysis
+  * query, so it runs native instead of split+filter+lambda. */
+case class TokensExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        val start = i
+        while (i < len && {
+          val d = s.charAt(i); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) i += 1
+        out += UTF8String.fromString(s.substring(start, i))
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): TokensExpr = copy(child = c)
+}
+
 /** Distinct word n-gram shingles in one pass: lowercase, tokenize on
   * non-[a-z0-9] runs, emit space-joined n-token windows (or one
   * shingle of all tokens if fewer than n), first-occurrence order.
@@ -226,4 +253,5 @@ object HashExpressions {
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSimExpr(expression(a), expression(b)))
   def wordShingles(c: Column, n: Int): Column = column(WordShinglesExpr(expression(c), n))
+  def tokens(c: Column): Column = column(TokensExpr(expression(c)))
 }

@@ -76,6 +76,31 @@ class PlanSpec extends AnyFunSuite {
       cat.indexData("t2", "bm_grp", "bitmap"), "a")
       .collect().map(_.getLong(0)).sorted
     assert(ids.sameElements(Array(1L, 3L)))
+    assert(cat.lockStatusOf("t2") == "UNLOCK")
     cat.dropTable("t2")
+  }
+
+  test("catalog fulltext index flavor persists postings + dictionary") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ft_wh").toString
+    val cat = new graft.kv.Catalog(spark, wh)
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("body", org.apache.spark.sql.types.StringType, true)))
+    cat.createTable("t3", schema, primaryKey = Seq("k"))
+    cat.bulkLoad("t3", Seq(
+      (1L, "spark joins data"), (2L, "spark windows"), (3L, "hbase scans data"))
+      .toDF("k", "body"))
+    cat.createIndex("t3", "ft_body", "fulltext", Seq("body"))
+    val postings = cat.indexData("t3", "ft_body", "fulltext")
+    val hits = graft.index.FullText.searchAll(
+        cat.table("t3").df, "k", postings, Seq("spark"))
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(hits.sameElements(Array(1L, 2L)))
+    val df = cat.indexDictionary("t3", "ft_body", "fulltext")
+      .filter(org.apache.spark.sql.functions.col("term") === "data")
+      .select("df").head().getLong(0)
+    assert(df == 2L)
+    cat.dropTable("t3")
   }
 }
