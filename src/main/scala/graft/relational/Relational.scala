@@ -262,6 +262,34 @@ object Relational {
         .orderBy($"p_retailprice".desc, $"p_partkey")
         .offset(10).limit(5)
     },
+
+    "q23_complex_pred" -> { (s, d) =>
+      import s.implicits._
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .filter(
+          ($"p_brand" === "Brand#12" && $"p_size".between(1, 15) &&
+            $"l_quantity".between(1, 11)) ||
+          ($"p_brand" === "Brand#23" && $"p_size".between(1, 25) &&
+            $"l_quantity".between(10, 20)) ||
+          ($"p_type" === "PROMO" && $"l_discount" >= 0.05))
+        .agg(count(lit(1)).as("n"),
+          dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("revenue"))
+    },
+
+    "q24_string_funcs" -> { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .filter($"c_custkey" <= 50)
+        .select($"c_custkey",
+          upper(substring($"c_name", 10, 9)).as("id_part"),
+          concat_ws("-", $"c_mktsegment", $"c_nationkey".cast("string")).as("seg_nat"),
+          length($"c_name").as("name_len"),
+          $"c_name".like("%001%").as("has_001"),
+          regexp_extract($"c_name", "([0-9]+)$", 1).as("trailing_num"))
+        .orderBy($"c_custkey")
+    },
   )
 
   def oracles: Map[String, String] = Map(
@@ -427,5 +455,24 @@ object Relational {
     "q22_offset_page" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
         |ORDER BY p_retailprice DESC, p_partkey LIMIT 5 OFFSET 10""".stripMargin,
+
+    "q23_complex_pred" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_type = 'PROMO' AND l_discount >= 0.05)""".stripMargin,
+
+    "q24_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(substring(c_name, 10, 9)) AS id_part,
+        |  concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat,
+        |  CAST(length(c_name) AS INT) AS name_len,
+        |  c_name LIKE '%001%' AS has_001,
+        |  regexp_extract(c_name, '([0-9]+)$', 1) AS trailing_num
+        |FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""".stripMargin,
   )
 }
