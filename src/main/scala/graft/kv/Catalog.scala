@@ -29,7 +29,18 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
 
   private def tableDir(name: String): Path = Paths.get(warehouse, name)
   private def metaFile(name: String): Path = tableDir(name).resolve("_graft_meta.json")
-  private def dataDir(name: String): String = tableDir(name).resolve("data").toString
+  /** Data lives in versioned snapshot dirs (data_v0, data_v1, ...) with
+    * the live version recorded in the metadata — copy-on-write pointer
+    * swap, so a bulk merge can read snapshot N while writing N+1
+    * (never overwriting its own input), and old snapshots remain
+    * readable until vacuumed. */
+  private def dataDir(name: String): String =
+    tableDir(name).resolve(s"data_v${dataVersionOf(name)}").toString
+
+  def dataVersionOf(name: String): Int = {
+    val meta = Files.readString(metaFile(name))
+    "\"dataVersion\":\"(\\d+)\"".r.findFirstMatchIn(meta).map(_.group(1).toInt).getOrElse(0)
+  }
 
   /** Reference: column names may not be `id` (reserved for the
     * implicit uuid primary key) — HBaseSchema.kt:112-117. */
@@ -49,7 +60,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     }.mkString("[", ",", "]")
     val json =
       s"""{"table":"$name","primary":"${primaryKey.mkString(",")}",""" +
-        s""""isTransactional":$isTransactional,"indexType":"NONE","index":"",""" +
+        s""""isTransactional":$isTransactional,"indexType":"NONE","index":"","dataVersion":"0",""" +
         s""""lockStatus":"UNLOCK","charset":"UTF-8","comment":"$comment",""" +
         s""""columns":$cols}"""
     Files.writeString(metaFile(name), json)
@@ -61,11 +72,22 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
 
   def tableExists(name: String): Boolean = Files.exists(metaFile(name))
 
-  /** Bulk load rows (the "Bulk read/write" path). */
+  /** Bulk load rows (the "Bulk read/write" path): write the next
+    * snapshot, then swap the pointer. `rows` may derive from the
+    * table's current snapshot (COW merge) — the write targets a new
+    * directory, so that lineage stays valid. */
   def bulkLoad(name: String, rows: DataFrame): Unit = {
     val pk = primaryKeyOf(name)
-    KvLayout.writeSorted(rows, pk, dataDir(name))
+    val next = dataVersionOf(name) + 1
+    KvLayout.writeSorted(rows, pk,
+      tableDir(name).resolve(s"data_v$next").toString)
+    setMetaAttr(name, "dataVersion", next.toString)
   }
+
+  /** Read a specific historical snapshot (time travel). */
+  def tableAt(name: String, version: Int): KvTable =
+    KvTable(spark.read.parquet(tableDir(name).resolve(s"data_v$version").toString),
+      primaryKeyOf(name))
 
   def table(name: String): KvTable =
     KvTable(spark.read.parquet(dataDir(name)), primaryKeyOf(name))

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling primitives (SURVEY.md §4: "skewed keys → salting or
+  * AQE skew-join").
+  *
+  * AQE's skew-join split handles most shuffle-join skew at runtime;
+  * these are for the cases it can't: a single hot GROUP BY key whose
+  * partial aggregate still bottlenecks one task, and a hot join key
+  * against a side too big to broadcast.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation for algebraic aggregates: scatter
+    * each key across `salt` sub-keys (deterministic hash of the whole
+    * row), partially aggregate (key, salt), then finish per key. The
+    * hot key's work spreads over `salt` tasks. */
+  def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                     salt: Int): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col): _*), lit(salt)))
+    val partial = salted
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+    partial.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__psum")).as(s"sum_$valueCol"),
+        sum(col("__pcnt")).as("n"))
+  }
+
+  /** Salted inner equi-join for a skewed LEFT side: left rows get a
+    * deterministic salt in [0, salt); the right side is replicated
+    * `salt` times. The shuffle key becomes (key, salt) so one hot key
+    * spreads over `salt` partitions at the cost of `salt`× the right
+    * side (use when right is modest but above broadcast size). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salt: Int): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(salt)))
+    val replicatedRight = right
+      .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+      .withColumn("__salt", col("__salt").cast("long"))
+    saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
+  }
+}
