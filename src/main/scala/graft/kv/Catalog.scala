@@ -84,6 +84,16 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     setMetaAttr(name, "dataVersion", next.toString)
   }
 
+  /** Drop all snapshots except the live one. */
+  def vacuum(name: String): Unit = {
+    val live = s"data_v${dataVersionOf(name)}"
+    Files.list(tableDir(name)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("data_v") &&
+        p.getFileName.toString != live)
+      .foreach(p => Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.delete))
+  }
+
   /** Read a specific historical snapshot (time travel). */
   def tableAt(name: String, version: Int): KvTable =
     KvTable(spark.read.parquet(tableDir(name).resolve(s"data_v$version").toString),

@@ -15,11 +15,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * or spark.sql.extensions=graft.plans.GraftExtensions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, usage, builder) =>
       ext.injectFunction((new FunctionIdentifier(name),
         new ExpressionInfo("graft", name, usage), builder))
     }
+    ext.injectPlannerStrategy(_ => GraftStrategies)
+    ext.injectOptimizerRule(_ => RankFilterToTopK)
+  }
 }
 
 object GraftExtensions {

@@ -90,6 +90,17 @@ object GraftStrategies extends SparkStrategy {
 }
 
 object TopK {
+  /** Turn on the RankFilterToTopK optimizer rewrite + the planner
+    * strategy on a live session (idempotent). */
+  def enableAutoRewrite(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(GraftStrategies))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GraftStrategies
+    if (!spark.experimental.extraOptimizations.contains(RankFilterToTopK))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RankFilterToTopK
+  }
+
   /** df reduced to the k best rows per group, ordered by `orderSpecs`
     * (name, descending?); rows keep their schema. Columns are resolved
     * against df's own output so the plan needs no further analysis.

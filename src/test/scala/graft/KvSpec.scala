@@ -73,3 +73,53 @@ class KvSpec extends AnyFunSuite {
     assert(cat.listTables().isEmpty)
   }
 }
+
+/** Full type-system round-trip through the catalog — the reference's
+  * byte-codec surface (HBaseTable.kt:253-296) re-expressed as Spark
+  * DataTypes persisting faithfully through the rowkey layout. */
+class TypeSystemSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.Row
+
+  test("all reference types round-trip create/load/get") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_types_wh").toString
+    val cat = new graft.kv.Catalog(spark, wh)
+    val schema = StructType(Seq(
+      StructField("k", LongType, false),
+      StructField("c_int", IntegerType, true),
+      StructField("c_small", ShortType, true),
+      StructField("c_tiny", ByteType, true),
+      StructField("c_bool", BooleanType, true),
+      StructField("c_dec", DecimalType(12, 2), true),
+      StructField("c_double", DoubleType, true),
+      StructField("c_float", FloatType, true),
+      StructField("c_str", StringType, true),
+      StructField("c_bin", BinaryType, true),
+      StructField("c_date", DateType, true),
+      StructField("c_ts", TimestampType, true)))
+    cat.createTable("t_types", schema, primaryKey = Seq("k"))
+    val row = Row(1L, 42, 7.toShort, 3.toByte, true,
+      new java.math.BigDecimal("1234567890.12"), 2.5d, 1.25f, "héllo",
+      Array[Byte](1, 2, 3), java.sql.Date.valueOf("2024-02-29"),
+      java.sql.Timestamp.valueOf("2024-02-29 12:34:56.789"))
+    cat.bulkLoad("t_types",
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(row), 1), schema))
+    val got = cat.table("t_types").pointGet(1L).head()
+    assert(got.getInt(1) == 42 && got.getShort(2) == 7 && got.getByte(3) == 3)
+    assert(got.getBoolean(4))
+    assert(got.getDecimal(5) == new java.math.BigDecimal("1234567890.12"))
+    assert(got.getDouble(6) == 2.5 && got.getFloat(7) == 1.25f)
+    assert(got.getString(8) == "héllo")
+    assert(got.getAs[Array[Byte]](9).sameElements(Array[Byte](1, 2, 3)))
+    assert(got.getDate(10) == java.sql.Date.valueOf("2024-02-29"))
+    assert(got.getTimestamp(11) == java.sql.Timestamp.valueOf("2024-02-29 12:34:56.789"))
+    val desc = cat.describeTable("t_types").collect()
+    assert(desc.length == 12)
+    // vacuum keeps only the live snapshot
+    cat.bulkLoad("t_types", cat.table("t_types").df)
+    cat.vacuum("t_types")
+    assert(cat.table("t_types").pointGet(1L).count() == 1)
+    cat.dropTable("t_types")
+  }
+}

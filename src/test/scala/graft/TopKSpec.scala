@@ -34,6 +34,26 @@ class TopKSpec extends AnyFunSuite {
       s"no group-key exchange inserted:\n$plan")
   }
 
+  test("RankFilterToTopK rewrites window rank filters automatically") {
+    graft.plans.TopK.enableAutoRewrite(spark)
+    val o = Tables.orders(spark, sf)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val q = o.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"rule did not fire:\n$plan")
+    // and the rewritten plan returns the same rows as the un-rewritten
+    // logical semantics (k best per customer, rn attached)
+    val got = q.select("o_custkey", "o_orderkey", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val manual = graft.plans.TopK.perGroup(o, Seq("o_custkey"),
+        Seq(("o_totalprice", true), ("o_orderkey", false)), 2)
+      .withColumn("rn", row_number().over(w))
+      .select("o_custkey", "o_orderkey", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == manual)
+  }
+
   test("groups smaller than k pass through whole") {
     val o = Tables.orders(spark, sf).filter(col("o_orderkey") < 20)
     val n = TopK.perGroup(o, Seq("o_custkey"), Seq(("o_totalprice", true)), 1000).count()
