@@ -25,6 +25,23 @@ object StreamQueries {
         .orderBy($"user_id", $"session_id")
     },
 
+    "sql_pricing" -> { (s, d) =>
+      graft.Sql.register(s, d)
+      s.sql(
+        """SELECT l_returnflag, COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+          |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
+    "sql_shingle_stats" -> { (s, d) =>
+      graft.Sql.register(s, d)
+      s.sql(
+        """SELECT size(graft_word_shingles(text, 3)) AS n_shingles,
+          |  COUNT(*) AS n_docs
+          |FROM documents GROUP BY n_shingles ORDER BY n_shingles""".stripMargin)
+    },
+
     "evt_json_agg" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.types.DecimalType
@@ -82,6 +99,23 @@ object StreamQueries {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "sql_pricing" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "sql_shingle_stats" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> length(x) > 0) AS toks FROM documents)
+        |SELECT CAST(len(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 2, 1) + 1),
+        |    i -> array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')))) AS INT)
+        |  AS n_shingles,
+        |  COUNT(*) AS n_docs
+        |FROM t GROUP BY n_shingles ORDER BY n_shingles""".stripMargin,
 
     "evt_json_agg" ->
       """SELECT event_type, COUNT(*) AS n,
