@@ -88,6 +88,13 @@ object DedupQueries {
         .orderBy($"qid", $"rn")
     },
 
+    "sim_ivf_ann" -> { (s, d) =>
+      import s.implicits._
+      val e = plantedEmbs(s, d)
+      Ann.ivfTopK(e, "vec_id", "embedding", e.filter($"vec_id" < 20), k = 3)
+        .orderBy($"qid", $"rn")
+    },
+
     "sim_lsh_ann" -> { (s, d) =>
       import s.implicits._
       val e = plantedEmbs(s, d)

@@ -1,7 +1,7 @@
 package graft.similarity
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -44,6 +44,50 @@ object Ann {
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nn"))
     reduced.withColumn("rn", row_number().over(w))
       .select(col("qid"), col("rn"), col("nn"), col("score"))
+  }
+
+  /** IVF ANN: k-means coarse quantizer (√N lists), corpus bucketed by
+    * nearest centroid, each query scans only its `nprobe` nearest
+    * lists — candidate set ~ nprobe·N/√N. The 100 TB path when recall
+    * must be tunable (raise nprobe) rather than fixed by hash bits.
+    * Training samples the corpus; assignment + search are one
+    * broadcast-join pass each. */
+  def ivfTopK(embs: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, k: Int, nprobe: Int = 4,
+              maxIter: Int = 5): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embs.sparkSession
+    val corpus0 = embs.select(col(idCol).as("nn"), col(vecCol).as("v"))
+      .withColumn("features", array_to_vector(col("v").cast("array<double>")))
+    val n = corpus0.count()
+    val nlist = math.max(2, math.sqrt(n.toDouble).toInt)
+    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(maxIter)
+      .fit(corpus0)
+    val corpus = model.transform(corpus0)
+      .select(col("nn"), col("v"), col("prediction").as("cluster"))
+    // centroid table is tiny (√N rows): broadcast to score probes
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq.toDF("cluster", "centroid")
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    // probe by the SAME metric k-means assigns with (L2), so a query
+    // equal to a corpus point always probes that point's list first
+    val negL2 = (a: Column, b: Column) => lit(0.0) - aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val probes = graft.plans.TopK.perGroup(
+      q.crossJoin(broadcast(centroids))
+        .withColumn("cdist", negL2(col("qv"), col("centroid")))
+        .select(col("qid"), col("qv"), col("cluster"), col("cdist")),
+      Seq("qid"), Seq(("cdist", true), ("cluster", false)), nprobe)
+    val scored = corpus.join(broadcast(probes.select(col("qid"), col("qv"), col("cluster"))),
+        Seq("cluster"))
+      .filter(col("nn") =!= col("qid"))
+      .withColumn("score", round(cosine(col("qv"), col("v")), 3))
+    rank(scored, k)
   }
 
   def lshTopK(embs: DataFrame, idCol: String, vecCol: String,

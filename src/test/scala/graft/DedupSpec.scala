@@ -61,6 +61,25 @@ class DedupSpec extends AnyFunSuite {
     assert(top.head.getAs[Double]("score") == 1.0)
   }
 
+  test("ivf ANN ranks a planted identical vector first and recalls well") {
+    val e = Tables.embeddings(spark, sf)
+    val withCopy = e.unionByName(
+      e.filter(col("vec_id") === 3L).withColumn("vec_id", lit(1000003L)))
+    val top = Ann.ivfTopK(withCopy, "vec_id", "embedding",
+        withCopy.filter(col("vec_id") === 3L), k = 1)
+      .collect()
+    assert(top.length == 1 && top.head.getAs[Long]("nn") == 1000003L)
+    assert(top.head.getAs[Double]("score") == 1.0)
+    // recall vs brute force over a probe sample (nprobe=8 of ~22 lists)
+    val q = e.filter(col("vec_id") < 10)
+    val brute = Ann.bruteTopK(e, "vec_id", "embedding", q, k = 1)
+      .select("qid", "nn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(e, "vec_id", "embedding", q, k = 1, nprobe = 8)
+      .select("qid", "nn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((brute intersect ivf).size >= 5,
+      s"ivf recall too low: ${(brute intersect ivf).size}/10")
+  }
+
   test("lsh ANN agrees with brute force on bucket-colliding neighbors") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 10)
