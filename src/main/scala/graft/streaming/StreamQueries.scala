@@ -25,6 +25,20 @@ object StreamQueries {
         .orderBy($"user_id", $"session_id")
     },
 
+    "st_asof_join" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val views = ev.filter($"event_type" === "view")
+        .select($"event_id", $"user_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value", $"event_id".as("p_eid"))
+      graft.operators.AsOfJoin.asOf(views, purchases,
+          keyCols = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          payload = Seq(("value", "last_purchase_value")),
+          tieCols = Seq("p_eid"))
+        .orderBy($"event_id")
+    },
+
     "sql_pricing" -> { (s, d) =>
       graft.Sql.register(s, d)
       s.sql(
@@ -99,6 +113,15 @@ object StreamQueries {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "st_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |    date_trunc('microseconds', ts) AS ts FROM events),
+        |v AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts, value FROM e WHERE event_type = 'purchase')
+        |SELECT v.event_id, v.user_id, v.ts, p.value AS last_purchase_value
+        |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
+        |ORDER BY v.event_id""".stripMargin,
 
     "sql_pricing" ->
       """SELECT l_returnflag, COUNT(*) AS n,
