@@ -138,10 +138,16 @@ object DedupQueries {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dd_embedding" ->
+      // Search space restricted to pairs whose b side is a planted
+      // copy: random-pair cosine >= 0.95 is a ~7.6 sigma event, and a
+      // spurious Spark-side pair would still fail the two-sided
+      // compare as an extra row. Cuts the oracle from O(n^2) pairs to
+      // O(n_planted * n).
       s"""WITH corpus AS ($plantedEmbsSql)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ROUND(list_cosine_similarity(a.embedding, b.embedding), 3) AS sim
-         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+         |FROM corpus a JOIN corpus b
+         |  ON a.vec_id < b.vec_id AND b.vec_id >= 1000000
          |WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 3) >= 0.95
          |ORDER BY id_a, id_b""".stripMargin,
 
