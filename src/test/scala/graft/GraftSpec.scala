@@ -44,3 +44,42 @@ class EntrySpec extends AnyFunSuite {
     assert(empty.isEmpty, s"queries with zero rows: $empty")
   }
 }
+
+/** Sketch aggregates: approximate structures the engine offers for
+  * cardinality/frequency at scale (HLL via approx_count_distinct,
+  * CountMinSketch via stat.countMinSketch) — accuracy-bounded tests
+  * since no cross-engine oracle can match sketch internals. */
+class SketchSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("HLL cardinality within 5% of exact") {
+    val li = Tables.lineitem(spark, sf)
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"), 0.02))
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("count-min sketch frequency estimate bounds the true count") {
+    val o = Tables.orders(spark, sf)
+    val cms = o.stat.countMinSketch("o_orderpriority", eps = 0.001,
+      confidence = 0.99, seed = 42)
+    val truth = o.groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, n) =>
+      val est = cms.estimateCount(k)
+      assert(est >= n && est <= n + (0.001 * o.count()).toLong + 1,
+        s"$k est=$est true=$n")
+    }
+  }
+
+  test("percentile_approx within tolerance of exact percentile") {
+    val o = Tables.orders(spark, sf)
+    val exact = o.select(expr("percentile(o_totalprice, 0.5)")).head().getDouble(0)
+    val approx = o.select(expr("percentile_approx(o_totalprice, 0.5, 1000)"))
+      .head().getDouble(0)
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+}
