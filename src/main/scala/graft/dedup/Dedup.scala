@@ -100,7 +100,7 @@ object Dedup {
       .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sigb")), "doc_b")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), b => b))
-          .cast("double") / lit(64.0))
+          .cast("double") / lit(sigLen.toDouble))
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }

@@ -117,8 +117,9 @@ object DedupQueries {
          |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
          |  FROM corpus),
          |sh AS (SELECT doc_id,
-         |  list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-         |    i -> array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))) AS s
+         |  CASE WHEN len(toks) = 0 THEN [] ELSE
+         |    list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+         |      i -> array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))) END AS s
          |  FROM t),
          |sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
          |posting AS (SELECT doc_id, unnest(s) AS sgl FROM sh),

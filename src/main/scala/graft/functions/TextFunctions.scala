@@ -88,10 +88,9 @@ object TextFunctions {
   def charBigrams(text: Column): Column =
     graft.plans.HashExpressions.charBigrams(text)
 
-  /** Word n-gram shingles of the token array (space-joined). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    array_distinct(transform(sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
-      i => array_join(slice(t, i, lit(n)), " ")))
-  }
+  /** Word n-gram shingles (space-joined, distinct, empty for
+    * token-less text). Native expression — single source of truth for
+    * shingle semantics (graft.plans.WordShinglesExpr). */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.plans.HashExpressions.wordShingles(text, n)
 }

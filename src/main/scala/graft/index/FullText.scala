@@ -39,9 +39,10 @@ object FullText {
   /** AND search: docs containing every query term. */
   def searchAll(docs: DataFrame, idCol: String, postings: DataFrame,
                 terms: Seq[String]): DataFrame = {
-    val hits = postings.filter(col("term").isin(terms: _*))
+    val distinctTerms = terms.distinct
+    val hits = postings.filter(col("term").isin(distinctTerms: _*))
       .groupBy("doc_id").agg(count(lit(1)).as("nterms"))
-      .filter(col("nterms") === terms.length)
+      .filter(col("nterms") === distinctTerms.length)
       .select("doc_id")
     docs.join(broadcast(hits), docs(idCol) === hits("doc_id"), "left_semi")
   }

@@ -111,9 +111,14 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * (HBaseSchema.kt:225-259). Here: recursive delete of the dir. */
   def dropTable(name: String): Unit = {
     require(tableExists(name), s"table $name does not exist")
-    val dir = tableDir(name)
-    Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-      .iterator().asScala.foreach(Files.delete)
+    // purge the table AND its index tables (reference dropTable clears
+    // the sys rows and index tables too, HBaseSchema.kt:225-259)
+    val doomed = tableDir(name) +: Files.list(Paths.get(warehouse))
+      .iterator().asScala
+      .filter(_.getFileName.toString.startsWith(s"$name.")).toSeq
+    doomed.foreach(dir =>
+      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.delete))
   }
 
   def listTables(): Seq[String] =
@@ -130,6 +135,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   def createIndex(table: String, indexName: String, indexType: String,
                   cols: Seq[String]): Unit = {
     require(tableExists(table), s"table $table does not exist")
+    require(cols.size == 1,
+      s"single-column indexes only (got ${cols.size}); composite keys need one index per column today")
     val dir = indexDir(table, indexName, indexType)
     require(!Files.exists(dir),
       s"$table $indexName $indexType exists when create index") // IndexExistsException

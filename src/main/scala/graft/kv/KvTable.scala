@@ -67,7 +67,10 @@ final case class KvTable(df: DataFrame, keyCols: Seq[String]) {
   def delete(ks: Seq[Any]): KvTable =
     copy(df = df.filter(!key.isin(ks: _*)))
 
-  def deleteWhere(pred: Column): KvTable = copy(df = df.filter(!pred))
+  /** Deletes only rows where the predicate is TRUE (SQL DELETE
+    * semantics — NULL predicate keeps the row). */
+  def deleteWhere(pred: Column): KvTable =
+    copy(df = df.filter(!(pred <=> lit(true))))
 }
 
 object KvLayout {

@@ -47,10 +47,15 @@ object AsOfJoin {
       .orderBy((Seq(col("__t").asc, col("__side").asc) ++
         tieCols.map(col(_).asc_nulls_first)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(combined) { case (df, (src, dst)) =>
-      df.withColumn(dst, last(when(col("__side") === 0, col(src)), ignoreNulls = true).over(w))
-    }
+    // carry the payload as ONE struct: it is non-null for every right
+    // row even when its fields are null, so a matched right row with a
+    // NULL payload value yields NULL (as-of semantics), not a stale
+    // older value that last(ignoreNulls) on the bare column would give
+    val srcStruct = struct(payload.map { case (src, _) => col(src).as(src) }: _*)
+    val carried = combined.withColumn("__carried",
+      last(when(col("__side") === 0, srcStruct), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payload.map(p => col(p._2)): _*)
+      .select(leftCols.map(col) ++
+        payload.map { case (src, dst) => col("__carried").getField(src).as(dst) }: _*)
   }
 }

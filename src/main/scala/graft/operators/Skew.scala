@@ -19,8 +19,10 @@ object Skew {
     * hot key's work spreads over `salt` tasks. */
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
                      salt: Int): DataFrame = {
+    // position-based salt: identical duplicate rows (the common shape
+    // of a hot key) must spread too, so never hash row CONTENT
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(salt)))
+      pmod(monotonically_increasing_id(), lit(salt.toLong)))
     val partial = salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
@@ -37,7 +39,7 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salt: Int): DataFrame = {
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salt)))
+      pmod(monotonically_increasing_id(), lit(salt.toLong)))
     val replicatedRight = right
       .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
       .withColumn("__salt", col("__salt").cast("long"))

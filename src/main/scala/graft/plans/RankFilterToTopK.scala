@@ -41,7 +41,7 @@ object RankFilterToTopK extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond,
         w @ Window(Seq(al @ Alias(WindowExpression(_: RowNumber, _), _)),
-          part, order, child, _)) if order.nonEmpty =>
+          part, order, child, _)) if order.nonEmpty && part.nonEmpty =>
       kOf(cond, al.exprId) match {
         case Some(k) if k > 0 =>
           w.copy(child = TopKPerGroupPlan(part, order, k, child))

@@ -39,6 +39,10 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupExprs) :: Nil
+  // rows stay in the child's (group-key hash) layout, so a Window or
+  // aggregation on the same keys above needs no second exchange
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     val groupExprsB = groupExprs

@@ -133,9 +133,10 @@ object StreamQueries {
       """WITH t AS (
         |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
         |    x -> length(x) > 0) AS toks FROM documents)
-        |SELECT CAST(len(list_distinct(list_transform(
-        |    range(1, greatest(len(toks) - 2, 1) + 1),
-        |    i -> array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')))) AS INT)
+        |SELECT CAST(CASE WHEN len(toks) = 0 THEN 0 ELSE
+        |    len(list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 2, 1) + 1),
+        |      i -> array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')))) END AS INT)
         |  AS n_shingles,
         |  COUNT(*) AS n_docs
         |FROM t GROUP BY n_shingles ORDER BY n_shingles""".stripMargin,
