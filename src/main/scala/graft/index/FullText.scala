@@ -36,6 +36,35 @@ object FullText {
   def buildDictionary(postings: DataFrame): DataFrame =
     postings.groupBy("term").agg(count(lit(1)).as("df"))
 
+  /** Positional postings: one row per (term, doc, position) — the
+    * index shape phrase queries need (Lucene stores positions the
+    * same way). */
+  def buildPositional(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(tokenize(col(textCol))))
+      .select(col("doc_id"), col("col").as("term"), col("pos"))
+
+  /** Phrase search: docs containing the tokens of `phrase` adjacently
+    * in order. Postings for term i are self-joined requiring
+    * pos_i = pos_0 + i — each join is keyed (doc, pos), so the work
+    * scales with the phrase terms' frequency, not the corpus. */
+  def searchPhrase(docs: DataFrame, idCol: String, positional: DataFrame,
+                   phrase: String): DataFrame = {
+    val terms = phrase.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "empty phrase")
+    val first = positional.filter(col("term") === terms.head)
+      .select(col("doc_id"), col("pos").as("p0"))
+    val matched = terms.zipWithIndex.drop(1).foldLeft(first) { case (acc, (t, i)) =>
+      val next = positional.filter(col("term") === t)
+        .select(col("doc_id"), col("pos").as(s"p$i"))
+      acc.join(next, Seq("doc_id"))
+        .filter(col(s"p$i") === col("p0") + i)
+        .select(col("doc_id"), col("p0"))
+    }
+    val hits = matched.select("doc_id").distinct()
+    docs.join(broadcast(hits), docs(idCol) === hits("doc_id"), "left_semi")
+  }
+
   /** AND search: docs containing every query term. */
   def searchAll(docs: DataFrame, idCol: String, postings: DataFrame,
                 terms: Seq[String]): DataFrame = {

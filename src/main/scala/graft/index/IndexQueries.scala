@@ -84,6 +84,15 @@ object IndexQueries {
         .orderBy($"doc_id")
     },
 
+    "ft_phrase" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val positional = FullText.buildPositional(docs, "doc_id", "text")
+      FullText.searchPhrase(docs, "doc_id", positional, "spark join")
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    },
+
     "ft_tfidf_topk" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
@@ -135,6 +144,18 @@ object IndexQueries {
       """SELECT doc_id, lang, source FROM documents
         |WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'vector')
         |  OR list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'stream')
+        |ORDER BY doc_id""".stripMargin,
+
+    "ft_phrase" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id, source FROM t
+        |WHERE list_contains(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+        |  i -> array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')),
+        |  'spark join')
         |ORDER BY doc_id""".stripMargin,
 
     "ft_tfidf_topk" ->
