@@ -133,6 +133,47 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Connected components over near-dup pairs (doc_a < doc_b) by
+    * iterative min-label propagation: each node adopts the smallest
+    * label among itself and its neighbors until fixpoint — O(diameter)
+    * rounds, each one join+groupBy; dup clusters are tiny so this
+    * converges in 1-3 rounds in practice. Output: (doc_id, cluster)
+    * with cluster = min doc_id of the component. */
+  def clusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "src")
+          .withColumnRenamed("cluster", "src_cluster"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("src_cluster")).as("nbr_cluster"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster"))).as("cluster"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Keeper selection: for every doc in a dup cluster, keep the
+    * smallest id; emit the drop list (doc_id, keeper). */
+  def dropList(pairs: DataFrame): DataFrame =
+    clusters(pairs).filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id"), col("cluster").as("keeper"))
+
   /** Embedding-cosine near-dup pairs via hyperplane-LSH buckets:
     * pairs sharing a bucket, kept if round(cos, 3) ≥ threshold.
     * Bucket key shuffle (candidate set ≪ n²); exact cosine only on

@@ -81,6 +81,12 @@ object DedupQueries {
         .orderBy($"id_a", $"id_b")
     },
 
+    "dd_keep_list" -> { (s, d) =>
+      import s.implicits._
+      val pairs = Dedup.minhashLsh(plantedDocs(s, d), "doc_id", "text", threshold = 0.5)
+      Dedup.dropList(pairs).orderBy($"doc_id")
+    },
+
     "sim_brute_topk" -> { (s, d) =>
       import s.implicits._
       val e = Tables.embeddings(s, d)

@@ -49,6 +49,19 @@ class DedupSpec extends AnyFunSuite {
     assert(exactFound.forall(_._3 == 0))
   }
 
+  test("cluster drop-list keeps each original and drops its copies") {
+    val pairs = Dedup.minhashLsh(planted, "doc_id", "text", threshold = 0.5)
+    val drops = Dedup.dropList(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every planted copy must be dropped in favor of its original
+    (0L until 5L).foreach { i =>
+      assert(drops.get(i + 1000000L).contains(i), s"exact copy of $i")
+      assert(drops.get(i + 2000000L).contains(i), s"near copy of $i")
+    }
+    // no original may be dropped
+    assert((0L until 5L).forall(i => !drops.contains(i)))
+  }
+
   test("lsh ANN ranks a planted identical vector first with score 1.0") {
     val e = Tables.embeddings(spark, sf)
     val withCopy = e.unionByName(
