@@ -139,7 +139,7 @@ object Dedup {
     * rounds, each one join+groupBy; dup clusters are tiny so this
     * converges in 1-3 rounds in practice. Output: (doc_id, cluster)
     * with cluster = min doc_id of the component. */
-  def clusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def clusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
@@ -164,14 +164,22 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusters() did not converge in $maxIters rounds — component " +
+          "diameter exceeds maxIters; raise it")
+    // hand back a lineage-truncated, uncached result: the loop's cache
+    // must not leak into the caller's session storage
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
-    labels
+    out
   }
 
   /** Keeper selection: for every doc in a dup cluster, keep the
     * smallest id; emit the drop list (doc_id, keeper). */
-  def dropList(pairs: DataFrame): DataFrame =
-    clusters(pairs).filter(col("doc_id") =!= col("cluster"))
+  def dropList(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    clusters(pairs, maxIters).filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id"), col("cluster").as("keeper"))
 
   /** Embedding-cosine near-dup pairs via hyperplane-LSH buckets:

@@ -50,7 +50,8 @@ object FullText {
     * scales with the phrase terms' frequency, not the corpus. */
   def searchPhrase(docs: DataFrame, idCol: String, positional: DataFrame,
                    phrase: String): DataFrame = {
-    val terms = phrase.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val terms = phrase.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, "empty phrase")
     val first = positional.filter(col("term") === terms.head)
       .select(col("doc_id"), col("pos").as("p0"))
