@@ -69,7 +69,7 @@ object IndexQueries {
     "ft_search_and" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val postings = FullText.buildPostings(docs, "doc_id", "text")
+      val postings = graft.QueryCaches.postings(s, d)
       FullText.searchAll(docs, "doc_id", postings, Seq("spark", "join"))
         .select($"doc_id", $"lang", $"source")
         .orderBy($"doc_id")
@@ -78,7 +78,7 @@ object IndexQueries {
     "ft_search_or" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val postings = FullText.buildPostings(docs, "doc_id", "text")
+      val postings = graft.QueryCaches.postings(s, d)
       FullText.searchAny(docs, "doc_id", postings, Seq("vector", "stream"))
         .select($"doc_id", $"lang", $"source")
         .orderBy($"doc_id")
@@ -87,7 +87,7 @@ object IndexQueries {
     "ft_phrase" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val positional = FullText.buildPositional(docs, "doc_id", "text")
+      val positional = graft.QueryCaches.positional(s, d)
       FullText.searchPhrase(docs, "doc_id", positional, "spark join")
         .select($"doc_id", $"source")
         .orderBy($"doc_id")
@@ -96,7 +96,7 @@ object IndexQueries {
     "ft_tfidf_topk" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val postings = FullText.buildPostings(docs, "doc_id", "text")
+      val postings = graft.QueryCaches.postings(s, d)
       val dict = FullText.buildDictionary(postings)
       FullText.tfidfTopK(postings, dict, docs.count(), Seq("spark", "join"), 20)
     },
