@@ -278,6 +278,41 @@ object Relational {
           dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("revenue"))
     },
 
+    "q25_groupwise_max" -> { (s, d) =>
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val maxPerCust = o.groupBy($"o_custkey".as("k"))
+        .agg(max($"o_totalprice").as("max_price"))
+      o.join(broadcast(maxPerCust),
+          $"o_custkey" === $"k" && $"o_totalprice" === $"max_price")
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    "q26_exists_corr" -> { (s, d) =>
+      import s.implicits._
+      val heavy = Tables.lineitem(s, d).filter($"l_quantity" > 45)
+        .select($"l_orderkey")
+      Tables.orders(s, d)
+        .join(heavy, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
+
+    "q27_window_nav" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, d)
+        .withColumn("days_since_prev",
+          datediff($"o_orderdate", lag($"o_orderdate", 1).over(w)))
+        .withColumn("next_key", lead($"o_orderkey", 1).over(w))
+        .withColumn("quartile", ntile(4).over(
+          Window.partitionBy($"o_custkey").orderBy($"o_totalprice", $"o_orderkey")))
+        .filter($"o_custkey" < 30)
+        .select($"o_custkey", $"o_orderkey", $"days_since_prev", $"next_key", $"quartile")
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
     "q24_string_funcs" -> { (s, d) =>
       import s.implicits._
       Tables.customer(s, d)
@@ -465,6 +500,30 @@ object Relational {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
         |        AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_type = 'PROMO' AND l_discount >= 0.05)""".stripMargin,
+
+    "q25_groupwise_max" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders o
+        |WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q26_exists_corr" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q27_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(datediff('day', lag(o_orderdate) OVER wd, o_orderdate) AS INT)
+        |    AS days_since_prev,
+        |  lead(o_orderkey) OVER wd AS next_key,
+        |  CAST(ntile(4) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+        |FROM orders
+        |WHERE o_custkey < 30
+        |WINDOW wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q24_string_funcs" ->
       """SELECT c_custkey,
