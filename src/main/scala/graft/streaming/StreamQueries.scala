@@ -76,6 +76,33 @@ object StreamQueries {
         .orderBy($"event_type", $"n_events".desc, $"user_id")
     },
 
+    "evt_funnel" -> { (s, d) =>
+      import s.implicits._
+      // view -> purchase funnel: users whose first view precedes their
+      // last purchase, with counts of each stage
+      val ev = Tables.events(s, d)
+      ev.groupBy($"user_id")
+        .agg(
+          min(when($"event_type" === "view", $"ts")).as("first_view"),
+          max(when($"event_type" === "purchase", $"ts")).as("last_purchase"),
+          count(when($"event_type" === "view", 1)).as("n_views"),
+          count(when($"event_type" === "purchase", 1)).as("n_purchases"))
+        .filter($"first_view" < $"last_purchase")
+        .select($"user_id", $"n_views", $"n_purchases")
+        .orderBy($"user_id")
+    },
+
+    "mm_grouped_stats" -> { (s, d) =>
+      import s.implicits._
+      Multimodal.extractMeta(s, Multimodal.withPayload(Tables.documents(s, d)))
+        .toDF()
+        .groupBy($"format")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"byte_len").cast("long").as("total_bytes"),
+          max($"width").as("max_width"))
+        .orderBy($"format")
+    },
+
     "mm_meta_extract" -> { (s, d) =>
       import s.implicits._
       Multimodal.extractMeta(s, Multimodal.withPayload(Tables.documents(s, d)))
@@ -154,6 +181,26 @@ object StreamQueries {
         |      ORDER BY COUNT(*) DESC, user_id) AS rn
         |  FROM events GROUP BY event_type, user_id)
         |WHERE rn <= 3 ORDER BY event_type, n_events DESC, user_id""".stripMargin,
+
+    "evt_funnel" ->
+      """SELECT user_id,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+        |FROM events
+        |GROUP BY user_id
+        |HAVING MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |     < MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+        |ORDER BY user_id""".stripMargin,
+
+    "mm_grouped_stats" ->
+      """SELECT
+        |  CASE WHEN doc_id % 3 = 0 THEN 'IMAGE/PNG'
+        |       WHEN doc_id % 3 = 1 THEN 'AUDIO/WAV'
+        |       ELSE 'VIDEO/MP4' END AS format,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  CAST(MAX(64 + octet_length(encode(text)) % 640) AS INT) AS max_width
+        |FROM documents GROUP BY format ORDER BY format""".stripMargin,
 
     "mm_meta_extract" ->
       """SELECT doc_id,
