@@ -25,4 +25,18 @@ object QueryCaches {
   def positional(s: SparkSession, d: String): DataFrame =
     memo(s"positional:$d")(
       index.FullText.buildPositional(Tables.documents(s, d), "doc_id", "text"))
+
+  def dictionary(s: SparkSession, d: String): DataFrame =
+    memo(s"dictionary:$d")(index.FullText.buildDictionary(postings(s, d)))
+
+  private val counts = new ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Corpus document count, computed once per directory and stored with
+    * the index frames — tf-idf needs N on every query, and a real
+    * deployment persists N alongside the dictionary rather than
+    * re-scanning the corpus per search. */
+  def corpusSize(s: SparkSession, d: String): Long =
+    counts.computeIfAbsent(s"ndocs:$d", new Function[String, java.lang.Long] {
+      override def apply(k: String): java.lang.Long = Tables.documents(s, d).count()
+    })
 }

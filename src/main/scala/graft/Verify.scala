@@ -23,10 +23,12 @@ object Verify {
         .forEach(p => Files.delete(p))
     }
     new java.io.File(outDir).mkdirs()
+    var crashed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        crashed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -45,6 +47,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Manifest of every declared query + any that crashed, so the gate
+    // can detect a query that silently produced no result dir.
+    val manifest = s"""{"queries": [${SparkEntry.queries.keys.toSeq.sorted.map(q).mkString(",")}], """ +
+      s""""crashed": [${crashed.sorted.map(q).mkString(",")}]}"""
+    Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
     spark.stop()
   }
 }

@@ -145,35 +145,42 @@ object Dedup {
       .cache()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id")).cache()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "src")
-          .withColumnRenamed("cluster", "src_cluster"), "src")
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("src_cluster")).as("nbr_cluster"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster"))).as("cluster"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
-        .filter(col("cluster") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      i += 1
+    var cached = labels
+    try {
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIters) {
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("doc_id", "src")
+            .withColumnRenamed("cluster", "src_cluster"), "src")
+          .groupBy(col("dst").as("doc_id"))
+          .agg(min(col("src_cluster")).as("nbr_cluster"))
+        // The convergence signal piggybacks on the label-update join:
+        // the previous label rides along as `old` in the same cached
+        // pass, so each round is exactly one join + one action — no
+        // second join+count against the previous labels.
+        val next = labels.join(neighborMin, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("cluster").as("old"),
+            least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster"))).as("cluster"))
+          .cache()
+        val changed = next.filter(col("cluster") =!= col("old")).count()
+        cached.unpersist()
+        cached = next
+        labels = next.select("doc_id", "cluster")
+        converged = changed == 0
+        i += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"clusters() did not converge in $maxIters rounds — component " +
+            "diameter exceeds maxIters; raise it")
+      // hand back a lineage-truncated, uncached result: the loop's cache
+      // must not leak into the caller's session storage
+      labels.localCheckpoint(true)
+    } finally {
+      cached.unpersist()
+      edges.unpersist()
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"clusters() did not converge in $maxIters rounds — component " +
-          "diameter exceeds maxIters; raise it")
-    // hand back a lineage-truncated, uncached result: the loop's cache
-    // must not leak into the caller's session storage
-    val out = labels.localCheckpoint(true)
-    labels.unpersist()
-    edges.unpersist()
-    out
   }
 
   /** Keeper selection: for every doc in a dup cluster, keep the

@@ -63,7 +63,7 @@ object FullText {
         .select(col("doc_id"), col("p0"))
     }
     val hits = matched.select("doc_id").distinct()
-    docs.join(broadcast(hits), docs(idCol) === hits("doc_id"), "left_semi")
+    docs.join(hits, docs(idCol) === hits("doc_id"), "left_semi")
   }
 
   /** AND search: docs containing every query term. */
@@ -74,7 +74,7 @@ object FullText {
       .groupBy("doc_id").agg(count(lit(1)).as("nterms"))
       .filter(col("nterms") === distinctTerms.length)
       .select("doc_id")
-    docs.join(broadcast(hits), docs(idCol) === hits("doc_id"), "left_semi")
+    docs.join(hits, docs(idCol) === hits("doc_id"), "left_semi")
   }
 
   /** OR search: docs containing any query term. */
@@ -82,7 +82,7 @@ object FullText {
                 terms: Seq[String]): DataFrame = {
     val hits = postings.filter(col("term").isin(terms: _*))
       .select("doc_id").distinct()
-    docs.join(broadcast(hits), docs(idCol) === hits("doc_id"), "left_semi")
+    docs.join(hits, docs(idCol) === hits("doc_id"), "left_semi")
   }
 
   /** tf-idf ranked top-k: score(d) = Σ_t tf(t,d) · ln(N/df(t)).

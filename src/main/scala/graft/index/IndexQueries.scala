@@ -94,11 +94,10 @@ object IndexQueries {
     },
 
     "ft_tfidf_topk" -> { (s, d) =>
-      import s.implicits._
-      val docs = Tables.documents(s, d)
       val postings = graft.QueryCaches.postings(s, d)
-      val dict = FullText.buildDictionary(postings)
-      FullText.tfidfTopK(postings, dict, docs.count(), Seq("spark", "join"), 20)
+      val dict = graft.QueryCaches.dictionary(s, d)
+      FullText.tfidfTopK(postings, dict, graft.QueryCaches.corpusSize(s, d),
+        Seq("spark", "join"), 20)
     },
   )
 

@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * sorted by ik, persisted as parquet. A lookup filters the index (the
   * filter is pushed to the scan; min/max stats prune to the right
   * partition, the analog of the index-table region seek) and semi-joins
-  * the resulting rowkeys back to the base table. The rowkey set for a
-  * selective value is small, so the join side is broadcast — at 100 TB
-  * the base table is never shuffled for an index lookup.
+  * the resulting rowkeys back to the base table. The semi-join carries
+  * no broadcast hint: when the rowkey set is genuinely small AQE turns
+  * it into a broadcast join at runtime; when a hot value matches a large
+  * slice of the table the plan stays a shuffled semi-join instead of
+  * OOMing the driver.
   */
 object KvIndex {
 
@@ -29,10 +31,14 @@ object KvIndex {
   def build(base: DataFrame, keyCol: String, valueCol: String): DataFrame =
     base.select(col(valueCol).as("ik"), col(keyCol).as("rk"))
 
-  /** Equality lookup: index seek + multi-Get back to base. */
+  /** Equality lookup: index seek + multi-Get back to base. No broadcast
+    * hint: the rowkey set for a value is unbounded (a low-selectivity
+    * value can match a large fraction of the base table), so the plan is
+    * a plain semi-join and AQE broadcasts at runtime only when the hit
+    * set is actually small. */
   def lookup(base: DataFrame, keyCol: String, index: DataFrame, value: Any): DataFrame = {
     val rks = index.filter(col("ik") === lit(value)).select(col("rk"))
-    base.join(broadcast(rks), base(keyCol) === rks("rk"), "left_semi")
+    base.join(rks, base(keyCol) === rks("rk"), "left_semi")
   }
 
   /** Atomic base+index upsert, the COW analog of the reference's
@@ -51,10 +57,11 @@ object KvIndex {
     (newBase, newIndex)
   }
 
-  /** Range lookup [lo, hi) over the sorted index. */
+  /** Range lookup [lo, hi) over the sorted index. Same no-hint policy as
+    * [[lookup]]: a wide range is unbounded, AQE decides at runtime. */
   def rangeLookup(base: DataFrame, keyCol: String, index: DataFrame,
                   lo: Any, hi: Any): DataFrame = {
     val rks = index.filter(col("ik") >= lit(lo) && col("ik") < lit(hi)).select(col("rk"))
-    base.join(broadcast(rks), base(keyCol) === rks("rk"), "left_semi")
+    base.join(rks, base(keyCol) === rks("rk"), "left_semi")
   }
 }

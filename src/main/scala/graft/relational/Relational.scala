@@ -283,7 +283,7 @@ object Relational {
       val o = Tables.orders(s, d)
       val maxPerCust = o.groupBy($"o_custkey".as("k"))
         .agg(max($"o_totalprice").as("max_price"))
-      o.join(broadcast(maxPerCust),
+      o.join(maxPerCust,
           $"o_custkey" === $"k" && $"o_totalprice" === $"max_price")
         .select($"o_custkey", $"o_orderkey", $"o_totalprice")
         .orderBy($"o_custkey", $"o_orderkey")

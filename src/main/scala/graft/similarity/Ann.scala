@@ -54,16 +54,24 @@ object Ann {
     * broadcast-join pass each. */
   def ivfTopK(embs: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, k: Int, nprobe: Int = 4,
-              maxIter: Int = 5): DataFrame = {
+              maxIter: Int = 5, maxTrain: Int = 200000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = embs.sparkSession
     val corpus0 = embs.select(col(idCol).as("nn"), col(vecCol).as("v"))
       .withColumn("features", array_to_vector(col("v").cast("array<double>")))
-    val n = corpus0.count()
-    val nlist = math.max(2, math.sqrt(n.toDouble).toInt)
+    // The coarse quantizer trains on a bounded sample, never the full
+    // corpus: limit() stops reading once maxTrain rows are in hand, so
+    // training I/O is capped at any corpus size, and nlist derives from
+    // the sampled count — no full count() pass. (Parquet file order is
+    // uncorrelated with embedding geometry, so a head-sample is an
+    // acceptable quantizer-training sample.)
+    val train = corpus0.select("features").limit(maxTrain).cache()
+    val nTrain = train.count()
+    val nlist = math.max(2, math.sqrt(nTrain.toDouble).toInt)
     val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(maxIter)
-      .fit(corpus0)
+      .fit(train)
+    train.unpersist()
     val corpus = model.transform(corpus0)
       .select(col("nn"), col("v"), col("prediction").as("cluster"))
     // centroid table is tiny (√N rows): broadcast to score probes

@@ -40,6 +40,30 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf("q6_antijoin").contains("LeftAnti"))
   }
 
+  /** With the broadcast threshold disabled (standing in for "the hit
+    * set turned out huge at 100 TB"), the index/full-text lookups and
+    * the groupwise-max join must plan shuffled joins. A hardcoded
+    * broadcast() hint would override the threshold and OOM the driver
+    * on a low-selectivity lookup — this pins the hints' removal. */
+  test("unbounded-side joins carry no broadcast hint (AQE decides)") {
+    val thresholds = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = thresholds.map(k => k -> spark.conf.getOption(k))
+    thresholds.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      Seq("idx_kv_lookup", "idx_kv_range", "ft_search_and", "ft_search_or",
+          "ft_phrase", "q25_groupwise_max").foreach { name =>
+        val p = planOf(name)
+        assert(!p.contains("BroadcastExchange"),
+          s"$name still broadcasts with the threshold off — a hardcoded hint:\n$p")
+      }
+      assert(planOf("idx_kv_lookup").contains("LeftSemi"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("graft SQL functions are registered on the session") {
     graft.plans.GraftExtensions.register(spark)
     val r = spark.sql(

@@ -56,6 +56,18 @@ for name in sorted(os.listdir(outdir)):
     except Exception as e:
         fails.append((name, f"compare error: {e}"))
 
+# a query that crashed in Verify produces no result dir — without this
+# check it would silently vanish from the tally and the gate would pass
+manifest_path = os.path.join(outdir, "manifest.json")
+if os.path.exists(manifest_path):
+    manifest = json.load(open(manifest_path))
+    declared = set(manifest["queries"])
+else:
+    declared = set(oracles)
+present = {n for n in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, n))}
+for n in sorted(declared - present):
+    fails.append((n, "MISSING: declared in SparkEntry.queries but no result dir (crashed?)"))
+
 for n, c, o in passes:
     print(f"PASS  {n} ({c} rows, {o})")
 for n, c in rows_only:
