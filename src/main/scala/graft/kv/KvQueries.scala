@@ -39,6 +39,33 @@ object KvQueries {
         .orderBy($"o_orderkey")
     },
 
+    "kv_composite_get" -> { (s, d) =>
+      import s.implicits._
+      // full two-column rowkey point get (reference rowkey = the whole
+      // concatenated primary key, HBaseModifiableTable.kt:283-352)
+      KvTable(Tables.lineitem(s, d), Seq("l_orderkey", "l_linenumber"))
+        .pointGet(3L, 2)
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+    },
+
+    "kv_composite_multiget" -> { (s, d) =>
+      import s.implicits._
+      KvTable(Tables.lineitem(s, d), Seq("l_orderkey", "l_linenumber"))
+        .multiGetComposite(Seq(Seq(1L, 1), Seq(3L, 2), Seq(5L, 1), Seq(7L, 4)))
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    "kv_composite_range" -> { (s, d) =>
+      import s.implicits._
+      // lexicographic [(100,3), (105,2)) over the concatenated key;
+      // decomposed into pushable per-column predicates
+      KvTable(Tables.lineitem(s, d), Seq("l_orderkey", "l_linenumber"))
+        .rangeScanComposite(Seq(100L, 3), Seq(105L, 2))
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
     "kv_filter_scan" -> { (s, d) =>
       import s.implicits._
       // =, >=, < conjunction — the reference's FilterList(MUST_PASS_ALL)
@@ -127,6 +154,21 @@ object KvQueries {
     "kv_range_scan" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey >= 500 AND o_orderkey < 600 ORDER BY o_orderkey""".stripMargin,
+
+    "kv_composite_get" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+        |WHERE l_orderkey = 3 AND l_linenumber = 2""".stripMargin,
+
+    "kv_composite_multiget" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+        |WHERE (l_orderkey, l_linenumber) IN ((1,1), (3,2), (5,1), (7,4))
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "kv_composite_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE (l_orderkey > 100 OR (l_orderkey = 100 AND l_linenumber >= 3))
+        |  AND (l_orderkey < 105 OR (l_orderkey = 105 AND l_linenumber < 2))
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "kv_filter_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem

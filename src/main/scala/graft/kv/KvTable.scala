@@ -28,11 +28,57 @@ import org.apache.spark.sql.functions._
 final case class KvTable(df: DataFrame, keyCols: Seq[String]) {
   private def key: Column = col(keyCols.head)
 
-  /** HBase Get: primary-key point lookup. */
-  def pointGet(k: Any): DataFrame = df.filter(key === lit(k))
+  /** Composite-rowkey equality: the rowkey is the FULL concatenated
+    * primary key (reference HBaseModifiableTable.kt:283-352 rowkey
+    * filters on the concatenated key), so a point get on an n-column
+    * key is a conjunction of n equalities — every one pushed to the
+    * parquet scan. */
+  private def eqKey(ks: Seq[Any]): Column = {
+    require(ks.length == keyCols.length,
+      s"composite key needs ${keyCols.length} values (got ${ks.length})")
+    keyCols.zip(ks).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+  }
+
+  /** Lexicographic `rowkey >= vals` over a (possibly prefix) tuple,
+    * decomposed into per-column AND/OR predicates so parquet row-group
+    * min/max stats on the leading key columns still prune — the analog
+    * of an HBase region seek on a concatenated-byte start row. An empty
+    * suffix compares true (prefix rows are >= their own prefix). */
+  private def lexGe(cols: Seq[String], vals: Seq[Any]): Column = vals match {
+    case Seq() => lit(true)
+    case v +: rest =>
+      val c = col(cols.head)
+      if (rest.isEmpty) c >= lit(v)
+      else (c > lit(v)) || (c === lit(v) && lexGe(cols.tail, rest))
+  }
+
+  /** Lexicographic `rowkey < vals` (exclusive stop row, HBase scan
+    * semantics). An empty suffix compares false: a row equal to the
+    * stop prefix is excluded, exactly like a byte-concatenated stop
+    * row. */
+  private def lexLt(cols: Seq[String], vals: Seq[Any]): Column = vals match {
+    case Seq() => lit(false)
+    case v +: rest =>
+      val c = col(cols.head)
+      if (rest.isEmpty) c < lit(v)
+      else (c < lit(v)) || (c === lit(v) && lexLt(cols.tail, rest))
+  }
+
+  /** HBase Get: primary-key point lookup over the full (possibly
+    * composite) rowkey. */
+  def pointGet(ks: Any*): DataFrame = df.filter(eqKey(ks))
 
   /** HBase multi-Get (reference KVIndexTable.kt:75-84 gets a batch). */
-  def multiGet(ks: Seq[Any]): DataFrame = df.filter(key.isin(ks: _*))
+  def multiGet(ks: Seq[Any]): DataFrame = {
+    require(keyCols.length == 1,
+      "multiGet takes single-column keys; use multiGetComposite")
+    df.filter(key.isin(ks: _*))
+  }
+
+  /** Batched composite-key multi-Get: OR of full-key conjunctions —
+    * still a pushable predicate, never a join. */
+  def multiGetComposite(keys: Seq[Seq[Any]]): DataFrame =
+    df.filter(keys.map(eqKey).reduce(_ || _))
 
   /** HBase Scan.setRowPrefixFilter on a string rowkey. */
   def prefixScan(keyCol: String, prefix: String): DataFrame =
@@ -41,6 +87,16 @@ final case class KvTable(df: DataFrame, keyCols: Seq[String]) {
   /** HBase Scan(startRow, stopRow): [start, stop) like HBase. */
   def rangeScan(start: Any, stopExclusive: Any): DataFrame =
     df.filter(key >= lit(start) && key < lit(stopExclusive))
+
+  /** Composite-rowkey Scan(startRow, stopRow): lexicographic
+    * [start, stop) over the concatenated key; start/stop may be key
+    * PREFIXES (shorter tuples), matching HBase's byte-prefix start/stop
+    * rows. */
+  def rangeScanComposite(start: Seq[Any], stopExclusive: Seq[Any]): DataFrame = {
+    require(start.length <= keyCols.length && stopExclusive.length <= keyCols.length,
+      s"range tuple longer than the ${keyCols.length}-column key")
+    df.filter(lexGe(keyCols, start) && lexLt(keyCols, stopExclusive))
+  }
 
   /** FilterList(MUST_PASS_ALL): conjunction of pushed predicates. */
   def filterScan(preds: Column*): DataFrame =

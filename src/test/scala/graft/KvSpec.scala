@@ -25,6 +25,42 @@ class KvSpec extends AnyFunSuite {
     assert(keys.sameElements(Array(10L, 11L, 12L, 13L, 14L)))
   }
 
+  private def lines = KvTable(Tables.lineitem(spark, sf),
+    Seq("l_orderkey", "l_linenumber"))
+
+  test("composite pointGet matches on the FULL key, not just the head") {
+    val rows = lines.pointGet(3L, 2).collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getAs[Long]("l_orderkey") == 3L &&
+      r.getAs[Int]("l_linenumber") == 2))
+    // the same orderkey has other linenumbers — a head-only key would
+    // have returned them too
+    assert(lines.df.filter(col("l_orderkey") === 3L).count() > rows.length)
+    intercept[IllegalArgumentException](lines.pointGet(3L))
+  }
+
+  test("composite rangeScan is lexicographic [start, stop) incl. prefixes") {
+    val got = lines.rangeScanComposite(Seq(100L, 3), Seq(105L, 2))
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val expect = lines.df.select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .filter { case (o, l) =>
+        (o > 100L || (o == 100L && l >= 3)) && (o < 105L || (o == 105L && l < 2))
+      }.toSet
+    assert(got == expect && got.nonEmpty)
+    // prefix stop row excludes the full prefix-equal keyspace
+    val pre = lines.rangeScanComposite(Seq(100L), Seq(102L))
+      .select("l_orderkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(pre == Set(100L, 101L))
+  }
+
+  test("composite multiGet returns exactly the requested key tuples") {
+    val got = lines.multiGetComposite(Seq(Seq(1L, 1), Seq(3L, 2), Seq(1L, 2)))
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got.subsetOf(Set((1L, 1), (3L, 2), (1L, 2))) && got.nonEmpty)
+  }
+
   test("upsert overlays existing keys and appends new ones") {
     import spark.implicits._
     val pre = customers.df.count()
@@ -83,6 +119,8 @@ class TypeSystemSpec extends org.scalatest.funsuite.AnyFunSuite {
   import org.apache.spark.sql.Row
 
   test("all reference types round-trip create/load/get") {
+    // TIME is feature-gated in Spark 4.1
+    spark.conf.set("spark.sql.timeType.enabled", "true")
     val wh = java.nio.file.Files.createTempDirectory("graft_types_wh").toString
     val cat = new graft.kv.Catalog(spark, wh)
     val schema = StructType(Seq(
@@ -97,12 +135,20 @@ class TypeSystemSpec extends org.scalatest.funsuite.AnyFunSuite {
       StructField("c_str", StringType, true),
       StructField("c_bin", BinaryType, true),
       StructField("c_date", DateType, true),
-      StructField("c_ts", TimestampType, true)))
+      StructField("c_ts", TimestampType, true),
+      // reference TIME + INTERVAL family (HBaseTable.kt:253-296):
+      // TIME → TimeType (Spark 4.1), INTERVAL YEAR TO MONTH /
+      // DAY TO SECOND → the ANSI interval types
+      StructField("c_time", TimeType(6), true),
+      StructField("c_iym", YearMonthIntervalType(), true),
+      StructField("c_idt", DayTimeIntervalType(), true)))
     cat.createTable("t_types", schema, primaryKey = Seq("k"))
     val row = Row(1L, 42, 7.toShort, 3.toByte, true,
       new java.math.BigDecimal("1234567890.12"), 2.5d, 1.25f, "héllo",
       Array[Byte](1, 2, 3), java.sql.Date.valueOf("2024-02-29"),
-      java.sql.Timestamp.valueOf("2024-02-29 12:34:56.789"))
+      java.sql.Timestamp.valueOf("2024-02-29 12:34:56.789"),
+      java.time.LocalTime.of(12, 34, 56, 789000000),
+      java.time.Period.ofMonths(14), java.time.Duration.ofSeconds(3661, 500000000))
     cat.bulkLoad("t_types",
       spark.createDataFrame(spark.sparkContext.parallelize(Seq(row), 1), schema))
     val got = cat.table("t_types").pointGet(1L).head()
@@ -114,8 +160,13 @@ class TypeSystemSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got.getAs[Array[Byte]](9).sameElements(Array[Byte](1, 2, 3)))
     assert(got.getDate(10) == java.sql.Date.valueOf("2024-02-29"))
     assert(got.getTimestamp(11) == java.sql.Timestamp.valueOf("2024-02-29 12:34:56.789"))
+    assert(got.getAs[java.time.LocalTime](12) ==
+      java.time.LocalTime.of(12, 34, 56, 789000000))
+    assert(got.getAs[java.time.Period](13).toTotalMonths == 14)
+    assert(got.getAs[java.time.Duration](14) ==
+      java.time.Duration.ofSeconds(3661, 500000000))
     val desc = cat.describeTable("t_types").collect()
-    assert(desc.length == 12)
+    assert(desc.length == 15)
     // vacuum keeps only the live snapshot
     cat.bulkLoad("t_types", cat.table("t_types").df)
     cat.vacuum("t_types")
