@@ -31,6 +31,26 @@ object KvIndex {
   def build(base: DataFrame, keyCol: String, valueCol: String): DataFrame =
     base.select(col(valueCol).as("ik"), col(keyCol).as("rk"))
 
+  /** Multi-column index: the reference's index rowkey is the
+    * concatenation of every indexed column (HBaseSchema.kt:306); here
+    * the index frame carries one `ik<i>` column per indexed column and
+    * is persisted sorted by (ik0, ik1, ...), so equality on a prefix of
+    * the indexed columns prunes row groups like an index-prefix seek. */
+  def buildComposite(base: DataFrame, keyCol: String, valueCols: Seq[String]): DataFrame =
+    base.select(valueCols.zipWithIndex.map { case (c, i) => col(c).as(s"ik$i") } :+
+      col(keyCol).as("rk"): _*)
+
+  /** Composite equality lookup on a PREFIX of the indexed columns
+    * (values.length <= index arity), then semi-join back to base. */
+  def lookupComposite(base: DataFrame, keyCol: String, index: DataFrame,
+                      values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "empty lookup tuple")
+    val pred = values.zipWithIndex
+      .map { case (v, i) => col(s"ik$i") === lit(v) }.reduce(_ && _)
+    val rks = index.filter(pred).select(col("rk"))
+    base.join(rks, base(keyCol) === rks("rk"), "left_semi")
+  }
+
   /** Equality lookup: index seek + multi-Get back to base. No broadcast
     * hint: the rowkey set for a value is unbounded (a low-selectivity
     * value can match a large fraction of the base table), so the plan is

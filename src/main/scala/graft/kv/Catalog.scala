@@ -1,5 +1,7 @@
 package graft.kv
 
+import com.fasterxml.jackson.databind.{ObjectMapper, JsonNode}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths, Path}
@@ -13,19 +15,23 @@ import scala.collection.JavaConverters._
   *
   * Here the warehouse is a directory tree:
   *   warehouse/<table>/_graft_meta.json   — table.sys row equivalent
-  *   warehouse/<table>/data/  (parquet)   — rowkey-sorted data
+  *   warehouse/<table>/data_vN/ (parquet) — rowkey-sorted data snapshots
   *   warehouse/<table>.<type>.<index>/    — index tables, same naming
   *     scheme as the reference (README.md "{表名}.{系统功能}.{扩展描述}",
   *     HBaseSchema.kt:306 indexTableRowkey).
   *
   * Metadata the reference stores per table: primary key, transactional
-  * flag, index type, charset, comment (HBaseSchema.kt:118-137); per
+  * flag, index registry, charset, comment (HBaseSchema.kt:118-137); per
   * column: datatype, precision, position, nullable, default
-  * (HBaseSchema.kt:141-160). We persist the same fields. At cluster
-  * scale this JSON-per-table catalog would be swapped for a metastore,
-  * but the API surface is what matters here.
+  * (HBaseSchema.kt:141-160). We persist the same fields. Metadata is
+  * real JSON (Jackson, bundled with Spark) — arbitrary comments/column
+  * names round-trip safely. At cluster scale this JSON-per-table
+  * catalog would be swapped for a metastore, but the API surface is
+  * what matters here.
   */
 final class Catalog(val spark: SparkSession, val warehouse: String) {
+
+  private val mapper = new ObjectMapper()
 
   private def tableDir(name: String): Path = Paths.get(warehouse, name)
   private def metaFile(name: String): Path = tableDir(name).resolve("_graft_meta.json")
@@ -37,10 +43,28 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   private def dataDir(name: String): String =
     tableDir(name).resolve(s"data_v${dataVersionOf(name)}").toString
 
-  def dataVersionOf(name: String): Int = {
-    val meta = Files.readString(metaFile(name))
-    "\"dataVersion\":\"(\\d+)\"".r.findFirstMatchIn(meta).map(_.group(1).toInt).getOrElse(0)
+  private def readMeta(name: String): ObjectNode =
+    mapper.readTree(Files.readString(metaFile(name))).asInstanceOf[ObjectNode]
+
+  private def writeMeta(name: String, meta: ObjectNode): Unit =
+    Files.writeString(metaFile(name), mapper.writeValueAsString(meta))
+
+  /** Iterate a directory stream with a guaranteed close (long-lived
+    * driver JVMs leak handles otherwise). */
+  private def withList[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
   }
+
+  private def deleteRecursively(dir: Path): Unit = {
+    val s = Files.walk(dir)
+    try s.sorted(Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.delete)
+    finally s.close()
+  }
+
+  def dataVersionOf(name: String): Int =
+    readMeta(name).path("dataVersion").asInt(0)
 
   /** Reference: column names may not be `id` (reserved for the
     * implicit uuid primary key) — HBaseSchema.kt:112-117. */
@@ -54,16 +78,27 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       "column name should not be id") // IllegalColumnNameException
     require(!tableExists(name), s"table $name exists")
     Files.createDirectories(tableDir(name))
-    val cols = schema.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"name":"${f.name}","datatype":"${f.dataType.sql}","position":$i,""" +
-        s""""nullable":${f.nullable},"isPrimary":${primaryKey.contains(f.name)}}"""
-    }.mkString("[", ",", "]")
-    val json =
-      s"""{"table":"$name","primary":"${primaryKey.mkString(",")}",""" +
-        s""""isTransactional":$isTransactional,"indexType":"NONE","index":"","dataVersion":"0",""" +
-        s""""lockStatus":"UNLOCK","charset":"UTF-8","comment":"$comment",""" +
-        s""""columns":$cols}"""
-    Files.writeString(metaFile(name), json)
+    val meta = mapper.createObjectNode()
+    meta.put("table", name)
+    meta.put("primary", primaryKey.mkString(","))
+    meta.put("isTransactional", isTransactional)
+    meta.put("dataVersion", 0)
+    meta.put("lockStatus", "UNLOCK")
+    meta.put("charset", "UTF-8")
+    meta.put("comment", comment)
+    meta.set[JsonNode]("indexes", mapper.createArrayNode()): Unit
+    val cols = mapper.createArrayNode()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val c = mapper.createObjectNode()
+      c.put("name", f.name)
+      c.put("datatype", f.dataType.sql)
+      c.put("position", i)
+      c.put("nullable", f.nullable)
+      c.put("isPrimary", primaryKey.contains(f.name))
+      cols.add(c): Unit
+    }
+    meta.set[JsonNode]("columns", cols): Unit
+    writeMeta(name, meta)
     // materialize an empty rowkey-sorted layout
     KvLayout.writeSorted(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
@@ -81,17 +116,16 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     val next = dataVersionOf(name) + 1
     KvLayout.writeSorted(rows, pk,
       tableDir(name).resolve(s"data_v$next").toString)
-    setMetaAttr(name, "dataVersion", next.toString)
+    setMetaAttr(name, "dataVersion", next)
   }
 
   /** Drop all snapshots except the live one. */
   def vacuum(name: String): Unit = {
     val live = s"data_v${dataVersionOf(name)}"
-    Files.list(tableDir(name)).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("data_v") &&
-        p.getFileName.toString != live)
-      .foreach(p => Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.delete))
+    withList(tableDir(name)) { it =>
+      it.filter(p => p.getFileName.toString.startsWith("data_v") &&
+          p.getFileName.toString != live).toList
+    }.foreach(deleteRecursively)
   }
 
   /** Read a specific historical snapshot (time travel). */
@@ -102,10 +136,27 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   def table(name: String): KvTable =
     KvTable(spark.read.parquet(dataDir(name)), primaryKeyOf(name))
 
-  def primaryKeyOf(name: String): Seq[String] = {
-    val meta = Files.readString(metaFile(name))
-    "\"primary\":\"([^\"]*)\"".r.findFirstMatchIn(meta).get.group(1).split(",").toSeq
+  /** Live snapshot path — the V2 catalog (GraftCatalog) reads/writes
+    * this directory directly. */
+  def liveDataPath(name: String): String = dataDir(name)
+
+  def schemaOf(name: String): StructType = {
+    val cols = readMeta(name).path("columns").asInstanceOf[ArrayNode]
+    StructType(cols.elements().asScala.map { c =>
+      StructField(c.path("name").asText(),
+        CatalystSqlParser.parse(c.path("datatype").asText()),
+        c.path("nullable").asBoolean(true))
+    }.toSeq)
   }
+
+  private object CatalystSqlParser {
+    def parse(sql: String): DataType = DataType.fromDDL(sql)
+  }
+
+  def primaryKeyOf(name: String): Seq[String] =
+    readMeta(name).path("primary").asText().split(",").toSeq
+
+  def commentOf(name: String): String = readMeta(name).path("comment").asText("")
 
   /** Reference dropTable: disable + delete + purge sys rows
     * (HBaseSchema.kt:225-259). Here: recursive delete of the dir. */
@@ -113,30 +164,30 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     require(tableExists(name), s"table $name does not exist")
     // purge the table AND its index tables (reference dropTable clears
     // the sys rows and index tables too, HBaseSchema.kt:225-259)
-    val doomed = tableDir(name) +: Files.list(Paths.get(warehouse))
-      .iterator().asScala
-      .filter(_.getFileName.toString.startsWith(s"$name.")).toSeq
-    doomed.foreach(dir =>
-      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.delete))
+    val doomed = tableDir(name) +: withList(Paths.get(warehouse)) { it =>
+      it.filter(_.getFileName.toString.startsWith(s"$name.")).toList
+    }
+    doomed.foreach(deleteRecursively)
   }
 
   def listTables(): Seq[String] =
     if (!Files.exists(Paths.get(warehouse))) Seq.empty
-    else Files.list(Paths.get(warehouse)).iterator().asScala
-      .filter(p => Files.exists(p.resolve("_graft_meta.json")))
-      .map(_.getFileName.toString).toSeq.sorted
+    else withList(Paths.get(warehouse)) { it =>
+      it.filter(p => Files.exists(p.resolve("_graft_meta.json")))
+        .map(_.getFileName.toString).toList
+    }.sorted
 
   /** Index DDL (reference: HBaseSchema.kt:262-319 createIndex — build
-    * index table `{table}.{type}.{index}`, backfill from a scan, flip
-    * the table's indexType/index attributes; dropIndex reverses).
-    * Index flavors: "kv" (graft.index.KvIndex layout) and "bitmap"
-    * (graft.index.BitmapIndex layout). */
+    * index table `{table}.{type}.{index}`, backfill from a scan, and
+    * register it in the table's metadata; dropIndex reverses). The
+    * registry is a LIST — a table carries any number of named indexes,
+    * like the reference's index tables (HBaseSchema.kt:262-319).
+    * Index flavors: "kv" (graft.index.KvIndex layout, single- or
+    * multi-column), "bitmap" and "fulltext" (single-column). */
   def createIndex(table: String, indexName: String, indexType: String,
                   cols: Seq[String]): Unit = {
     require(tableExists(table), s"table $table does not exist")
-    require(cols.size == 1,
-      s"single-column indexes only (got ${cols.size}); composite keys need one index per column today")
+    require(cols.nonEmpty, "index needs at least one column")
     val dir = indexDir(table, indexName, indexType)
     require(!Files.exists(dir),
       s"$table $indexName $indexType exists when create index") // IndexExistsException
@@ -149,13 +200,19 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     try {
       Files.createDirectories(dir)
       indexType.toLowerCase match {
-        case "kv" =>
+        case "kv" if cols.size == 1 =>
           KvLayout.writeSorted(graft.index.KvIndex.build(t.df, pk, cols.head),
             Seq("ik"), dir.resolve("data").toString)
+        case "kv" =>
+          val idx = graft.index.KvIndex.buildComposite(t.df, pk, cols)
+          KvLayout.writeSorted(idx,
+            cols.indices.map(i => s"ik$i"), dir.resolve("data").toString)
         case "bitmap" =>
+          require(cols.size == 1, "bitmap indexes are single-column")
           graft.index.BitmapIndex.build(t.df, pk, cols.head)
             .write.mode("overwrite").parquet(dir.resolve("data").toString)
         case "fulltext" =>
+          require(cols.size == 1, "fulltext indexes are single-column")
           // the reference's Lucene flavor: persisted inverted index
           // (postings term-sorted ⇒ term filters prune row groups)
           val postings = graft.index.FullText.buildPostings(t.df, pk, cols.head)
@@ -165,15 +222,19 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
             Seq("term"), dir.resolve("dict").toString)
         case other => throw new IllegalArgumentException(s"index type $other")
       }
-      setMetaAttr(table, "indexType", indexType.toUpperCase)
-      setMetaAttr(table, "index", cols.mkString(","))
+      val meta = readMeta(table)
+      val reg = meta.withArray[ArrayNode]("indexes")
+      val entry = mapper.createObjectNode()
+      entry.put("name", indexName)
+      entry.put("type", indexType.toUpperCase)
+      entry.put("cols", cols.mkString(","))
+      reg.add(entry): Unit
+      writeMeta(table, meta)
     } finally setMetaAttr(table, "lockStatus", "UNLOCK")
   }
 
-  def lockStatusOf(table: String): String = {
-    val meta = Files.readString(metaFile(table))
-    "\"lockStatus\":\"([^\"]*)\"".r.findFirstMatchIn(meta).get.group(1)
-  }
+  def lockStatusOf(table: String): String =
+    readMeta(table).path("lockStatus").asText()
 
   def indexDictionary(table: String, indexName: String, indexType: String): DataFrame =
     spark.read.parquet(indexDir(table, indexName, indexType).resolve("dict").toString)
@@ -182,43 +243,57 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     val dir = indexDir(table, indexName, indexType)
     require(Files.exists(dir),
       s"$table $indexName $indexType not exists when drop index")
-    Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-      .iterator().asScala.foreach(Files.delete)
-    setMetaAttr(table, "indexType", "NONE")
-    setMetaAttr(table, "index", "")
+    deleteRecursively(dir)
+    val meta = readMeta(table)
+    val reg = meta.withArray[ArrayNode]("indexes")
+    val keep = reg.elements().asScala.filterNot(e =>
+      e.path("name").asText() == indexName &&
+        e.path("type").asText().equalsIgnoreCase(indexType)).toList
+    reg.removeAll()
+    keep.foreach(reg.add)
+    writeMeta(table, meta)
   }
 
   def indexData(table: String, indexName: String, indexType: String): DataFrame =
     spark.read.parquet(indexDir(table, indexName, indexType).resolve("data").toString)
 
+  /** Index registry from the table's metadata: (name, type, cols). */
+  def indexesOf(table: String): Seq[(String, String, Seq[String])] =
+    readMeta(table).withArray[ArrayNode]("indexes").elements().asScala.map { e =>
+      (e.path("name").asText(), e.path("type").asText(),
+        e.path("cols").asText().split(",").toSeq)
+    }.toSeq
+
   def listIndexes(table: String): Seq[String] =
     if (!Files.exists(Paths.get(warehouse))) Seq.empty
-    else Files.list(Paths.get(warehouse)).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.startsWith(s"$table."))
-      .toSeq.sorted
+    else withList(Paths.get(warehouse)) { it =>
+      it.map(_.getFileName.toString)
+        .filter(_.startsWith(s"$table.")).toList
+    }.sorted
 
   /** Reference naming: {table}.{type}.{index} (HBaseSchema.kt:306,
     * README.md metadata scheme). */
   private def indexDir(table: String, indexName: String, indexType: String): Path =
     Paths.get(warehouse, s"$table.${indexType.toLowerCase}.$indexName")
 
-  private def setMetaAttr(table: String, attr: String, value: String): Unit = {
-    val meta = Files.readString(metaFile(table))
-    val updated = s""""$attr":"[^"]*"""".r
-      .replaceFirstIn(meta, s""""$attr":"$value"""")
-    Files.writeString(metaFile(table), updated)
+  private def setMetaAttr(table: String, attr: String, value: Any): Unit = {
+    val meta = readMeta(table)
+    value match {
+      case i: Int    => meta.put(attr, i): Unit
+      case b: Boolean => meta.put(attr, b): Unit
+      case s         => meta.put(attr, s.toString): Unit
+    }
+    writeMeta(table, meta)
   }
 
   /** column.sys dump: one row per column with the reference's
     * ColumnAttribute fields (datatype, position, nullable, primary). */
   def describeTable(name: String): DataFrame = {
-    val meta = Files.readString(metaFile(name))
-    val colRe = ("\\{\"name\":\"([^\"]+)\",\"datatype\":\"([^\"]+)\"," +
-      "\"position\":(\\d+),\"nullable\":(true|false),\"isPrimary\":(true|false)\\}").r
-    val rows = colRe.findAllMatchIn(meta).map { m =>
-      Row(name, m.group(1), m.group(2), m.group(3).toInt,
-        m.group(4).toBoolean, m.group(5).toBoolean)
+    val cols = readMeta(name).withArray[ArrayNode]("columns")
+    val rows = cols.elements().asScala.map { c =>
+      Row(name, c.path("name").asText(), c.path("datatype").asText(),
+        c.path("position").asInt(), c.path("nullable").asBoolean(),
+        c.path("isPrimary").asBoolean())
     }.toSeq
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),

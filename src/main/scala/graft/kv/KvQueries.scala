@@ -107,6 +107,22 @@ object KvQueries {
         .orderBy($"o_orderkey")
     },
 
+    "sql_ddl_dml" -> { (s, _) =>
+      // the reference's Calcite-server role: DDL + DML arriving as SQL
+      // text (HBaseSchema.kt:107-259, HBaseModifiableTable.kt:126-240),
+      // served here by the graft V2 TableCatalog
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.kv.connector.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.warehouse", Files.tempWarehouse("sql"))
+      s.sql("DROP TABLE IF EXISTS graft.sqldemo")
+      s.sql("CREATE TABLE graft.sqldemo (k BIGINT NOT NULL, v STRING, score DOUBLE) " +
+        "TBLPROPERTIES ('primaryKey'='k')")
+      s.sql("INSERT INTO graft.sqldemo VALUES " +
+        "(1,'a',0.5),(2,'b',1.5),(3,'c',2.5),(4,'d',3.5),(5,'e',4.5)")
+      s.sql("DELETE FROM graft.sqldemo WHERE k = 2 OR v = 'd'")
+      s.sql("SELECT k, v, score FROM graft.sqldemo ORDER BY k")
+    },
+
     "ddl_catalog" -> { (s, d) =>
       import s.implicits._
       val wh = Files.tempWarehouse()
@@ -134,9 +150,9 @@ object KvQueries {
   )
 
   private object Files {
-    def tempWarehouse(): String =
+    def tempWarehouse(suffix: String = ""): String =
       java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_warehouse").toString
+        System.getProperty("java.io.tmpdir"), s"graft_warehouse$suffix").toString
   }
 
   def oracles: Map[String, String] = Map(
@@ -194,6 +210,13 @@ object KvQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |WHERE o_orderkey NOT IN (10,11,12,13,14) AND o_orderkey < 30
         |ORDER BY o_orderkey""".stripMargin,
+    "sql_ddl_dml" ->
+      """SELECT k, v, score FROM (VALUES
+        |    (CAST(1 AS BIGINT), 'a', CAST(0.5 AS DOUBLE)),
+        |    (CAST(3 AS BIGINT), 'c', CAST(2.5 AS DOUBLE)),
+        |    (CAST(5 AS BIGINT), 'e', CAST(4.5 AS DOUBLE)))
+        |  t(k, v, score)
+        |ORDER BY k""".stripMargin,
     // ddl_catalog: rows-only (filesystem catalog side effects aren't SQL)
   )
 }

@@ -110,6 +110,41 @@ class KvSpec extends AnyFunSuite {
   }
 }
 
+/** SQL front door: DDL + DML as spark.sql text through the graft V2
+  * TableCatalog — the reference's Calcite-server surface
+  * (HBaseSchema.kt:107-259, HBaseModifiableTable.kt:126-240). */
+class SqlCatalogSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+
+  test("CREATE/INSERT/SELECT/DELETE/SHOW/DROP round-trip via spark.sql") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_sqlcat_wh").toString
+    spark.conf.set("spark.sql.catalog.gtest",
+      classOf[graft.kv.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtest.warehouse", wh)
+    spark.sql("CREATE TABLE gtest.kvdemo (k BIGINT NOT NULL, v STRING, score DOUBLE) " +
+      "TBLPROPERTIES ('primaryKey'='k')")
+    spark.sql("INSERT INTO gtest.kvdemo VALUES (1,'a',0.5),(2,'b',1.5),(3,'c',2.5)")
+    assert(spark.sql("SELECT * FROM gtest.kvdemo").count() == 3)
+    // appends accumulate (HBase Put model), deletes rewrite COW
+    spark.sql("INSERT INTO gtest.kvdemo VALUES (4,'d',9.0)")
+    spark.sql("DELETE FROM gtest.kvdemo WHERE k = 2 OR v = 'd'")
+    val rows = spark.sql("SELECT k, v FROM gtest.kvdemo ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (3L, "c")))
+    // filters on the SQL-served table still push to the parquet scan
+    val plan = spark.sql("SELECT v FROM gtest.kvdemo WHERE k = 3")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("k"), plan)
+    assert(spark.sql("SHOW TABLES IN gtest").collect()
+      .map(_.getAs[String]("tableName")).contains("kvdemo"))
+    // the SQL catalog and the Scala catalog see the same metadata
+    val scalaCat = new graft.kv.Catalog(spark, wh)
+    assert(scalaCat.primaryKeyOf("kvdemo") == Seq("k"))
+    spark.sql("DROP TABLE gtest.kvdemo")
+    assert(!scalaCat.tableExists("kvdemo"))
+  }
+}
+
 /** Full type-system round-trip through the catalog — the reference's
   * byte-codec surface (HBaseTable.kt:253-296) re-expressed as Spark
   * DataTypes persisting faithfully through the rowkey layout. */

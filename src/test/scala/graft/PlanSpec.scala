@@ -101,6 +101,23 @@ class PlanSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted
     assert(ids.sameElements(Array(1L, 3L)))
     assert(cat.lockStatusOf("t2") == "UNLOCK")
+    // multiple named indexes coexist on one table (reference tracks
+    // index tables by name, HBaseSchema.kt:262-319), and a kv index
+    // can span several columns with prefix lookup
+    cat.createIndex("t2", "by_grp", "kv", Seq("grp"))
+    cat.createIndex("t2", "grp_k", "kv", Seq("grp", "k"))
+    assert(cat.listIndexes("t2") ==
+      Seq("t2.bitmap.bm_grp", "t2.kv.by_grp", "t2.kv.grp_k"))
+    assert(cat.indexesOf("t2").map(i => (i._1, i._2)).toSet ==
+      Set(("bm_grp", "BITMAP"), ("by_grp", "KV"), ("grp_k", "KV")))
+    val full = graft.index.KvIndex.lookupComposite(
+      cat.table("t2").df, "k", cat.indexData("t2", "grp_k", "kv"), Seq("a", 3L))
+      .select("k").collect().map(_.getLong(0))
+    assert(full.sameElements(Array(3L)))
+    val prefix = graft.index.KvIndex.lookupComposite(
+      cat.table("t2").df, "k", cat.indexData("t2", "grp_k", "kv"), Seq("a"))
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(prefix.sameElements(Array(1L, 3L)))
     cat.dropTable("t2")
   }
 
