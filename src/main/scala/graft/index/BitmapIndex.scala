@@ -123,10 +123,19 @@ class BitmapAgg extends Aggregator[Long, Bitmap.Chunks, Array[Byte]] {
 }
 
 object BitmapIndex {
-  /** Build: one (value, bitmap, card) row per distinct value. */
+  /** Rows are SHARDED by id-range: one (value, shard, bitmap, card) row
+    * per distinct value per 16Mi-id shard, so a hot value matching a
+    * billion rows becomes ~64 independent ~2 MB rows instead of one
+    * ~120 MB cell flowing through a single task. AND/OR then zip
+    * per-shard (shard-keyed join) — parallel across shards. */
+  final val ShardBits = 24
+
+  /** Build: one (value, shard, bitmap, card) row per distinct value
+    * per present id-shard. */
   def build(base: DataFrame, keyCol: String, valueCol: String): DataFrame = {
     val agg = udaf(new BitmapAgg(), Encoders.scalaLong)
-    base.groupBy(col(valueCol).as("iv"))
+    base.groupBy(col(valueCol).as("iv"),
+        shiftrightunsigned(col(keyCol).cast("long"), ShardBits).as("shard"))
       .agg(agg(col(keyCol)).as("bm"))
       .withColumn("card", Ops.bitmapCard(col("bm")))
   }
@@ -142,21 +151,28 @@ object BitmapIndex {
       udf((a: Array[Byte]) => Bitmap.cardinality(a)).apply(_)
   }
 
-  /** Equality: fetch the value's bitmap, expand to rowids. */
+  /** Equality: fetch the value's shard rows, expand each to rowids
+    * (shards expand in parallel). */
   def lookupIds(index: DataFrame, value: Any): DataFrame =
     index.filter(col("iv") === lit(value))
       .select(explode(Ops.bitmapIds(col("bm"))).as("rk"))
 
   /** Combine two values' bitmaps (possibly from different indexes)
-    * with AND/OR, then expand. Index rows are tiny vs the base table.
-    */
+    * with AND/OR: a shard-keyed zip — each id-shard pair combines
+    * independently, so a hot value's work spreads across tasks.
+    * AND drops shards present on one side only; OR passes them
+    * through. Index rows stay tiny vs the base table. */
   def combineIds(left: DataFrame, lval: Any, right: DataFrame, rval: Any,
                  op: String): DataFrame = {
-    val l = left.filter(col("iv") === lit(lval)).select(col("bm").as("lbm"))
-    val r = right.filter(col("iv") === lit(rval)).select(col("bm").as("rbm"))
+    val l = left.filter(col("iv") === lit(lval)).select(col("shard"), col("bm").as("lbm"))
+    val r = right.filter(col("iv") === lit(rval)).select(col("shard"), col("bm").as("rbm"))
     val combined = op match {
-      case "and" => l.crossJoin(r).select(Ops.bitmapAnd(col("lbm"), col("rbm")).as("bm"))
-      case "or"  => l.crossJoin(r).select(Ops.bitmapOr(col("lbm"), col("rbm")).as("bm"))
+      case "and" => l.join(r, Seq("shard"))
+        .select(Ops.bitmapAnd(col("lbm"), col("rbm")).as("bm"))
+      case "or" => l.join(r, Seq("shard"), "full_outer")
+        .select(when(col("lbm").isNull, col("rbm"))
+          .when(col("rbm").isNull, col("lbm"))
+          .otherwise(Ops.bitmapOr(col("lbm"), col("rbm"))).as("bm"))
       case other => throw new IllegalArgumentException(s"op $other")
     }
     combined.select(explode(Ops.bitmapIds(col("bm"))).as("rk"))

@@ -111,12 +111,139 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * snapshot, then swap the pointer. `rows` may derive from the
     * table's current snapshot (COW merge) — the write targets a new
     * directory, so that lineage stays valid. */
-  def bulkLoad(name: String, rows: DataFrame): Unit = {
+  def bulkLoad(name: String, rows: DataFrame, partitions: Int = 0): Unit = {
     val pk = primaryKeyOf(name)
     val next = dataVersionOf(name) + 1
     KvLayout.writeSorted(rows, pk,
-      tableDir(name).resolve(s"data_v$next").toString)
+      tableDir(name).resolve(s"data_v$next").toString, partitions)
     setMetaAttr(name, "dataVersion", next)
+  }
+
+  /** File-granular incremental COW merge — the CDC-ingest path. A
+    * whole-table rewrite per micro-batch would rewrite 100 TB for a
+    * trickle of mutations; instead only the files whose rowkey range
+    * intersects the patch are decoded, merged and rewritten, and every
+    * untouched file carries over into the next snapshot as a hard link
+    * (byte-identical, no data I/O — on an object store this would be a
+    * manifest reference, same idea).
+    *
+    * File→keyrange pruning uses a per-snapshot range manifest on the
+    * LEADING primary-key column (computed lazily, one key-column scan
+    * per snapshot, then carried forward incrementally) — a conservative
+    * superset of the touched files, exactly how parquet row-group
+    * min/max pruning reasons. Patch keys are collected to the driver:
+    * micro-batches are bounded by the trigger, so this is a small set
+    * by construction. */
+  def incrementalMerge(name: String, patch: DataFrame): Unit = {
+    val pk = primaryKeyOf(name)
+    val keyCol = pk.head
+    val cur = dataVersionOf(name)
+    val curDir = tableDir(name).resolve(s"data_v$cur")
+    val manifest = ensureRangeManifest(name, curDir, keyCol)
+    val patchKeys = patch.select(keyCol).distinct().collect()
+      .map(r => canonKey(r.get(0)))
+    def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val (touched, untouched) = manifest.partition { e =>
+      e.lo == null || e.hi == null ||
+        patchKeys.exists(k => cmp(e.lo, k) <= 0 && cmp(k, e.hi) <= 0)
+    }
+    val nextDir = tableDir(name).resolve(s"data_v${cur + 1}")
+    val tableCols = schemaOf(name).fieldNames.toSeq
+    val touchedDf =
+      if (touched.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemaOf(name))
+      else spark.read.schema(schemaOf(name))
+        .parquet(touched.map(e => curDir.resolve(e.file).toString): _*)
+    // upsert keeps new keys too: patch rows outside every file range
+    // simply don't anti-join away anything
+    val merged = KvTable(touchedDf, pk)
+      .upsert(patch.select(tableCols.map(org.apache.spark.sql.functions.col): _*))
+    KvLayout.writeSorted(merged.df, pk, nextDir.toString)
+    val newEntries = scanRanges(nextDir, keyCol)
+    // carry untouched files into the new snapshot without touching data
+    untouched.foreach { e =>
+      val src = curDir.resolve(e.file)
+      val dst = nextDir.resolve(e.file)
+      try Files.createLink(dst, src)
+      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+        Files.copy(src, dst): Unit }
+    }
+    writeRangeManifest(nextDir, newEntries ++ untouched)
+    setMetaAttr(name, "dataVersion", cur + 1)
+  }
+
+  private case class FileRange(file: String, lo: Any, hi: Any)
+
+  /** Canonical comparable form: every integral → Long, every floating
+    * → Double, so a JSON-round-tripped bound compares against a typed
+    * patch key without a ClassCastException. Other key types (decimal,
+    * timestamp) pass through — they never persist to the manifest
+    * (see [[ensureRangeManifest]]), so both sides stay same-typed. */
+  private def canonKey(x: Any): Any = x match {
+    case null => null
+    case n: java.lang.Long    => n
+    case n: java.lang.Integer => java.lang.Long.valueOf(n.longValue())
+    case n: java.lang.Short   => java.lang.Long.valueOf(n.longValue())
+    case n: java.lang.Byte    => java.lang.Long.valueOf(n.longValue())
+    case n: java.lang.Float   => java.lang.Double.valueOf(n.doubleValue())
+    case other => other
+  }
+
+  /** Per-file (min,max) of the leading key column, scanning ONLY the
+    * key column (columnar read) of the given snapshot. */
+  private def scanRanges(dir: Path, keyCol: String): Seq[FileRange] = {
+    import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax}
+    spark.read.parquet(dir.toString)
+      .select(org.apache.spark.sql.functions.col(keyCol).as("k"),
+        input_file_name().as("f"))
+      .groupBy("f").agg(fmin("k").as("lo"), fmax("k").as("hi"))
+      .collect().toSeq.map { r =>
+        val fname = r.getString(0).split("/").last
+        FileRange(fname, canonKey(r.get(1)), canonKey(r.get(2)))
+      }
+  }
+
+  private def manifestFile(dir: Path): Path = dir.resolve("_graft_ranges.json")
+
+  /** JSON-persistable key types: the manifest survives restarts for
+    * these; anything else recomputes per merge (correct, one extra
+    * key-column scan). */
+  private def manifestPersistable(name: String, keyCol: String): Boolean =
+    schemaOf(name).apply(keyCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType |
+           DoubleType | FloatType | StringType => true
+      case _ => false
+    }
+
+  private def ensureRangeManifest(name: String, dir: Path, keyCol: String): Seq[FileRange] = {
+    if (!manifestPersistable(name, keyCol)) return scanRanges(dir, keyCol)
+    if (Files.exists(manifestFile(dir))) {
+      val root = mapper.readTree(Files.readString(manifestFile(dir)))
+      root.elements().asScala.map { e =>
+        def v(n: JsonNode): Any =
+          if (n.isNull) null
+          else if (n.isIntegralNumber) java.lang.Long.valueOf(n.asLong())
+          else if (n.isFloatingPointNumber) java.lang.Double.valueOf(n.asDouble())
+          else n.asText()
+        FileRange(e.path("file").asText(), v(e.path("lo")), v(e.path("hi")))
+      }.toSeq
+    } else {
+      val entries = scanRanges(dir, keyCol)
+      writeRangeManifest(dir, entries)
+      entries
+    }
+  }
+
+  private def writeRangeManifest(dir: Path, entries: Seq[FileRange]): Unit = {
+    val arr = mapper.createArrayNode()
+    entries.foreach { e =>
+      val n = mapper.createObjectNode()
+      n.put("file", e.file)
+      n.set[JsonNode]("lo", mapper.valueToTree[JsonNode](e.lo))
+      n.set[JsonNode]("hi", mapper.valueToTree[JsonNode](e.hi))
+      arr.add(n): Unit
+    }
+    Files.writeString(manifestFile(dir), mapper.writeValueAsString(arr)): Unit
   }
 
   /** Drop all snapshots except the live one. */

@@ -31,31 +31,44 @@ object AsOfJoin {
            payload: Seq[(String, String)],
            tieCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
-    val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
-    val extra = (payload.map(_._1) ++ tieCols).distinct
-    val r = right.select((keyCols ++ extra).map(col) :+
-        col(rightTime).as("__t"): _*)
-      .withColumn("__side", lit(0))
+    require(!leftCols.exists(_.startsWith("__graft_")),
+      "left columns may not use the reserved __graft_ prefix")
+    // right-side payload/tie columns travel under reserved internal
+    // names, so a payload column whose name also exists on the left (or
+    // a left __t/__side) can never collide in the union
+    val extras = (payload.map(_._1) ++ tieCols).distinct
+    val extraName = extras.zipWithIndex
+      .map { case (c, i) => c -> s"__graft_x$i" }.toMap
+    val l = left.withColumn("__graft_t", col(leftTime))
+      .withColumn("__graft_side", lit(1))
+    val r = right.select(keyCols.map(col) ++
+        extras.map(c => col(c).as(extraName(c))) :+
+        col(rightTime).as("__graft_t"): _*)
+      .withColumn("__graft_side", lit(0))
     // align schemas: left gets null payload/tie cols, right gets null left cols
-    val lAligned = extra.foldLeft(l)((df, c) =>
-      if (df.columns.contains(c)) df else df.withColumn(c, lit(null)))
+    val lAligned = extras.foldLeft(l)((df, c) =>
+      df.withColumn(extraName(c), lit(null)))
     val rAligned = leftCols.foldLeft(r)((df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null)))
-    val combined = lAligned.select((leftCols ++ extra ++ Seq("__t", "__side")).map(col): _*)
-      .unionByName(rAligned.select((leftCols ++ extra ++ Seq("__t", "__side")).map(col): _*))
+    val allCols = leftCols.toSeq ++ extras.map(extraName) ++
+      Seq("__graft_t", "__graft_side")
+    val combined = lAligned.select(allCols.map(col): _*)
+      .unionByName(rAligned.select(allCols.map(col): _*))
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy((Seq(col("__t").asc, col("__side").asc) ++
-        tieCols.map(col(_).asc_nulls_first)): _*)
+      .orderBy((Seq(col("__graft_t").asc, col("__graft_side").asc) ++
+        tieCols.map(c => col(extraName(c)).asc_nulls_first)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // carry the payload as ONE struct: it is non-null for every right
     // row even when its fields are null, so a matched right row with a
     // NULL payload value yields NULL (as-of semantics), not a stale
     // older value that last(ignoreNulls) on the bare column would give
-    val srcStruct = struct(payload.map { case (src, _) => col(src).as(src) }: _*)
-    val carried = combined.withColumn("__carried",
-      last(when(col("__side") === 0, srcStruct), ignoreNulls = true).over(w))
-    carried.filter(col("__side") === 1)
+    val srcStruct = struct(payload.map { case (src, _) =>
+      col(extraName(src)).as(extraName(src)) }: _*)
+    val carried = combined.withColumn("__graft_carried",
+      last(when(col("__graft_side") === 0, srcStruct), ignoreNulls = true).over(w))
+    carried.filter(col("__graft_side") === 1)
       .select(leftCols.map(col) ++
-        payload.map { case (src, dst) => col("__carried").getField(src).as(dst) }: _*)
+        payload.map { case (src, dst) =>
+          col("__graft_carried").getField(extraName(src)).as(dst) }: _*)
   }
 }

@@ -11,10 +11,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * A stream of keyed mutations is merged into a catalog table with
   * `foreachBatch`: each micro-batch reduces to its latest image per
-  * key (last-writer-wins by event order), then upserts copy-on-write
-  * into the table. At scale this is the standard CDC-ingest shape:
-  * bulk COW merges per micro-batch, never row-at-a-time, and the
-  * table stays in rowkey-sorted layout for readers throughout.
+  * key (last-writer-wins by event order), then merges copy-on-write
+  * into the table at FILE granularity (Catalog.incrementalMerge):
+  * only files whose rowkey range intersects the batch are rewritten;
+  * untouched files carry into the next snapshot untouched. At 100 TB
+  * a CDC trickle therefore costs I/O proportional to the touched key
+  * ranges, not the table size, and the table stays in rowkey-sorted
+  * layout for readers throughout.
   */
 object MutationIngest {
 
@@ -40,8 +43,7 @@ object MutationIngest {
         if (!batch.isEmpty) {
           val latest = latestPerKey(batch, keyCol, orderCol, tieCol)
             .select(catalog.table(table).df.columns.map(col): _*)
-          val merged = catalog.table(table).upsert(latest)
-          catalog.bulkLoad(table, merged.df)
+          catalog.incrementalMerge(table, latest)
         }
         ()
       }

@@ -30,6 +30,29 @@ class IndexSpec extends AnyFunSuite {
     assert(viaIndex.sameElements(direct))
   }
 
+  test("hot values shard across id-ranges; AND/OR zip per shard") {
+    import spark.implicits._
+    // ids straddling three 16Mi-id shards, two values
+    val base = Seq(
+      (1L, "hot"), (2L, "hot"), (40L * 1024 * 1024, "hot"),
+      (80L * 1024 * 1024, "hot"), (2L, "cold"), (80L * 1024 * 1024, "cold"))
+      .toDF("k", "v")
+    val idx = BitmapIndex.build(base, "k", "v").cache()
+    // one row per (value, shard): hot spans 3 shards, never one cell
+    assert(idx.filter(col("iv") === "hot").count() == 3)
+    val hotIds = BitmapIndex.lookupIds(idx, "hot")
+      .collect().map(_.getLong(0)).sorted
+    assert(hotIds.sameElements(
+      Array(1L, 2L, 40L * 1024 * 1024, 80L * 1024 * 1024)))
+    val both = BitmapIndex.combineIds(idx, "hot", idx, "cold", "and")
+      .collect().map(_.getLong(0)).sorted
+    assert(both.sameElements(Array(2L, 80L * 1024 * 1024)))
+    val any = BitmapIndex.combineIds(idx, "hot", idx, "cold", "or")
+      .collect().map(_.getLong(0)).sorted
+    assert(any.sameElements(hotIds))
+    idx.unpersist()
+  }
+
   test("kv index lookup matches a plain filter") {
     val c = Tables.customer(spark, sf)
     val idx = KvIndex.build(c, "c_custkey", "c_nationkey")

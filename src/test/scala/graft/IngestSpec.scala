@@ -53,6 +53,54 @@ class IngestSpec extends AnyFunSuite {
     assert(cat.tableAt("user_state", 0).df.count() == 0)
   }
 
+  test("incremental merge rewrites only touched key ranges; untouched files carry over byte-identical") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_incr_wh").toString
+    val cat = new Catalog(spark, wh)
+    cat.createTable("incr",
+      StructType(Seq(
+        StructField("k", LongType, false),
+        StructField("v", StringType, true))),
+      primaryKey = Seq("k"))
+    // 4 explicit range partitions over 1..4000 → 4 files with disjoint
+    // ranges (explicit count so AQE doesn't coalesce the tiny table)
+    cat.bulkLoad("incr",
+      spark.range(1, 4001).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("v")), partitions = 4)
+    val v1Dir = java.nio.file.Paths.get(wh, "incr", s"data_v${cat.dataVersionOf("incr")}")
+    // patch touches ONLY low keys (one file's range) + brand-new keys
+    cat.incrementalMerge("incr",
+      Seq((5L, "patched5"), (9000L, "new9000")).toDF("k", "v"))
+    val v2Dir = java.nio.file.Paths.get(wh, "incr", s"data_v${cat.dataVersionOf("incr")}")
+    assert(v2Dir != v1Dir)
+    // correctness: patched + new + everything else intact
+    val t = cat.table("incr")
+    assert(t.pointGet(5L).head().getString(1) == "patched5")
+    assert(t.pointGet(9000L).head().getString(1) == "new9000")
+    assert(t.df.count() == 4001)
+    assert(t.pointGet(3999L).head().getString(1) == "v3999")
+    // files for untouched key ranges are the SAME bytes (hard links),
+    // proving the merge never rewrote them
+    def parts(d: java.nio.file.Path) = {
+      val s = java.nio.file.Files.list(d)
+      try {
+        import scala.collection.JavaConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("part-")).toSet
+      } finally s.close()
+    }
+    val shared = parts(v1Dir) intersect parts(v2Dir)
+    assert(shared.nonEmpty, "no untouched file carried over")
+    shared.foreach { f =>
+      val a = java.nio.file.Files.readAllBytes(v1Dir.resolve(f))
+      val b = java.nio.file.Files.readAllBytes(v2Dir.resolve(f))
+      assert(java.util.Arrays.equals(a, b), s"$f changed across merge")
+    }
+    // at least one old file was NOT carried over (it was rewritten)
+    assert((parts(v1Dir) -- parts(v2Dir)).nonEmpty)
+    cat.dropTable("incr")
+  }
+
   test("salted aggregation equals plain aggregation") {
     val li = Tables.lineitem(spark, sf)
     val salted = Skew.saltedSumCount(li, Seq("l_returnflag"), "l_quantity", 8)

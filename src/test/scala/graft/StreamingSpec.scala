@@ -22,6 +22,23 @@ class StreamingSpec extends AnyFunSuite {
   }
 
 
+  test("asOf join survives payload names that also exist on the left") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "L1"), (1L, 20L, "L2"), (2L, 15L, "L3"))
+      .toDF("k", "t", "value") // "value" collides with the right payload
+    val r = Seq((1L, 10L, "R@10"), (1L, 18L, "R@18"), (2L, 99L, "late"))
+      .toDF("k", "ts", "value")
+    val out = graft.operators.AsOfJoin.asOf(l, r, Seq("k"), "t", "ts",
+        payload = Seq("value" -> "state"), tieCols = Seq("ts"))
+      .orderBy("k", "t").collect()
+      .map(row => (row.getAs[Long]("k"), row.getAs[String]("value"),
+        row.getAs[String]("state")))
+    assert(out.toSeq == Seq(
+      (1L, "L1", "R@10"),   // inclusive <=
+      (1L, "L2", "R@18"),   // latest state wins
+      (2L, "L3", null)))    // no state yet
+  }
+
   test("streaming windowed agg equals batch hourly agg") {
     val schema = events.schema
     // stream the same parquet through the watermarked plan
