@@ -29,6 +29,12 @@ object QueryCaches {
   def dictionary(s: SparkSession, d: String): DataFrame =
     memo(s"dictionary:$d")(index.FullText.buildDictionary(postings(s, d)))
 
+  /** Bitmap index over an orders column — built once per (column, dir)
+    * like a persisted index table, consulted by every bitmap query. */
+  def ordersBitmap(s: SparkSession, d: String, valueCol: String): DataFrame =
+    memo(s"bitmap:$valueCol:$d")(
+      index.BitmapIndex.build(Tables.orders(s, d), "o_orderkey", valueCol))
+
   private val counts = new ConcurrentHashMap[String, java.lang.Long]()
 
   /** Corpus document count, computed once per directory and stored with

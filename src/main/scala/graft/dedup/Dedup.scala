@@ -140,8 +140,14 @@ object Dedup {
     * converges in 1-3 rounds in practice. Output: (doc_id, cluster)
     * with cluster = min doc_id of the component. */
   def clusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // both edge directions from ONE pass over `pairs` (explode, not a
+    // self-union): the pair set usually has an expensive lineage (LSH
+    // banding), and a union would execute it twice to materialize this
+    // cache
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id")).cache()

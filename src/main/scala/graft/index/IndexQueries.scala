@@ -28,8 +28,7 @@ object IndexQueries {
 
     "idx_bitmap_eq" -> { (s, d) =>
       import s.implicits._
-      val o = Tables.orders(s, d)
-      val idx = BitmapIndex.build(o, "o_orderkey", "o_orderpriority")
+      val idx = graft.QueryCaches.ordersBitmap(s, d, "o_orderpriority")
       BitmapIndex.lookupIds(idx, "1-URGENT")
         .select($"rk".as("o_orderkey"))
         .orderBy($"o_orderkey")
@@ -37,9 +36,8 @@ object IndexQueries {
 
     "idx_bitmap_and_or" -> { (s, d) =>
       import s.implicits._
-      val o = Tables.orders(s, d)
-      val statusIdx = BitmapIndex.build(o, "o_orderkey", "o_orderstatus")
-      val prioIdx = BitmapIndex.build(o, "o_orderkey", "o_orderpriority")
+      val statusIdx = graft.QueryCaches.ordersBitmap(s, d, "o_orderstatus")
+      val prioIdx = graft.QueryCaches.ordersBitmap(s, d, "o_orderpriority")
       val andIds = BitmapIndex.combineIds(statusIdx, "F", prioIdx, "5-LOW", "and")
         .withColumn("op", lit("and"))
       val orIds = BitmapIndex.combineIds(statusIdx, "F", prioIdx, "5-LOW", "or")

@@ -111,12 +111,38 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * snapshot, then swap the pointer. `rows` may derive from the
     * table's current snapshot (COW merge) — the write targets a new
     * directory, so that lineage stays valid. */
-  def bulkLoad(name: String, rows: DataFrame, partitions: Int = 0): Unit = {
-    val pk = primaryKeyOf(name)
-    val next = dataVersionOf(name) + 1
-    KvLayout.writeSorted(rows, pk,
-      tableDir(name).resolve(s"data_v$next").toString, partitions)
-    setMetaAttr(name, "dataVersion", next)
+  def bulkLoad(name: String, rows: DataFrame, partitions: Int = 0): Unit =
+    withWriteLock(name) {
+      val pk = primaryKeyOf(name)
+      val next = dataVersionOf(name) + 1
+      KvLayout.writeSorted(rows, pk,
+        tableDir(name).resolve(s"data_v$next").toString, partitions)
+      setMetaAttr(name, "dataVersion", next)
+    }
+
+  /** Writer mutual exclusion for the COW version pointer — the
+    * single-warehouse analog of the reference's distributed DDL lock
+    * (index/lucene/RedisLockFactory.kt, Tephra transactions in
+    * KVTransactionalIndexTable.kt). `Files.createFile` is atomic on a
+    * POSIX filesystem, so two concurrent bulk writers serialize: each
+    * reads the version, writes its snapshot and swaps the pointer
+    * under the lock, and neither can clobber the other's data_vN
+    * directory or lose the other's bump. Readers never take the lock
+    * (snapshots are immutable once published). */
+  private def withWriteLock[A](name: String, timeoutMs: Long = 600000L)(f: => A): A = {
+    val lock = tableDir(name).resolve("_graft_write.lock")
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var acquired = false
+    while (!acquired) {
+      try { Files.createFile(lock); acquired = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"write lock on $name held past ${timeoutMs}ms — stale lock at $lock?")
+        Thread.sleep(50)
+      }
+    }
+    try f finally Files.delete(lock)
   }
 
   /** File-granular incremental COW merge — the CDC-ingest path. A
@@ -134,7 +160,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * min/max pruning reasons. Patch keys are collected to the driver:
     * micro-batches are bounded by the trigger, so this is a small set
     * by construction. */
-  def incrementalMerge(name: String, patch: DataFrame): Unit = {
+  def incrementalMerge(name: String, patch: DataFrame): Unit = withWriteLock(name) {
     val pk = primaryKeyOf(name)
     val keyCol = pk.head
     val cur = dataVersionOf(name)
@@ -247,7 +273,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   }
 
   /** Drop all snapshots except the live one. */
-  def vacuum(name: String): Unit = {
+  def vacuum(name: String): Unit = withWriteLock(name) {
     val live = s"data_v${dataVersionOf(name)}"
     withList(tableDir(name)) { it =>
       it.filter(p => p.getFileName.toString.startsWith("data_v") &&

@@ -69,7 +69,11 @@ object Ann {
     val train = corpus0.select("features").limit(maxTrain).cache()
     val nTrain = train.count()
     val nlist = math.max(2, math.sqrt(nTrain.toDouble).toInt)
+    // random init, not k-means||: the parallel init is itself O(iter)
+    // full passes, and an IVF coarse quantizer only needs roughly
+    // balanced lists, not converged centroids
     val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(maxIter)
+      .setInitMode("random")
       .fit(train)
     train.unpersist()
     val corpus = model.transform(corpus0)

@@ -101,6 +101,37 @@ class IngestSpec extends AnyFunSuite {
     cat.dropTable("incr")
   }
 
+  test("concurrent bulk writers serialize on the COW pointer") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_lock_wh").toString
+    val cat = new Catalog(spark, wh)
+    cat.createTable("locked",
+      StructType(Seq(
+        StructField("k", LongType, false),
+        StructField("v", StringType, true))),
+      primaryKey = Seq("k"))
+    val v0 = cat.dataVersionOf("locked")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = (1 to 4).map { i =>
+      Future(cat.bulkLoad("locked",
+        Seq.tabulate(50)(j => (j.toLong, s"w$i")).toDF("k", "v")))
+    }
+    Await.result(Future.sequence(writes), 120.seconds)
+    // every writer's bump landed (none lost to a race), each snapshot
+    // is one writer's complete dataset, and the lock was released
+    assert(cat.dataVersionOf("locked") == v0 + 4)
+    ((v0 + 1) to (v0 + 4)).foreach { v =>
+      val snap = cat.tableAt("locked", v).df
+      assert(snap.count() == 50)
+      assert(snap.select("v").distinct().count() == 1)
+    }
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(wh, "locked", "_graft_write.lock")))
+    cat.dropTable("locked")
+  }
+
   test("salted aggregation equals plain aggregation") {
     val li = Tables.lineitem(spark, sf)
     val salted = Skew.saltedSumCount(li, Seq("l_returnflag"), "l_quantity", 8)
