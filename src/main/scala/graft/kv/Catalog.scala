@@ -243,20 +243,39 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
 
   private def ensureRangeManifest(name: String, dir: Path, keyCol: String): Seq[FileRange] = {
     if (!manifestPersistable(name, keyCol)) return scanRanges(dir, keyCol)
-    if (Files.exists(manifestFile(dir))) {
-      val root = mapper.readTree(Files.readString(manifestFile(dir)))
-      root.elements().asScala.map { e =>
-        def v(n: JsonNode): Any =
-          if (n.isNull) null
-          else if (n.isIntegralNumber) java.lang.Long.valueOf(n.asLong())
-          else if (n.isFloatingPointNumber) java.lang.Double.valueOf(n.asDouble())
-          else n.asText()
-        FileRange(e.path("file").asText(), v(e.path("lo")), v(e.path("hi")))
-      }.toSeq
-    } else {
-      val entries = scanRanges(dir, keyCol)
-      writeRangeManifest(dir, entries)
-      entries
+    val cached: Option[Seq[FileRange]] =
+      if (!Files.exists(manifestFile(dir))) None
+      else {
+        val root = mapper.readTree(Files.readString(manifestFile(dir)))
+        Some(root.elements().asScala.map { e =>
+          def v(n: JsonNode): Any =
+            if (n.isNull) null
+            else if (n.isIntegralNumber) java.lang.Long.valueOf(n.asLong())
+            else if (n.isFloatingPointNumber) java.lang.Double.valueOf(n.asDouble())
+            else n.asText()
+          FileRange(e.path("file").asText(), v(e.path("lo")), v(e.path("hi")))
+        }.toSeq)
+      }
+    // a manifest is only trustworthy if it covers exactly the part
+    // files present: SQL INSERT INTO appends files into the live
+    // snapshot after the manifest was written, and pruning against a
+    // stale manifest would silently DROP those files from the next
+    // snapshot
+    val present = withList(dir) { it =>
+      it.map(_.getFileName.toString).filter(_.startsWith("part-")).toSet
+    }
+    cached match {
+      case Some(entries) if entries.map(_.file).toSet == present => entries
+      case _ =>
+        val scanned = scanRanges(dir, keyCol)
+        // zero-row part files yield no agg group; record them with null
+        // bounds (always "touched", contribute nothing) so the manifest
+        // still covers exactly the present files
+        val entries = scanned ++
+          (present -- scanned.map(_.file).toSet).toSeq.sorted
+            .map(f => FileRange(f, null, null))
+        writeRangeManifest(dir, entries)
+        entries
     }
   }
 

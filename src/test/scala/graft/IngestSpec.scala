@@ -101,6 +101,38 @@ class IngestSpec extends AnyFunSuite {
     cat.dropTable("incr")
   }
 
+  test("incremental merge sees files appended via SQL INSERT (stale manifest detected)") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_stale_wh").toString
+    val cat = new Catalog(spark, wh)
+    cat.createTable("stale",
+      StructType(Seq(
+        StructField("k", LongType, false),
+        StructField("v", StringType, true))),
+      primaryKey = Seq("k"))
+    cat.bulkLoad("stale",
+      spark.range(1, 101).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("v")), partitions = 2)
+    // merge once → manifest written for this snapshot
+    cat.incrementalMerge("stale", Seq((1L, "patched1")).toDF("k", "v"))
+    // SQL INSERT appends a new file into the LIVE snapshot dir,
+    // behind the manifest's back
+    spark.conf.set("spark.sql.catalog.gstale",
+      classOf[graft.kv.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gstale.warehouse", wh)
+    spark.sql("INSERT INTO gstale.stale VALUES (500, 'appended')")
+    assert(cat.table("stale").pointGet(500L).count() == 1)
+    // the next merge must notice the manifest is stale and keep the
+    // appended row
+    cat.incrementalMerge("stale", Seq((2L, "patched2")).toDF("k", "v"))
+    val t = cat.table("stale")
+    assert(t.pointGet(500L).head().getString(1) == "appended")
+    assert(t.pointGet(2L).head().getString(1) == "patched2")
+    assert(t.pointGet(1L).head().getString(1) == "patched1")
+    assert(t.df.count() == 101)
+    cat.dropTable("stale")
+  }
+
   test("concurrent bulk writers serialize on the COW pointer") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft_lock_wh").toString
