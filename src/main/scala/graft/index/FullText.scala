@@ -85,6 +85,31 @@ object FullText {
     docs.join(hits, docs(idCol) === hits("doc_id"), "left_semi")
   }
 
+  /** Prefix search (Lucene PrefixQuery): docs containing any term with
+    * the given prefix. The postings are term-sorted on disk, so the
+    * prefix filter prunes row groups like an FST prefix seek. */
+  def searchPrefix(docs: DataFrame, idCol: String, postings: DataFrame,
+                   prefix: String): DataFrame = {
+    val hits = postings.filter(col("term").startsWith(prefix))
+      .select("doc_id").distinct()
+    docs.join(hits, docs(idCol) === hits("doc_id"), "left_semi")
+  }
+
+  /** Fuzzy search (Lucene FuzzyQuery): docs containing a term within
+    * `maxEdits` Levenshtein distance of the query term. Expansion runs
+    * against the DICTIONARY (|vocab| rows, tiny vs the corpus), then
+    * the matched terms join the postings — the corpus is never
+    * re-scanned. */
+  def searchFuzzy(docs: DataFrame, idCol: String, postings: DataFrame,
+                  dictionary: DataFrame, term: String,
+                  maxEdits: Int = 1): DataFrame = {
+    val matched = dictionary
+      .filter(levenshtein(col("term"), lit(term.toLowerCase(java.util.Locale.ROOT))) <= maxEdits)
+      .select("term")
+    val hits = postings.join(matched, "term").select("doc_id").distinct()
+    docs.join(hits, docs(idCol) === hits("doc_id"), "left_semi")
+  }
+
   /** tf-idf ranked top-k: score(d) = Σ_t tf(t,d) · ln(N/df(t)).
     * Rounded to 4 dp so the ranking column is reproducible bit-for-bit
     * against other engines' libm. */

@@ -91,6 +91,25 @@ object IndexQueries {
         .orderBy($"doc_id")
     },
 
+    "ft_prefix" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val postings = graft.QueryCaches.postings(s, d)
+      FullText.searchPrefix(docs, "doc_id", postings, "vect")
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    },
+
+    "ft_fuzzy" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val postings = graft.QueryCaches.postings(s, d)
+      val dict = graft.QueryCaches.dictionary(s, d)
+      FullText.searchFuzzy(docs, "doc_id", postings, dict, "part", maxEdits = 2)
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    },
+
     "ft_tfidf_topk" -> { (s, d) =>
       val postings = graft.QueryCaches.postings(s, d)
       val dict = graft.QueryCaches.dictionary(s, d)
@@ -153,6 +172,20 @@ object IndexQueries {
         |WHERE list_contains(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
         |  i -> array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')),
         |  'spark join')
+        |ORDER BY doc_id""".stripMargin,
+
+    "ft_prefix" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE len(list_filter(
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0),
+        |  t -> t LIKE 'vect%')) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "ft_fuzzy" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE len(list_filter(
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0),
+        |  t -> levenshtein(t, 'part') <= 2)) > 0
         |ORDER BY doc_id""".stripMargin,
 
     "ft_tfidf_topk" ->

@@ -137,6 +137,17 @@ class SqlCatalogSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("k"), plan)
     assert(spark.sql("SHOW TABLES IN gtest").collect()
       .map(_.getAs[String]("tableName")).contains("kvdemo"))
+    // the DSv2 read path supports parquet AGGREGATE pushdown: MIN/MAX/
+    // COUNT answer from footer statistics without scanning rows — the
+    // 100 TB stats-query path
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val aggDf = spark.sql("SELECT count(*) AS n, min(k) AS lo, max(k) AS hi FROM gtest.kvdemo")
+      assert(aggDf.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+        aggDf.queryExecution.executedPlan.toString)
+      val r0 = aggDf.head()
+      assert(r0.getLong(0) == 2 && r0.getLong(1) == 1L && r0.getLong(2) == 3L)
+    } finally spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
     // the SQL catalog and the Scala catalog see the same metadata
     val scalaCat = new graft.kv.Catalog(spark, wh)
     assert(scalaCat.primaryKeyOf("kvdemo") == Seq("k"))

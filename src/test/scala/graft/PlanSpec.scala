@@ -35,6 +35,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters") && p.contains("c_custkey"), p)
   }
 
+  test("composite rowkey ops push every key predicate to the scan") {
+    val get = planOf("kv_composite_get")
+    assert(get.contains("PushedFilters") && get.contains("l_orderkey") &&
+      get.contains("l_linenumber"), get)
+    // the lexicographic range decomposes into pushable Or/And — the
+    // leading-column bounds must reach the scan for min/max pruning
+    val range = planOf("kv_composite_range")
+    assert(range.contains("PushedFilters") && range.contains("Or("), range)
+  }
+
   test("semi/anti joins stay semi/anti in the physical plan") {
     assert(planOf("q5_semijoin").contains("LeftSemi"))
     assert(planOf("q6_antijoin").contains("LeftAnti"))
