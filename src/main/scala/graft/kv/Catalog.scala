@@ -312,6 +312,23 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * this directory directly. */
   def liveDataPath(name: String): String = dataDir(name)
 
+  /** Stage-then-commit protocol for external (DSv2) writers: reserve
+    * the next snapshot path, write into it distributed, then flip the
+    * pointer atomically via [[commitVersion]]. */
+  def nextVersionPath(name: String): (Int, String) = {
+    val v = dataVersionOf(name) + 1
+    (v, tableDir(name).resolve(s"data_v$v").toString)
+  }
+
+  /** Publish a staged snapshot. Fails (leaving the staged directory
+    * orphaned for vacuum) if another writer committed in between —
+    * optimistic concurrency on the COW pointer. */
+  def commitVersion(name: String, v: Int): Unit = withWriteLock(name) {
+    require(dataVersionOf(name) == v - 1,
+      s"concurrent write raced table $name: staged v$v but live is v${dataVersionOf(name)}")
+    setMetaAttr(name, "dataVersion", v)
+  }
+
   def schemaOf(name: String): StructType = {
     val cols = readMeta(name).path("columns").asInstanceOf[ArrayNode]
     StructType(cols.elements().asScala.map { c =>

@@ -120,6 +120,13 @@ object KvQueries {
       s.sql("INSERT INTO graft.sqldemo VALUES " +
         "(1,'a',0.5),(2,'b',1.5),(3,'c',2.5),(4,'d',3.5),(5,'e',4.5)")
       s.sql("DELETE FROM graft.sqldemo WHERE k = 2 OR v = 'd'")
+      s.sql("UPDATE graft.sqldemo SET score = score * 2.0 WHERE k = 3")
+      s.sql("""MERGE INTO graft.sqldemo t
+        |USING (SELECT * FROM VALUES (CAST(5 AS BIGINT), 'm', 9.0),
+        |                            (CAST(7 AS BIGINT), 'g', 7.0) s(k, v, score)) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v, t.score = s.score
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       s.sql("SELECT k, v, score FROM graft.sqldemo ORDER BY k")
     },
 
@@ -213,8 +220,9 @@ object KvQueries {
     "sql_ddl_dml" ->
       """SELECT k, v, score FROM (VALUES
         |    (CAST(1 AS BIGINT), 'a', CAST(0.5 AS DOUBLE)),
-        |    (CAST(3 AS BIGINT), 'c', CAST(2.5 AS DOUBLE)),
-        |    (CAST(5 AS BIGINT), 'e', CAST(4.5 AS DOUBLE)))
+        |    (CAST(3 AS BIGINT), 'c', CAST(5.0 AS DOUBLE)),
+        |    (CAST(5 AS BIGINT), 'm', CAST(9.0 AS DOUBLE)),
+        |    (CAST(7 AS BIGINT), 'g', CAST(7.0 AS DOUBLE)))
         |  t(k, v, score)
         |ORDER BY k""".stripMargin,
     // ddl_catalog: rows-only (filesystem catalog side effects aren't SQL)

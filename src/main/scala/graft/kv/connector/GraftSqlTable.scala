@@ -2,9 +2,9 @@ package graft.kv.connector
 
 import graft.kv.Catalog
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.functions.{col, lit}
@@ -20,7 +20,8 @@ import java.util
   * rewrite, mirroring the reference's bulk mutation model
   * (HBaseModifiableTable.kt:219 removeAll). */
 class GraftSqlTable(cat: Catalog, tableName: String)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
 
   // the live snapshot is pinned at load time: one SQL statement reads
   // one consistent version, and a concurrent bulkLoad flips the pointer
@@ -44,6 +45,64 @@ class GraftSqlTable(cat: Catalog, tableName: String)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     delegate.newWriteBuilder(info)
+
+  /** SQL UPDATE / MERGE INTO via Spark's group-based row-level
+    * operation framework: the operation's scan reads the live snapshot
+    * (the whole table is one COW "group" — no runtime group filtering
+    * is reported, so Spark rewrites the full post-image), and the
+    * replacement write STAGES into the next snapshot directory, then
+    * flips the version pointer on commit — the same stage-then-publish
+    * protocol every graft bulk writer uses, so a failed UPDATE leaves
+    * the live snapshot untouched. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new RowLevelOperation {
+        override def command(): RowLevelOperation.Command = info.command()
+
+        // The framework pushes the command's condition into this scan
+        // for GROUP pruning, assuming unscanned groups stay in the
+        // table. Our replacement write swaps the WHOLE snapshot (one
+        // COW group), so record-level filtering would silently drop
+        // every non-matching row — the wrapper refuses pushdown
+        // (implements no SupportsPushDown* mixins) and the full
+        // post-image flows through the rewrite.
+        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+          new ScanBuilder {
+            private val inner = delegate.newScanBuilder(options)
+            override def build(): org.apache.spark.sql.connector.read.Scan = inner.build()
+          }
+
+        override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder = {
+          val (version, stagingPath) = cat.nextVersionPath(tableName)
+          val staging = ParquetTable(
+            s"$tableName@v$version",
+            SparkSession.active,
+            CaseInsensitiveStringMap.empty(),
+            Seq(stagingPath),
+            Some(cat.schemaOf(tableName)),
+            classOf[ParquetFileFormat])
+          val inner = staging.newWriteBuilder(writeInfo)
+          new WriteBuilder {
+            override def build(): Write = new Write {
+              override def toBatch: BatchWrite = new BatchWrite {
+                private val b = inner.build().toBatch
+                override def createBatchWriterFactory(
+                    pInfo: PhysicalWriteInfo): DataWriterFactory =
+                  new OpStrippingWriterFactory(b.createBatchWriterFactory(pInfo))
+                override def useCommitCoordinator(): Boolean = b.useCommitCoordinator()
+                override def commit(messages: Array[WriterCommitMessage]): Unit = {
+                  b.commit(messages)
+                  cat.commitVersion(tableName, version)
+                }
+                override def abort(messages: Array[WriterCommitMessage]): Unit =
+                  b.abort(messages)
+              }
+            }
+          }
+        }
+      }
+    }
 
   /** V1 filter → Column. Conservative: unknown filters report
     * untranslatable, so Spark raises a clear error instead of silently

@@ -154,6 +154,39 @@ class SqlCatalogSpec extends org.scalatest.funsuite.AnyFunSuite {
     spark.sql("DROP TABLE gtest.kvdemo")
     assert(!scalaCat.tableExists("kvdemo"))
   }
+
+  test("SQL UPDATE and MERGE INTO via row-level operations") {
+    import TestSpark.spark
+    val wh = java.nio.file.Files.createTempDirectory("graft_rlo_wh").toString
+    spark.conf.set("spark.sql.catalog.grlo",
+      classOf[graft.kv.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grlo.warehouse", wh)
+    spark.sql("CREATE TABLE grlo.acct (k BIGINT NOT NULL, v STRING, bal DOUBLE) " +
+      "TBLPROPERTIES ('primaryKey'='k')")
+    spark.sql("INSERT INTO grlo.acct VALUES (1,'a',10.0),(2,'b',20.0),(3,'c',30.0)")
+    val cat = new graft.kv.Catalog(spark, wh)
+    val vBefore = cat.dataVersionOf("acct")
+
+    spark.sql("UPDATE grlo.acct SET bal = bal + 5.0, v = upper(v) WHERE k <= 2")
+    val afterUpdate = spark.sql("SELECT k, v, bal FROM grlo.acct ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(afterUpdate == Seq((1L, "A", 15.0), (2L, "B", 25.0), (3L, "c", 30.0)))
+    // the update staged a NEW snapshot and flipped the pointer (COW)
+    assert(cat.dataVersionOf("acct") == vBefore + 1)
+    assert(cat.tableAt("acct", vBefore).df.count() == 3)
+
+    spark.sql("""MERGE INTO grlo.acct t USING (
+        |  SELECT * FROM VALUES (CAST(2 AS BIGINT), 'merged', 99.0),
+        |                       (CAST(9 AS BIGINT), 'new', 1.0) s(k, v, bal)) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v, t.bal = s.bal
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val afterMerge = spark.sql("SELECT k, v, bal FROM grlo.acct ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(afterMerge == Seq(
+      (1L, "A", 15.0), (2L, "merged", 99.0), (3L, "c", 30.0), (9L, "new", 1.0)))
+    spark.sql("DROP TABLE grlo.acct")
+  }
 }
 
 /** Full type-system round-trip through the catalog — the reference's
