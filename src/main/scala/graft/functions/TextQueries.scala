@@ -45,6 +45,28 @@ object TextQueries {
         .orderBy($"doc_id")
     },
 
+    "txt_pipeline" -> { (s, d) =>
+      import s.implicits._
+      // the training-data pipeline composed end-to-end: language gate →
+      // quality gate → exact dedup (keep smallest id per content key) →
+      // per-source corpus stats. Two shuffles total (dedup groupBy,
+      // final agg); every gate is a codegen'd scan-side filter.
+      val gated = Tables.documents(s, d)
+        .filter(langId($"text") === "en" && qualityScore($"text") >= 0.5)
+        .select($"doc_id", $"text", $"source", qualityScore($"text").as("quality"))
+      val keepers = gated
+        .groupBy(graft.dedup.Dedup.contentKey($"text").as("h"))
+        .agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      gated.join(keepers, Seq("doc_id"), "left_semi")
+        .groupBy($"source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(tokens($"text")).cast("long")).as("n_tokens"),
+          round(sum($"quality".cast("decimal(18,4)")).cast("double") /
+            count(lit(1)), 4).as("avg_quality"))
+        .orderBy($"source")
+    },
+
     "txt_ngram_profile" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
@@ -98,6 +120,26 @@ object TextQueries {
          |    ((ascii(toks[CAST(i AS INT)]) * length(toks[CAST(i AS INT)]) % 1000000007)
          |      * ((i * 2654435761) % 1000000007)) % 1000000007)) % 1000000007 AS BIGINT) AS fp
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "txt_pipeline" -> {
+      val qual =
+        s"""ROUND(0.5 * least(1.0, CAST(len($cleanTok) AS DOUBLE) / 120.0)
+           |  + 0.3 * (CAST(${hits(EnL)} AS DOUBLE) / len($cleanTok))
+           |  + 0.2 * (CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text)), 4)""".stripMargin
+      val lang =
+        s"""CASE WHEN ${hits(EnL)} >= ${hits(DeL)} AND ${hits(EnL)} >= ${hits(EsL)} THEN 'en'
+           |  WHEN ${hits(DeL)} >= ${hits(EsL)} THEN 'de' ELSE 'es' END""".stripMargin
+      s"""WITH gated AS (
+         |  SELECT doc_id, text, source, $qual AS quality FROM documents
+         |  WHERE $lang = 'en' AND $qual >= 0.5),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM gated
+         |         GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+         |kept AS (SELECT g.* FROM gated g JOIN keep USING (doc_id))
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(len($cleanTok)) AS BIGINT) AS n_tokens,
+         |  ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_quality
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "txt_ngram_profile" ->
       """SELECT bigram, COUNT(*) AS n FROM (

@@ -22,6 +22,29 @@ class StreamingSpec extends AnyFunSuite {
   }
 
 
+  test("streaming dedup keeps one event per key, state bounded by watermark") {
+    val stream0 = spark.readStream.schema(
+        Tables.load(spark, sf, "events").schema)
+      .parquet(streamDir)
+    val stream =
+      if (stream0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream0
+    val key = concat_ws(":", col("user_id"), col("event_type"))
+    val q = graft.streaming.Streams.dedupStream(stream, "ts", key)
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dedup_sink").count()
+    val batch = events.dropDuplicates("user_id", "event_type").count()
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    // one row per key, each an actual input row
+    val keys = spark.table("dedup_sink")
+      .select(concat_ws(":", col("user_id"), col("event_type")).as("k"))
+      .collect().map(_.getString(0))
+    assert(keys.length == keys.distinct.length)
+  }
+
   test("asOf join survives payload names that also exist on the left") {
     import spark.implicits._
     val l = Seq((1L, 10L, "L1"), (1L, 20L, "L2"), (2L, 15L, "L3"))
