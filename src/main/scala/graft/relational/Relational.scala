@@ -55,8 +55,11 @@ object Relational {
       val c = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
       val o = Tables.orders(s, d).filter($"o_orderdate" < ts("1998-01-01"))
       val l = Tables.lineitem(s, d)
+      // no broadcast hint on customer: it scales with SF (a filtered
+      // slice is still billions of rows at 100 TB) — AQE broadcasts at
+      // runtime when the slice is actually small
       l.join(o, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(c, $"o_custkey" === $"c_custkey")
         .groupBy($"l_orderkey")
         .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("revenue"))
         .orderBy($"revenue".desc, $"l_orderkey")
@@ -166,7 +169,7 @@ object Relational {
       import s.implicits._
       val keys = Tables.part(s, d).filter($"p_brand" === "Brand#13").select($"p_partkey")
       Tables.lineitem(s, d)
-        .join(broadcast(keys), $"l_partkey" === $"p_partkey", "left_semi")
+        .join(keys, $"l_partkey" === $"p_partkey", "left_semi")
         .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("total"))
     },
 
@@ -267,7 +270,7 @@ object Relational {
       import s.implicits._
       val l = Tables.lineitem(s, d)
       val p = Tables.part(s, d)
-      l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      l.join(p, $"l_partkey" === $"p_partkey")
         .filter(
           ($"p_brand" === "Brand#12" && $"p_size".between(1, 15) &&
             $"l_quantity".between(1, 11)) ||

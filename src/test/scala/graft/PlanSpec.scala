@@ -62,7 +62,8 @@ class PlanSpec extends AnyFunSuite {
     thresholds.foreach(k => spark.conf.set(k, "-1"))
     try {
       Seq("idx_kv_lookup", "idx_kv_range", "ft_search_and", "ft_search_or",
-          "ft_phrase", "q25_groupwise_max").foreach { name =>
+          "ft_phrase", "ft_prefix", "ft_fuzzy", "q25_groupwise_max",
+          "q3_join_agg", "q13_in_subquery", "q23_complex_pred").foreach { name =>
         val p = planOf(name)
         assert(!p.contains("BroadcastExchange"),
           s"$name still broadcasts with the threshold off — a hardcoded hint:\n$p")
