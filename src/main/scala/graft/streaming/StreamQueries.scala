@@ -114,6 +114,21 @@ object StreamQueries {
       Multimodal.sampleFrames(s, Multimodal.withPayload(Tables.documents(s, d)))
         .toDF().orderBy($"doc_id", $"frame_idx")
     },
+
+    "mm_dedup" -> { (s, d) =>
+      import s.implicits._
+      // binary-payload exact dedup — the image-dedup shape: hash the
+      // payload BYTES (codec-independent), one hash shuffle, keep the
+      // smallest id. Planted byte-identical copies of doc_id<10.
+      val docs = Tables.documents(s, d)
+      val planted = docs.unionByName(docs.filter($"doc_id" < 10)
+        .withColumn("doc_id", $"doc_id" + 1000000L))
+      Multimodal.withPayload(planted)
+        .groupBy(md5($"payload").as("h"))
+        .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .filter($"n_copies" > 1)
+        .orderBy($"keeper")
+    },
   )
 
   def oracles: Map[String, String] = Map(
@@ -218,5 +233,15 @@ object StreamQueries {
         |  CAST(least(64, blen - i * 64) AS INT) AS frame_len
         |FROM m, LATERAL unnest(range(0, CAST(ceil(blen / 64.0) AS BIGINT))) AS u(i)
         |WHERE i % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // payload = UTF-8 bytes of text, so md5(payload) == md5(text)
+    "mm_dedup" ->
+      """WITH corpus AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id < 10)
+        |SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+        |FROM corpus GROUP BY h HAVING COUNT(*) > 1 ORDER BY keeper""".stripMargin,
   )
 }
