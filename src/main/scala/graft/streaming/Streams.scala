@@ -105,6 +105,29 @@ object Streams {
   /** Drain any open sessions from a finished sessionizeStream state —
     * batch-side helper used by tests to compare against `sessionize`. */
 
+  /** Stream-stream inner join with watermarked state on both sides:
+    * each view joins purchases by the same user within
+    * [view, view + horizon] — the streaming attribution join. Both
+    * watermarks plus the time-range condition let Spark expire join
+    * state, so state size is bounded by (rate × horizon), not by the
+    * stream's history. */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+                      horizonMinutes: Int = 60,
+                      watermark: String = "2 hours"): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", watermark)
+    v.join(p,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("v_user").as("user_id"), col("view_id"),
+        col("purchase_id"), col("v_ts"), col("p_ts"), col("value"))
+  }
+
   /** Streaming exact dedup for a document/event firehose: first
     * occurrence per content key wins, later duplicates arriving within
     * the watermark are dropped, and the dedup STATE expires with the

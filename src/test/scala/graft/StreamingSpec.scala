@@ -45,6 +45,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(keys.length == keys.distinct.length)
   }
 
+  test("stream-stream attribution join equals the batch time-range join") {
+    def staged = {
+      val s0 = spark.readStream.schema(
+          Tables.load(spark, sf, "events").schema)
+        .parquet(streamDir)
+      if (s0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        s0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else s0
+    }
+    val q = graft.streaming.Streams.attributionJoin(
+        staged.filter(col("event_type") === "view"),
+        staged.filter(col("event_type") === "purchase"))
+      .writeStream.format("memory").queryName("attr_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("attr_sink")
+      .select("view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.streaming.Streams.attributionJoin(
+        events.filter(col("event_type") === "view"),
+        events.filter(col("event_type") === "purchase"))
+      .select("view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch && batch.nonEmpty,
+      s"stream ${streamed.size} pairs vs batch ${batch.size}")
+  }
+
   test("asOf join survives payload names that also exist on the left") {
     import spark.implicits._
     val l = Seq((1L, 10L, "L1"), (1L, 20L, "L2"), (2L, 15L, "L3"))
