@@ -92,6 +92,23 @@ object StreamQueries {
         .orderBy($"user_id")
     },
 
+    "evt_retention" -> { (s, d) =>
+      import s.implicits._
+      // weekly cohort retention: users bucketed by first-active week,
+      // counted per weeks-since-cohort. Two hash shuffles (user agg,
+      // cohort-cell agg); the distinct is per (user, week) so state
+      // scales with active users, not events.
+      val uw = Tables.events(s, d)
+        .select($"user_id", to_date(date_trunc("week", $"ts")).as("wk"))
+        .dropDuplicates("user_id", "wk")
+      val first = uw.groupBy($"user_id").agg(min($"wk").as("cohort"))
+      uw.join(first, "user_id")
+        .withColumn("week_n", (datediff($"wk", $"cohort") / 7).cast("int"))
+        .groupBy($"cohort", $"week_n")
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort", $"week_n")
+    },
+
     "mm_grouped_stats" -> { (s, d) =>
       import s.implicits._
       Multimodal.extractMeta(s, Multimodal.withPayload(Tables.documents(s, d)))
@@ -233,6 +250,16 @@ object StreamQueries {
         |  CAST(least(64, blen - i * 64) AS INT) AS frame_len
         |FROM m, LATERAL unnest(range(0, CAST(ceil(blen / 64.0) AS BIGINT))) AS u(i)
         |WHERE i % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "evt_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |first AS (SELECT user_id, MIN(wk) AS cohort FROM uw GROUP BY user_id)
+        |SELECT cohort, CAST(datediff('day', cohort, wk) // 7 AS INT) AS week_n,
+        |  COUNT(DISTINCT uw.user_id) AS n_users
+        |FROM uw JOIN first USING (user_id)
+        |GROUP BY cohort, week_n ORDER BY cohort, week_n""".stripMargin,
 
     // payload = UTF-8 bytes of text, so md5(payload) == md5(text)
     "mm_dedup" ->

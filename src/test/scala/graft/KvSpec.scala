@@ -185,6 +185,14 @@ class SqlCatalogSpec extends org.scalatest.funsuite.AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
     assert(afterMerge == Seq(
       (1L, "A", 15.0), (2L, "merged", 99.0), (3L, "c", 30.0), (9L, "new", 1.0)))
+
+    // DELETE with a subquery predicate can't translate to V1 filters —
+    // it falls through SupportsDelete to the row-level rewrite path
+    spark.sql("DELETE FROM grlo.acct WHERE k IN " +
+      "(SELECT k FROM grlo.acct WHERE bal > 50.0)")
+    val afterSubqueryDelete = spark.sql("SELECT k FROM grlo.acct ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(afterSubqueryDelete == Seq(1L, 3L, 9L))
     spark.sql("DROP TABLE grlo.acct")
   }
 }
