@@ -67,6 +67,23 @@ object TextQueries {
         .orderBy($"source")
     },
 
+    "txt_vocab" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // vocabulary build (tokenizer-training step): corpus term
+      // frequencies from the shared postings index, top-K by count
+      // with deterministic dense token ids. The global window runs
+      // over the ALREADY-REDUCED top-K rows (one partition of K),
+      // never the full vocabulary.
+      val vocab = graft.QueryCaches.postings(s, d)
+        .groupBy($"term")
+        .agg(sum($"tf").as("n"), count(lit(1)).as("df"))
+        .orderBy($"n".desc, $"term").limit(50)
+      vocab.withColumn("token_id",
+          row_number().over(Window.orderBy($"n".desc, $"term")))
+        .select($"token_id", $"term", $"n", $"df")
+    },
+
     "txt_ngram_profile" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
@@ -140,6 +157,17 @@ object TextQueries {
          |  ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_quality
          |FROM kept GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "txt_vocab" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest($cleanTok) AS term FROM documents)
+         |  GROUP BY doc_id, term),
+         |agg AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS n,
+         |               COUNT(*) AS df FROM tf GROUP BY term)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS INT) AS token_id,
+         |  term, n, df
+         |FROM agg ORDER BY n DESC, term LIMIT 50""".stripMargin,
 
     "txt_ngram_profile" ->
       """SELECT bigram, COUNT(*) AS n FROM (
