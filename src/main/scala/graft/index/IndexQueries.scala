@@ -26,6 +26,19 @@ object IndexQueries {
         .orderBy($"o_orderkey")
     },
 
+    "idx_kv_composite" -> { (s, d) =>
+      import s.implicits._
+      // multi-column index (reference index rowkey = concatenation of
+      // the indexed columns): equality on the full tuple via the
+      // composite index, then semi-join back to base
+      val o = Tables.orders(s, d)
+      val idx = KvIndex.buildComposite(o, "o_orderkey",
+        Seq("o_orderstatus", "o_orderpriority"))
+      KvIndex.lookupComposite(o, "o_orderkey", idx, Seq("F", "1-URGENT"))
+        .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
+        .orderBy($"o_orderkey")
+    },
+
     "idx_bitmap_eq" -> { (s, d) =>
       import s.implicits._
       val idx = graft.QueryCaches.ordersBitmap(s, d, "o_orderpriority")
@@ -126,6 +139,11 @@ object IndexQueries {
     "idx_kv_range" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice >= 100000.0 AND o_totalprice < 150000.0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "idx_kv_composite" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
         |ORDER BY o_orderkey""".stripMargin,
 
     "idx_bitmap_eq" ->
