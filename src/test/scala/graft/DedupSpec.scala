@@ -62,6 +62,54 @@ class DedupSpec extends AnyFunSuite {
     assert((0L until 5L).forall(i => !drops.contains(i)))
   }
 
+  test("hash-gated mixture sampling is deterministic and rate-accurate") {
+    import graft.dedup.Mixture
+    val rates = Map("src0" -> 0.2, "src1" -> 0.8)
+    val once = Mixture.sampleByHash(docs, "doc_id", "source", rates, defaultRate = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Mixture.sampleByHash(docs, "doc_id", "source", rates, defaultRate = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(once == again, "sampling must be a pure function of (id, rate)")
+    // rate accuracy per source (binomial tolerance on a small corpus)
+    val bySrc = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptBySrc = Mixture.sampleByHash(docs, "doc_id", "source", rates, 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("src0" -> 0.2, "src1" -> 0.8).foreach { case (src, r) =>
+      val frac = keptBySrc.getOrElse(src, 0L).toDouble / bySrc(src)
+      assert(math.abs(frac - r) < 0.25, s"$src kept $frac, wanted ~$r")
+    }
+    // rate 0 and 1 are exact
+    val extremes = Mixture.sampleByHash(docs, "doc_id", "source",
+      Map("src0" -> 0.0), defaultRate = 1.0)
+    assert(extremes.filter(col("source") === "src0").count() == 0)
+    assert(extremes.count() == docs.filter(col("source") =!= "src0").count())
+  }
+
+  test("greedy packing respects the token budget and covers every doc") {
+    import graft.dedup.Mixture
+    import graft.functions.TextFunctions
+    val withTokens = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(TextFunctions.tokens(col("text"))).as("n_tokens"))
+    val packed = Mixture.packGreedy(withTokens, "doc_id", "n_tokens",
+      budget = 512, partitions = 4)
+    val rows = packed.collect()
+    assert(rows.length == withTokens.count(), "every doc must be packed")
+    val perPack = rows.groupBy(_.getAs[Long]("pack_id"))
+      .view.mapValues(_.map(_.getAs[Int]("n_tokens").toLong).sum).toMap
+    perPack.foreach { case (pack, total) =>
+      assert(total <= 512 || rows.count(_.getAs[Long]("pack_id") == pack) == 1,
+        s"pack $pack holds $total tokens")
+    }
+    // packs are dense enough to be useful (greedy, not one-per-doc)
+    assert(perPack.size < rows.length / 2)
+    // deterministic across runs
+    val again = Mixture.packGreedy(withTokens, "doc_id", "n_tokens", 512, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again == rows.map(r => (r.getLong(0), r.getLong(2))).toSet)
+  }
+
   test("lsh ANN ranks a planted identical vector first with score 1.0") {
     val e = Tables.embeddings(spark, sf)
     val withCopy = e.unionByName(
