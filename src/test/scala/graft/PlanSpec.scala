@@ -75,6 +75,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  /** Global scale audit: no query may plan a CartesianProduct. Cross
+    * joins that exist are deliberate tiny-side broadcasts (scalar
+    * subquery, 5×25 dims, query-set × centroids) and must plan as
+    * BroadcastNestedLoopJoin, never a shuffled cartesian. */
+  test("no query plans a shuffled cartesian product") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("graft SQL functions are registered on the session") {
     graft.plans.GraftExtensions.register(spark)
     val r = spark.sql(
