@@ -87,6 +87,25 @@ object DedupQueries {
       Dedup.dropList(pairs).orderBy($"doc_id")
     },
 
+    "dd_mixture_pack" -> { (s, d) =>
+      import s.implicits._
+      // mixing + packing composed: reweight sources by hash-gated
+      // sampling, count tokens, pack greedily under a 512-token
+      // budget, report per-pack fill. Fully deterministic (hash
+      // membership + range-partitioned id-ordered packing) but the
+      // salted xxhash64 gate isn't reproducible in SQL → rows-only;
+      // DedupSpec holds the ground-truth checks.
+      val mixed = Mixture.sampleByHash(Tables.documents(s, d),
+        "doc_id", "source", Map("src0" -> 0.5, "src1" -> 0.25), defaultRate = 1.0)
+      val withTokens = mixed.select($"doc_id",
+        size(graft.functions.TextFunctions.tokens($"text")).as("n_tokens"))
+      Mixture.packGreedy(withTokens, "doc_id", "n_tokens",
+          budget = 512, partitions = 4)
+        .groupBy($"pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("pack_tokens"))
+        .orderBy($"pack_id")
+    },
+
     "sim_brute_topk" -> { (s, d) =>
       import s.implicits._
       val e = Tables.embeddings(s, d)
