@@ -292,6 +292,18 @@ object Relational {
         .orderBy($"o_custkey", $"o_orderkey")
     },
 
+    "q28_pivot" -> { (s, d) =>
+      import s.implicits._
+      // PIVOT: order counts + total price per priority, one column per
+      // status. Explicit pivot values keep it one pass (no distinct
+      // pre-scan) — the rule for pivoting at scale.
+      Tables.orders(s, d)
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+        .orderBy($"o_orderpriority")
+    },
+
     "q26_exists_corr" -> { (s, d) =>
       import s.implicits._
       val heavy = Tables.lineitem(s, d).filter($"l_quantity" > 45)
@@ -509,6 +521,16 @@ object Relational {
         |WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
         |                      WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q28_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (o_orderstatus = 'F') AS F_n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DOUBLE) AS F_total,
+        |  COUNT(*) FILTER (o_orderstatus = 'O') AS O_n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O') AS DOUBLE) AS O_total,
+        |  COUNT(*) FILTER (o_orderstatus = 'P') AS P_n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS DOUBLE) AS P_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q26_exists_corr" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
