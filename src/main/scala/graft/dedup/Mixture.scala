@@ -60,7 +60,9 @@ object Mixture {
         var started = false
         rows.map { r =>
           val id = r.getLong(0)
-          val n = r.getInt(1)
+          // null token counts (e.g. null text) pack as 0 instead of
+          // killing the job — one bad document must not fail a run
+          val n = if (r.isNullAt(1)) 0 else r.getInt(1)
           if (!started) { started = true; used = n.toLong }
           else if (used + n > budget) { seq += 1; used = n.toLong }
           else used += n

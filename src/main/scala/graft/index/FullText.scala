@@ -90,7 +90,10 @@ object FullText {
     * prefix filter prunes row groups like an FST prefix seek. */
   def searchPrefix(docs: DataFrame, idCol: String, postings: DataFrame,
                    prefix: String): DataFrame = {
-    val hits = postings.filter(col("term").startsWith(prefix))
+    // index terms are lowercased by the tokenizer; normalize the query
+    // the same way (same contract as searchFuzzy)
+    val hits = postings.filter(
+        col("term").startsWith(prefix.toLowerCase(java.util.Locale.ROOT)))
       .select("doc_id").distinct()
     docs.join(hits, docs(idCol) === hits("doc_id"), "left_semi")
   }

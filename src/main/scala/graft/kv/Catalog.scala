@@ -142,7 +142,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
         Thread.sleep(50)
       }
     }
-    try f finally Files.delete(lock)
+    // deleteIfExists: dropTable removes the whole table dir (lock file
+    // included) while holding the lock
+    try f finally Files.deleteIfExists(lock)
   }
 
   /** File-granular incremental COW merge — the CDC-ingest path. A
@@ -168,7 +170,25 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     val manifest = ensureRangeManifest(name, curDir, keyCol)
     val patchKeys = patch.select(keyCol).distinct().collect()
       .map(r => canonKey(r.get(0)))
-    def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+    // strings compare in UTF-8 BYTE order, matching how Spark computed
+    // the files' min/max (UTF8String binary order) — java.lang.String
+    // compareTo is UTF-16 code-unit order and disagrees for
+    // supplementary characters, which would misclassify a file as
+    // untouched and duplicate its rows
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: String, y: String) =>
+        val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        val n = math.min(xb.length, yb.length)
+        while (i < n) {
+          val c = (xb(i) & 0xFF) - (yb(i) & 0xFF)
+          if (c != 0) return c
+          i += 1
+        }
+        xb.length - yb.length
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+    }
     val (touched, untouched) = manifest.partition { e =>
       e.lo == null || e.hi == null ||
         patchKeys.exists(k => cmp(e.lo, k) <= 0 && cmp(k, e.hi) <= 0)
@@ -291,12 +311,15 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     Files.writeString(manifestFile(dir), mapper.writeValueAsString(arr)): Unit
   }
 
-  /** Drop all snapshots except the live one. */
+  /** Drop all snapshots except the live one, plus any staging
+    * directories orphaned by aborted writers. */
   def vacuum(name: String): Unit = withWriteLock(name) {
     val live = s"data_v${dataVersionOf(name)}"
     withList(tableDir(name)) { it =>
-      it.filter(p => p.getFileName.toString.startsWith("data_v") &&
-          p.getFileName.toString != live).toList
+      it.filter { p =>
+        val n = p.getFileName.toString
+        (n.startsWith("data_v") && n != live) || n.startsWith(".staging_")
+      }.toList
     }.foreach(deleteRecursively)
   }
 
@@ -312,21 +335,41 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * this directory directly. */
   def liveDataPath(name: String): String = dataDir(name)
 
-  /** Stage-then-commit protocol for external (DSv2) writers: reserve
-    * the next snapshot path, write into it distributed, then flip the
-    * pointer atomically via [[commitVersion]]. */
-  def nextVersionPath(name: String): (Int, String) = {
-    val v = dataVersionOf(name) + 1
-    (v, tableDir(name).resolve(s"data_v$v").toString)
-  }
+  /** Stage-then-commit protocol for external (DSv2) writers: every
+    * writer stages into its OWN uniquely-named directory (never a
+    * shared data_vN — two racing writers must not be able to pollute
+    * one directory), then [[publishStaged]] renames it to the next
+    * snapshot and flips the pointer under the write lock. */
+  def stagingPath(name: String): String =
+    tableDir(name).resolve(
+      s".staging_${java.util.UUID.randomUUID().toString.replace("-", "")}").toString
 
-  /** Publish a staged snapshot. Fails (leaving the staged directory
-    * orphaned for vacuum) if another writer committed in between —
-    * optimistic concurrency on the COW pointer. */
-  def commitVersion(name: String, v: Int): Unit = withWriteLock(name) {
-    require(dataVersionOf(name) == v - 1,
-      s"concurrent write raced table $name: staged v$v but live is v${dataVersionOf(name)}")
-    setMetaAttr(name, "dataVersion", v)
+  /** Publish a staged snapshot directory as the next version: rename
+    * into place and bump the pointer atomically under the write lock.
+    * The version number is allocated inside the lock, so a racing
+    * writer can never collide on a directory or lose a bump.
+    * `carryLive = true` additionally hard-links the previous live
+    * snapshot's files into the published one (append semantics);
+    * `false` publishes the staged content as the complete post-image
+    * (replace semantics). */
+  def publishStaged(name: String, stagedDir: String,
+                    carryLive: Boolean = false): Unit = withWriteLock(name) {
+    val cur = dataVersionOf(name)
+    val next = cur + 1
+    val target = tableDir(name).resolve(s"data_v$next")
+    Files.move(Paths.get(stagedDir), target)
+    if (carryLive) {
+      val curDir = tableDir(name).resolve(s"data_v$cur")
+      withList(curDir) { it =>
+        it.filter(_.getFileName.toString.startsWith("part-")).toList
+      }.foreach { src =>
+        val dst = target.resolve(src.getFileName.toString)
+        try Files.createLink(dst, src)
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          Files.copy(src, dst): Unit }
+      }
+    }
+    setMetaAttr(name, "dataVersion", next)
   }
 
   def schemaOf(name: String): StructType = {
@@ -351,12 +394,14 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * (HBaseSchema.kt:225-259). Here: recursive delete of the dir. */
   def dropTable(name: String): Unit = {
     require(tableExists(name), s"table $name does not exist")
-    // purge the table AND its index tables (reference dropTable clears
-    // the sys rows and index tables too, HBaseSchema.kt:225-259)
-    val doomed = tableDir(name) +: withList(Paths.get(warehouse)) { it =>
-      it.filter(_.getFileName.toString.startsWith(s"$name.")).toList
+    withWriteLock(name) {
+      // purge the table AND its index tables (reference dropTable clears
+      // the sys rows and index tables too, HBaseSchema.kt:225-259)
+      val doomed = tableDir(name) +: withList(Paths.get(warehouse)) { it =>
+        it.filter(_.getFileName.toString.startsWith(s"$name.")).toList
+      }
+      doomed.foreach(deleteRecursively)
     }
-    doomed.foreach(deleteRecursively)
   }
 
   def listTables(): Seq[String] =
@@ -380,11 +425,13 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     val dir = indexDir(table, indexName, indexType)
     require(!Files.exists(dir),
       s"$table $indexName $indexType exists when create index") // IndexExistsException
+    withWriteLock(table) {
     val t = this.table(table)
     val pk = primaryKeyOf(table).head
     // reference locks the table during DDL (table.sys lockStatus,
-    // HBaseSchema.kt README: DDL修改时会锁定); COW analog: flip the
-    // attribute around the backfill so readers can see DDL-in-progress
+    // HBaseSchema.kt README: DDL修改时会锁定); the write lock makes the
+    // meta read-modify-write atomic vs concurrent bulk writers, and
+    // the attribute flip lets readers see DDL-in-progress
     setMetaAttr(table, "lockStatus", "LOCKED")
     try {
       Files.createDirectories(dir)
@@ -420,6 +467,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       reg.add(entry): Unit
       writeMeta(table, meta)
     } finally setMetaAttr(table, "lockStatus", "UNLOCK")
+    }
   }
 
   def lockStatusOf(table: String): String =
@@ -428,7 +476,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   def indexDictionary(table: String, indexName: String, indexType: String): DataFrame =
     spark.read.parquet(indexDir(table, indexName, indexType).resolve("dict").toString)
 
-  def dropIndex(table: String, indexName: String, indexType: String): Unit = {
+  def dropIndex(table: String, indexName: String, indexType: String): Unit = withWriteLock(table) {
     val dir = indexDir(table, indexName, indexType)
     require(Files.exists(dir),
       s"$table $indexName $indexType not exists when drop index")

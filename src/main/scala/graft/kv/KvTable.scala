@@ -77,8 +77,10 @@ final case class KvTable(df: DataFrame, keyCols: Seq[String]) {
 
   /** Batched composite-key multi-Get: OR of full-key conjunctions —
     * still a pushable predicate, never a join. */
-  def multiGetComposite(keys: Seq[Seq[Any]]): DataFrame =
+  def multiGetComposite(keys: Seq[Seq[Any]]): DataFrame = {
+    require(keys.nonEmpty, "multiGetComposite needs at least one key tuple")
     df.filter(keys.map(eqKey).reduce(_ || _))
+  }
 
   /** HBase Scan.setRowPrefixFilter on a string rowkey. */
   def prefixScan(keyCol: String, prefix: String): DataFrame =

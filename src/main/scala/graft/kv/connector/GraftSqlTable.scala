@@ -43,8 +43,53 @@ class GraftSqlTable(cat: Catalog, tableName: String)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     delegate.newScanBuilder(options)
 
+  /** Builds a WriteBuilder that stages into a fresh uniquely-named
+    * directory and publishes it as the next COW snapshot on commit —
+    * the append path carries the previous live files in via hard
+    * links, the replace path (row-level ops) publishes the staged
+    * content as the whole post-image. Writers never touch the live
+    * directory or a shared staging path, so concurrent statements
+    * can't corrupt each other: the version is allocated at publish
+    * time under the table write lock. */
+  private def stagedWriteBuilder(writeInfo: LogicalWriteInfo,
+                                 carryLive: Boolean,
+                                 stripOpColumn: Boolean): WriteBuilder = {
+    val stagingPath = cat.stagingPath(tableName)
+    val staging = ParquetTable(
+      s"$tableName@staged",
+      SparkSession.active,
+      CaseInsensitiveStringMap.empty(),
+      Seq(stagingPath),
+      Some(cat.schemaOf(tableName)),
+      classOf[ParquetFileFormat])
+    val inner = staging.newWriteBuilder(writeInfo)
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          private val b = inner.build().toBatch
+          override def createBatchWriterFactory(
+              pInfo: PhysicalWriteInfo): DataWriterFactory = {
+            val f = b.createBatchWriterFactory(pInfo)
+            if (stripOpColumn) new OpStrippingWriterFactory(f) else f
+          }
+          override def useCommitCoordinator(): Boolean = b.useCommitCoordinator()
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            b.commit(messages)
+            cat.publishStaged(tableName, stagingPath, carryLive = carryLive)
+          }
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            b.abort(messages)
+        }
+      }
+    }
+  }
+
+  /** INSERT INTO: staged append — the batch's files plus hard links of
+    * the previous live snapshot become the next version. Never writes
+    * into the live directory, so a concurrent incrementalMerge can't
+    * lose the appended file. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    delegate.newWriteBuilder(info)
+    stagedWriteBuilder(info, carryLive = true, stripOpColumn = false)
 
   /** SQL UPDATE / MERGE INTO via Spark's group-based row-level
     * operation framework: the operation's scan reads the live snapshot
@@ -73,34 +118,8 @@ class GraftSqlTable(cat: Catalog, tableName: String)
             override def build(): org.apache.spark.sql.connector.read.Scan = inner.build()
           }
 
-        override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder = {
-          val (version, stagingPath) = cat.nextVersionPath(tableName)
-          val staging = ParquetTable(
-            s"$tableName@v$version",
-            SparkSession.active,
-            CaseInsensitiveStringMap.empty(),
-            Seq(stagingPath),
-            Some(cat.schemaOf(tableName)),
-            classOf[ParquetFileFormat])
-          val inner = staging.newWriteBuilder(writeInfo)
-          new WriteBuilder {
-            override def build(): Write = new Write {
-              override def toBatch: BatchWrite = new BatchWrite {
-                private val b = inner.build().toBatch
-                override def createBatchWriterFactory(
-                    pInfo: PhysicalWriteInfo): DataWriterFactory =
-                  new OpStrippingWriterFactory(b.createBatchWriterFactory(pInfo))
-                override def useCommitCoordinator(): Boolean = b.useCommitCoordinator()
-                override def commit(messages: Array[WriterCommitMessage]): Unit = {
-                  b.commit(messages)
-                  cat.commitVersion(tableName, version)
-                }
-                override def abort(messages: Array[WriterCommitMessage]): Unit =
-                  b.abort(messages)
-              }
-            }
-          }
-        }
+        override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
+          stagedWriteBuilder(writeInfo, carryLive = false, stripOpColumn = true)
       }
     }
 

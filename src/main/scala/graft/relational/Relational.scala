@@ -297,10 +297,14 @@ object Relational {
       // PIVOT: order counts + total price per priority, one column per
       // status. Explicit pivot values keep it one pass (no distinct
       // pre-scan) — the rule for pivoting at scale.
-      Tables.orders(s, d)
+      val pivoted = Tables.orders(s, d)
         .groupBy($"o_orderpriority")
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+      // empty pivot cells are NULL in Spark but 0 under the oracle's
+      // COUNT FILTER — normalize counts (sums stay NULL both sides)
+      Seq("F_n", "O_n", "P_n")
+        .foldLeft(pivoted)((df, c) => df.withColumn(c, coalesce(col(c), lit(0L))))
         .orderBy($"o_orderpriority")
     },
 

@@ -29,33 +29,35 @@ object DocumentSource {
   private val withCorrupt = StructType(
     schema.fields :+ StructField("_corrupt", StringType, true))
 
-  /** JSON-lines reader: explicit schema + corrupt-line quarantine.
-    * Returns (clean rows in canonical schema, corrupt raw lines). */
-  def readJsonl(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val raw = spark.read.schema(withCorrupt)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt")
-      .json(path)
-      .cache()
-    val clean = raw.filter(col("_corrupt").isNull)
+  /** Materialize the raw read once so the corrupt-record column can be
+    * filtered (Spark disallows referencing it on a live scan).
+    * localCheckpoint, NOT cache: checkpoint blocks are freed by the
+    * ContextCleaner when the frames become unreachable, whereas a
+    * cache() here would pin the full input in storage for the session
+    * lifetime on every ingest call with no handle to unpersist. */
+  private def materialize(raw: DataFrame): (DataFrame, DataFrame) = {
+    val snap = raw.localCheckpoint(true)
+    val clean = snap.filter(col("_corrupt").isNull)
       .select(schema.fieldNames.map(col): _*)
-    val corrupt = raw.filter(col("_corrupt").isNotNull).select(col("_corrupt"))
+    val corrupt = snap.filter(col("_corrupt").isNotNull).select(col("_corrupt"))
     (clean, corrupt)
   }
 
+  /** JSON-lines reader: explicit schema + corrupt-line quarantine.
+    * Returns (clean rows in canonical schema, corrupt raw lines). */
+  def readJsonl(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    materialize(spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path))
+
   /** CSV reader, same contract (header, explicit schema, quarantine). */
-  def readCsv(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val raw = spark.read.schema(withCorrupt)
+  def readCsv(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    materialize(spark.read.schema(withCorrupt)
       .option("header", "true")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
-      .csv(path)
-      .cache()
-    val clean = raw.filter(col("_corrupt").isNull)
-      .select(schema.fieldNames.map(col): _*)
-    val corrupt = raw.filter(col("_corrupt").isNotNull).select(col("_corrupt"))
-    (clean, corrupt)
-  }
+      .csv(path))
 
   /** Raw text directory: one document per file (common crawl-dump
     * shape). doc_id = stable hash of the file path; files stream

@@ -62,6 +62,10 @@ manifest_path = os.path.join(outdir, "manifest.json")
 if os.path.exists(manifest_path):
     manifest = json.load(open(manifest_path))
     declared = set(manifest["queries"])
+    # a crashed query may still have left a (partial) result dir —
+    # the crash itself is a failure regardless
+    for n in manifest.get("crashed", []):
+        fails.append((n, "CRASHED in Verify (see its stderr)"))
 else:
     declared = set(oracles)
 present = {n for n in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, n))}
