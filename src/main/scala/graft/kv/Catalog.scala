@@ -111,13 +111,29 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * snapshot, then swap the pointer. `rows` may derive from the
     * table's current snapshot (COW merge) — the write targets a new
     * directory, so that lineage stays valid. */
-  def bulkLoad(name: String, rows: DataFrame, partitions: Int = 0): Unit =
+  def bulkLoad(name: String, rows: DataFrame, partitions: Int = 0,
+               expectedVersion: Option[Int] = None): Unit =
     withWriteLock(name) {
+      val cur = dataVersionOf(name)
+      checkExpected(name, cur, expectedVersion)
       val pk = primaryKeyOf(name)
-      val next = dataVersionOf(name) + 1
+      val next = cur + 1
       KvLayout.writeSorted(rows, pk,
         tableDir(name).resolve(s"data_v$next").toString, partitions)
       setMetaAttr(name, "dataVersion", next)
+    }
+
+  /** Optimistic CAS for writers whose post-image derives from a pinned
+    * snapshot: if another writer published in between, committing the
+    * derived post-image would silently erase that writer's rows, so the
+    * statement must fail instead (the live snapshot stays untouched —
+    * the caller re-runs against the new version). */
+  private def checkExpected(name: String, current: Int,
+                            expected: Option[Int]): Unit =
+    expected.filter(_ != current).foreach { e =>
+      throw new java.util.ConcurrentModificationException(
+        s"table $name advanced to data_v$current while this statement was " +
+        s"pinned to data_v$e — a concurrent write would be lost; retry")
     }
 
   /** Writer mutual exclusion for the COW version pointer — the
@@ -134,8 +150,16 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     val deadline = System.currentTimeMillis() + timeoutMs
     var acquired = false
     while (!acquired) {
-      try { Files.createFile(lock); acquired = true }
+      try {
+        Files.createFile(lock)
+        // owner tag (pid + acquire time): lets a later waiter detect a
+        // lock whose owner JVM died before the finally could release it
+        Files.writeString(lock,
+          s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()}")
+        acquired = true
+      }
       catch { case _: java.nio.file.FileAlreadyExistsException =>
+        breakIfStale(lock)
         if (System.currentTimeMillis() > deadline)
           throw new IllegalStateException(
             s"write lock on $name held past ${timeoutMs}ms — stale lock at $lock?")
@@ -145,6 +169,36 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     // deleteIfExists: dropTable removes the whole table dir (lock file
     // included) while holding the lock
     try f finally Files.deleteIfExists(lock)
+  }
+
+  /** Stale-lock recovery: a lock whose recorded owner process is no
+    * longer alive (crashed between createFile and the finally) is
+    * broken so later writers don't spin to the timeout. A lock with no
+    * readable owner tag yet is only considered abandoned after a grace
+    * window (the owner writes the tag right after createFile). Breaking
+    * is an atomic rename to a unique tombstone — of several concurrent
+    * waiters only one rename succeeds, and a lock released-and-
+    * reacquired in between simply fails the rename and is left alone. */
+  private def breakIfStale(lock: Path): Unit = {
+    try {
+      val txt = try Files.readString(lock).trim catch { case _: Exception => "" }
+      val ownerPid = txt.split("\\s+").headOption
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+      val stale = ownerPid match {
+        case Some(pid) =>
+          val h = ProcessHandle.of(pid)
+          !(h.isPresent && h.get.isAlive)
+        case None => // tag never written: owner died mid-acquire
+          System.currentTimeMillis() -
+            Files.getLastModifiedTime(lock).toMillis > 60000L
+      }
+      if (stale) {
+        val tomb = lock.resolveSibling(
+          s".lock_broken_${java.util.UUID.randomUUID().toString.take(8)}")
+        Files.move(lock, tomb, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        Files.deleteIfExists(tomb): Unit
+      }
+    } catch { case _: Exception => () } // lost a race with release/another breaker — retry loop continues
   }
 
   /** File-granular incremental COW merge — the CDC-ingest path. A
@@ -162,14 +216,15 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * min/max pruning reasons. Patch keys are collected to the driver:
     * micro-batches are bounded by the trigger, so this is a small set
     * by construction. */
-  def incrementalMerge(name: String, patch: DataFrame): Unit = withWriteLock(name) {
+  def incrementalMerge(name: String, patch: DataFrame,
+                       precollectedKeys: Option[Array[Any]] = None): Unit = withWriteLock(name) {
     val pk = primaryKeyOf(name)
     val keyCol = pk.head
     val cur = dataVersionOf(name)
     val curDir = tableDir(name).resolve(s"data_v$cur")
     val manifest = ensureRangeManifest(name, curDir, keyCol)
-    val patchKeys = patch.select(keyCol).distinct().collect()
-      .map(r => canonKey(r.get(0)))
+    val patchKeys = precollectedKeys.getOrElse(
+      patch.select(keyCol).distinct().collect().map(r => canonKey(r.get(0))))
     // strings compare in UTF-8 BYTE order, matching how Spark computed
     // the files' min/max (UTF8String binary order) — java.lang.String
     // compareTo is UTF-16 code-unit order and disagrees for
@@ -312,13 +367,20 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   }
 
   /** Drop all snapshots except the live one, plus any staging
-    * directories orphaned by aborted writers. */
-  def vacuum(name: String): Unit = withWriteLock(name) {
+    * directories orphaned by aborted writers. DSv2 writers stage
+    * OUTSIDE the write lock, so a staging dir may belong to an
+    * in-flight statement — only staging dirs idle past the grace
+    * window are reclaimed (an active writer keeps touching its dir as
+    * tasks commit files into it). */
+  def vacuum(name: String, stagingGraceMs: Long = 3600000L): Unit = withWriteLock(name) {
     val live = s"data_v${dataVersionOf(name)}"
+    val now = System.currentTimeMillis()
     withList(tableDir(name)) { it =>
       it.filter { p =>
         val n = p.getFileName.toString
-        (n.startsWith("data_v") && n != live) || n.startsWith(".staging_")
+        (n.startsWith("data_v") && n != live) ||
+          (n.startsWith(".staging_") &&
+            now - Files.getLastModifiedTime(p).toMillis > stagingGraceMs)
       }.toList
     }.foreach(deleteRecursively)
   }
@@ -334,6 +396,56 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   /** Live snapshot path — the V2 catalog (GraftCatalog) reads/writes
     * this directory directly. */
   def liveDataPath(name: String): String = dataDir(name)
+
+  /** Path of a specific snapshot version (the V2 table pins the
+    * version it was loaded at, so one SQL statement reads one
+    * consistent snapshot even while writers publish new ones). */
+  def dataPathAt(name: String, version: Int): String =
+    tableDir(name).resolve(s"data_v$version").toString
+
+  /** Best-effort cleanup of an aborted writer's staging directory
+    * (vacuum's grace window is the backstop). */
+  def discardStaged(stagedDir: String): Unit = {
+    val p = Paths.get(stagedDir)
+    if (Files.exists(p)) try deleteRecursively(p)
+    catch { case _: java.io.IOException => () }
+  }
+
+  /** SQL `INSERT INTO` commit: merge a staged batch into the table with
+    * primary-key last-writer-wins semantics — the HBase Put model
+    * (reference HBaseModifiableTable.kt:126-156: a Put on an existing
+    * rowkey overwrites its cells, it never duplicates the row). Small
+    * batches take the file-granular [[incrementalMerge]] path (only
+    * files whose key range intersects the batch are rewritten; the
+    * rest carry over as hard links); a bulk insert whose key set is too
+    * large to reason about on the driver falls back to one full
+    * shuffled upsert merge — both under the table write lock, so the
+    * merge always runs against the CURRENT live snapshot and concurrent
+    * inserts serialize instead of losing each other. */
+  def upsertStaged(name: String, stagedDir: String,
+                   maxIncrementalKeys: Int = 100000): Unit =
+    try {
+      val cols = schemaOf(name).fieldNames.toSeq
+        .map(org.apache.spark.sql.functions.col)
+      // within-statement duplicate PKs collapse to one row (HBase batch
+      // Puts on one rowkey leave a single cell version visible)
+      val batch = spark.read.schema(schemaOf(name)).parquet(stagedDir)
+        .dropDuplicates(primaryKeyOf(name)).select(cols: _*)
+      // one bounded job decides the path AND feeds the merge's file
+      // pruning — the merge never re-collects
+      val keyCol = primaryKeyOf(name).head
+      val keys = batch.select(keyCol).distinct()
+        .limit(maxIncrementalKeys + 1).collect().map(r => canonKey(r.get(0)))
+      if (keys.length <= maxIncrementalKeys)
+        incrementalMerge(name, batch, precollectedKeys = Some(keys))
+      else withWriteLock(name) {
+        val pk = primaryKeyOf(name)
+        val next = dataVersionOf(name) + 1
+        KvLayout.writeSorted(table(name).upsert(batch).df, pk,
+          tableDir(name).resolve(s"data_v$next").toString)
+        setMetaAttr(name, "dataVersion", next)
+      }
+    } finally discardStaged(stagedDir)
 
   /** Stage-then-commit protocol for external (DSv2) writers: every
     * writer stages into its OWN uniquely-named directory (never a
@@ -353,8 +465,16 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * `false` publishes the staged content as the complete post-image
     * (replace semantics). */
   def publishStaged(name: String, stagedDir: String,
-                    carryLive: Boolean = false): Unit = withWriteLock(name) {
+                    carryLive: Boolean = false,
+                    expectedVersion: Option[Int] = None): Unit = withWriteLock(name) {
     val cur = dataVersionOf(name)
+    try checkExpected(name, cur, expectedVersion)
+    catch { case e: java.util.ConcurrentModificationException =>
+      // the staged post-image derives from a stale snapshot and can
+      // never be published — reclaim it before failing the statement
+      deleteRecursively(Paths.get(stagedDir))
+      throw e
+    }
     val next = cur + 1
     val target = tableDir(name).resolve(s"data_v$next")
     Files.move(Paths.get(stagedDir), target)
@@ -423,9 +543,15 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     require(tableExists(table), s"table $table does not exist")
     require(cols.nonEmpty, "index needs at least one column")
     val dir = indexDir(table, indexName, indexType)
+    withWriteLock(table) {
+    // existence checks INSIDE the lock: two concurrent createIndex
+    // calls for the same index must not both pass the guard and both
+    // backfill / double-register (TOCTOU)
     require(!Files.exists(dir),
       s"$table $indexName $indexType exists when create index") // IndexExistsException
-    withWriteLock(table) {
+    require(!indexesOf(table).exists { case (n, ty, _) =>
+      n == indexName && ty.equalsIgnoreCase(indexType) },
+      s"$table $indexName $indexType already registered")
     val t = this.table(table)
     val pk = primaryKeyOf(table).head
     // reference locks the table during DDL (table.sys lockStatus,

@@ -25,12 +25,16 @@ class GraftSqlTable(cat: Catalog, tableName: String)
 
   // the live snapshot is pinned at load time: one SQL statement reads
   // one consistent version, and a concurrent bulkLoad flips the pointer
-  // for the NEXT loadTable rather than mid-query
+  // for the NEXT loadTable rather than mid-query. The pinned version
+  // doubles as the optimistic-CAS token for writes that derive a full
+  // post-image from this snapshot (UPDATE/MERGE/DELETE).
+  private val pinnedVersion: Int = cat.dataVersionOf(tableName)
+
   private val delegate: ParquetTable = ParquetTable(
     tableName,
     SparkSession.active,
     CaseInsensitiveStringMap.empty(),
-    Seq(cat.liveDataPath(tableName)),
+    Seq(cat.dataPathAt(tableName, pinnedVersion)),
     Some(cat.schemaOf(tableName)),
     classOf[ParquetFileFormat])
 
@@ -52,8 +56,8 @@ class GraftSqlTable(cat: Catalog, tableName: String)
     * can't corrupt each other: the version is allocated at publish
     * time under the table write lock. */
   private def stagedWriteBuilder(writeInfo: LogicalWriteInfo,
-                                 carryLive: Boolean,
-                                 stripOpColumn: Boolean): WriteBuilder = {
+                                 stripOpColumn: Boolean)
+                                (publish: String => Unit): WriteBuilder = {
     val stagingPath = cat.stagingPath(tableName)
     val staging = ParquetTable(
       s"$tableName@staged",
@@ -75,21 +79,25 @@ class GraftSqlTable(cat: Catalog, tableName: String)
           override def useCommitCoordinator(): Boolean = b.useCommitCoordinator()
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             b.commit(messages)
-            cat.publishStaged(tableName, stagingPath, carryLive = carryLive)
+            publish(stagingPath)
           }
-          override def abort(messages: Array[WriterCommitMessage]): Unit =
+          override def abort(messages: Array[WriterCommitMessage]): Unit = {
             b.abort(messages)
+            cat.discardStaged(stagingPath)
+          }
         }
       }
     }
   }
 
-  /** INSERT INTO: staged append — the batch's files plus hard links of
-    * the previous live snapshot become the next version. Never writes
-    * into the live directory, so a concurrent incrementalMerge can't
-    * lose the appended file. */
+  /** INSERT INTO: staged batch merged with primary-key last-writer-wins
+    * semantics (HBase Put: same rowkey overwrites) — the upsert runs
+    * under the table write lock against the CURRENT live snapshot, so
+    * concurrent inserts serialize rather than erase each other and
+    * duplicate keys never accumulate. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    stagedWriteBuilder(info, carryLive = true, stripOpColumn = false)
+    stagedWriteBuilder(info, stripOpColumn = false)(
+      staged => cat.upsertStaged(tableName, staged))
 
   /** SQL UPDATE / MERGE INTO via Spark's group-based row-level
     * operation framework: the operation's scan reads the live snapshot
@@ -118,8 +126,14 @@ class GraftSqlTable(cat: Catalog, tableName: String)
             override def build(): org.apache.spark.sql.connector.read.Scan = inner.build()
           }
 
+        // CAS on the pinned version: the rewrite's post-image was
+        // derived from this table's load-time snapshot, so if any
+        // other writer published in between, committing it would
+        // silently erase that write — fail the statement instead
         override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
-          stagedWriteBuilder(writeInfo, carryLive = false, stripOpColumn = true)
+          stagedWriteBuilder(writeInfo, stripOpColumn = true)(staged =>
+            cat.publishStaged(tableName, staged, carryLive = false,
+              expectedVersion = Some(pinnedVersion)))
       }
     }
 
@@ -152,6 +166,10 @@ class GraftSqlTable(cat: Catalog, tableName: String)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val pred = filters.flatMap(toColumn(_)).reduceOption(_ && _).getOrElse(lit(true))
-    cat.bulkLoad(tableName, cat.table(tableName).deleteWhere(pred).df)
+    // post-image derives from the pinned snapshot → CAS on publish, so
+    // a row inserted concurrently is never silently swept away
+    cat.bulkLoad(tableName,
+      cat.tableAt(tableName, pinnedVersion).deleteWhere(pred).df,
+      expectedVersion = Some(pinnedVersion))
   }
 }

@@ -1,0 +1,104 @@
+package graft
+
+import graft.kv.Catalog
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Writer-vs-writer safety of the COW catalog: optimistic CAS on the
+  * version pointer, stale-lock recovery, staging-dir reclamation, and
+  * DDL races. (Reference analog: Redis DDL locks + Tephra transactions
+  * — index/lucene/RedisLockFactory.kt, KVTransactionalIndexTable.kt.) */
+class ConcurrencySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshCat(tag: String): Catalog =
+    new Catalog(spark, Files.createTempDirectory(s"graft_${tag}_wh").toString)
+
+  private val kv = StructType(Seq(
+    StructField("k", LongType, false),
+    StructField("v", StringType, true)))
+
+  private def load(cat: Catalog, name: String, rows: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    cat.bulkLoad(name, rows.toDF("k", "v"))
+  }
+
+  test("publishStaged CAS rejects a post-image pinned to a stale version") {
+    import spark.implicits._
+    val cat = freshCat("cas")
+    cat.createTable("t", kv, Seq("k"))
+    load(cat, "t", Seq(1L -> "a"))
+    val pinned = cat.dataVersionOf("t")
+    // a concurrent writer publishes first
+    load(cat, "t", Seq(1L -> "a", 2L -> "concurrent"))
+    // the stale writer's full post-image (no k=2) must NOT publish
+    val staged = cat.stagingPath("t")
+    Seq(1L -> "a_rewritten").toDF("k", "v").write.parquet(staged)
+    intercept[java.util.ConcurrentModificationException] {
+      cat.publishStaged("t", staged, expectedVersion = Some(pinned))
+    }
+    // the concurrent row survived and the doomed staging dir is gone
+    assert(cat.table("t").pointGet(2L).count() == 1)
+    assert(!Files.exists(Paths.get(staged)))
+  }
+
+  test("SQL DELETE fails instead of erasing a write that landed after its snapshot") {
+    val cat = freshCat("delcas")
+    cat.createTable("t", kv, Seq("k"))
+    load(cat, "t", Seq(1L -> "a", 2L -> "b"))
+    // pin the snapshot the way a SQL statement's loadTable does
+    val sqlTable = new graft.kv.connector.GraftSqlTable(cat, "t")
+    // a concurrent INSERT commits between the scan pin and the rewrite
+    load(cat, "t", Seq(1L -> "a", 2L -> "b", 3L -> "landed"))
+    intercept[java.util.ConcurrentModificationException] {
+      sqlTable.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("k", 2L)))
+    }
+    assert(cat.table("t").pointGet(3L).count() == 1) // not swept away
+  }
+
+  test("a write lock left by a dead owner is broken, not spun on") {
+    val cat = freshCat("stale")
+    cat.createTable("t", kv, Seq("k"))
+    // simulate a crashed writer: lock file tagged with a reaped pid
+    val p = new ProcessBuilder("true").start()
+    p.waitFor()
+    val lock = Paths.get(cat.warehouse, "t", "_graft_write.lock")
+    Files.writeString(lock, s"${p.pid()} ${System.currentTimeMillis()}")
+    // a live writer must get through well before the 10-minute timeout
+    val t0 = System.nanoTime()
+    load(cat, "t", Seq(1L -> "a"))
+    assert((System.nanoTime() - t0) / 1e9 < 60)
+    assert(cat.table("t").pointGet(1L).count() == 1)
+  }
+
+  test("vacuum spares recent staging dirs and reclaims idle ones") {
+    val cat = freshCat("vac")
+    cat.createTable("t", kv, Seq("k"))
+    val fresh = Paths.get(cat.stagingPath("t"))
+    val idle = Paths.get(cat.stagingPath("t"))
+    Files.createDirectories(fresh)
+    Files.createDirectories(idle)
+    Files.setLastModifiedTime(idle, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * 3600 * 1000L))
+    cat.vacuum("t")
+    assert(Files.exists(fresh), "in-flight staging dir must survive vacuum")
+    assert(!Files.exists(idle), "idle staging dir must be reclaimed")
+  }
+
+  test("concurrent createIndex for the same index: exactly one wins") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cat = freshCat("idxrace")
+    cat.createTable("t", kv, Seq("k"))
+    load(cat, "t", Seq(1L -> "a", 2L -> "b"))
+    val attempts = Future.sequence((1 to 2).map { _ =>
+      Future(scala.util.Try(cat.createIndex("t", "byv", "kv", Seq("v"))))
+    })
+    val results = Await.result(attempts, 120.seconds)
+    assert(results.count(_.isSuccess) == 1, results.toString)
+    assert(cat.indexesOf("t").count(_._1 == "byv") == 1)
+  }
+}

@@ -125,12 +125,16 @@ class SqlCatalogSpec extends org.scalatest.funsuite.AnyFunSuite {
       "TBLPROPERTIES ('primaryKey'='k')")
     spark.sql("INSERT INTO gtest.kvdemo VALUES (1,'a',0.5),(2,'b',1.5),(3,'c',2.5)")
     assert(spark.sql("SELECT * FROM gtest.kvdemo").count() == 3)
-    // appends accumulate (HBase Put model), deletes rewrite COW
+    // INSERT upserts by primary key (HBase Put model: a Put on an
+    // existing rowkey overwrites the cells — it never duplicates the
+    // row); deletes rewrite COW
     spark.sql("INSERT INTO gtest.kvdemo VALUES (4,'d',9.0)")
+    spark.sql("INSERT INTO gtest.kvdemo VALUES (3,'c2',7.5)")
+    assert(spark.sql("SELECT * FROM gtest.kvdemo").count() == 4) // k=3 overwritten, not doubled
     spark.sql("DELETE FROM gtest.kvdemo WHERE k = 2 OR v = 'd'")
     val rows = spark.sql("SELECT k, v FROM gtest.kvdemo ORDER BY k").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
-    assert(rows == Seq((1L, "a"), (3L, "c")))
+    assert(rows == Seq((1L, "a"), (3L, "c2")))
     // filters on the SQL-served table still push to the parquet scan
     val plan = spark.sql("SELECT v FROM gtest.kvdemo WHERE k = 3")
       .queryExecution.executedPlan.toString
