@@ -21,23 +21,39 @@ import org.apache.spark.unsafe.types.UTF8String
   * hash loop (native code either way), not expression dispatch.
   */
 
-/** MinHash signature: sig(j) = min over shingles s of XXH64(s, seed=j).
-  * Input array<string>, output array<long> of length sigLen.
-  * Empty input → all Long.MaxValue (no shingles ⇒ never collides). */
+/** MinHash signature over array<string>, output array<long> of length
+  * sigLen. Empty input → all Long.MaxValue (no shingles ⇒ never
+  * collides).
+  *
+  * The sigLen "permutations" are affine universal hashes of ONE base
+  * XXH64 of the shingle bytes: π_j(s) = a_j·XXH64(s) + b_j (a_j odd,
+  * mod 2^64) — the standard multiply-shift minhash family. Hashing the
+  * string bytes once and deriving the family with two ALU ops per slot
+  * is ~sigLen× less byte-scanning than re-seeding XXH64 per slot, which
+  * dominated this expression's profile. */
 case class MinHashSigExpr(child: Expression, sigLen: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private lazy val (affA, affB) = {
+    // fixed-seed SplittableRandom: the family is deterministic across
+    // executors/runs, like the seeded-XXH64 family it replaces
+    val ra = new java.util.SplittableRandom(0x9E3779B97F4A7C15L)
+    val rb = new java.util.SplittableRandom(0x2545F4914F6CDD1DL)
+    (Array.fill(sigLen)(ra.nextLong() | 1L), Array.fill(sigLen)(rb.nextLong()))
+  }
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    val a = affA; val b = affB
     val sig = Array.fill(sigLen)(Long.MaxValue)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0L)
       var j = 0
       while (j < sigLen) {
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, j.toLong)
-        if (h < sig(j)) sig(j) = h
+        val v = a(j) * h + b(j)
+        if (v < sig(j)) sig(j) = v
         j += 1
       }
       i += 1

@@ -54,7 +54,7 @@ object Ann {
     * broadcast-join pass each. */
   def ivfTopK(embs: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, k: Int, nprobe: Int = 4,
-              maxIter: Int = 5, maxTrain: Int = 200000): DataFrame = {
+              maxIter: Int = 2, maxTrain: Int = 50000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = embs.sparkSession
