@@ -39,6 +39,16 @@ object QueryCaches {
     memo(s"bitmap:$valueCol:$d")(
       index.BitmapIndex.build(Tables.orders(s, d), "o_orderkey", valueCol))
 
+  private val objs = new ConcurrentHashMap[String, AnyRef]()
+
+  /** Memoize an arbitrary derived index artifact that isn't a single
+    * DataFrame (e.g. an IVF index = assigned lists + centroids). The
+    * builder is responsible for caching its member frames. */
+  def obj[T <: AnyRef](key: String)(build: => T): T =
+    objs.computeIfAbsent(key, new Function[String, AnyRef] {
+      override def apply(k: String): AnyRef = build
+    }).asInstanceOf[T]
+
   private val counts = new ConcurrentHashMap[String, java.lang.Long]()
 
   /** Corpus document count, computed once per directory and stored with

@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -17,8 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * (b) tier of the preference order: compose built-ins < custom
   * Expression < custom operator (SURVEY.md §3).
   *
-  * CodegenFallback is fine here: the expensive part is the inner
-  * hash loop (native code either way), not expression dispatch.
+  * Every expression implements `doGenCode` as a static call into
+  * [[HashOps]] (the same kernel `nullSafeEval` uses), so plans using
+  * them stay inside WholeStageCodegen — no interpreted-dispatch
+  * fallback rows, no codegen-span break in the hot path.
   */
 
 /** MinHash signature over array<string>, output array<long> of length
@@ -31,106 +33,38 @@ import org.apache.spark.unsafe.types.UTF8String
   * string bytes once and deriving the family with two ALU ops per slot
   * is ~sigLen× less byte-scanning than re-seeding XXH64 per slot, which
   * dominated this expression's profile. */
-case class MinHashSigExpr(child: Expression, sigLen: Int)
-    extends UnaryExpression with CodegenFallback {
+case class MinHashSigExpr(child: Expression, sigLen: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  private lazy val (affA, affB) = {
-    // fixed-seed SplittableRandom: the family is deterministic across
-    // executors/runs, like the seeded-XXH64 family it replaces
-    val ra = new java.util.SplittableRandom(0x9E3779B97F4A7C15L)
-    val rb = new java.util.SplittableRandom(0x2545F4914F6CDD1DL)
-    (Array.fill(sigLen)(ra.nextLong() | 1L), Array.fill(sigLen)(rb.nextLong()))
-  }
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val a = affA; val b = affB
-    val sig = Array.fill(sigLen)(Long.MaxValue)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      val s = arr.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0L)
-      var j = 0
-      while (j < sigLen) {
-        val v = a(j) * h + b(j)
-        if (v < sig(j)) sig(j) = v
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(sig)
-  }
+  override def nullSafeEval(input: Any): Any =
+    HashOps.minhashSig(input.asInstanceOf[ArrayData], sigLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashOps.minhashSig($c, $sigLen)")
   override protected def withNewChildInternal(c: Expression): MinHashSigExpr = copy(child = c)
 }
 
 /** 64-bit SimHash over an array<string> of tokens: bit b of the result
   * is set iff Σ_tokens (±1 by bit b of XXH64(token, 0)) ≥ 0. */
-case class SimHash64Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val counters = new Array[Int](64)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      val s = arr.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
-        b += 1
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (counters(b) >= 0) out |= (1L << b)
-      b += 1
-    }
-    java.lang.Long.valueOf(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(HashOps.simhash64(input.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashOps.simhash64($c)")
   override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(child = c)
 }
 
 /** Hyperplane-LSH bucket over array<float|double>: `bits` sign bits of
   * dot(v, plane_j) with plane_j[d] = sin(j·131 + d·7), packed into a
   * "0"/"1" string (matches VectorFunctions.lshBucket). Plane values
-  * are memoized per (bits, dims). */
-case class LshBucketExpr(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+  * are memoized per (bits, dims) inside HashOps. */
+case class LshBucketExpr(child: Expression, bits: Int) extends UnaryExpression {
   override def dataType: DataType = StringType
-
-  @transient private lazy val planeCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
-  private def planes(dims: Int): Array[Array[Double]] =
-    planeCache.computeIfAbsent(dims, d =>
-      Array.tabulate(bits, d)((j, dd) => math.sin(j * 131.0 + dd * 7.0)))
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    val v = new Array[Double](n)
-    var d = 0
-    while (d < n) {
-      v(d) = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
-      d += 1
-    }
-    val ps = planes(n)
-    val sb = new java.lang.StringBuilder(bits)
-    var j = 0
-    while (j < bits) {
-      val p = ps(j)
-      var acc = 0.0
-      d = 0
-      while (d < n) { acc += v(d) * p(d); d += 1 }
-      sb.append(if (acc >= 0.0) '1' else '0')
-      j += 1
-    }
-    UTF8String.fromString(sb.toString)
-  }
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(input: Any): Any =
+    HashOps.lshBucket(input.asInstanceOf[ArrayData], bits, elemIsFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashOps.lshBucket($c, $bits, $elemIsFloat)")
   override protected def withNewChildInternal(c: Expression): LshBucketExpr = copy(child = c)
 }
 
@@ -138,21 +72,12 @@ case class LshBucketExpr(child: Expression, bits: Int)
   * HOF form (transform + substr per index) evaluated ~25M interpreted
   * lambdas at sf0.1. Matches TextFunctions.charBigrams semantics:
   * bigrams of code-unit positions 1..len-1, lowercased. */
-case class CharBigramsExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class CharBigramsExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
-    val n = s.length
-    if (n < 2) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](n - 1)
-    var i = 0
-    while (i < n - 1) {
-      out(i) = UTF8String.fromString(s.substring(i, i + 2))
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    HashOps.charBigrams(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashOps.charBigrams($c)")
   override protected def withNewChildInternal(c: Expression): CharBigramsExpr = copy(child = c)
 }
 
@@ -160,26 +85,12 @@ case class CharBigramsExpr(child: Expression)
   * filter(split(lower(text), "[^a-z0-9]+"), len>0) for ASCII text,
   * which the DuckDB oracle replicates. Feeds every text-analysis
   * query, so it runs native instead of split+filter+lambda. */
-case class TokensExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class TokensExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
-    val out = new scala.collection.mutable.ArrayBuffer[Any]()
-    var i = 0
-    val len = s.length
-    while (i < len) {
-      val c = s.charAt(i)
-      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
-        val start = i
-        while (i < len && {
-          val d = s.charAt(i); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
-        }) i += 1
-        out += UTF8String.fromString(s.substring(start, i))
-      } else i += 1
-    }
-    new GenericArrayData(out.toArray)
-  }
+  override def nullSafeEval(input: Any): Any =
+    HashOps.tokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashOps.tokens($c)")
   override protected def withNewChildInternal(c: Expression): TokensExpr = copy(child = c)
 }
 
@@ -189,45 +100,12 @@ case class TokensExpr(child: Expression)
   * Matches TextFunctions.wordShingles / the DuckDB oracle exactly for
   * ASCII text. The HOF form ran ~5M interpreted slice+join lambdas at
   * sf0.1. */
-case class WordShinglesExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
-    val toks = new scala.collection.mutable.ArrayBuffer[String]()
-    var i = 0
-    val len = s.length
-    while (i < len) {
-      val c = s.charAt(i)
-      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
-        val start = i
-        while (i < len && {
-          val d = s.charAt(i); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
-        }) i += 1
-        toks += s.substring(start, i)
-      } else i += 1
-    }
-    val out = new java.util.LinkedHashSet[String]()
-    if (toks.length <= n) {
-      if (toks.nonEmpty) out.add(toks.mkString(" "))
-    } else {
-      var w = 0
-      while (w <= toks.length - n) {
-        val sb = new java.lang.StringBuilder()
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks(w + j)); j += 1
-        }
-        out.add(sb.toString); w += 1
-      }
-    }
-    val arr = new Array[Any](out.size)
-    val it = out.iterator()
-    var k = 0
-    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
-    new GenericArrayData(arr)
-  }
+  override def nullSafeEval(input: Any): Any =
+    HashOps.wordShingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashOps.wordShingles($c, $n)")
   override protected def withNewChildInternal(c: Expression): WordShinglesExpr = copy(child = c)
 }
 
@@ -235,25 +113,16 @@ case class WordShinglesExpr(child: Expression, n: Int)
   * loop in doubles (sequential accumulation — bit-identical to the
   * zip_with/aggregate form it replaces, which evaluated interpreted
   * lambdas per element: ~64M per 1M pairs at sf0.1). */
-case class CosineSimExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val fa = isFloat(left); val fb = isFloat(right)
-    val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val x = if (fa) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (fb) b.getFloat(i).toDouble else b.getDouble(i)
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
-  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(HashOps.cosine(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], isFloat(left), isFloat(right)))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.plans.HashOps.cosine($l, $r, ${isFloat(left)}, ${isFloat(right)})")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
     copy(left = l, right = r)
 }

@@ -1,0 +1,186 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared kernels for the signature expressions, written as top-level
+  * methods of an object so scalac emits STATIC FORWARDERS — generated
+  * whole-stage-codegen Java calls `graft.plans.HashOps.minhashSig(...)`
+  * directly, and the interpreted `nullSafeEval` paths call the very
+  * same code. One implementation, two execution modes.
+  */
+object HashOps {
+
+  // ---- MinHash ------------------------------------------------------
+  // sigLen "permutations" = affine universal hashes of ONE base XXH64:
+  // π_j(s) = a_j·XXH64(s) + b_j (a_j odd, mod 2^64). Deterministic
+  // fixed-seed family, memoized per sigLen.
+  private val affCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def affine(sigLen: Int): (Array[Long], Array[Long]) =
+    affCache.computeIfAbsent(sigLen, { n =>
+      val ra = new java.util.SplittableRandom(0x9E3779B97F4A7C15L)
+      val rb = new java.util.SplittableRandom(0x2545F4914F6CDD1DL)
+      (Array.fill(n)(ra.nextLong() | 1L), Array.fill(n)(rb.nextLong()))
+    })
+
+  def minhashSig(arr: ArrayData, sigLen: Int): ArrayData = {
+    val (a, b) = affine(sigLen)
+    val sig = Array.fill(sigLen)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0L)
+      var j = 0
+      while (j < sigLen) {
+        val v = a(j) * h + b(j)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  // ---- SimHash ------------------------------------------------------
+  def simhash64(arr: ArrayData): Long = {
+    val counters = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  // ---- Hyperplane LSH bucket ---------------------------------------
+  // plane_j[d] = sin(j·131 + d·7), memoized per (bits, dims).
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Double]]]()
+  private def planes(bits: Int, dims: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent(bits.toLong << 32 | dims.toLong, { _ =>
+      Array.tabulate(bits, dims)((j, d) => math.sin(j * 131.0 + d * 7.0))
+    })
+
+  def lshBucket(arr: ArrayData, bits: Int, elemIsFloat: Boolean): UTF8String = {
+    val n = arr.numElements()
+    val v = new Array[Double](n)
+    var d = 0
+    while (d < n) {
+      v(d) = if (elemIsFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+      d += 1
+    }
+    val ps = planes(bits, n)
+    val sb = new java.lang.StringBuilder(bits)
+    var j = 0
+    while (j < bits) {
+      val p = ps(j)
+      var acc = 0.0
+      d = 0
+      while (d < n) { acc += v(d) * p(d); d += 1 }
+      sb.append(if (acc >= 0.0) '1' else '0')
+      j += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  // ---- Character bigrams -------------------------------------------
+  def charBigrams(input: UTF8String): ArrayData = {
+    val s = input.toLowerCase.toString
+    val n = s.length
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      out(i) = UTF8String.fromString(s.substring(i, i + 2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // ---- Tokenizer ----------------------------------------------------
+  def tokens(input: UTF8String): ArrayData = {
+    val s = input.toLowerCase.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        val start = i
+        while (i < len && {
+          val d = s.charAt(i); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) i += 1
+        out += UTF8String.fromString(s.substring(start, i))
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  // ---- Word shingles ------------------------------------------------
+  def wordShingles(input: UTF8String, n: Int): ArrayData = {
+    val s = input.toLowerCase.toString
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        val start = i
+        while (i < len && {
+          val d = s.charAt(i); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) i += 1
+        toks += s.substring(start, i)
+      } else i += 1
+    }
+    val out = new java.util.LinkedHashSet[String]()
+    if (toks.length <= n) {
+      if (toks.nonEmpty) out.add(toks.mkString(" "))
+    } else {
+      var w = 0
+      while (w <= toks.length - n) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(w + j)); j += 1
+        }
+        out.add(sb.toString); w += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  // ---- Cosine similarity -------------------------------------------
+  def cosine(a: ArrayData, b: ArrayData, aIsFloat: Boolean, bIsFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

@@ -46,26 +46,28 @@ object Ann {
       .select(col("qid"), col("rn"), col("nn"), col("score"))
   }
 
-  /** IVF ANN: k-means coarse quantizer (√N lists), corpus bucketed by
-    * nearest centroid, each query scans only its `nprobe` nearest
-    * lists — candidate set ~ nprobe·N/√N. The 100 TB path when recall
-    * must be tunable (raise nprobe) rather than fixed by hash bits.
-    * Training samples the corpus; assignment + search are one
-    * broadcast-join pass each. */
-  def ivfTopK(embs: DataFrame, idCol: String, vecCol: String,
-              queries: DataFrame, k: Int, nprobe: Int = 4,
-              maxIter: Int = 2, maxTrain: Int = 50000): DataFrame = {
+  /** An IVF index: the corpus with its coarse-quantizer list
+    * assignment (`assigned`: nn, v, cluster) plus the centroid table
+    * (`centroids`: cluster, centroid — √N rows, broadcastable). Like
+    * the reference's Lucene/bitmap index tables this is a PERSISTED
+    * artifact: built once by DDL, consulted by every search. */
+  case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+
+  /** IVF index build (the DDL step): k-means coarse quantizer
+    * (√N lists), corpus bucketed by nearest centroid. Training reads a
+    * bounded sample, never the full corpus: limit() stops once
+    * maxTrain rows are in hand, so training I/O is capped at any
+    * corpus size, and nlist derives from the sampled count — no full
+    * count() pass. (Parquet file order is uncorrelated with embedding
+    * geometry, so a head-sample is an acceptable quantizer-training
+    * sample.) */
+  def buildIvf(embs: DataFrame, idCol: String, vecCol: String,
+               maxIter: Int = 2, maxTrain: Int = 50000): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = embs.sparkSession
     val corpus0 = embs.select(col(idCol).as("nn"), col(vecCol).as("v"))
       .withColumn("features", array_to_vector(col("v").cast("array<double>")))
-    // The coarse quantizer trains on a bounded sample, never the full
-    // corpus: limit() stops reading once maxTrain rows are in hand, so
-    // training I/O is capped at any corpus size, and nlist derives from
-    // the sampled count — no full count() pass. (Parquet file order is
-    // uncorrelated with embedding geometry, so a head-sample is an
-    // acceptable quantizer-training sample.)
     val train = corpus0.select("features").limit(maxTrain).cache()
     val nTrain = train.count()
     val nlist = math.max(2, math.sqrt(nTrain.toDouble).toInt)
@@ -78,11 +80,19 @@ object Ann {
     train.unpersist()
     val corpus = model.transform(corpus0)
       .select(col("nn"), col("v"), col("prediction").as("cluster"))
-    // centroid table is tiny (√N rows): broadcast to score probes
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray)
     }.toSeq.toDF("cluster", "centroid")
+    IvfIndex(corpus, centroids)
+  }
+
+  /** IVF search: each query scans only its `nprobe` nearest lists —
+    * candidate set ~ nprobe·N/√N. The 100 TB path when recall must be
+    * tunable (raise nprobe) rather than fixed by hash bits. One
+    * broadcast-join pass over the probed lists. */
+  def ivfSearch(idx: IvfIndex, queries: DataFrame, idCol: String, vecCol: String,
+                k: Int, nprobe: Int = 4): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     // probe by the SAME metric k-means assigns with (L2), so a query
     // equal to a corpus point always probes that point's list first
@@ -91,16 +101,23 @@ object Ann {
         (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, x) => acc + x)
     val probes = graft.plans.TopK.perGroup(
-      q.crossJoin(broadcast(centroids))
+      q.crossJoin(broadcast(idx.centroids))
         .withColumn("cdist", negL2(col("qv"), col("centroid")))
         .select(col("qid"), col("qv"), col("cluster"), col("cdist")),
       Seq("qid"), Seq(("cdist", true), ("cluster", false)), nprobe)
-    val scored = corpus.join(broadcast(probes.select(col("qid"), col("qv"), col("cluster"))),
-        Seq("cluster"))
+    val scored = idx.assigned
+      .join(broadcast(probes.select(col("qid"), col("qv"), col("cluster"))), Seq("cluster"))
       .filter(col("nn") =!= col("qid"))
       .withColumn("score", round(cosine(col("qv"), col("v")), 3))
     rank(scored, k)
   }
+
+  /** Build + search in one call (tests / one-shot use). */
+  def ivfTopK(embs: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, k: Int, nprobe: Int = 4,
+              maxIter: Int = 2, maxTrain: Int = 50000): DataFrame =
+    ivfSearch(buildIvf(embs, idCol, vecCol, maxIter, maxTrain),
+      queries, idCol, vecCol, k, nprobe)
 
   def lshTopK(embs: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, k: Int, bits: Int = 12): DataFrame = {

@@ -1,0 +1,74 @@
+package graft
+
+import graft.plans.HashExpressions
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The signature expressions claim real `doGenCode` implementations
+  * (no CodegenFallback). Pin that: with codegen.fallback disabled and
+  * CODEGEN_ONLY factory mode, any expression whose generated code
+  * fails to compile aborts the query instead of silently running
+  * interpreted — and the codegen'd results must equal the interpreted
+  * ones bit for bit.
+  */
+class CodegenSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def texts: DataFrame =
+    Seq((1L, "The quick brown fox jumps over the lazy dog"),
+        (2L, "pack my box with five dozen liquor jugs!"),
+        (3L, ""), (4L, "a"), (5L, "one two one two one"))
+      .toDF("id", "text")
+
+  private def vecs: DataFrame =
+    Seq((1L, Array(0.1f, 0.2f, 0.3f, 0.4f), Array(0.1, 0.2, 0.3, 0.4)),
+        (2L, Array(-1.0f, 0.5f, 0.0f, 2.0f), Array(2.0, -0.5, 1.0, 0.0)))
+      .toDF("id", "vf", "vd")
+
+  private def signatures(mode: String): Seq[Row] = {
+    val prev = (spark.conf.getOption("spark.sql.codegen.factoryMode"),
+      spark.conf.getOption("spark.sql.codegen.fallback"))
+    spark.conf.set("spark.sql.codegen.factoryMode", mode)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val t = texts.select($"id",
+        HashExpressions.tokens($"text").as("toks"),
+        HashExpressions.charBigrams($"text").as("bg"),
+        HashExpressions.wordShingles($"text", 3).as("sh"))
+        .select($"id", $"toks", $"bg", $"sh",
+          HashExpressions.minhashSig($"sh", 16).as("mh"),
+          HashExpressions.simhash64($"toks").as("sim"))
+        .orderBy($"id").collect().toSeq
+      val v = vecs.select($"id",
+        HashExpressions.lshBucket($"vf", 8).as("bf"),
+        HashExpressions.lshBucket($"vd", 8).as("bd"),
+        round(HashExpressions.cosineSim($"vf", $"vd"), 9).as("cosFD"),
+        round(HashExpressions.cosineSim($"vd", $"vd"), 9).as("cosDD"))
+        .orderBy($"id").collect().toSeq
+      t ++ v
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", prev._1.getOrElse("FALLBACK"))
+      spark.conf.set("spark.sql.codegen.fallback", prev._2.getOrElse("true"))
+    }
+  }
+
+  test("signature expressions compile under CODEGEN_ONLY and match interpreted results") {
+    val gen = signatures("CODEGEN_ONLY")
+    val interp = signatures("NO_CODEGEN")
+    assert(gen == interp)
+    assert(gen.nonEmpty)
+  }
+
+  test("a full signature pipeline plans inside WholeStageCodegen") {
+    // parquet-backed scan (a local Seq folds to LocalTableScan): the
+    // scan → project(shingles → minhash) chain must be one codegen span
+    val df = Tables.documents(spark, sf).select(
+      HashExpressions.minhashSig(HashExpressions.wordShingles($"text", 3), 16).as("mh"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen span
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("minhashsigexpr")),
+      s"signature project not inside a codegen span:\n$plan")
+  }
+}
