@@ -129,6 +129,31 @@ object DedupQueries {
         .orderBy($"pack_id")
     },
 
+    "dd_decontam" -> { (s, d) =>
+      import s.implicits._
+      // Benchmark decontamination: flag training docs sharing any word
+      // 8-gram with the "eval set" (docs 100-119). Corpus = everything
+      // else plus planted leaks — eval docs 100-104 with a one-token
+      // prefix (ids +2e6) — so the sweep must recover exactly the
+      // contaminated docs. Shape: the eval-gram set is tiny and
+      // broadcast; the corpus side is a map-side shingle explode +
+      // semi-join-style aggregation — no O(n²), 100 TB-safe.
+      val docs = Tables.documents(s, d)
+      val leaked = docs.filter($"doc_id".between(100, 104))
+        .select(($"doc_id" + 2000000L).as("doc_id"),
+          concat(lit("leak "), $"text").as("text"))
+      val corpus = docs.filter(!$"doc_id".between(100, 119))
+        .select($"doc_id", $"text").unionByName(leaked)
+      val evalGrams = Dedup.shingles(
+          docs.filter($"doc_id".between(100, 119)), "doc_id", "text", 8)
+        .select(explode($"sh").as("g")).distinct()
+      Dedup.shingles(corpus, "doc_id", "text", 8)
+        .select($"doc_id", explode($"sh").as("g"))
+        .join(evalGrams, Seq("g"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy($"doc_id")
+    },
+
     "sim_brute_topk" -> { (s, d) =>
       import s.implicits._
       val e = Tables.embeddings(s, d)
@@ -199,6 +224,27 @@ object DedupQueries {
          |  ON a.vec_id < b.vec_id AND b.vec_id >= 1000000
          |WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 3) >= 0.95
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dd_decontam" -> {
+      val cleanTok =
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"
+      val sh8 = // distinct word 8-grams; <8 tokens → single full shingle
+        """CASE WHEN len(toks) = 0 THEN [] ELSE
+          |  list_distinct(list_transform(range(1, greatest(len(toks) - 7, 1) + 1),
+          |    i -> array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' '))) END""".stripMargin
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id NOT BETWEEN 100 AND 119
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, 'leak ' || text AS text
+         |  FROM documents WHERE doc_id BETWEEN 100 AND 104),
+         |ct AS (SELECT doc_id, $cleanTok AS toks FROM corpus),
+         |cp AS (SELECT doc_id, unnest($sh8) AS g FROM ct),
+         |et AS (SELECT $cleanTok AS toks FROM documents WHERE doc_id BETWEEN 100 AND 119),
+         |esh AS (SELECT DISTINCT unnest($sh8) AS g FROM et)
+         |SELECT doc_id, COUNT(*) AS n_shared
+         |FROM cp JOIN esh USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "sim_brute_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),

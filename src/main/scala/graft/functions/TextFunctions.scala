@@ -93,4 +93,27 @@ object TextFunctions {
     * shingle semantics (graft.plans.WordShinglesExpr). */
   def wordShingles(text: Column, n: Int): Column =
     graft.plans.HashExpressions.wordShingles(text, n)
+
+  // --- PII scrubbing (training-data redaction pass) -----------------
+  // Patterns kept to the regex subset with identical semantics in
+  // Java (Spark codegen'd regexp_replace) and RE2 (DuckDB oracle):
+  // \b, \d, bounded repetition, character classes.
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails, IPv4 addresses and phone numbers with typed tags.
+    * Email first (its local part may contain digits), then IP (dotted
+    * digits would otherwise half-match the phone pattern), then phone.
+    * Pure codegen'd regexp_replace chain — no UDF, no shuffle. */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
+  /** Count of matches of `re` in `text` (scan-side, codegen'd). */
+  def piiCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0)))
 }

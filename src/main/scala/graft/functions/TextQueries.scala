@@ -92,6 +92,29 @@ object TextQueries {
         .orderBy($"n".desc, $"bigram")
         .limit(25)
     },
+
+    "txt_pii_scrub" -> { (s, d) =>
+      import s.implicits._
+      // planted-PII overlay: even-id docs get a deterministic contact
+      // sentence (email + phone + IPv4); odd ids pass through so the
+      // no-op path is checked too. The scrub itself is a codegen'd
+      // regexp_replace chain — scan-side, no shuffle, 100 TB-safe.
+      val withPii = Tables.documents(s, d).withColumn("text",
+        when($"doc_id" % 2 === 0, concat($"text",
+          lit(" Contact user"), $"doc_id".cast("string"),
+          lit("@mail.example.com or 555-"),
+          ($"doc_id" % 900 + 100).cast("string"), lit("-"),
+          ($"doc_id" % 9000 + 1000).cast("string"), lit(" at 10."),
+          ($"doc_id" % 200).cast("string"), lit(".0."),
+          ($"doc_id" % 250).cast("string"), lit(".")))
+        .otherwise($"text"))
+      withPii.select($"doc_id",
+        piiCount($"text", EmailRe).as("n_emails"),
+        piiCount($"text", Ipv4Re).as("n_ips"),
+        piiCount($"text", PhoneRe).as("n_phones"),
+        md5(piiScrub($"text")).as("scrub_md5"))
+        .orderBy($"doc_id")
+    },
   )
 
   private val Tok = "string_split_regex(lower(text), '[^a-z0-9]+')"
@@ -175,5 +198,27 @@ object TextQueries {
         |    i -> substring(lower(text), CAST(i AS INT), 2))) AS bigram
         |  FROM documents)
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25""".stripMargin,
+
+    "txt_pii_scrub" ->
+      s"""WITH pii AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 2 = 0 THEN text
+         |      || ' Contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@mail.example.com or 555-'
+         |      || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+         |      || CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' at 10.'
+         |      || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+         |      || CAST(doc_id % 250 AS VARCHAR) || '.'
+         |    ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextFunctions.EmailRe}')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextFunctions.Ipv4Re}')) AS INT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '${TextFunctions.PhoneRe}')) AS INT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextFunctions.EmailRe}', '[EMAIL]', 'g'),
+         |    '${TextFunctions.Ipv4Re}', '[IP]', 'g'),
+         |    '${TextFunctions.PhoneRe}', '[PHONE]', 'g')) AS scrub_md5
+         |FROM pii ORDER BY doc_id""".stripMargin,
   )
 }

@@ -92,6 +92,34 @@ object StreamQueries {
         .orderBy($"user_id")
     },
 
+    "evt_anomaly" -> { (s, d) =>
+      import s.implicits._
+      // per-user daily-volume anomaly sweep: days whose event count
+      // z-scores ≥ 2 against the user's own history. Sufficient stats
+      // (n, Σc, Σc²) are exact BIGINTs, so the double z derives from
+      // exact integers via an expression tree the oracle mirrors
+      // term-for-term — portable bit-for-bit. Two hash shuffles
+      // (daily agg, per-user stats); the rejoin is on user_id.
+      val daily = Tables.events(s, d)
+        .groupBy($"user_id", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val stats = daily.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_days"),
+          sum($"c").as("sum_c"), sum($"c" * $"c").as("sum_c2"))
+        .filter($"n_days" >= 5)
+      val variance = ($"sum_c2".cast("double") -
+        $"sum_c".cast("double") * $"sum_c".cast("double") / $"n_days") /
+        ($"n_days" - 1)
+      daily.join(stats, Seq("user_id"))
+        .withColumn("variance", variance)
+        .filter($"variance" > 0)
+        .withColumn("z", round(($"c" - $"sum_c".cast("double") / $"n_days") /
+          sqrt($"variance"), 3))
+        .filter($"z" >= 2.0)
+        .select($"user_id", $"day", $"c".as("n_events"), $"z")
+        .orderBy($"user_id", $"day")
+    },
+
     "evt_retention" -> { (s, d) =>
       import s.implicits._
       // weekly cohort retention: users bucketed by first-active week,
@@ -250,6 +278,28 @@ object StreamQueries {
         |  CAST(least(64, blen - i * 64) AS INT) AS frame_len
         |FROM m, LATERAL unnest(range(0, CAST(ceil(blen / 64.0) AS BIGINT))) AS u(i)
         |WHERE i % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "evt_anomaly" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS c
+        |  FROM events GROUP BY user_id, day),
+        |stats AS (
+        |  SELECT user_id, COUNT(*) AS n_days, CAST(SUM(c) AS BIGINT) AS sum_c,
+        |    CAST(SUM(c * c) AS BIGINT) AS sum_c2
+        |  FROM daily GROUP BY user_id HAVING COUNT(*) >= 5),
+        |scored AS (
+        |  SELECT d.user_id, d.day, d.c,
+        |    (CAST(sum_c2 AS DOUBLE) -
+        |      CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE) / n_days) /
+        |      (n_days - 1) AS variance,
+        |    n_days, sum_c
+        |  FROM daily d JOIN stats USING (user_id))
+        |SELECT user_id, day, c AS n_events,
+        |  ROUND((c - CAST(sum_c AS DOUBLE) / n_days) / sqrt(variance), 3) AS z
+        |FROM scored
+        |WHERE variance > 0
+        |  AND ROUND((c - CAST(sum_c AS DOUBLE) / n_days) / sqrt(variance), 3) >= 2.0
+        |ORDER BY user_id, day""".stripMargin,
 
     "evt_retention" ->
       """WITH uw AS (

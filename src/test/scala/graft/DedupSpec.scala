@@ -152,4 +152,17 @@ class DedupSpec extends AnyFunSuite {
     // recall is probabilistic so only sanity-checked as non-trivial
     assert(lsh.nonEmpty)
   }
+
+  test("decontamination flags every planted eval-set leak") {
+    val rows = SparkEntry.queries("dd_decontam")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the five planted leaks (eval docs 100-104 prefixed with one
+    // token, ids +2e6) must all surface with ≥1 shared 8-gram
+    (2000100L to 2000104L).foreach { id =>
+      assert(rows.contains(id) && rows(id) >= 1, s"leak $id not flagged: $rows")
+    }
+    // and an eval doc with m tokens shares exactly m-7 complete
+    // windows with its leaked copy unless another doc also overlaps
+    assert(rows.values.forall(_ >= 1))
+  }
 }

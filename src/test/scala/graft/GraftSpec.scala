@@ -83,3 +83,35 @@ class SketchSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.05)
   }
 }
+
+/** PII scrub: every planted email/phone/IP must be redacted, and the
+  * counts must see exactly the planted occurrences. */
+class PiiSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+  import graft.functions.TextFunctions
+
+  test("scrub redacts every planted PII occurrence and no-ops clean docs") {
+    import spark.implicits._
+    val out = SparkEntry.queries("txt_pii_scrub")(spark, sf).collect()
+    out.foreach { r =>
+      val (id, nEmails, nIps, nPhones) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      if (id % 2 == 0)
+        assert(nEmails >= 1 && nIps >= 1 && nPhones >= 1,
+          s"doc $id planted PII not counted: $r")
+    }
+    // scrubbed text must carry the tags and zero residual matches
+    val scrubbed = Tables.documents(spark, sf).filter($"doc_id" === 0)
+      .withColumn("text", concat($"text",
+        lit(" Contact user0@mail.example.com or 555-100-1000 at 10.0.0.0.")))
+      .select(TextFunctions.piiScrub($"text").as("clean"),
+        TextFunctions.piiCount(TextFunctions.piiScrub($"text"),
+          TextFunctions.EmailRe).as("resid_email"))
+      .head()
+    assert(scrubbed.getString(0).contains("[EMAIL]") &&
+      scrubbed.getString(0).contains("[PHONE]") &&
+      scrubbed.getString(0).contains("[IP]"))
+    assert(scrubbed.getInt(1) == 0)
+  }
+}
