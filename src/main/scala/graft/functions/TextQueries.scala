@@ -115,6 +115,27 @@ object TextQueries {
         md5(piiScrub($"text")).as("scrub_md5"))
         .orderBy($"doc_id")
     },
+
+    "txt_repetition" -> { (s, d) =>
+      import s.implicits._
+      // Gopher-style repetition signals: fraction of tokens taken by
+      // the most common word / word-bigram. Map-side n-gram explode
+      // (native expressions) + two hash aggregations — the standard
+      // quality-filter shape, no per-doc state on the driver.
+      val docs = Tables.documents(s, d)
+      val words = docs.select($"doc_id", explode(tokens($"text")).as("w"))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as("wmx"), sum($"c").as("wn"))
+      val bigrams = docs.select($"doc_id",
+          explode(graft.plans.HashExpressions.wordNgrams($"text", 2)).as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as("bmx"), sum($"c").as("bn"))
+      words.join(bigrams, Seq("doc_id"))
+        .select($"doc_id",
+          round($"wmx".cast("double") / $"wn", 4).as("top_word_frac"),
+          round($"bmx".cast("double") / $"bn", 4).as("top_bigram_frac"))
+        .orderBy($"doc_id")
+    },
   )
 
   private val Tok = "string_split_regex(lower(text), '[^a-z0-9]+')"
@@ -220,5 +241,20 @@ object TextQueries {
          |    '${TextFunctions.Ipv4Re}', '[IP]', 'g'),
          |    '${TextFunctions.PhoneRe}', '[PHONE]', 'g')) AS scrub_md5
          |FROM pii ORDER BY doc_id""".stripMargin,
+
+    "txt_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $cleanTok AS toks FROM documents),
+         |wc AS (SELECT doc_id, w, COUNT(*) AS c FROM (
+         |         SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY doc_id, w),
+         |wmax AS (SELECT doc_id, MAX(c) AS wmx, SUM(c) AS wn FROM wc GROUP BY doc_id),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |         i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)])) AS g
+         |       FROM t),
+         |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+         |bmax AS (SELECT doc_id, MAX(c) AS bmx, SUM(c) AS bn FROM bc GROUP BY doc_id)
+         |SELECT doc_id,
+         |  ROUND(CAST(wmx AS DOUBLE) / wn, 4) AS top_word_frac,
+         |  ROUND(CAST(bmx AS DOUBLE) / bn, 4) AS top_bigram_frac
+         |FROM wmax JOIN bmax USING (doc_id) ORDER BY doc_id""".stripMargin,
   )
 }

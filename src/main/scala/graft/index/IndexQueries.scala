@@ -129,6 +129,40 @@ object IndexQueries {
       FullText.tfidfTopK(postings, dict, graft.QueryCaches.corpusSize(s, d),
         Seq("spark", "join"), 20)
     },
+
+    "ft_hybrid_rrf" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // Hybrid retrieval (the RAG shape): lexical tf-idf ranking and
+      // vector-cosine ranking fused by reciprocal-rank fusion,
+      // rrf = Σ 1/(60 + rank). Both windows run over ALREADY-REDUCED
+      // top-50 lists (one partition of ≤50 rows); the vector side is
+      // exact here — at scale it swaps for Ann.ivfSearch/lshTopK probes
+      // with identical downstream shape.
+      val postings = graft.QueryCaches.postings(s, d)
+      val dict = graft.QueryCaches.dictionary(s, d)
+      val lex = FullText.tfidfTopK(postings, dict,
+          graft.QueryCaches.corpusSize(s, d), Seq("spark", "join"), 50)
+        .withColumn("r_lex", row_number().over(
+          Window.orderBy($"score".desc, $"doc_id")))
+        .select($"doc_id", $"r_lex")
+      val e = Tables.embeddings(s, d)
+      val qv = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+      val vec = e.crossJoin(broadcast(qv))
+        .filter($"vec_id" =!= 0)
+        .withColumn("score",
+          round(graft.plans.HashExpressions.cosineSim($"qv", $"embedding"), 3))
+        .orderBy($"score".desc, $"vec_id").limit(50)
+        .withColumn("r_vec", row_number().over(
+          Window.orderBy($"score".desc, $"vec_id")))
+        .select($"vec_id".as("doc_id"), $"r_vec")
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + $"r_lex"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + $"r_vec"), lit(0.0)), 6))
+        .orderBy($"rrf".desc, $"doc_id").limit(20)
+        .select($"doc_id", $"rrf")
+    },
   )
 
   def oracles: Map[String, String] = Map(
@@ -221,5 +255,38 @@ object IndexQueries {
         |  ROUND(SUM(tf * ln(CAST(n.n AS DOUBLE) / df.df)), 4) AS score
         |FROM tf JOIN df USING(term) CROSS JOIN n
         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "ft_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('spark','join') GROUP BY doc_id, term),
+        |df AS (
+        |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+        |  WHERE term IN ('spark','join') GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |lexs AS (
+        |  SELECT doc_id, ROUND(SUM(tf * ln(CAST(n.n AS DOUBLE) / df.df)), 4) AS score
+        |  FROM tf JOIN df USING(term) CROSS JOIN n
+        |  GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+        |lex AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_lex
+        |  FROM lexs),
+        |vecs AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    ROUND(list_cosine_similarity(e.embedding, q.embedding), 3) AS score
+        |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  WHERE e.vec_id <> 0
+        |  ORDER BY score DESC, e.vec_id LIMIT 50),
+        |vec AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_vec
+        |  FROM vecs)
+        |SELECT doc_id,
+        |  ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_lex), 0) +
+        |        COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_vec), 0), 6) AS rrf
+        |FROM lex FULL OUTER JOIN vec USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
   )
 }

@@ -109,6 +109,18 @@ case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): WordShinglesExpr = copy(child = c)
 }
 
+/** Word n-gram multiset (ordered, NON-distinct; empty when the text
+  * has fewer than n tokens) — repetition/quality statistics need
+  * counts per n-gram, which the distinct shingle set can't supply. */
+case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashOps.wordNgrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashOps.wordNgrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordNgramsExpr = copy(child = c)
+}
+
 /** Cosine similarity over two array<float|double> vectors, one tight
   * loop in doubles (sequential accumulation — bit-identical to the
   * zip_with/aggregate form it replaces, which evaluated interpreted
@@ -138,5 +150,6 @@ object HashExpressions {
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSimExpr(expression(a), expression(b)))
   def wordShingles(c: Column, n: Int): Column = column(WordShinglesExpr(expression(c), n))
+  def wordNgrams(c: Column, n: Int): Column = column(WordNgramsExpr(expression(c), n))
   def tokens(c: Column): Column = column(TokensExpr(expression(c)))
 }

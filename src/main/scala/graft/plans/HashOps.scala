@@ -170,6 +170,40 @@ object HashOps {
     new GenericArrayData(arr)
   }
 
+  // ---- Word n-grams (non-distinct, in order) -----------------------
+  // Unlike wordShingles this keeps the full n-gram MULTISET (len-n+1
+  // windows; empty when fewer than n tokens) — repetition statistics
+  // need counts, not the distinct set.
+  def wordNgrams(input: UTF8String, n: Int): ArrayData = {
+    val s = input.toLowerCase.toString
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        val start = i
+        while (i < len && {
+          val d = s.charAt(i); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) i += 1
+        toks += s.substring(start, i)
+      } else i += 1
+    }
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    var w = 0
+    while (w <= toks.length - n) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(w + j)); j += 1
+      }
+      out(w) = UTF8String.fromString(sb.toString); w += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // ---- Cosine similarity -------------------------------------------
   def cosine(a: ArrayData, b: ArrayData, aIsFloat: Boolean, bIsFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())

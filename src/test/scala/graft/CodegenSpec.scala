@@ -36,8 +36,9 @@ class CodegenSpec extends AnyFunSuite {
       val t = texts.select($"id",
         HashExpressions.tokens($"text").as("toks"),
         HashExpressions.charBigrams($"text").as("bg"),
+        HashExpressions.wordNgrams($"text", 2).as("ng"),
         HashExpressions.wordShingles($"text", 3).as("sh"))
-        .select($"id", $"toks", $"bg", $"sh",
+        .select($"id", $"toks", $"bg", $"ng", $"sh",
           HashExpressions.minhashSig($"sh", 16).as("mh"),
           HashExpressions.simhash64($"toks").as("sim"))
         .orderBy($"id").collect().toSeq
