@@ -366,6 +366,42 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     Files.writeString(manifestFile(dir), mapper.writeValueAsString(arr)): Unit
   }
 
+  /** Compaction — the HBase minor/major-compaction analog (HBase
+    * compacts a region's accumulated HFiles into fewer larger ones;
+    * the reference rides on that server-side). File-granular CDC
+    * merges and SQL append batches leave a residue of small part
+    * files, and at scale the small-file problem dominates scan setup.
+    * Every file below `targetFileBytes` is read once and rewritten as
+    * ~target-sized rowkey-sorted files; files already at/above target
+    * carry into the next COW snapshot as hard links (no data I/O).
+    * Row set and per-file sort order are unchanged — only layout.
+    * No-op when fewer than two small files exist. */
+  def compact(name: String, targetFileBytes: Long = 128L * 1024 * 1024): Unit =
+    withWriteLock(name) {
+      val cur = dataVersionOf(name)
+      val curDir = tableDir(name).resolve(s"data_v$cur")
+      val files = withList(curDir) { it =>
+        it.filter(_.getFileName.toString.startsWith("part-")).toList
+      }
+      val (big, small) = files.partition(f => Files.size(f) >= targetFileBytes)
+      if (small.size > 1) {
+        val nextDir = tableDir(name).resolve(s"data_v${cur + 1}")
+        val totalBytes = small.map(Files.size(_)).sum
+        val parts = math.max(1,
+          math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+        KvLayout.writeSorted(
+          spark.read.schema(schemaOf(name)).parquet(small.map(_.toString): _*),
+          primaryKeyOf(name), nextDir.toString, parts)
+        big.foreach { src =>
+          val dst = nextDir.resolve(src.getFileName.toString)
+          try Files.createLink(dst, src)
+          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+            Files.copy(src, dst): Unit }
+        }
+        setMetaAttr(name, "dataVersion", cur + 1)
+      }
+    }
+
   /** Drop all snapshots except the live one, plus any staging
     * directories orphaned by aborted writers. DSv2 writers stage
     * OUTSIDE the write lock, so a staging dir may belong to an
