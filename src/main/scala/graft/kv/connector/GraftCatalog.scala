@@ -30,7 +30,7 @@ import java.util
   * snapshot pointer, the same bulk model every other graft mutation
   * uses.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -92,4 +92,14 @@ class GraftCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "RENAME TABLE is not supported by the graft catalog")
+
+  /** Index DDL + store maintenance as SQL:
+    * `CALL <catalog>.system.compact('t')` etc. — see
+    * [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(cat, ident.name())
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(n => Identifier.of(Array("system"), n))
 }

@@ -1,0 +1,75 @@
+package graft.kv.connector
+
+import graft.kv.Catalog
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types._
+
+/** Stored procedures for the graft SQL catalog — the SQL front door
+  * for index DDL and store maintenance:
+  *
+  * {{{
+  *   CALL graft.system.create_index('t', 'by_seg', 'kv', 'segment')
+  *   CALL graft.system.drop_index('t', 'by_seg', 'kv')
+  *   CALL graft.system.compact('t')            -- bin-pack small files
+  *   CALL graft.system.vacuum('t')             -- drop dead snapshots
+  * }}}
+  *
+  * The reference serves CREATE/DROP INDEX as SQL through Calcite
+  * (HBaseSchema.kt:262-319); Spark SQL has no CREATE INDEX statement,
+  * so the DSv2 ProcedureCatalog is the idiomatic surface for the same
+  * operations. compact/vacuum are the HBase-compaction/cleanup
+  * analogs on the COW store. All bodies run through [[Catalog]] and
+  * therefore under its table write lock.
+  */
+object GraftProcedures {
+
+  val names: Array[String] = Array("compact", "vacuum", "create_index", "drop_index")
+
+  def load(cat: => Catalog, procName: String): UnboundProcedure =
+    procName.toLowerCase match {
+      case "compact" => proc("compact",
+        Array(in("table", StringType),
+          inDefault("target_bytes", LongType, (128L * 1024 * 1024).toString)),
+        r => cat.compact(str(r, 0), r.getLong(1)))
+      case "vacuum" => proc("vacuum",
+        Array(in("table", StringType),
+          inDefault("staging_grace_ms", LongType, "3600000")),
+        r => cat.vacuum(str(r, 0), r.getLong(1)))
+      case "create_index" => proc("create_index",
+        Array(in("table", StringType), in("index", StringType),
+          in("index_type", StringType), in("cols", StringType)),
+        r => cat.createIndex(str(r, 0), str(r, 1), str(r, 2),
+          str(r, 3).split(",").map(_.trim).toSeq))
+      case "drop_index" => proc("drop_index",
+        Array(in("table", StringType), in("index", StringType),
+          in("index_type", StringType)),
+        r => cat.dropIndex(str(r, 0), str(r, 1), str(r, 2)))
+      case other =>
+        throw new UnsupportedOperationException(s"unknown procedure $other " +
+          s"(have: ${names.mkString(", ")})")
+    }
+
+  private def in(n: String, t: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, t).build()
+  private def inDefault(n: String, t: DataType, d: String): ProcedureParameter =
+    ProcedureParameter.in(n, t).defaultValue(d).build()
+  private def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
+
+  /** Void maintenance procedure: binds to itself (parameters are
+    * static), runs the body, returns no result sets. */
+  private def proc(n: String, ps: Array[ProcedureParameter],
+                   body: InternalRow => Unit): UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = n
+      override def description(): String = s"graft maintenance procedure $n"
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def parameters(): Array[ProcedureParameter] = ps
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        body(input)
+        java.util.Collections.emptyIterator[Scan]()
+      }
+    }
+}

@@ -74,3 +74,51 @@ class CompactionSpec extends AnyFunSuite {
     assert(cat.dataVersionOf("ct") == vBefore + 1)
   }
 }
+
+/** The SQL surface for index DDL + maintenance: DSv2 procedures on the
+  * graft catalog (`CALL cat.system.create_index/compact/vacuum/...`).
+  * The reference serves CREATE/DROP INDEX as SQL through Calcite
+  * (HBaseSchema.kt:262-319); this is the Spark-idiomatic equivalent. */
+class ProcedureSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("CALL procedures drive index DDL, compaction and vacuum") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_proc_wh").toString
+    spark.conf.set("spark.sql.catalog.gproc",
+      classOf[graft.kv.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gproc.warehouse", wh)
+    val cat = new graft.kv.Catalog(spark, wh)
+
+    spark.sql("CREATE TABLE gproc.pt (k BIGINT NOT NULL, seg STRING) " +
+      "TBLPROPERTIES ('primaryKey'='k')")
+    spark.sql("INSERT INTO gproc.pt VALUES (1, 'A'), (2, 'B')")
+    spark.sql("INSERT INTO gproc.pt VALUES (3, 'A')")
+
+    // index DDL through SQL
+    spark.sql("CALL gproc.system.create_index('pt', 'by_seg', 'kv', 'seg')")
+    assert(cat.indexesOf("pt").exists { case (n, ty, cols) =>
+      n == "by_seg" && ty == "KV" && cols == Seq("seg") })
+    spark.sql("CALL gproc.system.drop_index('pt', 'by_seg', 'kv')")
+    assert(!cat.indexesOf("pt").exists(_._1 == "by_seg"))
+
+    // compaction: the two insert batches left small files; default
+    // 128MB target packs them and bumps the version
+    val vBefore = cat.dataVersionOf("pt")
+    spark.sql("CALL gproc.system.compact('pt')")
+    assert(cat.dataVersionOf("pt") == vBefore + 1)
+    assert(spark.sql("SELECT * FROM gproc.pt").count() == 3)
+
+    // vacuum with zero staging grace drops the dead snapshots
+    spark.sql("CALL gproc.system.vacuum('pt', 0)")
+    val left = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(wh, "pt"))
+      try {
+        val it = s.iterator(); var n = List.empty[String]
+        while (it.hasNext) n ::= it.next().getFileName.toString
+        n.filter(_.startsWith("data_v"))
+      } finally s.close()
+    }
+    assert(left == List(s"data_v${cat.dataVersionOf("pt")}"), left.toString)
+    assert(spark.sql("SELECT * FROM gproc.pt").count() == 3)
+  }
+}
