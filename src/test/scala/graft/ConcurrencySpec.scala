@@ -101,4 +101,27 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(results.count(_.isSuccess) == 1, results.toString)
     assert(cat.indexesOf("t").count(_._1 == "byv") == 1)
   }
+
+  test("compaction between a writer's pin and publish fails the CAS, loses nothing") {
+    import spark.implicits._
+    val cat = freshCat("compcas")
+    cat.createTable("t", kv, Seq("k"))
+    load(cat, "t", Seq(1L -> "a"))
+    // two trickle merges leave small files for the compactor
+    cat.incrementalMerge("t", Seq(2L -> "b").toDF("k", "v"))
+    cat.incrementalMerge("t", Seq(3L -> "c").toDF("k", "v"))
+    val pinned = cat.dataVersionOf("t")
+    val staged = cat.stagingPath("t")
+    Seq(1L -> "rewritten").toDF("k", "v").write.parquet(staged)
+    // the maintenance job wins the race: version advances
+    cat.compact("t", targetFileBytes = 128L * 1024 * 1024)
+    assert(cat.dataVersionOf("t") == pinned + 1)
+    // the pinned writer must fail its CAS rather than clobber the
+    // compacted snapshot with a stale post-image
+    intercept[java.util.ConcurrentModificationException] {
+      cat.publishStaged("t", staged, expectedVersion = Some(pinned))
+    }
+    // all rows survive, compacted layout intact
+    assert(cat.table("t").df.count() == 3)
+  }
 }
