@@ -157,4 +157,44 @@ object KvLayout {
     ranged.sortWithinPartitions(cols: _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Z-order layout over TWO numeric key columns: rows cluster by the
+    * interleaved-bit value of both keys, so every file's parquet
+    * min/max footprint is narrow in BOTH dimensions — a range filter
+    * on EITHER column prunes most files, where a lexicographic sort
+    * prunes only on the leading column. This is the access-path answer
+    * when a table serves point/range reads on two independent keys
+    * (the HBase-world equivalent is maintaining a second salted/
+    * reversed rowkey table; one z-ordered layout replaces it).
+    *
+    * Each column is min/max-scaled to 16 bits in one aggregate pass
+    * (linear scaling: sufficient for clustering, no rank shuffle), the
+    * z-value is a codegen'd 32-term shift/or chain, and the write is
+    * the same range-partition + sort-within-partitions as writeSorted,
+    * keyed by z. */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String,
+                    path: String, partitions: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    val b = df.agg(
+      fmin(col(colA).cast("double")), fmax(col(colA).cast("double")),
+      fmin(col(colB).cast("double")), fmax(col(colB).cast("double"))).head()
+    def scaled(c: String, lo: Double, hi: Double) = {
+      val span = if (hi > lo) hi - lo else 1.0
+      least(lit(65535L),
+        floor((col(c).cast("double") - lit(lo)) / lit(span) * 65536.0)).cast("long")
+    }
+    val a16 = scaled(colA, b.getDouble(0), b.getDouble(1))
+    val b16 = scaled(colB, b.getDouble(2), b.getDouble(3))
+    val z = (0 until 16).map { i =>
+      shiftleft(shiftright(a16, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(b16, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_.bitwiseOR(_))
+    val withZ = df.withColumn("__graft_z", z)
+    val ranged =
+      if (partitions > 0) withZ.repartitionByRange(partitions, col("__graft_z"))
+      else withZ.repartitionByRange(col("__graft_z"))
+    ranged.sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import graft.kv.KvLayout
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order layout: per-file min/max footprints must be narrow in BOTH
+  * dimensions, so a filter on either key column prunes most files —
+  * the claim behind writeZOrdered's scale story. */
+class ZOrderSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def spans(dir: String, c: String): Seq[(Long, Long)] =
+    spark.read.parquet(dir)
+      .select(col(c), input_file_name().as("f"))
+      .groupBy("f").agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+
+  test("z-order narrows per-file ranges in both dimensions vs lexicographic sort") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 40000)
+      .map(_ => (rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+      .toDF("x", "y")
+    val xDir = java.nio.file.Files.createTempDirectory("graft_zx").toString + "/d"
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zz").toString + "/d"
+    KvLayout.writeSorted(df, Seq("x"), xDir, partitions = 16)
+    KvLayout.writeZOrdered(df, "x", "y", zDir, partitions = 16)
+
+    def avgSpan(s: Seq[(Long, Long)]): Double =
+      s.map { case (lo, hi) => (hi - lo).toDouble }.sum / s.size
+
+    // lexicographic layout: y is unclustered — every file spans ~all of y
+    val ySorted = spans(xDir, "y")
+    assert(avgSpan(ySorted) > 900.0, s"unexpectedly clustered: ${avgSpan(ySorted)}")
+    // z-order: both dimensions clustered (16 z-ranges ≈ a 4×4 grid)
+    val yZ = spans(zDir, "y")
+    val xZ = spans(zDir, "x")
+    assert(avgSpan(yZ) < 0.5 * avgSpan(ySorted),
+      s"y not clustered under z-order: ${avgSpan(yZ)}")
+    assert(avgSpan(xZ) < 600.0, s"x not clustered under z-order: ${avgSpan(xZ)}")
+
+    // the pruning consequence: a point predicate on y overlaps the
+    // min/max of a minority of z-ordered files, but every x-sorted
+    // file. (y=500 would be the adversarial midline of the z-curve —
+    // probe away from the top bit boundary.)
+    val yPoint = 137L
+    def overlapping(s: Seq[(Long, Long)]): Int =
+      s.count { case (lo, hi) => lo <= yPoint && yPoint <= hi }
+    assert(overlapping(ySorted) == ySorted.size)
+    assert(overlapping(yZ) <= yZ.size / 2,
+      s"y=$yPoint overlaps ${overlapping(yZ)}/${yZ.size} z-files")
+  }
+}
