@@ -118,8 +118,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       checkExpected(name, cur, expectedVersion)
       val pk = primaryKeyOf(name)
       val next = cur + 1
-      KvLayout.writeSorted(rows, pk,
-        tableDir(name).resolve(s"data_v$next").toString, partitions)
+      val nextDir = tableDir(name).resolve(s"data_v$next")
+      KvLayout.writeSorted(rows, pk, nextDir.toString, partitions)
+      maintainIndexes(name, next, nextDir, pre = None, post = None)
       setMetaAttr(name, "dataVersion", next)
     }
 
@@ -225,28 +226,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     val manifest = ensureRangeManifest(name, curDir, keyCol)
     val patchKeys = precollectedKeys.getOrElse(
       patch.select(keyCol).distinct().collect().map(r => canonKey(r.get(0))))
-    // strings compare in UTF-8 BYTE order, matching how Spark computed
-    // the files' min/max (UTF8String binary order) — java.lang.String
-    // compareTo is UTF-16 code-unit order and disagrees for
-    // supplementary characters, which would misclassify a file as
-    // untouched and duplicate its rows
-    def cmp(a: Any, b: Any): Int = (a, b) match {
-      case (x: String, y: String) =>
-        val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        var i = 0
-        val n = math.min(xb.length, yb.length)
-        while (i < n) {
-          val c = (xb(i) & 0xFF) - (yb(i) & 0xFF)
-          if (c != 0) return c
-          i += 1
-        }
-        xb.length - yb.length
-      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
-    }
     val (touched, untouched) = manifest.partition { e =>
       e.lo == null || e.hi == null ||
-        patchKeys.exists(k => cmp(e.lo, k) <= 0 && cmp(k, e.hi) <= 0)
+        patchKeys.exists(k => keyCmp(e.lo, k) <= 0 && keyCmp(k, e.hi) <= 0)
     }
     val nextDir = tableDir(name).resolve(s"data_v${cur + 1}")
     val tableCols = schemaOf(name).fieldNames.toSeq
@@ -270,7 +252,33 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
         Files.copy(src, dst): Unit }
     }
     writeRangeManifest(nextDir, newEntries ++ untouched)
+    // synchronous KV-index maintenance (reference KVIndexTable.kt:
+    // every base Put deletes the stale index row and writes the new
+    // one): incremental when the touched entry set is bounded, else a
+    // rebuild from the complete next snapshot
+    maintainIndexes(name, cur + 1, nextDir,
+      pre = Some(touchedDf), post = Some(merged.df))
     setMetaAttr(name, "dataVersion", cur + 1)
+  }
+
+  /** Strings compare in UTF-8 BYTE order, matching how Spark computed
+    * file min/max (UTF8String binary order) — java.lang.String
+    * compareTo is UTF-16 code-unit order and disagrees for
+    * supplementary characters, which would misclassify a file as
+    * untouched and duplicate its rows. */
+  private def keyCmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String) =>
+      val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(xb.length, yb.length)
+      while (i < n) {
+        val c = (xb(i) & 0xFF) - (yb(i) & 0xFF)
+        if (c != 0) return c
+        i += 1
+      }
+      xb.length - yb.length
+    case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
   }
 
   private case class FileRange(file: String, lo: Any, hi: Any)
@@ -398,6 +406,12 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
           catch { case _: UnsupportedOperationException | _: java.io.IOException =>
             Files.copy(src, dst): Unit }
         }
+        // compaction changes layout, not content: every index that was
+        // fresh at cur stays valid — carry its as-of forward
+        indexesOf(name).foreach { case (iname, ty, _) =>
+          if (indexStatus(name, iname, ty) == "FRESH")
+            setIndexAsOf(name, iname, ty, cur + 1)
+        }
         setMetaAttr(name, "dataVersion", cur + 1)
       }
     }
@@ -419,6 +433,19 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
             now - Files.getLastModifiedTime(p).toMillis > stagingGraceMs)
       }.toList
     }.foreach(deleteRecursively)
+    // index snapshots: keep only each index's live (highest) version
+    indexesOf(name).foreach { case (iname, ty, _) =>
+      val dir = indexDir(name, iname, ty)
+      if (Files.exists(dir)) {
+        val keep = resolveIndexDataDir(dir).getFileName.toString
+        withList(dir) { it =>
+          it.filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith("data") && n != keep
+          }.toList
+        }.foreach(deleteRecursively)
+      }
+    }
   }
 
   /** Read a specific historical snapshot (time travel). */
@@ -477,8 +504,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       else withWriteLock(name) {
         val pk = primaryKeyOf(name)
         val next = dataVersionOf(name) + 1
-        KvLayout.writeSorted(table(name).upsert(batch).df, pk,
-          tableDir(name).resolve(s"data_v$next").toString)
+        val nextDir = tableDir(name).resolve(s"data_v$next")
+        KvLayout.writeSorted(table(name).upsert(batch).df, pk, nextDir.toString)
+        maintainIndexes(name, next, nextDir, pre = None, post = None)
         setMetaAttr(name, "dataVersion", next)
       }
     } finally discardStaged(stagedDir)
@@ -525,6 +553,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
           Files.copy(src, dst): Unit }
       }
     }
+    maintainIndexes(name, next, target, pre = None, post = None)
     setMetaAttr(name, "dataVersion", next)
   }
 
@@ -626,6 +655,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       entry.put("name", indexName)
       entry.put("type", indexType.toUpperCase)
       entry.put("cols", cols.mkString(","))
+      entry.put("asOfVersion", dataVersionOf(table))
       reg.add(entry): Unit
       writeMeta(table, meta)
     } finally setMetaAttr(table, "lockStatus", "UNLOCK")
@@ -653,8 +683,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     writeMeta(table, meta)
   }
 
+  /** Live index data: the highest maintained version, falling back to
+    * the original backfill. */
   def indexData(table: String, indexName: String, indexType: String): DataFrame =
-    spark.read.parquet(indexDir(table, indexName, indexType).resolve("data").toString)
+    spark.read.parquet(
+      resolveIndexDataDir(indexDir(table, indexName, indexType)).toString)
 
   /** Index registry from the table's metadata: (name, type, cols). */
   def indexesOf(table: String): Seq[(String, String, Seq[String])] =
@@ -662,6 +695,162 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       (e.path("name").asText(), e.path("type").asText(),
         e.path("cols").asText().split(",").toSeq)
     }.toSeq
+
+  // ------------------------------------------------------------------
+  // Per-write index maintenance.
+  //
+  // Reference semantics: KV index tables are maintained synchronously
+  // on every base-table Put/Delete (KVIndexTable.kt:95-125 — read old
+  // value, delete stale index row, put new one); the Lucene full-text
+  // index is maintained by its own writer and committed out of band.
+  // Here: "kv" indexes update on every write path — file-granularly
+  // when the touched entry set is bounded — while the analytic flavors
+  // (bitmap, fulltext) carry an as-of version, report STALE after
+  // writes, and rebuild via refreshIndex / CALL system.refresh_index.
+  // Index data is versioned like table data (data_vN alongside the
+  // original backfill dir) so a maintenance write never clobbers the
+  // snapshot a concurrent reader resolved.
+  // ------------------------------------------------------------------
+
+  /** Index entry frame for a kv index over `cols`: (ik..., rk). */
+  private def kvEntriesOf(table: String, rows: DataFrame, cols: Seq[String]): DataFrame = {
+    val rk = primaryKeyOf(table).head
+    if (cols.size == 1) graft.index.KvIndex.build(rows, rk, cols.head)
+    else graft.index.KvIndex.buildComposite(rows, rk, cols)
+  }
+
+  private def ikColsOf(n: Int): Seq[String] =
+    if (n == 1) Seq("ik") else (0 until n).map(i => s"ik$i")
+
+  /** Highest versioned index data dir present, falling back to the
+    * original backfill dir. */
+  private def resolveIndexDataDir(dir: Path): Path = {
+    val versions = if (!Files.exists(dir)) Nil
+      else withList(dir) { it =>
+        it.map(_.getFileName.toString)
+          .filter(_.startsWith("data_v"))
+          .flatMap(n => scala.util.Try(n.stripPrefix("data_v").toInt).toOption)
+          .toList
+      }
+    if (versions.isEmpty) dir.resolve("data")
+    else dir.resolve(s"data_v${versions.max}")
+  }
+
+  /** FRESH iff the index content matches the live table version. */
+  def indexStatus(table: String, indexName: String, indexType: String): String = {
+    val asOf = readMeta(table).withArray[ArrayNode]("indexes").elements().asScala
+      .find(e => e.path("name").asText() == indexName &&
+        e.path("type").asText().equalsIgnoreCase(indexType))
+      .map(_.path("asOfVersion").asInt(-1)).getOrElse(-1)
+    if (asOf == dataVersionOf(table)) "FRESH" else s"STALE@v$asOf"
+  }
+
+  private def setIndexAsOf(table: String, indexName: String, indexType: String,
+                           version: Int): Unit = {
+    val meta = readMeta(table)
+    meta.withArray[ArrayNode]("indexes").elements().asScala
+      .find(e => e.path("name").asText() == indexName &&
+        e.path("type").asText().equalsIgnoreCase(indexType))
+      .foreach(_.asInstanceOf[ObjectNode].put("asOfVersion", version))
+    writeMeta(table, meta)
+  }
+
+  /** Bring every registered kv index to `next`. With a bounded
+    * pre/post image of the touched rows the index patch is itself
+    * file-granular (stale entries anti-joined out of intersecting
+    * index files by exact (ik..., rk) tuple, untouched index files
+    * hard-linked across); otherwise — full-snapshot writes, unbounded
+    * or null-keyed entry sets — the index rebuilds from the complete
+    * next snapshot, a write proportional to a write that was already
+    * table-sized. Analytic flavors are left stale on purpose. */
+  private def maintainIndexes(name: String, next: Int, nextDataDir: Path,
+                              pre: Option[DataFrame], post: Option[DataFrame],
+                              maxEntryKeys: Int = 100000): Unit = {
+    val kvIndexes = indexesOf(name).filter(_._2.equalsIgnoreCase("kv"))
+    if (kvIndexes.isEmpty) return
+    lazy val fullPost = spark.read.schema(schemaOf(name)).parquet(nextDataDir.toString)
+    kvIndexes.foreach { case (iname, ty, cols) =>
+      val dir = indexDir(name, iname, ty)
+      val ikCols = ikColsOf(cols.size)
+      val nextIdxDir = dir.resolve(s"data_v$next")
+      val incremental = (pre, post) match {
+        case (Some(p), Some(q)) =>
+          val remove = kvEntriesOf(name, p, cols)
+          val add = kvEntriesOf(name, q, cols)
+          val lead = ikCols.head
+          val keys = remove.select(lead).unionByName(add.select(lead))
+            .distinct().limit(maxEntryKeys + 1).collect().map(r => canonKey(r.get(0)))
+          if (keys.length > maxEntryKeys || keys.contains(null)) false
+          else {
+            val curIdx = resolveIndexDataDir(dir)
+            val ranges = scanRanges(curIdx, lead)
+            val (touched, untouched) = ranges.partition { e =>
+              e.lo == null || e.hi == null ||
+                keys.exists(k => keyCmp(e.lo, k) <= 0 && keyCmp(k, e.hi) <= 0)
+            }
+            val idxSchema = spark.read.parquet(curIdx.toString).schema
+            val touchedIdx =
+              if (touched.isEmpty)
+                spark.createDataFrame(spark.sparkContext.emptyRDD[Row], idxSchema)
+              else spark.read.schema(idxSchema)
+                .parquet(touched.map(e => curIdx.resolve(e.file).toString): _*)
+            // exact-tuple removal, null-safe on ik (an indexed column
+            // may be null); adds are the post-image entries
+            val entryCols = ikCols :+ "rk"
+            val cond = entryCols.map(c =>
+              touchedIdx(c) <=> remove(c)).reduce(_ && _)
+            val patched = touchedIdx.join(remove, cond, "left_anti")
+              .unionByName(add)
+            KvLayout.writeSorted(patched, ikCols, nextIdxDir.toString)
+            untouched.foreach { e =>
+              val src = curIdx.resolve(e.file)
+              val dst = nextIdxDir.resolve(e.file)
+              try Files.createLink(dst, src)
+              catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+                Files.copy(src, dst): Unit }
+            }
+            true
+          }
+        case _ => false
+      }
+      if (!incremental)
+        KvLayout.writeSorted(kvEntriesOf(name, fullPost, cols), ikCols,
+          nextIdxDir.toString)
+      setIndexAsOf(name, iname, ty, next)
+    }
+  }
+
+  /** Rebuild one index at the live version (any flavor) — the SQL
+    * surface is `CALL <cat>.system.refresh_index(...)`. The analytic
+    * flavors' explicit-refresh model is the bulk analog of the
+    * reference's out-of-band Lucene writer commit. */
+  def refreshIndex(table: String, indexName: String, indexType: String): Unit =
+    withWriteLock(table) {
+      val (_, ty, cols) = indexesOf(table)
+        .find(i => i._1 == indexName && i._2.equalsIgnoreCase(indexType))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$table $indexName $indexType not registered"))
+      val dir = indexDir(table, indexName, indexType)
+      val cur = dataVersionOf(table)
+      val t = this.table(table).df
+      val pk = primaryKeyOf(table).head
+      val target = dir.resolve(s"data_v$cur")
+      ty.toUpperCase match {
+        case "KV" =>
+          KvLayout.writeSorted(kvEntriesOf(table, t, cols),
+            ikColsOf(cols.size), target.toString)
+        case "BITMAP" =>
+          graft.index.BitmapIndex.build(t, pk, cols.head)
+            .write.mode("overwrite").parquet(target.toString)
+        case "FULLTEXT" =>
+          val postings = graft.index.FullText.buildPostings(t, pk, cols.head)
+          KvLayout.writeSorted(postings, Seq("term"), target.toString)
+          KvLayout.writeSorted(graft.index.FullText.buildDictionary(postings),
+            Seq("term"), dir.resolve("dict").toString)
+        case other => throw new IllegalArgumentException(s"index type $other")
+      }
+      setIndexAsOf(table, indexName, indexType, cur)
+    }
 
   def listIndexes(table: String): Seq[String] =
     if (!Files.exists(Paths.get(warehouse))) Seq.empty

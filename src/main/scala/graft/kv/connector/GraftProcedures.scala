@@ -25,7 +25,8 @@ import org.apache.spark.sql.types._
   */
 object GraftProcedures {
 
-  val names: Array[String] = Array("compact", "vacuum", "create_index", "drop_index")
+  val names: Array[String] =
+    Array("compact", "vacuum", "create_index", "drop_index", "refresh_index")
 
   def load(cat: => Catalog, procName: String): UnboundProcedure =
     procName.toLowerCase match {
@@ -46,6 +47,10 @@ object GraftProcedures {
         Array(in("table", StringType), in("index", StringType),
           in("index_type", StringType)),
         r => cat.dropIndex(str(r, 0), str(r, 1), str(r, 2)))
+      case "refresh_index" => proc("refresh_index",
+        Array(in("table", StringType), in("index", StringType),
+          in("index_type", StringType)),
+        r => cat.refreshIndex(str(r, 0), str(r, 1), str(r, 2)))
       case other =>
         throw new UnsupportedOperationException(s"unknown procedure $other " +
           s"(have: ${names.mkString(", ")})")
