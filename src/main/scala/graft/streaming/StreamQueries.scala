@@ -92,6 +92,23 @@ object StreamQueries {
         .orderBy($"user_id")
     },
 
+    "evt_transitions" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // event-type transition matrix (first-order Markov counts): one
+      // lag window per user (shuffle on user_id, the natural state
+      // key) + one hash agg over the (prev, next) pairs.
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+        .withColumn("prev", lag($"event_type", 1).over(w))
+        .filter($"prev".isNotNull)
+        .withColumnRenamed("event_type", "next")
+        .groupBy($"prev", $"next")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"prev", $"next")
+    },
+
     "evt_anomaly" -> { (s, d) =>
       import s.implicits._
       // per-user daily-volume anomaly sweep: days whose event count
@@ -278,6 +295,18 @@ object StreamQueries {
         |  CAST(least(64, blen - i * 64) AS INT) AS frame_len
         |FROM m, LATERAL unnest(range(0, CAST(ceil(blen / 64.0) AS BIGINT))) AS u(i)
         |WHERE i % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "evt_transitions" ->
+      // micro-truncate ts so tie-breaks match Spark's micros exactly
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY date_trunc('microseconds', ts), event_id) AS prev
+        |  FROM events)
+        |SELECT prev, event_type AS next, COUNT(*) AS n
+        |FROM seq WHERE prev IS NOT NULL
+        |GROUP BY prev, event_type ORDER BY prev, next""".stripMargin,
 
     "evt_anomaly" ->
       """WITH daily AS (
