@@ -174,6 +174,13 @@ object DedupQueries {
       Ann.lshTopK(e, "vec_id", "embedding", e.filter($"vec_id" < 20), k = 3)
         .orderBy($"qid", $"rn")
     },
+
+    "sim_quant_topk" -> { (s, d) =>
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      Ann.quantizedTopK(e, "vec_id", "embedding", e.filter($"vec_id" < 20), k = 3)
+        .orderBy($"qid", $"rn")
+    },
   )
 
   def oracles: Map[String, String] = Map(
@@ -256,6 +263,26 @@ object DedupQueries {
         |  SELECT qid, nn, score,
         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nn) AS rn
         |  FROM scored)
+        |SELECT qid, CAST(rn AS INT) AS rn, nn, score FROM ranked
+        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    // int8 symmetric quantization + exact integer-dot ranking: every
+    // double step is IEEE correctly-rounded, so codes and scores are
+    // bit-identical across engines
+    "sim_quant_topk" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |    greatest(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 1e-30) AS mx
+        |  FROM embeddings),
+        |qz AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 127.0 / mx) AS INT)) AS q8
+        |  FROM m),
+        |q AS (SELECT vec_id AS qid, q8 AS qq FROM qz WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS nn,
+        |    CAST(list_sum(list_transform(range(1, len(e.q8) + 1),
+        |      i -> CAST(q.qq[CAST(i AS INT)] AS BIGINT) * e.q8[CAST(i AS INT)])) AS BIGINT) AS score
+        |  FROM q CROSS JOIN qz e WHERE e.vec_id <> q.qid),
+        |ranked AS (SELECT qid, nn, score,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nn) AS rn FROM scored)
         |SELECT qid, CAST(rn AS INT) AS rn, nn, score FROM ranked
         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     // dd_minhash_lsh, dd_simhash, sim_lsh_ann: hash-seeded signatures

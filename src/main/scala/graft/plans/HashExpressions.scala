@@ -139,6 +139,20 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
     copy(left = l, right = r)
 }
 
+/** Exact BIGINT dot product of two array<int> vectors — the scoring
+  * kernel for int8-quantized similarity search (integer math, so
+  * scores are bit-identical across engines with no float rounding). */
+case class DotIntExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Long.valueOf(HashOps.dotInt(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.plans.HashOps.dotInt($l, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotIntExpr =
+    copy(left = l, right = r)
+}
+
 object HashExpressions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
   def minhashSig(c: Column, sigLen: Int = 64): Column =
@@ -149,6 +163,8 @@ object HashExpressions {
   def charBigrams(c: Column): Column = column(CharBigramsExpr(expression(c)))
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSimExpr(expression(a), expression(b)))
+  def dotInt(a: Column, b: Column): Column =
+    column(DotIntExpr(expression(a), expression(b)))
   def wordShingles(c: Column, n: Int): Column = column(WordShinglesExpr(expression(c), n))
   def wordNgrams(c: Column, n: Int): Column = column(WordNgramsExpr(expression(c), n))
   def tokens(c: Column): Column = column(TokensExpr(expression(c)))

@@ -204,6 +204,18 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  // ---- Integer dot product (quantized vectors) ---------------------
+  def dotInt(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getInt(i).toLong * b.getInt(i).toLong
+      i += 1
+    }
+    acc
+  }
+
   // ---- Cosine similarity -------------------------------------------
   def cosine(a: ArrayData, b: ArrayData, aIsFloat: Boolean, bIsFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())

@@ -119,6 +119,32 @@ object Ann {
     ivfSearch(buildIvf(embs, idCol, vecCol, maxIter, maxTrain),
       queries, idCol, vecCol, k, nprobe)
 
+  /** Int8 quantization: q_i = round(x_i · 127 / max|x|), the standard
+    * symmetric per-vector scheme. 4× smaller than float32 — at 100 TB
+    * the quantized corpus is what streams through the scoring scan,
+    * with the float vectors consulted only for re-ranking if needed.
+    * Every arithmetic step (abs, max, scale, round) is an IEEE
+    * correctly-rounded double op, so quantized codes are bit-identical
+    * across engines — and the integer dot scores below are exact. */
+  def quantizeInt8(vec: Column): Column = {
+    val mx = greatest(array_max(transform(vec, x => abs(x.cast("double")))), lit(1e-30))
+    transform(vec, x => round(x.cast("double") * lit(127.0) / mx).cast("int"))
+  }
+
+  /** Quantized brute-force top-k: integer-dot scores over int8 codes
+    * (native DotIntExpr — exact BIGINT, no float rounding anywhere in
+    * the ranking). Same contract as bruteTopK with `score` = raw
+    * integer dot. */
+  def quantizedTopK(embs: DataFrame, idCol: String, vecCol: String,
+                    queries: DataFrame, k: Int): DataFrame = {
+    val corpus = embs.select(col(idCol).as("nn"), quantizeInt8(col(vecCol)).as("qv8"))
+    val q = queries.select(col(idCol).as("qid"), quantizeInt8(col(vecCol)).as("qq8"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("nn") =!= col("qid"))
+      .withColumn("score", graft.plans.HashExpressions.dotInt(col("qq8"), col("qv8")))
+    rank(scored, k)
+  }
+
   def lshTopK(embs: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, k: Int, bits: Int = 12): DataFrame = {
     val corpus = embs.select(col(idCol).as("nn"), col(vecCol).as("v"),

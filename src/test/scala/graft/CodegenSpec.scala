@@ -45,6 +45,9 @@ class CodegenSpec extends AnyFunSuite {
       val v = vecs.select($"id",
         HashExpressions.lshBucket($"vf", 8).as("bf"),
         HashExpressions.lshBucket($"vd", 8).as("bd"),
+        HashExpressions.dotInt(
+          transform($"vf", x => round(x * 10).cast("int")),
+          transform($"vd", x => round(x * 10).cast("int"))).as("di"),
         round(HashExpressions.cosineSim($"vf", $"vd"), 9).as("cosFD"),
         round(HashExpressions.cosineSim($"vd", $"vd"), 9).as("cosDD"))
         .orderBy($"id").collect().toSeq
