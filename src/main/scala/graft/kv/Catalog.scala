@@ -433,15 +433,20 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
             now - Files.getLastModifiedTime(p).toMillis > stagingGraceMs)
       }.toList
     }.foreach(deleteRecursively)
-    // index snapshots: keep only each index's live (highest) version
+    // index snapshots: keep only each index's LIVE version (resolved
+    // against the published table pointer — an orphan data_v(next)
+    // from a crashed maintenance job is garbage, not the keeper) and
+    // its dictionary counterpart
     indexesOf(name).foreach { case (iname, ty, _) =>
       val dir = indexDir(name, iname, ty)
       if (Files.exists(dir)) {
-        val keep = resolveIndexDataDir(dir).getFileName.toString
+        val keep = Set(resolveIndexDataDir(dir, name).getFileName.toString,
+          resolveIndexVersioned(dir, "dict", dataVersionOf(name))
+            .getFileName.toString)
         withList(dir) { it =>
           it.filter { p =>
             val n = p.getFileName.toString
-            n.startsWith("data") && n != keep
+            (n.startsWith("data") || n.startsWith("dict")) && !keep.contains(n)
           }.toList
         }.foreach(deleteRecursively)
       }
@@ -541,6 +546,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     }
     val next = cur + 1
     val target = tableDir(name).resolve(s"data_v$next")
+    // a data_v(next) left by a publish that failed AFTER its move
+    // (e.g. in index maintenance) is unpublished garbage — the pointer
+    // never reached it, readers never resolved it; clear it so every
+    // later statement isn't wedged on FileAlreadyExists
+    if (Files.exists(target)) deleteRecursively(target)
     Files.move(Paths.get(stagedDir), target)
     if (carryLive) {
       val curDir = tableDir(name).resolve(s"data_v$cur")
@@ -666,7 +676,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     readMeta(table).path("lockStatus").asText()
 
   def indexDictionary(table: String, indexName: String, indexType: String): DataFrame =
-    spark.read.parquet(indexDir(table, indexName, indexType).resolve("dict").toString)
+    spark.read.parquet(resolveIndexVersioned(
+      indexDir(table, indexName, indexType), "dict", dataVersionOf(table)).toString)
 
   def dropIndex(table: String, indexName: String, indexType: String): Unit = withWriteLock(table) {
     val dir = indexDir(table, indexName, indexType)
@@ -683,11 +694,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     writeMeta(table, meta)
   }
 
-  /** Live index data: the highest maintained version, falling back to
-    * the original backfill. */
+  /** Live index data: the highest maintained version at or below the
+    * published table version, falling back to the original backfill. */
   def indexData(table: String, indexName: String, indexType: String): DataFrame =
     spark.read.parquet(
-      resolveIndexDataDir(indexDir(table, indexName, indexType)).toString)
+      resolveIndexDataDir(indexDir(table, indexName, indexType), table).toString)
 
   /** Index registry from the table's metadata: (name, type, cols). */
   def indexesOf(table: String): Seq[(String, String, Seq[String])] =
@@ -722,19 +733,29 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   private def ikColsOf(n: Int): Seq[String] =
     if (n == 1) Seq("ik") else (0 until n).map(i => s"ik$i")
 
-  /** Highest versioned index data dir present, falling back to the
-    * original backfill dir. */
-  private def resolveIndexDataDir(dir: Path): Path = {
+  /** Highest versioned index dir at or below the PUBLISHED table
+    * version, falling back to the original backfill dir. Bounding by
+    * the published version is what makes maintenance crash-safe for
+    * lock-free readers: a data_v(next) written mid-merge (or orphaned
+    * by a failed publish) is invisible until the table pointer
+    * actually reaches `next`, so readers never pair a post-image
+    * index with a pre-image table. */
+  private def resolveIndexVersioned(dir: Path, prefix: String,
+                                    maxVersion: Int): Path = {
     val versions = if (!Files.exists(dir)) Nil
       else withList(dir) { it =>
         it.map(_.getFileName.toString)
-          .filter(_.startsWith("data_v"))
-          .flatMap(n => scala.util.Try(n.stripPrefix("data_v").toInt).toOption)
+          .filter(_.startsWith(s"${prefix}_v"))
+          .flatMap(n => scala.util.Try(n.stripPrefix(s"${prefix}_v").toInt).toOption)
+          .filter(_ <= maxVersion)
           .toList
       }
-    if (versions.isEmpty) dir.resolve("data")
-    else dir.resolve(s"data_v${versions.max}")
+    if (versions.isEmpty) dir.resolve(prefix)
+    else dir.resolve(s"${prefix}_v${versions.max}")
   }
+
+  private def resolveIndexDataDir(dir: Path, table: String): Path =
+    resolveIndexVersioned(dir, "data", dataVersionOf(table))
 
   /** FRESH iff the index content matches the live table version. */
   def indexStatus(table: String, indexName: String, indexType: String): String = {
@@ -782,7 +803,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
             .distinct().limit(maxEntryKeys + 1).collect().map(r => canonKey(r.get(0)))
           if (keys.length > maxEntryKeys || keys.contains(null)) false
           else {
-            val curIdx = resolveIndexDataDir(dir)
+            val curIdx = resolveIndexDataDir(dir, name)
             val ranges = scanRanges(curIdx, lead)
             val (touched, untouched) = ranges.partition { e =>
               e.lo == null || e.hi == null ||
@@ -845,8 +866,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
         case "FULLTEXT" =>
           val postings = graft.index.FullText.buildPostings(t, pk, cols.head)
           KvLayout.writeSorted(postings, Seq("term"), target.toString)
+          // dict is versioned like the postings — rewriting a shared
+          // dict/ in place would clobber the snapshot a concurrent
+          // reader resolved
           KvLayout.writeSorted(graft.index.FullText.buildDictionary(postings),
-            Seq("term"), dir.resolve("dict").toString)
+            Seq("term"), dir.resolve(s"dict_v$cur").toString)
         case other => throw new IllegalArgumentException(s"index type $other")
       }
       setIndexAsOf(table, indexName, indexType, cur)

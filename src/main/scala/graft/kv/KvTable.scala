@@ -178,6 +178,12 @@ object KvLayout {
     val b = df.agg(
       fmin(col(colA).cast("double")), fmax(col(colA).cast("double")),
       fmin(col(colB).cast("double")), fmax(col(colB).cast("double"))).head()
+    if (b.isNullAt(0) || b.isNullAt(2)) {
+      // empty (or all-null-key) input: no bounds to scale by — degrade
+      // to the plain sorted layout instead of NPEing on the null aggs
+      writeSorted(df, Seq(colA, colB), path, partitions)
+      return
+    }
     def scaled(c: String, lo: Double, hi: Double) = {
       val span = if (hi > lo) hi - lo else 1.0
       least(lit(65535L),

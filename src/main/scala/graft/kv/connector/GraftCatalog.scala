@@ -95,11 +95,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   /** Index DDL + store maintenance as SQL:
     * `CALL <catalog>.system.compact('t')` etc. — see
-    * [[GraftProcedures]]. */
-  override def loadProcedure(ident: Identifier):
-      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
-    GraftProcedures.load(cat, ident.name())
+    * [[GraftProcedures]]. Procedures live ONLY in the `system`
+    * namespace (bare `CALL cat.proc` is accepted as shorthand). */
+  private def requireSystemNs(namespace: Array[String]): Unit =
+    require(namespace.isEmpty || namespace.sameElements(Array("system")),
+      s"no procedures in namespace '${namespace.mkString(".")}' — use system")
 
-  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    requireSystemNs(ident.namespace())
+    GraftProcedures.load(cat, ident.name())
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    requireSystemNs(namespace)
     GraftProcedures.names.map(n => Identifier.of(Array("system"), n))
+  }
 }
