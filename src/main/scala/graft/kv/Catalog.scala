@@ -68,12 +68,20 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
 
   /** Reference: column names may not be `id` (reserved for the
     * implicit uuid primary key) — HBaseSchema.kt:112-117. */
+  /** `layout`: "sorted" (default — lexicographic rowkey sort, the
+    * HBase-region analog) or "zorder" (two-column primary keys only:
+    * interleaved-bit clustering so range reads on EITHER key column
+    * prune files; the HBase-world alternative is a second
+    * salted-rowkey table). */
   def createTable(name: String,
                   schema: StructType,
                   primaryKey: Seq[String],
                   isTransactional: Boolean = true,
-                  comment: String = ""): Unit = {
+                  comment: String = "",
+                  layout: String = "sorted"): Unit = {
     require(primaryKey.nonEmpty, "no primary key") // PrimaryKeyMissedException
+    require(layout == "sorted" || (layout == "zorder" && primaryKey.size == 2),
+      s"layout '$layout' requires a two-column primary key (got ${primaryKey.size})")
     require(!schema.fieldNames.exists(_.equalsIgnoreCase("id")),
       "column name should not be id") // IllegalColumnNameException
     require(!tableExists(name), s"table $name exists")
@@ -86,6 +94,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     meta.put("lockStatus", "UNLOCK")
     meta.put("charset", "UTF-8")
     meta.put("comment", comment)
+    meta.put("layout", layout)
     meta.set[JsonNode]("indexes", mapper.createArrayNode()): Unit
     val cols = mapper.createArrayNode()
     schema.fields.zipWithIndex.foreach { case (f, i) =>
@@ -107,6 +116,19 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
 
   def tableExists(name: String): Boolean = Files.exists(metaFile(name))
 
+  def layoutOf(name: String): String =
+    readMeta(name).path("layout").asText("sorted")
+
+  /** Layout-dispatching snapshot writer: every write path persists
+    * through the table's declared layout. */
+  private def writeData(name: String, df: DataFrame, path: String,
+                        partitions: Int = 0): Unit = {
+    val pk = primaryKeyOf(name)
+    if (layoutOf(name) == "zorder" && pk.size == 2)
+      KvLayout.writeZOrdered(df, pk.head, pk(1), path, partitions)
+    else KvLayout.writeSorted(df, pk, path, partitions)
+  }
+
   /** Bulk load rows (the "Bulk read/write" path): write the next
     * snapshot, then swap the pointer. `rows` may derive from the
     * table's current snapshot (COW merge) — the write targets a new
@@ -116,10 +138,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     withWriteLock(name) {
       val cur = dataVersionOf(name)
       checkExpected(name, cur, expectedVersion)
-      val pk = primaryKeyOf(name)
       val next = cur + 1
       val nextDir = tableDir(name).resolve(s"data_v$next")
-      KvLayout.writeSorted(rows, pk, nextDir.toString, partitions)
+      writeData(name, rows, nextDir.toString, partitions)
       maintainIndexes(name, next, nextDir, pre = None, post = None)
       setMetaAttr(name, "dataVersion", next)
     }
@@ -241,7 +262,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     // simply don't anti-join away anything
     val merged = KvTable(touchedDf, pk)
       .upsert(patch.select(tableCols.map(org.apache.spark.sql.functions.col): _*))
-    KvLayout.writeSorted(merged.df, pk, nextDir.toString)
+    writeData(name, merged.df, nextDir.toString)
     val newEntries = scanRanges(nextDir, keyCol)
     // carry untouched files into the new snapshot without touching data
     untouched.foreach { e =>
@@ -397,9 +418,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
         val totalBytes = small.map(Files.size(_)).sum
         val parts = math.max(1,
           math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-        KvLayout.writeSorted(
+        writeData(name,
           spark.read.schema(schemaOf(name)).parquet(small.map(_.toString): _*),
-          primaryKeyOf(name), nextDir.toString, parts)
+          nextDir.toString, parts)
         big.foreach { src =>
           val dst = nextDir.resolve(src.getFileName.toString)
           try Files.createLink(dst, src)
@@ -507,10 +528,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       if (keys.length <= maxIncrementalKeys)
         incrementalMerge(name, batch, precollectedKeys = Some(keys))
       else withWriteLock(name) {
-        val pk = primaryKeyOf(name)
         val next = dataVersionOf(name) + 1
         val nextDir = tableDir(name).resolve(s"data_v$next")
-        KvLayout.writeSorted(table(name).upsert(batch).df, pk, nextDir.toString)
+        writeData(name, table(name).upsert(batch).df, nextDir.toString)
         maintainIndexes(name, next, nextDir, pre = None, post = None)
         setMetaAttr(name, "dataVersion", next)
       }

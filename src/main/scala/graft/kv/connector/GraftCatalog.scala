@@ -74,7 +74,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       .map(_.split(",").map(_.trim).toSeq)
       .getOrElse(Seq(schema.fieldNames.head))
     val comment = Option(properties.get(TableCatalog.PROP_COMMENT)).getOrElse("")
-    cat.createTable(tableName(ident), schema, pk, comment = comment)
+    val layout = Option(properties.get("layout")).getOrElse("sorted")
+    cat.createTable(tableName(ident), schema, pk, comment = comment, layout = layout)
     loadTable(ident)
   }
 

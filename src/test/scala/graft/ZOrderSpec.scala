@@ -51,4 +51,33 @@ class ZOrderSpec extends AnyFunSuite {
     assert(overlapping(yZ) <= yZ.size / 2,
       s"y=$yPoint overlaps ${overlapping(yZ)}/${yZ.size} z-files")
   }
+
+  test("a table declared layout=zorder writes z-clustered snapshots through every path") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_ztab_wh").toString
+    spark.conf.set("spark.sql.catalog.gzt",
+      classOf[graft.kv.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gzt.warehouse", wh)
+    spark.sql("CREATE TABLE gzt.zt (x BIGINT NOT NULL, y BIGINT NOT NULL, v STRING) " +
+      "TBLPROPERTIES ('primaryKey'='x,y', 'layout'='zorder')")
+    val cat = new graft.kv.Catalog(spark, wh)
+    assert(cat.layoutOf("zt") == "zorder")
+
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 20000)
+      .map(i => (rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong, s"r$i"))
+      .groupBy(t => (t._1, t._2)).values.map(_.head).toSeq // unique (x,y) PKs
+    cat.bulkLoad("zt", rows.toDF("x", "y", "v"), partitions = 16)
+
+    val live = cat.liveDataPath("zt")
+    val xs = spans(live, "x"); val ys = spans(live, "y")
+    def avgSpan(s: Seq[(Long, Long)]): Double =
+      s.map { case (lo, hi) => (hi - lo).toDouble }.sum / s.size
+    assert(avgSpan(xs) < 600.0 && avgSpan(ys) < 600.0,
+      s"layout not z-clustered: x=${avgSpan(xs)} y=${avgSpan(ys)}")
+    // reads are layout-agnostic: point/range predicates still correct
+    val expect = rows.count { case (x, y, _) => x == rows.head._1 }
+    assert(spark.sql(s"SELECT * FROM gzt.zt WHERE x = ${rows.head._1}")
+      .count() == expect)
+  }
 }
