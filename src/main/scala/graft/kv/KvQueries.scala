@@ -130,6 +130,30 @@ object KvQueries {
       s.sql("SELECT k, v, score FROM graft.sqldemo ORDER BY k")
     },
 
+    "kv_zorder_scan" -> { (s, d) =>
+      import s.implicits._
+      // z-order layout end-to-end: a two-key table declared
+      // layout=zorder, bulk-loaded, then filtered on the SECOND key
+      // column — the access pattern a lexicographic rowkey can't
+      // prune (HBase-world answer: a second salted-rowkey table; here
+      // the one z-clustered layout serves both key columns)
+      val wh = Files.tempWarehouse("zorder")
+      val cat = new Catalog(s, wh)
+      if (cat.tableExists("zli")) cat.dropTable("zli")
+      cat.createTable("zli",
+        StructType(Seq(
+          StructField("l_orderkey", LongType, false),
+          StructField("l_linenumber", IntegerType, false),
+          StructField("l_quantity", DoubleType, true))),
+        primaryKey = Seq("l_orderkey", "l_linenumber"), layout = "zorder")
+      cat.bulkLoad("zli", Tables.lineitem(s, d)
+        .filter($"l_orderkey" < 2000)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity"), partitions = 8)
+      cat.table("zli").df
+        .filter($"l_linenumber" === 5)
+        .orderBy($"l_orderkey")
+    },
+
     "ddl_catalog" -> { (s, d) =>
       import s.implicits._
       val wh = Files.tempWarehouse()
@@ -165,6 +189,11 @@ object KvQueries {
   def oracles: Map[String, String] = Map(
     "kv_point_get" ->
       "SELECT * FROM customer WHERE c_custkey = 42",
+
+    "kv_zorder_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey < 2000 AND l_linenumber = 5
+        |ORDER BY l_orderkey""".stripMargin,
 
     "kv_multi_get" ->
       """SELECT * FROM part WHERE p_partkey IN (1,5,10,99,123)
