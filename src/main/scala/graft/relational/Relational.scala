@@ -292,6 +292,19 @@ object Relational {
         .orderBy($"o_custkey", $"o_orderkey")
     },
 
+    "q29_skew_agg" -> { (s, d) =>
+      import s.implicits._
+      // two-phase salted aggregation (operators.Skew): the hot-key
+      // GROUP BY shape — scatter over salt sub-keys, partial agg,
+      // finish per key. Decimal sums, so the salted partial order
+      // can't perturb the result vs the plain GROUP BY oracle.
+      val li = Tables.lineitem(s, d)
+        .withColumn("qty", $"l_quantity".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+      graft.operators.Skew.saltedSumCount(li, Seq("l_returnflag"), "qty", salt = 8)
+        .select($"l_returnflag", $"sum_qty".cast("double").as("sum_qty"), $"n")
+        .orderBy($"l_returnflag")
+    },
+
     "q28_pivot" -> { (s, d) =>
       import s.implicits._
       // PIVOT: order counts + total price per priority, one column per
@@ -525,6 +538,12 @@ object Relational {
         |WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
         |                      WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q29_skew_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q28_pivot" ->
       """SELECT o_orderpriority,
