@@ -136,6 +136,27 @@ object TextQueries {
           round($"bmx".cast("double") / $"bn", 4).as("top_bigram_frac"))
         .orderBy($"doc_id")
     },
+
+    "txt_chunks" -> { (s, d) =>
+      import s.implicits._
+      // RAG-ingestion chunking: 64-token windows, stride 48 (16-token
+      // overlap). Pure map-side — one tokenize + one explode per doc,
+      // no shuffle until the final order; at 100 TB chunking is a scan.
+      val win = 64; val stride = 48
+      val t = Tables.documents(s, d)
+        .select($"doc_id", tokens($"text").as("toks"))
+        .filter(size($"toks") > 0)
+      val nChunks = when(size($"toks") <= win, lit(1))
+        .otherwise(lit(1) + ceil((size($"toks") - win) / lit(stride.toDouble)).cast("int"))
+      t.select($"doc_id", $"toks",
+          explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+        .select($"doc_id", $"chunk_idx",
+          slice($"toks", $"chunk_idx" * stride + 1, lit(win)).as("chunk"))
+        .select($"doc_id", $"chunk_idx",
+          size($"chunk").as("n_chunk_tokens"),
+          md5(array_join($"chunk", " ")).as("chunk_md5"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
   )
 
   private val Tok = "string_split_regex(lower(text), '[^a-z0-9]+')"
@@ -256,5 +277,20 @@ object TextQueries {
          |  ROUND(CAST(wmx AS DOUBLE) / wn, 4) AS top_word_frac,
          |  ROUND(CAST(bmx AS DOUBLE) / bn, 4) AS top_bigram_frac
          |FROM wmax JOIN bmax USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "txt_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $cleanTok AS toks FROM documents),
+         |nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+         |idx AS (SELECT doc_id, toks, n,
+         |          unnest(range(0, CASE WHEN n <= 64 THEN 1
+         |            ELSE 1 + CAST(CEIL((n - 64) / 48.0) AS INT) END)) AS chunk_idx
+         |        FROM nz),
+         |ch AS (SELECT doc_id, chunk_idx,
+         |          toks[CAST(chunk_idx * 48 + 1 AS INT):CAST(chunk_idx * 48 + 64 AS INT)] AS chunk
+         |       FROM idx)
+         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         |  CAST(len(chunk) AS INT) AS n_chunk_tokens,
+         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
   )
 }
