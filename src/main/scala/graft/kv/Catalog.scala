@@ -80,8 +80,19 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
                   comment: String = "",
                   layout: String = "sorted"): Unit = {
     require(primaryKey.nonEmpty, "no primary key") // PrimaryKeyMissedException
-    require(layout == "sorted" || (layout == "zorder" && primaryKey.size == 2),
-      s"layout '$layout' requires a two-column primary key (got ${primaryKey.size})")
+    require(layout == "sorted" || layout == "zorder",
+      s"unknown layout '$layout' — use 'sorted' or 'zorder'")
+    if (layout == "zorder") {
+      require(primaryKey.size == 2,
+        s"layout 'zorder' requires a two-column primary key (got ${primaryKey.size})")
+      // z-values come from min/max-scaled doubles: non-numeric keys
+      // would silently cast to null and lose all clustering
+      primaryKey.foreach { k =>
+        val dt = schema.apply(k).dataType
+        require(dt.isInstanceOf[NumericType],
+          s"layout 'zorder' needs numeric key columns; '$k' is ${dt.sql}")
+      }
+    }
     require(!schema.fieldNames.exists(_.equalsIgnoreCase("id")),
       "column name should not be id") // IllegalColumnNameException
     require(!tableExists(name), s"table $name exists")
@@ -545,14 +556,17 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     tableDir(name).resolve(
       s".staging_${java.util.UUID.randomUUID().toString.replace("-", "")}").toString
 
-  /** Publish a staged snapshot directory as the next version: rename
-    * into place and bump the pointer atomically under the write lock.
-    * The version number is allocated inside the lock, so a racing
-    * writer can never collide on a directory or lose a bump.
-    * `carryLive = true` additionally hard-links the previous live
-    * snapshot's files into the published one (append semantics);
-    * `false` publishes the staged content as the complete post-image
-    * (replace semantics). */
+  /** Publish a staged snapshot as the next version: persist the
+    * staged post-image through the table's declared LAYOUT into
+    * data_v(next) and bump the pointer under the write lock. The
+    * staged dir is raw DSv2 writer output — republishing it through
+    * writeData is what keeps the layout invariant (rowkey sort or
+    * z-clustering, hence file min/max pruning) across SQL row-level
+    * rewrites, the same way HBase flushes AND compactions both emit
+    * sorted HFiles. One extra pass over the post-image; row-level ops
+    * are bulk rewrites already. `carryLive = true` additionally folds
+    * the previous live snapshot in (append semantics); `false`
+    * publishes the staged content as the complete post-image. */
   def publishStaged(name: String, stagedDir: String,
                     carryLive: Boolean = false,
                     expectedVersion: Option[Int] = None): Unit = withWriteLock(name) {
@@ -566,23 +580,17 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     }
     val next = cur + 1
     val target = tableDir(name).resolve(s"data_v$next")
-    // a data_v(next) left by a publish that failed AFTER its move
+    // a data_v(next) left by a publish that failed before its bump
     // (e.g. in index maintenance) is unpublished garbage — the pointer
-    // never reached it, readers never resolved it; clear it so every
-    // later statement isn't wedged on FileAlreadyExists
-    if (Files.exists(target)) deleteRecursively(target)
-    Files.move(Paths.get(stagedDir), target)
-    if (carryLive) {
-      val curDir = tableDir(name).resolve(s"data_v$cur")
-      withList(curDir) { it =>
-        it.filter(_.getFileName.toString.startsWith("part-")).toList
-      }.foreach { src =>
-        val dst = target.resolve(src.getFileName.toString)
-        try Files.createLink(dst, src)
-        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-          Files.copy(src, dst): Unit }
-      }
-    }
+    // never reached it, readers never resolved it; writeData's
+    // overwrite clears it so later statements aren't wedged
+    val staged = spark.read.schema(schemaOf(name)).parquet(stagedDir)
+    val post =
+      if (carryLive) staged.unionByName(spark.read.schema(schemaOf(name))
+        .parquet(tableDir(name).resolve(s"data_v$cur").toString))
+      else staged
+    writeData(name, post, target.toString)
+    deleteRecursively(Paths.get(stagedDir))
     maintainIndexes(name, next, target, pre = None, post = None)
     setMetaAttr(name, "dataVersion", next)
   }

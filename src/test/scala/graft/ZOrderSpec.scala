@@ -79,5 +79,19 @@ class ZOrderSpec extends AnyFunSuite {
     val expect = rows.count { case (x, y, _) => x == rows.head._1 }
     assert(spark.sql(s"SELECT * FROM gzt.zt WHERE x = ${rows.head._1}")
       .count() == expect)
+
+    // the layout survives a SQL row-level rewrite: publishStaged
+    // republishes the post-image through the declared layout
+    // (AQE would coalesce the tiny post-image to one file, which has
+    // no spans to measure — hold it open for the assertion)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try spark.sql(s"UPDATE gzt.zt SET v = 'updated' WHERE x = ${rows.head._1}")
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val live2 = cat.liveDataPath("zt")
+    val xs2 = spans(live2, "x"); val ys2 = spans(live2, "y")
+    assert(xs2.size >= 2, s"post-update snapshot is one file: ${xs2.size}")
+    assert(avgSpan(xs2) < 700.0 && avgSpan(ys2) < 700.0,
+      s"layout lost after UPDATE: x=${avgSpan(xs2)} y=${avgSpan(ys2)}")
+    assert(spark.sql("SELECT count(*) FROM gzt.zt").head().getLong(0) == rows.size)
   }
 }
