@@ -139,6 +139,21 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
     copy(left = l, right = r)
 }
 
+/** Symmetric int8 quantization of an array<float|double> vector:
+  * q_i = round_half_away(x_i · 127 / max|x|) — codes array<int>.
+  * Bit-identical across engines (IEEE correctly-rounded double steps,
+  * rounding mode matches Spark round() and DuckDB ROUND()). */
+case class QuantizeI8Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(input: Any): Any =
+    HashOps.quantizeI8(input.asInstanceOf[ArrayData], elemIsFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashOps.quantizeI8($c, $elemIsFloat)")
+  override protected def withNewChildInternal(c: Expression): QuantizeI8Expr = copy(child = c)
+}
+
 /** Exact BIGINT dot product of two array<int> vectors — the scoring
   * kernel for int8-quantized similarity search (integer math, so
   * scores are bit-identical across engines with no float rounding). */
@@ -165,6 +180,7 @@ object HashExpressions {
     column(CosineSimExpr(expression(a), expression(b)))
   def dotInt(a: Column, b: Column): Column =
     column(DotIntExpr(expression(a), expression(b)))
+  def quantizeI8(c: Column): Column = column(QuantizeI8Expr(expression(c)))
   def wordShingles(c: Column, n: Int): Column = column(WordShinglesExpr(expression(c), n))
   def wordNgrams(c: Column, n: Int): Column = column(WordNgramsExpr(expression(c), n))
   def tokens(c: Column): Column = column(TokensExpr(expression(c)))

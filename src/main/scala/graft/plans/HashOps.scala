@@ -204,6 +204,32 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  // ---- Int8 symmetric quantization ---------------------------------
+  // q_i = round_half_away(x_i · 127 / max|x|). One pass for the max,
+  // one for the codes — the HOF form inlined the max INTO the
+  // per-element lambda and recomputed it per element (O(d²)
+  // interpreted). Rounding is half-away-from-zero, matching Spark's
+  // round() and DuckDB's ROUND() exactly.
+  def quantizeI8(arr: ArrayData, elemIsFloat: Boolean): ArrayData = {
+    val n = arr.numElements()
+    var mx = 1e-30
+    var i = 0
+    while (i < n) {
+      val v = math.abs(if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i))
+      if (v > mx) mx = v
+      i += 1
+    }
+    val out = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      val x = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      val v = x * 127.0 / mx
+      out(i) = (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toInt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // ---- Integer dot product (quantized vectors) ---------------------
   def dotInt(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())

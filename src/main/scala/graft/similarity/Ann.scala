@@ -125,11 +125,11 @@ object Ann {
     * with the float vectors consulted only for re-ranking if needed.
     * Every arithmetic step (abs, max, scale, round) is an IEEE
     * correctly-rounded double op, so quantized codes are bit-identical
-    * across engines — and the integer dot scores below are exact. */
-  def quantizeInt8(vec: Column): Column = {
-    val mx = greatest(array_max(transform(vec, x => abs(x.cast("double")))), lit(1e-30))
-    transform(vec, x => round(x.cast("double") * lit(127.0) / mx).cast("int"))
-  }
+    * across engines — and the integer dot scores below are exact.
+    * Native expression: the composed-HOF form inlined the max into
+    * the per-element lambda (O(d²) interpreted per row). */
+  def quantizeInt8(vec: Column): Column =
+    graft.plans.HashExpressions.quantizeI8(vec)
 
   /** Quantized brute-force top-k: integer-dot scores over int8 codes
     * (native DotIntExpr — exact BIGINT, no float rounding anywhere in

@@ -48,6 +48,8 @@ class CodegenSpec extends AnyFunSuite {
         HashExpressions.dotInt(
           transform($"vf", x => round(x * 10).cast("int")),
           transform($"vd", x => round(x * 10).cast("int"))).as("di"),
+        HashExpressions.quantizeI8($"vf").as("q8f"),
+        HashExpressions.quantizeI8($"vd").as("q8d"),
         round(HashExpressions.cosineSim($"vf", $"vd"), 9).as("cosFD"),
         round(HashExpressions.cosineSim($"vd", $"vd"), 9).as("cosDD"))
         .orderBy($"id").collect().toSeq
