@@ -62,11 +62,28 @@ object GraftExtensions {
     inject("graft_word_shingles", "graft_word_shingles(str, n) - distinct word n-gram shingles") {
       case Seq(c, n) => WordShinglesExpr(c, intArg(n, "n"))
     }
+    inject("graft_word_ngrams", "graft_word_ngrams(str, n) - word n-gram multiset (non-distinct)") {
+      case Seq(c, n) => WordNgramsExpr(c, intArg(n, "n"))
+    }
+    inject("graft_tokens", "graft_tokens(str) - lowercase alnum-run tokens") {
+      case Seq(c) => TokensExpr(c)
+    }
+    inject("graft_cosine", "graft_cosine(vecA, vecB) - cosine similarity") {
+      case Seq(a, b) => CosineSimExpr(a, b)
+    }
+    inject("graft_quantize_i8", "graft_quantize_i8(vec) - symmetric int8 quantization codes") {
+      case Seq(c) => QuantizeI8Expr(c)
+    }
+    inject("graft_dot_int", "graft_dot_int(codesA, codesB) - exact BIGINT integer dot product") {
+      case Seq(a, b) => DotIntExpr(a, b)
+    }
 
-    // Column-composed functions (tokens/quality/langId/fingerprint/
-    // cosine) stay Column-API only: a function builder must return a
+    // Column-composed functions (quality/langId/fingerprint) stay
+    // Column-API only: a function builder must return a
     // self-contained catalyst tree, and expressions lifted from
     // public functions._ Columns carry unresolved ColumnNode wrappers.
+    // (The native expressions above ARE self-contained, so they
+    // register directly.)
     out.toSeq
   }
 }

@@ -98,6 +98,16 @@ class PlanSpec extends AnyFunSuite {
     assert(r.getInt(0) == 2)
     assert(r.getSeq[Long](2).length == 8)
     assert(r.getInt(3) == 2)
+    val v = spark.sql(
+      """SELECT graft_dot_int(graft_quantize_i8(array(0.5D, -1.0D)),
+        |                     graft_quantize_i8(array(0.5D, -1.0D))) AS selfdot,
+        |  round(graft_cosine(array(1.0D, 2.0D), array(2.0D, 4.0D)), 6) AS cos,
+        |  size(graft_word_ngrams('a b c', 2)) AS nng,
+        |  size(graft_tokens('A b-C')) AS ntok""".stripMargin).head()
+    // codes for (0.5, -1.0) are (64, -127): self-dot = 64^2 + 127^2
+    assert(v.getLong(0) == 64L * 64 + 127L * 127)
+    assert(v.getDouble(1) == 1.0)
+    assert(v.getInt(2) == 2 && v.getInt(3) == 3)
   }
 
   test("catalog index DDL round-trip (kv + bitmap)") {
