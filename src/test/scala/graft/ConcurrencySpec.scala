@@ -124,4 +124,21 @@ class ConcurrencySpec extends AnyFunSuite {
     // all rows survive, compacted layout intact
     assert(cat.table("t").df.count() == 3)
   }
+
+  test("DELETE of every row publishes an empty laid-out snapshot") {
+    val wh = Files.createTempDirectory("graft_delall_wh").toString
+    spark.conf.set("spark.sql.catalog.gdel",
+      classOf[graft.kv.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdel.warehouse", wh)
+    spark.sql("CREATE TABLE gdel.t (k BIGINT NOT NULL, v STRING) " +
+      "TBLPROPERTIES ('primaryKey'='k')")
+    spark.sql("INSERT INTO gdel.t VALUES (1,'a'), (2,'b'), (3,'c')")
+    // the staged post-image has ZERO rows: publishStaged must still
+    // republish it through the layout and flip the pointer
+    spark.sql("DELETE FROM gdel.t WHERE k >= 0")
+    assert(spark.sql("SELECT * FROM gdel.t").count() == 0)
+    // and the table stays writable afterwards
+    spark.sql("INSERT INTO gdel.t VALUES (9,'z')")
+    assert(spark.sql("SELECT v FROM gdel.t WHERE k = 9").head().getString(0) == "z")
+  }
 }
