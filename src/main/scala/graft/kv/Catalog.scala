@@ -86,11 +86,14 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       require(primaryKey.size == 2,
         s"layout 'zorder' requires a two-column primary key (got ${primaryKey.size})")
       // z-values come from min/max-scaled doubles: non-numeric keys
-      // would silently cast to null and lose all clustering
+      // would silently cast to null and lose all clustering.
+      // Case-insensitive field lookup, like Spark's default resolution.
       primaryKey.foreach { k =>
-        val dt = schema.apply(k).dataType
-        require(dt.isInstanceOf[NumericType],
-          s"layout 'zorder' needs numeric key columns; '$k' is ${dt.sql}")
+        val f = schema.fields.find(_.name.equalsIgnoreCase(k))
+          .getOrElse(throw new IllegalArgumentException(
+            s"primary key column '$k' not in schema"))
+        require(f.dataType.isInstanceOf[NumericType],
+          s"layout 'zorder' needs numeric key columns; '$k' is ${f.dataType.sql}")
       }
     }
     require(!schema.fieldNames.exists(_.equalsIgnoreCase("id")),
@@ -564,11 +567,10 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * z-clustering, hence file min/max pruning) across SQL row-level
     * rewrites, the same way HBase flushes AND compactions both emit
     * sorted HFiles. One extra pass over the post-image; row-level ops
-    * are bulk rewrites already. `carryLive = true` additionally folds
-    * the previous live snapshot in (append semantics); `false`
-    * publishes the staged content as the complete post-image. */
+    * are bulk rewrites already. The staged content is published as the
+    * COMPLETE post-image (replace semantics — appends go through
+    * [[upsertStaged]]'s PK merge instead). */
   def publishStaged(name: String, stagedDir: String,
-                    carryLive: Boolean = false,
                     expectedVersion: Option[Int] = None): Unit = withWriteLock(name) {
     val cur = dataVersionOf(name)
     try checkExpected(name, cur, expectedVersion)
@@ -585,11 +587,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     // never reached it, readers never resolved it; writeData's
     // overwrite clears it so later statements aren't wedged
     val staged = spark.read.schema(schemaOf(name)).parquet(stagedDir)
-    val post =
-      if (carryLive) staged.unionByName(spark.read.schema(schemaOf(name))
-        .parquet(tableDir(name).resolve(s"data_v$cur").toString))
-      else staged
-    writeData(name, post, target.toString)
+    writeData(name, staged, target.toString)
     deleteRecursively(Paths.get(stagedDir))
     maintainIndexes(name, next, target, pre = None, post = None)
     setMetaAttr(name, "dataVersion", next)

@@ -172,15 +172,13 @@ object KvLayout {
     * z-value is a codegen'd 32-term shift/or chain, and the write is
     * the same range-partition + sort-within-partitions as writeSorted,
     * keyed by z. */
-  def writeZOrdered(df0: DataFrame, colA: String, colB: String,
+  def writeZOrdered(df: DataFrame, colA: String, colB: String,
                     path: String, partitions: Int = 0): Unit = {
     import org.apache.spark.sql.functions.{min => fmin, max => fmax}
-    // two actions consume the input (bounds aggregate + the write):
-    // persist so an expensive upstream (a merge plan, a filtered scan)
-    // isn't computed twice
-    val df = df0.persist()
-    try {
-    val b = df.agg(
+    // the bounds pass re-runs the input plan but over ONLY the two key
+    // columns (column-pruned down to the scan) — cheaper than caching
+    // the full post-image just to save a pruned second pass
+    val b = df.select(col(colA), col(colB)).agg(
       fmin(col(colA).cast("double")), fmax(col(colA).cast("double")),
       fmin(col(colB).cast("double")), fmax(col(colB).cast("double"))).head()
     if (b.isNullAt(0) || b.isNullAt(2)) {
@@ -207,6 +205,5 @@ object KvLayout {
     ranged.sortWithinPartitions(col("__graft_z"))
       .drop("__graft_z")
       .write.mode("overwrite").parquet(path)
-    } finally df.unpersist()
   }
 }

@@ -48,13 +48,13 @@ class GraftSqlTable(cat: Catalog, tableName: String)
     delegate.newScanBuilder(options)
 
   /** Builds a WriteBuilder that stages into a fresh uniquely-named
-    * directory and publishes it as the next COW snapshot on commit —
-    * the append path carries the previous live files in via hard
-    * links, the replace path (row-level ops) publishes the staged
-    * content as the whole post-image. Writers never touch the live
-    * directory or a shared staging path, so concurrent statements
-    * can't corrupt each other: the version is allocated at publish
-    * time under the table write lock. */
+    * directory and commits through the catalog — INSERT batches merge
+    * via upsertStaged (PK last-writer-wins), row-level rewrites
+    * publish the staged content as the whole post-image via
+    * publishStaged. Writers never touch the live directory or a
+    * shared staging path, so concurrent statements can't corrupt each
+    * other: the version is allocated at commit time under the table
+    * write lock. */
   private def stagedWriteBuilder(writeInfo: LogicalWriteInfo,
                                  stripOpColumn: Boolean)
                                 (publish: String => Unit): WriteBuilder = {
@@ -132,7 +132,7 @@ class GraftSqlTable(cat: Catalog, tableName: String)
         // silently erase that write — fail the statement instead
         override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
           stagedWriteBuilder(writeInfo, stripOpColumn = true)(staged =>
-            cat.publishStaged(tableName, staged, carryLive = false,
+            cat.publishStaged(tableName, staged,
               expectedVersion = Some(pinnedVersion)))
       }
     }

@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -23,6 +24,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * fallback rows, no codegen-span break in the hot path.
   */
 
+/** Analysis-time input checks: these expressions are registered as
+  * SQL functions, so a mistyped argument must fail analysis with a
+  * clear message — the kernels read ArrayData storage directly, and a
+  * silently reinterpreted element type would produce garbage. */
+private[plans] object KernelChecks {
+  import TypeCheckResult.{TypeCheckFailure, TypeCheckSuccess}
+  def stringArray(dt: DataType, fn: String): TypeCheckResult = dt match {
+    case ArrayType(StringType, _) => TypeCheckSuccess
+    case other => TypeCheckFailure(s"$fn expects array<string>, got ${other.sql}")
+  }
+  def floatVec(dt: DataType, fn: String): TypeCheckResult = dt match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckSuccess
+    case other => TypeCheckFailure(s"$fn expects array<float|double>, got ${other.sql}")
+  }
+  def intVec(dt: DataType, fn: String): TypeCheckResult = dt match {
+    case ArrayType(IntegerType, _) => TypeCheckSuccess
+    case other => TypeCheckFailure(s"$fn expects array<int>, got ${other.sql}")
+  }
+  def text(dt: DataType, fn: String): TypeCheckResult = dt match {
+    case StringType => TypeCheckSuccess
+    case other => TypeCheckFailure(s"$fn expects string, got ${other.sql}")
+  }
+  def both(a: TypeCheckResult, b: => TypeCheckResult): TypeCheckResult =
+    if (a == TypeCheckSuccess) b else a
+}
+
 /** MinHash signature over array<string>, output array<long> of length
   * sigLen. Empty input → all Long.MaxValue (no shingles ⇒ never
   * collides).
@@ -34,6 +61,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * is ~sigLen× less byte-scanning than re-seeding XXH64 per slot, which
   * dominated this expression's profile. */
 case class MinHashSigExpr(child: Expression, sigLen: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelChecks.stringArray(child.dataType, "graft_minhash_sig")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     HashOps.minhashSig(input.asInstanceOf[ArrayData], sigLen)
@@ -45,6 +74,8 @@ case class MinHashSigExpr(child: Expression, sigLen: Int) extends UnaryExpressio
 /** 64-bit SimHash over an array<string> of tokens: bit b of the result
   * is set iff Σ_tokens (±1 by bit b of XXH64(token, 0)) ≥ 0. */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelChecks.stringArray(child.dataType, "graft_simhash64")
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     java.lang.Long.valueOf(HashOps.simhash64(input.asInstanceOf[ArrayData]))
@@ -58,6 +89,8 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   * "0"/"1" string (matches VectorFunctions.lshBucket). Plane values
   * are memoized per (bits, dims) inside HashOps. */
 case class LshBucketExpr(child: Expression, bits: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelChecks.floatVec(child.dataType, "graft_lsh_bucket")
   override def dataType: DataType = StringType
   private def elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -73,6 +106,8 @@ case class LshBucketExpr(child: Expression, bits: Int) extends UnaryExpression {
   * lambdas at sf0.1. Matches TextFunctions.charBigrams semantics:
   * bigrams of code-unit positions 1..len-1, lowercased. */
 case class CharBigramsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelChecks.text(child.dataType, "graft_char_bigrams")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     HashOps.charBigrams(input.asInstanceOf[UTF8String])
@@ -86,6 +121,8 @@ case class CharBigramsExpr(child: Expression) extends UnaryExpression {
   * which the DuckDB oracle replicates. Feeds every text-analysis
   * query, so it runs native instead of split+filter+lambda. */
 case class TokensExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelChecks.text(child.dataType, "graft_tokens")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     HashOps.tokens(input.asInstanceOf[UTF8String])
@@ -101,6 +138,8 @@ case class TokensExpr(child: Expression) extends UnaryExpression {
   * ASCII text. The HOF form ran ~5M interpreted slice+join lambdas at
   * sf0.1. */
 case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelChecks.text(child.dataType, "graft_word_shingles")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     HashOps.wordShingles(input.asInstanceOf[UTF8String], n)
@@ -113,6 +152,8 @@ case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   * has fewer than n tokens) — repetition/quality statistics need
   * counts per n-gram, which the distinct shingle set can't supply. */
 case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelChecks.text(child.dataType, "graft_word_ngrams")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     HashOps.wordNgrams(input.asInstanceOf[UTF8String], n)
@@ -126,6 +167,9 @@ case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
   * zip_with/aggregate form it replaces, which evaluated interpreted
   * lambdas per element: ~64M per 1M pairs at sf0.1). */
 case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelChecks.both(KernelChecks.floatVec(left.dataType, "graft_cosine"),
+      KernelChecks.floatVec(right.dataType, "graft_cosine"))
   override def dataType: DataType = DoubleType
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -144,6 +188,8 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
   * Bit-identical across engines (IEEE correctly-rounded double steps,
   * rounding mode matches Spark round() and DuckDB ROUND()). */
 case class QuantizeI8Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelChecks.floatVec(child.dataType, "graft_quantize_i8")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   private def elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -158,6 +204,9 @@ case class QuantizeI8Expr(child: Expression) extends UnaryExpression {
   * kernel for int8-quantized similarity search (integer math, so
   * scores are bit-identical across engines with no float rounding). */
 case class DotIntExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelChecks.both(KernelChecks.intVec(left.dataType, "graft_dot_int"),
+      KernelChecks.intVec(right.dataType, "graft_dot_int"))
   override def dataType: DataType = LongType
   override def nullSafeEval(l: Any, r: Any): Any =
     java.lang.Long.valueOf(HashOps.dotInt(

@@ -31,13 +31,15 @@ object HashOps {
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0L)
-      var j = 0
-      while (j < sigLen) {
-        val v = a(j) * h + b(j)
-        if (v < sig(j)) sig(j) = v
-        j += 1
+      if (!arr.isNullAt(i)) { // null elements carry no shingle
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0L)
+        var j = 0
+        while (j < sigLen) {
+          val v = a(j) * h + b(j)
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
       }
       i += 1
     }
@@ -50,12 +52,14 @@ object HashOps {
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
-        b += 1
+      if (!arr.isNullAt(i)) { // null tokens contribute no votes
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }
@@ -82,7 +86,8 @@ object HashOps {
     val v = new Array[Double](n)
     var d = 0
     while (d < n) {
-      v(d) = if (elemIsFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+      v(d) = if (arr.isNullAt(d)) 0.0 // null dims contribute nothing
+        else if (elemIsFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
       d += 1
     }
     val ps = planes(bits, n)
@@ -214,15 +219,18 @@ object HashOps {
     val n = arr.numElements()
     var mx = 1e-30
     var i = 0
+    def elem(k: Int): Double = // null dims read as 0 (codec-stable)
+      if (arr.isNullAt(k)) 0.0
+      else if (elemIsFloat) arr.getFloat(k).toDouble else arr.getDouble(k)
     while (i < n) {
-      val v = math.abs(if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i))
+      val v = math.abs(elem(i))
       if (v > mx) mx = v
       i += 1
     }
     val out = new Array[Int](n)
     i = 0
     while (i < n) {
-      val x = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      val x = elem(i)
       val v = x * 127.0 / mx
       out(i) = (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toInt
       i += 1
@@ -236,7 +244,8 @@ object HashOps {
     var acc = 0L
     var i = 0
     while (i < n) {
-      acc += a.getInt(i).toLong * b.getInt(i).toLong
+      if (!a.isNullAt(i) && !b.isNullAt(i)) // null codes contribute 0
+        acc += a.getInt(i).toLong * b.getInt(i).toLong
       i += 1
     }
     acc
@@ -248,8 +257,10 @@ object HashOps {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = if (aIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = if (a.isNullAt(i)) 0.0
+        else if (aIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (b.isNullAt(i)) 0.0
+        else if (bIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }

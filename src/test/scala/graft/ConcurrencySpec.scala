@@ -125,7 +125,7 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(cat.table("t").df.count() == 3)
   }
 
-  test("DELETE of every row publishes an empty laid-out snapshot") {
+  test("row-level delete of every row publishes an empty snapshot through each path") {
     val wh = Files.createTempDirectory("graft_delall_wh").toString
     spark.conf.set("spark.sql.catalog.gdel",
       classOf[graft.kv.connector.GraftCatalog].getName)
@@ -133,8 +133,17 @@ class ConcurrencySpec extends AnyFunSuite {
     spark.sql("CREATE TABLE gdel.t (k BIGINT NOT NULL, v STRING) " +
       "TBLPROPERTIES ('primaryKey'='k')")
     spark.sql("INSERT INTO gdel.t VALUES (1,'a'), (2,'b'), (3,'c')")
-    // the staged post-image has ZERO rows: publishStaged must still
-    // republish it through the layout and flip the pointer
+    // MERGE ... THEN DELETE takes the ROW-LEVEL replace path: the
+    // staged post-image has ZERO rows and publishStaged must still
+    // republish it through the layout and flip the pointer (a plain
+    // filter DELETE would take the metadata-delete shortcut instead)
+    spark.sql("""MERGE INTO gdel.t t
+      |USING (SELECT * FROM VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
+      |                            (CAST(3 AS BIGINT)) s(k)) s
+      |ON t.k = s.k
+      |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT * FROM gdel.t").count() == 0)
+    // the metadata-delete path on the now-empty table is a no-op too
     spark.sql("DELETE FROM gdel.t WHERE k >= 0")
     assert(spark.sql("SELECT * FROM gdel.t").count() == 0)
     // and the table stays writable afterwards
