@@ -185,4 +185,45 @@ class IngestSpec extends AnyFunSuite {
     val salted = Skew.saltedJoin(l, o, "o_orderkey", 4).count()
     assert(salted == plain)
   }
+
+  test("streaming CDC keeps a registered kv index fresh per micro-batch") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_cdcidx_wh").toString
+    val cat = new Catalog(spark, wh)
+    cat.createTable("st",
+      StructType(Seq(
+        StructField("user_id", LongType, false),
+        StructField("event_type", StringType, true),
+        StructField("value", DoubleType, true))),
+      primaryKey = Seq("user_id"))
+    cat.bulkLoad("st", Seq((1L, "seed", 0.0)).toDF("user_id", "event_type", "value"))
+    cat.createIndex("st", "by_type", "kv", Seq("event_type"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdcidx_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val raw = spark.readStream
+      .schema(Tables.load(spark, sf, "events").schema)
+      .parquet(dir.toString)
+    val stream =
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val q = MutationIngest.start(spark, stream, cat, "st",
+      keyCol = "user_id", orderCol = "ts", tieCol = "event_id")
+    try q.processAllAvailable() finally q.stop()
+
+    // index followed the micro-batch merges: FRESH, one entry per row,
+    // and a lookup through it matches a direct scan
+    assert(cat.indexStatus("st", "by_type", "kv") == "FRESH")
+    val idx = cat.indexData("st", "by_type", "kv")
+    val base = cat.table("st").df
+    assert(idx.count() == base.count())
+    val viaIndex = graft.index.KvIndex.lookup(base, "user_id", idx, "purchase")
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    val direct = base.filter(col("event_type") === "purchase")
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(viaIndex == direct && direct.nonEmpty)
+  }
 }
