@@ -232,7 +232,23 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
         val tomb = lock.resolveSibling(
           s".lock_broken_${java.util.UUID.randomUUID().toString.take(8)}")
         Files.move(lock, tomb, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        Files.deleteIfExists(tomb): Unit
+        // The rename is by PATH, not identity: between the staleness
+        // read above and the move, another waiter may have broken the
+        // lock and a LIVE writer re-acquired it — in which case the
+        // file just moved away is the live owner's. Verify the moved
+        // file still carries the tag judged stale (pid+millis, unique
+        // per acquisition); on mismatch put it straight back (rename
+        // replaces atomically). Residual: a writer that createFile'd
+        // in the microseconds between the two renames is clobbered by
+        // the restore — that needs a second break-and-reacquire inside
+        // this window, vs. the unchecked version where ONE
+        // break-and-reacquire anywhere in the wait loop discarded a
+        // live lock.
+        val movedTag = try Files.readString(tomb).trim catch { case _: Exception => "" }
+        if (movedTag == txt) { Files.deleteIfExists(tomb): Unit }
+        else Files.move(tomb, lock,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
       }
     } catch { case _: Exception => () } // lost a race with release/another breaker — retry loop continues
   }
@@ -261,10 +277,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     val manifest = ensureRangeManifest(name, curDir, keyCol)
     val patchKeys = precollectedKeys.getOrElse(
       patch.select(keyCol).distinct().collect().map(r => canonKey(r.get(0))))
-    val (touched, untouched) = manifest.partition { e =>
-      e.lo == null || e.hi == null ||
-        patchKeys.exists(k => keyCmp(e.lo, k) <= 0 && keyCmp(k, e.hi) <= 0)
-    }
+    // rowkeys are non-null (HBase rowkey semantics); a null here would
+    // also poison the ordered key search below
+    require(!patchKeys.contains(null),
+      s"primary key $keyCol may not be null in a merge batch")
+    val (touched, untouched) = splitByKeyIntersect(manifest, patchKeys)
     val nextDir = tableDir(name).resolve(s"data_v${cur + 1}")
     val tableCols = schemaOf(name).fieldNames.toSeq
     val touchedDf =
@@ -317,6 +334,29 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   }
 
   private case class FileRange(file: String, lo: Any, hi: Any)
+
+  /** (touched, untouched) split of file ranges against a patch-key
+    * set: the keys are sorted once and each file's [lo,hi] does ONE
+    * binary search — O((F+K)·log K) driver CPU. The naive nested scan
+    * is O(F×K): a 100 TB table at 128 MB/file is ~800k manifest
+    * entries, and with 100k patch keys that is ~10¹¹ comparisons on
+    * the driver per micro-batch. Null-bounded entries (zero-row part
+    * files) are always "touched" — they contribute no rows. Keys must
+    * be non-null (callers enforce). */
+  private def splitByKeyIntersect(entries: Seq[FileRange],
+                                  keys: Array[Any]): (Seq[FileRange], Seq[FileRange]) = {
+    val sorted = keys.sortWith(keyCmp(_, _) < 0)
+    // first key >= lo exists and is <= hi  ⇔  some key falls in [lo,hi]
+    def hasKeyIn(lo: Any, hi: Any): Boolean = {
+      var l = 0; var r = sorted.length
+      while (l < r) {
+        val m = (l + r) >>> 1
+        if (keyCmp(sorted(m), lo) < 0) l = m + 1 else r = m
+      }
+      l < sorted.length && keyCmp(sorted(l), hi) <= 0
+    }
+    entries.partition(e => e.lo == null || e.hi == null || hasKeyIn(e.lo, e.hi))
+  }
 
   /** Canonical comparable form: every integral → Long, every floating
     * → Double, so a JSON-round-tripped bound compares against a typed
@@ -451,42 +491,70 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       }
     }
 
-  /** Drop all snapshots except the live one, plus any staging
-    * directories orphaned by aborted writers. DSv2 writers stage
-    * OUTSIDE the write lock, so a staging dir may belong to an
-    * in-flight statement — only staging dirs idle past the grace
-    * window are reclaimed (an active writer keeps touching its dir as
-    * tasks commit files into it). */
-  def vacuum(name: String, stagingGraceMs: Long = 3600000L): Unit = withWriteLock(name) {
+  /** Drop dead snapshots and any staging directories orphaned by
+    * aborted writers. Readers are lock-free and pin a version at load
+    * time (GraftSqlTable), so nothing non-live is reclaimed until it
+    * has been dead for `graceMs` — a statement pinned just before a
+    * concurrent publish keeps its snapshot files for the whole grace
+    * window (the same reasoning covers in-flight staging dirs: an
+    * active writer keeps touching its dir as tasks commit files).
+    * `graceMs = 0` reclaims immediately (tests, offline maintenance). */
+  def vacuum(name: String, graceMs: Long = 3600000L): Unit = withWriteLock(name) {
     val live = s"data_v${dataVersionOf(name)}"
     val now = System.currentTimeMillis()
+    def idle(p: Path): Boolean =
+      now - Files.getLastModifiedTime(p).toMillis >= graceMs
     withList(tableDir(name)) { it =>
       it.filter { p =>
         val n = p.getFileName.toString
-        (n.startsWith("data_v") && n != live) ||
-          (n.startsWith(".staging_") &&
-            now - Files.getLastModifiedTime(p).toMillis > stagingGraceMs)
+        ((n.startsWith("data_v") && n != live) || n.startsWith(".staging_")) &&
+          idle(p)
       }.toList
     }.foreach(deleteRecursively)
-    // index snapshots: keep only each index's LIVE version (resolved
+    // index snapshots: keep each index's LIVE version (resolved
     // against the published table pointer — an orphan data_v(next)
-    // from a crashed maintenance job is garbage, not the keeper) and
-    // its dictionary counterpart
+    // from a crashed maintenance job is garbage, not the keeper), its
+    // dictionary counterpart, and any incremental segments/tombstones
+    // still contributing to the live view; everything else ages out
+    // under the same grace window
     indexesOf(name).foreach { case (iname, ty, _) =>
       val dir = indexDir(name, iname, ty)
       if (Files.exists(dir)) {
-        val keep = Set(resolveIndexDataDir(dir, name).getFileName.toString,
+        val baseData = resolveIndexDataDir(dir, name)
+        val keep = Set(baseData.getFileName.toString,
           resolveIndexVersioned(dir, "dict", dataVersionOf(name))
             .getFileName.toString)
+        val baseVer = indexBaseVersion(baseData)
         withList(dir) { it =>
           it.filter { p =>
             val n = p.getFileName.toString
-            (n.startsWith("data") || n.startsWith("dict")) && !keep.contains(n)
+            val liveSegment = segmentVersion(n).exists(v =>
+              v > baseVer && v <= dataVersionOf(name))
+            (n.startsWith("data") || n.startsWith("dict") ||
+              n.startsWith("seg_v") || n.startsWith("tomb_v") ||
+              n.startsWith("dictdelta_v")) &&
+              !keep.contains(n) && !liveSegment && idle(p)
           }.toList
         }.foreach(deleteRecursively)
       }
     }
   }
+
+  /** Version carried by a segment/tombstone/dict-delta dir name, if any. */
+  private def segmentVersion(dirName: String): Option[Int] =
+    Seq("seg_v", "tomb_v", "dictdelta_v").collectFirst {
+      case p if dirName.startsWith(p) =>
+        scala.util.Try(dirName.stripPrefix(p).toInt).toOption
+    }.flatten
+
+  /** Version a resolved base index dir was built at (`data` backfill
+    * dirs predate versioning and count as version of the backfill —
+    * every segment applies on top of them). */
+  private def indexBaseVersion(baseData: Path): Int = {
+    val n = baseData.getFileName.toString
+    if (n.startsWith("data_v"))
+      scala.util.Try(n.stripPrefix("data_v").toInt).getOrElse(-1)
+    else -1
 
   /** Read a specific historical snapshot (time travel). */
   def tableAt(name: String, version: Int): KvTable =
@@ -528,15 +596,35 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   def upsertStaged(name: String, stagedDir: String,
                    maxIncrementalKeys: Int = 100000): Unit =
     try {
-      val cols = schemaOf(name).fieldNames.toSeq
-        .map(org.apache.spark.sql.functions.col)
+      import org.apache.spark.sql.functions.{col, struct, max}
+      val fields = schemaOf(name).fieldNames.toSeq
+      val cols = fields.map(col)
+      val pk = primaryKeyOf(name)
+      val raw = spark.read.schema(schemaOf(name)).parquet(stagedDir)
+      // rowkeys are non-null, like HBase rowkeys — reject at write time
+      // with a clear error instead of NPEing in the merge's key
+      // comparator (one limit-1 job over the pk columns of the batch)
+      if (!raw.select(pk.map(col): _*)
+            .where(pk.map(col(_).isNull).reduce(_ || _)).isEmpty)
+        throw new IllegalArgumentException(
+          s"primary key (${pk.mkString(",")}) of $name may not be null")
       // within-statement duplicate PKs collapse to one row (HBase batch
-      // Puts on one rowkey leave a single cell version visible)
-      val batch = spark.read.schema(schemaOf(name)).parquet(stagedDir)
-        .dropDuplicates(primaryKeyOf(name)).select(cols: _*)
+      // Puts on one rowkey leave a single cell version visible). A DSv2
+      // batch has no meaningful row order after parallel write, so the
+      // winner is made DETERMINISTIC instead: the greatest tuple of the
+      // non-key columns (struct ordering, nulls first) — identical
+      // batches always publish identical post-images, which is what
+      // makes streaming-batch replay idempotent.
+      val others = fields.filterNot(pk.contains)
+      val batch =
+        if (others.isEmpty) raw.dropDuplicates(pk) // rows are identical
+        else raw.groupBy(pk.map(col): _*)
+          .agg(max(struct(others.map(col): _*)).as("__w"))
+          .select(pk.map(col) ++ others.map(o => col(s"__w.$o").as(o)): _*)
+          .select(cols: _*)
       // one bounded job decides the path AND feeds the merge's file
       // pruning — the merge never re-collects
-      val keyCol = primaryKeyOf(name).head
+      val keyCol = pk.head
       val keys = batch.select(keyCol).distinct()
         .limit(maxIncrementalKeys + 1).collect().map(r => canonKey(r.get(0)))
       if (keys.length <= maxIncrementalKeys)
@@ -831,10 +919,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
           else {
             val curIdx = resolveIndexDataDir(dir, name)
             val ranges = scanRanges(curIdx, lead)
-            val (touched, untouched) = ranges.partition { e =>
-              e.lo == null || e.hi == null ||
-                keys.exists(k => keyCmp(e.lo, k) <= 0 && keyCmp(k, e.hi) <= 0)
-            }
+            val (touched, untouched) = splitByKeyIntersect(ranges, keys)
             val idxSchema = spark.read.parquet(curIdx.toString).schema
             val touchedIdx =
               if (touched.isEmpty)
