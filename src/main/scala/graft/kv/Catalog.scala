@@ -318,7 +318,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * compareTo is UTF-16 code-unit order and disagrees for
     * supplementary characters, which would misclassify a file as
     * untouched and duplicate its rows. */
-  private def keyCmp(a: Any, b: Any): Int = (a, b) match {
+  private[graft] def keyCmp(a: Any, b: Any): Int = (a, b) match {
     case (x: String, y: String) =>
       val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -333,7 +333,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
   }
 
-  private case class FileRange(file: String, lo: Any, hi: Any)
+  private[graft] case class FileRange(file: String, lo: Any, hi: Any)
 
   /** (touched, untouched) split of file ranges against a patch-key
     * set: the keys are sorted once and each file's [lo,hi] does ONE
@@ -343,8 +343,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * the driver per micro-batch. Null-bounded entries (zero-row part
     * files) are always "touched" — they contribute no rows. Keys must
     * be non-null (callers enforce). */
-  private def splitByKeyIntersect(entries: Seq[FileRange],
-                                  keys: Array[Any]): (Seq[FileRange], Seq[FileRange]) = {
+  private[graft] def splitByKeyIntersect(entries: Seq[FileRange],
+                                         keys: Array[Any]): (Seq[FileRange], Seq[FileRange]) = {
     val sorted = keys.sortWith(keyCmp(_, _) < 0)
     // first key >= lo exists and is <= hi  ⇔  some key falls in [lo,hi]
     def hasKeyIn(lo: Any, hi: Any): Boolean = {
@@ -555,6 +555,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     if (n.startsWith("data_v"))
       scala.util.Try(n.stripPrefix("data_v").toInt).getOrElse(-1)
     else -1
+  }
 
   /** Read a specific historical snapshot (time travel). */
   def tableAt(name: String, version: Int): KvTable =
