@@ -49,11 +49,43 @@ object Bitmap {
     into
   }
 
+  /** Sparse/dense container boundary, roaring-style: a chunk holding
+    * ≤4096 ids serializes as a sorted uint16 offset array (2 B/id, ≤
+    * 8 KiB), above that as the full 1024-word bitset (8 KiB flat) —
+    * the sparse form is never larger than the dense one. A
+    * high-cardinality indexed column (many values, few rows each) thus
+    * costs ~2 B/row instead of 8 KiB per touched chunk. In memory both
+    * forms expand to dense words, so set/or/and/andNot stay word-wise.
+    */
+  private final val SparseMax = 4096
+
+  private def chunkCard(w: Array[Long]): Int = {
+    var i = 0; var c = 0
+    while (i < WordsPerChunk) { c += java.lang.Long.bitCount(w(i)); i += 1 }
+    c
+  }
+
   def serialize(chunks: Chunks): Array[Byte] = {
-    val buf = ByteBuffer.allocate(4 + chunks.size * (4 + 8 * WordsPerChunk))
-    buf.putInt(chunks.size)
-    chunks.toSeq.sortBy(_._1).foreach { case (c, w) =>
-      buf.putInt(c); w.foreach(buf.putLong)
+    val entries = chunks.toSeq.sortBy(_._1).map { case (c, w) => (c, w, chunkCard(w)) }
+    val size = 4 + entries.map { case (_, _, card) =>
+      8 + (if (card <= SparseMax) 2 * card else 8 * WordsPerChunk)
+    }.sum
+    val buf = ByteBuffer.allocate(size)
+    buf.putInt(entries.size)
+    entries.foreach { case (c, w, card) =>
+      buf.putInt(c); buf.putInt(card)
+      if (card <= SparseMax) {
+        var i = 0
+        while (i < WordsPerChunk) {
+          var word = w(i)
+          while (word != 0L) {
+            val bit = java.lang.Long.numberOfTrailingZeros(word)
+            buf.putShort(((i << 6) | bit).toShort)
+            word &= word - 1
+          }
+          i += 1
+        }
+      } else w.foreach(buf.putLong)
     }
     buf.array()
   }
@@ -64,8 +96,14 @@ object Bitmap {
     val chunks = new Chunks()
     (0 until n).foreach { _ =>
       val c = buf.getInt
+      val card = buf.getInt
       val w = new Array[Long](WordsPerChunk)
-      (0 until WordsPerChunk).foreach(i => w(i) = buf.getLong)
+      if (card <= SparseMax)
+        (0 until card).foreach { _ =>
+          val off = buf.getShort & 0xFFFF
+          w(off >> 6) |= (1L << (off & 63))
+        }
+      else (0 until WordsPerChunk).foreach(i => w(i) = buf.getLong)
       chunks.update(c, w)
     }
     chunks
@@ -89,6 +127,44 @@ object Bitmap {
 
   def or(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     serialize(orInto(deserialize(a), deserialize(b)))
+
+  /** a AND NOT b — the tombstone-masking op for segmented index reads
+    * (clear every id present in `b` from `a`). Chunks of `a` absent
+    * from `b` pass through; emptied chunks are dropped. */
+  def andNot(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val ca = deserialize(a); val cb = deserialize(b)
+    val out = new Chunks()
+    ca.foreach { case (c, wa) =>
+      cb.get(c) match {
+        case None => out.update(c, wa)
+        case Some(wb) =>
+          val w = new Array[Long](WordsPerChunk)
+          var i = 0; var nonEmpty = false
+          while (i < WordsPerChunk) {
+            w(i) = wa(i) & ~wb(i); if (w(i) != 0L) nonEmpty = true; i += 1
+          }
+          if (nonEmpty) out.update(c, w)
+      }
+    }
+    serialize(out)
+  }
+
+  /** Fold a versioned stack of bitmap parts under versioned tombstone
+    * masks — the segmented-index read semantics: a part written at
+    * version v loses every id tombstoned at any LATER version (an id
+    * re-added after its tombstone lives in a later part, which the
+    * tombstone doesn't touch), and the surviving parts OR together.
+    */
+  def foldVersions(parts: Seq[(Int, Array[Byte])],
+                   tombs: Seq[(Int, Array[Byte])]): Array[Byte] = {
+    val acc = new Chunks()
+    parts.foreach { case (v, bm) =>
+      val later = tombs.filter(_._1 > v).map(_._2)
+      val masked = later.foldLeft(bm)((b, t) => andNot(b, t))
+      orInto(acc, deserialize(masked)): Unit
+    }
+    serialize(acc)
+  }
 
   def ids(bytes: Array[Byte]): Array[Long] = {
     val chunks = deserialize(bytes)

@@ -1,0 +1,88 @@
+package graft
+
+import graft.index.Bitmap
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic laws for the two-level bitmap encoding, including the
+  * sparse/dense container boundary (≤4096 ids per 64Ki chunk → sorted
+  * uint16 array; above → 1024-word bitset): serialize/deserialize
+  * round-trips any id set, set ops agree with Set semantics, and the
+  * sparse form actually shrinks low-cardinality chunks. */
+class BitmapPropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop, name: String): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), p)
+    assert(r.passed, s"$name: $r")
+  }
+
+  private def bitmapOf(ids: Seq[Long]): Array[Byte] = {
+    val c = new Bitmap.Chunks()
+    ids.foreach(Bitmap.set(c, _))
+    Bitmap.serialize(c)
+  }
+
+  /** Id pools spanning several chunks, with clustered runs so single
+    * chunks cross the 4096 sparse/dense boundary. */
+  private val idSet: Gen[Set[Long]] = Gen.oneOf(
+    // sparse everywhere
+    Gen.listOf(Gen.choose(0L, 1L << 20)).map(_.toSet),
+    // one dense chunk (well past 4096 in chunk 0) + scattered others
+    Gen.choose(4100, 9000).flatMap(n =>
+      Gen.listOf(Gen.choose(1L << 17, 1L << 21)).map(rest =>
+        (0L until n.toLong).toSet ++ rest)),
+    // exactly at the boundary
+    Gen.const((0L until 4096L).toSet),
+    Gen.const((0L until 4097L).toSet))
+
+  test("serialize/deserialize round-trips any id set (both container forms)") {
+    check(Prop.forAll(idSet) { ids =>
+      Bitmap.ids(bitmapOf(ids.toSeq)).toSet == ids &&
+        Bitmap.cardinality(bitmapOf(ids.toSeq)) == ids.size.toLong
+    }, "roundtrip")
+  }
+
+  test("and/or/andNot agree with Set intersect/union/diff") {
+    check(Prop.forAll(Gen.zip(idSet, idSet)) { case (a, b) =>
+      val (ba, bb) = (bitmapOf(a.toSeq), bitmapOf(b.toSeq))
+      Bitmap.ids(Bitmap.and(ba, bb)).toSet == (a intersect b) &&
+        Bitmap.ids(Bitmap.or(ba, bb)).toSet == (a union b) &&
+        Bitmap.ids(Bitmap.andNot(ba, bb)).toSet == (a diff b)
+    }, "setops")
+  }
+
+  test("foldVersions == last-writer-wins replay of versioned parts/tombstones") {
+    // model: part at version v contributes its ids minus ids tombstoned
+    // at any strictly later version
+    val gen = for {
+      nParts <- Gen.choose(1, 4)
+      parts <- Gen.listOfN(nParts, Gen.zip(Gen.choose(0, 10),
+        Gen.listOf(Gen.choose(0L, 5000L)).map(_.toSet)))
+      nTombs <- Gen.choose(0, 4)
+      tombs <- Gen.listOfN(nTombs, Gen.zip(Gen.choose(0, 10),
+        Gen.listOf(Gen.choose(0L, 5000L)).map(_.toSet)))
+    } yield (parts, tombs)
+    check(Prop.forAll(gen) { case (parts, tombs) =>
+      val got = Bitmap.ids(Bitmap.foldVersions(
+        parts.map { case (v, ids) => (v, bitmapOf(ids.toSeq)) },
+        tombs.map { case (v, ids) => (v, bitmapOf(ids.toSeq)) })).toSet
+      val expect = parts.flatMap { case (v, ids) =>
+        val masked = tombs.filter(_._1 > v).flatMap(_._2).toSet
+        ids diff masked
+      }.toSet
+      got == expect
+    }, "foldVersions")
+  }
+
+  test("sparse container shrinks a low-cardinality chunk ~100x vs dense") {
+    // 40 ids scattered across one 64Ki chunk: dense form would be
+    // 8 KiB; sparse is 4+4+4 + 2*40 = 92 B
+    val ids = (0 until 40).map(i => i.toLong * 1600L)
+    val bytes = bitmapOf(ids)
+    assert(bytes.length < 120, s"sparse container not small: ${bytes.length} B")
+    assert(8192.0 / bytes.length > 68.0) // ~89x here
+    // and a genuinely dense chunk still costs the flat 8 KiB + header
+    val dense = bitmapOf(0L until 60000L)
+    assert(dense.length >= 8 * 1024 && dense.length < 9 * 1024)
+  }
+}
