@@ -77,6 +77,37 @@ object IndexQueries {
         .orderBy($"c_custkey")
     },
 
+    "idx_segment_ft" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      // segmented fulltext maintenance end-to-end: backfill an index,
+      // CDC-merge a patch (one doc rewritten, one new), then search
+      // through the base+segment−tombstone read view — doc 5's OLD
+      // postings must be masked, the new docs' terms visible, with NO
+      // index rebuild (Catalog.maintainAnalyticIndexes appends
+      // patch-sized seg_v/tomb_v/dictdelta_v dirs)
+      val wh = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_warehouse_segft").toString
+      val cat = new graft.kv.Catalog(s, wh)
+      if (cat.tableExists("segdocs")) cat.dropTable("segdocs")
+      cat.createTable("segdocs", StructType(Seq(
+        StructField("k", LongType, false),
+        StructField("body", StringType, true))), Seq("k"))
+      cat.bulkLoad("segdocs",
+        Tables.documents(s, d).filter($"doc_id" < 300)
+          .select($"doc_id".as("k"), $"text".as("body")), partitions = 4)
+      cat.createIndex("segdocs", "ft", "fulltext", Seq("body"))
+      cat.incrementalMerge("segdocs", Seq(
+        (5L, "graft segment merge engine"),
+        (900001L, "graft posting engine")).toDF("k", "body"))
+      val view = cat.indexData("segdocs", "ft", "fulltext")
+      val base = cat.table("segdocs").df
+      Seq("graft", "spark").map { t =>
+        FullText.searchAll(base, "k", view, Seq(t))
+          .select(lit(t).as("probe"), $"k")
+      }.reduce(_ unionByName _).orderBy($"probe", $"k")
+    },
+
     "ft_search_and" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
@@ -201,6 +232,19 @@ object IndexQueries {
         |  UNION ALL
         |  SELECT CAST(9000001 AS BIGINT), 'Customer#GRAFT', 'GRAFT')
         |WHERE c_mktsegment = 'GRAFT' ORDER BY c_custkey""".stripMargin,
+
+    "idx_segment_ft" ->
+      """WITH t AS (
+        |  SELECT doc_id AS k,
+        |    CASE WHEN doc_id = 5 THEN 'graft segment merge engine' ELSE text END AS body
+        |  FROM documents WHERE doc_id < 300
+        |  UNION ALL SELECT CAST(900001 AS BIGINT), 'graft posting engine'),
+        |m AS (SELECT k, string_split_regex(lower(body), '[^a-z0-9]+') AS toks FROM t)
+        |SELECT probe, k FROM (
+        |  SELECT 'graft' AS probe, k FROM m WHERE list_contains(toks, 'graft')
+        |  UNION ALL
+        |  SELECT 'spark' AS probe, k FROM m WHERE list_contains(toks, 'spark'))
+        |ORDER BY probe, k""".stripMargin,
 
     "ft_search_and" ->
       """SELECT doc_id, lang, source FROM documents

@@ -310,6 +310,16 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     // rebuild from the complete next snapshot
     maintainIndexes(name, cur + 1, nextDir,
       pre = Some(touchedDf), post = Some(merged.df))
+    // analytic flavors (fulltext/bitmap) stay fresh through CDC via
+    // patch-sized segments + tombstones — the Lucene segment model
+    // (reference index/lucene/LuceneIndexTable.kt: the Lucene writer
+    // appends segments per commit; HBaseDirectory.kt persists them) —
+    // never re-reading untouched corpus files
+    maintainAnalyticIndexes(name, cur + 1,
+      patch.select(tableCols.map(org.apache.spark.sql.functions.col): _*),
+      touchedDf.join(
+        patch.select(pk.map(org.apache.spark.sql.functions.col): _*).distinct(),
+        pk, "left_semi"))
     setMetaAttr(name, "dataVersion", cur + 1)
   }
 
@@ -557,6 +567,118 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     else -1
   }
 
+  /** Versioned dirs `<prefix><v>` with loExcl < v <= hiIncl, ascending
+    * — the segments/tombstones/deltas contributing to a base built at
+    * loExcl, bounded by the PUBLISHED table version (a segment written
+    * mid-merge is invisible until the pointer bump, same crash-safety
+    * rule as resolveIndexVersioned). */
+  private def versionedDirs(dir: Path, prefix: String,
+                            loExcl: Int, hiIncl: Int): Seq[(Int, Path)] =
+    if (!Files.exists(dir)) Nil
+    else withList(dir) { it =>
+      it.flatMap { p =>
+        val n = p.getFileName.toString
+        if (!n.startsWith(prefix)) None
+        else scala.util.Try(n.stripPrefix(prefix).toInt).toOption
+          .filter(v => v > loExcl && v <= hiIncl).map(v => (v, p))
+      }.toList
+    }.sortBy(_._1)
+
+  // ------------------------------------------------------------------
+  // Segment + tombstone incremental maintenance for analytic indexes
+  // (fulltext, bitmap) — the Lucene segment model, Spark-first:
+  // every incrementalMerge appends a PATCH-SIZED postings/bitmap
+  // segment (seg_vN), a rowkey tombstone set (tomb_vN) and, for
+  // fulltext, a document-frequency delta (dictdelta_vN). The read
+  // path unions base + live segments and masks any posting whose doc
+  // was tombstoned at a LATER version (a doc re-added after its
+  // tombstone lives in a later segment, which the tombstone doesn't
+  // touch). compactIndex folds the stack back into a single base.
+  // At 100 TB a one-file CDC merge thus costs index I/O proportional
+  // to the patch, never a corpus-sized rebuild.
+  // ------------------------------------------------------------------
+
+  /** Append analytic-index segments for a bounded merge patch.
+    * `patchRows` is the post-image of the patched keys (upsert
+    * semantics: the patch row IS the new row); `preRows` the
+    * pre-image of those keys from the touched files (already being
+    * read by the merge — no extra corpus I/O). */
+  private def maintainAnalyticIndexes(name: String, next: Int,
+                                      patchRows: DataFrame,
+                                      preRows: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val analytic = indexesOf(name).filter(i =>
+      i._2.equalsIgnoreCase("fulltext") || i._2.equalsIgnoreCase("bitmap"))
+    if (analytic.isEmpty) return
+    val rk = primaryKeyOf(name).head
+    analytic.foreach { case (iname, ty, cols) =>
+      val dir = indexDir(name, iname, ty)
+      val c = cols.head
+      ty.toUpperCase match {
+        case "FULLTEXT" =>
+          val segPost = graft.index.FullText.buildPostings(patchRows, rk, c)
+          KvLayout.writeSorted(segPost, Seq("term"),
+            dir.resolve(s"seg_v$next").toString)
+          patchRows.select(col(rk).as("rk")).distinct()
+            .write.mode("overwrite").parquet(dir.resolve(s"tomb_v$next").toString)
+          // df delta: +1 per term newly in a patched doc, -1 per term
+          // that was in its pre-image — the dictionary view folds
+          // these without re-counting the corpus
+          val add = graft.index.FullText.buildDictionary(segPost)
+            .select(col("term"), col("df").cast("long").as("ddf"))
+          val remove = graft.index.FullText.buildDictionary(
+              graft.index.FullText.buildPostings(preRows, rk, c))
+            .select(col("term"), (-col("df")).cast("long").as("ddf"))
+          add.unionByName(remove).groupBy("term").agg(sum("ddf").as("ddf"))
+            .filter(col("ddf") =!= 0L)
+            .write.mode("overwrite").parquet(dir.resolve(s"dictdelta_v$next").toString)
+        case "BITMAP" =>
+          graft.index.BitmapIndex.build(patchRows, rk, c)
+            .write.mode("overwrite").parquet(dir.resolve(s"seg_v$next").toString)
+          // one tombstone bitmap per id-shard: clears the patched rows'
+          // bits from EVERY value's older bitmaps (their old value is
+          // whatever it was; the new value's bits live in this segment)
+          val agg = udaf(new graft.index.BitmapAgg(),
+            org.apache.spark.sql.Encoders.scalaLong)
+          patchRows.select(col(rk).cast("long").as("__rk"))
+            .groupBy(shiftrightunsigned(col("__rk"),
+              graft.index.BitmapIndex.ShardBits).as("shard"))
+            .agg(agg(col("__rk")).as("bm"))
+            .write.mode("overwrite").parquet(dir.resolve(s"tomb_v$next").toString)
+        case _ => ()
+      }
+      setIndexAsOf(name, iname, ty, next)
+    }
+  }
+
+  /** Fold an index's segment stack into a fresh base at the live
+    * version (`CALL system.compact_index`) — reads ONLY index frames
+    * (base + segments), never the corpus, unlike refreshIndex's full
+    * rebuild. After the fold, vacuum reclaims the dead segments. */
+  def compactIndex(table: String, indexName: String, indexType: String): Unit =
+    withWriteLock(table) {
+      val live = dataVersionOf(table)
+      val dir = indexDir(table, indexName, indexType)
+      val base = resolveIndexVersioned(dir, "data", live)
+      val baseVer = indexBaseVersion(base)
+      val segs = versionedDirs(dir, "seg_v", baseVer, live)
+      val tombs = versionedDirs(dir, "tomb_v", baseVer, live)
+      if (segs.nonEmpty || tombs.nonEmpty) {
+        indexType.toUpperCase match {
+          case "FULLTEXT" =>
+            KvLayout.writeSorted(indexData(table, indexName, indexType),
+              Seq("term"), dir.resolve(s"data_v$live").toString)
+            KvLayout.writeSorted(indexDictionary(table, indexName, indexType),
+              Seq("term"), dir.resolve(s"dict_v$live").toString)
+          case "BITMAP" =>
+            indexData(table, indexName, indexType)
+              .write.mode("overwrite").parquet(dir.resolve(s"data_v$live").toString)
+          case _ => ()
+        }
+        setIndexAsOf(table, indexName, indexType, live)
+      }
+    }
+
   /** Read a specific historical snapshot (time travel). */
   def tableAt(name: String, version: Int): KvTable =
     KvTable(spark.read.parquet(tableDir(name).resolve(s"data_v$version").toString),
@@ -790,9 +912,30 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   def lockStatusOf(table: String): String =
     readMeta(table).path("lockStatus").asText()
 
-  def indexDictionary(table: String, indexName: String, indexType: String): DataFrame =
-    spark.read.parquet(resolveIndexVersioned(
-      indexDir(table, indexName, indexType), "dict", dataVersionOf(table)).toString)
+  /** Live dictionary view: the base dictionary (paired with the base
+    * postings — both written by the same backfill/refresh/compact)
+    * plus any df deltas appended by segment maintenance since. The
+    * fold aggregates |vocab| + |deltas| rows — never the corpus. */
+  def indexDictionary(table: String, indexName: String, indexType: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = indexDir(table, indexName, indexType)
+    val live = dataVersionOf(table)
+    val baseDict = resolveIndexVersioned(dir, "dict", live)
+    val baseVer = {
+      val n = baseDict.getFileName.toString
+      if (n.startsWith("dict_v"))
+        scala.util.Try(n.stripPrefix("dict_v").toInt).getOrElse(-1)
+      else -1
+    }
+    val deltas = versionedDirs(dir, "dictdelta_v", baseVer, live)
+    val base = spark.read.parquet(baseDict.toString)
+    if (deltas.isEmpty) base
+    else base.select(col("term"), col("df").cast("long").as("df"))
+      .unionByName(deltas.map { case (_, p) =>
+        spark.read.parquet(p.toString).select(col("term"), col("ddf").as("df"))
+      }.reduce(_ unionByName _))
+      .groupBy("term").agg(sum("df").as("df")).filter(col("df") > 0L)
+  }
 
   def dropIndex(table: String, indexName: String, indexType: String): Unit = withWriteLock(table) {
     val dir = indexDir(table, indexName, indexType)
@@ -809,11 +952,82 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     writeMeta(table, meta)
   }
 
-  /** Live index data: the highest maintained version at or below the
-    * published table version, falling back to the original backfill. */
-  def indexData(table: String, indexName: String, indexType: String): DataFrame =
-    spark.read.parquet(
-      resolveIndexDataDir(indexDir(table, indexName, indexType), table).toString)
+  /** Live index data: the highest maintained base at or below the
+    * published table version, overlaid with any segments/tombstones
+    * appended since (fulltext/bitmap) — the segmented read view. Base
+    * with no segments reads exactly as before. */
+  def indexData(table: String, indexName: String, indexType: String): DataFrame = {
+    val dir = indexDir(table, indexName, indexType)
+    val live = dataVersionOf(table)
+    val base = resolveIndexVersioned(dir, "data", live)
+    val baseVer = indexBaseVersion(base)
+    val segs = versionedDirs(dir, "seg_v", baseVer, live)
+    val tombs = versionedDirs(dir, "tomb_v", baseVer, live)
+    if (segs.isEmpty && tombs.isEmpty) spark.read.parquet(base.toString)
+    else indexType.toUpperCase match {
+      case "FULLTEXT" => fulltextSegView(base, baseVer, segs, tombs)
+      case "BITMAP"   => bitmapSegView(base, baseVer, segs, tombs)
+      case _          => spark.read.parquet(base.toString) // kv maintains in place
+    }
+  }
+
+  /** Postings across base+segments, minus postings of docs tombstoned
+    * at a later version. Tombstones are CDC-patch-sized — broadcast. */
+  private def fulltextSegView(base: Path, baseVer: Int,
+                              segs: Seq[(Int, Path)],
+                              tombs: Seq[(Int, Path)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val parts = ((baseVer, base) +: segs).map { case (v, p) =>
+      spark.read.parquet(p.toString)
+        .select(col("term"), col("doc_id"), col("tf")).withColumn("__v", lit(v))
+    }.reduce(_ unionByName _)
+    if (tombs.isEmpty) parts.drop("__v")
+    else {
+      val t = tombs.map { case (v, p) =>
+        spark.read.parquet(p.toString).select(col("rk"), lit(v).as("__tv"))
+      }.reduce(_ unionByName _)
+      parts.join(broadcast(t),
+          parts("doc_id") === t("rk") && t("__tv") > parts("__v"), "left_anti")
+        .drop("__v")
+    }
+  }
+
+  private lazy val bitmapFoldUdf = org.apache.spark.sql.functions.udf(
+    (pbs: Seq[Row], tbs: Seq[Row]) => graft.index.Bitmap.foldVersions(
+      pbs.map(r => (r.getInt(0), r.getAs[Array[Byte]](1))),
+      Option(tbs).map(_.map(r => (r.getInt(0), r.getAs[Array[Byte]](1))))
+        .getOrElse(Seq.empty)))
+
+  /** Bitmap rows folded per (value, shard): each part's bitmap loses
+    * ids tombstoned at a later version, survivors OR together
+    * (Bitmap.foldVersions — property-tested last-writer-wins replay).
+    * Work spreads across (value, shard) rows like every other bitmap
+    * op; tombstone lists are patch-sized and broadcast. */
+  private def bitmapSegView(base: Path, baseVer: Int,
+                            segs: Seq[(Int, Path)],
+                            tombs: Seq[(Int, Path)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val parts = ((baseVer, base) +: segs).map { case (v, p) =>
+      spark.read.parquet(p.toString)
+        .select(col("iv"), col("shard"), col("bm")).withColumn("__v", lit(v))
+    }.reduce(_ unionByName _)
+    val partAgg = parts.groupBy("iv", "shard")
+      .agg(collect_list(struct(col("__v"), col("bm"))).as("pbs"))
+    val withTombs =
+      if (tombs.isEmpty) partAgg.withColumn("tbs",
+        lit(null).cast("array<struct<__tv:int,bm:binary>>"))
+      else partAgg.join(
+        broadcast(tombs.map { case (v, p) =>
+          spark.read.parquet(p.toString)
+            .select(col("shard"), struct(lit(v).as("__tv"), col("bm")).as("tb"))
+        }.reduce(_ unionByName _).groupBy("shard")
+          .agg(collect_list(col("tb")).as("tbs"))),
+        Seq("shard"), "left")
+    withTombs.withColumn("bm", bitmapFoldUdf(col("pbs"), col("tbs")))
+      .withColumn("card", graft.index.BitmapIndex.Ops.bitmapCard(col("bm")))
+      .filter(col("card") > 0L)
+      .select(col("iv"), col("shard"), col("bm"), col("card"))
+  }
 
   /** Index registry from the table's metadata: (name, type, cols). */
   def indexesOf(table: String): Seq[(String, String, Seq[String])] =

@@ -26,7 +26,8 @@ import org.apache.spark.sql.types._
 object GraftProcedures {
 
   val names: Array[String] =
-    Array("compact", "vacuum", "create_index", "drop_index", "refresh_index")
+    Array("compact", "vacuum", "create_index", "drop_index", "refresh_index",
+      "compact_index")
 
   def load(cat: => Catalog, procName: String): UnboundProcedure =
     procName.toLowerCase match {
@@ -51,6 +52,10 @@ object GraftProcedures {
         Array(in("table", StringType), in("index", StringType),
           in("index_type", StringType)),
         r => cat.refreshIndex(str(r, 0), str(r, 1), str(r, 2)))
+      case "compact_index" => proc("compact_index",
+        Array(in("table", StringType), in("index", StringType),
+          in("index_type", StringType)),
+        r => cat.compactIndex(str(r, 0), str(r, 1), str(r, 2)))
       case other =>
         throw new UnsupportedOperationException(s"unknown procedure $other " +
           s"(have: ${names.mkString(", ")})")

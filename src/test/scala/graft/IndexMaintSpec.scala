@@ -87,7 +87,7 @@ class IndexMaintSpec extends AnyFunSuite {
     assert(linked >= 1, "no untouched index file was carried as a hard link")
   }
 
-  test("analytic index flavors report staleness and refresh on CALL") {
+  test("analytic index flavors report staleness after BULK writes and refresh on CALL") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft_idxstale_wh").toString
     spark.conf.set("spark.sql.catalog.gidx",
@@ -100,7 +100,10 @@ class IndexMaintSpec extends AnyFunSuite {
     cat.createIndex("t", "ft_body", "fulltext", Seq("body"))
     assert(cat.indexStatus("t", "ft_body", "fulltext") == "FRESH")
 
-    cat.incrementalMerge("t", Seq((3L, "c", "spark shuffle")).toDF("k", "seg", "body"))
+    // a whole-snapshot bulk write has no bounded patch to segment:
+    // analytic flavors go stale and rebuild on CALL
+    cat.bulkLoad("t", Seq((1L, "a", "spark join"), (2L, "b", "hbase scan"),
+      (3L, "c", "spark shuffle")).toDF("k", "seg", "body"))
     assert(cat.indexStatus("t", "ft_body", "fulltext").startsWith("STALE"))
     // stale postings don't see doc 3 yet
     assert(cat.indexData("t", "ft_body", "fulltext")

@@ -1,0 +1,189 @@
+package graft
+
+import graft.kv.Catalog
+import graft.index.FullText
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Segment+tombstone incremental maintenance of analytic indexes —
+  * the Lucene segment model (reference index/lucene/LuceneIndexTable.kt,
+  * HBaseDirectory.kt: the writer appends segments per commit; readers
+  * see base+segments): a one-file CDC merge appends a patch-sized
+  * postings/bitmap segment instead of rebuilding from the corpus, the
+  * read view folds base+segments−tombstones, compact_index folds the
+  * stack back into one base, and vacuum reclaims dead segments. */
+class SegmentedIndexSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType, false),
+    StructField("seg", StringType, true),
+    StructField("body", StringType, true)))
+
+  private def freshCat(tag: String): (Catalog, String) = {
+    val wh = Files.createTempDirectory(s"graft_${tag}_wh").toString
+    (new Catalog(spark, wh), wh)
+  }
+
+  private def rebuildPostings(cat: Catalog, table: String): DataFrame =
+    FullText.buildPostings(cat.table(table).df, "k", "body")
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("fulltext stays FRESH through merges via patch-sized segments; base untouched") {
+    import spark.implicits._
+    val (cat, wh) = freshCat("segft")
+    cat.createTable("t", schema, Seq("k"))
+    cat.bulkLoad("t",
+      (0L until 2000L).map(i => (i, s"s${i % 3}", s"alpha bravo doc$i"))
+        .toDF("k", "seg", "body"), partitions = 4)
+    cat.createIndex("t", "ft", "fulltext", Seq("body"))
+    val baseDir = Paths.get(wh, "t.fulltext.ft", "data")
+    val baseFiles = {
+      val s = java.nio.file.Files.list(baseDir)
+      try {
+        val it = s.iterator(); var out = Map.empty[String, Long]
+        while (it.hasNext) { val p = it.next()
+          out += (p.getFileName.toString ->
+            java.nio.file.Files.getLastModifiedTime(p).toMillis) }
+        out
+      } finally s.close()
+    }
+
+    // CDC trickle: doc 5 rewritten, doc 9001 new
+    cat.incrementalMerge("t",
+      Seq((5L, "sX", "charlie delta"), (9001L, "sX", "echo charlie"))
+        .toDF("k", "seg", "body"))
+
+    // fresh WITHOUT a rebuild: segment + tombstone dirs appeared,
+    // the base postings dir is byte-untouched
+    assert(cat.indexStatus("t", "ft", "fulltext") == "FRESH")
+    val v = cat.dataVersionOf("t")
+    assert(Files.exists(Paths.get(wh, "t.fulltext.ft", s"seg_v$v")))
+    assert(Files.exists(Paths.get(wh, "t.fulltext.ft", s"tomb_v$v")))
+    assert(Files.exists(Paths.get(wh, "t.fulltext.ft", s"dictdelta_v$v")))
+    val afterFiles = {
+      val s = java.nio.file.Files.list(baseDir)
+      try {
+        val it = s.iterator(); var out = Map.empty[String, Long]
+        while (it.hasNext) { val p = it.next()
+          out += (p.getFileName.toString ->
+            java.nio.file.Files.getLastModifiedTime(p).toMillis) }
+        out
+      } finally s.close()
+    }
+    assert(afterFiles == baseFiles, "base index dir was rewritten by a CDC merge")
+
+    // the segmented view == a from-scratch rebuild of the live table
+    val view = cat.indexData("t", "ft", "fulltext")
+    assert(sortedRows(view) == sortedRows(rebuildPostings(cat, "t")))
+    // doc 5's OLD terms are masked, new terms visible
+    assert(view.filter($"term" === "doc5").count() == 0)
+    assert(view.filter($"term" === "charlie").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(5L, 9001L))
+    // dictionary view folds the df deltas exactly
+    val dictView = cat.indexDictionary("t", "ft", "fulltext")
+      .select($"term", $"df".cast("long"))
+    val dictRebuild = FullText.buildDictionary(rebuildPostings(cat, "t"))
+      .select($"term", $"df".cast("long"))
+    assert(sortedRows(dictView) == sortedRows(dictRebuild))
+  }
+
+  test("multi-segment stack: re-updating a doc across merges keeps last-writer-wins") {
+    import spark.implicits._
+    val (cat, _) = freshCat("segstack")
+    cat.createTable("t", schema, Seq("k"))
+    cat.bulkLoad("t",
+      (0L until 500L).map(i => (i, "s", s"alpha doc$i")).toDF("k", "seg", "body"))
+    cat.createIndex("t", "ft", "fulltext", Seq("body"))
+    cat.incrementalMerge("t", Seq((5L, "s", "bravo bravo")).toDF("k", "seg", "body"))
+    cat.incrementalMerge("t", Seq((5L, "s", "charlie"), (6L, "s", "bravo"))
+      .toDF("k", "seg", "body"))
+
+    val view = cat.indexData("t", "ft", "fulltext")
+    // doc 5: only its LAST image's terms survive (seg_v1's bravo is
+    // tombstoned by v2; base's alpha/doc5 tombstoned by v1 and v2)
+    assert(view.filter($"doc_id" === 5L).select("term")
+      .collect().map(_.getString(0)).toSet == Set("charlie"))
+    assert(view.filter($"term" === "bravo").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(6L))
+    assert(sortedRows(view) == sortedRows(rebuildPostings(cat, "t")))
+    // fulltext search green against the segmented index
+    val hits = FullText.searchAll(cat.table("t").df, "k", view, Seq("charlie"))
+    assert(hits.select("k").collect().map(_.getLong(0)).toSet == Set(5L))
+    val dict = cat.indexDictionary("t", "ft", "fulltext")
+    val ranked = FullText.tfidfTopK(view, dict, cat.table("t").df.count(),
+      Seq("bravo", "charlie"), 5)
+    assert(ranked.select("doc_id").collect().map(_.getLong(0)).toSet == Set(5L, 6L))
+  }
+
+  test("bitmap stays FRESH through merges; folded view == rebuild; compact+vacuum fold the stack") {
+    import spark.implicits._
+    val (cat, wh) = freshCat("segbm")
+    cat.createTable("t", schema, Seq("k"))
+    cat.bulkLoad("t",
+      (0L until 2000L).map(i => (i, s"s${i % 3}", "b")).toDF("k", "seg", "body"))
+    cat.createIndex("t", "bm", "bitmap", Seq("seg"))
+
+    // k=5 moves s2->sX; k=9001 arrives with sX
+    cat.incrementalMerge("t",
+      Seq((5L, "sX", "b"), (9001L, "sX", "b")).toDF("k", "seg", "body"))
+    assert(cat.indexStatus("t", "bm", "bitmap") == "FRESH")
+
+    def ids(df: DataFrame, v: String): Set[Long] =
+      graft.index.BitmapIndex.lookupIds(df, v)
+        .collect().map(_.getLong(0)).toSet
+    val view = cat.indexData("t", "bm", "bitmap")
+    assert(ids(view, "sX") == Set(5L, 9001L))
+    assert(!ids(view, "s2").contains(5L) && ids(view, "s2").contains(2L))
+    // folded view == a from-scratch rebuild, value by value
+    val rebuilt = graft.index.BitmapIndex.build(cat.table("t").df, "k", "seg")
+    Seq("s0", "s1", "s2", "sX").foreach { v =>
+      assert(ids(view, v) == ids(rebuilt, v), s"value $v differs from rebuild")
+    }
+
+    // compact_index folds segments into a new base; vacuum reclaims them
+    cat.compactIndex("t", "bm", "bitmap")
+    val live = cat.dataVersionOf("t")
+    assert(Files.exists(Paths.get(wh, "t.bitmap.bm", s"data_v$live")))
+    cat.vacuum("t", graceMs = 0L)
+    assert(!Files.exists(Paths.get(wh, "t.bitmap.bm", s"seg_v$live")),
+      "dead segment survived vacuum after compact_index")
+    val afterCompact = cat.indexData("t", "bm", "bitmap")
+    Seq("s0", "s1", "s2", "sX").foreach { v =>
+      assert(ids(afterCompact, v) == ids(rebuilt, v), s"post-compact $v differs")
+    }
+  }
+
+  test("compact_index folds fulltext via CALL; view unchanged; segments reclaimed") {
+    import spark.implicits._
+    val (cat, wh) = freshCat("segcall")
+    spark.conf.set("spark.sql.catalog.gseg",
+      classOf[graft.kv.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gseg.warehouse", wh)
+    cat.createTable("t", schema, Seq("k"))
+    cat.bulkLoad("t",
+      (0L until 500L).map(i => (i, "s", s"alpha doc$i")).toDF("k", "seg", "body"))
+    cat.createIndex("t", "ft", "fulltext", Seq("body"))
+    cat.incrementalMerge("t", Seq((5L, "s", "bravo")).toDF("k", "seg", "body"))
+    val before = sortedRows(cat.indexData("t", "ft", "fulltext"))
+
+    spark.sql("CALL gseg.system.compact_index('t', 'ft', 'fulltext')")
+    val live = cat.dataVersionOf("t")
+    assert(Files.exists(Paths.get(wh, "t.fulltext.ft", s"data_v$live")))
+    assert(Files.exists(Paths.get(wh, "t.fulltext.ft", s"dict_v$live")))
+    cat.vacuum("t", graceMs = 0L)
+    assert(!Files.exists(Paths.get(wh, "t.fulltext.ft", s"seg_v$live")))
+    assert(!Files.exists(Paths.get(wh, "t.fulltext.ft", s"tomb_v$live")))
+    assert(!Files.exists(Paths.get(wh, "t.fulltext.ft", s"dictdelta_v$live")))
+    assert(sortedRows(cat.indexData("t", "ft", "fulltext")) == before)
+    assert(sortedRows(cat.indexDictionary("t", "ft", "fulltext")
+        .select($"term", $"df".cast("long"))) ==
+      sortedRows(FullText.buildDictionary(rebuildPostings(cat, "t"))
+        .select($"term", $"df".cast("long"))))
+  }
+}
