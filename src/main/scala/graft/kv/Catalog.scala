@@ -78,7 +78,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
                   primaryKey: Seq[String],
                   isTransactional: Boolean = true,
                   comment: String = "",
-                  layout: String = "sorted"): Unit = {
+                  layout: String = "sorted",
+                  charset: String = "UTF-8"): Unit = {
     require(primaryKey.nonEmpty, "no primary key") // PrimaryKeyMissedException
     require(layout == "sorted" || layout == "zorder",
       s"unknown layout '$layout' — use 'sorted' or 'zorder'")
@@ -106,7 +107,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     meta.put("isTransactional", isTransactional)
     meta.put("dataVersion", 0)
     meta.put("lockStatus", "UNLOCK")
-    meta.put("charset", "UTF-8")
+    // per-table charset, like the reference's table.sys attribute
+    // (HBaseTable.kt:197-216). Data at rest is parquet (UTF-8 by
+    // format); the attribute is the declared interchange charset for
+    // external writers, round-tripped through DDL.
+    meta.put("charset", charset)
     meta.put("comment", comment)
     meta.put("layout", layout)
     meta.set[JsonNode]("indexes", mapper.createArrayNode()): Unit
@@ -118,6 +123,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       c.put("position", i)
       c.put("nullable", f.nullable)
       c.put("isPrimary", primaryKey.contains(f.name))
+      // field metadata carries the column DEFAULT (Spark's
+      // CURRENT_DEFAULT/EXISTS_DEFAULT keys — the column.sys default
+      // attribute of the reference, HBaseSchema.kt:141-160); persisted
+      // verbatim so INSERTs resolve defaults after a catalog restart
+      if (f.metadata != Metadata.empty) c.put("metadata", f.metadata.json)
       cols.add(c): Unit
     }
     meta.set[JsonNode]("columns", cols): Unit
@@ -697,6 +707,22 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   def dataPathAt(name: String, version: Int): String =
     tableDir(name).resolve(s"data_v$version").toString
 
+  /** Newest still-present snapshot version whose publish time (dir
+    * mtime) is at or before `cutoffMs`, capped at the published
+    * pointer — the `TIMESTAMP AS OF` resolution. */
+  def snapshotAtOrBefore(name: String, cutoffMs: Long): Option[Int] = {
+    val live = dataVersionOf(name)
+    withList(tableDir(name)) { it =>
+      it.flatMap { p =>
+        val n = p.getFileName.toString
+        if (!n.startsWith("data_v")) None
+        else scala.util.Try(n.stripPrefix("data_v").toInt).toOption
+          .filter(v => v <= live &&
+            Files.getLastModifiedTime(p).toMillis <= cutoffMs)
+      }.toList
+    }.sorted.lastOption
+  }
+
   /** Best-effort cleanup of an aborted writer's staging directory
     * (vacuum's grace window is the backstop). */
   def discardStaged(stagedDir: String): Unit = {
@@ -807,11 +833,17 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   def schemaOf(name: String): StructType = {
     val cols = readMeta(name).path("columns").asInstanceOf[ArrayNode]
     StructType(cols.elements().asScala.map { c =>
+      val md =
+        if (c.hasNonNull("metadata")) Metadata.fromJson(c.path("metadata").asText())
+        else Metadata.empty
       StructField(c.path("name").asText(),
         CatalystSqlParser.parse(c.path("datatype").asText()),
-        c.path("nullable").asBoolean(true))
+        c.path("nullable").asBoolean(true), md)
     }.toSeq)
   }
+
+  def charsetOf(name: String): String =
+    readMeta(name).path("charset").asText("UTF-8")
 
   private object CatalystSqlParser {
     def parse(sql: String): DataType = DataType.fromDDL(sql)
@@ -1225,13 +1257,23 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   }
 
   /** column.sys dump: one row per column with the reference's
-    * ColumnAttribute fields (datatype, position, nullable, primary). */
+    * ColumnAttribute fields (datatype, position, nullable, primary,
+    * default — HBaseSchema.kt:141-160) plus the table charset
+    * (table.sys, HBaseTable.kt:197-216). */
   def describeTable(name: String): DataFrame = {
+    val cs = charsetOf(name)
     val cols = readMeta(name).withArray[ArrayNode]("columns")
     val rows = cols.elements().asScala.map { c =>
+      val default =
+        if (!c.hasNonNull("metadata")) null
+        else {
+          val md = Metadata.fromJson(c.path("metadata").asText())
+          if (md.contains("CURRENT_DEFAULT")) md.getString("CURRENT_DEFAULT")
+          else null
+        }
       Row(name, c.path("name").asText(), c.path("datatype").asText(),
         c.path("position").asInt(), c.path("nullable").asBoolean(),
-        c.path("isPrimary").asBoolean())
+        c.path("isPrimary").asBoolean(), default, cs)
     }.toSeq
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
@@ -1241,6 +1283,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
         StructField("datatype", StringType, false),
         StructField("position", IntegerType, false),
         StructField("nullable", BooleanType, false),
-        StructField("is_primary", BooleanType, false))))
+        StructField("is_primary", BooleanType, false),
+        StructField("column_default", StringType, true),
+        StructField("charset", StringType, false))))
   }
 }

@@ -44,6 +44,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def name(): String = catalogName
 
+  /** Column DEFAULT values are first-class (reference column.sys
+    * persists a default per column, HBaseSchema.kt:141-160): with this
+    * capability Spark delivers `CREATE TABLE (c INT DEFAULT 5)` as
+    * field metadata (CURRENT_DEFAULT/EXISTS_DEFAULT), the catalog
+    * persists it, and INSERTs with missing columns or the DEFAULT
+    * keyword resolve against the stored expression. */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def cat: Catalog = new Catalog(SparkSession.active, warehouse)
 
   private def tableName(ident: Identifier): String = {
@@ -65,6 +74,44 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     new GraftSqlTable(c, t)
   }
 
+  /** SQL time travel: `SELECT ... FROM cat.t VERSION AS OF n` — read a
+    * historical COW snapshot by its version number. Snapshots stay
+    * readable until vacuumed (the reference has no time travel — its
+    * HBase cells are overwritten in place; versioned snapshots are
+    * what the COW model buys on top). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val c = cat
+    val t = tableName(ident)
+    if (!c.tableExists(t))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Array(catalogName) :+ t)
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"VERSION AS OF takes a snapshot number (got '$version')")
+    }
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(c.dataPathAt(t, v))),
+      s"snapshot data_v$v of $t does not exist (vacuumed or never written)")
+    new GraftSqlTable(c, t, versionAsOf = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF`: newest snapshot published at or before the
+    * timestamp (directory publish mtimes — best-effort, same contract
+    * as object-store listings). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val c = cat
+    val t = tableName(ident)
+    if (!c.tableExists(t))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Array(catalogName) :+ t)
+    // timestamp arrives in MICROseconds since epoch
+    val cutoffMs = timestamp / 1000L
+    val v = c.snapshotAtOrBefore(t, cutoffMs).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot of $t existed at or before timestamp ${cutoffMs}ms"))
+    new GraftSqlTable(c, t, versionAsOf = Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -75,7 +122,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       .getOrElse(Seq(schema.fieldNames.head))
     val comment = Option(properties.get(TableCatalog.PROP_COMMENT)).getOrElse("")
     val layout = Option(properties.get("layout")).getOrElse("sorted")
-    cat.createTable(tableName(ident), schema, pk, comment = comment, layout = layout)
+    val charset = Option(properties.get("charset")).getOrElse("UTF-8")
+    cat.createTable(tableName(ident), schema, pk, comment = comment,
+      layout = layout, charset = charset)
     loadTable(ident)
   }
 

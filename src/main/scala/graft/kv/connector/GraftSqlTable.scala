@@ -19,7 +19,8 @@ import java.util
   * reimplemented); DELETE FROM is a catalog-level copy-on-write
   * rewrite, mirroring the reference's bulk mutation model
   * (HBaseModifiableTable.kt:219 removeAll). */
-class GraftSqlTable(cat: Catalog, tableName: String)
+class GraftSqlTable(cat: Catalog, tableName: String,
+                    versionAsOf: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations {
 
@@ -27,8 +28,12 @@ class GraftSqlTable(cat: Catalog, tableName: String)
   // one consistent version, and a concurrent bulkLoad flips the pointer
   // for the NEXT loadTable rather than mid-query. The pinned version
   // doubles as the optimistic-CAS token for writes that derive a full
-  // post-image from this snapshot (UPDATE/MERGE/DELETE).
-  private val pinnedVersion: Int = cat.dataVersionOf(tableName)
+  // post-image from this snapshot (UPDATE/MERGE/DELETE). Time travel
+  // (`VERSION AS OF n`) pins an explicit historical version instead —
+  // reads resolve against that snapshot; Spark itself rejects writes
+  // to time-travel relations.
+  private val pinnedVersion: Int =
+    versionAsOf.getOrElse(cat.dataVersionOf(tableName))
 
   private val delegate: ParquetTable = ParquetTable(
     tableName,

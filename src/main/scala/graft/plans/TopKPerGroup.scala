@@ -49,6 +49,15 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
     val orderB = order
     val childOutput = child.output
     val kk = k
+    // Memory bound: O(groups-per-task × k) rows held on heap, no
+    // spill. With ClusteredDistribution that is |distinct groups| /
+    // shuffle-partitions per task — fine for the operator's intended
+    // shapes (top-k per query / per user / per term, where k·groups ≪
+    // input). A runaway group cardinality fails FAST with a clear
+    // message instead of an executor OOM; callers with legitimately
+    // huge group counts raise the limit or add shuffle partitions.
+    val maxGroups = conf.getConfString(
+      "spark.graft.topk.maxGroupsPerTask", "4000000").toInt
     child.execute().mapPartitions { iter =>
       val groupProj = UnsafeProjection.create(groupExprsB, childOutput)
       val ordering: Ordering[InternalRow] =
@@ -68,6 +77,12 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
         val heap = heaps.get(key) match {
           case Some(h) => h
           case None =>
+            if (heaps.size >= maxGroups)
+              throw new IllegalStateException(
+                s"TopKPerGroup: more than $maxGroups distinct groups in one " +
+                "task (bound: groups×k rows per task, no spill) — raise " +
+                "spark.graft.topk.maxGroupsPerTask or increase " +
+                "spark.sql.shuffle.partitions")
             val h = mutable.PriorityQueue.empty[UnsafeRow](
               ordering.asInstanceOf[Ordering[UnsafeRow]])
             heaps.update(key.copy(), h)

@@ -55,12 +55,13 @@ object Ann {
 
   /** IVF index build (the DDL step): k-means coarse quantizer
     * (√N lists), corpus bucketed by nearest centroid. Training reads a
-    * bounded sample, never the full corpus: limit() stops once
-    * maxTrain rows are in hand, so training I/O is capped at any
-    * corpus size, and nlist derives from the sampled count — no full
-    * count() pass. (Parquet file order is uncorrelated with embedding
-    * geometry, so a head-sample is an acceptable quantizer-training
-    * sample.) */
+    * bounded SEEDED sample of the corpus — uniform across partitions,
+    * so clustered/sorted layouts can't bias the quantizer the way a
+    * head-`limit` sample would (limit takes whole leading partitions).
+    * The corpus row count comes from parquet footer metadata (a
+    * metadata-only count job, no data I/O), the sample fraction
+    * targets ~1.2·maxTrain rows, and a final limit caps the exact
+    * training size. Deterministic under the fixed seed. */
   def buildIvf(embs: DataFrame, idCol: String, vecCol: String,
                maxIter: Int = 2, maxTrain: Int = 50000): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
@@ -68,7 +69,12 @@ object Ann {
     val spark = embs.sparkSession
     val corpus0 = embs.select(col(idCol).as("nn"), col(vecCol).as("v"))
       .withColumn("features", array_to_vector(col("v").cast("array<double>")))
-    val train = corpus0.select("features").limit(maxTrain).cache()
+    val n = embs.count() // parquet scans answer this from footers
+    val fraction = if (n == 0) 1.0
+      else math.min(1.0, maxTrain * 1.2 / n.toDouble)
+    val train = corpus0.select("features")
+      .sample(withReplacement = false, fraction, seed = 42L)
+      .limit(maxTrain).cache()
     val nTrain = train.count()
     val nlist = math.max(2, math.sqrt(nTrain.toDouble).toInt)
     // random init, not k-means||: the parallel init is itself O(iter)
