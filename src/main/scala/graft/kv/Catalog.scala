@@ -657,6 +657,18 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
             .write.mode("overwrite").parquet(dir.resolve(s"tomb_v$next").toString)
         case _ => ()
       }
+      // tiered-merge analog (Lucene merges segments automatically):
+      // past `autoFold` live segments the stack folds into a fresh
+      // base right here, still under the table write lock — read
+      // amplification stays bounded at any CDC cadence without an
+      // operator having to CALL compact_index. Cost ∝ index frames,
+      // amortized over autoFold merges.
+      val autoFold = spark.conf.getOption("spark.graft.index.autoFoldSegments")
+        .map(_.toInt).getOrElse(8)
+      val baseNow = resolveIndexVersioned(dir, "data", next)
+      if (versionedDirs(dir, "seg_v", indexBaseVersion(baseNow), next)
+            .size >= autoFold)
+        foldIndexStack(name, iname, ty, next): Unit
       setIndexAsOf(name, iname, ty, next)
     }
   }
@@ -667,27 +679,38 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * rebuild. After the fold, vacuum reclaims the dead segments. */
   def compactIndex(table: String, indexName: String, indexType: String): Unit =
     withWriteLock(table) {
-      val live = dataVersionOf(table)
-      val dir = indexDir(table, indexName, indexType)
-      val base = resolveIndexVersioned(dir, "data", live)
-      val baseVer = indexBaseVersion(base)
-      val segs = versionedDirs(dir, "seg_v", baseVer, live)
-      val tombs = versionedDirs(dir, "tomb_v", baseVer, live)
-      if (segs.nonEmpty || tombs.nonEmpty) {
-        indexType.toUpperCase match {
-          case "FULLTEXT" =>
-            KvLayout.writeSorted(indexData(table, indexName, indexType),
-              Seq("term"), dir.resolve(s"data_v$live").toString)
-            KvLayout.writeSorted(indexDictionary(table, indexName, indexType),
-              Seq("term"), dir.resolve(s"dict_v$live").toString)
-          case "BITMAP" =>
-            indexData(table, indexName, indexType)
-              .write.mode("overwrite").parquet(dir.resolve(s"data_v$live").toString)
-          case _ => ()
-        }
-        setIndexAsOf(table, indexName, indexType, live)
-      }
+      if (foldIndexStack(table, indexName, indexType, dataVersionOf(table)))
+        setIndexAsOf(table, indexName, indexType, dataVersionOf(table))
     }
+
+  /** The fold body, callable under an already-held write lock with an
+    * explicit version bound (`upTo` may be the version being
+    * published, which the table pointer hasn't reached yet). Writes
+    * data_v(upTo) (+ dict_v(upTo) for fulltext) from the segmented
+    * view; returns false when there is no stack to fold. */
+  private def foldIndexStack(table: String, indexName: String,
+                             indexType: String, upTo: Int): Boolean = {
+    val dir = indexDir(table, indexName, indexType)
+    val base = resolveIndexVersioned(dir, "data", upTo)
+    val baseVer = indexBaseVersion(base)
+    val segs = versionedDirs(dir, "seg_v", baseVer, upTo)
+    val tombs = versionedDirs(dir, "tomb_v", baseVer, upTo)
+    if (segs.isEmpty && tombs.isEmpty) false
+    else {
+      indexType.toUpperCase match {
+        case "FULLTEXT" =>
+          KvLayout.writeSorted(fulltextSegView(base, baseVer, segs, tombs),
+            Seq("term"), dir.resolve(s"data_v$upTo").toString)
+          KvLayout.writeSorted(dictSegView(dir, upTo), Seq("term"),
+            dir.resolve(s"dict_v$upTo").toString)
+        case "BITMAP" =>
+          bitmapSegView(base, baseVer, segs, tombs)
+            .write.mode("overwrite").parquet(dir.resolve(s"data_v$upTo").toString)
+        case _ => ()
+      }
+      true
+    }
+  }
 
   /** Read a specific historical snapshot (time travel). */
   def tableAt(name: String, version: Int): KvTable =
@@ -746,10 +769,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
                    maxIncrementalKeys: Int = 100000): Unit =
     try {
       import org.apache.spark.sql.functions.{col, struct, max}
-      val fields = schemaOf(name).fieldNames.toSeq
+      val schema = schemaOf(name)
+      val fields = schema.fieldNames.toSeq
       val cols = fields.map(col)
       val pk = primaryKeyOf(name)
-      val raw = spark.read.schema(schemaOf(name)).parquet(stagedDir)
+      val raw = spark.read.schema(schema).parquet(stagedDir)
       // rowkeys are non-null, like HBase rowkeys — reject at write time
       // with a clear error instead of NPEing in the merge's key
       // comparator (one limit-1 job over the pk columns of the batch)
@@ -765,8 +789,18 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       // batches always publish identical post-images, which is what
       // makes streaming-batch replay idempotent.
       val others = fields.filterNot(pk.contains)
+      // max(struct(...)) needs an ordering on every non-key column; a
+      // map-typed column has none (Spark: map types are unorderable).
+      // Fall back to an arbitrary-but-single winner there — replay
+      // idempotence for such schemas is only guaranteed when batches
+      // don't carry intra-batch duplicate PKs (documented trade; every
+      // current schema is orderable and keeps the deterministic path).
+      val orderable = others.forall(o =>
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(schema(o).dataType))
       val batch =
         if (others.isEmpty) raw.dropDuplicates(pk) // rows are identical
+        else if (!orderable) raw.dropDuplicates(pk)
         else raw.groupBy(pk.map(col): _*)
           .agg(max(struct(others.map(col): _*)).as("__w"))
           .select(pk.map(col) ++ others.map(o => col(s"__w.$o").as(o)): _*)
@@ -948,18 +982,19 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * postings — both written by the same backfill/refresh/compact)
     * plus any df deltas appended by segment maintenance since. The
     * fold aggregates |vocab| + |deltas| rows — never the corpus. */
-  def indexDictionary(table: String, indexName: String, indexType: String): DataFrame = {
+  def indexDictionary(table: String, indexName: String, indexType: String): DataFrame =
+    dictSegView(indexDir(table, indexName, indexType), dataVersionOf(table))
+
+  private def dictSegView(dir: Path, upTo: Int): DataFrame = {
     import org.apache.spark.sql.functions._
-    val dir = indexDir(table, indexName, indexType)
-    val live = dataVersionOf(table)
-    val baseDict = resolveIndexVersioned(dir, "dict", live)
+    val baseDict = resolveIndexVersioned(dir, "dict", upTo)
     val baseVer = {
       val n = baseDict.getFileName.toString
       if (n.startsWith("dict_v"))
         scala.util.Try(n.stripPrefix("dict_v").toInt).getOrElse(-1)
       else -1
     }
-    val deltas = versionedDirs(dir, "dictdelta_v", baseVer, live)
+    val deltas = versionedDirs(dir, "dictdelta_v", baseVer, upTo)
     val base = spark.read.parquet(baseDict.toString)
     if (deltas.isEmpty) base
     else base.select(col("term"), col("df").cast("long").as("df"))

@@ -159,6 +159,82 @@ class SegmentedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("segment stacks auto-fold past the threshold: reads stay bounded under sustained CDC") {
+    import spark.implicits._
+    val (cat, wh) = freshCat("segauto")
+    spark.conf.set("spark.graft.index.autoFoldSegments", "3")
+    try {
+      cat.createTable("t", schema, Seq("k"))
+      cat.bulkLoad("t",
+        (0L until 300L).map(i => (i, "s", s"alpha doc$i")).toDF("k", "seg", "body"))
+      cat.createIndex("t", "ft", "fulltext", Seq("body"))
+      // 5 CDC merges at threshold 3: the stack must fold at least once
+      (1 to 5).foreach { i =>
+        cat.incrementalMerge("t",
+          Seq((i.toLong, "s", s"update$i round")).toDF("k", "seg", "body"))
+      }
+      val idxDir = java.nio.file.Paths.get(wh, "t.fulltext.ft")
+      val names = {
+        val s = java.nio.file.Files.list(idxDir)
+        try {
+          val it = s.iterator(); var out = List.empty[String]
+          while (it.hasNext) out ::= it.next().getFileName.toString
+          out
+        } finally s.close()
+      }
+      // a folded base exists and the LIVE stack depth is < threshold
+      assert(names.exists(_.startsWith("data_v")), s"no folded base in $names")
+      val baseVer = names.filter(_.startsWith("data_v"))
+        .map(_.stripPrefix("data_v").toInt).max
+      val liveSegs = names.filter(_.startsWith("seg_v"))
+        .map(_.stripPrefix("seg_v").toInt)
+        .count(v => v > baseVer && v <= cat.dataVersionOf("t"))
+      assert(liveSegs < 3, s"stack not folded: $liveSegs live segments")
+      // and the view still equals a from-scratch rebuild
+      assert(sortedRows(cat.indexData("t", "ft", "fulltext")) ==
+        sortedRows(rebuildPostings(cat, "t")))
+      assert(cat.indexData("t", "ft", "fulltext")
+        .filter($"term" === "update5").select("doc_id")
+        .collect().map(_.getLong(0)).toSet == Set(5L))
+    } finally spark.conf.unset("spark.graft.index.autoFoldSegments")
+  }
+
+  test("unorderable (map-typed) non-key columns fall back to a single arbitrary winner") {
+    import spark.implicits._
+    val (cat, _) = freshCat("segmap")
+    val mapSchema = StructType(Seq(
+      StructField("k", LongType, false),
+      StructField("attrs", MapType(StringType, StringType), true)))
+    cat.createTable("m", mapSchema, Seq("k"))
+    val staged = cat.stagingPath("m")
+    Seq((1L, Map("a" -> "1")), (1L, Map("a" -> "2")), (2L, Map("b" -> "3")))
+      .toDF("k", "attrs").write.parquet(staged)
+    // max(struct(map)) would analysis-fail; the fallback must both
+    // dedup (one row per key) and succeed
+    cat.upsertStaged("m", staged)
+    val rows = cat.table("m").df.orderBy("k").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("term filters push into BOTH base and segment scans of the segmented view") {
+    import spark.implicits._
+    val (cat, _) = freshCat("segpush")
+    cat.createTable("t", schema, Seq("k"))
+    cat.bulkLoad("t",
+      (0L until 500L).map(i => (i, "s", s"alpha doc$i")).toDF("k", "seg", "body"))
+    cat.createIndex("t", "ft", "fulltext", Seq("body"))
+    cat.incrementalMerge("t", Seq((5L, "s", "bravo")).toDF("k", "seg", "body"))
+    // the view is union(base, seg) ⟕̸ tombstones; a term predicate must
+    // still reach every parquet postings scan (term-sorted files →
+    // row-group pruning, the FST-seek analog) — if the anti-join or
+    // union blocked pushdown, every search would scan full postings
+    val plan = cat.indexData("t", "ft", "fulltext")
+      .filter($"term" === "alpha").queryExecution.executedPlan.toString
+    val pushed = "EqualTo\\(term,alpha\\)".r.findAllIn(plan).size
+    assert(pushed >= 2, s"term filter not pushed to both scans:\n$plan")
+  }
+
   test("compact_index folds fulltext via CALL; view unchanged; segments reclaimed") {
     import spark.implicits._
     val (cat, wh) = freshCat("segcall")
