@@ -235,6 +235,33 @@ class SegmentedIndexSpec extends AnyFunSuite {
     assert(pushed >= 2, s"term filter not pushed to both scans:\n$plan")
   }
 
+  test("segments beyond the published version are invisible and vacuum-reclaimed") {
+    import spark.implicits._
+    val (cat, wh) = freshCat("segorphan")
+    cat.createTable("t", schema, Seq("k"))
+    cat.bulkLoad("t",
+      (0L until 300L).map(i => (i, "s", s"alpha doc$i")).toDF("k", "seg", "body"))
+    cat.createIndex("t", "ft", "fulltext", Seq("body"))
+    cat.incrementalMerge("t", Seq((5L, "s", "bravo")).toDF("k", "seg", "body"))
+    // simulate a writer that crashed mid-merge AFTER writing its
+    // segment but BEFORE the pointer bump: an orphan seg_v99/tomb_v99
+    val idxDir = Paths.get(wh, "t.fulltext.ft")
+    Seq(1L).toDF("rk").write.parquet(idxDir.resolve("tomb_v99").toString)
+    Seq(("zombie", 1L, 1L)).toDF("term", "doc_id", "tf")
+      .write.parquet(idxDir.resolve("seg_v99").toString)
+    // lock-free readers resolve bounded by the PUBLISHED version: the
+    // orphan is invisible (no zombie term, doc 1's postings intact)
+    val view = cat.indexData("t", "ft", "fulltext")
+    assert(view.filter($"term" === "zombie").count() == 0)
+    assert(view.filter($"doc_id" === 1L).count() > 0)
+    // and vacuum reclaims the orphan (version outside (base, live])
+    cat.vacuum("t", graceMs = 0L)
+    assert(!Files.exists(idxDir.resolve("seg_v99")))
+    assert(!Files.exists(idxDir.resolve("tomb_v99")))
+    // the LIVE segment survives the same vacuum
+    assert(Files.exists(idxDir.resolve(s"seg_v${cat.dataVersionOf("t")}")))
+  }
+
   test("compact_index folds fulltext via CALL; view unchanged; segments reclaimed") {
     import spark.implicits._
     val (cat, wh) = freshCat("segcall")
