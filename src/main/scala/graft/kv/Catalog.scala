@@ -621,7 +621,14 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       i._2.equalsIgnoreCase("fulltext") || i._2.equalsIgnoreCase("bitmap"))
     if (analytic.isEmpty) return
     val rk = primaryKeyOf(name).head
-    analytic.foreach { case (iname, ty, cols) =>
+    // a segment only extends an index that was CURRENT before this
+    // merge: an index already stale (it missed a bulk write, which
+    // has no bounded patch) must stay stale at its old as-of —
+    // appending this patch and freshening would silently hide the
+    // missed content until someone noticed wrong search results
+    analytic.filter { case (iname, ty, _) =>
+      indexAsOfVersion(name, iname, ty) == next - 1
+    }.foreach { case (iname, ty, cols) =>
       val dir = indexDir(name, iname, ty)
       val c = cols.head
       ty.toUpperCase match {
@@ -673,15 +680,33 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     }
   }
 
-  /** Fold an index's segment stack into a fresh base at the live
-    * version (`CALL system.compact_index`) — reads ONLY index frames
+  /** Fold an index's segment stack into a single base
+    * (`CALL system.compact_index`) — reads ONLY index frames
     * (base + segments), never the corpus, unlike refreshIndex's full
-    * rebuild. After the fold, vacuum reclaims the dead segments. */
+    * rebuild. The fold targets the index's AS-OF version, not the
+    * table's live version: a stack gone stale under a later bulk
+    * write folds to a base carrying its as-of content and STAYS
+    * stale — folding it to the live version would relabel old
+    * content as fresh. After the fold, vacuum reclaims the dead
+    * segments. */
   def compactIndex(table: String, indexName: String, indexType: String): Unit =
     withWriteLock(table) {
-      if (foldIndexStack(table, indexName, indexType, dataVersionOf(table)))
-        setIndexAsOf(table, indexName, indexType, dataVersionOf(table))
+      val asOf = indexAsOfVersion(table, indexName, indexType)
+      // under the write lock asOf <= live always; the min is belt and
+      // braces against a hand-edited registry
+      val upTo = math.min(asOf, dataVersionOf(table))
+      foldIndexStack(table, indexName, indexType, upTo): Unit
+      // asOf unchanged: the fold moves bytes, not content version
     }
+
+  private def indexAsOfVersion(table: String, indexName: String,
+                               indexType: String): Int =
+    readMeta(table).withArray[ArrayNode]("indexes").elements().asScala
+      .find(e => e.path("name").asText() == indexName &&
+        e.path("type").asText().equalsIgnoreCase(indexType))
+      .map(_.path("asOfVersion").asInt(-1)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$table $indexName $indexType not registered"))
 
   /** The fold body, callable under an already-held write lock with an
     * explicit version bound (`upTo` may be the version being
@@ -696,19 +721,18 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     val segs = versionedDirs(dir, "seg_v", baseVer, upTo)
     val tombs = versionedDirs(dir, "tomb_v", baseVer, upTo)
     if (segs.isEmpty && tombs.isEmpty) false
-    else {
-      indexType.toUpperCase match {
-        case "FULLTEXT" =>
-          KvLayout.writeSorted(fulltextSegView(base, baseVer, segs, tombs),
-            Seq("term"), dir.resolve(s"data_v$upTo").toString)
-          KvLayout.writeSorted(dictSegView(dir, upTo), Seq("term"),
-            dir.resolve(s"dict_v$upTo").toString)
-        case "BITMAP" =>
-          bitmapSegView(base, baseVer, segs, tombs)
-            .write.mode("overwrite").parquet(dir.resolve(s"data_v$upTo").toString)
-        case _ => ()
-      }
-      true
+    else indexType.toUpperCase match {
+      case "FULLTEXT" =>
+        KvLayout.writeSorted(fulltextSegView(base, baseVer, segs, tombs),
+          Seq("term"), dir.resolve(s"data_v$upTo").toString)
+        KvLayout.writeSorted(dictSegView(dir, upTo), Seq("term"),
+          dir.resolve(s"dict_v$upTo").toString)
+        true
+      case "BITMAP" =>
+        bitmapSegView(base, baseVer, segs, tombs)
+          .write.mode("overwrite").parquet(dir.resolve(s"data_v$upTo").toString)
+        true
+      case _ => false // kv indexes never write segments
     }
   }
 
@@ -1155,10 +1179,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
 
   /** FRESH iff the index content matches the live table version. */
   def indexStatus(table: String, indexName: String, indexType: String): String = {
-    val asOf = readMeta(table).withArray[ArrayNode]("indexes").elements().asScala
-      .find(e => e.path("name").asText() == indexName &&
-        e.path("type").asText().equalsIgnoreCase(indexType))
-      .map(_.path("asOfVersion").asInt(-1)).getOrElse(-1)
+    val asOf = try indexAsOfVersion(table, indexName, indexType)
+      catch { case _: IllegalArgumentException => -1 }
     if (asOf == dataVersionOf(table)) "FRESH" else s"STALE@v$asOf"
   }
 

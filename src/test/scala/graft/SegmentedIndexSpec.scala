@@ -235,6 +235,37 @@ class SegmentedIndexSpec extends AnyFunSuite {
     assert(pushed >= 2, s"term filter not pushed to both scans:\n$plan")
   }
 
+  test("compact_index on a STALE stack folds to the as-of version and stays stale") {
+    import spark.implicits._
+    val (cat, wh) = freshCat("segstale")
+    cat.createTable("t", schema, Seq("k"))
+    cat.bulkLoad("t",
+      (0L until 300L).map(i => (i, "s", s"alpha doc$i")).toDF("k", "seg", "body"))
+    cat.createIndex("t", "ft", "fulltext", Seq("body"))
+    cat.incrementalMerge("t", Seq((5L, "s", "bravo")).toDF("k", "seg", "body"))
+    val asOf = cat.dataVersionOf("t")
+    val asOfView = sortedRows(cat.indexData("t", "ft", "fulltext"))
+    // bulk write AFTER the segment stack: index goes stale at asOf
+    cat.bulkLoad("t",
+      (0L until 300L).map(i => (i, "s", s"charlie doc$i")).toDF("k", "seg", "body"))
+    assert(cat.indexStatus("t", "ft", "fulltext") == s"STALE@v$asOf")
+
+    // the fold must NOT relabel the v-asOf content as live-fresh
+    cat.compactIndex("t", "ft", "fulltext")
+    assert(cat.indexStatus("t", "ft", "fulltext") == s"STALE@v$asOf",
+      "compact_index wrongly freshened a stale index")
+    assert(Files.exists(Paths.get(wh, "t.fulltext.ft", s"data_v$asOf")))
+    assert(!Files.exists(Paths.get(wh, "t.fulltext.ft",
+      s"data_v${cat.dataVersionOf("t")}")))
+    // folded view == the pre-fold segmented view (same content version)
+    assert(sortedRows(cat.indexData("t", "ft", "fulltext")) == asOfView)
+    // refresh then brings it truly fresh
+    cat.refreshIndex("t", "ft", "fulltext")
+    assert(cat.indexStatus("t", "ft", "fulltext") == "FRESH")
+    assert(cat.indexData("t", "ft", "fulltext")
+      .filter($"term" === "charlie").count() > 0)
+  }
+
   test("segments beyond the published version are invisible and vacuum-reclaimed") {
     import spark.implicits._
     val (cat, wh) = freshCat("segorphan")
