@@ -40,10 +40,16 @@ object Bench {
       }.sorted
       name -> times(times.length / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (ms) precision keeps the one-line JSON artifact compact
+    // enough to survive a bounded stdout tail capture — full double
+    // precision pushed a 94-query line past the capture window and the
+    // recorded artifact lost its head
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The driver parses this JSON: write it to a file (sbt banners can
     // trail stdout) AND print it after the session is fully stopped so
     // it is the last line this program emits.

@@ -59,6 +59,15 @@ object Bitmap {
     */
   private final val SparseMax = 4096
 
+  /** Format marker. Legacy streams (written before the marker existed)
+    * begin with a non-negative chunk count, so a negative magic int is
+    * unambiguous; [[deserialize]] keeps decoding both legacy layouts
+    * (pre-sparse dense-only, and the unversioned sparse/dense form)
+    * rather than misparsing persisted index bytes as the current
+    * format. */
+  private final val Magic = 0xB17AC0DE // negative as Int
+  private final val FormatVersion = 2
+
   private def chunkCard(w: Array[Long]): Int = {
     var i = 0; var c = 0
     while (i < WordsPerChunk) { c += java.lang.Long.bitCount(w(i)); i += 1 }
@@ -67,10 +76,11 @@ object Bitmap {
 
   def serialize(chunks: Chunks): Array[Byte] = {
     val entries = chunks.toSeq.sortBy(_._1).map { case (c, w) => (c, w, chunkCard(w)) }
-    val size = 4 + entries.map { case (_, _, card) =>
+    val size = 12 + entries.map { case (_, _, card) =>
       8 + (if (card <= SparseMax) 2 * card else 8 * WordsPerChunk)
     }.sum
     val buf = ByteBuffer.allocate(size)
+    buf.putInt(Magic); buf.putInt(FormatVersion)
     buf.putInt(entries.size)
     entries.foreach { case (c, w, card) =>
       buf.putInt(c); buf.putInt(card)
@@ -92,7 +102,33 @@ object Bitmap {
 
   def deserialize(bytes: Array[Byte]): Chunks = {
     val buf = ByteBuffer.wrap(bytes)
-    val n = buf.getInt
+    if (bytes.length >= 4 && buf.getInt(0) == Magic) {
+      buf.getInt // magic
+      val ver = buf.getInt
+      require(ver == FormatVersion, s"unsupported bitmap format version $ver")
+      readSparseDense(buf, buf.getInt)
+    } else {
+      // legacy, headerless. Two layouts shipped: dense-only
+      // ([n][chunk][1024 words]*) and the first sparse/dense form
+      // ([n][chunk][card][payload]*). The dense layout's length is an
+      // exact function of n (each entry 4 + 8 KiB; an all-dense
+      // sparse/dense stream differs by the 4-byte card fields), so an
+      // exact-length test disambiguates.
+      val n = buf.getInt
+      if (bytes.length == 4 + n * (4 + 8 * WordsPerChunk)) {
+        val chunks = new Chunks()
+        (0 until n).foreach { _ =>
+          val c = buf.getInt
+          val w = new Array[Long](WordsPerChunk)
+          (0 until WordsPerChunk).foreach(i => w(i) = buf.getLong)
+          chunks.update(c, w)
+        }
+        chunks
+      } else readSparseDense(buf, n)
+    }
+  }
+
+  private def readSparseDense(buf: ByteBuffer, n: Int): Chunks = {
     val chunks = new Chunks()
     (0 until n).foreach { _ =>
       val c = buf.getInt

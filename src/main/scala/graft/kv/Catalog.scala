@@ -115,6 +115,12 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     meta.put("comment", comment)
     meta.put("layout", layout)
     meta.set[JsonNode]("indexes", mapper.createArrayNode()): Unit
+    // v0 (the empty snapshot below) publishes now — seeds the
+    // TIMESTAMP AS OF map so even version 0 resolves from recorded
+    // publish time, not directory mtime
+    val publishTimes = mapper.createObjectNode()
+    publishTimes.put("0", System.currentTimeMillis()): Unit
+    meta.set[JsonNode]("publishTimes", publishTimes): Unit
     val cols = mapper.createArrayNode()
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       val c = mapper.createObjectNode()
@@ -166,7 +172,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       val nextDir = tableDir(name).resolve(s"data_v$next")
       writeData(name, rows, nextDir.toString, partitions)
       maintainIndexes(name, next, nextDir, pre = None, post = None)
-      setMetaAttr(name, "dataVersion", next)
+      publishVersion(name, next)
     }
 
   /** Optimistic CAS for writers whose post-image derives from a pinned
@@ -330,7 +336,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       touchedDf.join(
         patch.select(pk.map(org.apache.spark.sql.functions.col): _*).distinct(),
         pk, "left_semi"))
-    setMetaAttr(name, "dataVersion", cur + 1)
+    publishVersion(name, cur + 1)
   }
 
   /** Strings compare in UTF-8 BYTE order, matching how Spark computed
@@ -507,7 +513,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
           if (indexStatus(name, iname, ty) == "FRESH")
             setIndexAsOf(name, iname, ty, cur + 1)
         }
-        setMetaAttr(name, "dataVersion", cur + 1)
+        publishVersion(name, cur + 1)
       }
     }
 
@@ -723,10 +729,19 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     if (segs.isEmpty && tombs.isEmpty) false
     else indexType.toUpperCase match {
       case "FULLTEXT" =>
-        KvLayout.writeSorted(fulltextSegView(base, baseVer, segs, tombs),
-          Seq("term"), dir.resolve(s"data_v$upTo").toString)
+        // dict BEFORE data: the folded DATA base is the effective
+        // publish point — vacuum's segment/delta retention keys off the
+        // resolved data base version. A crash between the two writes
+        // must leave the old data base live (consistent old view, all
+        // deltas still retained); the reverse order would let vacuum
+        // reclaim dictdelta dirs the still-unfolded dictionary needs,
+        // silently corrupting df counts. An orphan dict_v(upTo) is
+        // harmless: it folds exactly the deltas ≤ upTo, and readers
+        // overlay deltas > its version.
         KvLayout.writeSorted(dictSegView(dir, upTo), Seq("term"),
           dir.resolve(s"dict_v$upTo").toString)
+        KvLayout.writeSorted(fulltextSegView(base, baseVer, segs, tombs),
+          Seq("term"), dir.resolve(s"data_v$upTo").toString)
         true
       case "BITMAP" =>
         bitmapSegView(base, baseVer, segs, tombs)
@@ -754,18 +769,29 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   def dataPathAt(name: String, version: Int): String =
     tableDir(name).resolve(s"data_v$version").toString
 
-  /** Newest still-present snapshot version whose publish time (dir
-    * mtime) is at or before `cutoffMs`, capped at the published
-    * pointer — the `TIMESTAMP AS OF` resolution. */
+  /** Newest still-present snapshot version whose recorded publish time
+    * is at or before `cutoffMs`, capped at the published pointer — the
+    * `TIMESTAMP AS OF` resolution. Publish times come from the meta's
+    * `publishTimes` map (written atomically with each pointer bump);
+    * directory mtime is only the fallback for pre-upgrade snapshots
+    * with no recorded entry — mtimes shift when lazy bookkeeping (the
+    * range manifest) lands in an old snapshot dir, recorded times
+    * don't. */
   def snapshotAtOrBefore(name: String, cutoffMs: Long): Option[Int] = {
     val live = dataVersionOf(name)
+    val times = readMeta(name).path("publishTimes")
     withList(tableDir(name)) { it =>
       it.flatMap { p =>
         val n = p.getFileName.toString
         if (!n.startsWith("data_v")) None
         else scala.util.Try(n.stripPrefix("data_v").toInt).toOption
-          .filter(v => v <= live &&
-            Files.getLastModifiedTime(p).toMillis <= cutoffMs)
+          .filter { v =>
+            val rec = times.path(v.toString)
+            val publishedMs =
+              if (rec.isNumber) rec.asLong()
+              else Files.getLastModifiedTime(p).toMillis
+            v <= live && publishedMs <= cutoffMs
+          }
       }.toList
     }.sorted.lastOption
   }
@@ -841,7 +867,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
         val nextDir = tableDir(name).resolve(s"data_v$next")
         writeData(name, table(name).upsert(batch).df, nextDir.toString)
         maintainIndexes(name, next, nextDir, pre = None, post = None)
-        setMetaAttr(name, "dataVersion", next)
+        publishVersion(name, next)
       }
     } finally discardStaged(stagedDir)
 
@@ -885,7 +911,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     writeData(name, staged, target.toString)
     deleteRecursively(Paths.get(stagedDir))
     maintainIndexes(name, next, target, pre = None, post = None)
-    setMetaAttr(name, "dataVersion", next)
+    publishVersion(name, next)
   }
 
   def schemaOf(name: String): StructType = {
@@ -1302,6 +1328,27 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * README.md metadata scheme). */
   private def indexDir(table: String, indexName: String, indexType: String): Path =
     Paths.get(warehouse, s"$table.${indexType.toLowerCase}.$indexName")
+
+  /** Flip the version pointer AND record the publish wall-clock in the
+    * same meta write. `TIMESTAMP AS OF` resolves from this map, not
+    * directory mtimes — lazy per-snapshot bookkeeping (e.g.
+    * [[ensureRangeManifest]] dropping `_graft_ranges.json` into a
+    * PREVIOUS snapshot dir when the next merge starts) bumps mtimes
+    * long after publish, which would otherwise shift a snapshot's
+    * apparent publish time forward. */
+  private def publishVersion(table: String, version: Int): Unit = {
+    val meta = readMeta(table)
+    meta.put("dataVersion", version): Unit
+    val times = meta.get("publishTimes") match {
+      case o: ObjectNode => o
+      case _ =>
+        val o = mapper.createObjectNode()
+        meta.set[JsonNode]("publishTimes", o): Unit
+        o
+    }
+    times.put(version.toString, System.currentTimeMillis()): Unit
+    writeMeta(table, meta)
+  }
 
   private def setMetaAttr(table: String, attr: String, value: Any): Unit = {
     val meta = readMeta(table)

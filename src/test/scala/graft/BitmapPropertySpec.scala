@@ -74,6 +74,35 @@ class BitmapPropertySpec extends AnyFunSuite {
     }, "foldVersions")
   }
 
+  /** The two headerless legacy layouts that shipped before the format
+    * marker: dense-only ([n][chunk][1024 words]*) and the first
+    * sparse/dense form ([n][chunk][card][payload]*). */
+  private def legacyDense(ids: Seq[Long]): Array[Byte] = {
+    val c = new Bitmap.Chunks(); ids.foreach(Bitmap.set(c, _))
+    val entries = c.toSeq.sortBy(_._1)
+    val buf = java.nio.ByteBuffer.allocate(4 + entries.size * (4 + 8 * 1024))
+    buf.putInt(entries.size)
+    entries.foreach { case (ch, w) => buf.putInt(ch); w.foreach(buf.putLong) }
+    buf.array()
+  }
+
+  private def legacySparseDense(ids: Seq[Long]): Array[Byte] = {
+    // strip the 8-byte magic+version header from the current encoding
+    Bitmap.serialize({ val c = new Bitmap.Chunks(); ids.foreach(Bitmap.set(c, _)); c })
+      .drop(8)
+  }
+
+  test("legacy headerless index bytes decode identically (no silent misparse)") {
+    check(Prop.forAll(idSet) { ids =>
+      Bitmap.ids(legacyDense(ids.toSeq)).toSet == ids &&
+        Bitmap.ids(legacySparseDense(ids.toSeq)).toSet == ids
+    }, "legacy-decode")
+    // and legacy bytes interoperate with current bytes in set ops
+    val a = (0L until 5000L).toSet; val b = (2500L until 9000L).toSet
+    assert(Bitmap.ids(Bitmap.and(legacyDense(a.toSeq),
+      legacySparseDense(b.toSeq))).toSet == (a intersect b))
+  }
+
   test("sparse container shrinks a low-cardinality chunk ~100x vs dense") {
     // 40 ids scattered across one 64Ki chunk: dense form would be
     // 8 KiB; sparse is 4+4+4 + 2*40 = 92 B

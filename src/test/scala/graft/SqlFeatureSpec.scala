@@ -54,6 +54,29 @@ class SqlFeatureSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("no snapshot"))
   }
 
+  test("TIMESTAMP AS OF resolves from recorded publish times, not dir mtimes") {
+    import org.apache.spark.sql.types._
+    import java.nio.file.{Paths, attribute}
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_gmt_wh").toString
+    val cat = new Catalog(spark, wh)
+    cat.createTable("t",
+      StructType(Seq(StructField("k", LongType, false),
+        StructField("v", StringType))), Seq("k"))
+    cat.bulkLoad("t", Seq((1L, "a")).toDF("k", "v"))
+    val afterPublish = System.currentTimeMillis()
+    // lazy bookkeeping (the range manifest) lands in OLD snapshot dirs
+    // when the next merge starts, bumping their mtimes long after
+    // publish — simulate the worst case by pushing the dir mtime far
+    // into the future; resolution must still come from the recorded
+    // publish time
+    Files.setLastModifiedTime(Paths.get(wh, "t", "data_v1"),
+      attribute.FileTime.fromMillis(afterPublish + 10L * 365 * 24 * 3600 * 1000))
+    assert(cat.snapshotAtOrBefore("t", afterPublish).contains(1))
+    // and a cutoff before the table existed still resolves to nothing
+    assert(cat.snapshotAtOrBefore("t", afterPublish - 3600_000L).isEmpty)
+  }
+
   test("column DEFAULT values: missing INSERT columns fill from stored defaults") {
     val (cat, _) = freshSqlCat("gdef")
     spark.sql("CREATE TABLE gdef.t (k BIGINT NOT NULL, " +
