@@ -198,6 +198,17 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * directory or lose the other's bump. Readers never take the lock
     * (snapshots are immutable once published). */
   private def withWriteLock[A](name: String, timeoutMs: Long = 600000L)(f: => A): A = {
+    val lock = acquireWriteLock(name, timeoutMs)
+    // deleteIfExists: dropTable removes the whole table dir (lock file
+    // included) while holding the lock
+    try f finally Files.deleteIfExists(lock)
+  }
+
+  /** Bare acquire — for [[commitTxn]], which holds locks on SEVERAL
+    * tables at once (always acquired in sorted table order, so two
+    * concurrent transactions can't deadlock). Everything else uses the
+    * scoped [[withWriteLock]]. */
+  private def acquireWriteLock(name: String, timeoutMs: Long = 600000L): Path = {
     val lock = tableDir(name).resolve("_graft_write.lock")
     val deadline = System.currentTimeMillis() + timeoutMs
     var acquired = false
@@ -218,9 +229,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
         Thread.sleep(50)
       }
     }
-    // deleteIfExists: dropTable removes the whole table dir (lock file
-    // included) while holding the lock
-    try f finally Files.deleteIfExists(lock)
+    lock
   }
 
   /** Stale-lock recovery: a lock whose recorded owner process is no
@@ -912,6 +921,138 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     deleteRecursively(Paths.get(stagedDir))
     maintainIndexes(name, next, target, pre = None, post = None)
     publishVersion(name, next)
+  }
+
+  // ------------------------------------------------------------------
+  // Multi-statement transactions — the Spark-bulk analog of the
+  // reference's Tephra-backed transactional tables
+  // (KVTransactionalIndexTable.kt: one transaction spans several
+  // statements and the base+index writes of each). Semantics here are
+  // optimistic snapshot isolation, per table:
+  //   - every table READ inside the transaction pins that table's
+  //     snapshot at first touch (repeatable reads, no locks held);
+  //   - writes buffer as derived post-images (read-your-writes within
+  //     the transaction, nothing visible outside it);
+  //   - COMMIT takes the write locks of all written tables in sorted
+  //     name order (no deadlocks), CAS-checks every written table is
+  //     still at its pinned version (write-write conflict → the whole
+  //     transaction fails, nothing published), stages every post-image
+  //     snapshot + its kv-index maintenance, then writes one intent
+  //     journal and flips all version pointers.
+  // The journal is what makes the multi-table pointer flip crash-safe:
+  // everything heavy happens BEFORE the journal (a crash there leaves
+  // only unpublished garbage directories — vacuum reclaims them), and
+  // after the journal only metadata bumps remain, which
+  // [[recoverTransactions]] rolls FORWARD (each bump CAS-guarded, so
+  // replay is idempotent). Readers between partial bumps can observe
+  // table A committed while table B isn't yet — the same window
+  // Tephra closes with a central transaction manager; the journal
+  // bounds it to a crash + recovery, never silent loss.
+  // ------------------------------------------------------------------
+
+  /** Run `f` as one multi-statement transaction and commit its writes
+    * atomically (all-or-nothing across every written table). Throws
+    * `ConcurrentModificationException` if a concurrent writer published
+    * to any written table since the transaction first touched it — the
+    * caller re-runs the whole transaction. An exception from `f` rolls
+    * back (nothing was published). */
+  def transaction[A](f: Txn => A): A = {
+    recoverTransactions()
+    val txn = new Txn(this)
+    val result =
+      try f(txn)
+      catch { case e: Throwable => txn.invalidate(); throw e }
+    txn.commit()
+    result
+  }
+
+  /** Commit body: locks (sorted) → CAS all → stage all → journal →
+    * bump all. Package-private for [[Txn]]. */
+  private[kv] def commitTxn(writes: Seq[(String, DataFrame, Int)]): Unit = {
+    if (writes.isEmpty) return
+    val ordered = writes.sortBy(_._1)
+    val locks = scala.collection.mutable.ListBuffer[Path]()
+    val stagedDirs = scala.collection.mutable.ListBuffer[Path]()
+    var journal: Option[Path] = None
+    try {
+      ordered.foreach { case (t, _, _) => locks += acquireWriteLock(t) }
+      // conflict-check EVERY table before staging ANY write: a failed
+      // CAS must leave all tables untouched
+      ordered.foreach { case (t, _, pinned) =>
+        checkExpected(t, dataVersionOf(t), Some(pinned))
+      }
+      val publishes = ordered.map { case (t, post, pinned) =>
+        val next = pinned + 1
+        val dir = tableDir(t).resolve(s"data_v$next")
+        writeData(t, post, dir.toString)
+        stagedDirs += dir
+        maintainIndexes(t, next, dir, pre = None, post = None)
+        (t, next)
+      }
+      journal = Some(writeTxnJournal(publishes))
+      publishes.foreach { case (t, next) => publishVersion(t, next) }
+      journal.foreach(j => Files.deleteIfExists(j): Unit)
+    } catch {
+      case e: Throwable =>
+        // pre-journal failure: the transaction never happened — reclaim
+        // the staged snapshots. Post-journal failure: leave everything
+        // for recoverTransactions to roll forward.
+        if (journal.isEmpty) stagedDirs.foreach { d =>
+          try deleteRecursively(d)
+          catch { case _: java.io.IOException => () }
+        }
+        throw e
+    } finally locks.foreach(l => Files.deleteIfExists(l): Unit)
+  }
+
+  private def writeTxnJournal(publishes: Seq[(String, Int)]): Path = {
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val node = mapper.createObjectNode()
+    val arr = mapper.createArrayNode()
+    publishes.foreach { case (t, v) =>
+      val e = mapper.createObjectNode()
+      e.put("table", t); e.put("next", v)
+      arr.add(e): Unit
+    }
+    node.set[JsonNode]("publishes", arr): Unit
+    // temp + atomic rename: a journal is either fully present or absent
+    val tmp = Paths.get(warehouse, s".txn_$id.tmp")
+    val fin = Paths.get(warehouse, s"_graft_txn_$id.json")
+    Files.writeString(tmp, mapper.writeValueAsString(node))
+    Files.move(tmp, fin, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    fin
+  }
+
+  /** Roll forward any transaction that crashed between its intent
+    * journal and its last pointer bump. Idempotent and concurrent-safe:
+    * each bump re-checks, under the table's write lock, that the table
+    * is exactly one version behind the journal entry AND the staged
+    * snapshot directory exists — anything else (already bumped, or a
+    * writer advanced past after breaking the dead owner's lock) is
+    * skipped. Runs automatically at the start of every
+    * [[transaction]]. */
+  def recoverTransactions(): Unit = {
+    val wh = Paths.get(warehouse)
+    if (!Files.exists(wh)) return
+    val journals = withList(wh) { it =>
+      it.filter(_.getFileName.toString.startsWith("_graft_txn_")).toList
+    }
+    journals.foreach { j =>
+      val node = try mapper.readTree(Files.readString(j))
+        catch { case _: Exception => null } // mid-list delete by owner
+      if (node != null) {
+        node.path("publishes").elements().asScala.foreach { e =>
+          val t = e.path("table").asText()
+          val next = e.path("next").asInt()
+          if (tableExists(t)) withWriteLock(t) {
+            if (dataVersionOf(t) == next - 1 &&
+                Files.exists(tableDir(t).resolve(s"data_v$next")))
+              publishVersion(t, next)
+          }
+        }
+        Files.deleteIfExists(j): Unit
+      }
+    }
   }
 
   def schemaOf(name: String): StructType = {

@@ -154,6 +154,36 @@ object KvQueries {
         .orderBy($"l_orderkey")
     },
 
+    "kv_txn_multi" -> { (s, d) =>
+      import s.implicits._
+      // multi-statement transaction (reference
+      // KVTransactionalIndexTable.kt): debit accounts AND write the
+      // matching ledger entries as ONE atomic unit — both tables flip
+      // to their post-image together, or neither does. The read after
+      // the transaction sees the committed joint state.
+      val wh = Files.tempWarehouse("txn")
+      val cat = new Catalog(s, wh)
+      if (cat.tableExists("acct")) cat.dropTable("acct")
+      if (cat.tableExists("ledger")) cat.dropTable("ledger")
+      cat.createTable("acct", StructType(Seq(
+        StructField("k", LongType, false),
+        StructField("bal", DoubleType, true))), Seq("k"))
+      cat.createTable("ledger", StructType(Seq(
+        StructField("k", LongType, false),
+        StructField("delta", DoubleType, true))), Seq("k"))
+      cat.bulkLoad("acct", Tables.customer(s, d).filter($"c_custkey" <= 100L)
+        .select($"c_custkey".as("k"), $"c_acctbal".as("bal")))
+      cat.transaction { txn =>
+        txn.updateWhere("acct", $"k" <= 10L, "bal", $"bal" - 100.0)
+        txn.insert("ledger", txn.table("acct").df.filter($"k" <= 10L)
+          .select($"k", lit(-100.0).as("delta")))
+      }
+      cat.table("acct").df
+        .join(cat.table("ledger").df, Seq("k"), "left")
+        .select($"k", $"bal", coalesce($"delta", lit(0.0)).as("delta"))
+        .orderBy($"k")
+    },
+
     "ddl_catalog" -> { (s, d) =>
       import s.implicits._
       val wh = Files.tempWarehouse()
@@ -254,6 +284,13 @@ object KvQueries {
         |    (CAST(7 AS BIGINT), 'g', CAST(7.0 AS DOUBLE)))
         |  t(k, v, score)
         |ORDER BY k""".stripMargin,
+    "kv_txn_multi" ->
+      """SELECT c_custkey AS k,
+        |  c_acctbal - CASE WHEN c_custkey <= 10 THEN CAST(100.0 AS DOUBLE)
+        |                   ELSE CAST(0.0 AS DOUBLE) END AS bal,
+        |  CASE WHEN c_custkey <= 10 THEN CAST(-100.0 AS DOUBLE)
+        |       ELSE CAST(0.0 AS DOUBLE) END AS delta
+        |FROM customer WHERE c_custkey <= 100 ORDER BY k""".stripMargin,
     // ddl_catalog: rows-only (filesystem catalog side effects aren't SQL)
   )
 }

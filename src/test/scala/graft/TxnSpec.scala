@@ -1,0 +1,159 @@
+package graft
+
+import graft.kv.Catalog
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Multi-statement transactions (reference
+  * KVTransactionalIndexTable.kt: several statements + their base/index
+  * writes commit or abort as one unit): optimistic snapshot isolation
+  * over the COW catalog — pinned reads, buffered read-your-writes,
+  * all-or-nothing multi-table commit, write-write conflict abort, and
+  * crash recovery rolling an intent journal forward. */
+class TxnSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val acctSchema = StructType(Seq(
+    StructField("k", LongType, false),
+    StructField("bal", DoubleType, true)))
+  private val logSchema = StructType(Seq(
+    StructField("k", LongType, false),
+    StructField("delta", DoubleType, true)))
+
+  private def freshCat(tag: String): Catalog =
+    new Catalog(spark, Files.createTempDirectory(s"graft_${tag}_wh").toString)
+
+  private def setup(cat: Catalog): Unit = {
+    import spark.implicits._
+    cat.createTable("acct", acctSchema, Seq("k"))
+    cat.createTable("log", logSchema, Seq("k"))
+    cat.bulkLoad("acct", (1L to 10L).map(i => (i, 1000.0)).toDF("k", "bal"))
+  }
+
+  test("multi-table commit is atomic and reads-your-writes inside the txn") {
+    import spark.implicits._
+    val cat = freshCat("txn1")
+    setup(cat)
+    val (vA, vL) = (cat.dataVersionOf("acct"), cat.dataVersionOf("log"))
+    cat.transaction { txn =>
+      txn.updateWhere("acct", col("k") <= 2L, "bal", col("bal") - 100.0)
+      txn.insert("log", Seq((1L, -100.0), (2L, -100.0)).toDF("k", "delta"))
+      // read-your-writes: the txn sees its own debit...
+      assert(txn.table("acct").pointGet(1L).head().getDouble(1) == 900.0)
+      // ...while the outside world still sees the pinned pre-image
+      assert(cat.table("acct").pointGet(1L).head().getDouble(1) == 1000.0)
+      assert(cat.table("log").df.count() == 0)
+    }
+    // committed: exactly one version bump per written table
+    assert(cat.dataVersionOf("acct") == vA + 1)
+    assert(cat.dataVersionOf("log") == vL + 1)
+    assert(cat.table("acct").pointGet(2L).head().getDouble(1) == 900.0)
+    assert(cat.table("acct").pointGet(3L).head().getDouble(1) == 1000.0)
+    assert(cat.table("log").df.count() == 2)
+    // no journal left behind
+    assert(!Files.list(Paths.get(cat.warehouse)).iterator().hasNext ||
+      Files.list(Paths.get(cat.warehouse)).toArray.map(_.toString)
+        .forall(p => !p.contains("_graft_txn_")))
+  }
+
+  test("an exception in the body rolls back: nothing published") {
+    import spark.implicits._
+    val cat = freshCat("txn2")
+    setup(cat)
+    val (vA, vL) = (cat.dataVersionOf("acct"), cat.dataVersionOf("log"))
+    intercept[RuntimeException](cat.transaction { txn =>
+      txn.updateWhere("acct", col("k") <= 2L, "bal", col("bal") - 100.0)
+      txn.insert("log", Seq((1L, -100.0)).toDF("k", "delta"))
+      throw new RuntimeException("abort")
+    })
+    assert(cat.dataVersionOf("acct") == vA && cat.dataVersionOf("log") == vL)
+    assert(cat.table("acct").pointGet(1L).head().getDouble(1) == 1000.0)
+    assert(cat.table("log").df.count() == 0)
+  }
+
+  test("write-write conflict with a concurrent writer aborts the whole txn") {
+    import spark.implicits._
+    val cat = freshCat("txn3")
+    setup(cat)
+    val e = intercept[java.util.ConcurrentModificationException](
+      cat.transaction { txn =>
+        // first touch pins acct at its current version...
+        assert(txn.table("acct").df.count() == 10)
+        txn.insert("log", Seq((1L, 5.0)).toDF("k", "delta"))
+        // ...then a concurrent writer publishes to acct
+        cat.bulkLoad("acct", (1L to 10L).map(i => (i, 7.0)).toDF("k", "bal"))
+        txn.updateWhere("acct", col("k") <= 2L, "bal", col("bal") - 100.0)
+      })
+    assert(e.getMessage.contains("acct"))
+    // NOTHING from the txn landed — not even the non-conflicting log
+    // insert (all-or-nothing), and the concurrent write survived
+    assert(cat.table("log").df.count() == 0)
+    assert(cat.table("acct").pointGet(1L).head().getDouble(1) == 7.0)
+  }
+
+  test("registered kv indexes are maintained through a txn commit") {
+    import spark.implicits._
+    val cat = freshCat("txn4")
+    setup(cat)
+    cat.createIndex("acct", "by_bal", "kv", Seq("bal"))
+    cat.transaction { txn =>
+      txn.upsert("acct", Seq((3L, 42.0), (11L, 42.0)).toDF("k", "bal"))
+    }
+    assert(cat.indexStatus("acct", "by_bal", "kv") == "FRESH")
+    val idx = cat.indexData("acct", "by_bal", "kv")
+    val hit = graft.index.KvIndex.lookup(cat.table("acct").df, "k", idx, 42.0)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(hit == Set(3L, 11L))
+    assert(idx.count() == cat.table("acct").df.count())
+  }
+
+  test("recovery rolls a crashed commit forward from the intent journal") {
+    import spark.implicits._
+    val cat = freshCat("txn5")
+    setup(cat)
+    cat.bulkLoad("log", Seq((99L, 0.5)).toDF("k", "delta"))
+    val (vA, vL) = (cat.dataVersionOf("acct"), cat.dataVersionOf("log"))
+    // simulate a commit that crashed AFTER writing its journal and
+    // staged snapshots but BEFORE any pointer bump: stage data_v(next)
+    // as a copy of the live snapshot for both tables + write the journal
+    def stageCopy(t: String, next: Int): Unit = {
+      val src = Paths.get(cat.dataPathAt(t, cat.dataVersionOf(t)))
+      val dst = Paths.get(cat.warehouse, t, s"data_v$next")
+      Files.createDirectories(dst)
+      Files.list(src).forEach(f => Files.copy(f,
+        dst.resolve(f.getFileName.toString),
+        StandardCopyOption.REPLACE_EXISTING): Unit)
+    }
+    stageCopy("acct", vA + 1)
+    stageCopy("log", vL + 1)
+    Files.writeString(Paths.get(cat.warehouse, "_graft_txn_test1.json"),
+      s"""{"publishes":[{"table":"acct","next":${vA + 1}},{"table":"log","next":${vL + 1}}]}""")
+    // a second journal whose staged dir is missing must be skipped, not
+    // blow up or mis-bump
+    Files.writeString(Paths.get(cat.warehouse, "_graft_txn_test2.json"),
+      """{"publishes":[{"table":"acct","next":9}]}""")
+
+    val cat2 = new Catalog(spark, cat.warehouse)
+    cat2.recoverTransactions()
+    assert(cat2.dataVersionOf("acct") == vA + 1)
+    assert(cat2.dataVersionOf("log") == vL + 1)
+    // both journals consumed; re-running recovery is a no-op
+    assert(Files.list(Paths.get(cat.warehouse)).toArray.map(_.toString)
+      .forall(p => !p.contains("_graft_txn_")))
+    cat2.recoverTransactions()
+    assert(cat2.dataVersionOf("acct") == vA + 1)
+    // rolled-forward snapshots read correctly
+    assert(cat2.table("acct").df.count() == 10)
+    assert(cat2.table("log").pointGet(99L).head().getDouble(1) == 0.5)
+  }
+
+  test("a read-only transaction publishes nothing") {
+    val cat = freshCat("txn6")
+    setup(cat)
+    val vA = cat.dataVersionOf("acct")
+    val n = cat.transaction { txn => txn.table("acct").df.count() }
+    assert(n == 10L && cat.dataVersionOf("acct") == vA)
+  }
+}
