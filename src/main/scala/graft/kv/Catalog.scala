@@ -534,7 +534,14 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * window (the same reasoning covers in-flight staging dirs: an
     * active writer keeps touching its dir as tasks commit files).
     * `graceMs = 0` reclaims immediately (tests, offline maintenance). */
-  def vacuum(name: String, graceMs: Long = 3600000L): Unit = withWriteLock(name) {
+  def vacuum(name: String, graceMs: Long = 3600000L): Unit = {
+    // Heal pending transaction journals FIRST: a commit that crashed
+    // after its intent journal leaves staged data_v(next) dirs that are
+    // not yet live — rolling them forward makes them live; skipping
+    // this would let the sweep below reclaim dirs a journal still
+    // needs, turning a recoverable transaction into a partial one.
+    recoverTransactions()
+    withWriteLock(name) {
     val live = s"data_v${dataVersionOf(name)}"
     val now = System.currentTimeMillis()
     def idle(p: Path): Boolean =
@@ -546,6 +553,19 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
           idle(p)
       }.toList
     }.foreach(deleteRecursively)
+    // prune publishTimes entries whose snapshot dir is gone — with CDC
+    // merges every few seconds the map would otherwise grow one entry
+    // per version forever, and the meta JSON is re-read per statement
+    val meta = readMeta(name)
+    meta.get("publishTimes") match {
+      case times: ObjectNode =>
+        val dead = times.fieldNames().asScala.filter { v =>
+          v != dataVersionOf(name).toString &&
+            !Files.exists(tableDir(name).resolve(s"data_v$v"))
+        }.toList
+        if (dead.nonEmpty) { dead.foreach(times.remove); writeMeta(name, meta) }
+      case _ => ()
+    }
     // index snapshots: keep each index's LIVE version (resolved
     // against the published table pointer — an orphan data_v(next)
     // from a crashed maintenance job is garbage, not the keeper), its
@@ -572,6 +592,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
           }.toList
         }.foreach(deleteRecursively)
       }
+    }
     }
   }
 

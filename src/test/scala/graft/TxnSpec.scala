@@ -149,6 +149,44 @@ class TxnSpec extends AnyFunSuite {
     assert(cat2.table("log").pointGet(99L).head().getDouble(1) == 0.5)
   }
 
+  test("vacuum heals a pending txn journal instead of reclaiming its staged dirs") {
+    import spark.implicits._
+    val cat = freshCat("txn7")
+    setup(cat)
+    val vA = cat.dataVersionOf("acct")
+    // staged post-image + journal from a commit that crashed pre-bump
+    val src = Paths.get(cat.dataPathAt("acct", vA))
+    val dst = Paths.get(cat.warehouse, "acct", s"data_v${vA + 1}")
+    Files.createDirectories(dst)
+    Files.list(src).forEach(f => Files.copy(f,
+      dst.resolve(f.getFileName.toString), StandardCopyOption.REPLACE_EXISTING): Unit)
+    Files.writeString(Paths.get(cat.warehouse, "_graft_txn_vac.json"),
+      s"""{"publishes":[{"table":"acct","next":${vA + 1}}]}""")
+    // zero grace would reclaim data_v(next) as an orphan if vacuum ran
+    // before recovery — instead the journal must roll forward first
+    cat.vacuum("acct", graceMs = 0L)
+    assert(cat.dataVersionOf("acct") == vA + 1)
+    assert(cat.table("acct").df.count() == 10)
+  }
+
+  test("vacuum prunes publishTimes entries of reclaimed snapshots") {
+    import spark.implicits._
+    val cat = freshCat("txn8")
+    setup(cat)
+    cat.bulkLoad("acct", (1L to 10L).map(i => (i, 2.0)).toDF("k", "bal"))
+    cat.bulkLoad("acct", (1L to 10L).map(i => (i, 3.0)).toDF("k", "bal"))
+    val live = cat.dataVersionOf("acct")
+    cat.vacuum("acct", graceMs = 0L)
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(Paths.get(cat.warehouse, "acct", "_graft_meta.json")))
+    val keys = meta.path("publishTimes").fieldNames()
+    val remaining = Iterator.continually(keys).takeWhile(_.hasNext).map(_.next()).toSet
+    assert(remaining == Set(live.toString), s"publishTimes keys: $remaining")
+    // time travel at the live version still resolves
+    assert(cat.snapshotAtOrBefore("acct",
+      System.currentTimeMillis() + 60000L).contains(live))
+  }
+
   test("a read-only transaction publishes nothing") {
     val cat = freshCat("txn6")
     setup(cat)
