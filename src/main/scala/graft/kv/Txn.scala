@@ -30,6 +30,13 @@ import org.apache.spark.sql.{Column, DataFrame}
   * materializes ONCE per table at commit (one bulk COW write per
   * table, not one per statement) — a multi-statement transaction
   * costs the same I/O as a single-statement one.
+  *
+  * Scope: DML only. DDL (create/drop table/index) stays immediate and
+  * non-transactional, as in the reference (Tephra wraps table writes,
+  * not HBase admin ops). Registered kv indexes are maintained at
+  * commit; fulltext/bitmap indexes go STALE like under any bulk write
+  * (the commit's post-image has no bounded patch) and refresh via
+  * `CALL system.refresh_index`.
   */
 final class Txn private[kv] (cat: Catalog) {
   import scala.collection.mutable

@@ -27,7 +27,7 @@ object GraftProcedures {
 
   val names: Array[String] =
     Array("compact", "vacuum", "create_index", "drop_index", "refresh_index",
-      "compact_index")
+      "compact_index", "recover_txns")
 
   def load(cat: => Catalog, procName: String): UnboundProcedure =
     procName.toLowerCase match {
@@ -56,6 +56,11 @@ object GraftProcedures {
         Array(in("table", StringType), in("index", StringType),
           in("index_type", StringType)),
         r => cat.compactIndex(str(r, 0), str(r, 1), str(r, 2)))
+      // roll crashed multi-statement transactions forward from their
+      // intent journals (also runs implicitly before every transaction
+      // and vacuum — this is the explicit operational handle)
+      case "recover_txns" => proc("recover_txns",
+        Array.empty, _ => cat.recoverTransactions())
       case other =>
         throw new UnsupportedOperationException(s"unknown procedure $other " +
           s"(have: ${names.mkString(", ")})")

@@ -109,6 +109,17 @@ class TxnSpec extends AnyFunSuite {
     assert(idx.count() == cat.table("acct").df.count())
   }
 
+  /** Copy the live snapshot into data_v(next) — a crashed commit's
+    * staged-but-unpublished snapshot. */
+  private def stageCopy(cat: Catalog, t: String, next: Int): Unit = {
+    val src = Paths.get(cat.dataPathAt(t, cat.dataVersionOf(t)))
+    val dst = Paths.get(cat.warehouse, t, s"data_v$next")
+    Files.createDirectories(dst)
+    Files.list(src).forEach(f => Files.copy(f,
+      dst.resolve(f.getFileName.toString),
+      StandardCopyOption.REPLACE_EXISTING): Unit)
+  }
+
   test("recovery rolls a crashed commit forward from the intent journal") {
     import spark.implicits._
     val cat = freshCat("txn5")
@@ -118,16 +129,8 @@ class TxnSpec extends AnyFunSuite {
     // simulate a commit that crashed AFTER writing its journal and
     // staged snapshots but BEFORE any pointer bump: stage data_v(next)
     // as a copy of the live snapshot for both tables + write the journal
-    def stageCopy(t: String, next: Int): Unit = {
-      val src = Paths.get(cat.dataPathAt(t, cat.dataVersionOf(t)))
-      val dst = Paths.get(cat.warehouse, t, s"data_v$next")
-      Files.createDirectories(dst)
-      Files.list(src).forEach(f => Files.copy(f,
-        dst.resolve(f.getFileName.toString),
-        StandardCopyOption.REPLACE_EXISTING): Unit)
-    }
-    stageCopy("acct", vA + 1)
-    stageCopy("log", vL + 1)
+    stageCopy(cat, "acct", vA + 1)
+    stageCopy(cat, "log", vL + 1)
     Files.writeString(Paths.get(cat.warehouse, "_graft_txn_test1.json"),
       s"""{"publishes":[{"table":"acct","next":${vA + 1}},{"table":"log","next":${vL + 1}}]}""")
     // a second journal whose staged dir is missing must be skipped, not
@@ -149,17 +152,30 @@ class TxnSpec extends AnyFunSuite {
     assert(cat2.table("log").pointGet(99L).head().getDouble(1) == 0.5)
   }
 
+  test("CALL system.recover_txns rolls a pending journal forward from SQL") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_txnp_wh").toString
+    spark.conf.set("spark.sql.catalog.gtxnp",
+      classOf[graft.kv.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtxnp.warehouse", wh)
+    val cat = new Catalog(spark, wh)
+    cat.createTable("acct", acctSchema, Seq("k"))
+    cat.bulkLoad("acct", (1L to 3L).map(i => (i, 1.0)).toDF("k", "bal"))
+    val vA = cat.dataVersionOf("acct")
+    stageCopy(cat, "acct", vA + 1)
+    Files.writeString(Paths.get(wh, "_graft_txn_sql.json"),
+      s"""{"publishes":[{"table":"acct","next":${vA + 1}}]}""")
+    spark.sql("CALL gtxnp.system.recover_txns()")
+    assert(cat.dataVersionOf("acct") == vA + 1)
+  }
+
   test("vacuum heals a pending txn journal instead of reclaiming its staged dirs") {
     import spark.implicits._
     val cat = freshCat("txn7")
     setup(cat)
     val vA = cat.dataVersionOf("acct")
     // staged post-image + journal from a commit that crashed pre-bump
-    val src = Paths.get(cat.dataPathAt("acct", vA))
-    val dst = Paths.get(cat.warehouse, "acct", s"data_v${vA + 1}")
-    Files.createDirectories(dst)
-    Files.list(src).forEach(f => Files.copy(f,
-      dst.resolve(f.getFileName.toString), StandardCopyOption.REPLACE_EXISTING): Unit)
+    stageCopy(cat, "acct", vA + 1)
     Files.writeString(Paths.get(cat.warehouse, "_graft_txn_vac.json"),
       s"""{"publishes":[{"table":"acct","next":${vA + 1}}]}""")
     // zero grace would reclaim data_v(next) as an orphan if vacuum ran
