@@ -110,12 +110,20 @@ object Bitmap {
     } else {
       // legacy, headerless. Two layouts shipped: dense-only
       // ([n][chunk][1024 words]*) and the first sparse/dense form
-      // ([n][chunk][card][payload]*). The dense layout's length is an
-      // exact function of n (each entry 4 + 8 KiB; an all-dense
-      // sparse/dense stream differs by the 4-byte card fields), so an
-      // exact-length test disambiguates.
+      // ([n][chunk][card][payload]*). A pure length test is NOT enough
+      // to tell them apart: a sparse/dense stream whose payloads sum to
+      // 8188·n bytes (e.g. one chunk of cardinality 4094) has exactly
+      // the dense-only length. Instead, attempt a STRICTLY-validated
+      // sparse/dense parse first — it checks every invariant the
+      // writer guaranteed (ascending chunk ids, card in range,
+      // strictly-ascending sparse offsets, dense popcount == card,
+      // exact buffer consumption); a dense-only stream essentially
+      // cannot satisfy all of them by accident. On failure, require
+      // the exact dense length and parse dense.
       val n = buf.getInt
-      if (bytes.length == 4 + n * (4 + 8 * WordsPerChunk)) {
+      tryReadSparseDenseStrict(bytes, n).getOrElse {
+        require(bytes.length == 4 + n * (4 + 8 * WordsPerChunk),
+          s"unrecognized legacy bitmap stream (n=$n, ${bytes.length} B)")
         val chunks = new Chunks()
         (0 until n).foreach { _ =>
           val c = buf.getInt
@@ -124,8 +132,50 @@ object Bitmap {
           chunks.update(c, w)
         }
         chunks
-      } else readSparseDense(buf, n)
+      }
     }
+  }
+
+  /** Strict parse of the headerless sparse/dense legacy layout:
+    * returns None on ANY violation of the writer's invariants instead
+    * of garbage. Used only to disambiguate legacy streams. */
+  private def tryReadSparseDenseStrict(bytes: Array[Byte], n: Int): Option[Chunks] = {
+    if (n < 0) return None
+    val buf = ByteBuffer.wrap(bytes); buf.getInt // skip n
+    val chunks = new Chunks()
+    var prevChunk = -1
+    var i = 0
+    while (i < n) {
+      if (buf.remaining() < 8) return None
+      val c = buf.getInt
+      val card = buf.getInt
+      if (c <= prevChunk || card < 0 || card > (1 << ChunkBits)) return None
+      prevChunk = c
+      val w = new Array[Long](WordsPerChunk)
+      if (card <= SparseMax) {
+        if (buf.remaining() < 2 * card) return None
+        var prevOff = -1
+        var j = 0
+        while (j < card) {
+          val off = buf.getShort & 0xFFFF
+          if (off <= prevOff) return None // writer emits strictly ascending
+          prevOff = off
+          w(off >> 6) |= (1L << (off & 63))
+          j += 1
+        }
+      } else {
+        if (buf.remaining() < 8 * WordsPerChunk) return None
+        var pop = 0
+        var j = 0
+        while (j < WordsPerChunk) {
+          w(j) = buf.getLong; pop += java.lang.Long.bitCount(w(j)); j += 1
+        }
+        if (pop != card) return None // writer stored card = popcount
+      }
+      chunks.update(c, w)
+      i += 1
+    }
+    if (buf.remaining() != 0) None else Some(chunks)
   }
 
   private def readSparseDense(buf: ByteBuffer, n: Int): Chunks = {

@@ -517,8 +517,21 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
             Files.copy(src, dst): Unit }
         }
         // compaction changes layout, not content: every index that was
-        // fresh at cur stays valid — carry its as-of forward
+        // fresh at cur stays valid — carry its as-of forward. An index
+        // data_v(cur+1) dir left by a CRASHED earlier writer (which
+        // never published cur+1) is orphan garbage holding
+        // never-committed content; publishing cur+1 here without
+        // clearing it would make resolveIndexVersioned serve it —
+        // delete orphans before the pointer bump
         indexesOf(name).foreach { case (iname, ty, _) =>
+          // every flavor of version-(cur+1) index dir is suspect: base
+          // snapshots (kv rebuilds) AND segment/tombstone/delta dirs a
+          // crashed incrementalMerge appended for a bump that never came
+          Seq("data_v", "dict_v", "seg_v", "tomb_v", "dictdelta_v")
+            .foreach { p =>
+              val orphan = indexDir(name, iname, ty).resolve(s"$p${cur + 1}")
+              if (Files.exists(orphan)) deleteRecursively(orphan)
+            }
           if (indexStatus(name, iname, ty) == "FRESH")
             setIndexAsOf(name, iname, ty, cur + 1)
         }
@@ -542,7 +555,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     // needs, turning a recoverable transaction into a partial one.
     recoverTransactions()
     withWriteLock(name) {
-    val live = s"data_v${dataVersionOf(name)}"
+    val liveV = dataVersionOf(name) // one meta read for the whole sweep
+    val live = s"data_v$liveV"
     val now = System.currentTimeMillis()
     def idle(p: Path): Boolean =
       now - Files.getLastModifiedTime(p).toMillis >= graceMs
@@ -560,7 +574,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     meta.get("publishTimes") match {
       case times: ObjectNode =>
         val dead = times.fieldNames().asScala.filter { v =>
-          v != dataVersionOf(name).toString &&
+          v != liveV.toString &&
             !Files.exists(tableDir(name).resolve(s"data_v$v"))
         }.toList
         if (dead.nonEmpty) { dead.foreach(times.remove); writeMeta(name, meta) }
@@ -577,14 +591,13 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       if (Files.exists(dir)) {
         val baseData = resolveIndexDataDir(dir, name)
         val keep = Set(baseData.getFileName.toString,
-          resolveIndexVersioned(dir, "dict", dataVersionOf(name))
-            .getFileName.toString)
+          resolveIndexVersioned(dir, "dict", liveV).getFileName.toString)
         val baseVer = indexBaseVersion(baseData)
         withList(dir) { it =>
           it.filter { p =>
             val n = p.getFileName.toString
             val liveSegment = segmentVersion(n).exists(v =>
-              v > baseVer && v <= dataVersionOf(name))
+              v > baseVer && v <= liveV)
             (n.startsWith("data") || n.startsWith("dict") ||
               n.startsWith("seg_v") || n.startsWith("tomb_v") ||
               n.startsWith("dictdelta_v")) &&
@@ -994,6 +1007,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     val ordered = writes.sortBy(_._1)
     val locks = scala.collection.mutable.ListBuffer[Path]()
     val stagedDirs = scala.collection.mutable.ListBuffer[Path]()
+    val indexRollbacks = scala.collection.mutable.ListBuffer[() => Unit]()
     var journal: Option[Path] = None
     try {
       ordered.foreach { case (t, _, _) => locks += acquireWriteLock(t) }
@@ -1007,6 +1021,22 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
         val dir = tableDir(t).resolve(s"data_v$next")
         writeData(t, post, dir.toString)
         stagedDirs += dir
+        // index maintenance writes index data_v(next) dirs AND persists
+        // asOfVersion=next — both must unwind on a pre-journal abort,
+        // or a later compact() publishing the same version number would
+        // serve index content from this never-committed transaction.
+        // Registered BEFORE maintenance so a mid-maintenance failure
+        // (some indexes done, some not) also rolls back.
+        val prevAsOf = indexesOf(t).filter(_._2.equalsIgnoreCase("kv"))
+          .map { case (iname, ty, _) =>
+            (iname, ty, indexAsOfVersion(t, iname, ty)) }
+        indexRollbacks += { () =>
+          prevAsOf.foreach { case (iname, ty, v) =>
+            val d = indexDir(t, iname, ty).resolve(s"data_v$next")
+            if (Files.exists(d)) deleteRecursively(d)
+            setIndexAsOf(t, iname, ty, v)
+          }
+        }
         maintainIndexes(t, next, dir, pre = None, post = None)
         (t, next)
       }
@@ -1016,11 +1046,17 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     } catch {
       case e: Throwable =>
         // pre-journal failure: the transaction never happened — reclaim
-        // the staged snapshots. Post-journal failure: leave everything
-        // for recoverTransactions to roll forward.
-        if (journal.isEmpty) stagedDirs.foreach { d =>
-          try deleteRecursively(d)
-          catch { case _: java.io.IOException => () }
+        // the staged snapshots and restore index state. Post-journal
+        // failure: leave everything for recoverTransactions to roll
+        // forward.
+        if (journal.isEmpty) {
+          indexRollbacks.foreach { r =>
+            try r() catch { case _: Exception => () }
+          }
+          stagedDirs.foreach { d =>
+            try deleteRecursively(d)
+            catch { case _: java.io.IOException => () }
+          }
         }
         throw e
     } finally locks.foreach(l => Files.deleteIfExists(l): Unit)
@@ -1056,12 +1092,27 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     val wh = Paths.get(warehouse)
     if (!Files.exists(wh)) return
     val journals = withList(wh) { it =>
-      it.filter(_.getFileName.toString.startsWith("_graft_txn_")).toList
+      // .json suffix required: quarantined corrupt journals are renamed
+      // to .json.corrupt and must not be re-listed forever
+      it.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("_graft_txn_") && n.endsWith(".json")
+      }.toList
     }
     journals.foreach { j =>
       val node = try mapper.readTree(Files.readString(j))
-        catch { case _: Exception => null } // mid-list delete by owner
-      if (node != null) {
+        catch { case _: Exception => null }
+      if (node == null) {
+        // unreadable: either the owner deleted it mid-list (gone now —
+        // the move below no-ops) or the file is genuinely corrupt
+        // (torn write, disk error). Quarantine rather than leave it:
+        // a corrupt journal left in place would be re-read and
+        // re-parsed by every future transaction and vacuum forever.
+        if (Files.exists(j))
+          try Files.move(j, j.resolveSibling(j.getFileName.toString + ".corrupt"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+          catch { case _: java.io.IOException => () }
+      } else {
         node.path("publishes").elements().asScala.foreach { e =>
           val t = e.path("table").asText()
           val next = e.path("next").asInt()

@@ -58,13 +58,16 @@ object Ann {
     * bounded SEEDED sample of the corpus — uniform across partitions,
     * so clustered/sorted layouts can't bias the quantizer the way a
     * head-`limit` sample would (limit takes whole leading partitions).
-    * Sizing the sample fraction needs the corpus row count: taken from
-    * Catalyst plan statistics when the optimizer knows it exactly,
-    * else one `count()` — metadata-cheap for a bare parquet scan
+    * Sizing the sample fraction needs the EXACT corpus row count, so
+    * this runs one `count()` — metadata-cheap for a bare parquet scan
     * (empty read schema → row-group counts only), a genuine extra
-    * pass for filtered/joined inputs. That pass happens once at index
-    * BUILD (the DDL step), never per search; callers feeding a derived
-    * plan that is expensive to recompute should stage it first. The
+    * pass for filtered/joined inputs. Catalyst plan statistics are NOT
+    * a substitute: `stats.rowCount` can be an upper bound (GlobalLimit
+    * reports its limit even when the child has far fewer rows) or a
+    * stale ANALYZE estimate, and an inflated count silently collapses
+    * the training sample. The count pass happens once at index BUILD
+    * (the DDL step), never per search; callers feeding a derived plan
+    * that is expensive to recompute should stage it first. The
     * fraction targets ~1.2·maxTrain rows and a final limit caps the
     * exact training size. Deterministic under the fixed seed. */
   def buildIvf(embs: DataFrame, idCol: String, vecCol: String,
@@ -74,8 +77,7 @@ object Ann {
     val spark = embs.sparkSession
     val corpus0 = embs.select(col(idCol).as("nn"), col(vecCol).as("v"))
       .withColumn("features", array_to_vector(col("v").cast("array<double>")))
-    val n: Long = embs.queryExecution.optimizedPlan.stats.rowCount
-      .map(_.longValue).getOrElse(embs.count())
+    val n: Long = embs.count()
     val fraction = if (n == 0) 1.0
       else math.min(1.0, maxTrain * 1.2 / n.toDouble)
     val train = corpus0.select("features")

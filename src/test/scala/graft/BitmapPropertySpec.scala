@@ -103,6 +103,21 @@ class BitmapPropertySpec extends AnyFunSuite {
       legacySparseDense(b.toSeq))).toSet == (a intersect b))
   }
 
+  test("legacy length-collision streams decode by invariants, not length") {
+    // a headerless sparse/dense stream whose payloads sum to 8188·n
+    // bytes has EXACTLY the dense-only length — a pure length test
+    // misparses it as dense. One chunk of cardinality 4094:
+    // 4+4+4+2·4094 = 8200 = 4 + 1·(4+8192).
+    val ids1 = (0 until 4094).map(i => i.toLong * 16L)
+    assert(legacySparseDense(ids1).length == 4 + 1 * (4 + 8 * 1024))
+    assert(Bitmap.ids(legacySparseDense(ids1)).toSet == ids1.toSet)
+    // two chunks (cards 4096 + 4092 → sparse payloads sum to 2·8188)
+    val ids2 = (0 until 4096).map(_.toLong * 16L) ++
+      (0 until 4092).map(i => 65536L + i * 16L)
+    assert(legacySparseDense(ids2).length == 4 + 2 * (4 + 8 * 1024))
+    assert(Bitmap.ids(legacySparseDense(ids2)).toSet == ids2.toSet)
+  }
+
   test("sparse container shrinks a low-cardinality chunk ~100x vs dense") {
     // 40 ids scattered across one 64Ki chunk: dense form would be
     // 8 KiB; sparse is 4+4+4 + 2*40 = 92 B

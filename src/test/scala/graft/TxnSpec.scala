@@ -203,6 +203,57 @@ class TxnSpec extends AnyFunSuite {
       System.currentTimeMillis() + 60000L).contains(live))
   }
 
+  test("pre-journal abort unwinds staged index snapshots and as-of bumps") {
+    import spark.implicits._
+    val cat = freshCat("txn9")
+    setup(cat)
+    cat.createIndex("acct", "by_bal", "kv", Seq("bal"))
+    val vA = cat.dataVersionOf("acct")
+    // 'acct' < 'ledger' in the sorted staging order, so acct's snapshot
+    // AND its index maintenance complete before ledger's write throws —
+    // the abort must unwind both, or a later compact() publishing
+    // version vA+1 would serve index content from this aborted txn
+    val boom = udf((k: Long) =>
+      if (k > 0) throw new RuntimeException("boom") else 0.0)
+    intercept[Exception](cat.transaction { txn =>
+      txn.upsert("acct", Seq((1L, 5.0)).toDF("k", "bal"))
+      txn.insert("ledger", Seq((1L, 0.0)).toDF("k", "delta")
+        .withColumn("delta", boom(col("k"))))
+    })
+    assert(cat.dataVersionOf("acct") == vA)
+    // as-of restored — the index is FRESH at the PRE-txn version, and
+    // the staged index snapshot for the never-published version is gone
+    assert(cat.indexStatus("acct", "by_bal", "kv") == "FRESH")
+    assert(!Files.exists(Paths.get(cat.warehouse,
+      "acct.kv.by_bal", s"data_v${vA + 1}")))
+    // the poisoned version number stays fully usable afterwards
+    cat.transaction { txn =>
+      txn.upsert("acct", Seq((1L, 77.0)).toDF("k", "bal"))
+    }
+    assert(cat.dataVersionOf("acct") == vA + 1)
+    val idx = cat.indexData("acct", "by_bal", "kv")
+    val hit = graft.index.KvIndex.lookup(cat.table("acct").df, "k", idx, 77.0)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(hit == Set(1L))
+  }
+
+  test("a corrupt journal is quarantined, not re-parsed forever") {
+    val cat = freshCat("txn10")
+    setup(cat)
+    Files.writeString(Paths.get(cat.warehouse, "_graft_txn_bad.json"),
+      "{not json at all")
+    cat.recoverTransactions() // must not throw
+    val names = Files.list(Paths.get(cat.warehouse)).toArray
+      .map(_.toString.split("/").last).toSet
+    assert(!names.contains("_graft_txn_bad.json"))
+    assert(names.contains("_graft_txn_bad.json.corrupt"))
+    // and the quarantined file is not picked up again
+    cat.recoverTransactions()
+    assert(Files.list(Paths.get(cat.warehouse)).toArray
+      .map(_.toString.split("/").last).toSet
+      .contains("_graft_txn_bad.json.corrupt"))
+  }
+
   test("a read-only transaction publishes nothing") {
     val cat = freshCat("txn6")
     setup(cat)
