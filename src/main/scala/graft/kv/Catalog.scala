@@ -1000,6 +1000,24 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     result
   }
 
+  /** [[transaction]] with automatic re-run on write-write conflict —
+    * the standard optimistic-concurrency client loop (Tephra clients
+    * retry aborted transactions the same way). The body runs against a
+    * FRESH set of pinned snapshots each attempt, so it must be a pure
+    * function of what it reads through the Txn. */
+  def transactionWithRetry[A](maxRetries: Int = 3)(f: Txn => A): A = {
+    var attempt = 0
+    while (true) {
+      try return transaction(f)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Commit body: locks (sorted) → CAS all → stage all → journal →
     * bump all. Package-private for [[Txn]]. */
   private[kv] def commitTxn(writes: Seq[(String, DataFrame, Int)]): Unit = {

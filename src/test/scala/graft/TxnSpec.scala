@@ -254,6 +254,70 @@ class TxnSpec extends AnyFunSuite {
       .contains("_graft_txn_bad.json.corrupt"))
   }
 
+  test("concurrent transactions: no deadlock under opposite statement order, " +
+       "conflicts abort cleanly, retry loop converges") {
+    import spark.implicits._
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val cat = freshCat("txn11")
+    setup(cat)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      // both transactions write BOTH tables, declared in OPPOSITE
+      // order — commit acquires locks in sorted table order, so this
+      // must never deadlock no matter how the threads interleave
+      val start = new CountDownLatch(1)
+      val results = (0 until 2).map { i =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          override def call(): String = {
+            start.await()
+            try {
+              cat.transaction { txn =>
+                if (i == 0) {
+                  txn.updateWhere("acct", col("k") <= 2L, "bal", col("bal") + 1.0)
+                  txn.insert("log", Seq((100L + i, 1.0)).toDF("k", "delta"))
+                } else {
+                  txn.insert("log", Seq((100L + i, 1.0)).toDF("k", "delta"))
+                  txn.updateWhere("acct", col("k") <= 2L, "bal", col("bal") + 1.0)
+                }
+              }
+              "ok"
+            } catch {
+              case _: java.util.ConcurrentModificationException => "conflict"
+            }
+          }
+        })
+      }
+      start.countDown()
+      // a deadlock would hang past the lock timeout; 120s bounds the test
+      val outcomes = results.map(_.get(120, TimeUnit.SECONDS))
+      assert(outcomes.forall(o => o == "ok" || o == "conflict"), outcomes)
+      val wins = outcomes.count(_ == "ok")
+      assert(wins >= 1, s"at least one txn must commit: $outcomes")
+      // state is exactly the serial application of the winners
+      assert(cat.table("log").df.count() == wins.toLong)
+      assert(cat.table("acct").pointGet(1L).head().getDouble(1) == 1000.0 + wins)
+
+      // the retry loop absorbs conflicts: run both again with retries —
+      // both must land (serialized), no exception escapes
+      val start2 = new CountDownLatch(1)
+      val r2 = (0 until 2).map { i =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          override def call(): String = {
+            start2.await()
+            cat.transactionWithRetry(maxRetries = 5) { txn =>
+              txn.updateWhere("acct", col("k") === 1L, "bal", col("bal") + 10.0)
+            }
+            "ok"
+          }
+        })
+      }
+      start2.countDown()
+      assert(r2.map(_.get(120, TimeUnit.SECONDS)).forall(_ == "ok"))
+      assert(cat.table("acct").pointGet(1L).head().getDouble(1) ==
+        1000.0 + wins + 20.0)
+    } finally pool.shutdownNow()
+  }
+
   test("a read-only transaction publishes nothing") {
     val cat = freshCat("txn6")
     setup(cat)
