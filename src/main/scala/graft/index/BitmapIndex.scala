@@ -122,16 +122,21 @@ object Bitmap {
       // the exact dense length and parse dense.
       val n = buf.getInt
       tryReadSparseDenseStrict(bytes, n).getOrElse {
-        require(bytes.length == 4 + n * (4 + 8 * WordsPerChunk),
-          s"unrecognized legacy bitmap stream (n=$n, ${bytes.length} B)")
-        val chunks = new Chunks()
-        (0 until n).foreach { _ =>
-          val c = buf.getInt
-          val w = new Array[Long](WordsPerChunk)
-          (0 until WordsPerChunk).foreach(i => w(i) = buf.getLong)
-          chunks.update(c, w)
-        }
-        chunks
+        if (bytes.length == 4 + n * (4 + 8 * WordsPerChunk)) {
+          val chunks = new Chunks()
+          (0 until n).foreach { _ =>
+            val c = buf.getInt
+            val w = new Array[Long](WordsPerChunk)
+            (0 until WordsPerChunk).foreach(i => w(i) = buf.getLong)
+            chunks.update(c, w)
+          }
+          chunks
+        } else
+          // last resort: lenient sparse/dense parse, exactly what the
+          // pre-header reader did — a legacy stream that fails some
+          // strict invariant the old reader never checked must still
+          // decode rather than making persisted index bytes unreadable
+          readSparseDense(buf, n)
       }
     }
   }

@@ -164,7 +164,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * table's current snapshot (COW merge) — the write targets a new
     * directory, so that lineage stays valid. */
   def bulkLoad(name: String, rows: DataFrame, partitions: Int = 0,
-               expectedVersion: Option[Int] = None): Unit =
+               expectedVersion: Option[Int] = None): Unit = {
+    // heal pending txn journals first: a crashed post-journal commit is
+    // committed-by-design, and writing data_v(cur+1) here would
+    // overwrite its staged snapshot and consume its version number
+    recoverTransactions()
     withWriteLock(name) {
       val cur = dataVersionOf(name)
       checkExpected(name, cur, expectedVersion)
@@ -174,6 +178,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       maintainIndexes(name, next, nextDir, pre = None, post = None)
       publishVersion(name, next)
     }
+  }
 
   /** Optimistic CAS for writers whose post-image derives from a pinned
     * snapshot: if another writer published in between, committing the
@@ -294,7 +299,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * micro-batches are bounded by the trigger, so this is a small set
     * by construction. */
   def incrementalMerge(name: String, patch: DataFrame,
-                       precollectedKeys: Option[Array[Any]] = None): Unit = withWriteLock(name) {
+                       precollectedKeys: Option[Array[Any]] = None): Unit = {
+    recoverTransactions() // see bulkLoad: pending journals own data_v(cur+1)
+    withWriteLock(name) {
     val pk = primaryKeyOf(name)
     val keyCol = pk.head
     val cur = dataVersionOf(name)
@@ -346,6 +353,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
         patch.select(pk.map(org.apache.spark.sql.functions.col): _*).distinct(),
         pk, "left_semi"))
     publishVersion(name, cur + 1)
+  }
   }
 
   /** Strings compare in UTF-8 BYTE order, matching how Spark computed
@@ -494,7 +502,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * carry into the next COW snapshot as hard links (no data I/O).
     * Row set and per-file sort order are unchanged — only layout.
     * No-op when fewer than two small files exist. */
-  def compact(name: String, targetFileBytes: Long = 128L * 1024 * 1024): Unit =
+  def compact(name: String, targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    recoverTransactions() // see bulkLoad: pending journals own data_v(cur+1)
     withWriteLock(name) {
       val cur = dataVersionOf(name)
       val curDir = tableDir(name).resolve(s"data_v$cur")
@@ -527,8 +536,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
           // every flavor of version-(cur+1) index dir is suspect: base
           // snapshots (kv rebuilds) AND segment/tombstone/delta dirs a
           // crashed incrementalMerge appended for a bump that never came
-          Seq("data_v", "dict_v", "seg_v", "tomb_v", "dictdelta_v")
-            .foreach { p =>
+          IndexDirPrefixes.foreach { p =>
               val orphan = indexDir(name, iname, ty).resolve(s"$p${cur + 1}")
               if (Files.exists(orphan)) deleteRecursively(orphan)
             }
@@ -538,6 +546,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
         publishVersion(name, cur + 1)
       }
     }
+  }
 
   /** Drop dead snapshots and any staging directories orphaned by
     * aborted writers. Readers are lock-free and pin a version at load
@@ -609,9 +618,17 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** The segment-maintenance dir prefixes, and the full set of
+    * versioned index-artifact prefixes (base + dictionary + segments).
+    * Single source of truth: compact's orphan cleanup, vacuum's sweep
+    * and segmentVersion all reason over the same families — a new
+    * artifact flavor added here is covered everywhere at once. */
+  private final val SegmentDirPrefixes = Seq("seg_v", "tomb_v", "dictdelta_v")
+  private final val IndexDirPrefixes = Seq("data_v", "dict_v") ++ SegmentDirPrefixes
+
   /** Version carried by a segment/tombstone/dict-delta dir name, if any. */
   private def segmentVersion(dirName: String): Option[Int] =
-    Seq("seg_v", "tomb_v", "dictdelta_v").collectFirst {
+    SegmentDirPrefixes.collectFirst {
       case p if dirName.startsWith(p) =>
         scala.util.Try(dirName.stripPrefix(p).toInt).toOption
     }.flatten
@@ -905,12 +922,15 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
         .limit(maxIncrementalKeys + 1).collect().map(r => canonKey(r.get(0)))
       if (keys.length <= maxIncrementalKeys)
         incrementalMerge(name, batch, precollectedKeys = Some(keys))
-      else withWriteLock(name) {
+      else {
+        recoverTransactions() // see bulkLoad: pending journals own data_v(cur+1)
+        withWriteLock(name) {
         val next = dataVersionOf(name) + 1
         val nextDir = tableDir(name).resolve(s"data_v$next")
         writeData(name, table(name).upsert(batch).df, nextDir.toString)
         maintainIndexes(name, next, nextDir, pre = None, post = None)
         publishVersion(name, next)
+        }
       }
     } finally discardStaged(stagedDir)
 
@@ -935,7 +955,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * COMPLETE post-image (replace semantics — appends go through
     * [[upsertStaged]]'s PK merge instead). */
   def publishStaged(name: String, stagedDir: String,
-                    expectedVersion: Option[Int] = None): Unit = withWriteLock(name) {
+                    expectedVersion: Option[Int] = None): Unit = {
+    recoverTransactions() // see bulkLoad: pending journals own data_v(cur+1)
+    withWriteLock(name) {
     val cur = dataVersionOf(name)
     try checkExpected(name, cur, expectedVersion)
     catch { case e: java.util.ConcurrentModificationException =>
@@ -955,6 +977,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     deleteRecursively(Paths.get(stagedDir))
     maintainIndexes(name, next, target, pre = None, post = None)
     publishVersion(name, next)
+  }
   }
 
   // ------------------------------------------------------------------
@@ -1118,31 +1141,51 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       }.toList
     }
     journals.foreach { j =>
-      val node = try mapper.readTree(Files.readString(j))
-        catch { case _: Exception => null }
-      if (node == null) {
-        // unreadable: either the owner deleted it mid-list (gone now —
-        // the move below no-ops) or the file is genuinely corrupt
-        // (torn write, disk error). Quarantine rather than leave it:
-        // a corrupt journal left in place would be re-read and
-        // re-parsed by every future transaction and vacuum forever.
-        if (Files.exists(j))
+      // read and parse failures are NOT the same case: a transient read
+      // error (owner deleted it mid-list, EMFILE/EACCES/EIO in a
+      // long-lived driver) must leave a VALID journal in place for the
+      // next recovery run — quarantining it would permanently disable
+      // roll-forward of a committed transaction. Only bytes that were
+      // read successfully but do not parse are genuinely corrupt.
+      val text = try Some(Files.readString(j))
+        catch { case _: java.io.IOException => None } // retry next run
+      text.foreach { t =>
+        val node = try mapper.readTree(t) catch { case _: Exception => null }
+        if (node == null) {
+          // corrupt content: quarantine so every future transaction and
+          // vacuum doesn't re-read and re-parse it forever (the .corrupt
+          // suffix drops it from the listing above)
           try Files.move(j, j.resolveSibling(j.getFileName.toString + ".corrupt"),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
           catch { case _: java.io.IOException => () }
-      } else {
-        node.path("publishes").elements().asScala.foreach { e =>
-          val t = e.path("table").asText()
-          val next = e.path("next").asInt()
-          if (tableExists(t)) withWriteLock(t) {
-            if (dataVersionOf(t) == next - 1 &&
-                Files.exists(tableDir(t).resolve(s"data_v$next")))
-              publishVersion(t, next)
+        } else {
+          node.path("publishes").elements().asScala.foreach { e =>
+            val t = e.path("table").asText()
+            val next = e.path("next").asInt()
+            if (tableExists(t)) withWriteLock(t) {
+              if (dataVersionOf(t) == next - 1 &&
+                  Files.exists(tableDir(t).resolve(s"data_v$next")))
+                publishVersion(t, next)
+            }
           }
+          Files.deleteIfExists(j): Unit
         }
-        Files.deleteIfExists(j): Unit
       }
     }
+    // age out journal residue nothing will ever read again: .tmp files
+    // orphaned by a crash between writeString and the atomic move, and
+    // quarantined .corrupt journals (kept a week as operator evidence)
+    val now = System.currentTimeMillis()
+    withList(wh) { it =>
+      it.filter { p =>
+        val n = p.getFileName.toString
+        val age = now - (try Files.getLastModifiedTime(p).toMillis
+          catch { case _: java.io.IOException => now })
+        (n.startsWith(".txn_") && n.endsWith(".tmp") && age > 3600000L) ||
+          (n.startsWith("_graft_txn_") && n.endsWith(".corrupt") &&
+            age > 7L * 24 * 3600000L)
+      }.toList
+    }.foreach(p => Files.deleteIfExists(p): Unit)
   }
 
   def schemaOf(name: String): StructType = {

@@ -209,17 +209,25 @@ class TxnSpec extends AnyFunSuite {
     setup(cat)
     cat.createIndex("acct", "by_bal", "kv", Seq("bal"))
     val vA = cat.dataVersionOf("acct")
-    // 'acct' < 'ledger' in the sorted staging order, so acct's snapshot
-    // AND its index maintenance complete before ledger's write throws —
+    // 'acct' < 'log' in the sorted staging order, so acct's snapshot
+    // AND its index maintenance complete before log's write throws —
     // the abort must unwind both, or a later compact() publishing
-    // version vA+1 would serve index content from this aborted txn
+    // version vA+1 would serve index content from this aborted txn.
+    // The poison is an executor-side throw, so the failure happens at
+    // STAGING (inside commitTxn, after acct staged), not at buffer time.
     val boom = udf((k: Long) =>
       if (k > 0) throw new RuntimeException("boom") else 0.0)
-    intercept[Exception](cat.transaction { txn =>
+    val e = intercept[Exception](cat.transaction { txn =>
       txn.upsert("acct", Seq((1L, 5.0)).toDF("k", "bal"))
-      txn.insert("ledger", Seq((1L, 0.0)).toDF("k", "delta")
+      txn.insert("log", Seq((1L, 0.0)).toDF("k", "delta")
         .withColumn("delta", boom(col("k"))))
     })
+    // the failure must be the STAGING-time poison (proving acct was
+    // already staged when it hit), not a body-time error that would
+    // make the rollback assertions below vacuous
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("boom")), msgs(e).mkString("|"))
     assert(cat.dataVersionOf("acct") == vA)
     // as-of restored — the index is FRESH at the PRE-txn version, and
     // the staged index snapshot for the never-published version is gone

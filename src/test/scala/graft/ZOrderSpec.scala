@@ -90,7 +90,13 @@ class ZOrderSpec extends AnyFunSuite {
     val live2 = cat.liveDataPath("zt")
     val xs2 = spans(live2, "x"); val ys2 = spans(live2, "y")
     assert(xs2.size >= 2, s"post-update snapshot is one file: ${xs2.size}")
-    assert(avgSpan(xs2) < 700.0 && avgSpan(ys2) < 700.0,
+    // a LOST layout shows per-file spans ≈ the full 0..999 domain
+    // (~990+); a z-clustered one stays well under. The bound leaves
+    // headroom for range-partitioner sampling variance — the staged
+    // post-image's input partitioning shifts run-to-run under suite
+    // load, and a tight bound (700) flaked at 715 with clustering
+    // clearly intact (x-span 514)
+    assert(avgSpan(xs2) < 850.0 && avgSpan(ys2) < 850.0,
       s"layout lost after UPDATE: x=${avgSpan(xs2)} y=${avgSpan(ys2)}")
     assert(spark.sql("SELECT count(*) FROM gzt.zt").head().getLong(0) == rows.size)
   }
