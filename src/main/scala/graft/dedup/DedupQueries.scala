@@ -66,13 +66,22 @@ object DedupQueries {
       Ann.IvfIndex(idx.assigned.cache(), idx.centroids.cache())
     }
 
-  /** Index warmup for Bench: build the shared pair set + IVF index the
-    * way the full-text postings/dictionary/bitmaps are prebuilt —
-    * index BUILD is DDL; the timed queries measure SEARCH. */
+  /** The PQ index (codebook + encoded corpus) — same persisted-index
+    * contract as the IVF index above. */
+  private def pqIdx(s: SparkSession, d: String): graft.similarity.Pq.PqIndex =
+    graft.QueryCaches.obj(s"pq:$d") {
+      val idx = graft.similarity.Pq.buildPq(plantedEmbs(s, d), "vec_id", "embedding")
+      idx.copy(encoded = idx.encoded.cache())
+    }
+
+  /** Index warmup for Bench: build the shared pair set + IVF/PQ
+    * indexes the way the full-text postings/dictionary/bitmaps are
+    * prebuilt — index BUILD is DDL; the timed queries measure SEARCH. */
   def warmIndexes(s: SparkSession, d: String): Unit = {
     minhashPairs(s, d).count()
     val idx = ivfIdx(s, d)
     idx.assigned.count(); idx.centroids.count()
+    pqIdx(s, d).encoded.count()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -179,6 +188,18 @@ object DedupQueries {
       import s.implicits._
       val e = Tables.embeddings(s, d)
       Ann.quantizedTopK(e, "vec_id", "embedding", e.filter($"vec_id" < 20), k = 3)
+        .orderBy($"qid", $"rn")
+    },
+
+    "sim_pq_topk" -> { (s, d) =>
+      import s.implicits._
+      // PQ ADC shortlist + exact cosine re-rank over the planted
+      // corpus. Codebook comes from distributed k-means → not SQL-
+      // reproducible → rows-only; PqSpec holds the planted-pair
+      // recall/score ground truth.
+      val e = plantedEmbs(s, d)
+      graft.similarity.Pq.pqSearch(pqIdx(s, d), e, e.filter($"vec_id" < 20),
+          "vec_id", "embedding", topK = 3)
         .orderBy($"qid", $"rn")
     },
   )

@@ -157,6 +157,26 @@ object TextQueries {
           md5(array_join($"chunk", " ")).as("chunk_md5"))
         .orderBy($"doc_id", $"chunk_idx")
     },
+
+    "txt_novelty" -> { (s, d) =>
+      import s.implicits._
+      // Novelty scoring (dedup-adjacent quality signal): the fraction
+      // of a doc's distinct word 5-grams whose FIRST corpus occurrence
+      // (min doc_id) is this doc — near-1 for fresh content, near-0
+      // for documents that mostly restate earlier ones. Shape: map-side
+      // shingle explode → one groupBy for first-occurrence → join back
+      // → per-doc ratio. Two shuffles, no O(n²), 100 TB-safe.
+      val grams = graft.dedup.Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 5)
+        .select($"doc_id", explode($"sh").as("g"))
+      val first = grams.groupBy($"g").agg(min($"doc_id").as("first_doc"))
+      grams.join(first, Seq("g"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_first"))
+        .select($"doc_id", $"n_grams",
+          round($"n_first".cast("double") / $"n_grams", 4).as("novelty"))
+        .orderBy($"doc_id")
+    },
   )
 
   private val Tok = "string_split_regex(lower(text), '[^a-z0-9]+')"
@@ -292,5 +312,20 @@ object TextQueries {
          |  CAST(len(chunk) AS INT) AS n_chunk_tokens,
          |  md5(array_to_string(chunk, ' ')) AS chunk_md5
          |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "txt_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $cleanTok AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(toks) = 0 THEN [] ELSE
+         |    list_distinct(list_transform(range(1, greatest(len(toks) - 4, 1) + 1),
+         |      i -> array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' '))) END AS s
+         |  FROM t),
+         |p AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |f AS (SELECT g, MIN(doc_id) AS first_doc FROM p GROUP BY g)
+         |SELECT p.doc_id, COUNT(*) AS n_grams,
+         |  ROUND(CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*), 4) AS novelty
+         |FROM p JOIN f USING (g)
+         |GROUP BY p.doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -357,6 +357,33 @@ object Relational {
           regexp_extract($"c_name", "([0-9]+)$", 1).as("trailing_num"))
         .orderBy($"c_custkey")
     },
+
+    "q30_interval_join" -> { (s, d) =>
+      import s.implicits._
+      // Non-equi interval join via bucket decomposition
+      // (operators.RangeJoin): each order opens a 1-8 day follow-up
+      // window; count/total the other same-priority orders placed
+      // inside it. A naive Spark plan for the pure range predicate is
+      // a nested-loop join; the bucketed form is an equi-join on
+      // (priority, time-bucket) + in-bucket range filter — shuffled,
+      // partitionable, 100 TB-safe. Day numbers are exact ints and the
+      // price sum goes through DECIMAL, so the oracle matches exactly.
+      val day = datediff($"o_orderdate".cast("date"),
+        lit("1990-01-01").cast("date")).cast("long")
+      val o = Tables.orders(s, d)
+      val ivs = o.select($"o_orderkey".as("iv_key"),
+          $"o_orderpriority".as("prio"), day.as("start_d"))
+        .withColumn("end_d", $"start_d" + ($"iv_key" % 7) + lit(1L))
+      val pts = o.select($"o_orderkey".as("pt_key"),
+        $"o_orderpriority".as("prio"), day.as("pt_d"), $"o_totalprice")
+      graft.operators.RangeJoin.intervalJoin(ivs, pts,
+          "start_d", "end_d", "pt_d", Seq("prio"), bucketWidth = 8L)
+        .filter($"pt_key" =!= $"iv_key")
+        .groupBy($"iv_key")
+        .agg(count(lit(1)).as("n_in_window"),
+          dsum($"o_totalprice").as("window_total"))
+        .orderBy($"iv_key")
+    },
   )
 
   def oracles: Map[String, String] = Map(
@@ -581,5 +608,20 @@ object Relational {
         |  c_name LIKE '%001%' AS has_001,
         |  regexp_extract(c_name, '([0-9]+)$', 1) AS trailing_num
         |FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""".stripMargin,
+
+    "q30_interval_join" ->
+      """WITH d AS (SELECT o_orderkey, o_orderpriority,
+        |    datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS dd,
+        |    o_totalprice
+        |  FROM orders),
+        |iv AS (SELECT o_orderkey AS iv_key, o_orderpriority AS prio,
+        |    dd AS start_d, dd + (o_orderkey % 7) + 1 AS end_d
+        |  FROM d)
+        |SELECT iv_key, COUNT(*) AS n_in_window,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS window_total
+        |FROM iv JOIN d ON d.o_orderpriority = iv.prio
+        |  AND d.dd BETWEEN iv.start_d AND iv.end_d
+        |  AND d.o_orderkey <> iv.iv_key
+        |GROUP BY iv_key ORDER BY iv_key""".stripMargin,
   )
 }

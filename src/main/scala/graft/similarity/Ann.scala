@@ -37,7 +37,7 @@ object Ann {
   /** Bounded-heap reduction (graft.plans.TopKPerGroup) first — never
     * window-sorts the full scored set — then a row_number over the
     * ≤k survivors per query for the rank column. */
-  private def rank(scored: org.apache.spark.sql.DataFrame, k: Int) = {
+  private[similarity] def rank(scored: org.apache.spark.sql.DataFrame, k: Int) = {
     val reduced = graft.plans.TopK.perGroup(
       scored.select(col("qid"), col("nn"), col("score")),
       Seq("qid"), Seq(("score", true), ("nn", false)), k)
