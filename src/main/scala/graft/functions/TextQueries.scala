@@ -166,8 +166,12 @@ object TextQueries {
       // for documents that mostly restate earlier ones. Shape: map-side
       // shingle explode → one groupBy for first-occurrence → join back
       // → per-doc ratio. Two shuffles, no O(n²), 100 TB-safe.
+      // posting key is the 64-bit hash of the gram, not the gram text
+      // (same trick as Dedup.ngramJaccard): identical group/join
+      // semantics at ~0 collision odds, 3-4× less shuffle bytes
       val grams = graft.dedup.Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 5)
-        .select($"doc_id", explode($"sh").as("g"))
+        .select($"doc_id", explode($"sh").as("g0"))
+        .select($"doc_id", xxhash64($"g0").as("g"))
       val first = grams.groupBy($"g").agg(min($"doc_id").as("first_doc"))
       grams.join(first, Seq("g"))
         .groupBy($"doc_id")

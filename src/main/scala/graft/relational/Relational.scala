@@ -366,22 +366,30 @@ object Relational {
       // inside it. A naive Spark plan for the pure range predicate is
       // a nested-loop join; the bucketed form is an equi-join on
       // (priority, time-bucket) + in-bucket range filter — shuffled,
-      // partitionable, 100 TB-safe. Day numbers are exact ints and the
-      // price sum goes through DECIMAL, so the oracle matches exactly.
+      // partitionable, 100 TB-safe. Because the query only needs
+      // per-interval count/sum, the point side is pre-aggregated to
+      // (priority, day) partials BEFORE the join — the join touches
+      // ~|days| rows instead of ~|orders| (×10 less here) and the
+      // self-match is subtracted exactly afterwards (the order's own
+      // day always falls inside its own window). Day numbers are
+      // exact ints and all sums are DECIMAL, so the oracle matches
+      // bit-for-bit.
       val day = datediff($"o_orderdate".cast("date"),
         lit("1990-01-01").cast("date")).cast("long")
       val o = Tables.orders(s, d)
       val ivs = o.select($"o_orderkey".as("iv_key"),
-          $"o_orderpriority".as("prio"), day.as("start_d"))
+          $"o_orderpriority".as("prio"), day.as("start_d"),
+          $"o_totalprice".cast(DecimalType(18, 2)).as("own_price"))
         .withColumn("end_d", $"start_d" + ($"iv_key" % 7) + lit(1L))
-      val pts = o.select($"o_orderkey".as("pt_key"),
-        $"o_orderpriority".as("prio"), day.as("pt_d"), $"o_totalprice")
-      graft.operators.RangeJoin.intervalJoin(ivs, pts,
+      val daily = o.groupBy($"o_orderpriority".as("prio"), day.as("pt_d"))
+        .agg(count(lit(1)).as("day_n"),
+          sum($"o_totalprice".cast(DecimalType(18, 2))).as("day_total"))
+      graft.operators.RangeJoin.intervalJoin(ivs, daily,
           "start_d", "end_d", "pt_d", Seq("prio"), bucketWidth = 8L)
-        .filter($"pt_key" =!= $"iv_key")
         .groupBy($"iv_key")
-        .agg(count(lit(1)).as("n_in_window"),
-          dsum($"o_totalprice").as("window_total"))
+        .agg((sum($"day_n") - 1L).as("n_in_window"),
+          (sum($"day_total") - max($"own_price")).cast("double").as("window_total"))
+        .filter($"n_in_window" > 0)
         .orderBy($"iv_key")
     },
   )

@@ -77,6 +77,30 @@ class RangeJoinSpec extends AnyFunSuite {
       "expected the naive pure-range join to be a nested loop (baseline check)")
   }
 
+  test("q30's aggregate-below-join rewrite matches the naive per-pair aggregation") {
+    import org.apache.spark.sql.types.DecimalType
+    val day = datediff(col("o_orderdate").cast("date"),
+      lit("1990-01-01").cast("date")).cast("long")
+    val o = Tables.orders(spark, sf)
+    val naiveIvs = o.select(col("o_orderkey").as("iv_key"),
+        col("o_orderpriority").as("prio"), day.as("start_d"))
+      .withColumn("end_d", col("start_d") + (col("iv_key") % 7) + lit(1L))
+    val naivePts = o.select(col("o_orderkey").as("pt_key"),
+      col("o_orderpriority").as("pt_prio"), day.as("pt_d"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+    val naive = naiveIvs.join(naivePts,
+        col("prio") === col("pt_prio") &&
+        col("pt_d").between(col("start_d"), col("end_d")) &&
+        col("pt_key") =!= col("iv_key"))
+      .groupBy(col("iv_key"))
+      .agg(count(lit(1)).as("n_in_window"),
+        sum(col("price")).cast("double").as("window_total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rewritten = SparkEntry.queries("q30_interval_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(naive.nonEmpty && rewritten == naive)
+  }
+
   test("each matching pair meets in exactly one bucket (no duplicate matches)") {
     val out = RangeJoin.intervalJoin(ivs, pts, "start_d", "end_d", "pt_d", Seq("key"), 8L)
       .groupBy($"iv_id", $"pt_id").agg(count(lit(1)).as("n"))
