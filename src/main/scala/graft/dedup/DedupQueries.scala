@@ -74,6 +74,13 @@ object DedupQueries {
       idx.copy(encoded = idx.encoded.cache())
     }
 
+  /** The IVF×PQ index (coarse lists + PQ codes per entry). */
+  private def ivfPqIdx(s: SparkSession, d: String): graft.similarity.Pq.IvfPqIndex =
+    graft.QueryCaches.obj(s"ivfpq:$d") {
+      val idx = graft.similarity.Pq.buildIvfPq(plantedEmbs(s, d), "vec_id", "embedding")
+      idx.copy(centroids = idx.centroids.cache(), entries = idx.entries.cache())
+    }
+
   /** Index warmup for Bench: build the shared pair set + IVF/PQ
     * indexes the way the full-text postings/dictionary/bitmaps are
     * prebuilt — index BUILD is DDL; the timed queries measure SEARCH. */
@@ -82,6 +89,8 @@ object DedupQueries {
     val idx = ivfIdx(s, d)
     idx.assigned.count(); idx.centroids.count()
     pqIdx(s, d).encoded.count()
+    val ip = ivfPqIdx(s, d)
+    ip.centroids.count(); ip.entries.count()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -200,6 +209,17 @@ object DedupQueries {
       val e = plantedEmbs(s, d)
       graft.similarity.Pq.pqSearch(pqIdx(s, d), e, e.filter($"vec_id" < 20),
           "vec_id", "embedding", topK = 3)
+        .orderBy($"qid", $"rn")
+    },
+
+    "sim_ivfpq_ann" -> { (s, d) =>
+      import s.implicits._
+      // the composed two-level stack: IVF prunes the scanned lists,
+      // PQ compresses each scanned entry. k-means on both levels →
+      // rows-only; PqSpec holds the recall ground truth.
+      val e = plantedEmbs(s, d)
+      graft.similarity.Pq.ivfPqSearch(ivfPqIdx(s, d), e, e.filter($"vec_id" < 20),
+          "vec_id", "embedding", topK = 3, nprobe = 4)
         .orderBy($"qid", $"rn")
     },
   )

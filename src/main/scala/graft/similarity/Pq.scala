@@ -58,13 +58,16 @@ object Pq {
     val train = embs.select(col(vecCol).cast("array<double>").as("v"))
       .sample(withReplacement = false, fraction, seed = 42L)
       .limit(maxTrain).cache()
-    train.count()
-    val codebook = new Array[Float](m * k * dsub)
+    val nTrain = train.count()
+    // tiny corpora: k-means needs k ≤ training rows; a clamped k only
+    // shortens the code range, never breaks the encode/score contract
+    val kEff = math.max(1, math.min(k.toLong, nTrain).toInt)
+    val codebook = new Array[Float](m * kEff * dsub)
     var s = 0
     while (s < m) {
       val sub = train.select(
         array_to_vector(slice(col("v"), s * dsub + 1, dsub)).as("features"))
-      val model = new KMeans().setK(k).setSeed(42L + s).setMaxIter(maxIter)
+      val model = new KMeans().setK(kEff).setSeed(42L + s).setMaxIter(maxIter)
         .setInitMode("random").fit(sub)
       val centers = model.clusterCenters
       var c = 0
@@ -72,7 +75,7 @@ object Pq {
         val arr = centers(c).toArray
         var j = 0
         while (j < dsub) {
-          codebook(((s * k) + c) * dsub + j) = arr(j).toFloat
+          codebook(((s * kEff) + c) * dsub + j) = arr(j).toFloat
           j += 1
         }
         c += 1
@@ -81,8 +84,8 @@ object Pq {
     }
     train.unpersist()
     val encoded = embs.select(col(idCol).as("nn"),
-      PqExpressions.pqCodes(col(vecCol), codebook, m, k, dsub).as("codes"))
-    PqIndex(m, k, dsub, codebook, encoded)
+      PqExpressions.pqCodes(col(vecCol), codebook, m, kEff, dsub).as("codes"))
+    PqIndex(m, kEff, dsub, codebook, encoded)
   }
 
   /** ADC search + exact re-rank. `corpus` supplies the float vectors
@@ -116,4 +119,59 @@ object Pq {
              shortlist: Int = 32): DataFrame =
     pqSearch(buildPq(embs, idCol, vecCol, m, k), embs, queries,
       idCol, vecCol, topK, shortlist)
+
+  /** IVF×PQ: the coarse quantizer prunes WHICH rows are scanned
+    * (nprobe lists of ~N/√N), PQ compresses WHAT each scanned row
+    * costs (m byte-codes instead of d floats) — candidate pruning ×
+    * memory-bandwidth compression, the standard two-level ANN stack
+    * for corpora too large to flat-scan. `entries` carries
+    * (nn, cluster, codes): the IVF assignment keyed next to the PQ
+    * codes, hash-partitionable by cluster at any scale. This variant
+    * encodes raw vectors (not per-list residuals — the residual
+    * refinement needs a per-(query, list) LUT and buys accuracy only
+    * when lists are tight). */
+  case class IvfPqIndex(centroids: DataFrame, entries: DataFrame, pq: PqIndex)
+
+  def buildIvfPq(embs: DataFrame, idCol: String, vecCol: String,
+                 m: Int = 8, k: Int = 16): IvfPqIndex = {
+    val ivf = Ann.buildIvf(embs, idCol, vecCol)
+    val pq = buildPq(embs, idCol, vecCol, m, k)
+    val entries = ivf.assigned.select(col("nn"), col("cluster"),
+      PqExpressions.pqCodes(col("v"), pq.codebook, pq.m, pq.k, pq.dsub).as("codes"))
+    IvfPqIndex(ivf.centroids, entries, pq)
+  }
+
+  /** Probe the nprobe nearest lists (same L2 probe metric as
+    * ivfSearch), ADC-score only their entries, exact-rerank the
+    * shortlist. */
+  def ivfPqSearch(idx: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, topK: Int,
+                  nprobe: Int = 4, shortlist: Int = 32): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("lut",
+        PqExpressions.pqLut(col("qv"), idx.pq.codebook, idx.pq.m, idx.pq.k, idx.pq.dsub))
+    val negL2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      lit(0.0) - aggregate(
+        zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+    val probes = graft.plans.TopK.perGroup(
+      q.crossJoin(broadcast(idx.centroids))
+        .withColumn("cdist", negL2(col("qv"), col("centroid")))
+        .select(col("qid"), col("lut"), col("cluster"), col("cdist")),
+      Seq("qid"), Seq(("cdist", true), ("cluster", false)), nprobe)
+    val adcScored = idx.entries
+      .join(broadcast(probes.select(col("qid"), col("lut"), col("cluster"))), Seq("cluster"))
+      .filter(col("nn") =!= col("qid"))
+      .withColumn("adc", PqExpressions.pqAdc(col("codes"), col("lut"), idx.pq.k))
+    val cands = graft.plans.TopK.perGroup(
+      adcScored.select(col("qid"), col("nn"), col("adc")),
+      Seq("qid"), Seq(("adc", true), ("nn", false)), shortlist)
+    val vecs = corpus.select(col(idCol).as("nn"), col(vecCol).as("v"))
+    val reranked = cands.join(vecs, Seq("nn"))
+      .join(broadcast(q.select(col("qid"), col("qv"))), Seq("qid"))
+      .withColumn("score",
+        round(graft.functions.VectorFunctions.cosine(col("qv"), col("v")), 3))
+    Ann.rank(reranked.select(col("qid"), col("nn"), col("score")), topK)
+  }
 }

@@ -154,6 +154,26 @@ object StreamQueries {
         .orderBy($"cohort", $"week_n")
     },
 
+    "evt_hll_users" -> { (s, d) =>
+      import s.implicits._
+      // mergeable distinct-count sketches (DataSketches HLL, Spark
+      // built-ins): per-event-type user sketches, with the global row
+      // derived by UNIONING the per-type sketches — never re-scanning
+      // the events. At 100 TB this mergeability is the whole point:
+      // sketch once at the finest grain, roll up to any coarser cell
+      // with sketch unions (exact distincts don't re-aggregate).
+      // Estimates are deterministic (fixed hash, no rng) but engine-
+      // specific → rows-only; HllMergeSpec pins accuracy vs exact
+      // distincts and union-vs-direct consistency.
+      val perType = Tables.events(s, d)
+        .groupBy($"event_type").agg(hll_sketch_agg($"user_id").as("sk"))
+      val global = perType.agg(hll_union_agg($"sk").as("sk"))
+        .select(lit("ALL").as("event_type"), $"sk")
+      perType.select($"event_type", $"sk").unionByName(global)
+        .select($"event_type", hll_sketch_estimate($"sk").as("approx_users"))
+        .orderBy($"event_type")
+    },
+
     "mm_grouped_stats" -> { (s, d) =>
       import s.implicits._
       Multimodal.extractMeta(s, Multimodal.withPayload(Tables.documents(s, d)))

@@ -68,6 +68,26 @@ class PqSpec extends AnyFunSuite {
       s"pq recall too low: ${(brute intersect pq).size}/10")
   }
 
+  test("ivf-pq ranks a planted identical vector first and recalls brute-force neighbors") {
+    val e = Tables.embeddings(spark, sf)
+    val withCopy = e.unionByName(
+      e.filter(col("vec_id") === 3L).withColumn("vec_id", lit(1000003L)))
+    val idx = Pq.buildIvfPq(withCopy, "vec_id", "embedding")
+    val top = Pq.ivfPqSearch(idx, withCopy, withCopy.filter(col("vec_id") === 3L),
+        "vec_id", "embedding", topK = 1)
+      .collect()
+    assert(top.length == 1 && top.head.getAs[Long]("nn") == 1000003L)
+    assert(top.head.getAs[Double]("score") == 1.0)
+    val q = e.filter(col("vec_id") < 10)
+    val brute = Ann.bruteTopK(e, "vec_id", "embedding", q, k = 1)
+      .select("qid", "nn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx2 = Pq.buildIvfPq(e, "vec_id", "embedding")
+    val ivfpq = Pq.ivfPqSearch(idx2, e, q, "vec_id", "embedding", topK = 1, nprobe = 8)
+      .select("qid", "nn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((brute intersect ivfpq).size >= 5,
+      s"ivf-pq recall too low: ${(brute intersect ivfpq).size}/10")
+  }
+
   test("pq codes compress to m small ints and stay within [0, k)") {
     val e = Tables.embeddings(spark, sf)
     val idx = Pq.buildPq(e, "vec_id", "embedding")
