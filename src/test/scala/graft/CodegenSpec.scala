@@ -42,7 +42,16 @@ class CodegenSpec extends AnyFunSuite {
           HashExpressions.minhashSig($"sh", 16).as("mh"),
           HashExpressions.simhash64($"toks").as("sim"))
         .orderBy($"id").collect().toSeq
+      // PQ expressions carry their codebook as a codegen reference
+      // object — the generated code must compile and agree too
+      val cb = Array[Float](0f, 0f, 1f, 1f, 2f, 2f, -1f, 0f)
+      import graft.plans.PqExpressions
       val v = vecs.select($"id",
+        PqExpressions.pqCodes($"vf", cb, 2, 2, 2).as("pqcf"),
+        PqExpressions.pqCodes($"vd", cb, 2, 2, 2).as("pqcd"),
+        PqExpressions.pqLut($"vd", cb, 2, 2, 2).as("pql"),
+        PqExpressions.pqAdc(PqExpressions.pqCodes($"vf", cb, 2, 2, 2),
+          PqExpressions.pqLut($"vd", cb, 2, 2, 2), 2).as("adc"),
         HashExpressions.lshBucket($"vf", 8).as("bf"),
         HashExpressions.lshBucket($"vd", 8).as("bd"),
         HashExpressions.dotInt(

@@ -114,4 +114,55 @@ class KernelPropertySpec extends AnyFunSuite {
       math.abs(HashOps.cosine(arr, arr, aIsFloat = false, bIsFloat = false) - 1.0) < 1e-12
     }, "cosine-self")
   }
+
+  // ---- PQ kernel laws (graft.plans.PqOps) ---------------------------
+
+  /** Random (m, k, dsub, codebook, vector) instances. */
+  private val pqGen = for {
+    m <- Gen.choose(1, 3)
+    k <- Gen.choose(1, 5)
+    dsub <- Gen.choose(1, 4)
+    cb <- Gen.listOfN(m * k * dsub, Gen.choose(-8.0, 8.0).map(_.toFloat))
+    v <- Gen.listOfN(m * dsub, Gen.choose(-8.0, 8.0))
+  } yield (m, k, dsub, cb.toArray, v.toArray)
+
+  private def refDot(v: Array[Double], off: Int, cb: Array[Float],
+                     base: Int, dsub: Int): Double = {
+    var acc = 0.0; var j = 0
+    while (j < dsub) { acc += v(off + j) * cb(base + j); j += 1 }
+    acc
+  }
+
+  test("pq codes pick the argmin-L2 centroid per subspace, ties to lowest index") {
+    check(Prop.forAll(pqGen) { case (m, k, dsub, cb, v) =>
+      val codes = graft.plans.PqOps.codes(
+        new GenericArrayData(v.toArray[Any]), cb, m, k, dsub, isFloat = false).toIntArray()
+      (0 until m).forall { s =>
+        val dists = (0 until k).map { c =>
+          val base = ((s * k) + c) * dsub
+          (0 until dsub).map(j => { val d = v(s * dsub + j) - cb(base + j); d * d }).sum
+        }
+        codes(s) == dists.indexOf(dists.min)
+      }
+    }, "pq-codes-argmin")
+  }
+
+  test("pq lut holds every (subspace, centroid) dot; adc sums the coded entries exactly") {
+    check(Prop.forAll(pqGen, pqGen) { case ((m, k, dsub, cb, q), (_, _, _, _, x0)) =>
+      val x = x0.take(m * dsub) ++ Array.fill(math.max(0, m * dsub - x0.length))(0.0)
+      val lut = graft.plans.PqOps.lut(
+        new GenericArrayData(q.toArray[Any]), cb, m, k, dsub, isFloat = false).toDoubleArray()
+      val lutLaw = (0 until m).forall { s =>
+        (0 until k).forall { c =>
+          lut(s * k + c) == refDot(q, s * dsub, cb, ((s * k) + c) * dsub, dsub)
+        }
+      }
+      val codes = graft.plans.PqOps.codes(
+        new GenericArrayData(x.toArray[Any]), cb, m, k, dsub, isFloat = false)
+      val adc = graft.plans.PqOps.adc(codes,
+        new GenericArrayData(lut.toArray[Any]), k)
+      val expect = (0 until m).map(s => lut(s * k + codes.getInt(s))).sum
+      lutLaw && adc == expect
+    }, "pq-lut-adc")
+  }
 }
