@@ -114,6 +114,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     meta.put("charset", charset)
     meta.put("comment", comment)
     meta.put("layout", layout)
+    // table.sys create-time attribute (reference HBaseTable.kt:197-216)
+    meta.put("createdAt", System.currentTimeMillis())
     meta.set[JsonNode]("indexes", mapper.createArrayNode()): Unit
     // v0 (the empty snapshot below) publishes now — seeds the
     // TIMESTAMP AS OF map so even version 0 resolves from recorded
@@ -1632,6 +1634,41 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       case s         => meta.put(attr, s.toString): Unit
     }
     writeMeta(table, meta)
+  }
+
+  /** table.sys dump: one row with the reference's TableAttribute
+    * fields (primary key, isTransactional, lock status, charset,
+    * create time — HBaseTable.kt:197-216) plus graft's own layout/
+    * version attributes. Metadata-only — no data scan. */
+  def tableInfo(name: String): DataFrame = {
+    val m = readMeta(name)
+    val row = Row(name,
+      m.path("primary").asText(),
+      m.path("isTransactional").asBoolean(false),
+      m.path("lockStatus").asText("UNLOCK"),
+      m.path("charset").asText("UTF-8"),
+      m.path("layout").asText("sorted"),
+      m.path("comment").asText(""),
+      // pre-upgrade tables lack createdAt: fall back to the recorded
+      // v0 publish time (same instant for tables created since the
+      // publishTimes map exists), else 0
+      if (m.hasNonNull("createdAt")) m.path("createdAt").asLong()
+      else m.path("publishTimes").path("0").asLong(0L),
+      m.path("dataVersion").asInt(),
+      m.withArray[ArrayNode]("indexes").size())
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1),
+      StructType(Seq(
+        StructField("table_name", StringType, false),
+        StructField("primary_key", StringType, false),
+        StructField("is_transactional", BooleanType, false),
+        StructField("lock_status", StringType, false),
+        StructField("charset", StringType, false),
+        StructField("layout", StringType, false),
+        StructField("comment", StringType, false),
+        StructField("created_ms", LongType, false),
+        StructField("data_version", IntegerType, false),
+        StructField("n_indexes", IntegerType, false))))
   }
 
   /** column.sys dump: one row per column with the reference's

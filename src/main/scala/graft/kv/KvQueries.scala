@@ -200,12 +200,16 @@ object KvQueries {
           .toDF("k", "v", "score"))
       val loaded = cat.table("kv_demo").pointGet(2L)
         .select($"k".cast("string").as("column_name"), lit("POINT_GET").as("datatype"))
-      // dump column.sys-equivalent metadata + prove the round-trip read
+      // dump column.sys + table.sys metadata + prove the round-trip read
       val described = cat.describeTable("kv_demo")
         .select($"column_name", $"datatype")
       val tables = cat.listTables().toDF("column_name")
         .withColumn("datatype", lit("TABLE"))
-      described.unionByName(loaded).unionByName(tables)
+      val tinfo = cat.tableInfo("kv_demo")
+        .select(concat_ws("|", $"table_name", $"primary_key", $"lock_status",
+          $"charset", $"layout").as("column_name"),
+          lit("TABLE_INFO").as("datatype"))
+      described.unionByName(loaded).unionByName(tables).unionByName(tinfo)
         .orderBy($"datatype", $"column_name")
     },
   )

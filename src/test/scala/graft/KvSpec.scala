@@ -105,6 +105,17 @@ class KvSpec extends AnyFunSuite {
     val desc = cat.describeTable("t1").collect()
     assert(desc.length == 2 && desc.exists(r =>
       r.getAs[String]("column_name") == "k" && r.getAs[Boolean]("is_primary")))
+    // table.sys dump: create time recorded at createTable and stable
+    // across writes; version/lock/charset attributes surface
+    val info = cat.tableInfo("t1").collect().head
+    assert(info.getAs[String]("primary_key") == "k")
+    assert(info.getAs[String]("lock_status") == "UNLOCK")
+    assert(info.getAs[String]("charset") == "UTF-8")
+    val created = info.getAs[Long]("created_ms")
+    assert(created > 0L && created <= System.currentTimeMillis())
+    assert(info.getAs[Int]("data_version") >= 1) // bulkLoad published v1
+    val again = cat.tableInfo("t1").collect().head
+    assert(again.getAs[Long]("created_ms") == created)
     cat.dropTable("t1")
     assert(cat.listTables().isEmpty)
   }
