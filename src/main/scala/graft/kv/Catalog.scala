@@ -1085,7 +1085,14 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       }
       journal = Some(writeTxnJournal(publishes))
       publishes.foreach { case (t, next) => publishVersion(t, next) }
-      journal.foreach(j => Files.deleteIfExists(j): Unit)
+      // best-effort: once every pointer is bumped the transaction IS
+      // committed — a failed unlink must not surface as a commit
+      // failure. The orphan journal is harmless (recovery re-reads it,
+      // every bump CAS-skips, then deletes it).
+      journal.foreach { j =>
+        try Files.deleteIfExists(j): Unit
+        catch { case _: java.io.IOException => () }
+      }
     } catch {
       case e: Throwable =>
         // pre-journal failure: the transaction never happened — reclaim
@@ -1614,6 +1621,14 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * apparent publish time forward. */
   private def publishVersion(table: String, version: Int): Unit = {
     val meta = readMeta(table)
+    // monotonic: every caller publishes forward (bulk writes, merges,
+    // txn bumps, recovery roll-forward). The only path that could ask
+    // to regress is a commit whose lock was wrongly broken mid-bump
+    // (the documented residual double-break window, breakIfStale):
+    // the breaker healed this txn's journal — publishing the SAME
+    // version — and may have published its own write on top; replaying
+    // the stale bump must not roll the newer snapshot back.
+    if (meta.path("dataVersion").asInt() >= version) return
     meta.put("dataVersion", version): Unit
     val times = meta.get("publishTimes") match {
       case o: ObjectNode => o
