@@ -34,19 +34,48 @@ object RangeJoin {
     * and all `eqKeys` (present on both sides) match. start/end/point
     * columns must be numeric (cast times to epoch units first) and
     * named distinctly from each other; output carries all columns of
-    * both inputs with eqKeys deduplicated. */
+    * both inputs with eqKeys deduplicated.
+    *
+    * `maxBucketsPerInterval` fails the job fast (with the offending
+    * span in the error) instead of letting one unbounded/garbage
+    * interval explode into millions of bucket rows and OOM a task —
+    * if legitimate intervals trip it, `bucketWidth` is mis-sized for
+    * the data; raise the width, not the cap. */
   def intervalJoin(intervals: DataFrame, points: DataFrame,
                    startCol: String, endCol: String, pointCol: String,
-                   eqKeys: Seq[String], bucketWidth: Long): DataFrame = {
+                   eqKeys: Seq[String], bucketWidth: Long,
+                   maxBucketsPerInterval: Long = 4096L): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    val expanded = intervals.withColumn("__bucket",
-      explode(sequence(
-        floor(col(startCol) / bucketWidth).cast("long"),
-        floor(col(endCol) / bucketWidth).cast("long"))))
+    val lo = floor(col(startCol) / bucketWidth).cast("long")
+    val hi = floor(col(endCol) / bucketWidth).cast("long")
+    val guarded = when(hi - lo >= maxBucketsPerInterval,
+      raise_error(concat(
+        lit(s"intervalJoin: interval spans > $maxBucketsPerInterval buckets " +
+          s"(bucketWidth=$bucketWidth) at ${startCol}="), col(startCol).cast("string"),
+        lit(s", ${endCol}="), col(endCol).cast("string"))))
+      .otherwise(hi)
+    val expanded = intervals.withColumn("__bucket", explode(sequence(lo, guarded)))
     val probes = points.withColumn("__bucket",
       floor(col(pointCol) / bucketWidth).cast("long"))
     expanded.join(probes, eqKeys :+ "__bucket")
       .filter(col(pointCol).between(col(startCol), col(endCol)))
       .drop("__bucket")
+  }
+
+  /** Band join: match rows whose numeric values differ by at most
+    * `maxDiff` (|left(leftVal) − right(rightVal)| ≤ maxDiff), plus
+    * equality keys — the symmetric special case of the interval join
+    * (interval = [v−maxDiff, v+maxDiff]), with the same bucketed
+    * equi-join plan. */
+  def bandJoin(left: DataFrame, right: DataFrame,
+               leftVal: String, rightVal: String,
+               eqKeys: Seq[String], maxDiff: Long): DataFrame = {
+    require(maxDiff >= 0, s"maxDiff must be non-negative, got $maxDiff")
+    val intervals = left
+      .withColumn("__band_lo", col(leftVal) - maxDiff)
+      .withColumn("__band_hi", col(leftVal) + maxDiff)
+    intervalJoin(intervals, right, "__band_lo", "__band_hi", rightVal,
+        eqKeys, bucketWidth = math.max(1L, 2L * maxDiff))
+      .drop("__band_lo", "__band_hi")
   }
 }

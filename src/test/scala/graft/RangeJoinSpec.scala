@@ -107,4 +107,28 @@ class RangeJoinSpec extends AnyFunSuite {
       .filter($"n" > 1).count()
     assert(out == 0L)
   }
+
+  test("band join matches |a-b| <= maxDiff exactly") {
+    val expected = ivs.join(pts,
+        $"start_d" - 5L <= $"pt_d" && $"pt_d" <= $"start_d" + 5L &&
+        ivs("key") === pts("key"))
+      .select($"iv_id", $"pt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = RangeJoin.bandJoin(ivs, pts, "start_d", "pt_d", Seq("key"), 5L)
+      .select($"iv_id", $"pt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty && got == expected)
+  }
+
+  test("a pathological interval fails fast instead of exploding") {
+    val bad = Seq((1L, 0L, Long.MaxValue / 2)).toDF("iv_id", "start_d", "end_d")
+    val e = intercept[Exception] {
+      RangeJoin.intervalJoin(bad, pts.drop("key"),
+        "start_d", "end_d", "pt_d", Seq.empty, 8L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("buckets")),
+      s"expected the bucket-guard error, got: $e")
+  }
 }
