@@ -23,10 +23,19 @@ object PqOps {
   private def elem(v: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
 
+  /** A short vector read past numElements() on unsafe array storage is
+    * SILENT GARBAGE, not an exception — a ragged corpus (one row with
+    * the wrong dimension) must fail loudly, never encode to junk. */
+  private def checkDims(v: ArrayData, m: Int, dsub: Int): Unit =
+    if (v.numElements() < m * dsub)
+      throw new IllegalArgumentException(
+        s"PQ vector has ${v.numElements()} dims, codebook needs ${m * dsub}")
+
   /** PQ codes: for each of the m subspaces, the index of the L2-nearest
     * centroid (ties → lowest index). Output array<int> of length m. */
   def codes(v: ArrayData, cb: Array[Float], m: Int, k: Int, dsub: Int,
             isFloat: Boolean): ArrayData = {
+    checkDims(v, m, dsub)
     val out = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -56,6 +65,7 @@ object PqOps {
     * dot product. */
   def lut(v: ArrayData, cb: Array[Float], m: Int, k: Int, dsub: Int,
           isFloat: Boolean): ArrayData = {
+    checkDims(v, m, dsub)
     val out = new Array[Double](m * k)
     var s = 0
     while (s < m) {
@@ -78,6 +88,9 @@ object PqOps {
   /** Asymmetric-distance score: Σ_s lut[s·k + codes[s]] ≈ dot(q, x). */
   def adc(codes: ArrayData, lut: ArrayData, k: Int): Double = {
     val m = codes.numElements()
+    if (lut.numElements() < m * k)
+      throw new IllegalArgumentException(
+        s"PQ lut has ${lut.numElements()} entries, codes need ${m * k}")
     var acc = 0.0; var s = 0
     while (s < m) {
       acc += lut.getDouble(s * k + codes.getInt(s))

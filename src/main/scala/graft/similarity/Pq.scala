@@ -50,7 +50,9 @@ object Pq {
               maxTrain: Int = 50000): PqIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val d = embs.select(size(col(vecCol))).head.getInt(0)
+    val head = embs.select(size(col(vecCol))).head(1)
+    require(head.nonEmpty, "buildPq: empty corpus — nothing to train on")
+    val d = head(0).getInt(0)
     require(d % m == 0, s"vector dims $d not divisible by m=$m subspaces")
     val dsub = d / m
     val n = embs.count()

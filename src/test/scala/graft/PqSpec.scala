@@ -88,6 +88,20 @@ class PqSpec extends AnyFunSuite {
       s"ivf-pq recall too low: ${(brute intersect ivfpq).size}/10")
   }
 
+  test("a mis-dimensioned vector fails loudly instead of encoding garbage") {
+    val short = arr(0.5, 0.5) // codebook needs 4 dims
+    val e = intercept[IllegalArgumentException] {
+      PqOps.codes(short, cb, 2, 2, 2, isFloat = false)
+    }
+    assert(e.getMessage.contains("dims"))
+    intercept[IllegalArgumentException] {
+      PqOps.lut(short, cb, 2, 2, 2, isFloat = false)
+    }
+    intercept[IllegalArgumentException] {
+      PqOps.adc(new GenericArrayData(Array(1, 0)), arr(1.0, 2.0), k = 2)
+    }
+  }
+
   test("pq codes compress to m small ints and stay within [0, k)") {
     val e = Tables.embeddings(spark, sf)
     val idx = Pq.buildPq(e, "vec_id", "embedding")
