@@ -85,6 +85,35 @@ object PqOps {
     new GenericArrayData(out)
   }
 
+  /** Squared-L2 query table: lut[s·k + c] = ‖q_sub − centroid‖² —
+    * the ADC table for L2 ranking (residual IVF-PQ): since
+    * q − x = (q − c_list) − (x − c_list) exactly, scoring residual
+    * codes against the residual query (q − c_list) reconstructs
+    * ‖q − x‖² up to within-cell quantization error. Layout matches
+    * [[lut]]. */
+  def lutL2(v: ArrayData, cb: Array[Float], m: Int, k: Int, dsub: Int,
+            isFloat: Boolean): ArrayData = {
+    checkDims(v, m, dsub)
+    val out = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < k) {
+        val base = ((s * k) + c) * dsub
+        var acc = 0.0; var j = 0
+        while (j < dsub) {
+          val diff = elem(v, s * dsub + j, isFloat) - cb(base + j)
+          acc += diff * diff
+          j += 1
+        }
+        out(s * k + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Asymmetric-distance score: Σ_s lut[s·k + codes[s]] ≈ dot(q, x). */
   def adc(codes: ArrayData, lut: ArrayData, k: Int): Double = {
     val m = codes.numElements()
@@ -118,20 +147,24 @@ case class PqCodesExpr(child: Expression, cb: Array[Float],
   override protected def withNewChildInternal(c: Expression): PqCodesExpr = copy(child = c)
 }
 
-/** Per-query ADC lookup table over the codebook. */
+/** Per-query ADC lookup table over the codebook: dot products
+  * (`l2 = false`) or squared L2 distances (`l2 = true`). */
 case class PqLutExpr(child: Expression, cb: Array[Float],
-                     m: Int, k: Int, dsub: Int) extends UnaryExpression {
+                     m: Int, k: Int, dsub: Int,
+                     l2: Boolean = false) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     KernelChecks.floatVec(child.dataType, "graft_pq_lut")
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   private def elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override def nullSafeEval(input: Any): Any =
-    PqOps.lut(input.asInstanceOf[ArrayData], cb, m, k, dsub, elemIsFloat)
+    if (l2) PqOps.lutL2(input.asInstanceOf[ArrayData], cb, m, k, dsub, elemIsFloat)
+    else PqOps.lut(input.asInstanceOf[ArrayData], cb, m, k, dsub, elemIsFloat)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pqCodebook", cb, "float[]")
+    val fn = if (l2) "lutL2" else "lut"
     defineCodeGen(ctx, ev, c =>
-      s"graft.plans.PqOps.lut($c, $ref, $m, $k, $dsub, $elemIsFloat)")
+      s"graft.plans.PqOps.$fn($c, $ref, $m, $k, $dsub, $elemIsFloat)")
   }
   override protected def withNewChildInternal(c: Expression): PqLutExpr = copy(child = c)
 }
@@ -161,6 +194,8 @@ object PqExpressions {
     column(PqCodesExpr(expression(c), cb, m, k, dsub))
   def pqLut(c: Column, cb: Array[Float], m: Int, k: Int, dsub: Int): Column =
     column(PqLutExpr(expression(c), cb, m, k, dsub))
+  def pqLutL2(c: Column, cb: Array[Float], m: Int, k: Int, dsub: Int): Column =
+    column(PqLutExpr(expression(c), cb, m, k, dsub, l2 = true))
   def pqAdc(codes: Column, lut: Column, k: Int): Column =
     column(PqAdcExpr(expression(codes), expression(lut), k))
 }

@@ -122,36 +122,51 @@ object Pq {
     pqSearch(buildPq(embs, idCol, vecCol, m, k), embs, queries,
       idCol, vecCol, topK, shortlist)
 
-  /** IVF×PQ: the coarse quantizer prunes WHICH rows are scanned
-    * (nprobe lists of ~N/√N), PQ compresses WHAT each scanned row
-    * costs (m byte-codes instead of d floats) — candidate pruning ×
-    * memory-bandwidth compression, the standard two-level ANN stack
-    * for corpora too large to flat-scan. `entries` carries
-    * (nn, cluster, codes): the IVF assignment keyed next to the PQ
-    * codes, hash-partitionable by cluster at any scale. This variant
-    * encodes raw vectors (not per-list residuals — the residual
-    * refinement needs a per-(query, list) LUT and buys accuracy only
-    * when lists are tight). */
+  /** IVF×PQ with RESIDUAL encoding (the FAISS IVFPQ design): the
+    * coarse quantizer prunes WHICH rows are scanned (nprobe lists of
+    * ~N/√N), PQ compresses WHAT each scanned row costs (m byte-codes
+    * instead of d floats) — candidate pruning × memory-bandwidth
+    * compression, the standard two-level ANN stack for corpora too
+    * large to flat-scan.
+    *
+    * Residuals: each entry stores PQ codes of (x − c_list), and the
+    * codebook is TRAINED on residuals — residual vectors concentrate
+    * near 0 regardless of where lists sit in space, so the same k
+    * centroids per subspace quantize far more finely than they would
+    * raw vectors. Search exploits the exact identity
+    * q − x = (q − c_list) − (x − c_list): a per-(query, probed-list)
+    * squared-L2 table against the residual query reconstructs
+    * ‖q − x‖² up to within-cell quantization error, at m lookups per
+    * scanned row.
+    *
+    * `entries` carries (nn, cluster, codes) — hash-partitionable by
+    * cluster at any scale; both codebooks are driver-side floats that
+    * ride the expression nodes into codegen. */
   case class IvfPqIndex(centroids: DataFrame, entries: DataFrame, pq: PqIndex)
 
   def buildIvfPq(embs: DataFrame, idCol: String, vecCol: String,
                  m: Int = 8, k: Int = 16): IvfPqIndex = {
     val ivf = Ann.buildIvf(embs, idCol, vecCol)
-    val pq = buildPq(embs, idCol, vecCol, m, k)
-    val entries = ivf.assigned.select(col("nn"), col("cluster"),
-      PqExpressions.pqCodes(col("v"), pq.codebook, pq.m, pq.k, pq.dsub).as("codes"))
+    val resid = ivf.assigned
+      .join(broadcast(ivf.centroids), Seq("cluster"))
+      .withColumn("r", zip_with(col("v"), col("centroid"),
+        (x, c) => x.cast("double") - c))
+    // trains the codebook on residuals; the raw-vector `encoded` frame
+    // inside this PqIndex is unused (entries below carry the codes)
+    val pq = buildPq(resid, "nn", "r", m, k)
+    val entries = resid.select(col("nn"), col("cluster"),
+      PqExpressions.pqCodes(col("r"), pq.codebook, pq.m, pq.k, pq.dsub).as("codes"))
     IvfPqIndex(ivf.centroids, entries, pq)
   }
 
   /** Probe the nprobe nearest lists (same L2 probe metric as
-    * ivfSearch), ADC-score only their entries, exact-rerank the
-    * shortlist. */
+    * ivfSearch), ADC-score their entries against the per-list residual
+    * query table (ascending ‖q−x‖²), exact-rerank the shortlist by
+    * cosine. */
   def ivfPqSearch(idx: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
                   idCol: String, vecCol: String, topK: Int,
                   nprobe: Int = 4, shortlist: Int = 32): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .withColumn("lut",
-        PqExpressions.pqLut(col("qv"), idx.pq.codebook, idx.pq.m, idx.pq.k, idx.pq.dsub))
     val negL2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       lit(0.0) - aggregate(
         zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
@@ -160,18 +175,23 @@ object Pq {
     val probes = graft.plans.TopK.perGroup(
       q.crossJoin(broadcast(idx.centroids))
         .withColumn("cdist", negL2(col("qv"), col("centroid")))
-        .select(col("qid"), col("lut"), col("cluster"), col("cdist")),
+        .select(col("qid"), col("qv"), col("centroid"), col("cluster"), col("cdist")),
       Seq("qid"), Seq(("cdist", true), ("cluster", false)), nprobe)
+      // one residual L2 table per (query, probed list): m·k small dots,
+      // computed on nprobe rows per query — never per corpus row
+      .withColumn("lut", PqExpressions.pqLutL2(
+        zip_with(col("qv"), col("centroid"), (x, c) => x.cast("double") - c),
+        idx.pq.codebook, idx.pq.m, idx.pq.k, idx.pq.dsub))
     val adcScored = idx.entries
       .join(broadcast(probes.select(col("qid"), col("lut"), col("cluster"))), Seq("cluster"))
       .filter(col("nn") =!= col("qid"))
-      .withColumn("adc", PqExpressions.pqAdc(col("codes"), col("lut"), idx.pq.k))
+      .withColumn("adcd", PqExpressions.pqAdc(col("codes"), col("lut"), idx.pq.k))
     val cands = graft.plans.TopK.perGroup(
-      adcScored.select(col("qid"), col("nn"), col("adc")),
-      Seq("qid"), Seq(("adc", true), ("nn", false)), shortlist)
+      adcScored.select(col("qid"), col("nn"), col("adcd")),
+      Seq("qid"), Seq(("adcd", false), ("nn", false)), shortlist)
     val vecs = corpus.select(col(idCol).as("nn"), col(vecCol).as("v"))
     val reranked = cands.join(vecs, Seq("nn"))
-      .join(broadcast(q.select(col("qid"), col("qv"))), Seq("qid"))
+      .join(broadcast(q), Seq("qid"))
       .withColumn("score",
         round(graft.functions.VectorFunctions.cosine(col("qv"), col("v")), 3))
     Ann.rank(reranked.select(col("qid"), col("nn"), col("score")), topK)

@@ -50,6 +50,7 @@ class CodegenSpec extends AnyFunSuite {
         PqExpressions.pqCodes($"vf", cb, 2, 2, 2).as("pqcf"),
         PqExpressions.pqCodes($"vd", cb, 2, 2, 2).as("pqcd"),
         PqExpressions.pqLut($"vd", cb, 2, 2, 2).as("pql"),
+        PqExpressions.pqLutL2($"vd", cb, 2, 2, 2).as("pql2"),
         PqExpressions.pqAdc(PqExpressions.pqCodes($"vf", cb, 2, 2, 2),
           PqExpressions.pqLut($"vd", cb, 2, 2, 2), 2).as("adc"),
         HashExpressions.lshBucket($"vf", 8).as("bf"),

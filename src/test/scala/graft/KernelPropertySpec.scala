@@ -165,4 +165,21 @@ class KernelPropertySpec extends AnyFunSuite {
       lutLaw && adc == expect
     }, "pq-lut-adc")
   }
+
+  test("pq L2 lut holds exact squared distances per (subspace, centroid)") {
+    check(Prop.forAll(pqGen) { case (m, k, dsub, cb, q) =>
+      val lut2 = graft.plans.PqOps.lutL2(
+        new GenericArrayData(q.toArray[Any]), cb, m, k, dsub, isFloat = false).toDoubleArray()
+      (0 until m).forall { s =>
+        (0 until k).forall { c =>
+          val base = ((s * k) + c) * dsub
+          var acc = 0.0; var j = 0
+          while (j < dsub) {
+            val d = q(s * dsub + j) - cb(base + j); acc += d * d; j += 1
+          }
+          lut2(s * k + c) == acc
+        }
+      }
+    }, "pq-lutL2")
+  }
 }

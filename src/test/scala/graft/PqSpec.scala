@@ -41,6 +41,10 @@ class PqSpec extends AnyFunSuite {
     assert(lut.toDoubleArray().toSeq == Seq(0.0, 3.0, 14.0, -3.0))
     val codes = new GenericArrayData(Array(1, 0))
     assert(PqOps.adc(codes, lut, k = 2) == 3.0 + 14.0)
+    // squared-L2 table variant (residual IVF-PQ scoring)
+    val lut2 = PqOps.lutL2(q, cb, 2, 2, 2, isFloat = false)
+    assert(lut2.toDoubleArray().toSeq == Seq(5.0, 1.0, 5.0, 32.0))
+    assert(PqOps.adc(codes, lut2, k = 2) == 1.0 + 5.0)
   }
 
   // ---- end-to-end on the real embeddings ----------------------------
