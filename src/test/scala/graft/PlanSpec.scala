@@ -30,6 +30,14 @@ class PlanSpec extends AnyFunSuite {
       "q1 reads join keys it never uses")
   }
 
+  test("txt_novelty scans only doc_id and text") {
+    val df = SparkEntry.queries("txt_novelty")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("lang") && !plan.contains("source") &&
+      !plan.contains("n_chars"),
+      "novelty reads document columns it never uses")
+  }
+
   test("kv point get prunes via pushed rowkey filter") {
     val p = planOf("kv_point_get")
     assert(p.contains("PushedFilters") && p.contains("c_custkey"), p)
