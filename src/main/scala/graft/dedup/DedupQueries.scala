@@ -212,6 +212,21 @@ object DedupQueries {
         .orderBy($"qid", $"rn")
     },
 
+    "dd_stratified_take" -> { (s, d) =>
+      import s.implicits._
+      // exact-n-per-stratum sampling ("take 20 docs per source"):
+      // deterministic hash order (md5 of the id — uniform across the
+      // stratum, reproducible, and portable to the SQL oracle) with a
+      // bounded-heap TopKPerGroup reduction — at 100 TB this is one
+      // map-side-combining shuffle keeping 20 rows per stratum, never
+      // a per-group window sort of the corpus.
+      val keyed = Tables.documents(s, d)
+        .select($"source", $"doc_id", md5($"doc_id".cast("string")).as("h"))
+      graft.plans.TopK.perGroup(keyed, Seq("source"),
+          Seq(("h", false), ("doc_id", false)), 20)
+        .orderBy($"source", $"h")
+    },
+
     "sim_ivfpq_ann" -> { (s, d) =>
       import s.implicits._
       // the composed two-level stack: IVF prunes the scanned lists,
@@ -326,6 +341,14 @@ object DedupQueries {
         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nn) AS rn FROM scored)
         |SELECT qid, CAST(rn AS INT) AS rn, nn, score FROM ranked
         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    "dd_stratified_take" ->
+      """SELECT source, doc_id, h FROM (
+        |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY source, h""".stripMargin,
+
     // dd_minhash_lsh, dd_simhash, sim_lsh_ann: hash-seeded signatures
     // aren't reproducible in SQL → rows-only + ground-truth ScalaTest.
   )
