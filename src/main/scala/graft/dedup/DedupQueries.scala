@@ -74,11 +74,12 @@ object DedupQueries {
       idx.copy(encoded = idx.encoded.cache())
     }
 
-  /** The IVF×PQ index (coarse lists + PQ codes per entry). */
+  /** The IVF×PQ index (coarse lists + PQ codes per entry; `entries`
+    * comes back cached+materialized from the build). */
   private def ivfPqIdx(s: SparkSession, d: String): graft.similarity.Pq.IvfPqIndex =
     graft.QueryCaches.obj(s"ivfpq:$d") {
       val idx = graft.similarity.Pq.buildIvfPq(plantedEmbs(s, d), "vec_id", "embedding")
-      idx.copy(centroids = idx.centroids.cache(), entries = idx.entries.cache())
+      idx.copy(centroids = idx.centroids.cache())
     }
 
   /** Index warmup for Bench: build the shared pair set + IVF/PQ

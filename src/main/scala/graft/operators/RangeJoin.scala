@@ -54,7 +54,13 @@ object RangeJoin {
           s"(bucketWidth=$bucketWidth) at ${startCol}="), col(startCol).cast("string"),
         lit(s", ${endCol}="), col(endCol).cast("string"))))
       .otherwise(hi)
-    val expanded = intervals.withColumn("__bucket", explode(sequence(lo, guarded)))
+    // reversed intervals (end < start) match nothing under the naive
+    // BETWEEN join — expand them to ZERO buckets for the same result;
+    // without this branch sequence(lo, hi) would DESCEND through
+    // ~|span| buckets, sailing around the blow-up guard above
+    val buckets = when(hi < lo, array().cast("array<long>"))
+      .otherwise(sequence(lo, guarded))
+    val expanded = intervals.withColumn("__bucket", explode(buckets))
     val probes = points.withColumn("__bucket",
       floor(col(pointCol) / bucketWidth).cast("long"))
     expanded.join(probes, eqKeys :+ "__bucket")

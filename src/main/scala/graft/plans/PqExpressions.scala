@@ -24,12 +24,14 @@ object PqOps {
     if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
 
   /** A short vector read past numElements() on unsafe array storage is
-    * SILENT GARBAGE, not an exception — a ragged corpus (one row with
-    * the wrong dimension) must fail loudly, never encode to junk. */
+    * SILENT GARBAGE, not an exception — and an over-long vector would
+    * silently encode on a prefix. A ragged corpus (any row whose
+    * dimension differs from the codebook's) must fail loudly, never
+    * encode to junk. */
   private def checkDims(v: ArrayData, m: Int, dsub: Int): Unit =
-    if (v.numElements() < m * dsub)
+    if (v.numElements() != m * dsub)
       throw new IllegalArgumentException(
-        s"PQ vector has ${v.numElements()} dims, codebook needs ${m * dsub}")
+        s"PQ vector has ${v.numElements()} dims, codebook needs exactly ${m * dsub}")
 
   /** PQ codes: for each of the m subspaces, the index of the L2-nearest
     * centroid (ties → lowest index). Output array<int> of length m. */
@@ -117,9 +119,9 @@ object PqOps {
   /** Asymmetric-distance score: Σ_s lut[s·k + codes[s]] ≈ dot(q, x). */
   def adc(codes: ArrayData, lut: ArrayData, k: Int): Double = {
     val m = codes.numElements()
-    if (lut.numElements() < m * k)
+    if (lut.numElements() != m * k)
       throw new IllegalArgumentException(
-        s"PQ lut has ${lut.numElements()} entries, codes need ${m * k}")
+        s"PQ lut has ${lut.numElements()} entries, codes need exactly ${m * k}")
     var acc = 0.0; var s = 0
     while (s < m) {
       acc += lut.getDouble(s * k + codes.getInt(s))

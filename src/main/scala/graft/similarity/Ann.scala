@@ -101,6 +101,28 @@ object Ann {
     IvfIndex(corpus, centroids)
   }
 
+  /** Negated squared L2 — the coarse-probe metric. Shared by every
+    * IVF-family search so probe behavior can never diverge between
+    * them. */
+  private[similarity] def negL2(a: Column, b: Column): Column =
+    lit(0.0) - aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** The `nprobe` nearest lists per query row (qid, <keep...>,
+    * cluster, cdist). Probes by the SAME metric k-means assigns with
+    * (L2), so a query equal to a corpus point always probes that
+    * point's list first. `keep` names extra query-side columns to
+    * carry through (e.g. qv, centroid). */
+  private[similarity] def coarseProbes(centroids: DataFrame, q: DataFrame,
+                                       nprobe: Int, keep: Seq[String]): DataFrame =
+    graft.plans.TopK.perGroup(
+      q.crossJoin(broadcast(centroids))
+        .withColumn("cdist", negL2(col("qv"), col("centroid")))
+        .select((Seq("qid") ++ keep ++ Seq("cluster", "cdist")).map(col): _*),
+      Seq("qid"), Seq(("cdist", true), ("cluster", false)), nprobe)
+
   /** IVF search: each query scans only its `nprobe` nearest lists —
     * candidate set ~ nprobe·N/√N. The 100 TB path when recall must be
     * tunable (raise nprobe) rather than fixed by hash bits. One
@@ -108,17 +130,7 @@ object Ann {
   def ivfSearch(idx: IvfIndex, queries: DataFrame, idCol: String, vecCol: String,
                 k: Int, nprobe: Int = 4): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    // probe by the SAME metric k-means assigns with (L2), so a query
-    // equal to a corpus point always probes that point's list first
-    val negL2 = (a: Column, b: Column) => lit(0.0) - aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
-        (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, x) => acc + x)
-    val probes = graft.plans.TopK.perGroup(
-      q.crossJoin(broadcast(idx.centroids))
-        .withColumn("cdist", negL2(col("qv"), col("centroid")))
-        .select(col("qid"), col("qv"), col("cluster"), col("cdist")),
-      Seq("qid"), Seq(("cdist", true), ("cluster", false)), nprobe)
+    val probes = coarseProbes(idx.centroids, q, nprobe, keep = Seq("qv"))
     val scored = idx.assigned
       .join(broadcast(probes.select(col("qid"), col("qv"), col("cluster"))), Seq("cluster"))
       .filter(col("nn") =!= col("qid"))

@@ -144,6 +144,11 @@ object Pq {
     * ride the expression nodes into codegen. */
   case class IvfPqIndex(centroids: DataFrame, entries: DataFrame, pq: PqIndex)
 
+  /** Returned `entries` is CACHED and already materialized: build is
+    * the DDL step, and the residual frame (k-means transform +
+    * centroid join + subtraction) feeds dim-probe, sample sizing,
+    * codebook training AND encoding — caching it (and the final
+    * entries) keeps the build at ~2 corpus passes instead of 4+. */
   def buildIvfPq(embs: DataFrame, idCol: String, vecCol: String,
                  m: Int = 8, k: Int = 16): IvfPqIndex = {
     val ivf = Ann.buildIvf(embs, idCol, vecCol)
@@ -151,11 +156,15 @@ object Pq {
       .join(broadcast(ivf.centroids), Seq("cluster"))
       .withColumn("r", zip_with(col("v"), col("centroid"),
         (x, c) => x.cast("double") - c))
+      .cache()
     // trains the codebook on residuals; the raw-vector `encoded` frame
     // inside this PqIndex is unused (entries below carry the codes)
     val pq = buildPq(resid, "nn", "r", m, k)
     val entries = resid.select(col("nn"), col("cluster"),
       PqExpressions.pqCodes(col("r"), pq.codebook, pq.m, pq.k, pq.dsub).as("codes"))
+      .cache()
+    entries.count() // materialize off the hot residual cache
+    resid.unpersist()
     IvfPqIndex(ivf.centroids, entries, pq)
   }
 
@@ -167,16 +176,8 @@ object Pq {
                   idCol: String, vecCol: String, topK: Int,
                   nprobe: Int = 4, shortlist: Int = 32): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val negL2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      lit(0.0) - aggregate(
-        zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
-          (x.cast("double") - y.cast("double"))),
-        lit(0.0), (acc, x) => acc + x)
-    val probes = graft.plans.TopK.perGroup(
-      q.crossJoin(broadcast(idx.centroids))
-        .withColumn("cdist", negL2(col("qv"), col("centroid")))
-        .select(col("qid"), col("qv"), col("centroid"), col("cluster"), col("cdist")),
-      Seq("qid"), Seq(("cdist", true), ("cluster", false)), nprobe)
+    val probes = Ann.coarseProbes(idx.centroids, q, nprobe,
+        keep = Seq("qv", "centroid"))
       // one residual L2 table per (query, probed list): m·k small dots,
       // computed on nprobe rows per query — never per corpus row
       .withColumn("lut", PqExpressions.pqLutL2(

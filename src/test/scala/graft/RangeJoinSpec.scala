@@ -120,6 +120,21 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(expected.nonEmpty && got == expected)
   }
 
+  test("reversed intervals (end < start) match nothing, like the naive BETWEEN join") {
+    // includes a hugely-reversed span that would walk ~10^11 DESCENDING
+    // buckets if sequence(lo, hi) were fed directly
+    val rev = Seq((1L, 50L, 10L), (2L, Long.MaxValue / 2, 0L), (3L, 4L, 4L))
+      .toDF("iv_id", "start_d", "end_d")
+    val got = RangeJoin.intervalJoin(rev, pts.drop("key"),
+        "start_d", "end_d", "pt_d", Seq.empty, 8L)
+      .select($"iv_id", $"pt_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = rev.join(pts.drop("key"), $"pt_d".between($"start_d", $"end_d"))
+      .select($"iv_id", $"pt_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive)
+    // only the zero-length (not reversed) interval can match
+    assert(got.forall(_._1 == 3L))
+  }
+
   test("a pathological interval fails fast instead of exploding") {
     val bad = Seq((1L, 0L, Long.MaxValue / 2)).toDF("iv_id", "start_d", "end_d")
     val e = intercept[Exception] {
