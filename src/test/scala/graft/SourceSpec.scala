@@ -31,6 +31,20 @@ class SourceSpec extends AnyFunSuite {
     assert(back.sameElements(orig))
   }
 
+  test("orc round-trip preserves rows and pushes filters to the scan") {
+    val dir = tmp("graft_orc")
+    val docs = Tables.documents(spark, sf)
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == docs.count())
+    assert(back.schema == docs.schema)
+    val filtered = back.filter(col("doc_id") < 10)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"),
+      s"orc scan did not push the doc_id filter:\n$plan")
+    assert(filtered.count() == docs.filter(col("doc_id") < 10).count())
+  }
+
   test("csv reader quarantines malformed rows under an explicit schema") {
     val dir = tmp("graft_csv")
     Files.writeString(java.nio.file.Paths.get(dir, "docs.csv"),
