@@ -83,6 +83,14 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     require(primaryKey.nonEmpty, "no primary key") // PrimaryKeyMissedException
     require(layout == "sorted" || layout == "zorder",
       s"unknown layout '$layout' — use 'sorted' or 'zorder'")
+    // validate BEFORE any metadata lands: a bad key column must not be
+    // discovered by the v0 snapshot write below, which would leave a
+    // meta file without data — tableExists forever true, every read
+    // and re-create failing (case-insensitive, like Spark resolution)
+    primaryKey.foreach { k =>
+      require(schema.fields.exists(_.name.equalsIgnoreCase(k)),
+        s"primary key column '$k' not in schema")
+    }
     if (layout == "zorder") {
       require(primaryKey.size == 2,
         s"layout 'zorder' requires a two-column primary key (got ${primaryKey.size})")
@@ -130,7 +138,10 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       c.put("datatype", f.dataType.sql)
       c.put("position", i)
       c.put("nullable", f.nullable)
-      c.put("isPrimary", primaryKey.contains(f.name))
+      // case-insensitive, matching Spark resolution and the zorder
+      // validation above — createTable(primaryKey=Seq("K")) on field
+      // "k" works everywhere else, so column.sys must agree
+      c.put("isPrimary", primaryKey.exists(_.equalsIgnoreCase(f.name)))
       // field metadata carries the column DEFAULT (Spark's
       // CURRENT_DEFAULT/EXISTS_DEFAULT keys — the column.sys default
       // attribute of the reference, HBaseSchema.kt:141-160); persisted
@@ -140,10 +151,18 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     }
     meta.set[JsonNode]("columns", cols): Unit
     writeMeta(name, meta)
-    // materialize an empty rowkey-sorted layout
-    KvLayout.writeSorted(
+    // materialize an empty rowkey-sorted layout; if this write fails
+    // (disk, interrupted job), unwind the meta file too — a table that
+    // "exists" without a v0 snapshot can neither be read nor recreated
+    try KvLayout.writeSorted(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
       primaryKey, dataDir(name))
+    catch {
+      case e: Throwable =>
+        try deleteRecursively(tableDir(name))
+        catch { case _: Exception => () }
+        throw e
+    }
   }
 
   def tableExists(name: String): Boolean = Files.exists(metaFile(name))
@@ -172,6 +191,10 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     // overwrite its staged snapshot and consume its version number
     recoverTransactions()
     withWriteLock(name) {
+      // re-heal UNDER the lock: a journal written while we waited on
+      // this lock owns data_v(cur+1) — without this, breaking a dead
+      // committer's lock would overwrite its committed staged snapshot
+      healPendingForLocked(name)
       val cur = dataVersionOf(name)
       checkExpected(name, cur, expectedVersion)
       val next = cur + 1
@@ -304,6 +327,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
                        precollectedKeys: Option[Array[Any]] = None): Unit = {
     recoverTransactions() // see bulkLoad: pending journals own data_v(cur+1)
     withWriteLock(name) {
+    healPendingForLocked(name) // re-heal under the lock (see bulkLoad)
     val pk = primaryKeyOf(name)
     val keyCol = pk.head
     val cur = dataVersionOf(name)
@@ -330,13 +354,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     writeData(name, merged.df, nextDir.toString)
     val newEntries = scanRanges(nextDir, keyCol)
     // carry untouched files into the new snapshot without touching data
-    untouched.foreach { e =>
-      val src = curDir.resolve(e.file)
-      val dst = nextDir.resolve(e.file)
-      try Files.createLink(dst, src)
-      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-        Files.copy(src, dst): Unit }
-    }
+    untouched.foreach(e => linkOrCopy(curDir.resolve(e.file), nextDir.resolve(e.file)))
     writeRangeManifest(nextDir, newEntries ++ untouched)
     // synchronous KV-index maintenance (reference KVIndexTable.kt:
     // every base Put deletes the stale index row and writes the new
@@ -507,6 +525,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   def compact(name: String, targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     recoverTransactions() // see bulkLoad: pending journals own data_v(cur+1)
     withWriteLock(name) {
+      healPendingForLocked(name) // re-heal under the lock (see bulkLoad)
       val cur = dataVersionOf(name)
       val curDir = tableDir(name).resolve(s"data_v$cur")
       val files = withList(curDir) { it =>
@@ -521,12 +540,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
         writeData(name,
           spark.read.schema(schemaOf(name)).parquet(small.map(_.toString): _*),
           nextDir.toString, parts)
-        big.foreach { src =>
-          val dst = nextDir.resolve(src.getFileName.toString)
-          try Files.createLink(dst, src)
-          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-            Files.copy(src, dst): Unit }
-        }
+        big.foreach(src => linkOrCopy(src, nextDir.resolve(src.getFileName.toString)))
         // compaction changes layout, not content: every index that was
         // fresh at cur stays valid — carry its as-of forward. An index
         // data_v(cur+1) dir left by a CRASHED earlier writer (which
@@ -566,6 +580,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     // needs, turning a recoverable transaction into a partial one.
     recoverTransactions()
     withWriteLock(name) {
+    healPendingForLocked(name) // re-heal under the lock (see bulkLoad)
     val liveV = dataVersionOf(name) // one meta read for the whole sweep
     val live = s"data_v$liveV"
     val now = System.currentTimeMillis()
@@ -611,7 +626,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
               v > baseVer && v <= liveV)
             (n.startsWith("data") || n.startsWith("dict") ||
               n.startsWith("seg_v") || n.startsWith("tomb_v") ||
-              n.startsWith("dictdelta_v")) &&
+              n.startsWith("dictdelta_v") ||
+              // fold/refresh staging dirs stranded by a crash mid-build
+              n.startsWith(".staging_")) &&
               !keep.contains(n) && !liveSegment && idle(p)
           }.toList
         }.foreach(deleteRecursively)
@@ -619,6 +636,42 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     }
     }
   }
+
+  /** Stage-then-rename writer for index artifact dirs at versions ≤
+    * the published table pointer: lock-free readers resolve those
+    * IMMEDIATELY, so a direct write would expose a half-written dir
+    * (`_temporary` only, or partial files) mid-job. The build lands in
+    * a `.staging_` dir and renames into place atomically; when the
+    * destination already exists (same-version rebuild) it is moved
+    * aside first — a reader hitting the instant between the two
+    * renames resolves an older base (stale but consistent), never
+    * partial bytes. Stranded staging dirs age out under vacuum. */
+  private def writeIndexDirAtomic(dir: Path, finalName: String)
+                                 (write: String => Unit): Unit = {
+    def fresh(prefix: String) = dir.resolve(
+      s".staging_$prefix${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val tmp = fresh("")
+    write(tmp.toString)
+    val dst = dir.resolve(finalName)
+    if (!Files.exists(dst))
+      Files.move(tmp, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    else {
+      val aside = fresh("old_")
+      Files.move(dst, aside, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(aside)
+    }
+  }
+
+  /** Carry a file into a new snapshot dir without touching data: hard
+    * link where the FS supports it, copy otherwise. ONE implementation
+    * — the table-merge, compaction and index-merge carry paths must
+    * never diverge (an object-store backend would swap this for
+    * manifest references in one place). */
+  private def linkOrCopy(src: Path, dst: Path): Unit =
+    try Files.createLink(dst, src): Unit
+    catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+      Files.copy(src, dst): Unit }
 
   /** The segment-maintenance dir prefixes, and the full set of
     * versioned index-artifact prefixes (base + dictionary + segments).
@@ -689,6 +742,25 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       i._2.equalsIgnoreCase("fulltext") || i._2.equalsIgnoreCase("bitmap"))
     if (analytic.isEmpty) return
     val rk = primaryKeyOf(name).head
+    // crashed-attempt healing: a prior merge toward this SAME `next`
+    // may have appended its segments and bumped as-of, then died
+    // before the table pointer bump. Those artifacts describe a patch
+    // that never published — without this reset the freshness gate
+    // below would skip maintenance for THIS attempt's (different)
+    // patch and the publish would serve the dead attempt's segments
+    // as FRESH. Drop the orphan dirs and restore as-of so the gate
+    // sees the truth. (as-of == next implies it was next-1 before the
+    // dead attempt: stale indexes are excluded by the gate and never
+    // bumped.)
+    analytic.foreach { case (iname, ty, _) =>
+      if (indexAsOfVersion(name, iname, ty) == next) {
+        IndexDirPrefixes.foreach { p =>
+          val orphan = indexDir(name, iname, ty).resolve(s"$p$next")
+          if (Files.exists(orphan)) deleteRecursively(orphan)
+        }
+        setIndexAsOf(name, iname, ty, next - 1)
+      }
+    }
     // a segment only extends an index that was CURRENT before this
     // merge: an index already stale (it missed a bulk write, which
     // has no bounded patch) must stay stale at its old as-of —
@@ -791,23 +863,35 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     if (segs.isEmpty && tombs.isEmpty) false
     else indexType.toUpperCase match {
       case "FULLTEXT" =>
+        // crashed-fold healing: a prior fold may have written
+        // dict_v(upTo) and died before data_v(upTo) — reaching here
+        // proves the data base is older (else segs would be empty), so
+        // that dict is an orphan. It must go BEFORE dictSegView runs:
+        // the view would resolve it as its own base and the write
+        // below would read from its own output path (Spark refuses, so
+        // every retry would fail and wedge CDC on this table).
+        val orphanDict = dir.resolve(s"dict_v$upTo")
+        if (Files.exists(orphanDict)) deleteRecursively(orphanDict)
         // dict BEFORE data: the folded DATA base is the effective
         // publish point — vacuum's segment/delta retention keys off the
         // resolved data base version. A crash between the two writes
         // must leave the old data base live (consistent old view, all
         // deltas still retained); the reverse order would let vacuum
         // reclaim dictdelta dirs the still-unfolded dictionary needs,
-        // silently corrupting df counts. An orphan dict_v(upTo) is
-        // harmless: it folds exactly the deltas ≤ upTo, and readers
-        // overlay deltas > its version.
-        KvLayout.writeSorted(dictSegView(dir, upTo), Seq("term"),
-          dir.resolve(s"dict_v$upTo").toString)
-        KvLayout.writeSorted(fulltextSegView(base, baseVer, segs, tombs),
-          Seq("term"), dir.resolve(s"data_v$upTo").toString)
+        // silently corrupting df counts.
+        writeIndexDirAtomic(dir, s"dict_v$upTo") { p =>
+          KvLayout.writeSorted(dictSegView(dir, upTo), Seq("term"), p)
+        }
+        writeIndexDirAtomic(dir, s"data_v$upTo") { p =>
+          KvLayout.writeSorted(fulltextSegView(base, baseVer, segs, tombs),
+            Seq("term"), p)
+        }
         true
       case "BITMAP" =>
-        bitmapSegView(base, baseVer, segs, tombs)
-          .write.mode("overwrite").parquet(dir.resolve(s"data_v$upTo").toString)
+        writeIndexDirAtomic(dir, s"data_v$upTo") { p =>
+          bitmapSegView(base, baseVer, segs, tombs)
+            .write.mode("overwrite").parquet(p)
+        }
         true
       case _ => false // kv indexes never write segments
     }
@@ -927,6 +1011,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       else {
         recoverTransactions() // see bulkLoad: pending journals own data_v(cur+1)
         withWriteLock(name) {
+        healPendingForLocked(name) // re-heal under the lock (see bulkLoad)
         val next = dataVersionOf(name) + 1
         val nextDir = tableDir(name).resolve(s"data_v$next")
         writeData(name, table(name).upsert(batch).df, nextDir.toString)
@@ -960,6 +1045,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
                     expectedVersion: Option[Int] = None): Unit = {
     recoverTransactions() // see bulkLoad: pending journals own data_v(cur+1)
     withWriteLock(name) {
+    healPendingForLocked(name) // re-heal under the lock (see bulkLoad)
     val cur = dataVersionOf(name)
     try checkExpected(name, cur, expectedVersion)
     catch { case e: java.util.ConcurrentModificationException =>
@@ -1130,6 +1216,39 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     fin
   }
 
+  /** In-lock journal heal: roll forward any journaled pointer bump for
+    * ONE table whose write lock the caller ALREADY HOLDS. This closes
+    * the gap the entry-point `recoverTransactions()` can't: a writer
+    * heals, then BLOCKS on the table lock; while it waits, a
+    * transaction journals its commit and dies mid-bump; the writer
+    * then breaks the stale lock — without this re-check it would read
+    * the pre-bump version and overwrite the committed transaction's
+    * staged snapshot. Journals are left in place (other tables' bumps
+    * may still be pending); the next full recovery CAS-skips the bump
+    * done here and deletes them. */
+  private def healPendingForLocked(name: String): Unit = {
+    val wh = Paths.get(warehouse)
+    if (!Files.exists(wh)) return
+    val journals = withList(wh) { it =>
+      it.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("_graft_txn_") && n.endsWith(".json")
+      }.toList
+    }
+    journals.foreach { j =>
+      val node = try mapper.readTree(Files.readString(j))
+        catch { case _: Exception => null } // full recovery quarantines
+      if (node != null) node.path("publishes").elements().asScala.foreach { e =>
+        if (e.path("table").asText() == name) {
+          val next = e.path("next").asInt()
+          if (dataVersionOf(name) == next - 1 &&
+              Files.exists(tableDir(name).resolve(s"data_v$next")))
+            publishVersion(name, next)
+        }
+      }
+    }
+  }
+
   /** Roll forward any transaction that crashed between its intent
     * journal and its last pointer bump. Idempotent and concurrent-safe:
     * each bump re-checks, under the table's write lock, that the table
@@ -1263,6 +1382,16 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     require(!indexesOf(table).exists { case (n, ty, _) =>
       n == indexName && ty.equalsIgnoreCase(indexType) },
       s"$table $indexName $indexType already registered")
+    // validate index columns BEFORE the dir exists: a typo'd column
+    // failing mid-backfill would strand a half-built dir that makes
+    // every corrected retry trip the exists-guard above
+    locally {
+      val ts = schemaOf(table)
+      cols.foreach { c =>
+        require(ts.fields.exists(_.name.equalsIgnoreCase(c)),
+          s"index column '$c' not in table $table")
+      }
+    }
     val t = this.table(table)
     val pk = primaryKeyOf(table).head
     // reference locks the table during DDL (table.sys lockStatus,
@@ -1304,6 +1433,13 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       entry.put("asOfVersion", dataVersionOf(table))
       reg.add(entry): Unit
       writeMeta(table, meta)
+    } catch {
+      case e: Throwable =>
+        // failed backfill: drop the half-built dir so a retry doesn't
+        // trip the exists-guard (registration is last, so the registry
+        // cannot reference this index yet)
+        try deleteRecursively(dir) catch { case _: Exception => () }
+        throw e
     } finally setMetaAttr(table, "lockStatus", "UNLOCK")
     }
   }
@@ -1547,13 +1683,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
             val patched = touchedIdx.join(remove, cond, "left_anti")
               .unionByName(add)
             KvLayout.writeSorted(patched, ikCols, nextIdxDir.toString)
-            untouched.foreach { e =>
-              val src = curIdx.resolve(e.file)
-              val dst = nextIdxDir.resolve(e.file)
-              try Files.createLink(dst, src)
-              catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-                Files.copy(src, dst): Unit }
-            }
+            untouched.foreach(e =>
+              linkOrCopy(curIdx.resolve(e.file), nextIdxDir.resolve(e.file)))
             true
           }
         case _ => false
@@ -1579,22 +1710,31 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       val cur = dataVersionOf(table)
       val t = this.table(table).df
       val pk = primaryKeyOf(table).head
-      val target = dir.resolve(s"data_v$cur")
+      // refresh rebuilds AT the live version — a dir readers resolve
+      // the moment it appears, so every write stages + renames
       ty.toUpperCase match {
         case "KV" =>
-          KvLayout.writeSorted(kvEntriesOf(table, t, cols),
-            ikColsOf(cols.size), target.toString)
+          writeIndexDirAtomic(dir, s"data_v$cur") { p =>
+            KvLayout.writeSorted(kvEntriesOf(table, t, cols),
+              ikColsOf(cols.size), p)
+          }
         case "BITMAP" =>
-          graft.index.BitmapIndex.build(t, pk, cols.head)
-            .write.mode("overwrite").parquet(target.toString)
+          writeIndexDirAtomic(dir, s"data_v$cur") { p =>
+            graft.index.BitmapIndex.build(t, pk, cols.head)
+              .write.mode("overwrite").parquet(p)
+          }
         case "FULLTEXT" =>
           val postings = graft.index.FullText.buildPostings(t, pk, cols.head)
-          KvLayout.writeSorted(postings, Seq("term"), target.toString)
+          writeIndexDirAtomic(dir, s"data_v$cur") { p =>
+            KvLayout.writeSorted(postings, Seq("term"), p)
+          }
           // dict is versioned like the postings — rewriting a shared
           // dict/ in place would clobber the snapshot a concurrent
           // reader resolved
-          KvLayout.writeSorted(graft.index.FullText.buildDictionary(postings),
-            Seq("term"), dir.resolve(s"dict_v$cur").toString)
+          writeIndexDirAtomic(dir, s"dict_v$cur") { p =>
+            KvLayout.writeSorted(graft.index.FullText.buildDictionary(postings),
+              Seq("term"), p)
+          }
         case other => throw new IllegalArgumentException(s"index type $other")
       }
       setIndexAsOf(table, indexName, indexType, cur)

@@ -121,9 +121,16 @@ final case class KvTable(df: DataFrame, keyCols: Seq[String]) {
     copy(df = df.withColumn(valueCol, when(pred, value).otherwise(col(valueCol))))
 
   /** Batched DELETE by rowkey (reference HBaseModifiableTable.kt:219
-    * `removeAll` builds a Delete list). */
-  def delete(ks: Seq[Any]): KvTable =
+    * `removeAll` builds a Delete list). Single-column keys only: on a
+    * composite-key table a leading-column filter would silently delete
+    * EVERY row sharing that leading value — use [[deleteWhere]] with
+    * the full key predicate instead. */
+  def delete(ks: Seq[Any]): KvTable = {
+    require(keyCols.size == 1,
+      s"delete-by-key needs a single-column primary key (got ${keyCols.mkString(",")}); " +
+        "use deleteWhere with a full composite-key predicate")
     copy(df = df.filter(!key.isin(ks: _*)))
+  }
 
   /** Deletes only rows where the predicate is TRUE (SQL DELETE
     * semantics — NULL predicate keeps the row). */

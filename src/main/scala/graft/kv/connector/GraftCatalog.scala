@@ -89,6 +89,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"VERSION AS OF takes a snapshot number (got '$version')")
     }
+    // existence alone is not enough: a crashed writer's staged
+    // data_v(live+1) exists on disk but was never published — serving
+    // it would expose never-committed (possibly partial) data
+    require(v <= c.dataVersionOf(t),
+      s"snapshot data_v$v of $t was never published (live is data_v${c.dataVersionOf(t)})")
     require(java.nio.file.Files.exists(
       java.nio.file.Paths.get(c.dataPathAt(t, v))),
       s"snapshot data_v$v of $t does not exist (vacuumed or never written)")

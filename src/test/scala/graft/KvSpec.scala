@@ -119,6 +119,37 @@ class KvSpec extends AnyFunSuite {
     cat.dropTable("t1")
     assert(cat.listTables().isEmpty)
   }
+
+  test("createTable with a bad primary-key column fails clean and retries") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_badpk_wh").toString
+    val cat = new Catalog(spark, wh)
+    val schema = StructType(Seq(
+      StructField("k", LongType, false),
+      StructField("v", StringType, true)))
+    val e = intercept[IllegalArgumentException] {
+      cat.createTable("t", schema, primaryKey = Seq("nope"))
+    }
+    assert(e.getMessage.contains("nope"))
+    // no half-created table: not listed, and the corrected call works
+    assert(!cat.tableExists("t"))
+    cat.createTable("t", schema, primaryKey = Seq("K")) // case-insensitive
+    assert(cat.tableExists("t"))
+    // column.sys must agree with the resolution everywhere else
+    val desc = cat.describeTable("t").collect()
+    assert(desc.exists(r =>
+      r.getAs[String]("column_name") == "k" && r.getAs[Boolean]("is_primary")))
+  }
+
+  test("delete-by-key on a composite-key table fails instead of over-deleting") {
+    import spark.implicits._
+    val t = KvTable(
+      Seq((1L, 1L, "a"), (1L, 2L, "b")).toDF("k1", "k2", "v"), Seq("k1", "k2"))
+    val e = intercept[IllegalArgumentException] { t.delete(Seq(1L)) }
+    assert(e.getMessage.contains("deleteWhere"))
+    // the composite path: full-key predicate deletes exactly one row
+    val left = t.deleteWhere(col("k1") === 1L && col("k2") === 2L).df.collect()
+    assert(left.length == 1 && left.head.getLong(1) == 1L)
+  }
 }
 
 /** SQL front door: DDL + DML as spark.sql text through the graft V2

@@ -34,6 +34,20 @@ class SegmentedIndexSpec extends AnyFunSuite {
   private def sortedRows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  /** Recursive dir copy (crash-simulation fixtures). */
+  private def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    Files.createDirectories(dst)
+    val s = Files.list(src)
+    try {
+      val it = s.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (Files.isDirectory(p)) copyDir(p, dst.resolve(p.getFileName.toString))
+        else Files.copy(p, dst.resolve(p.getFileName.toString)): Unit
+      }
+    } finally s.close()
+  }
+
   test("fulltext stays FRESH through merges via patch-sized segments; base untouched") {
     import spark.implicits._
     val (cat, wh) = freshCat("segft")
@@ -319,5 +333,88 @@ class SegmentedIndexSpec extends AnyFunSuite {
         .select($"term", $"df".cast("long"))) ==
       sortedRows(FullText.buildDictionary(rebuildPostings(cat, "t"))
         .select($"term", $"df".cast("long"))))
+  }
+
+  test("a crashed fold's orphan dict does not wedge the next fold") {
+    import spark.implicits._
+    val (cat, wh) = freshCat("foldcrash")
+    cat.createTable("t", schema, Seq("k"))
+    cat.bulkLoad("t",
+      (0L until 300L).map(i => (i, "s0", s"alpha beta doc$i")).toDF("k", "seg", "body"),
+      partitions = 2)
+    cat.createIndex("t", "ft", "fulltext", Seq("body"))
+    cat.incrementalMerge("t", Seq((7L, "sX", "gamma delta")).toDF("k", "seg", "body"))
+    val live = cat.dataVersionOf("t")
+    val idxDir = Paths.get(wh, "t.fulltext.ft")
+    assert(Files.exists(idxDir.resolve(s"seg_v$live")))
+    // simulate: a prior fold wrote dict_v(live) — folding the deltas —
+    // then died before data_v(live). Without healing, the next fold's
+    // dictSegView resolves this orphan as its own base and the dict
+    // write reads from its own output path, failing every retry.
+    copyDir(idxDir.resolve("dict"), idxDir.resolve(s"dict_v$live"))
+    cat.compactIndex("t", "ft", "fulltext")
+    assert(Files.exists(idxDir.resolve(s"data_v$live")))
+    assert(sortedRows(cat.indexData("t", "ft", "fulltext")) ==
+      sortedRows(rebuildPostings(cat, "t")))
+    assert(sortedRows(cat.indexDictionary("t", "ft", "fulltext")
+        .select($"term", $"df".cast("long"))) ==
+      sortedRows(FullText.buildDictionary(rebuildPostings(cat, "t"))
+        .select($"term", $"df".cast("long"))))
+  }
+
+  test("a crashed merge attempt's segments are healed, never served as FRESH") {
+    import spark.implicits._
+    val (cat, wh) = freshCat("mergecrash")
+    cat.createTable("t", schema, Seq("k"))
+    cat.bulkLoad("t",
+      (0L until 300L).map(i => (i, "s0", s"alpha beta doc$i")).toDF("k", "seg", "body"),
+      partitions = 2)
+    cat.createIndex("t", "ft", "fulltext", Seq("body"))
+    cat.incrementalMerge("t", Seq((7L, "sX", "gamma delta")).toDF("k", "seg", "body"))
+    val live = cat.dataVersionOf("t")
+    val next = live + 1
+    val idxDir = Paths.get(wh, "t.fulltext.ft")
+    // simulate a merge attempt toward `next` that appended its segment
+    // dirs (content of a DIFFERENT, never-published patch) and bumped
+    // the index as-of, then died before the table pointer bump
+    Seq("seg_v", "tomb_v", "dictdelta_v").foreach { p =>
+      copyDir(idxDir.resolve(s"$p$live"), idxDir.resolve(s"$p$next"))
+    }
+    val mf = Paths.get(wh, "t", "_graft_meta.json")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(Files.readString(mf))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val idxArr = node.get("indexes")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    (0 until idxArr.size()).foreach { i =>
+      idxArr.get(i).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .put("asOfVersion", next): Unit
+    }
+    Files.writeString(mf, om.writeValueAsString(node))
+    // the REAL merge toward `next`: without healing, the freshness gate
+    // sees as-of == next, skips maintenance, and publishes the dead
+    // attempt's segments as FRESH index content
+    cat.incrementalMerge("t",
+      Seq((9L, "sY", "epsilon zeta")).toDF("k", "seg", "body"))
+    assert(cat.dataVersionOf("t") == next)
+    assert(cat.indexStatus("t", "ft", "fulltext") == "FRESH")
+    val view = cat.indexData("t", "ft", "fulltext")
+    assert(sortedRows(view) == sortedRows(rebuildPostings(cat, "t")))
+    assert(view.filter($"term" === "epsilon").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(9L))
+  }
+
+  test("createIndex on a typo'd column fails clean; the corrected retry succeeds") {
+    import spark.implicits._
+    val (cat, wh) = freshCat("idxretry")
+    cat.createTable("t", schema, Seq("k"))
+    cat.bulkLoad("t", Seq((1L, "s0", "alpha")).toDF("k", "seg", "body"))
+    val e = intercept[IllegalArgumentException] {
+      cat.createIndex("t", "ft", "fulltext", Seq("bodyy"))
+    }
+    assert(e.getMessage.contains("bodyy"))
+    assert(!Files.exists(Paths.get(wh, "t.fulltext.ft")))
+    cat.createIndex("t", "ft", "fulltext", Seq("body")) // must not trip exists-guard
+    assert(cat.indexData("t", "ft", "fulltext").count() > 0)
   }
 }

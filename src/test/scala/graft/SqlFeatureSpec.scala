@@ -40,6 +40,28 @@ class SqlFeatureSpec extends AnyFunSuite {
     assert(e.getMessage.contains("999"))
   }
 
+  test("VERSION AS OF refuses an unpublished staged snapshot") {
+    val (cat, wh) = freshSqlCat("gvu")
+    spark.sql("CREATE TABLE gvu.t (k BIGINT NOT NULL, v STRING) " +
+      "TBLPROPERTIES ('primaryKey'='k')")
+    spark.sql("INSERT INTO gvu.t VALUES (1,'a')")
+    val live = cat.dataVersionOf("t")
+    // simulate a crashed writer: data_v(live+1) exists on disk but the
+    // pointer was never bumped — it holds never-committed content
+    val src = java.nio.file.Paths.get(cat.dataPathAt("t", live))
+    val dst = java.nio.file.Paths.get(cat.dataPathAt("t", live + 1))
+    java.nio.file.Files.createDirectories(dst)
+    val s = java.nio.file.Files.list(src)
+    try s.forEach(p => java.nio.file.Files.copy(p,
+      dst.resolve(p.getFileName.toString)): Unit)
+    finally s.close()
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM gvu.t VERSION AS OF ${live + 1}").collect())
+    assert(e.getMessage.contains("never published"))
+    // the live read is unaffected
+    assert(spark.sql("SELECT * FROM gvu.t").count() == 1)
+  }
+
   test("TIMESTAMP AS OF resolves to the newest snapshot at or before the time") {
     val (_, _) = freshSqlCat("gts")
     spark.sql("CREATE TABLE gts.t (k BIGINT NOT NULL, v STRING) " +
