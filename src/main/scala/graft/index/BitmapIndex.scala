@@ -33,7 +33,13 @@ object Bitmap {
   type Chunks = mutable.HashMap[Int, Array[Long]]
 
   def set(chunks: Chunks, id: Long): Unit = {
-    val chunk = (id >> ChunkBits).toInt
+    val chunkL = id >> ChunkBits
+    val chunk = chunkL.toInt
+    // the chunk key is an Int: ids beyond ±2^47 would silently alias
+    // onto wrong chunks (truncated key) and reconstruct as DIFFERENT
+    // rowkeys — fail loudly at the id-space boundary instead
+    require(chunk.toLong == chunkL,
+      s"row id $id outside the bitmap id space (|id| < 2^47)")
     val off = (id & ((1L << ChunkBits) - 1)).toInt
     val words = chunks.getOrElseUpdate(chunk, new Array[Long](WordsPerChunk))
     words(off >> 6) |= (1L << (off & 63))
@@ -148,13 +154,19 @@ object Bitmap {
     if (n < 0) return None
     val buf = ByteBuffer.wrap(bytes); buf.getInt // skip n
     val chunks = new Chunks()
-    var prevChunk = -1
+    // ascending-chunk check must admit a negative FIRST chunk id
+    // (negative rowkeys produce negative chunk keys — a legacy stream
+    // starting there is valid and must not fall through to the
+    // dense-only misparse)
+    var prevChunk = 0
+    var first = true
     var i = 0
     while (i < n) {
       if (buf.remaining() < 8) return None
       val c = buf.getInt
       val card = buf.getInt
-      if (c <= prevChunk || card < 0 || card > (1 << ChunkBits)) return None
+      if ((!first && c <= prevChunk) || card < 0 || card > (1 << ChunkBits)) return None
+      first = false
       prevChunk = c
       val w = new Array[Long](WordsPerChunk)
       if (card <= SparseMax) {
@@ -219,25 +231,28 @@ object Bitmap {
   def or(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     serialize(orInto(deserialize(a), deserialize(b)))
 
+  /** In-place a AND NOT b over decoded chunk maps (clear every id of
+    * `b` from `a`; emptied chunks drop out). The Chunks-space form all
+    * masking composes over — byte-level wrappers serialize at most
+    * once. */
+  private def andNotInto(a: Chunks, b: Chunks): Unit =
+    b.foreach { case (c, wb) =>
+      a.get(c).foreach { wa =>
+        var i = 0; var nonEmpty = false
+        while (i < WordsPerChunk) {
+          wa(i) &= ~wb(i); if (wa(i) != 0L) nonEmpty = true; i += 1
+        }
+        if (!nonEmpty) a.remove(c): Unit
+      }
+    }
+
   /** a AND NOT b — the tombstone-masking op for segmented index reads
     * (clear every id present in `b` from `a`). Chunks of `a` absent
     * from `b` pass through; emptied chunks are dropped. */
   def andNot(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    val ca = deserialize(a); val cb = deserialize(b)
-    val out = new Chunks()
-    ca.foreach { case (c, wa) =>
-      cb.get(c) match {
-        case None => out.update(c, wa)
-        case Some(wb) =>
-          val w = new Array[Long](WordsPerChunk)
-          var i = 0; var nonEmpty = false
-          while (i < WordsPerChunk) {
-            w(i) = wa(i) & ~wb(i); if (w(i) != 0L) nonEmpty = true; i += 1
-          }
-          if (nonEmpty) out.update(c, w)
-      }
-    }
-    serialize(out)
+    val ca = deserialize(a)
+    andNotInto(ca, deserialize(b))
+    serialize(ca)
   }
 
   /** Fold a versioned stack of bitmap parts under versioned tombstone
@@ -245,14 +260,18 @@ object Bitmap {
     * version v loses every id tombstoned at any LATER version (an id
     * re-added after its tombstone lives in a later part, which the
     * tombstone doesn't touch), and the surviving parts OR together.
-    */
+    * Runs per (value, shard) row on every segmented read, so each part
+    * and tombstone is decoded exactly ONCE and all masking stays in
+    * Chunks space — the previous byte-level fold re-serialized per
+    * (part × tombstone) pair. */
   def foldVersions(parts: Seq[(Int, Array[Byte])],
                    tombs: Seq[(Int, Array[Byte])]): Array[Byte] = {
+    val tombChunks = tombs.map { case (v, b) => (v, deserialize(b)) }
     val acc = new Chunks()
     parts.foreach { case (v, bm) =>
-      val later = tombs.filter(_._1 > v).map(_._2)
-      val masked = later.foldLeft(bm)((b, t) => andNot(b, t))
-      orInto(acc, deserialize(masked)): Unit
+      val cur = deserialize(bm)
+      tombChunks.foreach { case (tv, t) => if (tv > v) andNotInto(cur, t) }
+      orInto(acc, cur): Unit
     }
     serialize(acc)
   }

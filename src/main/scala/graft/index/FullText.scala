@@ -21,10 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object FullText {
 
+  /** ONE tokenizer pattern for index build AND query-side splits — a
+    * divergence between them makes phrase/term queries silently miss. */
+  private val TokenPattern = "[^a-z0-9]+"
+
   /** Lowercase alnum tokenizer — deliberately simple and replicable in
     * the DuckDB oracle (string_split_regex with the same pattern). */
   def tokenize(c: Column): Column =
-    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+    filter(split(lower(c), TokenPattern), t => length(t) > 0)
+
+  /** Index terms are lowercased by the tokenizer; every query-side
+    * term must normalize the same way or it can never match. */
+  private def norm(t: String): String = t.toLowerCase(java.util.Locale.ROOT)
+
+  /** The common search epilogue: semi-join the hit doc-ids back to the
+    * base table. One implementation so the join-back contract can't
+    * diverge between search flavors. */
+  private def semiJoinDocs(docs: DataFrame, idCol: String, hits: DataFrame): DataFrame =
+    docs.join(hits, docs(idCol) === hits("doc_id"), "left_semi")
 
   /** Postings list: one row per (term, doc) with term frequency. */
   def buildPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -50,8 +64,7 @@ object FullText {
     * scales with the phrase terms' frequency, not the corpus. */
   def searchPhrase(docs: DataFrame, idCol: String, positional: DataFrame,
                    phrase: String): DataFrame = {
-    val terms = phrase.toLowerCase(java.util.Locale.ROOT)
-      .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val terms = norm(phrase).split(TokenPattern).filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, "empty phrase")
     val first = positional.filter(col("term") === terms.head)
       .select(col("doc_id"), col("pos").as("p0"))
@@ -62,27 +75,28 @@ object FullText {
         .filter(col(s"p$i") === col("p0") + i)
         .select(col("doc_id"), col("p0"))
     }
-    val hits = matched.select("doc_id").distinct()
-    docs.join(hits, docs(idCol) === hits("doc_id"), "left_semi")
+    semiJoinDocs(docs, idCol, matched.select("doc_id").distinct())
   }
 
   /** AND search: docs containing every query term. */
   def searchAll(docs: DataFrame, idCol: String, postings: DataFrame,
                 terms: Seq[String]): DataFrame = {
-    val distinctTerms = terms.distinct
+    require(terms.nonEmpty, "empty term list")
+    val distinctTerms = terms.map(norm).distinct
     val hits = postings.filter(col("term").isin(distinctTerms: _*))
       .groupBy("doc_id").agg(count(lit(1)).as("nterms"))
       .filter(col("nterms") === distinctTerms.length)
       .select("doc_id")
-    docs.join(hits, docs(idCol) === hits("doc_id"), "left_semi")
+    semiJoinDocs(docs, idCol, hits)
   }
 
   /** OR search: docs containing any query term. */
   def searchAny(docs: DataFrame, idCol: String, postings: DataFrame,
                 terms: Seq[String]): DataFrame = {
-    val hits = postings.filter(col("term").isin(terms: _*))
+    require(terms.nonEmpty, "empty term list")
+    val hits = postings.filter(col("term").isin(terms.map(norm): _*))
       .select("doc_id").distinct()
-    docs.join(hits, docs(idCol) === hits("doc_id"), "left_semi")
+    semiJoinDocs(docs, idCol, hits)
   }
 
   /** Prefix search (Lucene PrefixQuery): docs containing any term with
@@ -90,12 +104,9 @@ object FullText {
     * prefix filter prunes row groups like an FST prefix seek. */
   def searchPrefix(docs: DataFrame, idCol: String, postings: DataFrame,
                    prefix: String): DataFrame = {
-    // index terms are lowercased by the tokenizer; normalize the query
-    // the same way (same contract as searchFuzzy)
-    val hits = postings.filter(
-        col("term").startsWith(prefix.toLowerCase(java.util.Locale.ROOT)))
+    val hits = postings.filter(col("term").startsWith(norm(prefix)))
       .select("doc_id").distinct()
-    docs.join(hits, docs(idCol) === hits("doc_id"), "left_semi")
+    semiJoinDocs(docs, idCol, hits)
   }
 
   /** Fuzzy search (Lucene FuzzyQuery): docs containing a term within
@@ -107,10 +118,10 @@ object FullText {
                   dictionary: DataFrame, term: String,
                   maxEdits: Int = 1): DataFrame = {
     val matched = dictionary
-      .filter(levenshtein(col("term"), lit(term.toLowerCase(java.util.Locale.ROOT))) <= maxEdits)
+      .filter(levenshtein(col("term"), lit(norm(term))) <= maxEdits)
       .select("term")
     val hits = postings.join(matched, "term").select("doc_id").distinct()
-    docs.join(hits, docs(idCol) === hits("doc_id"), "left_semi")
+    semiJoinDocs(docs, idCol, hits)
   }
 
   /** tf-idf ranked top-k: score(d) = Σ_t tf(t,d) · ln(N/df(t)).
@@ -118,8 +129,10 @@ object FullText {
     * against other engines' libm. */
   def tfidfTopK(postings: DataFrame, dictionary: DataFrame, nDocs: Long,
                 terms: Seq[String], k: Int): DataFrame = {
-    val scored = postings.filter(col("term").isin(terms: _*))
-      .join(broadcast(dictionary.filter(col("term").isin(terms: _*))), "term")
+    require(terms.nonEmpty, "empty term list")
+    val q = terms.map(norm)
+    val scored = postings.filter(col("term").isin(q: _*))
+      .join(broadcast(dictionary.filter(col("term").isin(q: _*))), "term")
       .withColumn("w", col("tf") * log(lit(nDocs.toDouble) / col("df")))
       .groupBy("doc_id").agg(round(sum(col("w")), 4).as("score"))
     scored.orderBy(col("score").desc, col("doc_id")).limit(k)

@@ -87,7 +87,10 @@ object IndexQueries {
       // index rebuild (Catalog.maintainAnalyticIndexes appends
       // patch-sized seg_v/tomb_v/dictdelta_v dirs)
       val wh = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_warehouse_segft").toString
+        System.getProperty("java.io.tmpdir"),
+        // pid-scoped: two harness processes on one machine must not
+        // race each other's dropTable/createTable on a shared path
+        s"graft_warehouse_segft_${ProcessHandle.current().pid()}").toString
       val cat = new graft.kv.Catalog(s, wh)
       if (cat.tableExists("segdocs")) cat.dropTable("segdocs")
       cat.createTable("segdocs", StructType(Seq(

@@ -69,11 +69,19 @@ object KvIndex {
     * job either publishes both snapshots or neither. */
   def upsertWithIndex(base: DataFrame, keyCol: String, valueCol: String,
                       index: DataFrame, patch: DataFrame): (DataFrame, DataFrame) = {
-    val newBase = base.join(patch.select(col(keyCol)), Seq(keyCol), "left_anti")
-      .unionByName(patch)
-    val patchKeys = patch.select(col(keyCol).as("rk"))
+    // Put semantics are last-writer-wins PER KEY: a patch carrying two
+    // rows for one key would otherwise survive as duplicate base rows
+    // AND duplicate index entries. Deterministic winner = max over the
+    // non-key columns (same rule as the catalog's staged upsert).
+    val others = patch.columns.filter(_ != keyCol)
+    val dedup = patch.groupBy(col(keyCol))
+      .agg(max(struct(others.map(col): _*)).as("__w"))
+      .select(col(keyCol) +: others.map(c => col(s"__w.$c").as(c)): _*)
+    val newBase = base.join(dedup.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .unionByName(dedup)
+    val patchKeys = dedup.select(col(keyCol).as("rk"))
     val newIndex = index.join(patchKeys, Seq("rk"), "left_anti")
-      .unionByName(patch.select(col(valueCol).as("ik"), col(keyCol).as("rk")))
+      .unionByName(dedup.select(col(valueCol).as("ik"), col(keyCol).as("rk")))
     (newBase, newIndex)
   }
 

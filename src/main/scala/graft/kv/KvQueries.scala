@@ -217,7 +217,9 @@ object KvQueries {
   private object Files {
     def tempWarehouse(suffix: String = ""): String =
       java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), s"graft_warehouse$suffix").toString
+        System.getProperty("java.io.tmpdir"),
+        // pid-scoped (see IndexQueries): no cross-process collisions
+        s"graft_warehouse_${ProcessHandle.current().pid()}$suffix").toString
   }
 
   def oracles: Map[String, String] = Map(

@@ -118,6 +118,25 @@ class BitmapPropertySpec extends AnyFunSuite {
     assert(Bitmap.ids(legacySparseDense(ids2)).toSet == ids2.toSet)
   }
 
+  test("legacy streams with negative chunk ids decode (negative rowkeys)") {
+    // negative rowkeys produce negative chunk keys, which sort FIRST —
+    // the strict legacy parse must admit them or length-colliding
+    // streams fall through to the dense-only misparse
+    val ids = Seq(-70000L, -1L, 5L, 70000L)
+    assert(Bitmap.ids(legacySparseDense(ids)).toSet == ids.toSet)
+    assert(Bitmap.ids(legacyDense(ids)).toSet == ids.toSet)
+    // current-format round-trip too
+    assert(Bitmap.ids(bitmapOf(ids)).toSet == ids.toSet)
+  }
+
+  test("row ids beyond the 2^47 id space fail loudly instead of aliasing") {
+    val c = new Bitmap.Chunks()
+    val e = intercept[IllegalArgumentException] { Bitmap.set(c, 1L << 48) }
+    assert(e.getMessage.contains("id space"))
+    intercept[IllegalArgumentException] { Bitmap.set(c, -(1L << 48)) }
+    Bitmap.set(c, (1L << 47) - 1) // boundary id is fine
+  }
+
   test("sparse container shrinks a low-cardinality chunk ~100x vs dense") {
     // 40 ids scattered across one 64Ki chunk: dense form would be
     // 8 KiB; sparse is 4+4+4 + 2*40 = 92 B

@@ -79,6 +79,40 @@ class IndexSpec extends AnyFunSuite {
     postings.unpersist()
   }
 
+  test("search terms normalize like the index (case) and reject empty lists") {
+    val docs = Tables.documents(spark, sf)
+    val postings = FullText.buildPostings(docs, "doc_id", "text").cache()
+    // the index lowercases; the query side must too, in every flavor
+    val lower = FullText.searchAll(docs, "doc_id", postings, Seq("spark"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val upper = FullText.searchAll(docs, "doc_id", postings, Seq("SPARK"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lower.nonEmpty && upper == lower)
+    val anyUpper = FullText.searchAny(docs, "doc_id", postings, Seq("Spark"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(anyUpper == lower)
+    intercept[IllegalArgumentException](
+      FullText.searchAll(docs, "doc_id", postings, Seq.empty))
+    intercept[IllegalArgumentException](
+      FullText.searchAny(docs, "doc_id", postings, Seq.empty))
+    postings.unpersist()
+  }
+
+  test("upsertWithIndex collapses duplicate patch keys to one winner") {
+    import spark.implicits._
+    val base = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val idx = KvIndex.build(base, "k", "v")
+    val patch = Seq((1L, "a"), (1L, "b"), (3L, "c")).toDF("k", "v")
+    val (newBase, newIndex) = KvIndex.upsertWithIndex(base, "k", "v", idx, patch)
+    val baseRows = newBase.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
+    // last-writer-wins per key, deterministic winner = max(non-key cols)
+    assert(baseRows == Set((1L, "b"), (2L, "y"), (3L, "c")))
+    val idxRows = newIndex.collect()
+      .map(r => (r.getAs[String]("ik"), r.getAs[Long]("rk"))).toSet
+    assert(idxRows == Set(("b", 1L), ("y", 2L), ("c", 3L)))
+  }
+
   test("tfidf ranks a doc with more query-term hits first") {
     val docs = Tables.documents(spark, sf)
     val postings = FullText.buildPostings(docs, "doc_id", "text")
