@@ -41,7 +41,17 @@ object AsOfJoin {
       .map { case (c, i) => c -> s"__graft_x$i" }.toMap
     val l = left.withColumn("__graft_t", col(leftTime))
       .withColumn("__graft_side", lit(1))
-    val r = right.select(keyCols.map(col) ++
+    // equi-join NULL semantics: a right row with a NULL key or a NULL
+    // event time can never satisfy "same key AND time <= left.time",
+    // so it is dropped here. Without this, NULLs sort FIRST in the
+    // ascending window — a NULL-time right row would act as state at
+    // -infinity and a NULL-key right row would match NULL-key left
+    // rows (SQL equi-joins match neither). NULL-key/time LEFT rows
+    // stay in the output with a NULL payload: after this filter no
+    // right row precedes them in their window.
+    val rLive = right.filter(
+      keyCols.foldLeft(col(rightTime).isNotNull)((p, k) => p && col(k).isNotNull))
+    val r = rLive.select(keyCols.map(col) ++
         extras.map(c => col(c).as(extraName(c))) :+
         col(rightTime).as("__graft_t"): _*)
       .withColumn("__graft_side", lit(0))

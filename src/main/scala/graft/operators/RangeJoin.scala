@@ -46,6 +46,9 @@ object RangeJoin {
                    eqKeys: Seq[String], bucketWidth: Long,
                    maxBucketsPerInterval: Long = 4096L): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(!intervals.columns.contains("__bucket") &&
+      !points.columns.contains("__bucket"),
+      "inputs may not carry the reserved __bucket column")
     val lo = floor(col(startCol) / bucketWidth).cast("long")
     val hi = floor(col(endCol) / bucketWidth).cast("long")
     val guarded = when(hi - lo >= maxBucketsPerInterval,
@@ -77,6 +80,8 @@ object RangeJoin {
                leftVal: String, rightVal: String,
                eqKeys: Seq[String], maxDiff: Long): DataFrame = {
     require(maxDiff >= 0, s"maxDiff must be non-negative, got $maxDiff")
+    require(!left.columns.exists(_.startsWith("__band_")),
+      "left may not carry reserved __band_ columns")
     val intervals = left
       .withColumn("__band_lo", col(leftVal) - maxDiff)
       .withColumn("__band_hi", col(leftVal) + maxDiff)

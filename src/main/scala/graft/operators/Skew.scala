@@ -19,6 +19,9 @@ object Skew {
     * hot key's work spreads over `salt` tasks. */
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
                      salt: Int): DataFrame = {
+    require(salt > 0, s"salt must be positive, got $salt")
+    require(!df.columns.contains("__salt"),
+      "input may not carry the reserved __salt column")
     // position-based salt: identical duplicate rows (the common shape
     // of a hot key) must spread too, so never hash row CONTENT
     val salted = df.withColumn("__salt",
@@ -38,6 +41,11 @@ object Skew {
     * side (use when right is modest but above broadcast size). */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salt: Int): DataFrame = {
+    // salt = 0 would make pmod(id, 0) NULL on every left row — an
+    // inner join that silently returns ZERO rows, not an error
+    require(salt > 0, s"salt must be positive, got $salt")
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "inputs may not carry the reserved __salt column")
     val saltedLeft = left.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(salt.toLong)))
     val replicatedRight = right

@@ -35,15 +35,25 @@ object GraftExtensions {
     }
 
   private def intArg(e: Expression, what: String): Int = e match {
-    case Literal(v: Int, _) => v
+    // positive: a negative/zero size parameter would surface mid-query
+    // as NegativeArraySizeException (sigLen), a per-row StringBuilder
+    // crash (bits) or a silent [""] shingle set (n) — fail at analysis
+    case Literal(v: Int, _) if v > 0 => v
+    case Literal(v: Int, _) =>
+      throw new IllegalArgumentException(s"$what must be positive, got $v")
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
   val builders: Seq[(String, String, Seq[Expression] => Expression)] = {
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, Seq[Expression] => Expression)]
-    def inject(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
-      out += ((name, usage, builder))
+    // wrong arity must read as a usage error, not a raw MatchError
+    def inject(name: String, usage: String)(
+        builder: PartialFunction[Seq[Expression], Expression]): Unit =
+      out += ((name, usage, (args: Seq[Expression]) =>
+        builder.applyOrElse(args, (a: Seq[Expression]) =>
+          throw new IllegalArgumentException(
+            s"$name: wrong number of arguments (${a.size}); usage: $usage"))))
 
     inject("graft_minhash_sig", "graft_minhash_sig(shingles[, sigLen]) - MinHash signature") {
       case Seq(c) => MinHashSigExpr(c, 64)

@@ -86,8 +86,9 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
 
 /** Hyperplane-LSH bucket over array<float|double>: `bits` sign bits of
   * dot(v, plane_j) with plane_j[d] = sin(j·131 + d·7), packed into a
-  * "0"/"1" string (matches VectorFunctions.lshBucket). Plane values
-  * are memoized per (bits, dims) inside HashOps. */
+  * "0"/"1" string (matches VectorFunctions.lshBucket for vectors
+  * without null elements — a null element reads as 0.0 here). Plane
+  * values are memoized per (bits, dims) inside HashOps. */
 case class LshBucketExpr(child: Expression, bits: Int) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     KernelChecks.floatVec(child.dataType, "graft_lsh_bucket")
@@ -164,8 +165,11 @@ case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
 
 /** Cosine similarity over two array<float|double> vectors, one tight
   * loop in doubles (sequential accumulation — bit-identical to the
-  * zip_with/aggregate form it replaces, which evaluated interpreted
-  * lambdas per element: ~64M per 1M pairs at sf0.1). */
+  * zip_with/aggregate form it replaces for vectors WITHOUT null
+  * elements, the expected data contract; a null element is read as
+  * 0.0 here where the HOF form would propagate NULL). The composed
+  * form evaluated interpreted lambdas per element: ~64M per 1M pairs
+  * at sf0.1. */
 case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     KernelChecks.both(KernelChecks.floatVec(left.dataType, "graft_cosine"),

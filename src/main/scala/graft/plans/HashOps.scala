@@ -240,7 +240,13 @@ object HashOps {
 
   // ---- Integer dot product (quantized vectors) ---------------------
   def dotInt(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    // ragged pairs are data corruption (a re-quantized corpus mixing
+    // dimensions): a prefix dot would be plausible-but-wrong, so fail
+    // loudly — same contract as PqOps.checkDims
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"dotInt over ragged vectors: ${a.numElements()} vs ${b.numElements()} dims")
+    val n = a.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -252,8 +258,14 @@ object HashOps {
   }
 
   // ---- Cosine similarity -------------------------------------------
+  // NOTE null ELEMENTS are treated as 0.0 here (vectors are expected
+  // non-null-element; the composed HOF form would return NULL instead)
+  // — ragged dimension pairs, by contrast, fail loudly (see dotInt).
   def cosine(a: ArrayData, b: ArrayData, aIsFloat: Boolean, bIsFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"cosine over ragged vectors: ${a.numElements()} vs ${b.numElements()} dims")
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {

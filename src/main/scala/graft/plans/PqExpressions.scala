@@ -124,7 +124,13 @@ object PqOps {
         s"PQ lut has ${lut.numElements()} entries, codes need exactly ${m * k}")
     var acc = 0.0; var s = 0
     while (s < m) {
-      acc += lut.getDouble(s * k + codes.getInt(s))
+      val c = codes.getInt(s)
+      // a code outside [0, k) would read ANOTHER subspace's LUT slot —
+      // silent garbage from a codebook/codes mismatch, so fail loudly
+      if (c < 0 || c >= k)
+        throw new IllegalArgumentException(
+          s"PQ code $c at subspace $s outside [0, $k)")
+      acc += lut.getDouble(s * k + c)
       s += 1
     }
     acc

@@ -24,17 +24,21 @@ import org.apache.spark.sql.types.IntegerType
   */
 object RankFilterToTopK extends Rule[LogicalPlan] {
 
-  private def kOf(cond: Expression, rn: ExprId): Option[Int] = cond match {
+  // k computed in Long: `rn < Int.MinValue` (an always-false filter)
+  // must yield k ≤ 0 and leave the Filter alone — Int math would wrap
+  // k-1 to Int.MaxValue and the rewrite would DROP the filter,
+  // returning all rows instead of none
+  private def kOf(cond: Expression, rn: ExprId): Option[Long] = cond match {
     case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType))
-      if a.exprId == rn => Some(k)
+      if a.exprId == rn => Some(k.toLong)
     case LessThan(a: AttributeReference, Literal(k: Int, IntegerType))
-      if a.exprId == rn => Some(k - 1)
+      if a.exprId == rn => Some(k.toLong - 1)
     case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: AttributeReference)
-      if a.exprId == rn => Some(k)
+      if a.exprId == rn => Some(k.toLong)
     case GreaterThan(Literal(k: Int, IntegerType), a: AttributeReference)
-      if a.exprId == rn => Some(k - 1)
+      if a.exprId == rn => Some(k.toLong - 1)
     case EqualTo(a: AttributeReference, Literal(1, IntegerType))
-      if a.exprId == rn => Some(1)
+      if a.exprId == rn => Some(1L)
     case _ => None
   }
 
@@ -43,8 +47,8 @@ object RankFilterToTopK extends Rule[LogicalPlan] {
         w @ Window(Seq(al @ Alias(WindowExpression(_: RowNumber, _), _)),
           part, order, child, _)) if order.nonEmpty && part.nonEmpty =>
       kOf(cond, al.exprId) match {
-        case Some(k) if k > 0 =>
-          w.copy(child = TopKPerGroupPlan(part, order, k, child))
+        case Some(k) if k > 0 && k <= Int.MaxValue =>
+          w.copy(child = TopKPerGroupPlan(part, order, k.toInt, child))
         case _ => f
       }
   }

@@ -58,7 +58,15 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
     // huge group counts raise the limit or add shuffle partitions.
     val maxGroups = conf.getConfString(
       "spark.graft.topk.maxGroupsPerTask", "4000000").toInt
-    child.execute().mapPartitions { iter =>
+    child.execute().mapPartitions { iter0 =>
+      // defensive: the heap stores UnsafeRow copies, but a child that
+      // already satisfies the distribution (no exchange inserted) may
+      // emit generic InternalRows — project rather than cast-crash
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+      val iter = iter0.map {
+        case u: UnsafeRow => u
+        case r => toUnsafe(r)
+      }
       val groupProj = UnsafeProjection.create(groupExprsB, childOutput)
       val ordering: Ordering[InternalRow] =
         org.apache.spark.sql.catalyst.expressions.RowOrdering
@@ -72,7 +80,7 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
       // the queue uses `ordering` itself: head = max = worst.
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
       while (iter.hasNext) {
-        val row = iter.next().asInstanceOf[UnsafeRow]
+        val row = iter.next()
         val key = groupProj(row)
         val heap = heaps.get(key) match {
           case Some(h) => h

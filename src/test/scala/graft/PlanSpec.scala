@@ -116,6 +116,19 @@ class PlanSpec extends AnyFunSuite {
     assert(v.getLong(0) == 64L * 64 + 127L * 127)
     assert(v.getDouble(1) == 1.0)
     assert(v.getInt(2) == 2 && v.getInt(3) == 3)
+    // misuse fails at analysis with a usage message, not mid-query
+    val badN = intercept[Exception](
+      spark.sql("SELECT graft_word_shingles('a b', 0)").head())
+    assert(badN.getMessage.contains("positive"))
+    val badArity = intercept[Exception](
+      spark.sql("SELECT graft_simhash64(array('x'), 2)").head())
+    assert(badArity.getMessage.contains("arguments"))
+    // salt guard on the skew primitives
+    import spark.implicits._
+    val df = Seq((1L, 2.0)).toDF("k", "v")
+    val badSalt = intercept[IllegalArgumentException](
+      graft.operators.Skew.saltedSumCount(df, Seq("k"), "v", salt = 0))
+    assert(badSalt.getMessage.contains("salt"))
   }
 
   test("catalog index DDL round-trip (kv + bitmap)") {

@@ -104,6 +104,19 @@ class PqSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       PqOps.adc(new GenericArrayData(Array(1, 0)), arr(1.0, 2.0), k = 2)
     }
+    // a code outside [0, k) would read another subspace's LUT slot
+    intercept[IllegalArgumentException] {
+      PqOps.adc(new GenericArrayData(Array(2, 0)), arr(1.0, 2.0, 3.0, 4.0), k = 2)
+    }
+    // ragged vector pairs in the flat kernels fail loudly too
+    intercept[IllegalArgumentException] {
+      graft.plans.HashOps.dotInt(
+        new GenericArrayData(Array(1, 2)), new GenericArrayData(Array(1, 2, 3)))
+    }
+    intercept[IllegalArgumentException] {
+      graft.plans.HashOps.cosine(arr(1.0, 2.0), arr(1.0, 2.0, 3.0),
+        aIsFloat = false, bIsFloat = false)
+    }
   }
 
   test("pq codes compress to m small ints and stay within [0, k)") {

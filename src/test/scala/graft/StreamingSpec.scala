@@ -89,6 +89,28 @@ class StreamingSpec extends AnyFunSuite {
       (2L, "L3", null)))    // no state yet
   }
 
+  test("asOf join: NULL keys and NULL times follow equi-join semantics") {
+    import spark.implicits._
+    // a right row with NULL time must never match (NULL <= t is not
+    // TRUE) — without filtering it would sort nulls-first and act as
+    // state at -infinity; NULL keys must not match NULL keys either
+    val l = Seq((Some(1L), Some(10L), "L1"), (Some(1L), None, "Lnull"),
+        (None, Some(10L), "Lkeyless"))
+      .toDF("k", "t", "tag")
+    val r = Seq((Some(1L), None, "bad-null-time"),
+        (Some(1L), Some(5L), "good"),
+        (None, Some(1L), "bad-null-key"))
+      .toDF("k", "ts", "state")
+    val out = graft.operators.AsOfJoin.asOf(l, r, Seq("k"), "t", "ts",
+        payload = Seq("state" -> "state"), tieCols = Seq("ts"))
+      .collect().map(row => row.getAs[String]("tag") -> row.getAs[String]("state"))
+      .toMap
+    assert(out.size == 3) // every left row survives (left-join contract)
+    assert(out("L1") == "good")       // real state, not the null-time row
+    assert(out("Lnull") == null)      // NULL left time matches nothing
+    assert(out("Lkeyless") == null)   // NULL keys don't match NULL keys
+  }
+
   test("streaming windowed agg equals batch hourly agg") {
     val schema = events.schema
     // stream the same parquet through the watermarked plan

@@ -54,6 +54,18 @@ class TopKSpec extends AnyFunSuite {
     assert(got == manual)
   }
 
+  test("always-false rank filters stay filters (no k-1 overflow drop)") {
+    graft.plans.TopK.enableAutoRewrite(spark)
+    val o = Tables.orders(spark, sf)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    // rn < Int.MinValue is always false; Int math would wrap k-1 to
+    // Int.MaxValue and the rewrite would DROP the filter entirely
+    val q = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") < Int.MinValue)
+    assert(q.count() == 0L)
+  }
+
   test("groups smaller than k pass through whole") {
     val o = Tables.orders(spark, sf).filter(col("o_orderkey") < 20)
     val n = TopK.perGroup(o, Seq("o_custkey"), Seq(("o_totalprice", true)), 1000).count()
