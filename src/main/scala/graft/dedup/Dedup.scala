@@ -24,7 +24,11 @@ object Dedup {
     * One shuffle keyed by the hash; at 100 TB this is the standard
     * first pass of a corpus dedup. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(contentKey(col(textCol)).as("h"))
+    // null-content docs are not duplicates of each other: GROUP BY
+    // treats NULL keys as equal, which would emit one bogus h=NULL
+    // duplicate group whose members a drop-list pass would delete
+    docs.filter(col(textCol).isNotNull)
+      .groupBy(contentKey(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
 
@@ -79,6 +83,13 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, sigLen: Int = 64, rowsPerBand: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
+    // sigLen < rowsPerBand would make bands=0 and sequence(0,-1)
+    // DESCEND, hashing a garbage band identically for every doc (an
+    // O(n²) candidate cross-product); a non-divisible sigLen would
+    // silently ignore trailing signature rows while est_jaccard still
+    // divides by the full sigLen
+    require(sigLen >= rowsPerBand && sigLen % rowsPerBand == 0,
+      s"sigLen ($sigLen) must be a positive multiple of rowsPerBand ($rowsPerBand)")
     val bands = sigLen / rowsPerBand
     val sig = shingles(docs, idCol, textCol, n)
       .filter(size(col("sh")) > 0)

@@ -245,7 +245,7 @@ object DedupQueries {
       s"""WITH corpus AS ($plantedDocsSql)
          |SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h,
          |  MIN(doc_id) AS keeper, COUNT(*) AS n_copies
-         |FROM corpus
+         |FROM corpus WHERE text IS NOT NULL
          |GROUP BY h HAVING COUNT(*) > 1 ORDER BY keeper""".stripMargin,
 
     "dd_ngram_jaccard" ->

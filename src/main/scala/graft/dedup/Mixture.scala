@@ -28,8 +28,9 @@ object Mixture {
     val rateCol: Column = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
       when(col(sourceCol) === src, lit(r)).otherwise(acc)
     }
-    // uniform in [0,1): low 20 bits of the id hash (salted so it is
-    // independent of any other hash-of-id use in the pipeline)
+    // uniform in [0,1): id hash mod 1e6 (salted so it is independent
+    // of any other hash-of-id use in the pipeline; 1e6 grain = rates
+    // resolve to one part per million)
     val u = pmod(xxhash64(col(idCol), lit("graft_mixture")), lit(denom))
       .cast("double") / lit(denom.toDouble)
     docs.filter(u < rateCol)
@@ -58,7 +59,10 @@ object Mixture {
         var seq = 0L
         var used = 0L
         var started = false
-        rows.map { r =>
+        rows.filter(!_.isNullAt(0)).map { r =>
+          // a null id cannot be packed (no identity to emit) — skip the
+          // row rather than NPE the job, same one-bad-document stance
+          // as the null token-count guard below
           val id = r.getLong(0)
           // null token counts (e.g. null text) pack as 0 instead of
           // killing the job — one bad document must not fail a run

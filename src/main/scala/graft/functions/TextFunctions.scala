@@ -79,7 +79,11 @@ object TextFunctions {
     val terms = transform(sequence(lit(1), size(t)), i =>
       (ascii(element_at(t, i)).cast("long") * length(element_at(t, i)) %p
         * ((i.cast("long") * lit(2654435761L)) % p)) % p)
-    aggregate(terms, lit(0L), (acc, x) => (acc + x) % p)
+    // zero-token docs: sequence(1, 0) DESCENDS to [1, 0] and
+    // element_at(t, 0) throws unconditionally — guard to NULL, which
+    // is also what the oracle's empty-range list_sum returns
+    when(size(t) === 0, lit(null).cast("long"))
+      .otherwise(aggregate(terms, lit(0L), (acc, x) => (acc + x) % p))
   }
 
   /** Character bigrams of the raw lowercased text (spaces included).

@@ -82,6 +82,7 @@ object TextQueries {
       vocab.withColumn("token_id",
           row_number().over(Window.orderBy($"n".desc, $"term")))
         .select($"token_id", $"term", $"n", $"df")
+        .orderBy($"n".desc, $"term") // declared, not incidental, order
     },
 
     "txt_ngram_profile" -> { (s, d) =>

@@ -67,7 +67,17 @@ object Streams {
   /** Streaming sessionization with custom state — the
     * flatMapGroupsWithState form of `sessionize`, emitting a session
     * when the gap closes it. Event-time ordering within a micro-batch
-    * is handled by sorting the group's batch slice. */
+    * is handled by sorting the group's batch slice.
+    *
+    * CONTRACT: per-user event-time order must hold ACROSS micro-batches
+    * (in-batch disorder is sorted away, cross-batch is not — there is
+    * no watermark buffer here). An event arriving in a later batch
+    * with an earlier timestamp regresses the open session's last-seen
+    * time and can split sessions differently from the batch form. For
+    * sources that can deliver cross-batch-late data, window the input
+    * with session_window + watermark instead (bounded lateness, same
+    * gap semantics) — this operator is the low-latency path for
+    * per-key-ordered sources (e.g. a keyed log). */
   def sessionizeStream(spark: SparkSession, events: DataFrame,
                        gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
@@ -102,9 +112,6 @@ object Streams {
       }.toDF()
   }
 
-  /** Drain any open sessions from a finished sessionizeStream state —
-    * batch-side helper used by tests to compare against `sessionize`. */
-
   /** Stream-stream inner join with watermarked state on both sides:
     * each view joins purchases by the same user within
     * [view, view + horizon] — the streaming attribution join. Both
@@ -136,9 +143,16 @@ object Streams {
     * actually runs at 100 TB/day. */
   def dedupStream(stream: DataFrame, tsCol: String,
                   key: org.apache.spark.sql.Column,
-                  watermark: String = "1 hour"): DataFrame =
-    stream.withColumn("__graft_dedup_key", key)
+                  watermark: String = "1 hour"): DataFrame = {
+    // NULL-key rows pass through un-deduped: dropDuplicates groups
+    // NULL keys as equal, so a null content key (e.g. null text) would
+    // keep ONE such event per watermark and silently drop the rest —
+    // distinct documents lost in ingest
+    val keyed = stream.withColumn("__graft_dedup_key", key)
       .withWatermark(tsCol, watermark)
+    keyed.filter(col("__graft_dedup_key").isNotNull)
       .dropDuplicatesWithinWatermark("__graft_dedup_key")
+      .unionByName(keyed.filter(col("__graft_dedup_key").isNull))
       .drop("__graft_dedup_key")
+  }
 }

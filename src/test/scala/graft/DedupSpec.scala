@@ -34,6 +34,27 @@ class DedupSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"planted pairs not found: $missing")
   }
 
+  test("null-content docs never form duplicate groups; token-less docs fingerprint to NULL") {
+    import TestSpark.spark.implicits._
+    val df = Seq((1L, Option("same text")), (2L, Option("same text")),
+        (3L, Option.empty[String]), (4L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exact(df, "doc_id", "text").collect()
+    assert(groups.length == 1 && groups.head.getAs[Long]("keeper") == 1L)
+    // zero-token docs: fingerprint is NULL (matches the oracle's empty
+    // list_sum), never an element_at(_, 0) crash
+    val fp = Seq((1L, ""), (2L, "!!! ???"), (3L, "a b"))
+      .toDF("doc_id", "text")
+      .orderBy($"doc_id")
+      .select(graft.functions.TextFunctions.fingerprint($"text").as("fp"))
+      .collect()
+    assert(fp(0).isNullAt(0) && fp(1).isNullAt(0) && !fp(2).isNullAt(0))
+    // banding misconfiguration fails fast, never an O(n^2) degenerate join
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLsh(df, "doc_id", "text", sigLen = 2, rowsPerBand = 4)
+    }
+  }
+
   test("minhash est_jaccard is 1.0 for exact copies") {
     val est = Dedup.minhashLsh(planted, "doc_id", "text", threshold = 0.5)
       .filter(col("doc_b") === 1000000L && col("doc_a") === 0L)

@@ -45,6 +45,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(keys.length == keys.distinct.length)
   }
 
+  test("streaming dedup passes NULL-key rows through un-deduped") {
+    val stream0 = spark.readStream.schema(
+        Tables.load(spark, sf, "events").schema)
+      .parquet(streamDir)
+    val stream =
+      if (stream0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream0
+    // even user_ids get a NULL key: those events are NOT duplicates of
+    // each other and must all survive
+    val key = when(col("user_id") % 2 === 0, lit(null).cast("string"))
+      .otherwise(concat_ws(":", col("user_id"), col("event_type")))
+    val q = graft.streaming.Streams.dedupStream(stream, "ts", key)
+      .writeStream.format("memory").queryName("dedup_null_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("dedup_null_sink")
+    assert(out.filter(col("user_id") % 2 === 0).count() ==
+      events.filter(col("user_id") % 2 === 0).count())
+    assert(out.filter(col("user_id") % 2 =!= 0).count() ==
+      events.filter(col("user_id") % 2 =!= 0)
+        .dropDuplicates("user_id", "event_type").count())
+  }
+
   test("stream-stream attribution join equals the batch time-range join") {
     def staged = {
       val s0 = spark.readStream.schema(
