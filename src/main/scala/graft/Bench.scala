@@ -32,31 +32,47 @@ object Bench {
     // during one pass — a single loaded run inflated a round-3 artifact
     // by ~45% over the idle time of identical code
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Record BOTH the per-query min and median across reps. Min is
+    // stall-immune: a host that stalls mid-run for minutes poisons the
+    // median (a single stalled pass recorded 331.7 s where an idle
+    // re-run of the same commit measured 40.6 s) but leaves the min
+    // intact as long as any one rep ran clean. The headline total sums
+    // mins; medians ride alongside so a real regression (min and median
+    // both move) is distinguishable from a stalled host (median moves,
+    // min does not).
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.length / 2)
+      name -> (times.head, times(times.length / 2))
     }
-    // 3-decimal (ms) precision keeps the one-line JSON artifact compact
-    // enough to survive a bounded stdout tail capture — full double
-    // precision pushed a 94-query line past the capture window and the
-    // recorded artifact lost its head
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    def qmap(sel: ((Double, Double)) => Double): String =
+      results.map { case (k, v) => "\"" + k + "\":" + fmt(sel(v)) }
+        .mkString("{", ",", "}")
+    val totalMin = results.values.map(_._1).sum
+    val totalMed = results.values.map(_._2).sum
+    val worst = results.toSeq.sortBy(-_._2._1).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v._1) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The driver parses this JSON: write it to a file (sbt banners can
-    // trail stdout) AND print it after the session is fully stopped so
-    // it is the last line this program emits.
+    // The driver captures a BOUNDED stdout tail (~2000 chars) and
+    // parses the last JSON line out of it: a full 101-query map is
+    // ~3000 chars, so the line lost its head two rounds running
+    // ("parsed": null). stdout therefore gets a SHORT summary line —
+    // total first, worst-5 only — guaranteed to fit the capture
+    // window; the full per-query min/median maps live only in the
+    // file artifact.
+    val summary = s"""{"metric":"total","value":${fmt(totalMin)},"unit":"sec","n":${results.size},"total_median":${fmt(totalMed)},"queries":$worst,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(totalMin)},"unit":"sec","n":${results.size},"total_median":${fmt(totalMed)},"queries":${qmap(_._1)},"queries_median":${qmap(_._2)},"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
+    // Print the summary after the session is fully stopped so it is
+    // the last line this program emits (sbt banners can trail stdout).
     spark.stop()
-    println(json)
+    println(summary)
   }
 }

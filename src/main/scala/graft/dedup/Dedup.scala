@@ -88,6 +88,10 @@ object Dedup {
     // O(n²) candidate cross-product); a non-divisible sigLen would
     // silently ignore trailing signature rows while est_jaccard still
     // divides by the full sigLen
+    // rowsPerBand must be validated FIRST: 0 would turn the modulo
+    // below into a division by zero and a negative value would slip
+    // past the divisibility intent
+    require(rowsPerBand > 0, s"rowsPerBand must be positive, got $rowsPerBand")
     require(sigLen >= rowsPerBand && sigLen % rowsPerBand == 0,
       s"sigLen ($sigLen) must be a positive multiple of rowsPerBand ($rowsPerBand)")
     val bands = sigLen / rowsPerBand

@@ -238,6 +238,43 @@ object DedupQueries {
           "vec_id", "embedding", topK = 3, nprobe = 4)
         .orderBy($"qid", $"rn")
     },
+
+    "sim_recall" -> { (s, d) =>
+      import s.implicits._
+      // Driver-visible ANN quality gate: each planted exact-copy
+      // vector (vec_id = original + 1e6) queries every approximate
+      // flavor, and a hit means its counterpart appears in the top-10.
+      // One row per flavor with recall@10 over the full planted set —
+      // a recall collapse now shows up in CORRECTNESS, not only in
+      // `sbt test`. rows-only: the k-means fits and LSH hyperplanes
+      // are seed-dependent, so no SQL oracle; RecallGateSpec pins
+      // recall >= 0.9 per flavor on the same frames.
+      val e = plantedEmbs(s, d)
+      val probes = e.filter($"vec_id" >= 1000000L)
+      // denominator is the PLANTED set, not the rows a flavor returned
+      // — a flavor that drops a query entirely must lose recall for it
+      def recallRow(flavor: String, res: DataFrame): DataFrame = {
+        val hits = res.filter($"nn" === $"qid" - 1000000L)
+          .select($"qid").distinct().withColumn("hit", lit(1))
+        probes.select($"vec_id".as("qid"))
+          .join(hits, Seq("qid"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            sum(coalesce($"hit", lit(0))).cast("long").as("n_hits"))
+          .select(lit(flavor).as("flavor"), $"n_queries", $"n_hits",
+            round($"n_hits".cast("double") / $"n_queries", 4).as("recall_at_10"))
+      }
+      recallRow("ivf",
+          Ann.ivfSearch(ivfIdx(s, d), probes, "vec_id", "embedding", k = 10))
+        .unionByName(recallRow("ivfpq",
+          graft.similarity.Pq.ivfPqSearch(ivfPqIdx(s, d), e, probes,
+            "vec_id", "embedding", topK = 10, nprobe = 4)))
+        .unionByName(recallRow("lsh",
+          Ann.lshTopK(e, "vec_id", "embedding", probes, k = 10)))
+        .unionByName(recallRow("pq",
+          graft.similarity.Pq.pqSearch(pqIdx(s, d), e, probes,
+            "vec_id", "embedding", topK = 10)))
+        .orderBy($"flavor")
+    },
   )
 
   def oracles: Map[String, String] = Map(

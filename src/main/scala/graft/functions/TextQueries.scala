@@ -49,16 +49,27 @@ object TextQueries {
       import s.implicits._
       // the training-data pipeline composed end-to-end: language gate →
       // quality gate → exact dedup (keep smallest id per content key) →
-      // per-source corpus stats. Two shuffles total (dedup groupBy,
-      // final agg); every gate is a codegen'd scan-side filter.
+      // per-source corpus stats, in ONE corpus scan. The regex-heavy
+      // quality score is computed ONCE per row: Catalyst re-inlines an
+      // aliased deterministic expression into any filter it pushes back
+      // through the Project, so the projection carries a
+      // nondeterministic sentinel that the quality gate references —
+      // that pins the gate above the projection (a Project with a
+      // nondeterministic field is not pushed through) at the cost of a
+      // free per-row partition id. The dedup keeper is the bounded-heap
+      // TopKPerGroup (k=1 per content key, map-side combining): the
+      // groupBy+semi-join formulation it replaces scanned and scored
+      // the corpus TWICE (once per join branch).
       val gated = Tables.documents(s, d)
-        .filter(langId($"text") === "en" && qualityScore($"text") >= 0.5)
-        .select($"doc_id", $"text", $"source", qualityScore($"text").as("quality"))
-      val keepers = gated
-        .groupBy(graft.dedup.Dedup.contentKey($"text").as("h"))
-        .agg(min($"doc_id").as("doc_id"))
-        .select($"doc_id")
-      gated.join(keepers, Seq("doc_id"), "left_semi")
+        .filter(langId($"text") === "en")
+        .select($"doc_id", $"text", $"source",
+          qualityScore($"text").as("quality"),
+          spark_partition_id().as("__pin"))
+        .filter($"quality" >= 0.5 && $"__pin" >= 0)
+        .drop("__pin")
+      graft.plans.TopK.perGroup(
+          gated.withColumn("h", graft.dedup.Dedup.contentKey($"text")),
+          Seq("h"), Seq(("doc_id", false)), 1)
         .groupBy($"source").agg(
           count(lit(1)).as("n_docs"),
           sum(size(tokens($"text")).cast("long")).as("n_tokens"),

@@ -326,15 +326,18 @@ object BitmapIndex {
       .withColumn("card", Ops.bitmapCard(col("bm")))
   }
 
+  /** Codegen'd expressions (graft.plans.BitmapExpressions), not UDFs:
+    * same kernels, no boxing, no codegen-span break in the projections
+    * that combine/expand index rows. */
   object Ops {
     val bitmapAnd: (Column, Column) => Column =
-      udf((a: Array[Byte], b: Array[Byte]) => Bitmap.and(a, b)).apply(_, _)
+      graft.plans.BitmapExpressions.and(_, _)
     val bitmapOr: (Column, Column) => Column =
-      udf((a: Array[Byte], b: Array[Byte]) => Bitmap.or(a, b)).apply(_, _)
+      graft.plans.BitmapExpressions.or(_, _)
     val bitmapIds: Column => Column =
-      udf((a: Array[Byte]) => Bitmap.ids(a)).apply(_)
+      graft.plans.BitmapExpressions.ids(_)
     val bitmapCard: Column => Column =
-      udf((a: Array[Byte]) => Bitmap.cardinality(a)).apply(_)
+      graft.plans.BitmapExpressions.cardinality(_)
   }
 
   /** Equality: fetch the value's shard rows, expand each to rowids

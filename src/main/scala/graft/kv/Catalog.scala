@@ -29,9 +29,17 @@ import scala.collection.JavaConverters._
   * catalog would be swapped for a metastore, but the API surface is
   * what matters here.
   */
-final class Catalog(val spark: SparkSession, val warehouse: String) {
+final class Catalog(val spark: SparkSession, val warehouse: String,
+                    lockProviderOpt: Option[LockProvider] = None) {
 
   private val mapper = new ObjectMapper()
+
+  /** Every write lock (bulk writers, transaction commits, DDL)
+    * resolves through this seam — see [[LockProvider]] for the
+    * multi-process / object-store story. Default: file locks under
+    * each table dir. */
+  private val lockProvider: LockProvider =
+    lockProviderOpt.getOrElse(new FsLockProvider(tableDir))
 
   private def tableDir(name: String): Path = Paths.get(warehouse, name)
   private def metaFile(name: String): Path = tableDir(name).resolve("_graft_meta.json")
@@ -63,8 +71,65 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     finally s.close()
   }
 
-  def dataVersionOf(name: String): Int =
+  /** Raw pointer exactly as recorded in the table's meta. ONLY for the
+    * recovery/heal paths, which must see the unoverlaid value to know
+    * whether a journaled bump still needs applying — resolving through
+    * [[dataVersionOf]] there would make the overlaid version look
+    * already-bumped and skip (then delete) the journal, reverting the
+    * table. */
+  private def metaVersionOf(name: String): Int =
     readMeta(name).path("dataVersion").asInt(0)
+
+  /** Live version as READERS must see it: the meta pointer overlaid
+    * with any committed-transaction journal entry for this table.
+    *
+    * The journal is the transaction's atomically-published commit
+    * record (written complete, via atomic rename, only after every
+    * snapshot is staged and CAS-checked; deleted only after every
+    * pointer bump landed). Resolving through it means ALL tables of a
+    * multi-table transaction become visible at the single instant the
+    * journal appears — a lock-free reader can never see table A at the
+    * post-image and table B at the pre-image because it caught the
+    * committer between two pointer bumps (reference semantics:
+    * KVTransactionalIndexTable.kt:14-52 — Tephra's transaction manager
+    * makes base+index+multi-table mutations visible atomically).
+    *
+    * Order matters: journals are scanned BEFORE the meta read. A
+    * commit deletes its journal only after every bump, so "no journal"
+    * observed first guarantees the meta read that follows sees the
+    * bump; the reverse order could catch table B's meta pre-bump and
+    * then miss the just-deleted journal — reviving the mixed window. */
+  def dataVersionOf(name: String): Int = {
+    val journaled = committedJournalVersions(name)
+    val base = metaVersionOf(name)
+    if (journaled.contains(base + 1) &&
+        Files.exists(tableDir(name).resolve(s"data_v${base + 1}")))
+      base + 1
+    else base
+  }
+
+  /** `next` versions journaled for `name` by committed transactions.
+    * Unparseable journals are skipped here (recovery quarantines them);
+    * a transiently unreadable file is skipped for THIS resolution and
+    * retried on the next — same stance as [[recoverTransactions]]. */
+  private def committedJournalVersions(name: String): Set[Int] = {
+    val wh = Paths.get(warehouse)
+    if (!Files.exists(wh)) return Set.empty
+    val journals = withList(wh) { it =>
+      it.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("_graft_txn_") && n.endsWith(".json")
+      }.toList
+    }
+    journals.iterator.flatMap { j =>
+      val node = try mapper.readTree(Files.readString(j))
+        catch { case _: Exception => null }
+      if (node == null) Iterator.empty[Int]
+      else node.path("publishes").elements().asScala.collect {
+        case e if e.path("table").asText() == name => e.path("next").asInt()
+      }
+    }.toSet
+  }
 
   /** Reference: column names may not be `id` (reserved for the
     * implicit uuid primary key) — HBaseSchema.kt:112-117. */
@@ -221,92 +286,25 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   /** Writer mutual exclusion for the COW version pointer — the
     * single-warehouse analog of the reference's distributed DDL lock
     * (index/lucene/RedisLockFactory.kt, Tephra transactions in
-    * KVTransactionalIndexTable.kt). `Files.createFile` is atomic on a
-    * POSIX filesystem, so two concurrent bulk writers serialize: each
-    * reads the version, writes its snapshot and swaps the pointer
-    * under the lock, and neither can clobber the other's data_vN
-    * directory or lose the other's bump. Readers never take the lock
-    * (snapshots are immutable once published). */
+    * KVTransactionalIndexTable.kt). Resolved through [[lockProvider]]
+    * (default: atomic lock-file create under the table dir), so two
+    * concurrent bulk writers serialize: each reads the version, writes
+    * its snapshot and swaps the pointer under the lock, and neither
+    * can clobber the other's data_vN directory or lose the other's
+    * bump. Readers never take the lock (snapshots are immutable once
+    * published). */
   private def withWriteLock[A](name: String, timeoutMs: Long = 600000L)(f: => A): A = {
     val lock = acquireWriteLock(name, timeoutMs)
-    // deleteIfExists: dropTable removes the whole table dir (lock file
-    // included) while holding the lock
-    try f finally Files.deleteIfExists(lock)
+    try f finally lock.release()
   }
 
   /** Bare acquire — for [[commitTxn]], which holds locks on SEVERAL
     * tables at once (always acquired in sorted table order, so two
     * concurrent transactions can't deadlock). Everything else uses the
     * scoped [[withWriteLock]]. */
-  private def acquireWriteLock(name: String, timeoutMs: Long = 600000L): Path = {
-    val lock = tableDir(name).resolve("_graft_write.lock")
-    val deadline = System.currentTimeMillis() + timeoutMs
-    var acquired = false
-    while (!acquired) {
-      try {
-        Files.createFile(lock)
-        // owner tag (pid + acquire time): lets a later waiter detect a
-        // lock whose owner JVM died before the finally could release it
-        Files.writeString(lock,
-          s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()}")
-        acquired = true
-      }
-      catch { case _: java.nio.file.FileAlreadyExistsException =>
-        breakIfStale(lock)
-        if (System.currentTimeMillis() > deadline)
-          throw new IllegalStateException(
-            s"write lock on $name held past ${timeoutMs}ms — stale lock at $lock?")
-        Thread.sleep(50)
-      }
-    }
-    lock
-  }
-
-  /** Stale-lock recovery: a lock whose recorded owner process is no
-    * longer alive (crashed between createFile and the finally) is
-    * broken so later writers don't spin to the timeout. A lock with no
-    * readable owner tag yet is only considered abandoned after a grace
-    * window (the owner writes the tag right after createFile). Breaking
-    * is an atomic rename to a unique tombstone — of several concurrent
-    * waiters only one rename succeeds, and a lock released-and-
-    * reacquired in between simply fails the rename and is left alone. */
-  private def breakIfStale(lock: Path): Unit = {
-    try {
-      val txt = try Files.readString(lock).trim catch { case _: Exception => "" }
-      val ownerPid = txt.split("\\s+").headOption
-        .flatMap(s => scala.util.Try(s.toLong).toOption)
-      val stale = ownerPid match {
-        case Some(pid) =>
-          val h = ProcessHandle.of(pid)
-          !(h.isPresent && h.get.isAlive)
-        case None => // tag never written: owner died mid-acquire
-          System.currentTimeMillis() -
-            Files.getLastModifiedTime(lock).toMillis > 60000L
-      }
-      if (stale) {
-        val tomb = lock.resolveSibling(
-          s".lock_broken_${java.util.UUID.randomUUID().toString.take(8)}")
-        Files.move(lock, tomb, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        // The rename is by PATH, not identity: between the staleness
-        // read above and the move, another waiter may have broken the
-        // lock and a LIVE writer re-acquired it — in which case the
-        // file just moved away is the live owner's. Verify the moved
-        // file still carries the tag judged stale (pid+millis, unique
-        // per acquisition); on mismatch put it straight back (rename
-        // replaces atomically). Residual: a writer that createFile'd
-        // in the microseconds between the two renames is clobbered by
-        // the restore — that needs a second break-and-reacquire inside
-        // this window, vs. the unchecked version where ONE
-        // break-and-reacquire anywhere in the wait loop discarded a
-        // live lock.
-        val movedTag = try Files.readString(tomb).trim catch { case _: Exception => "" }
-        if (movedTag == txt) { Files.deleteIfExists(tomb): Unit }
-        else Files.move(tomb, lock,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-      }
-    } catch { case _: Exception => () } // lost a race with release/another breaker — retry loop continues
-  }
+  private def acquireWriteLock(name: String,
+                               timeoutMs: Long = 600000L): LockProvider.Handle =
+    lockProvider.acquire(name, timeoutMs)
 
   /** File-granular incremental COW merge — the CDC-ingest path. A
     * whole-table rewrite per micro-batch would rewrite 100 TB for a
@@ -1134,7 +1132,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   private[kv] def commitTxn(writes: Seq[(String, DataFrame, Int)]): Unit = {
     if (writes.isEmpty) return
     val ordered = writes.sortBy(_._1)
-    val locks = scala.collection.mutable.ListBuffer[Path]()
+    val locks = scala.collection.mutable.ListBuffer[LockProvider.Handle]()
     val stagedDirs = scala.collection.mutable.ListBuffer[Path]()
     val indexRollbacks = scala.collection.mutable.ListBuffer[() => Unit]()
     var journal: Option[Path] = None
@@ -1195,7 +1193,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
           }
         }
         throw e
-    } finally locks.foreach(l => Files.deleteIfExists(l): Unit)
+    } finally locks.foreach(_.release())
   }
 
   private def writeTxnJournal(publishes: Seq[(String, Int)]): Path = {
@@ -1241,7 +1239,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       if (node != null) node.path("publishes").elements().asScala.foreach { e =>
         if (e.path("table").asText() == name) {
           val next = e.path("next").asInt()
-          if (dataVersionOf(name) == next - 1 &&
+          // RAW meta version: dataVersionOf overlays this very journal,
+          // which would make the bump look already applied
+          if (metaVersionOf(name) == next - 1 &&
               Files.exists(tableDir(name).resolve(s"data_v$next")))
             publishVersion(name, next)
         }
@@ -1291,7 +1291,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
             val t = e.path("table").asText()
             val next = e.path("next").asInt()
             if (tableExists(t)) withWriteLock(t) {
-              if (dataVersionOf(t) == next - 1 &&
+              // RAW meta version (see healPendingForLocked): the
+              // overlay would hide that this bump is still pending
+              if (metaVersionOf(t) == next - 1 &&
                   Files.exists(tableDir(t).resolve(s"data_v$next")))
                 publishVersion(t, next)
             }
@@ -1607,16 +1609,33 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * index with a pre-image table. */
   private def resolveIndexVersioned(dir: Path, prefix: String,
                                     maxVersion: Int): Path = {
-    val versions = if (!Files.exists(dir)) Nil
-      else withList(dir) { it =>
-        it.map(_.getFileName.toString)
-          .filter(_.startsWith(s"${prefix}_v"))
-          .flatMap(n => scala.util.Try(n.stripPrefix(s"${prefix}_v").toInt).toOption)
-          .filter(_ <= maxVersion)
-          .toList
-      }
-    if (versions.isEmpty) dir.resolve(prefix)
-    else dir.resolve(s"${prefix}_v${versions.max}")
+    def once(): Path = {
+      val versions = if (!Files.exists(dir)) Nil
+        else withList(dir) { it =>
+          it.map(_.getFileName.toString)
+            .filter(_.startsWith(s"${prefix}_v"))
+            .flatMap(n => scala.util.Try(n.stripPrefix(s"${prefix}_v").toInt).toOption)
+            .filter(_ <= maxVersion)
+            .toList
+        }
+      if (versions.isEmpty) dir.resolve(prefix)
+      else dir.resolve(s"${prefix}_v${versions.max}")
+    }
+    var resolved = once()
+    // A same-version index rebuild swaps the destination with two
+    // renames (move-aside, move-in): a lock-free reader listing in
+    // that instant sees neither dir and would fall back to an older
+    // base that may not exist at all. The window is two metadata ops
+    // wide — re-resolve briefly before surfacing the miss; if the dir
+    // is genuinely absent (never built) the retry exhausts and the
+    // caller fails exactly as before.
+    var attempts = 0
+    while (!Files.exists(resolved) && Files.exists(dir) && attempts < 3) {
+      Thread.sleep(5L << attempts)
+      resolved = once()
+      attempts += 1
+    }
+    resolved
   }
 
   private def resolveIndexDataDir(dir: Path, table: String): Path =

@@ -137,21 +137,21 @@ object KvQueries {
       // column — the access pattern a lexicographic rowkey can't
       // prune (HBase-world answer: a second salted-rowkey table; here
       // the one z-clustered layout serves both key columns)
-      val wh = Files.tempWarehouse("zorder")
-      val cat = new Catalog(s, wh)
-      if (cat.tableExists("zli")) cat.dropTable("zli")
-      cat.createTable("zli",
-        StructType(Seq(
-          StructField("l_orderkey", LongType, false),
-          StructField("l_linenumber", IntegerType, false),
-          StructField("l_quantity", DoubleType, true))),
-        primaryKey = Seq("l_orderkey", "l_linenumber"), layout = "zorder")
-      cat.bulkLoad("zli", Tables.lineitem(s, d)
-        .filter($"l_orderkey" < 2000)
-        .select($"l_orderkey", $"l_linenumber", $"l_quantity"), partitions = 8)
-      cat.table("zli").df
+      zorderedLineitem(s, d, "zorder")
         .filter($"l_linenumber" === 5)
         .orderBy($"l_orderkey")
+    },
+
+    "kv_zorder_both" -> { (s, d) =>
+      import s.implicits._
+      // BOTH dimensions of the z-layout filtered at once: the z-curve
+      // keeps per-file min/max tight on both keys, so the scan prunes
+      // on the orderkey range AND the linenumber predicate together —
+      // a lexicographic (orderkey, linenumber) rowkey serves only the
+      // leading column of that conjunction
+      zorderedLineitem(s, d, "zboth")
+        .filter($"l_orderkey".between(500L, 700L) && $"l_linenumber" >= 4)
+        .orderBy($"l_orderkey", $"l_linenumber")
     },
 
     "kv_txn_multi" -> { (s, d) =>
@@ -222,6 +222,27 @@ object KvQueries {
         s"graft_warehouse_${ProcessHandle.current().pid()}$suffix").toString
   }
 
+  /** Build (or rebuild) the z-clustered two-key lineitem slice in a
+    * warehouse scoped by `suffix` and return its DataFrame. Shared by
+    * the z-order gate queries so each stays self-contained without
+    * duplicating the DDL+load recipe. */
+  private def zorderedLineitem(s: SparkSession, d: String,
+                               suffix: String): DataFrame = {
+    import s.implicits._
+    val cat = new Catalog(s, Files.tempWarehouse(suffix))
+    if (cat.tableExists("zli")) cat.dropTable("zli")
+    cat.createTable("zli",
+      StructType(Seq(
+        StructField("l_orderkey", LongType, false),
+        StructField("l_linenumber", IntegerType, false),
+        StructField("l_quantity", DoubleType, true))),
+      primaryKey = Seq("l_orderkey", "l_linenumber"), layout = "zorder")
+    cat.bulkLoad("zli", Tables.lineitem(s, d)
+      .filter($"l_orderkey" < 2000)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity"), partitions = 8)
+    cat.table("zli").df
+  }
+
   def oracles: Map[String, String] = Map(
     "kv_point_get" ->
       "SELECT * FROM customer WHERE c_custkey = 42",
@@ -230,6 +251,11 @@ object KvQueries {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_orderkey < 2000 AND l_linenumber = 5
         |ORDER BY l_orderkey""".stripMargin,
+
+    "kv_zorder_both" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey BETWEEN 500 AND 700 AND l_linenumber >= 4
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "kv_multi_get" ->
       """SELECT * FROM part WHERE p_partkey IN (1,5,10,99,123)

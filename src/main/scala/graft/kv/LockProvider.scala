@@ -1,0 +1,151 @@
+package graft.kv
+
+import java.nio.file.{Files, Path}
+
+/** Writer mutual-exclusion backend for a warehouse — the pluggable
+  * seam the reference gives its Lucene writers via
+  * `RedisLockFactory.kt:16-30` / `RedisLock.kt:9` (cross-process DDL
+  * locks through a coordination service, chosen by configuration).
+  *
+  * The default [[FsLockProvider]] serializes writers with an atomic
+  * create of a lock file: correct for any number of processes sharing
+  * a POSIX filesystem (local disk, NFS with O_EXCL, HDFS).
+  *
+  * Object-store caveat: on a store WITHOUT an atomic
+  * create-if-absent primitive (plain S3 before conditional writes),
+  * NO file-based protocol can provide mutual exclusion — two writers
+  * can both "create" the lock and both win. Sharing a warehouse there
+  * requires a provider backed by a real coordination service (the
+  * reference's Redis lock; a DynamoDB conditional put, the pattern
+  * Delta's S3 LogStore documents; ZooKeeper/etcd leases). This trait
+  * is exactly that seam: implement `acquire` against the service and
+  * hand the provider to [[Catalog]] — every table write lock,
+  * transaction commit and DDL lock resolves through it.
+  */
+trait LockProvider {
+  /** Block until the named resource's lock is held, or fail after
+    * `timeoutMs`. Implementations must be safe to call from multiple
+    * processes (or document that they are single-process, like
+    * [[InMemoryLockProvider]]) and should break locks whose owner
+    * provably died, so one crash doesn't wedge the warehouse. */
+  def acquire(resource: String, timeoutMs: Long): LockProvider.Handle
+}
+
+object LockProvider {
+  /** A held lock. `release()` must be idempotent and must tolerate
+    * the lock's backing state having been removed out from under it
+    * (dropTable deletes the whole table dir, lock file included,
+    * while holding the lock). */
+  trait Handle {
+    def release(): Unit
+  }
+}
+
+/** Default: one lock file per resource under `dir(resource)`, held by
+  * atomic `Files.createFile`. Stale locks (owner pid no longer alive,
+  * or never tagged within a grace window) are broken via an atomic
+  * rename to a tombstone, with a tag re-check so a live owner that
+  * re-acquired in the race window gets its lock put back — the
+  * single-filesystem analog of the reference's Redis lease expiry. */
+final class FsLockProvider(dir: String => Path,
+                           lockFileName: String = "_graft_write.lock")
+    extends LockProvider {
+
+  override def acquire(resource: String, timeoutMs: Long): LockProvider.Handle = {
+    val lock = dir(resource).resolve(lockFileName)
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        Files.createFile(lock)
+        // owner tag (pid + acquire time): lets a later waiter detect a
+        // lock whose owner JVM died before the finally could release it
+        Files.writeString(lock,
+          s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()}")
+        acquired = true
+      }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        breakIfStale(lock)
+        if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"write lock on $resource held past ${timeoutMs}ms — stale lock at $lock?")
+        Thread.sleep(50)
+      }
+    }
+    // deleteIfExists: dropTable removes the whole table dir (lock file
+    // included) while holding the lock
+    () => { Files.deleteIfExists(lock): Unit }
+  }
+
+  /** Stale-lock recovery: a lock whose recorded owner process is no
+    * longer alive (crashed between createFile and the finally) is
+    * broken so later writers don't spin to the timeout. A lock with no
+    * readable owner tag yet is only considered abandoned after a grace
+    * window (the owner writes the tag right after createFile). Breaking
+    * is an atomic rename to a unique tombstone — of several concurrent
+    * waiters only one rename succeeds, and a lock released-and-
+    * reacquired in between simply fails the rename and is left alone. */
+  private def breakIfStale(lock: Path): Unit = {
+    try {
+      val txt = try Files.readString(lock).trim catch { case _: Exception => "" }
+      val ownerPid = txt.split("\\s+").headOption
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+      val stale = ownerPid match {
+        case Some(pid) =>
+          val h = ProcessHandle.of(pid)
+          !(h.isPresent && h.get.isAlive)
+        case None => // tag never written: owner died mid-acquire
+          System.currentTimeMillis() -
+            Files.getLastModifiedTime(lock).toMillis > 60000L
+      }
+      if (stale) {
+        val tomb = lock.resolveSibling(
+          s".lock_broken_${java.util.UUID.randomUUID().toString.take(8)}")
+        Files.move(lock, tomb, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        // The rename is by PATH, not identity: between the staleness
+        // read above and the move, another waiter may have broken the
+        // lock and a LIVE writer re-acquired it — in which case the
+        // file just moved away is the live owner's. Verify the moved
+        // file still carries the tag judged stale (pid+millis, unique
+        // per acquisition); on mismatch put it straight back (rename
+        // replaces atomically). Residual: a writer that createFile'd
+        // in the microseconds between the two renames is clobbered by
+        // the restore — that needs a second break-and-reacquire inside
+        // this window, vs. the unchecked version where ONE
+        // break-and-reacquire anywhere in the wait loop discarded a
+        // live lock.
+        val movedTag = try Files.readString(tomb).trim catch { case _: Exception => "" }
+        if (movedTag == txt) { Files.deleteIfExists(tomb): Unit }
+        else Files.move(tomb, lock,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+    } catch { case _: Exception => () } // lost a race with release/another breaker — retry loop continues
+  }
+}
+
+/** Single-process provider: JVM-local semaphores keyed by resource.
+  * For embedded/test use (and the proof that [[Catalog]] really
+  * resolves every lock through the trait) — it provides NO
+  * cross-process exclusion and no stale-owner breaking (an in-process
+  * owner cannot die without the JVM dying). */
+final class InMemoryLockProvider extends LockProvider {
+  private val sems =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.Semaphore]()
+
+  /** Acquisitions counted so a spec can prove the seam is exercised. */
+  val acquireCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  override def acquire(resource: String, timeoutMs: Long): LockProvider.Handle = {
+    val sem = sems.computeIfAbsent(resource,
+      _ => new java.util.concurrent.Semaphore(1, true))
+    if (!sem.tryAcquire(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+      throw new IllegalStateException(
+        s"write lock on $resource held past ${timeoutMs}ms")
+    acquireCount.incrementAndGet(): Unit
+    // idempotent release: a double-release must not grant a phantom
+    // permit to the next waiter
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    () => { if (released.compareAndSet(false, true)) sem.release() }
+  }
+}

@@ -51,7 +51,12 @@ object RangeJoin {
       "inputs may not carry the reserved __bucket column")
     val lo = floor(col(startCol) / bucketWidth).cast("long")
     val hi = floor(col(endCol) / bucketWidth).cast("long")
-    val guarded = when(hi - lo >= maxBucketsPerInterval,
+    // span computed in decimal(38,0): a long `hi - lo` overflows
+    // negative for extreme garbage bounds (span > Long.MaxValue, e.g.
+    // bucketWidth=1 with near-Long.Min/Max endpoints) and would sail
+    // past this guard into Spark's opaque sequence-length error
+    val span = hi.cast("decimal(38,0)") - lo.cast("decimal(38,0)")
+    val guarded = when(span >= maxBucketsPerInterval,
       raise_error(concat(
         lit(s"intervalJoin: interval spans > $maxBucketsPerInterval buckets " +
           s"(bucketWidth=$bucketWidth) at ${startCol}="), col(startCol).cast("string"),

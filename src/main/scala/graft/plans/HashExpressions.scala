@@ -46,6 +46,10 @@ private[plans] object KernelChecks {
     case StringType => TypeCheckSuccess
     case other => TypeCheckFailure(s"$fn expects string, got ${other.sql}")
   }
+  def binary(dt: DataType, fn: String): TypeCheckResult = dt match {
+    case BinaryType => TypeCheckSuccess
+    case other => TypeCheckFailure(s"$fn expects binary, got ${other.sql}")
+  }
   def both(a: TypeCheckResult, b: => TypeCheckResult): TypeCheckResult =
     if (a == TypeCheckSuccess) b else a
 }

@@ -50,8 +50,15 @@ object Pq {
               maxTrain: Int = 50000): PqIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val head = embs.select(size(col(vecCol))).head(1)
-    require(head.nonEmpty, "buildPq: empty corpus — nothing to train on")
+    // probe dims from a NON-NULL vector: an arbitrary first row with a
+    // NULL vector would fail here with an opaque NPE. Contract: rows
+    // whose vector is NULL encode to NULL codes (nullSafeEval) and are
+    // skipped by the ADC scan — unlike ragged vectors, which fail
+    // loudly at encode time.
+    val head = embs.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head(1)
+    require(head.nonEmpty,
+      s"buildPq: no non-null $vecCol vectors — nothing to train on")
     val d = head(0).getInt(0)
     require(d % m == 0, s"vector dims $d not divisible by m=$m subspaces")
     val dsub = d / m

@@ -77,6 +77,49 @@ class CodegenSpec extends AnyFunSuite {
     assert(gen.nonEmpty)
   }
 
+  private def bitmapBytes(ids: Long*): Array[Byte] = {
+    val c = new graft.index.Bitmap.Chunks()
+    ids.foreach(graft.index.Bitmap.set(c, _))
+    graft.index.Bitmap.serialize(c)
+  }
+
+  private def bitmapResults(mode: String): Seq[Row] = {
+    import graft.plans.BitmapExpressions
+    val prev = (spark.conf.getOption("spark.sql.codegen.factoryMode"),
+      spark.conf.getOption("spark.sql.codegen.fallback"))
+    spark.conf.set("spark.sql.codegen.factoryMode", mode)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // spans chunk boundaries (65536 ids/chunk) and the sparse/dense
+      // split; row 2 exercises disjoint chunk sets (AND → empty)
+      Seq((1L, bitmapBytes(1L, 2L, 100000L), bitmapBytes(2L, 3L, 70000L)),
+          (2L, bitmapBytes(0L), bitmapBytes(1L << 30)))
+        .toDF("id", "ba", "bb")
+        .select($"id",
+          BitmapExpressions.cardinality($"ba").as("ca"),
+          BitmapExpressions.cardinality($"bb").as("cb"),
+          array_sort(BitmapExpressions.ids(
+            BitmapExpressions.and($"ba", $"bb"))).as("andIds"),
+          array_sort(BitmapExpressions.ids(
+            BitmapExpressions.or($"ba", $"bb"))).as("orIds"))
+        .orderBy($"id").collect().toSeq
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", prev._1.getOrElse("FALLBACK"))
+      spark.conf.set("spark.sql.codegen.fallback", prev._2.getOrElse("true"))
+    }
+  }
+
+  test("bitmap expressions compile under CODEGEN_ONLY, match interpreted results and ground truth") {
+    val gen = bitmapResults("CODEGEN_ONLY")
+    val interp = bitmapResults("NO_CODEGEN")
+    assert(gen == interp)
+    // hand-computed ground truth, not just mode agreement
+    assert(gen.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3), r.getSeq[Long](4))) == Seq(
+      (1L, 3L, 3L, Seq(2L), Seq(1L, 2L, 3L, 70000L, 100000L)),
+      (2L, 1L, 1L, Seq.empty[Long], Seq(0L, 1L << 30))))
+  }
+
   test("a full signature pipeline plans inside WholeStageCodegen") {
     // parquet-backed scan (a local Seq folds to LocalTableScan): the
     // scan → project(shingles → minhash) chain must be one codegen span

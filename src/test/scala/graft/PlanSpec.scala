@@ -30,6 +30,17 @@ class PlanSpec extends AnyFunSuite {
       "q1 reads join keys it never uses")
   }
 
+  test("txt_pipeline evaluates the quality score once per row") {
+    val df = SparkEntry.queries("txt_pipeline")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // "/ 120.0" is the length term unique to qualityScore; the
+    // nondeterministic sentinel in the projection must keep Catalyst
+    // from re-inlining the regex-heavy score into a pushed-down filter
+    // (which would evaluate it twice per surviving row)
+    val n = "/ 120.0".r.findAllIn(plan).size
+    assert(n == 1, s"qualityScore appears $n times in the plan:\n$plan")
+  }
+
   test("txt_novelty scans only doc_id and text") {
     val df = SparkEntry.queries("txt_novelty")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
