@@ -40,21 +40,29 @@ object Bench {
     // mins; medians ride alongside so a real regression (min and median
     // both move) is distinguishable from a stalled host (median moves,
     // min does not).
+    // A rep that throws still records its elapsed time (often tiny),
+    // so failures are counted and surfaced explicitly — otherwise an
+    // erroring query would read as a FAST one and a regression to
+    // "crashes instantly" would improve the headline total.
     val results = SparkEntry.queries.map { case (name, fn) =>
+      var fails = 0
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count(): Unit } catch { case _: Throwable => fails += 1 }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> (times.head, times(times.length / 2))
+      name -> ((times.head, times(times.length / 2), fails))
     }
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def qmap(sel: ((Double, Double)) => Double): String =
+    def qmap(sel: ((Double, Double, Int)) => Double): String =
       results.map { case (k, v) => "\"" + k + "\":" + fmt(sel(v)) }
         .mkString("{", ",", "}")
     val totalMin = results.values.map(_._1).sum
     val totalMed = results.values.map(_._2).sum
+    val errs = results.toSeq.filter(_._2._3 > 0).sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v._3 }
+      .mkString("{", ",", "}")
     val worst = results.toSeq.sortBy(-_._2._1).take(5)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v._1) }
       .mkString("{", ",", "}")
@@ -65,8 +73,8 @@ object Bench {
     // total first, worst-5 only — guaranteed to fit the capture
     // window; the full per-query min/median maps live only in the
     // file artifact.
-    val summary = s"""{"metric":"total","value":${fmt(totalMin)},"unit":"sec","n":${results.size},"total_median":${fmt(totalMed)},"queries":$worst,"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${fmt(totalMin)},"unit":"sec","n":${results.size},"total_median":${fmt(totalMed)},"queries":${qmap(_._1)},"queries_median":${qmap(_._2)},"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":${fmt(totalMin)},"unit":"sec","n":${results.size},"total_median":${fmt(totalMed)},"errors":$errs,"queries":$worst,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(totalMin)},"unit":"sec","n":${results.size},"total_median":${fmt(totalMed)},"errors":$errs,"queries":${qmap(_._1)},"queries_median":${qmap(_._2)},"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes("UTF-8"))
