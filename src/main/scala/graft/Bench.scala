@@ -40,17 +40,21 @@ object Bench {
     // mins; medians ride alongside so a real regression (min and median
     // both move) is distinguishable from a stalled host (median moves,
     // min does not).
-    // A rep that throws still records its elapsed time (often tiny),
-    // so failures are counted and surfaced explicitly — otherwise an
-    // erroring query would read as a FAST one and a regression to
-    // "crashes instantly" would improve the headline total.
+    // min/median are computed over SUCCESSFUL reps only: a rep that
+    // throws is typically fast, and folding its elapsed time into the
+    // min would let a query regressing to "crashes instantly" IMPROVE
+    // the headline total. Failed-rep times are used only when every
+    // rep failed (the errors map flags the query either way).
     val results = SparkEntry.queries.map { case (name, fn) =>
       var fails = 0
-      val times = (1 to reps).map { _ =>
+      val reptimes = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(): Unit } catch { case _: Throwable => fails += 1 }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => fails += 1; false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val good = reptimes.filter(_._2).map(_._1)
+      val times = (if (good.nonEmpty) good else reptimes.map(_._1)).sorted
       name -> ((times.head, times(times.length / 2), fails))
     }
     def fmt(v: Double): String =
@@ -60,7 +64,14 @@ object Bench {
         .mkString("{", ",", "}")
     val totalMin = results.values.map(_._1).sum
     val totalMed = results.values.map(_._2).sum
-    val errs = results.toSeq.filter(_._2._3 > 0).sortBy(_._1)
+    val failing = results.toSeq.filter(_._2._3 > 0).sortBy(_._1)
+    val errs = failing
+      .map { case (k, v) => "\"" + k + "\":" + v._3 }
+      .mkString("{", ",", "}")
+    // the stdout summary must stay under the driver's bounded tail
+    // capture even in a mass-failure run — first 5 names + the count,
+    // full map in the file artifact only
+    val errsShort = failing.take(5)
       .map { case (k, v) => "\"" + k + "\":" + v._3 }
       .mkString("{", ",", "}")
     val worst = results.toSeq.sortBy(-_._2._1).take(5)
@@ -73,7 +84,7 @@ object Bench {
     // total first, worst-5 only — guaranteed to fit the capture
     // window; the full per-query min/median maps live only in the
     // file artifact.
-    val summary = s"""{"metric":"total","value":${fmt(totalMin)},"unit":"sec","n":${results.size},"total_median":${fmt(totalMed)},"errors":$errs,"queries":$worst,"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":${fmt(totalMin)},"unit":"sec","n":${results.size},"total_median":${fmt(totalMed)},"errors_n":${failing.size},"errors":$errsShort,"queries":$worst,"sf":"$sfDir"}"""
     val full = s"""{"metric":"total","value":${fmt(totalMin)},"unit":"sec","n":${results.size},"total_median":${fmt(totalMed)},"errors":$errs,"queries":${qmap(_._1)},"queries_median":${qmap(_._2)},"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

@@ -108,27 +108,76 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     else base
   }
 
-  /** `next` versions journaled for `name` by committed transactions.
-    * Unparseable journals are skipped here (recovery quarantines them);
-    * a transiently unreadable file is skipped for THIS resolution and
-    * retried on the next — same stance as [[recoverTransactions]]. */
-  private def committedJournalVersions(name: String): Set[Int] = {
-    val wh = Paths.get(warehouse)
-    if (!Files.exists(wh)) return Set.empty
-    val journals = withList(wh) { it =>
+  /** Journals live in a dedicated subdirectory so the hot-path
+    * overlay probe is O(1): [[dataVersionOf]] runs on every lock-free
+    * version resolution, and listing the whole warehouse root (one
+    * entry per table) there would make a point read pay O(tables)
+    * dirents. This directory is absent or empty except in the
+    * instants a commit is in flight or a committer crashed. Journals
+    * written at the warehouse ROOT by pre-subdir builds are still
+    * healed and recovered (those paths sweep both locations) — only
+    * the read overlay skips them, degrading a legacy pending journal
+    * to pre-overlay visibility until recovery runs. */
+  private def txnDir: Path = Paths.get(warehouse, "_graft_txn")
+
+  /** `next` versions journaled for `name` by committed transactions. */
+  private def committedJournalVersions(name: String): Set[Int] =
+    pendingJournals(txnDir).flatMap {
+      case (_, Some(entries)) =>
+        entries.collect { case (t, v) if t == name => v }
+      case _ => Nil // corrupt: recoverTransactions quarantines
+    }.toSet
+
+  /** Pending transaction journals under `dir`, as
+    * (path, parsed-publishes or None-if-corrupt).
+    *
+    * Shared by the read overlay, the in-lock heal, and full recovery —
+    * ONE error policy for all three:
+    *   - absent dir → no journals;
+    *   - NoSuchFileException on read → the journal drained between
+    *     the listing and the read, so its bumps are already applied —
+    *     treated as absent (the delete-after-bump commit order makes
+    *     this safe);
+    *   - any OTHER IOException (EACCES/EMFILE/EIO) is retried briefly
+    *     and then THROWN: a caller that proceeded as if no journal
+    *     existed would overwrite a committed transaction's staged
+    *     snapshot (writers) or un-see a committed transaction
+    *     (readers) — failing the operation is the only safe answer;
+    *   - content read successfully but unparseable → entries None
+    *     (genuinely corrupt); recoverTransactions quarantines those,
+    *     every other caller skips them. */
+  private def pendingJournals(dir: Path): Seq[(Path, Option[Seq[(String, Int)]])] = {
+    if (!Files.exists(dir)) return Nil
+    val journals = withList(dir) { it =>
+      // .json suffix required: quarantined corrupt journals are renamed
+      // to .json.corrupt and must not be re-listed forever
       it.filter { p =>
         val n = p.getFileName.toString
         n.startsWith("_graft_txn_") && n.endsWith(".json")
       }.toList
     }
-    journals.iterator.flatMap { j =>
-      val node = try mapper.readTree(Files.readString(j))
-        catch { case _: Exception => null }
-      if (node == null) Iterator.empty[Int]
-      else node.path("publishes").elements().asScala.collect {
-        case e if e.path("table").asText() == name => e.path("next").asInt()
+    journals.flatMap { j =>
+      def read(attempt: Int): Option[String] =
+        try Some(Files.readString(j))
+        catch {
+          case _: java.nio.file.NoSuchFileException => None
+          case e: java.io.IOException =>
+            if (attempt >= 3)
+              throw new IllegalStateException(
+                s"transaction journal $j unreadable after ${attempt + 1} " +
+                "attempts — refusing to proceed as if the committed " +
+                "transaction did not exist", e)
+            Thread.sleep(10L << attempt)
+            read(attempt + 1)
+        }
+      read(0).map { text =>
+        val node = try mapper.readTree(text) catch { case _: Exception => null }
+        if (node == null) (j, None)
+        else (j, Some(node.path("publishes").elements().asScala.map { e =>
+          (e.path("table").asText(), e.path("next").asInt())
+        }.toList))
       }
-    }.toSet
+    }
   }
 
   /** Reference: column names may not be `id` (reserved for the
@@ -148,6 +197,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     require(primaryKey.nonEmpty, "no primary key") // PrimaryKeyMissedException
     require(layout == "sorted" || layout == "zorder",
       s"unknown layout '$layout' — use 'sorted' or 'zorder'")
+    // the transaction-journal directory shares the warehouse root with
+    // table dirs — a table of that name would collide with it
+    require(name != "_graft_txn", "table name '_graft_txn' is reserved")
     // validate BEFORE any metadata lands: a bad key column must not be
     // discovered by the v0 snapshot write below, which would leave a
     // meta file without data — tableExists forever true, every read
@@ -1207,8 +1259,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     }
     node.set[JsonNode]("publishes", arr): Unit
     // temp + atomic rename: a journal is either fully present or absent
-    val tmp = Paths.get(warehouse, s".txn_$id.tmp")
-    val fin = Paths.get(warehouse, s"_graft_txn_$id.json")
+    Files.createDirectories(txnDir)
+    val tmp = txnDir.resolve(s".txn_$id.tmp")
+    val fin = txnDir.resolve(s"_graft_txn_$id.json")
     Files.writeString(tmp, mapper.writeValueAsString(node))
     Files.move(tmp, fin, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     fin
@@ -1224,30 +1277,19 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * staged snapshot. Journals are left in place (other tables' bumps
     * may still be pending); the next full recovery CAS-skips the bump
     * done here and deletes them. */
-  private def healPendingForLocked(name: String): Unit = {
-    val wh = Paths.get(warehouse)
-    if (!Files.exists(wh)) return
-    val journals = withList(wh) { it =>
-      it.filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("_graft_txn_") && n.endsWith(".json")
-      }.toList
-    }
-    journals.foreach { j =>
-      val node = try mapper.readTree(Files.readString(j))
-        catch { case _: Exception => null } // full recovery quarantines
-      if (node != null) node.path("publishes").elements().asScala.foreach { e =>
-        if (e.path("table").asText() == name) {
-          val next = e.path("next").asInt()
-          // RAW meta version: dataVersionOf overlays this very journal,
-          // which would make the bump look already applied
-          if (metaVersionOf(name) == next - 1 &&
-              Files.exists(tableDir(name).resolve(s"data_v$next")))
-            publishVersion(name, next)
-        }
+  private def healPendingForLocked(name: String): Unit =
+    // both locations: a legacy pending journal at the warehouse root
+    // also owns data_v(next) and must not be overwritten
+    (pendingJournals(txnDir) ++ pendingJournals(Paths.get(warehouse))).foreach {
+      case (_, Some(entries)) => entries.foreach { case (t, next) =>
+        // RAW meta version: dataVersionOf overlays this very journal,
+        // which would make the bump look already applied
+        if (t == name && metaVersionOf(name) == next - 1 &&
+            Files.exists(tableDir(name).resolve(s"data_v$next")))
+          publishVersion(name, next)
       }
+      case _ => () // corrupt: full recovery quarantines
     }
-  }
 
   /** Roll forward any transaction that crashed between its intent
     * journal and its last pointer bump. Idempotent and concurrent-safe:
@@ -1260,61 +1302,46 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
   def recoverTransactions(): Unit = {
     val wh = Paths.get(warehouse)
     if (!Files.exists(wh)) return
-    val journals = withList(wh) { it =>
-      // .json suffix required: quarantined corrupt journals are renamed
-      // to .json.corrupt and must not be re-listed forever
-      it.filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("_graft_txn_") && n.endsWith(".json")
-      }.toList
-    }
-    journals.foreach { j =>
-      // read and parse failures are NOT the same case: a transient read
-      // error (owner deleted it mid-list, EMFILE/EACCES/EIO in a
-      // long-lived driver) must leave a VALID journal in place for the
-      // next recovery run — quarantining it would permanently disable
-      // roll-forward of a committed transaction. Only bytes that were
-      // read successfully but do not parse are genuinely corrupt.
-      val text = try Some(Files.readString(j))
-        catch { case _: java.io.IOException => None } // retry next run
-      text.foreach { t =>
-        val node = try mapper.readTree(t) catch { case _: Exception => null }
-        if (node == null) {
-          // corrupt content: quarantine so every future transaction and
-          // vacuum doesn't re-read and re-parse it forever (the .corrupt
-          // suffix drops it from the listing above)
-          try Files.move(j, j.resolveSibling(j.getFileName.toString + ".corrupt"),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-          catch { case _: java.io.IOException => () }
-        } else {
-          node.path("publishes").elements().asScala.foreach { e =>
-            val t = e.path("table").asText()
-            val next = e.path("next").asInt()
-            if (tableExists(t)) withWriteLock(t) {
-              // RAW meta version (see healPendingForLocked): the
-              // overlay would hide that this bump is still pending
-              if (metaVersionOf(t) == next - 1 &&
-                  Files.exists(tableDir(t).resolve(s"data_v$next")))
-                publishVersion(t, next)
-            }
+    // both locations: the journal subdir plus the warehouse root for
+    // journals written by pre-subdir builds. Error policy (incl. the
+    // transient-IOException retry-then-throw stance) lives in
+    // pendingJournals — a journal this recovery cannot read must fail
+    // the caller, not be treated as drained.
+    (pendingJournals(txnDir) ++ pendingJournals(wh)).foreach {
+      case (j, None) =>
+        // corrupt content: quarantine so every future transaction and
+        // vacuum doesn't re-read and re-parse it forever (the .corrupt
+        // suffix drops it from the listing)
+        try Files.move(j, j.resolveSibling(j.getFileName.toString + ".corrupt"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        catch { case _: java.io.IOException => () }
+      case (j, Some(entries)) =>
+        entries.foreach { case (t, next) =>
+          if (tableExists(t)) withWriteLock(t) {
+            // RAW meta version (see healPendingForLocked): the
+            // overlay would hide that this bump is still pending
+            if (metaVersionOf(t) == next - 1 &&
+                Files.exists(tableDir(t).resolve(s"data_v$next")))
+              publishVersion(t, next)
           }
-          Files.deleteIfExists(j): Unit
         }
-      }
+        Files.deleteIfExists(j): Unit
     }
     // age out journal residue nothing will ever read again: .tmp files
     // orphaned by a crash between writeString and the atomic move, and
     // quarantined .corrupt journals (kept a week as operator evidence)
     val now = System.currentTimeMillis()
-    withList(wh) { it =>
-      it.filter { p =>
-        val n = p.getFileName.toString
-        val age = now - (try Files.getLastModifiedTime(p).toMillis
-          catch { case _: java.io.IOException => now })
-        (n.startsWith(".txn_") && n.endsWith(".tmp") && age > 3600000L) ||
-          (n.startsWith("_graft_txn_") && n.endsWith(".corrupt") &&
-            age > 7L * 24 * 3600000L)
-      }.toList
+    Seq(txnDir, wh).filter(Files.exists(_)).flatMap { d =>
+      withList(d) { it =>
+        it.filter { p =>
+          val n = p.getFileName.toString
+          val age = now - (try Files.getLastModifiedTime(p).toMillis
+            catch { case _: java.io.IOException => now })
+          (n.startsWith(".txn_") && n.endsWith(".tmp") && age > 3600000L) ||
+            (n.startsWith("_graft_txn_") && n.endsWith(".corrupt") &&
+              age > 7L * 24 * 3600000L)
+        }.toList
+      }
     }.foreach(p => Files.deleteIfExists(p): Unit)
   }
 
@@ -1609,30 +1636,36 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * index with a pre-image table. */
   private def resolveIndexVersioned(dir: Path, prefix: String,
                                     maxVersion: Int): Path = {
-    def once(): Path = {
-      val versions = if (!Files.exists(dir)) Nil
-        else withList(dir) { it =>
-          it.map(_.getFileName.toString)
-            .filter(_.startsWith(s"${prefix}_v"))
-            .flatMap(n => scala.util.Try(n.stripPrefix(s"${prefix}_v").toInt).toOption)
-            .filter(_ <= maxVersion)
-            .toList
-        }
-      if (versions.isEmpty) dir.resolve(prefix)
-      else dir.resolve(s"${prefix}_v${versions.max}")
+    // second element: evidence a rebuild could be racing this
+    // resolution — a versioned candidate was listed (and may vanish
+    // mid-swap) or a .staging_ dir is in flight. Without it a miss is
+    // a genuine absence (artifact never built) and must return
+    // immediately, not burn three sleeps on every legitimate miss.
+    def once(): (Path, Boolean) = {
+      if (!Files.exists(dir)) return (dir.resolve(prefix), false)
+      val (versions, staging) = withList(dir) { it =>
+        val names = it.map(_.getFileName.toString).toList
+        (names.filter(_.startsWith(s"${prefix}_v"))
+           .flatMap(n => scala.util.Try(n.stripPrefix(s"${prefix}_v").toInt).toOption)
+           .filter(_ <= maxVersion),
+         names.exists(_.startsWith(".staging_")))
+      }
+      val p = if (versions.isEmpty) dir.resolve(prefix)
+        else dir.resolve(s"${prefix}_v${versions.max}")
+      (p, versions.nonEmpty || staging)
     }
-    var resolved = once()
     // A same-version index rebuild swaps the destination with two
     // renames (move-aside, move-in): a lock-free reader listing in
     // that instant sees neither dir and would fall back to an older
     // base that may not exist at all. The window is two metadata ops
-    // wide — re-resolve briefly before surfacing the miss; if the dir
-    // is genuinely absent (never built) the retry exhausts and the
-    // caller fails exactly as before.
+    // wide — re-resolve briefly before surfacing the miss.
+    var (resolved, rebuildRacing) = once()
     var attempts = 0
-    while (!Files.exists(resolved) && Files.exists(dir) && attempts < 3) {
+    while (!Files.exists(resolved) && rebuildRacing && attempts < 3) {
       Thread.sleep(5L << attempts)
-      resolved = once()
+      val r = once()
+      resolved = r._1
+      rebuildRacing = r._2
       attempts += 1
     }
     resolved

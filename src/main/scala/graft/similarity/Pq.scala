@@ -64,7 +64,11 @@ object Pq {
     val dsub = d / m
     val n = embs.count()
     val fraction = if (n == 0) 1.0 else math.min(1.0, maxTrain * 1.2 / n.toDouble)
-    val train = embs.select(col(vecCol).cast("array<double>").as("v"))
+    // NULL vectors are excluded from training too — a sampled NULL row
+    // would feed null features into KMeans.fit and crash the build
+    // with the same opaque NPE the dim probe above guards against
+    val train = embs.filter(col(vecCol).isNotNull)
+      .select(col(vecCol).cast("array<double>").as("v"))
       .sample(withReplacement = false, fraction, seed = 42L)
       .limit(maxTrain).cache()
     val nTrain = train.count()

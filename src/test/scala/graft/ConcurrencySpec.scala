@@ -173,7 +173,8 @@ class ConcurrencySpec extends AnyFunSuite {
     val metaB = Paths.get(cat.warehouse, "b", "_graft_meta.json")
     Files.writeString(metaB, Files.readString(metaB)
       .replace(s""""dataVersion":$va""", s""""dataVersion":${va - 1}"""))
-    val journal = Paths.get(cat.warehouse, "_graft_txn_testvis.json")
+    val journal = Paths.get(cat.warehouse, "_graft_txn", "_graft_txn_testvis.json")
+    Files.createDirectories(journal.getParent)
     Files.writeString(journal,
       s"""{"publishes":[{"table":"a","next":$va},{"table":"b","next":$va}]}""")
     // a lock-free reader resolves BOTH tables at the post-image — the
