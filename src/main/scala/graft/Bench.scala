@@ -65,15 +65,14 @@ object Bench {
     val totalMin = results.values.map(_._1).sum
     val totalMed = results.values.map(_._2).sum
     val failing = results.toSeq.filter(_._2._3 > 0).sortBy(_._1)
-    val errs = failing
-      .map { case (k, v) => "\"" + k + "\":" + v._3 }
-      .mkString("{", ",", "}")
+    def errJson(xs: Seq[(String, (Double, Double, Int))]): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + v._3 }
+        .mkString("{", ",", "}")
+    val errs = errJson(failing)
     // the stdout summary must stay under the driver's bounded tail
     // capture even in a mass-failure run — first 5 names + the count,
     // full map in the file artifact only
-    val errsShort = failing.take(5)
-      .map { case (k, v) => "\"" + k + "\":" + v._3 }
-      .mkString("{", ",", "}")
+    val errsShort = errJson(failing.take(5))
     val worst = results.toSeq.sortBy(-_._2._1).take(5)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v._1) }
       .mkString("{", ",", "}")

@@ -122,11 +122,27 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
 
   /** `next` versions journaled for `name` by committed transactions. */
   private def committedJournalVersions(name: String): Set[Int] =
-    pendingJournals(txnDir).flatMap {
+    (pendingJournals(txnDir) ++ legacyRootJournals()).flatMap {
       case (_, Some(entries)) =>
         entries.collect { case (t, v) if t == name => v }
       case _ => Nil // corrupt: recoverTransactions quarantines
     }.toSet
+
+  /** Pre-subdir builds wrote journals at the warehouse ROOT. The root
+    * is scanned on the FIRST overlay resolution per Catalog instance
+    * and stays in the scan set only while legacy journals remain — a
+    * crashed pre-upgrade multi-table commit keeps atomic visibility
+    * through the overlay without every resolution paying an O(tables)
+    * root listing. Once observed clean it stays clean: new journals
+    * are only ever written under [[txnDir]]. */
+  @volatile private var legacyRootMayHaveJournals = true
+  private def legacyRootJournals(): Seq[(Path, Option[Seq[(String, Int)]])] =
+    if (!legacyRootMayHaveJournals) Nil
+    else {
+      val js = pendingJournals(Paths.get(warehouse))
+      if (js.isEmpty) legacyRootMayHaveJournals = false
+      js
+    }
 
   /** Pending transaction journals under `dir`, as
     * (path, parsed-publishes or None-if-corrupt).

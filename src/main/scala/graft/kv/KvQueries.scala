@@ -233,10 +233,13 @@ object KvQueries {
     * self-contained under Verify. */
   private def zorderedLineitem(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // the warehouse path must be per-sf-dir like the cache key: a
-    // shared path would let a second sf-dir's build replace the
-    // first's data while the first's cache entry still points at it
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    // the warehouse path must be unique per sf-dir like the cache key:
+    // a shared path would let a second sf-dir's build replace the
+    // first's data while the first's cache entry still points at it.
+    // The path hash keeps distinct dirs distinct where a lossy
+    // character sanitization alone could alias them.
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + java.lang.Integer.toHexString(d.hashCode)
     val wh = graft.QueryCaches.obj(s"zorder_wh:$d") {
       val cat = new Catalog(s, Files.tempWarehouse(s"zorder_$tag"))
       if (cat.tableExists("zli")) cat.dropTable("zli")

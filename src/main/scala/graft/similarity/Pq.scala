@@ -50,24 +50,26 @@ object Pq {
               maxTrain: Int = 50000): PqIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    // probe dims from a NON-NULL vector: an arbitrary first row with a
-    // NULL vector would fail here with an opaque NPE. Contract: rows
-    // whose vector is NULL encode to NULL codes (nullSafeEval) and are
-    // skipped by the ADC scan — unlike ragged vectors, which fail
-    // loudly at encode time.
-    val head = embs.filter(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).head(1)
+    // ONE NULL-filtered frame feeds the dim probe, the sample-fraction
+    // count and the training sample. Contract: rows whose vector is
+    // NULL encode to NULL codes (nullSafeEval) and are skipped by the
+    // ADC scan — unlike ragged vectors, which fail loudly at encode
+    // time; an arbitrary unfiltered first row would fail the probe
+    // with an opaque NPE, and a sampled NULL row would crash
+    // KMeans.fit the same way.
+    val nonNull = embs.filter(col(vecCol).isNotNull)
+    val head = nonNull.select(size(col(vecCol))).head(1)
     require(head.nonEmpty,
       s"buildPq: no non-null $vecCol vectors — nothing to train on")
     val d = head(0).getInt(0)
     require(d % m == 0, s"vector dims $d not divisible by m=$m subspaces")
     val dsub = d / m
-    val n = embs.count()
+    // fraction over the NON-NULL count — sizing it over the total row
+    // count would silently shrink the training sample in proportion to
+    // the NULL share of the corpus
+    val n = nonNull.count()
     val fraction = if (n == 0) 1.0 else math.min(1.0, maxTrain * 1.2 / n.toDouble)
-    // NULL vectors are excluded from training too — a sampled NULL row
-    // would feed null features into KMeans.fit and crash the build
-    // with the same opaque NPE the dim probe above guards against
-    val train = embs.filter(col(vecCol).isNotNull)
+    val train = nonNull
       .select(col(vecCol).cast("array<double>").as("v"))
       .sample(withReplacement = false, fraction, seed = 42L)
       .limit(maxTrain).cache()
