@@ -54,8 +54,21 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
   private def readMeta(name: String): ObjectNode =
     mapper.readTree(Files.readString(metaFile(name))).asInstanceOf[ObjectNode]
 
-  private def writeMeta(name: String, meta: ObjectNode): Unit =
-    Files.writeString(metaFile(name), mapper.writeValueAsString(meta))
+  /** Meta writes are stage-then-rename: `Files.writeString` in place
+    * truncates before it writes, and the meta file is read LOCK-FREE
+    * on every version resolution — a reader racing an in-place write
+    * sees an empty or partial JSON and crashes (observed: Jackson
+    * MissingNode on an empty read). The rename publishes the complete
+    * document atomically; a racing reader sees the old meta or the
+    * new, never bytes in between. */
+  private def writeMeta(name: String, meta: ObjectNode): Unit = {
+    val tmp = tableDir(name).resolve(
+      s".meta_tmp_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    Files.writeString(tmp, mapper.writeValueAsString(meta))
+    Files.move(tmp, metaFile(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
 
   /** Iterate a directory stream with a guaranteed close (long-lived
     * driver JVMs leak handles otherwise). */
@@ -655,7 +668,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     withList(tableDir(name)) { it =>
       it.filter { p =>
         val n = p.getFileName.toString
-        ((n.startsWith("data_v") && n != live) || n.startsWith(".staging_")) &&
+        ((n.startsWith("data_v") && n != live) || n.startsWith(".staging_") ||
+          n.startsWith(".meta_tmp_")) &&
           idle(p)
       }.toList
     }.foreach(deleteRecursively)

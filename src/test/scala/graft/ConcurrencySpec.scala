@@ -197,6 +197,53 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(reader.table("b").pointGet(1L).head().getAs[String]("v") == "pre")
   }
 
+  test("a live reader never observes the second table behind the first during commits") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val cat = freshCat("txnlive")
+    cat.createTable("a", kv, Seq("k"))
+    cat.createTable("b", kv, Seq("k"))
+    load(cat, "a", Seq(1L -> "x"))
+    load(cat, "b", Seq(1L -> "x"))
+    // Both tables advance in lockstep (every transaction writes both),
+    // and the commit publishes pointers in sorted order — a BEFORE b.
+    // If visibility were per-pointer, a reader sampling a-then-b could
+    // catch b one commit behind a; through the commit-record overlay
+    // that interleaving must be impossible, no crash simulation — this
+    // races a real reader against real commits.
+    val violation = new java.util.concurrent.atomic.AtomicReference[String](null)
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      // a reader CRASH is as much a violation as a mixed read: the
+      // first run of this test caught readMeta racing an in-place
+      // meta write (truncate-then-write) and dying on empty JSON
+      try {
+        val rcat = new Catalog(spark, cat.warehouse)
+        while (!stop && violation.get == null) {
+          val va = rcat.dataVersionOf("a")
+          val vb = rcat.dataVersionOf("b")
+          if (vb < va)
+            violation.set(s"read a@v$va then b@v$vb — b ${va - vb} commit(s) behind")
+        }
+      } catch {
+        case t: Throwable => violation.set(s"reader crashed: $t")
+      }
+    })
+    reader.start()
+    try {
+      (1 to 6).foreach { i =>
+        cat.transaction { txn =>
+          txn.updateWhere("a", col("k") === 1L, "v", lit(s"v$i"))
+          txn.updateWhere("b", col("k") === 1L, "v", lit(s"v$i"))
+        }
+      }
+    } finally {
+      stop = true
+      reader.join(30000)
+    }
+    assert(violation.get == null, String.valueOf(violation.get))
+    assert(cat.dataVersionOf("a") == cat.dataVersionOf("b"))
+  }
+
   test("row-level delete of every row publishes an empty snapshot through each path") {
     val wh = Files.createTempDirectory("graft_delall_wh").toString
     spark.conf.set("spark.sql.catalog.gdel",
