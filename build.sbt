@@ -15,6 +15,14 @@ run / fork := true
 // "[success] Total time" banner would trail it otherwise.
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// ...and sbt's forked-run logger decorates every child stdout line
+// with "[info] ", which is not JSON. StdoutOutput inherits the parent
+// process's stdout verbatim so the bare summary line survives. Set at
+// project level plus the run/runMain task scopes (the driver invokes
+// `sbt "runMain graft.Bench"`).
+outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

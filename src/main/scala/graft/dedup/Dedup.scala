@@ -42,18 +42,42 @@ object Dedup {
     * Inverted shingle index → pairs sharing ≥1 shingle → shared
     * counts → J = shared/(|A|+|B|−shared). The self-join shuffles on
     * the shingle key; frequent shingles are the skew risk, so
-    * shingles above `maxDf` docs are dropped (standard df-cut — an
-    * ubiquitous shingle carries no dedup signal anyway). */
+    * high-df shingles are dropped (standard df-cut — an ubiquitous
+    * shingle carries no dedup signal anyway).
+    *
+    * `maxDf` ≤ 0 (the default) makes the cut CORPUS-RELATIVE:
+    * max(100, ⌈2% of |docs|⌉). An absolute cut silently changes the
+    * operator's selectivity envelope as the corpus grows — at 100×
+    * the data, df=1000 flips from "boilerplate" to "2 in 100k docs",
+    * discarding genuine near-dup signal; a fraction keeps "appears in
+    * a fixed share of the corpus" meaning the same thing at every
+    * scale. Trade: a LOWER cut is cheaper (the df-capped self-join
+    * blowup is bounded by maxDf per shingle) but can miss pairs whose
+    * only shared shingles are common ones — those pairs have low
+    * Jaccard against any near-dup threshold, so the recall loss is
+    * confined to the uninteresting region. Pass `maxDf` > 0 to pin an
+    * absolute cut. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int, threshold: Double, maxDf: Long = 1000): DataFrame = {
+                   n: Int, threshold: Double, maxDf: Long = 0): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
     // posting key is the 64-bit hash of the shingle: same join/group
     // semantics (collisions ~ |shingles|^2/2^64 ~ 0), 2-3x less shuffle
     val posting = sh.select(col("doc_id"), explode(col("sh")).as("s0"))
       .select(col("doc_id"), xxhash64(col("s0")).as("s"))
-    val rare = posting.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf && col("df") >= 2)
+    val byDf = posting.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    val rare =
+      if (maxDf > 0) byDf.filter(col("df") <= maxDf)
+      else {
+        // the corpus count rides a broadcast 1-row frame so the cut
+        // stays inside the one declarative plan (no separate count()
+        // action, no driver round-trip)
+        val cut = docs.agg(
+          greatest(lit(100L), ceil(count(lit(1)) * 0.02).cast("long"))
+            .as("maxdf_eff"))
+        byDf.crossJoin(broadcast(cut)).filter(col("df") <= col("maxdf_eff"))
+      }
     val p = posting.join(rare.select("s"), Seq("s"))
     val shared = p.as("a").join(p.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

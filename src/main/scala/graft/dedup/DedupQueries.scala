@@ -298,7 +298,9 @@ object DedupQueries {
          |sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
          |posting AS (SELECT doc_id, unnest(s) AS sgl FROM sh),
          |rare AS (SELECT sgl FROM posting GROUP BY sgl
-         |         HAVING COUNT(*) <= 1000 AND COUNT(*) >= 2),
+         |         HAVING COUNT(*) >= 2 AND COUNT(*) <=
+         |           (SELECT greatest(100, CAST(ceil(COUNT(*) * 0.02) AS BIGINT))
+         |            FROM corpus)),
          |p AS (SELECT posting.doc_id, posting.sgl FROM posting JOIN rare USING (sgl)),
          |shared AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared

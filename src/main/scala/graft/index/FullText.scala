@@ -46,9 +46,15 @@ object FullText {
         explode(tokenize(col(textCol))).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
 
-  /** Dictionary: document frequency per term. */
+  /** Dictionary: document frequency per term, plus the STORED term
+    * length `tlen`. Storing the length (instead of computing it at
+    * query time) is what lets fuzzy search's length band reach the
+    * scan as a plain column-range predicate — pushed to parquet
+    * row-group stats when the dictionary is persisted, the analog of
+    * Lucene bounding fuzzy expansion with a term automaton. */
   def buildDictionary(postings: DataFrame): DataFrame =
     postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("tlen", length(col("term")))
 
   /** Positional postings: one row per (term, doc, position) — the
     * index shape phrase queries need (Lucene stores positions the
@@ -117,8 +123,21 @@ object FullText {
   def searchFuzzy(docs: DataFrame, idCol: String, postings: DataFrame,
                   dictionary: DataFrame, term: String,
                   maxEdits: Int = 1): DataFrame = {
+    val q = norm(term)
+    // Length-band prefilter: levenshtein(a,b) ≥ |len(a)−len(b)|, so
+    // restricting to tlen ∈ [|q|−maxEdits, |q|+maxEdits] is LOSSLESS —
+    // and, on a dictionary that stores tlen (buildDictionary), it is a
+    // plain column-range predicate the parquet scan prunes row groups
+    // with, instead of running the O(|q|·|t|) edit-distance DP against
+    // every vocabulary term. Dictionaries from older builds (or the
+    // CDC dict fold) without the column fall back to computing the
+    // length inline — same semantics, no pushdown.
+    val lenCol =
+      if (dictionary.columns.contains("tlen")) col("tlen")
+      else length(col("term"))
     val matched = dictionary
-      .filter(levenshtein(col("term"), lit(norm(term))) <= maxEdits)
+      .filter(lenCol.between(q.length - maxEdits, q.length + maxEdits))
+      .filter(levenshtein(col("term"), lit(q)) <= maxEdits)
       .select("term")
     val hits = postings.join(matched, "term").select("doc_id").distinct()
     semiJoinDocs(docs, idCol, hits)

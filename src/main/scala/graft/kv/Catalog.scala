@@ -153,8 +153,14 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     if (!legacyRootMayHaveJournals) Nil
     else {
       val js = pendingJournals(Paths.get(warehouse))
-      if (js.isEmpty) legacyRootMayHaveJournals = false
-      js
+      // A parse-corrupt legacy journal (entries None) contributes
+      // nothing to the overlay — committedJournalVersions skips it and
+      // only recoverTransactions (which scans the root itself, not via
+      // this flag) quarantines it. Keeping the flag up for corrupt-only
+      // residue would re-list the root and re-read/re-parse the corrupt
+      // file on EVERY lock-free version resolution until recovery runs.
+      if (js.forall(_._2.isEmpty)) { legacyRootMayHaveJournals = false; Nil }
+      else js
     }
 
   /** Pending transaction journals under `dir`, as
@@ -1220,8 +1226,19 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     var journal: Option[Path] = None
     try {
       ordered.foreach { case (t, _, _) => locks += acquireWriteLock(t) }
+      // In-lock heal BEFORE the CAS (like every other write path): a
+      // crashed committer's pending journal (next = base+1) must be
+      // rolled forward now, or this commit's own journal (next = base+2)
+      // would coexist with it — and the one-step read overlay in
+      // dataVersionOf can only bridge a single pending bump, so readers
+      // would resolve this table at the new txn's pre-image while its
+      // other tables already show the post-image. Healing here
+      // guarantees at most one pending journal per table ever exists.
+      ordered.foreach { case (t, _, _) => healPendingForLocked(t) }
       // conflict-check EVERY table before staging ANY write: a failed
-      // CAS must leave all tables untouched
+      // CAS must leave all tables untouched. Post-heal, dataVersionOf
+      // has no overlay left to apply for these tables, so the CAS runs
+      // against the converged on-disk version.
       ordered.foreach { case (t, _, pinned) =>
         checkExpected(t, dataVersionOf(t), Some(pinned))
       }

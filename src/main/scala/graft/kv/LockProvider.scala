@@ -54,14 +54,18 @@ final class FsLockProvider(dir: String => Path,
   override def acquire(resource: String, timeoutMs: Long): LockProvider.Handle = {
     val lock = dir(resource).resolve(lockFileName)
     val deadline = System.currentTimeMillis() + timeoutMs
+    // owner tag (pid + acquire time + nonce): lets a later waiter detect
+    // a lock whose owner JVM died before the finally could release it,
+    // and lets release() prove the file is still THIS acquisition's.
+    // breakIfStale only parses the leading pid; the nonce makes the tag
+    // unique even for same-pid same-millisecond re-acquisitions.
+    val tag = s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()} " +
+      java.util.UUID.randomUUID().toString.take(8)
     var acquired = false
     while (!acquired) {
       try {
         Files.createFile(lock)
-        // owner tag (pid + acquire time): lets a later waiter detect a
-        // lock whose owner JVM died before the finally could release it
-        Files.writeString(lock,
-          s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()}")
+        Files.writeString(lock, tag)
         acquired = true
       }
       catch { case _: java.nio.file.FileAlreadyExistsException =>
@@ -72,9 +76,26 @@ final class FsLockProvider(dir: String => Path,
         Thread.sleep(50)
       }
     }
-    // deleteIfExists: dropTable removes the whole table dir (lock file
-    // included) while holding the lock
-    () => { Files.deleteIfExists(lock): Unit }
+    // Tag-verified release: if a waiter stale-broke this lock (pid
+    // reuse, or a mid-acquire grace-window break) and another writer
+    // re-acquired, the file on disk now carries the NEW owner's tag —
+    // a blind delete-by-path would evict that live owner and let a
+    // third writer into the critical section. Only delete on tag
+    // match. NoSuchFile is fine (dropTable removes the whole table
+    // dir, lock included, while holding the lock); any other read
+    // failure falls back to the unconditional delete rather than
+    // wedging the resource behind our own still-alive pid.
+    () => {
+      val cur = try Some(Files.readString(lock).trim)
+        catch {
+          case _: java.nio.file.NoSuchFileException => Some("")
+          case _: Exception => None
+        }
+      cur match {
+        case Some(c) => if (c == tag) Files.deleteIfExists(lock): Unit
+        case None => Files.deleteIfExists(lock): Unit
+      }
+    }
   }
 
   /** Stale-lock recovery: a lock whose recorded owner process is no

@@ -210,4 +210,29 @@ class PlanSpec extends AnyFunSuite {
     assert(df == 2L)
     cat.dropTable("t3")
   }
+
+  test("fuzzy search pushes the length band to the dictionary scan") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val postings = QueryCaches.postings(spark, sf)
+    // persist the dictionary the way a real deployment serves it — the
+    // stored tlen column is what makes the band a parquet-prunable
+    // range predicate instead of a per-term levenshtein scan
+    val dictPath = java.nio.file.Files.createTempDirectory("graft_dict").toString
+    index.FullText.buildDictionary(postings).write
+      .mode("overwrite").parquet(dictPath)
+    val dict = spark.read.parquet(dictPath)
+    val res = index.FullText.searchFuzzy(docs, "doc_id", postings, dict,
+      "part", maxEdits = 2)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(tlen") &&
+      plan.contains("LessThanOrEqual(tlen"),
+      s"length band not pushed to the dictionary scan:\n$plan")
+    // and the band is lossless: same hits as the unbanded in-memory path
+    val baseline = index.FullText.searchFuzzy(docs, "doc_id", postings,
+      QueryCaches.dictionary(spark, sf).drop("tlen"), "part", maxEdits = 2)
+    assert(res.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+      .sameElements(baseline.select(col("doc_id")).collect().map(_.getLong(0)).sorted))
+  }
 }
