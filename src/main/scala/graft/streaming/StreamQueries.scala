@@ -11,7 +11,59 @@ import org.apache.spark.sql.functions._
   * StreamingSpec. */
 object StreamQueries {
 
+  /** Run a streaming frame to a memory sink and hand back the sink's
+    * rows as a BATCH frame the driver can write/compare. Unique sink
+    * name per run (bench repeats queries in one JVM); the memory table
+    * outlives `stop()`, so the returned frame stays valid. */
+  private def runToBatch(s: SparkSession, out: DataFrame,
+                         mode: String): DataFrame = {
+    val name = "graft_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_stream_agg" -> { (s, d) =>
+      import s.implicits._
+      // The genuinely-streaming form of st_window_agg: readStream file
+      // source (one file per micro-batch) → watermark → tumbling-window
+      // stateful aggregation → memory sink. Complete mode emits every
+      // window's final state once all input is consumed, which equals
+      // the batch aggregation regardless of how the files were split
+      // into batches — so the DuckDB batch oracle gates the REAL
+      // incremental engine (StateStore updates across batches), not a
+      // batch re-plan.
+      runToBatch(s, Streams.hourlyTypeAggStream(Tables.eventsStream(s, d)),
+          "complete")
+        .orderBy($"hour", $"event_type")
+    },
+
+    "st_stream_dedup" -> { (s, d) =>
+      import s.implicits._
+      // Streaming exact dedup through dropDuplicatesWithinWatermark:
+      // first occurrence per key is emitted, later duplicates are
+      // dropped against the state store across micro-batches. The
+      // watermark is set beyond the table's full time span so no dedup
+      // state expires mid-run and the emitted set is exactly DISTINCT
+      // keys — the SQL-expressible contract the oracle checks (a
+      // production ingest would use a bounded watermark and accept
+      // re-emission past it). The post-hoc groupBy counts emissions
+      // per key: any duplicate that leaks through shows up as n=2, a
+      // hash mismatch.
+      val key = concat($"event_type", lit("#"),
+        ($"user_id" % 100).cast("string"))
+      val deduped = Streams.dedupStream(Tables.eventsStream(s, d), "ts",
+        key, watermark = "3650 days")
+      runToBatch(s, deduped, "append")
+        .groupBy(concat($"event_type", lit("#"),
+          ($"user_id" % 100).cast("string")).as("k"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"k")
+    },
+
     "st_window_agg" -> { (s, d) =>
       import s.implicits._
       Streams.hourlyTypeAgg(Tables.events(s, d))
@@ -214,6 +266,19 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // the streaming plan's complete-mode output == the batch hourly agg
+    "st_stream_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+
+    // with an over-span watermark, streaming dedup == DISTINCT keys,
+    // each emitted exactly once
+    "st_stream_dedup" ->
+      """SELECT DISTINCT event_type || '#' || CAST(user_id % 100 AS VARCHAR) AS k,
+        |  CAST(1 AS BIGINT) AS n
+        |FROM events ORDER BY k""".stripMargin,
+
     "st_window_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value

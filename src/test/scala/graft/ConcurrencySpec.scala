@@ -244,6 +244,95 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(cat.dataVersionOf("a") == cat.dataVersionOf("b"))
   }
 
+  // ---- cross-process: a REAL second JVM against the same warehouse ----
+
+  /** Spawn ChildLockProc in a separate JVM (same classpath as this
+    * forked test JVM) and wait for its ACQUIRED handshake. */
+  private def spawnChild(args: String*): Process = {
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val cmd = (Seq(javaBin, "-cp", System.getProperty("java.class.path"),
+      "graft.ChildLockProc") ++ args)
+    val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val r = new java.io.BufferedReader(
+      new java.io.InputStreamReader(p.getInputStream))
+    val deadline = System.currentTimeMillis() + 60000
+    var line = r.readLine()
+    while (line != null && line != "ACQUIRED" &&
+        System.currentTimeMillis() < deadline) line = r.readLine()
+    assert(line == "ACQUIRED", s"child never acquired (last: $line)")
+    p
+  }
+
+  test("cross-process: a live holder excludes this JVM; its release unblocks us") {
+    val cat = freshCat("xproc_hold")
+    cat.createTable("t", kv, Seq("k"))
+    val provider = new graft.kv.FsLockProvider(
+      r => Paths.get(cat.warehouse, r))
+    val child = spawnChild("acquire-hold", cat.warehouse, "t")
+    try {
+      // the child's pid is ALIVE, so the lock must NOT be stale-broken:
+      // this JVM's acquire has to time out
+      intercept[IllegalStateException] { provider.acquire("t", 1500) }
+      // closing stdin tells the child to release cleanly
+      child.getOutputStream.close()
+      assert(child.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+      provider.acquire("t", 10000).release()
+    } finally { child.destroyForcibly(); () }
+  }
+
+  test("cross-process: a dead owner's lock is broken by pid-liveness, write proceeds") {
+    val cat = freshCat("xproc_die")
+    cat.createTable("t", kv, Seq("k"))
+    val child = spawnChild("acquire-die", cat.warehouse, "t")
+    assert(child.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+    // the lock file on disk carries a genuinely reaped pid from another
+    // process — the next writer must break it well under the timeout
+    val t0 = System.nanoTime()
+    load(cat, "t", Seq(1L -> "a"))
+    assert((System.nanoTime() - t0) / 1e9 < 60)
+    assert(cat.table("t").pointGet(1L).count() == 1)
+  }
+
+  test("cross-process: a committer that crashed mid-commit is healed by the next writer") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val cat = freshCat("xproc_crash")
+    cat.createTable("a", kv, Seq("k"))
+    cat.createTable("b", kv, Seq("k"))
+    load(cat, "a", Seq(1L -> "pre"))
+    load(cat, "b", Seq(1L -> "pre"))
+    // a real transaction produces the committed post-image snapshots
+    cat.transaction { txn =>
+      txn.updateWhere("a", col("k") === 1L, "v", lit("post"))
+      txn.updateWhere("b", col("k") === 1L, "v", lit("post"))
+    }
+    val v = cat.dataVersionOf("a")
+    assert(cat.dataVersionOf("b") == v)
+    // the child reconstructs the crash (journal present, a bumped, b
+    // rolled back) and dies HOLDING b's write lock — so recovery here
+    // needs pid-liveness stale-break AND the in-lock journal heal
+    val child = spawnChild("crash-commit", cat.warehouse, "b", "a", v.toString)
+    assert(child.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+    // lock-free reader in THIS process already sees both at post-image
+    val reader = new Catalog(spark, cat.warehouse)
+    assert(reader.dataVersionOf("b") == v)
+    assert(reader.table("b").pointGet(1L).head().getAs[String]("v") == "post")
+    // the next writer on b: breaks the dead child's lock, heals the
+    // journaled bump (b -> v) under the lock, then lands ON TOP of the
+    // committed post-image — never clobbering it
+    import spark.implicits._
+    cat.incrementalMerge("b", Seq(9L -> "merged").toDF("k", "v"))
+    assert(cat.dataVersionOf("b") == v + 1)
+    assert(cat.table("b").pointGet(1L).head().getAs[String]("v") == "post",
+      "the crashed transaction's committed write was lost")
+    assert(cat.table("b").pointGet(9L).count() == 1)
+    // full recovery drains the child's journal; nothing regresses
+    cat.recoverTransactions()
+    assert(!Files.exists(
+      Paths.get(cat.warehouse, "_graft_txn", "_graft_txn_childcrash.json")))
+    assert(cat.dataVersionOf("b") == v + 1)
+    assert(cat.dataVersionOf("a") == v)
+  }
+
   test("row-level delete of every row publishes an empty snapshot through each path") {
     val wh = Files.createTempDirectory("graft_delall_wh").toString
     spark.conf.set("spark.sql.catalog.gdel",
