@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated query-name filter for targeted
+    // re-checks (full runs omit it; the driver always does)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,7 +28,9 @@ object Verify {
     }
     new java.io.File(outDir).mkdirs()
     var crashed = List.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.contains(n)) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -44,12 +50,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Manifest of every declared query + any that crashed, so the gate
     // can detect a query that silently produced no result dir.
-    val manifest = s"""{"queries": [${SparkEntry.queries.keys.toSeq.sorted.map(q).mkString(",")}], """ +
+    val manifest = s"""{"queries": [${selected.keys.toSeq.sorted.map(q).mkString(",")}], """ +
       s""""crashed": [${crashed.sorted.map(q).mkString(",")}]}"""
     Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
     spark.stop()

@@ -246,18 +246,37 @@ object Dedup {
     clusters(pairs, maxIters).filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id"), col("cluster").as("keeper"))
 
-  /** Embedding-cosine near-dup pairs via hyperplane-LSH buckets:
-    * pairs sharing a bucket, kept if round(cos, 3) ≥ threshold.
-    * Bucket key shuffle (candidate set ≪ n²); exact cosine only on
-    * candidates. */
+  /** Embedding-cosine near-dup pairs via k-means cluster buckets (the
+    * SemDeDup shape): pairs sharing a coarse list, kept if
+    * round(cos, 3) ≥ threshold. List count grows with the corpus
+    * (lists stay ~targetListSize), so candidate enumeration is
+    * O(n·listSize) — the earlier sign-LSH bucketing was O(n²/buckets)
+    * on clustered embeddings because tight clusters share every sign
+    * bit (measured 46× runtime on 10× data; see Ann.clusterAssign).
+    * Exact copies always share a primary list; boundary pairs are
+    * caught through the 2-probe secondary assignment. Exact cosine
+    * runs only on candidates. */
   def embeddingDups(embs: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double = 0.95): DataFrame = {
-    val b = embs.select(col(idCol).as("vid"), col(vecCol).as("v"),
-      graft.plans.HashExpressions.lshBucket(col(vecCol)).as("bucket"))
-    b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
-      .withColumn("sim", round(VectorFunctions.cosine(col("a.v"), col("b.v")), 3))
+                    threshold: Double = 0.95,
+                    targetListSize: Int = 64): DataFrame = {
+    val assign = graft.similarity.Ann.clusterAssign(
+      embs, idCol, vecCol, targetListSize, nprobe = 2)
+    val primary = assign.filter(col("arank") === 1)
+    // probe side × primary side, normalized to (min,max) id order so a
+    // boundary pair is found regardless of WHICH side's secondary
+    // assignment bridges the lists; dropDuplicates collapses the
+    // both-primary double-hit
+    val aLess = col("a.vid") < col("b.vid")
+    assign.as("a").join(primary.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vid") =!= col("b.vid"))
+      .select(
+        when(aLess, col("a.vid")).otherwise(col("b.vid")).as("id_a"),
+        when(aLess, col("b.vid")).otherwise(col("a.vid")).as("id_b"),
+        when(aLess, col("a.v")).otherwise(col("b.v")).as("va"),
+        when(aLess, col("b.v")).otherwise(col("a.v")).as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sim", round(VectorFunctions.cosine(col("va"), col("vb")), 3))
       .filter(col("sim") >= threshold)
-      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"), col("sim"))
+      .select(col("id_a"), col("id_b"), col("sim"))
   }
 }

@@ -30,14 +30,28 @@ object Relational {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> { (s, d) =>
       import s.implicits._
+      // The discounted/taxed sums multiply in EXACT decimal space:
+      // each factor is semantically a 2-dp value, so casting the
+      // FACTORS to scale 2 is rounding-free and the product (≤6 dp)
+      // is exact — every engine computes the identical decimal sum.
+      // (The old double-multiply-then-cast form diverged at sf1.)
+      // sum_charge is then rounded to 4 dp BEFORE the double cast:
+      // at sf1 the 6-dp sum's scaled integer exceeds 2^53, and a
+      // decimal→double conversion done as int/10^s double-rounds
+      // (engine-dependent, one ulp) — at 4 dp the scaled integer is
+      // exact in a double again, and the 4-dp rounding itself is
+      // HALF_UP on the same exact decimal in both engines.
+      val ep = $"l_extendedprice".cast(DecimalType(14, 2))
+      val disc = (lit(1) - $"l_discount").cast(DecimalType(8, 2))
+      val tax = (lit(1) + $"l_tax").cast(DecimalType(8, 2))
       Tables.lineitem(s, d)
         .filter($"l_shipdate" <= ts("1998-09-02"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           dsum($"l_quantity").as("sum_qty"),
           dsum($"l_extendedprice").as("sum_base_price"),
-          dsum($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("sum_disc_price"),
-          dsum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"), 6).as("sum_charge"),
+          sum(ep * disc).cast("double").as("sum_disc_price"),
+          round(sum(ep * disc * tax), 4).cast("double").as("sum_charge"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
@@ -396,11 +410,16 @@ object Relational {
 
   def oracles: Map[String, String] = Map(
     "q1_agg" ->
+      // factors cast to their true 2-dp scale, product exact in
+      // decimal — mirrors the Spark side (see q1_agg above)
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+        |           * CAST(1-l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+        |           * CAST(1-l_discount AS DECIMAL(8,2))
+        |           * CAST(1+l_tax AS DECIMAL(8,2))), 4) AS DOUBLE) AS sum_charge,
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
