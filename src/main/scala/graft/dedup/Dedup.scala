@@ -258,9 +258,18 @@ object Dedup {
     * runs only on candidates. */
   def embeddingDups(embs: DataFrame, idCol: String, vecCol: String,
                     threshold: Double = 0.95,
-                    targetListSize: Int = 64): DataFrame = {
-    val assign = graft.similarity.Ann.clusterAssign(
-      embs, idCol, vecCol, targetListSize, nprobe = 2)
+                    targetListSize: Int = 64): DataFrame =
+    // the assignment feeds BOTH sides of the pair join — checkpoint it
+    // so the k-means transform and probe TopK run once, not twice
+    embeddingDupsFromAssign(
+      graft.similarity.Ann.clusterAssign(embs, idCol, vecCol,
+        targetListSize, nprobe = 2).localCheckpoint(true),
+      threshold)
+
+  /** Pair enumeration over a prebuilt [[graft.similarity.Ann.clusterAssign]]
+    * frame — the assignment is an INDEX artifact (built once, like the
+    * IVF/PQ indexes), the pair join is the per-query work. */
+  def embeddingDupsFromAssign(assign: DataFrame, threshold: Double): DataFrame = {
     val primary = assign.filter(col("arank") === 1)
     // probe side × primary side, normalized to (min,max) id order so a
     // boundary pair is found regardless of WHICH side's secondary

@@ -191,6 +191,28 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
     copy(left = l, right = r)
 }
 
+/** Negated squared L2 over array<float|double> vectors — the IVF
+  * coarse-probe metric, native for the same reason as CosineSimExpr:
+  * corpus-to-centroid assignment evaluates it n·k times and the HOF
+  * form ran interpreted lambdas per element (null elements read as
+  * 0.0 here where the HOF form would propagate NULL). */
+case class NegL2Expr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelChecks.both(KernelChecks.floatVec(left.dataType, "graft_neg_l2"),
+      KernelChecks.floatVec(right.dataType, "graft_neg_l2"))
+  override def dataType: DataType = DoubleType
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(HashOps.negL2(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], isFloat(left), isFloat(right)))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.plans.HashOps.negL2($l, $r, ${isFloat(left)}, ${isFloat(right)})")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NegL2Expr =
+    copy(left = l, right = r)
+}
+
 /** Symmetric int8 quantization of an array<float|double> vector:
   * q_i = round_half_away(x_i · 127 / max|x|) — codes array<int>.
   * Bit-identical across engines (IEEE correctly-rounded double steps,
@@ -235,6 +257,8 @@ object HashExpressions {
   def charBigrams(c: Column): Column = column(CharBigramsExpr(expression(c)))
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSimExpr(expression(a), expression(b)))
+  def negL2(a: Column, b: Column): Column =
+    column(NegL2Expr(expression(a), expression(b)))
   def dotInt(a: Column, b: Column): Column =
     column(DotIntExpr(expression(a), expression(b)))
   def quantizeI8(c: Column): Column = column(QuantizeI8Expr(expression(c)))

@@ -278,4 +278,27 @@ object HashOps {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Negated squared L2 (the IVF coarse-probe metric): −Σ(x−y)².
+    * Null elements read as 0.0, like [[cosine]]. One tight loop — the
+    * zip_with+aggregate HOF form this replaces evaluated interpreted
+    * per-element lambdas, n·k·d of them per corpus assignment. */
+  def negL2(a: ArrayData, b: ArrayData, aIsFloat: Boolean, bIsFloat: Boolean): Double = {
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"negL2 over ragged vectors: ${a.numElements()} vs ${b.numElements()} dims")
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (a.isNullAt(i)) 0.0
+        else if (aIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (b.isNullAt(i)) 0.0
+        else if (bIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      s += d * d
+      i += 1
+    }
+    -s
+  }
 }

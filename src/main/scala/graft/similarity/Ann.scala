@@ -103,12 +103,13 @@ object Ann {
 
   /** Negated squared L2 — the coarse-probe metric. Shared by every
     * IVF-family search so probe behavior can never diverge between
-    * them. */
+    * them. Native codegen'd kernel (plans.NegL2Expr): corpus-to-
+    * centroid assignment in clusterAssign evaluates it n·k times, and
+    * the zip_with+aggregate HOF form it replaces ran interpreted
+    * per-element lambdas — measured as the dominant cost of the sf1
+    * embedding-dedup build. */
   private[similarity] def negL2(a: Column, b: Column): Column =
-    lit(0.0) - aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
-        (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, x) => acc + x)
+    graft.plans.HashExpressions.negL2(a, b)
 
   /** The `nprobe` nearest lists per query row (qid, <keep...>,
     * cluster, cdist). Probes by the SAME metric k-means assigns with

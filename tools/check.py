@@ -25,7 +25,12 @@ for name in sorted(os.listdir(outdir)):
         rows_only.append((name, len(got)))
         continue
     try:
+        import time
+        t0 = time.time()
         exp = con.execute(oracles[name]).df()
+        dt = time.time() - t0
+        if dt > 10:
+            print(f"SLOW  {name}: oracle took {dt:.0f}s in DuckDB")
     except Exception as e:
         fails.append((name, f"oracle error: {e}"))
         continue
