@@ -10,7 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: repeated function registration across reps emits
+    // hundreds of WARN lines; the driver captures a bounded stdout tail
+    // and the summary line must not compete with log noise for it.
+    spark.sparkContext.setLogLevel("ERROR")
     // warmup: touch every table once so footer reads, codegen and
     // executor spin-up don't land on whichever query runs first
     Seq("region", "nation", "customer", "supplier", "part", "orders",

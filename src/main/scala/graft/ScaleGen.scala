@@ -96,20 +96,26 @@ object ScaleGen {
       val tmp = s"$dst/.stage_$name"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val dir = java.nio.file.Paths.get(tmp)
-      val part = java.nio.file.Files.list(dir).iterator()
+      // NIO directory streams hold an open fd until close()d
+      val listStream = java.nio.file.Files.list(dir)
       var found: java.nio.file.Path = null
-      while (part.hasNext) {
-        val p = part.next()
-        if (p.getFileName.toString.startsWith("part-") &&
-            p.getFileName.toString.endsWith(".parquet")) found = p
-      }
+      try {
+        val part = listStream.iterator()
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.getFileName.toString.startsWith("part-") &&
+              p.getFileName.toString.endsWith(".parquet")) found = p
+        }
+      } finally listStream.close()
       require(found != null, s"no part file for $name")
       val target = java.nio.file.Paths.get(dst, s"$name.parquet")
       java.nio.file.Files.deleteIfExists(target)
       java.nio.file.Files.move(found, target)
       // reclaim the staging dir (success markers etc.)
-      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      val walkStream = java.nio.file.Files.walk(dir)
+      try walkStream.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally walkStream.close()
       println(s"[scalegen] $name: ${spark.read.parquet(target.toString).count()} rows")
     }
 

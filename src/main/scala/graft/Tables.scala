@@ -45,10 +45,20 @@ object Tables {
     val staged = stagedEventDirs.computeIfAbsent(d,
       new java.util.function.Function[String, String] {
         override def apply(k: String): String = {
-          val p = java.nio.file.Files
-            .createTempDirectory("graft_events_stream").toString
-          raw.repartition(4).write.mode("overwrite").parquet(p)
-          p
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_events_stream")
+          // createTempDirectory does not auto-clean; without this hook
+          // every Verify/Bench process leaks a full events copy in /tmp
+          Runtime.getRuntime.addShutdownHook(new Thread(new Runnable {
+            override def run(): Unit = try {
+              val w = java.nio.file.Files.walk(dir)
+              try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+              finally w.close()
+            } catch { case _: Throwable => }
+          }))
+          raw.repartition(4).write.mode("overwrite").parquet(dir.toString)
+          dir.toString
         }
       })
     normalizeEventTs(

@@ -9,7 +9,16 @@ object Verify {
     // optional 3rd arg: comma-separated query-name filter for targeted
     // re-checks (full runs omit it; the driver always does)
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2) {
+        val names = args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
+        // fail LOUDLY on unknown names: a typo'd filter would otherwise
+        // select nothing, write an empty manifest, and let a targeted
+        // re-check "pass" vacuously
+        val unknown = names.diff(SparkEntry.queries.keySet)
+        require(unknown.isEmpty,
+          s"unknown query name(s) in filter: ${unknown.toSeq.sorted.mkString(", ")}")
+        Some(names)
+      } else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

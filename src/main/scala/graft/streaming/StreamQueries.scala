@@ -19,8 +19,20 @@ object StreamQueries {
                          mode: String): DataFrame = {
     val name = "graft_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode(mode).start()
+    // Size state-store/shuffle partitioning to the micro-batch, not the
+    // session default: each micro-batch here is one staged file, and at
+    // local[32] the 32 state partitions per batch are pure per-batch
+    // overhead (~3x wall-clock on these queries). A production stream
+    // sizes shuffle.partitions to per-batch volume the same way. The
+    // partition count is captured by the query at start(), so restoring
+    // the session conf afterwards does not affect the running stream.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        out.writeStream.format("memory").queryName(name)
+          .outputMode(mode).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     try q.processAllAvailable() finally q.stop()
     s.table(name)
   }
@@ -58,8 +70,7 @@ object StreamQueries {
       val deduped = Streams.dedupStream(Tables.eventsStream(s, d), "ts",
         key, watermark = "3650 days")
       runToBatch(s, deduped, "append")
-        .groupBy(concat($"event_type", lit("#"),
-          ($"user_id" % 100).cast("string")).as("k"))
+        .groupBy(key.as("k"))
         .agg(count(lit(1)).as("n"))
         .orderBy($"k")
     },

@@ -253,12 +253,31 @@ class ConcurrencySpec extends AnyFunSuite {
     val cmd = (Seq(javaBin, "-cp", System.getProperty("java.class.path"),
       "graft.ChildLockProc") ++ args)
     val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-    val r = new java.io.BufferedReader(
-      new java.io.InputStreamReader(p.getInputStream))
+    // Read via a daemon thread + bounded polls: a bare readLine() only
+    // re-checks the deadline between lines, so a silent-but-live child
+    // would hang the whole suite instead of failing after 60s.
+    val eof = "<<EOF>>"
+    val lines = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val pump = new Thread(new Runnable {
+      override def run(): Unit = {
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(p.getInputStream))
+        try {
+          var l = r.readLine()
+          while (l != null) { lines.put(l); l = r.readLine() }
+        } finally lines.put(eof)
+      }
+    })
+    pump.setDaemon(true)
+    pump.start()
     val deadline = System.currentTimeMillis() + 60000
-    var line = r.readLine()
-    while (line != null && line != "ACQUIRED" &&
-        System.currentTimeMillis() < deadline) line = r.readLine()
+    var line: String = null
+    while (line != "ACQUIRED" && line != eof &&
+        System.currentTimeMillis() < deadline) {
+      line = lines.poll(math.max(deadline - System.currentTimeMillis(), 1L),
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+    }
+    if (line != "ACQUIRED") p.destroyForcibly()
     assert(line == "ACQUIRED", s"child never acquired (last: $line)")
     p
   }

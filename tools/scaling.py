@@ -22,7 +22,14 @@ for q in qs:
     ratio = (b / a) if a > 0 else float("inf")
     rows.append((q, a, b, ratio))
 
-print(f"| query | sf0.1 min (s) | sf1 min (s) | ratio (target <= ~{factor:.0f}x) |")
+# column labels from the artifacts themselves (their "sf" field is the
+# data dir the run measured), not hardcoded scale points
+def label(art, fallback):
+    sf = str(art.get("sf", fallback))
+    return sf.rstrip("/").rsplit("/", 1)[-1] or fallback
+
+la, lb = label(small, "small"), label(big, "big")
+print(f"| query | {la} min (s) | {lb} min (s) | ratio (target <= ~{factor:.0f}x) |")
 print("| --- | --- | --- | --- |")
 for q, a, b, r in sorted(rows, key=lambda t: -t[3]):
     mark = " **SUPER-LINEAR**" if r > flag_at else ""
