@@ -288,4 +288,16 @@ object Dedup {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
+
+  /** Bloom sketch of a key column, built with a DISTRIBUTED
+    * aggregation (Spark's sketch lib; partial sketches are OR-merged
+    * on the driver — the only driver-side object is the final bit
+    * array, never the keys). Exact count first: `expectedNumItems`
+    * under the true cardinality blows past `fpp`, and the count runs
+    * on the same (small, already-pruned) side being sketched. */
+  def bloomOf(keys: DataFrame, keyCol: String,
+              fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    val n = math.max(keys.count(), 1L)
+    keys.stat.bloomFilter(keyCol, n, fpp)
+  }
 }

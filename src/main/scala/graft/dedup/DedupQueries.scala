@@ -90,6 +90,21 @@ object DedupQueries {
       graft.similarity.Ann.clusterAssign(plantedEmbs(s, d), "vec_id", "embedding",
         targetListSize = 64, nprobe = 2))
 
+  /** Decontamination inputs shared by the exact and bloom-prefiltered
+    * sweeps: (corpus with planted leaks, distinct eval 8-gram set). */
+  private def decontamFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+    val leaked = docs.filter(col("doc_id").between(100, 104))
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("leak "), col("text")).as("text"))
+    val corpus = docs.filter(!col("doc_id").between(100, 119))
+      .select(col("doc_id"), col("text")).unionByName(leaked)
+    val evalGrams = Dedup.shingles(
+        docs.filter(col("doc_id").between(100, 119)), "doc_id", "text", 8)
+      .select(explode(col("sh")).as("g")).distinct()
+    (corpus, evalGrams)
+  }
+
   /** Index warmup for Bench: build the shared pair set + IVF/PQ
     * indexes the way the full-text postings/dictionary/bitmaps are
     * prebuilt — index BUILD is DDL; the timed queries measure SEARCH. */
@@ -166,17 +181,35 @@ object DedupQueries {
       // contaminated docs. Shape: the eval-gram set is tiny and
       // broadcast; the corpus side is a map-side shingle explode +
       // semi-join-style aggregation — no O(n²), 100 TB-safe.
-      val docs = Tables.documents(s, d)
-      val leaked = docs.filter($"doc_id".between(100, 104))
-        .select(($"doc_id" + 2000000L).as("doc_id"),
-          concat(lit("leak "), $"text").as("text"))
-      val corpus = docs.filter(!$"doc_id".between(100, 119))
-        .select($"doc_id", $"text").unionByName(leaked)
-      val evalGrams = Dedup.shingles(
-          docs.filter($"doc_id".between(100, 119)), "doc_id", "text", 8)
-        .select(explode($"sh").as("g")).distinct()
+      val (corpus, evalGrams) = decontamFrames(s, d)
       Dedup.shingles(corpus, "doc_id", "text", 8)
         .select($"doc_id", explode($"sh").as("g"))
+        .join(evalGrams, Seq("g"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy($"doc_id")
+    },
+
+    "dd_decontam_bloom" -> { (s, d) =>
+      import s.implicits._
+      // Same contract as dd_decontam (identical oracle), different
+      // scale regime: when the eval-gram set is too big to broadcast
+      // as an exact hash relation (a full eval-suite union is easily
+      // 10^8+ grams), sketch it into a Bloom filter — built by a
+      // distributed aggregation, riding the filter expression as a
+      // codegen reference object (plans.BloomContainsExpr) — and
+      // prune the corpus gram stream BEFORE the join. The exact join
+      // then runs only on the sketch's survivors (true hits + fpp
+      // noise), so the result is still EXACT: the bloom trades
+      // broadcast memory for a re-verify join whose left side is
+      // ~|hits|, not ~|corpus grams|. This is the runtime-filter /
+      // semi-join-pushdown pattern every 100 TB decontamination run
+      // actually uses.
+      val (corpus, evalGrams) = decontamFrames(s, d)
+      val bloom = Dedup.bloomOf(
+        evalGrams.select(xxhash64($"g").as("h")), "h", fpp = 0.01)
+      Dedup.shingles(corpus, "doc_id", "text", 8)
+        .select($"doc_id", explode($"sh").as("g"))
+        .filter(graft.plans.HashExpressions.bloomContains(xxhash64($"g"), bloom))
         .join(evalGrams, Seq("g"))
         .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
         .orderBy($"doc_id")
@@ -341,6 +374,31 @@ object DedupQueries {
       val cleanTok =
         "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"
       val sh8 = // distinct word 8-grams; <8 tokens → single full shingle
+        """CASE WHEN len(toks) = 0 THEN [] ELSE
+          |  list_distinct(list_transform(range(1, greatest(len(toks) - 7, 1) + 1),
+          |    i -> array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' '))) END""".stripMargin
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id NOT BETWEEN 100 AND 119
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, 'leak ' || text AS text
+         |  FROM documents WHERE doc_id BETWEEN 100 AND 104),
+         |ct AS (SELECT doc_id, $cleanTok AS toks FROM corpus),
+         |cp AS (SELECT doc_id, unnest($sh8) AS g FROM ct),
+         |et AS (SELECT $cleanTok AS toks FROM documents WHERE doc_id BETWEEN 100 AND 119),
+         |esh AS (SELECT DISTINCT unnest($sh8) AS g FROM et)
+         |SELECT doc_id, COUNT(*) AS n_shared
+         |FROM cp JOIN esh USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // the bloom prefilter is EXACT after the verify join, so the
+    // oracle is the same contamination sweep — a single false
+    // negative (impossible for a bloom) or an unverified false
+    // positive would hash-mismatch
+    "dd_decontam_bloom" -> {
+      val cleanTok =
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"
+      val sh8 =
         """CASE WHEN len(toks) = 0 THEN [] ELSE
           |  list_distinct(list_transform(range(1, greatest(len(toks) - 7, 1) + 1),
           |    i -> array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' '))) END""".stripMargin

@@ -213,6 +213,37 @@ case class NegL2Expr(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+/** Membership probe against a pre-built Bloom sketch — the runtime-
+  * filter device for "is this key in the (broadcast-too-big) set?"
+  * at 100 TB: the sketch is built once with a distributed aggregation
+  * (`DataFrameStatFunctions.bloomFilter`, Spark's own
+  * org.apache.spark.util.sketch), then rides this expression node as a
+  * codegen reference object — shipped once per executor with the
+  * serialized plan, never shuffled, never collected per row. A probe
+  * is k bit-tests with NO hash-map build on the scan side, so the
+  * filter prunes the corpus BEFORE any exchange. False positives
+  * (rate = the sketch's fpp) mean a caller needing exactness must
+  * re-verify survivors against the exact set — which is now tiny
+  * relative to the corpus — and false negatives never occur. */
+case class BloomContainsExpr(child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_contains expects bigint, got ${other.sql}")
+  }
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(bloom.mightContainLong(input.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomContainsExpr =
+    copy(child = c)
+}
+
 /** Symmetric int8 quantization of an array<float|double> vector:
   * q_i = round_half_away(x_i · 127 / max|x|) — codes array<int>.
   * Bit-identical across engines (IEEE correctly-rounded double steps,
@@ -262,6 +293,8 @@ object HashExpressions {
   def dotInt(a: Column, b: Column): Column =
     column(DotIntExpr(expression(a), expression(b)))
   def quantizeI8(c: Column): Column = column(QuantizeI8Expr(expression(c)))
+  def bloomContains(c: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    column(BloomContainsExpr(expression(c), bloom))
   def wordShingles(c: Column, n: Int): Column = column(WordShinglesExpr(expression(c), n))
   def wordNgrams(c: Column, n: Int): Column = column(WordNgramsExpr(expression(c), n))
   def tokens(c: Column): Column = column(TokensExpr(expression(c)))

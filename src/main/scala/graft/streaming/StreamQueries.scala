@@ -75,6 +75,48 @@ object StreamQueries {
         .orderBy($"k")
     },
 
+    "st_stream_join" -> { (s, d) =>
+      import s.implicits._
+      // Stream-stream inner join (watermarked state on BOTH sides):
+      // views and purchases arrive as two independent file streams and
+      // each view joins the same user's purchases inside a 60-minute
+      // attribution window. Inner-join results emit eagerly per
+      // micro-batch; the watermark's only job is state expiry, so an
+      // over-span watermark (no state expires mid-run) makes the
+      // emitted set exactly the batch interval join — the
+      // SQL-expressible contract the oracle checks. A production run
+      // uses a bounded watermark and state stays (rate × horizon); the
+      // time-range join condition is what LETS Spark derive that state
+      // bound instead of keeping both streams forever.
+      val views = Tables.eventsStream(s, d).filter($"event_type" === "view")
+      val purchases = Tables.eventsStream(s, d).filter($"event_type" === "purchase")
+      val joined = Streams.attributionJoin(views, purchases,
+        horizonMinutes = 60, watermark = "3650 days")
+      runToBatch(s, joined, "append")
+        .select($"user_id", $"view_id", $"purchase_id",
+          (unix_micros($"p_ts") - unix_micros($"v_ts")).as("delay_us"), $"value")
+        .orderBy($"view_id", $"purchase_id")
+    },
+
+    "st_stream_sessions" -> { (s, d) =>
+      import s.implicits._
+      // CUSTOM-STATE streaming under the gate: flatMapGroupsWithState
+      // sessionization (open-session accumulator per user, sessions
+      // emitted when a gap-exceeding event closes them) over a
+      // time-ordered file stream — the per-key-ordered keyed-log
+      // contract the operator documents. A trailing per-user "__flush"
+      // sentinel (2 h past the last event, > the 30-min gap) closes
+      // every user's final session, so the emitted set is EXACTLY the
+      // batch gap-sessionization — sentinel-started sessions stay open
+      // in state and are never emitted. State carries genuinely across
+      // five micro-batches (four time-range files + the sentinel).
+      val sessions = Streams.sessionizeStream(s,
+        Tables.eventsStreamOrdered(s, d))
+      runToBatch(s, sessions, "append")
+        .select($"user_id", $"session_start", $"n_events")
+        .orderBy($"user_id", $"session_start")
+    },
+
     "st_window_agg" -> { (s, d) =>
       import s.implicits._
       Streams.hourlyTypeAgg(Tables.events(s, d))
@@ -289,6 +331,37 @@ object StreamQueries {
       """SELECT DISTINCT event_type || '#' || CAST(user_id % 100 AS VARCHAR) AS k,
         |  CAST(1 AS BIGINT) AS n
         |FROM events ORDER BY k""".stripMargin,
+
+    // sentinel-flushed custom-state sessionization == batch gap
+    // sessionization (same gap rule as st_sessionize, projected to the
+    // streaming operator's emitted columns)
+    "st_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts FROM events),
+        |w AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER uw IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT)
+        |            - CAST(floor(epoch(lag(ts) OVER uw)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM w)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
+
+    // with an over-span watermark the streaming attribution join emits
+    // exactly the batch interval join
+    "st_stream_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS delay_us, p.value
+        |FROM events v JOIN events p ON p.user_id = v.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 60 MINUTE
+        |ORDER BY view_id, purchase_id""".stripMargin,
 
     "st_window_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,

@@ -130,4 +130,31 @@ class CodegenSpec extends AnyFunSuite {
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("minhashsigexpr")),
       s"signature project not inside a codegen span:\n$plan")
   }
+
+  private def bloomResults(mode: String): Seq[Row] = {
+    val prev = (spark.conf.getOption("spark.sql.codegen.factoryMode"),
+      spark.conf.getOption("spark.sql.codegen.fallback"))
+    spark.conf.set("spark.sql.codegen.factoryMode", mode)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+      (0L until 50L).foreach(bloom.putLong)
+      Seq(1L, 7L, 49L, 50L, 51L, 1000000L, -3L).toDF("h")
+        .select($"h", HashExpressions.bloomContains($"h", bloom).as("hit"))
+        .orderBy($"h").collect().toSeq
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", prev._1.getOrElse("FALLBACK"))
+      spark.conf.set("spark.sql.codegen.fallback", prev._2.getOrElse("true"))
+    }
+  }
+
+  test("bloom probe compiles under CODEGEN_ONLY (sketch as reference object), no false negatives") {
+    val gen = bloomResults("CODEGEN_ONLY")
+    val interp = bloomResults("NO_CODEGEN")
+    assert(gen == interp)
+    // a bloom NEVER misses an inserted key; out-of-set hits are
+    // allowed (fpp) but at 1% over 7 probes should not all fire
+    val byKey = gen.map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(Seq(1L, 7L, 49L).forall(byKey(_)), "false negative on an inserted key")
+  }
 }

@@ -21,15 +21,17 @@ class StreamingSpec extends AnyFunSuite {
     dir.toString
   }
 
+  /** readStream over the staged dir, ts normalized to TimestampType
+    * (the staged file carries whatever physical form the generator
+    * used — epoch-nanos long or timestamp_ntz — and watermarks demand
+    * TIMESTAMP; Tables.normalizeEventTs handles every form). */
+  private def stagedStream = Tables.normalizeEventTs(
+    spark.readStream.schema(Tables.load(spark, sf, "events").schema)
+      .parquet(streamDir))
+
 
   test("streaming dedup keeps one event per key, state bounded by watermark") {
-    val stream0 = spark.readStream.schema(
-        Tables.load(spark, sf, "events").schema)
-      .parquet(streamDir)
-    val stream =
-      if (stream0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream0
+    val stream = stagedStream
     val key = concat_ws(":", col("user_id"), col("event_type"))
     val q = graft.streaming.Streams.dedupStream(stream, "ts", key)
       .writeStream.format("memory").queryName("dedup_sink")
@@ -46,13 +48,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming dedup passes NULL-key rows through un-deduped") {
-    val stream0 = spark.readStream.schema(
-        Tables.load(spark, sf, "events").schema)
-      .parquet(streamDir)
-    val stream =
-      if (stream0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream0
+    val stream = stagedStream
     // even user_ids get a NULL key: those events are NOT duplicates of
     // each other and must all survive
     val key = when(col("user_id") % 2 === 0, lit(null).cast("string"))
@@ -70,14 +66,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("stream-stream attribution join equals the batch time-range join") {
-    def staged = {
-      val s0 = spark.readStream.schema(
-          Tables.load(spark, sf, "events").schema)
-        .parquet(streamDir)
-      if (s0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        s0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else s0
-    }
+    def staged = stagedStream
     val q = graft.streaming.Streams.attributionJoin(
         staged.filter(col("event_type") === "view"),
         staged.filter(col("event_type") === "purchase"))
@@ -138,14 +127,7 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming windowed agg equals batch hourly agg") {
     val schema = events.schema
     // stream the same parquet through the watermarked plan
-    val stream = spark.readStream.schema(
-        Tables.load(spark, sf, "events").schema)
-      .parquet(streamDir)
-    val streamEvents =
-      if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream
-    val q = Streams.hourlyTypeAggStream(streamEvents)
+    val q = Streams.hourlyTypeAggStream(stagedStream)
       .writeStream.outputMode("complete")
       .format("memory").queryName("hourly_out").start()
     try {
@@ -173,14 +155,7 @@ class StreamingSpec extends AnyFunSuite {
       .select("user_id", "session_start", "n_events")
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
 
-    val stream = spark.readStream.schema(
-        Tables.load(spark, sf, "events").schema)
-      .parquet(streamDir)
-    val streamEvents =
-      if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream
-    val q = Streams.sessionizeStream(spark, streamEvents)
+    val q = Streams.sessionizeStream(spark, stagedStream)
       .writeStream.outputMode("append")
       .format("memory").queryName("sessions_out").start()
     try {
