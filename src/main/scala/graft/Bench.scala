@@ -48,7 +48,19 @@ object Bench {
     // min would let a query regressing to "crashes instantly" IMPROVE
     // the headline total. Failed-rep times are used only when every
     // rep failed (the errors map flags the query either way).
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated query filter for targeted perf work
+    // (mirrors Verify's 3rd arg; unknown names fail loudly so a typo'd
+    // filter can't silently bench nothing)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"unknown query name(s) in SPARK_GRAFT_BENCH_ONLY: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       var fails = 0
       val reptimes = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -22,14 +22,18 @@ object StreamQueries {
     // Size state-store/shuffle partitioning to the micro-batch, not the
     // session default: each micro-batch here is one staged file, and at
     // local[32] the 32 state partitions per batch are pure per-batch
-    // overhead (~3x wall-clock on these queries). A production stream
-    // sizes shuffle.partitions to per-batch volume the same way. The
-    // partition count is captured by the query at start(), so restoring
-    // the session conf afterwards does not affect the running stream.
+    // overhead (~3x wall-clock on these queries). Measured at sf0.1
+    // across the four gated streams: 8 partitions 14.0 s, 4 → 11.1 s,
+    // 2 → 9.9 s, 1 → 11.5 s (state-store commits per batch fall with
+    // the partition count until the loss of parallelism wins) — so 2.
+    // A production stream sizes shuffle.partitions to per-batch volume
+    // the same way. The partition count is captured by the query at
+    // start(), so restoring the session conf afterwards does not
+    // affect the running stream.
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val q =
       try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", "2")
         out.writeStream.format("memory").queryName(name)
           .outputMode(mode).start()
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
