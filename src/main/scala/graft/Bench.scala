@@ -14,6 +14,12 @@ object Bench {
     // hundreds of WARN lines; the driver captures a bounded stdout tail
     // and the summary line must not compete with log noise for it.
     spark.sparkContext.setLogLevel("ERROR")
+    // optional comma-separated query filter for targeted perf work
+    // (mirrors Verify's 3rd arg; unknown names AND empty filters fail
+    // loudly in SparkEntry.select — an empty filter would overwrite
+    // the official artifact with a zero-query total)
+    val selected = SparkEntry.select(sys.env.get("SPARK_GRAFT_BENCH_ONLY"))
+    def anySelected(p: String => Boolean): Boolean = selected.keys.exists(p)
     // warmup: touch every table once so footer reads, codegen and
     // executor spin-up don't land on whichever query runs first
     Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -22,14 +28,22 @@ object Bench {
     // pre-build the shared persisted-index analogs (inverted postings,
     // dictionary, bitmap indexes): index BUILD is DDL done once — the
     // timed queries measure SEARCH, as they would against the
-    // reference's prebuilt Lucene/bitmap index tables
-    QueryCaches.postings(spark, sfDir).count()
-    QueryCaches.positional(spark, sfDir).count()
-    QueryCaches.dictionary(spark, sfDir).count()
-    QueryCaches.corpusSize(spark, sfDir)
-    Seq("o_orderstatus", "o_orderpriority")
-      .foreach(c => QueryCaches.ordersBitmap(spark, sfDir, c).count())
-    graft.dedup.DedupQueries.warmIndexes(spark, sfDir)
+    // reference's prebuilt Lucene/bitmap index tables. Each build is
+    // gated to the query families that consult it, so a targeted
+    // one-query bench doesn't pay tens of seconds of unrelated index
+    // builds before its ~0.2 s timed section.
+    if (anySelected(k => k.startsWith("ft_") || k == "idx_segment_ft")) {
+      QueryCaches.postings(spark, sfDir).count()
+      QueryCaches.positional(spark, sfDir).count()
+      QueryCaches.dictionary(spark, sfDir).count()
+      QueryCaches.corpusSize(spark, sfDir)
+    }
+    if (anySelected(_.startsWith("idx_bitmap")))
+      Seq("o_orderstatus", "o_orderpriority")
+        .foreach(c => QueryCaches.ordersBitmap(spark, sfDir, c).count())
+    if (anySelected(k => k.startsWith("sim_") ||
+        Set("dd_minhash_lsh", "dd_keep_list", "dd_embedding").contains(k)))
+      graft.dedup.DedupQueries.warmIndexes(spark, sfDir)
     // median of N runs per query (default 3): the recorded number
     // should reflect the engine, not whatever else the box was doing
     // during one pass — a single loaded run inflated a round-3 artifact
@@ -48,18 +62,6 @@ object Bench {
     // min would let a query regressing to "crashes instantly" IMPROVE
     // the headline total. Failed-rep times are used only when every
     // rep failed (the errors map flags the query either way).
-    // optional comma-separated query filter for targeted perf work
-    // (mirrors Verify's 3rd arg; unknown names fail loudly so a typo'd
-    // filter can't silently bench nothing)
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    only.foreach { names =>
-      val unknown = names.diff(SparkEntry.queries.keySet)
-      require(unknown.isEmpty,
-        s"unknown query name(s) in SPARK_GRAFT_BENCH_ONLY: ${unknown.toSeq.sorted.mkString(", ")}")
-    }
-    val selected = SparkEntry.queries.filter { case (n, _) =>
-      only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
       var fails = 0
       val reptimes = (1 to reps).map { _ =>

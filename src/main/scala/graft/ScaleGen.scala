@@ -143,6 +143,19 @@ object ScaleGen {
     // followed by the literal digit — but only for single-digit r,
     // hence the cap.)
     require(copies <= 10, "token-suffix scheme supports at most 10 replicas")
+    // Disjointness precondition: a source token ending in a digit can
+    // collide with a suffixed replica token ("foo1" in replica 0 vs
+    // replica 1's rewrite of "foo") — cross-replica shared shingles
+    // would then inflate df counts and plant cross-replica near-dup
+    // candidates, quietly breaking the "10 independent corpora"
+    // invariant the scaling ratios rely on. One scan at generation
+    // time keeps the failure loud instead.
+    val digitEnding = docs.select(explode(
+        graft.plans.HashExpressions.tokens(col("text"))).as("t"))
+      .filter(col("t").rlike("[0-9]$")).limit(1).count()
+    require(digitEnding == 0,
+      "source corpus has digit-ending tokens; the replica token-suffix " +
+        "scheme would collide across replicas — pick a different suffix")
     writeOne("documents", replicate(docs,
       "text" -> (c => when(r === 0, c).otherwise(
         regexp_replace(c, lit("([A-Za-z0-9]+)"), concat(lit("$1"), r.cast("string"))))),

@@ -7,18 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query-name filter for targeted
-    // re-checks (full runs omit it; the driver always does)
-    val only: Option[Set[String]] =
-      if (args.length > 2) {
-        val names = args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
-        // fail LOUDLY on unknown names: a typo'd filter would otherwise
-        // select nothing, write an empty manifest, and let a targeted
-        // re-check "pass" vacuously
-        val unknown = names.diff(SparkEntry.queries.keySet)
-        require(unknown.isEmpty,
-          s"unknown query name(s) in filter: ${unknown.toSeq.sorted.mkString(", ")}")
-        Some(names)
-      } else None
+    // re-checks (full runs omit it; the driver always does). Unknown
+    // names and empty filters fail loudly inside SparkEntry.select —
+    // either would let a targeted re-check "pass" vacuously.
+    val selected = SparkEntry.select(args.drop(2).headOption)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,8 +29,6 @@ object Verify {
     }
     new java.io.File(outDir).mkdirs()
     var crashed = List.empty[String]
-    val selected = SparkEntry.queries.filter { case (n, _) =>
-      only.forall(_.contains(n)) }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -12,13 +12,17 @@ import org.apache.spark.sql.functions._
 object StreamQueries {
 
   /** Run a streaming frame to a memory sink and hand back the sink's
-    * rows as a BATCH frame the driver can write/compare. Unique sink
-    * name per run (bench repeats queries in one JVM); the memory table
-    * outlives `stop()`, so the returned frame stays valid. */
+    * rows as a BATCH frame the driver can write/compare. The sink name
+    * is deterministic per query key and the PREVIOUS run's table is
+    * dropped before starting — bench repeats queries in one JVM, and a
+    * fresh uuid-named table per rep would pin every rep's full result
+    * set in driver memory for the JVM's lifetime. The just-created
+    * table outlives `stop()`, so the returned frame stays valid until
+    * the same query runs again. */
   private def runToBatch(s: SparkSession, out: DataFrame,
-                         mode: String): DataFrame = {
-    val name = "graft_sink_" +
-      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+                         mode: String, key: String): DataFrame = {
+    val name = s"graft_sink_$key"
+    s.catalog.dropTempView(name)
     // Size state-store/shuffle partitioning to the micro-batch, not the
     // session default: each micro-batch here is one staged file, and at
     // local[32] the 32 state partitions per batch are pure per-batch
@@ -53,7 +57,7 @@ object StreamQueries {
       // incremental engine (StateStore updates across batches), not a
       // batch re-plan.
       runToBatch(s, Streams.hourlyTypeAggStream(Tables.eventsStream(s, d)),
-          "complete")
+          "complete", "st_stream_agg")
         .orderBy($"hour", $"event_type")
     },
 
@@ -73,7 +77,7 @@ object StreamQueries {
         ($"user_id" % 100).cast("string"))
       val deduped = Streams.dedupStream(Tables.eventsStream(s, d), "ts",
         key, watermark = "3650 days")
-      runToBatch(s, deduped, "append")
+      runToBatch(s, deduped, "append", "st_stream_dedup")
         .groupBy(key.as("k"))
         .agg(count(lit(1)).as("n"))
         .orderBy($"k")
@@ -96,7 +100,7 @@ object StreamQueries {
       val purchases = Tables.eventsStream(s, d).filter($"event_type" === "purchase")
       val joined = Streams.attributionJoin(views, purchases,
         horizonMinutes = 60, watermark = "3650 days")
-      runToBatch(s, joined, "append")
+      runToBatch(s, joined, "append", "st_stream_join")
         .select($"user_id", $"view_id", $"purchase_id",
           (unix_micros($"p_ts") - unix_micros($"v_ts")).as("delay_us"), $"value")
         .orderBy($"view_id", $"purchase_id")
@@ -116,7 +120,7 @@ object StreamQueries {
       // five micro-batches (four time-range files + the sentinel).
       val sessions = Streams.sessionizeStream(s,
         Tables.eventsStreamOrdered(s, d))
-      runToBatch(s, sessions, "append")
+      runToBatch(s, sessions, "append", "st_stream_sessions")
         .select($"user_id", $"session_start", $"n_events")
         .orderBy($"user_id", $"session_start")
     },
