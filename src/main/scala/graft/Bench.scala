@@ -8,6 +8,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // UTC explicitly (not only via build.sbt's -D): the NTZ→LTZ ts
+      // normalization in Tables is value-identical ONLY under UTC — a
+      // bench launched outside sbt on a non-UTC host would otherwise
+      // silently time a workload whose date_trunc buckets differ from
+      // the ones Verify gates
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     // ERROR, not WARN: repeated function registration across reps emits

@@ -42,18 +42,42 @@ object Tables {
     * per trigger); schema comes from the batch footer read since
     * streaming sources cannot infer. */
   def eventsStream(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
     // The generated table is a single parquet FILE; the file stream
     // source ingests a DIRECTORY of drops. Stage the events once per
     // (JVM, dir) into a temp landing zone split into several files so
     // the stream genuinely advances state across micro-batches.
-    val staged = stagedEventDirs.computeIfAbsent(d,
-      new java.util.function.Function[String, String] {
-        override def apply(k: String): String = {
-          val dir = java.nio.file.Files
-            .createTempDirectory("graft_events_stream")
-          // createTempDirectory does not auto-clean; without this hook
-          // every Verify/Bench process leaks a full events copy in /tmp
+    val st = stageOnce(stagedEventDirs, d, "graft_events_stream") { dir =>
+      val raw = load(s, d, "events")
+      raw.repartition(4).write.mode("overwrite").parquet(dir.toString)
+      raw.schema
+    }
+    normalizeEventTs(
+      s.readStream.schema(st.schema).option("maxFilesPerTrigger", 1)
+        .parquet(st.dir))
+  }
+  private val stagedEventDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, Staged]()
+
+  /** A staged stream landing zone: the dir plus the stream schema
+    * captured at staging time — callers on the cached path must not
+    * pay a fresh parquet footer read per invocation (bench reps call
+    * these several times per query). */
+  private[graft] final case class Staged(
+      dir: String, schema: org.apache.spark.sql.types.StructType)
+
+  /** Stage into a fresh temp dir once per (JVM, key). The build
+    * callback fills the dir and returns the schema to stream with.
+    * createTempDirectory does not auto-clean; the shutdown hook keeps
+    * every Verify/Bench process from leaking a full events copy in
+    * /tmp. Registered BEFORE the build so a mid-build crash still
+    * reclaims the partial staging. */
+  private def stageOnce(cache: java.util.concurrent.ConcurrentHashMap[String, Staged],
+                        key: String, prefix: String)
+                       (build: java.nio.file.Path => org.apache.spark.sql.types.StructType): Staged =
+    cache.computeIfAbsent(key,
+      new java.util.function.Function[String, Staged] {
+        override def apply(k: String): Staged = {
+          val dir = java.nio.file.Files.createTempDirectory(prefix)
           Runtime.getRuntime.addShutdownHook(new Thread(new Runnable {
             override def run(): Unit = try {
               val w = java.nio.file.Files.walk(dir)
@@ -62,16 +86,9 @@ object Tables {
               finally w.close()
             } catch { case _: Throwable => }
           }))
-          raw.repartition(4).write.mode("overwrite").parquet(dir.toString)
-          dir.toString
+          Staged(dir.toString, build(dir))
         }
       })
-    normalizeEventTs(
-      s.readStream.schema(raw.schema).option("maxFilesPerTrigger", 1)
-        .parquet(staged))
-  }
-  private val stagedEventDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Events as a file stream whose FILE ORDER IS EVENT-TIME ORDER,
     * plus a trailing per-user sentinel drop ("__flush", 2 h past the
@@ -87,81 +104,73 @@ object Tables {
     * across five micro-batches. */
   private[graft] def eventsStreamOrdered(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val staged = orderedEventDirs.computeIfAbsent(d,
-      new java.util.function.Function[String, String] {
-        override def apply(k: String): String = {
-          val dir = java.nio.file.Files
-            .createTempDirectory("graft_events_ordered")
-          Runtime.getRuntime.addShutdownHook(new Thread(new Runnable {
-            override def run(): Unit = try {
-              val w = java.nio.file.Files.walk(dir)
-              try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-                .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-              finally w.close()
-            } catch { case _: Throwable => }
-          }))
-          val ev = events(s, d)
-          val tmp = dir.resolve("tmp")
-          // range partition 0 holds the earliest ts range, ascending
-          ev.repartitionByRange(4, col("ts"), col("event_id"))
-            .sortWithinPartitions(col("ts"), col("event_id"))
-            .write.mode("overwrite").parquet(tmp.toString)
-          val parts = {
-            val w = java.nio.file.Files.list(tmp)
-            try {
-              val arr = new java.util.ArrayList[java.nio.file.Path]()
-              w.filter(p => p.getFileName.toString.startsWith("part-"))
-                .sorted().forEach(p => { arr.add(p); () })
-              arr
-            } finally w.close()
-          }
-          val base = System.currentTimeMillis() - 120000L
-          var i = 0
-          while (i < parts.size()) {
-            val dst = dir.resolve(f"batch-$i%03d.parquet")
-            java.nio.file.Files.move(parts.get(i), dst)
-            java.nio.file.Files.setLastModifiedTime(dst,
-              java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
-            i += 1
-          }
-          // per-user flush sentinel, STRICTLY after every real file in
-          // both sort keys (name "batch-999…" > "batch-004…", mtime
-          // base+60 s) and in event time (max ts + 2 h ≫ the 30-min
-          // gap), so it reaches every user's state machine last and
-          // closes their final real session
-          val mx = ev.agg(max(col("ts"))).head.getTimestamp(0)
-          val flushTs = new java.sql.Timestamp(mx.getTime + 2L * 3600 * 1000)
-          ev.select(col("user_id")).distinct()
-            .select((lit(-1L) - col("user_id")).as("event_id"),
-              lit(flushTs).as("ts"), col("user_id"),
-              lit("__flush").as("event_type"), lit(0.0).as("value"),
-              lit(null).cast("string").as("props"))
-            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val sparts = java.nio.file.Files.list(tmp)
-          try sparts.filter(p => p.getFileName.toString.startsWith("part-"))
-            .forEach { p =>
-              val dst = dir.resolve("batch-999.parquet")
-              java.nio.file.Files.move(p, dst)
-              java.nio.file.Files.setLastModifiedTime(dst,
-                java.nio.file.attribute.FileTime.fromMillis(base + 60000L))
-              ()
-            }
-          finally sparts.close()
-          // drop the tmp dir (and its _SUCCESS markers) so the stream
-          // only ever sees the renamed batch files
-          val leftovers = java.nio.file.Files.list(tmp)
-          try leftovers.forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-          finally leftovers.close()
-          java.nio.file.Files.deleteIfExists(tmp)
-          dir.toString
+    val st = stageOnce(orderedEventDirs, d, "graft_events_ordered") { dir =>
+      val ev = events(s, d)
+      val tmp = dir.resolve("tmp")
+      // range partition 0 holds the earliest ts range, ascending
+      ev.repartitionByRange(4, col("ts"), col("event_id"))
+        .sortWithinPartitions(col("ts"), col("event_id"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      val parts = {
+        val w = java.nio.file.Files.list(tmp)
+        try {
+          val arr = new java.util.ArrayList[java.nio.file.Path]()
+          w.filter(p => p.getFileName.toString.startsWith("part-"))
+            .sorted().forEach(p => { arr.add(p); () })
+          arr
+        } finally w.close()
+      }
+      val base = System.currentTimeMillis() - 120000L
+      var i = 0
+      while (i < parts.size()) {
+        val dst = dir.resolve(f"batch-$i%03d.parquet")
+        java.nio.file.Files.move(parts.get(i), dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+        i += 1
+      }
+      // per-user flush sentinel, STRICTLY after every real file in
+      // both sort keys (name "batch-999…" > "batch-004…", mtime
+      // base+60 s) and in event time (max ts + 2 h ≫ the 30-min
+      // gap), so it reaches every user's state machine last and
+      // closes their final real session. An empty events table has no
+      // max ts (and nothing to sessionize) — fail with a clear
+      // message instead of a NullPointerException mid-staging.
+      val mxRow = ev.agg(max(col("ts"))).head
+      require(!mxRow.isNullAt(0),
+        s"eventsStreamOrdered: events table at $d is empty — nothing to stage")
+      val flushTs = new java.sql.Timestamp(mxRow.getTimestamp(0).getTime + 2L * 3600 * 1000)
+      ev.select(col("user_id")).distinct()
+        .select((lit(-1L) - col("user_id")).as("event_id"),
+          lit(flushTs).as("ts"), col("user_id"),
+          lit("__flush").as("event_type"), lit(0.0).as("value"),
+          lit(null).cast("string").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val sparts = java.nio.file.Files.list(tmp)
+      try sparts.filter(p => p.getFileName.toString.startsWith("part-"))
+        .forEach { p =>
+          val dst = dir.resolve("batch-999.parquet")
+          java.nio.file.Files.move(p, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(base + 60000L))
+          ()
         }
-      })
+      finally sparts.close()
+      // drop the tmp dir (and its _SUCCESS markers) so the stream
+      // only ever sees the renamed batch files
+      val leftovers = java.nio.file.Files.list(tmp)
+      try leftovers.forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally leftovers.close()
+      java.nio.file.Files.deleteIfExists(tmp)
+      // the staged files carry ev's already-normalized TimestampType
+      ev.schema
+    }
     normalizeEventTs(
-      s.readStream.schema(s.read.parquet(staged).schema)
-        .option("maxFilesPerTrigger", 1).parquet(staged))
+      s.readStream.schema(st.schema)
+        .option("maxFilesPerTrigger", 1).parquet(st.dir))
   }
   private val orderedEventDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, Staged]()
 
   private[graft] def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {

@@ -21,14 +21,20 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object MutationIngest {
 
-  /** Latest row per key within a frame, ordering by (orderCol, tie). */
+  /** Latest row per key within a frame, ordering by (orderCol, tie).
+    * The working column is reserved: a caller column of the same name
+    * would be silently clobbered by withColumn, ranked on, and then
+    * dropped — wrong rows kept AND a data column lost — so fail
+    * loudly instead (same contract as AsOfJoin's __graft_ prefix). */
   def latestPerKey(df: DataFrame, keyCol: String, orderCol: String,
                    tieCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains("__graft_rn"),
+      "__graft_rn is reserved by MutationIngest.latestPerKey")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(orderCol).desc, col(tieCol).desc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1).drop("__graft_rn")
   }
 
   /** Start merging a mutation stream into catalog table `table`.
@@ -40,8 +46,16 @@ object MutationIngest {
     mutations.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val latest = latestPerKey(batch, keyCol, orderCol, tieCol)
+        // Materialize the batch ONCE before the empty probe: a bare
+        // batch.isEmpty executes the batch plan for a limit(1) and the
+        // merge then re-executes it from the source — doubling
+        // per-batch input I/O. The empty guard itself must stay:
+        // incrementalMerge publishes a new table version even for an
+        // empty patch, so an empty trailing trigger would burn a
+        // version (and a snapshot dir) for nothing.
+        val local = batch.localCheckpoint(true)
+        if (!local.isEmpty) {
+          val latest = latestPerKey(local, keyCol, orderCol, tieCol)
             .select(catalog.table(table).df.columns.map(col): _*)
           catalog.incrementalMerge(table, latest)
         }

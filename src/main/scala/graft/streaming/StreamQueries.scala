@@ -326,12 +326,36 @@ object StreamQueries {
     },
   )
 
+  /** The hourly-agg contract, shared verbatim by the batch and
+    * streaming variants — they gate against the SAME SQL by
+    * construction, so a future edit cannot silently split them. */
+  private val hourlyAggSql =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin
+
+  /** The gap-sessionization CTEs (30-min floor-second gap rule),
+    * shared by st_sessionize and st_stream_sessions — the two differ
+    * only in the final projection. */
+  private val sessionCtes =
+    """WITH e AS (
+      |  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts FROM events),
+      |w AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER uw IS NULL
+      |           OR CAST(floor(epoch(ts)) AS BIGINT)
+      |            - CAST(floor(epoch(lag(ts) OVER uw)) AS BIGINT) > 1800
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM w)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     // the streaming plan's complete-mode output == the batch hourly agg
-    "st_stream_agg" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+    "st_stream_agg" -> hourlyAggSql,
 
     // with an over-span watermark, streaming dedup == DISTINCT keys,
     // each emitted exactly once
@@ -341,25 +365,12 @@ object StreamQueries {
         |FROM events ORDER BY k""".stripMargin,
 
     // sentinel-flushed custom-state sessionization == batch gap
-    // sessionization (same gap rule as st_sessionize, projected to the
+    // sessionization (same CTEs as st_sessionize, projected to the
     // streaming operator's emitted columns)
-    "st_stream_sessions" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts FROM events),
-        |w AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER uw IS NULL
-        |           OR CAST(floor(epoch(ts)) AS BIGINT)
-        |            - CAST(floor(epoch(lag(ts) OVER uw)) AS BIGINT) > 1800
-        |         THEN 1 ELSE 0 END AS is_new
-        |  FROM e WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (
-        |  SELECT user_id, ts,
-        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        |  FROM w)
+    "st_stream_sessions" -> (sessionCtes +
+      """
         |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
-        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin),
 
     // with an over-span watermark the streaming attribution join emits
     // exactly the batch interval join
@@ -371,29 +382,13 @@ object StreamQueries {
         |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 60 MINUTE
         |ORDER BY view_id, purchase_id""".stripMargin,
 
-    "st_window_agg" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+    "st_window_agg" -> hourlyAggSql,
 
-    "st_sessionize" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts FROM events),
-        |w AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER uw IS NULL
-        |           OR CAST(floor(epoch(ts)) AS BIGINT)
-        |            - CAST(floor(epoch(lag(ts) OVER uw)) AS BIGINT) > 1800
-        |         THEN 1 ELSE 0 END AS is_new
-        |  FROM e WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (
-        |  SELECT user_id, ts,
-        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        |  FROM w)
+    "st_sessionize" -> (sessionCtes +
+      """
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
-        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin),
 
     "st_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,
