@@ -235,6 +235,14 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     // the transaction-journal directory shares the warehouse root with
     // table dirs — a table of that name would collide with it
     require(name != "_graft_txn", "table name '_graft_txn' is reserved")
+    // Name charset: a "." collides with the {table}.{type}.{index}
+    // index-dir scheme (dropTable("a") would recursively delete a
+    // table named "a.b"), and a path separator ("../x") would resolve
+    // tableDir OUTSIDE the warehouse root — create/drop would then
+    // read and recursively delete foreign paths. Reject both up front.
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"invalid table name '$name' — use [A-Za-z0-9_]+ " +
+        "(dots collide with index directories, separators escape the warehouse)")
     // validate BEFORE any metadata lands: a bad key column must not be
     // discovered by the v0 snapshot write below, which would leave a
     // meta file without data — tableExists forever true, every read
@@ -259,11 +267,26 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     }
     require(!schema.fieldNames.exists(_.equalsIgnoreCase("id")),
       "column name should not be id") // IllegalColumnNameException
-    require(!tableExists(name), s"table $name exists")
+    // Canonicalize the key to the SCHEMA's field case before it lands
+    // anywhere: validation above is case-insensitive (Spark
+    // resolution), but exact-match consumers downstream
+    // (StructType.apply in manifestPersistable, fields.filterNot in
+    // upsertStaged) would otherwise wedge every CDC merge and INSERT
+    // on a table created with primaryKey=Seq("K") over field "k".
+    val canonicalPk = primaryKey.map(k =>
+      schema.fields.find(_.name.equalsIgnoreCase(k)).get.name)
+    // The existence check runs INSIDE the write lock: two concurrent
+    // creators both passing a bare check would write v0 into the same
+    // dir mode-overwrite, and the loser's failure-unwind would then
+    // deleteRecursively the winner's just-created table. The lock file
+    // needs the dir to exist first; createDirectories is idempotent
+    // and an empty dir without meta is not an existing table.
     Files.createDirectories(tableDir(name))
+    withWriteLock(name) {
+    require(!tableExists(name), s"table $name exists")
     val meta = mapper.createObjectNode()
     meta.put("table", name)
-    meta.put("primary", primaryKey.mkString(","))
+    meta.put("primary", canonicalPk.mkString(","))
     meta.put("isTransactional", isTransactional)
     meta.put("dataVersion", 0)
     meta.put("lockStatus", "UNLOCK")
@@ -308,13 +331,14 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     // "exists" without a v0 snapshot can neither be read nor recreated
     try KvLayout.writeSorted(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
-      primaryKey, dataDir(name))
+      canonicalPk, dataDir(name))
     catch {
       case e: Throwable =>
         try deleteRecursively(tableDir(name))
         catch { case _: Exception => () }
         throw e
     }
+    }: Unit
   }
 
   def tableExists(name: String): Boolean = Files.exists(metaFile(name))
@@ -338,15 +362,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * directory, so that lineage stays valid. */
   def bulkLoad(name: String, rows: DataFrame, partitions: Int = 0,
                expectedVersion: Option[Int] = None): Unit = {
-    // heal pending txn journals first: a crashed post-journal commit is
-    // committed-by-design, and writing data_v(cur+1) here would
-    // overwrite its staged snapshot and consume its version number
-    recoverTransactions()
-    withWriteLock(name) {
-      // re-heal UNDER the lock: a journal written while we waited on
-      // this lock owns data_v(cur+1) — without this, breaking a dead
-      // committer's lock would overwrite its committed staged snapshot
-      healPendingForLocked(name)
+    withRecoveredWriteLock(name) {
       val cur = dataVersionOf(name)
       checkExpected(name, cur, expectedVersion)
       val next = cur + 1
@@ -385,6 +401,26 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     try f finally lock.release()
   }
 
+  /** THE single-table write-path preamble, expressed once: heal
+    * pending txn journals before taking the lock (a crashed
+    * post-journal commit is committed-by-design, and writing
+    * data_v(cur+1) would overwrite its staged snapshot and consume its
+    * version number), then RE-heal under the lock (a journal written
+    * while we waited on the lock owns data_v(cur+1) — without the
+    * re-heal, breaking a dead committer's lock would overwrite its
+    * committed staged snapshot). Every single-table write path
+    * (bulkLoad, incrementalMerge, compact, vacuum, upsertStaged's bulk
+    * branch, publishStaged) runs through here so a future fix to the
+    * heal ordering lands in one place; commitTxn holds several locks
+    * at once and keeps its own explicitly-ordered sequence. */
+  private def withRecoveredWriteLock[A](name: String)(f: => A): A = {
+    recoverTransactions()
+    withWriteLock(name) {
+      healPendingForLocked(name)
+      f
+    }
+  }
+
   /** Bare acquire — for [[commitTxn]], which holds locks on SEVERAL
     * tables at once (always acquired in sorted table order, so two
     * concurrent transactions can't deadlock). Everything else uses the
@@ -410,9 +446,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * by construction. */
   def incrementalMerge(name: String, patch: DataFrame,
                        precollectedKeys: Option[Array[Any]] = None): Unit = {
-    recoverTransactions() // see bulkLoad: pending journals own data_v(cur+1)
-    withWriteLock(name) {
-    healPendingForLocked(name) // re-heal under the lock (see bulkLoad)
+    withRecoveredWriteLock(name) {
     val pk = primaryKeyOf(name)
     val keyCol = pk.head
     val cur = dataVersionOf(name)
@@ -608,9 +642,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * Row set and per-file sort order are unchanged — only layout.
     * No-op when fewer than two small files exist. */
   def compact(name: String, targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
-    recoverTransactions() // see bulkLoad: pending journals own data_v(cur+1)
-    withWriteLock(name) {
-      healPendingForLocked(name) // re-heal under the lock (see bulkLoad)
+    withRecoveredWriteLock(name) {
       val cur = dataVersionOf(name)
       val curDir = tableDir(name).resolve(s"data_v$cur")
       val files = withList(curDir) { it =>
@@ -662,10 +694,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     // after its intent journal leaves staged data_v(next) dirs that are
     // not yet live — rolling them forward makes them live; skipping
     // this would let the sweep below reclaim dirs a journal still
-    // needs, turning a recoverable transaction into a partial one.
-    recoverTransactions()
-    withWriteLock(name) {
-    healPendingForLocked(name) // re-heal under the lock (see bulkLoad)
+    // needs, turning a recoverable transaction into a partial one
+    // (withRecoveredWriteLock's recover step does exactly that).
+    withRecoveredWriteLock(name) {
     val liveV = dataVersionOf(name) // one meta read for the whole sweep
     val live = s"data_v$liveV"
     val now = System.currentTimeMillis()
@@ -1095,9 +1126,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       if (keys.length <= maxIncrementalKeys)
         incrementalMerge(name, batch, precollectedKeys = Some(keys))
       else {
-        recoverTransactions() // see bulkLoad: pending journals own data_v(cur+1)
-        withWriteLock(name) {
-        healPendingForLocked(name) // re-heal under the lock (see bulkLoad)
+        withRecoveredWriteLock(name) {
         val next = dataVersionOf(name) + 1
         val nextDir = tableDir(name).resolve(s"data_v$next")
         writeData(name, table(name).upsert(batch).df, nextDir.toString)
@@ -1129,9 +1158,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * [[upsertStaged]]'s PK merge instead). */
   def publishStaged(name: String, stagedDir: String,
                     expectedVersion: Option[Int] = None): Unit = {
-    recoverTransactions() // see bulkLoad: pending journals own data_v(cur+1)
-    withWriteLock(name) {
-    healPendingForLocked(name) // re-heal under the lock (see bulkLoad)
+    withRecoveredWriteLock(name) {
     val cur = dataVersionOf(name)
     try checkExpected(name, cur, expectedVersion)
     catch { case e: java.util.ConcurrentModificationException =>
@@ -1399,7 +1426,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         if (c.hasNonNull("metadata")) Metadata.fromJson(c.path("metadata").asText())
         else Metadata.empty
       StructField(c.path("name").asText(),
-        CatalystSqlParser.parse(c.path("datatype").asText()),
+        DataType.fromDDL(c.path("datatype").asText()),
         c.path("nullable").asBoolean(true), md)
     }.toSeq)
   }
@@ -1407,12 +1434,15 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
   def charsetOf(name: String): String =
     readMeta(name).path("charset").asText("UTF-8")
 
-  private object CatalystSqlParser {
-    def parse(sql: String): DataType = DataType.fromDDL(sql)
-  }
-
-  def primaryKeyOf(name: String): Seq[String] =
+  /** The primary key in the SCHEMA's field case. createTable stores it
+    * canonicalized; the case-insensitive mapping here also repairs
+    * metas written before canonicalization, so exact-match consumers
+    * (StructType.apply, fields.filterNot) stay safe either way. */
+  def primaryKeyOf(name: String): Seq[String] = {
+    val fields = schemaOf(name).fieldNames
     readMeta(name).path("primary").asText().split(",").toSeq
+      .map(k => fields.find(_.equalsIgnoreCase(k)).getOrElse(k))
+  }
 
   def commentOf(name: String): String = readMeta(name).path("comment").asText("")
 

@@ -93,11 +93,18 @@ final case class KvTable(df: DataFrame, keyCols: Seq[String]) {
   /** Composite-rowkey Scan(startRow, stopRow): lexicographic
     * [start, stop) over the concatenated key; start/stop may be key
     * PREFIXES (shorter tuples), matching HBase's byte-prefix start/stop
-    * rows. */
+    * rows — including the EMPTY tuple, which HBase treats as unbounded
+    * on both ends (empty start = from table start, empty stop = to
+    * table end). The lexLt recursion's empty base is lit(false) — the
+    * right answer for an EXHAUSTED prefix (a key equal to the stop
+    * prefix is not < it) but the opposite of the empty-stop contract,
+    * so unboundedness is decided here at the top level. */
   def rangeScanComposite(start: Seq[Any], stopExclusive: Seq[Any]): DataFrame = {
     require(start.length <= keyCols.length && stopExclusive.length <= keyCols.length,
       s"range tuple longer than the ${keyCols.length}-column key")
-    df.filter(lexGe(keyCols, start) && lexLt(keyCols, stopExclusive))
+    val upper =
+      if (stopExclusive.isEmpty) lit(true) else lexLt(keyCols, stopExclusive)
+    df.filter(lexGe(keyCols, start) && upper)
   }
 
   /** FilterList(MUST_PASS_ALL): conjunction of pushed predicates. */

@@ -9,7 +9,13 @@ import java.nio.file.{Files, Path}
   *
   * The default [[FsLockProvider]] serializes writers with an atomic
   * create of a lock file: correct for any number of processes sharing
-  * a POSIX filesystem (local disk, NFS with O_EXCL, HDFS).
+  * a POSIX filesystem (local disk, NFS with O_EXCL, HDFS). Its
+  * STALE-BREAK, though, verifies owner liveness through the host-local
+  * process table, so it only breaks locks owned by processes of the
+  * SAME host; a lock abandoned by a crashed process on another host is
+  * never broken automatically (waiters time out instead) — multi-host
+  * deployments that need automatic crash recovery should plug a
+  * lease-based provider (coordination service) through this seam.
   *
   * Object-store caveat: on a store WITHOUT an atomic
   * create-if-absent primitive (plain S3 before conditional writes),
@@ -54,13 +60,18 @@ final class FsLockProvider(dir: String => Path,
   override def acquire(resource: String, timeoutMs: Long): LockProvider.Handle = {
     val lock = dir(resource).resolve(lockFileName)
     val deadline = System.currentTimeMillis() + timeoutMs
-    // owner tag (pid + acquire time + nonce): lets a later waiter detect
-    // a lock whose owner JVM died before the finally could release it,
-    // and lets release() prove the file is still THIS acquisition's.
-    // breakIfStale only parses the leading pid; the nonce makes the tag
-    // unique even for same-pid same-millisecond re-acquisitions.
+    // owner tag (pid + acquire time + nonce + host): lets a later
+    // waiter detect a lock whose owner JVM died before the finally
+    // could release it, and lets release() prove the file is still
+    // THIS acquisition's. breakIfStale parses the leading pid and the
+    // host; the nonce makes the tag unique even for same-pid
+    // same-millisecond re-acquisitions. The host matters on shared
+    // filesystems: pid liveness is only answerable for processes of
+    // THIS host — without it, a waiter on host B would read host A's
+    // pid, miss it in B's local process table, and "stale-break" a
+    // LIVE writer's lock, admitting two concurrent writers.
     val tag = s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()} " +
-      java.util.UUID.randomUUID().toString.take(8)
+      java.util.UUID.randomUUID().toString.take(8) + " " + FsLockProvider.host
     var acquired = false
     while (!acquired) {
       try {
@@ -109,12 +120,21 @@ final class FsLockProvider(dir: String => Path,
   private def breakIfStale(lock: Path): Unit = {
     try {
       val txt = try Files.readString(lock).trim catch { case _: Exception => "" }
-      val ownerPid = txt.split("\\s+").headOption
+      val tokens = txt.split("\\s+")
+      val ownerPid = tokens.headOption
         .flatMap(s => scala.util.Try(s.toLong).toOption)
+      // ProcessHandle.of answers for THIS host's process table only.
+      // A 4-token tag carries the owner's host (older 3-token tags
+      // predate it and were always written by this host's JVMs in a
+      // single-host warehouse): if the owner lives on another host,
+      // its pid is unanswerable here — never break, let the waiter
+      // time out rather than evict a possibly-live remote writer.
+      val sameHost = tokens.length < 4 || tokens(3) == FsLockProvider.host
       val stale = ownerPid match {
-        case Some(pid) =>
+        case Some(pid) if sameHost =>
           val h = ProcessHandle.of(pid)
           !(h.isPresent && h.get.isAlive)
+        case Some(_) => false
         case None => // tag never written: owner died mid-acquire
           System.currentTimeMillis() -
             Files.getLastModifiedTime(lock).toMillis > 60000L
@@ -143,6 +163,15 @@ final class FsLockProvider(dir: String => Path,
       }
     } catch { case _: Exception => () } // lost a race with release/another breaker — retry loop continues
   }
+}
+
+object FsLockProvider {
+  /** This host's identity for lock-owner tags, resolved once. Falls
+    * back to a stable per-JVM marker if the hostname is unresolvable —
+    * wrong-but-consistent beats throwing inside the lock loop. */
+  private[kv] val host: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: Exception => "unknown-host" }
 }
 
 /** Single-process provider: JVM-local semaphores keyed by resource.

@@ -53,7 +53,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
-  private def cat: Catalog = new Catalog(SparkSession.active, warehouse)
+  // one Catalog per catalog-plugin instance (Spark instantiates the
+  // plugin per session): a fresh Catalog per loadTable would reset the
+  // legacyRootMayHaveJournals amortization and re-list the warehouse
+  // root — O(tables) dirents — on EVERY statement's version resolution
+  private lazy val cat: Catalog = new Catalog(SparkSession.active, warehouse)
 
   private def tableName(ident: Identifier): String = {
     require(ident.namespace().isEmpty ||

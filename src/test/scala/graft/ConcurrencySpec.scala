@@ -73,6 +73,24 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(cat.table("t").pointGet(1L).count() == 1)
   }
 
+  test("a lock owned by another HOST is never pid-stale-broken") {
+    val cat = freshCat("remote")
+    cat.createTable("t", kv, Seq("k"))
+    // simulate a lock held by a (possibly live) writer on another
+    // machine: the pid is meaningless in THIS host's process table, so
+    // liveness is unanswerable and the waiter must time out, not evict
+    val p = new ProcessBuilder("true").start()
+    p.waitFor()
+    val lock = Paths.get(cat.warehouse, "t", "_graft_write.lock")
+    Files.writeString(lock,
+      s"${p.pid()} ${System.currentTimeMillis()} abcd1234 some-other-host")
+    val provider = new graft.kv.FsLockProvider(
+      r => Paths.get(cat.warehouse, r))
+    intercept[IllegalStateException](provider.acquire("t", timeoutMs = 700))
+    // the lock file must still be there, untouched
+    assert(Files.readString(lock).endsWith("some-other-host"))
+  }
+
   test("vacuum spares recent staging dirs and reclaims idle ones") {
     val cat = freshCat("vac")
     cat.createTable("t", kv, Seq("k"))

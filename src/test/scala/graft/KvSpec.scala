@@ -52,6 +52,15 @@ class KvSpec extends AnyFunSuite {
     val pre = lines.rangeScanComposite(Seq(100L), Seq(102L))
       .select("l_orderkey").distinct().collect().map(_.getLong(0)).toSet
     assert(pre == Set(100L, 101L))
+    // empty tuples are unbounded on BOTH ends, like HBase's empty
+    // start/stop rows — an empty stop must scan to end of table, not
+    // silently return nothing
+    assert(lines.rangeScanComposite(Seq(), Seq()).count() == lines.df.count())
+    val tail = lines.rangeScanComposite(Seq(103L), Seq())
+      .select("l_orderkey").distinct().collect().map(_.getLong(0)).toSet
+    val expectTail = lines.df.select("l_orderkey").distinct().collect()
+      .map(_.getLong(0)).filter(_ >= 103L).toSet
+    assert(tail == expectTail && tail.nonEmpty)
   }
 
   test("composite multiGet returns exactly the requested key tuples") {
@@ -117,6 +126,41 @@ class KvSpec extends AnyFunSuite {
     val again = cat.tableInfo("t1").collect().head
     assert(again.getAs[Long]("created_ms") == created)
     cat.dropTable("t1")
+    assert(cat.listTables().isEmpty)
+  }
+
+  test("primary key declared in a different case than the schema works end-to-end") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_pkcase_wh").toString
+    val cat = new Catalog(spark, wh)
+    val schema = StructType(Seq(
+      StructField("k", LongType, false),
+      StructField("v", StringType, true)))
+    // Spark resolution is case-insensitive, so this must work — and
+    // the stored key must canonicalize to the schema's case, or the
+    // exact-match consumers (manifestPersistable's StructType.apply,
+    // upsertStaged's filterNot) wedge every CDC merge and INSERT
+    cat.createTable("tc", schema, primaryKey = Seq("K"))
+    assert(cat.primaryKeyOf("tc") == Seq("k"))
+    import spark.implicits._
+    cat.bulkLoad("tc", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    // incrementalMerge exercises ensureRangeManifest -> StructType.apply
+    cat.incrementalMerge("tc", Seq((2L, "b2"), (3L, "c")).toDF("k", "v"))
+    assert(cat.table("tc").df.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    cat.dropTable("tc")
+  }
+
+  test("table names with dots or separators are rejected up front") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_name_wh").toString
+    val cat = new Catalog(spark, wh)
+    val schema = StructType(Seq(StructField("k", LongType, false)))
+    // a dotted name would be deleted by dropTable("orders")'s index
+    // sweep; a separator would resolve outside the warehouse root
+    intercept[IllegalArgumentException](
+      cat.createTable("orders.backup", schema, Seq("k")))
+    intercept[IllegalArgumentException](
+      cat.createTable("../escape", schema, Seq("k")))
     assert(cat.listTables().isEmpty)
   }
 
