@@ -451,7 +451,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     val keyCol = pk.head
     val cur = dataVersionOf(name)
     val curDir = tableDir(name).resolve(s"data_v$cur")
-    val manifest = ensureRangeManifest(name, curDir, keyCol)
+    val manifest = ensureRangeManifest(curDir, keyCol,
+      manifestPersistable(schemaOf(name).apply(keyCol).dataType))
     val patchKeys = precollectedKeys.getOrElse(
       patch.select(keyCol).distinct().collect().map(r => canonKey(r.get(0))))
     // rowkeys are non-null (HBase rowkey semantics); a null here would
@@ -574,15 +575,16 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
   /** JSON-persistable key types: the manifest survives restarts for
     * these; anything else recomputes per merge (correct, one extra
     * key-column scan). */
-  private def manifestPersistable(name: String, keyCol: String): Boolean =
-    schemaOf(name).apply(keyCol).dataType match {
+  private def manifestPersistable(dt: DataType): Boolean =
+    dt match {
       case LongType | IntegerType | ShortType | ByteType |
            DoubleType | FloatType | StringType => true
       case _ => false
     }
 
-  private def ensureRangeManifest(name: String, dir: Path, keyCol: String): Seq[FileRange] = {
-    if (!manifestPersistable(name, keyCol)) return scanRanges(dir, keyCol)
+  private def ensureRangeManifest(dir: Path, keyCol: String,
+                                  persistable: Boolean): Seq[FileRange] = {
+    if (!persistable) return scanRanges(dir, keyCol)
     val cached: Option[Seq[FileRange]] =
       if (!Files.exists(manifestFile(dir))) None
       else {
@@ -1796,7 +1798,16 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           if (keys.length > maxEntryKeys || keys.contains(null)) false
           else {
             val curIdx = resolveIndexDataDir(dir, name)
-            val ranges = scanRanges(curIdx, lead)
+            // the index range map goes through the SAME persisted
+            // manifest machinery as the table's: computed once, then
+            // carried forward incrementally below — without it every
+            // CDC trigger paid a full index lead-column scan just to
+            // find the touched files, index-wide I/O the manifest
+            // exists to avoid. Persistability follows the indexed
+            // column's type (ik1 = first indexed column).
+            val leadPersistable = manifestPersistable(
+              schemaOf(name).apply(cols.head).dataType)
+            val ranges = ensureRangeManifest(curIdx, lead, leadPersistable)
             val (touched, untouched) = splitByKeyIntersect(ranges, keys)
             val idxSchema = spark.read.parquet(curIdx.toString).schema
             val touchedIdx =
@@ -1812,8 +1823,14 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
             val patched = touchedIdx.join(remove, cond, "left_anti")
               .unionByName(add)
             KvLayout.writeSorted(patched, ikCols, nextIdxDir.toString)
+            // scan only the freshly-written files (untouched not yet
+            // linked in), then record new + carried entries — the
+            // table merge's carry-forward pattern
+            val newIdxEntries = scanRanges(nextIdxDir, lead)
             untouched.foreach(e =>
               linkOrCopy(curIdx.resolve(e.file), nextIdxDir.resolve(e.file)))
+            if (leadPersistable)
+              writeRangeManifest(nextIdxDir, newIdxEntries ++ untouched)
             true
           }
         case _ => false
