@@ -23,8 +23,13 @@ object TextFunctions {
   def tokens(text: Column): Column =
     graft.plans.HashExpressions.tokens(text)
 
-  /** Whitespace token count. */
-  def wsTokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+  /** Whitespace token count. Empty/whitespace-only text has ZERO
+    * tokens: split("", "\\s+") yields [""] (size 1), so the bare size
+    * over-counts every empty doc by one — guard it out, in agreement
+    * with tokens()/bpeishCount which report 0 for the same input. */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
 
   /** BPE-ish subword count: alpha runs, single digits, single
     * non-alnum-non-space marks — a cheap proxy for BPE token count. */
@@ -40,15 +45,24 @@ object TextFunctions {
     size(filter(toks, t => array_contains(arr, t)))
   }
 
-  /** Stopword hit ratio against the English list. */
+  /** Stopword hit ratio against the English list. Zero-token text
+    * ratio is 0, not NULL: an unguarded 0/0 division returns NULL in
+    * Spark (and inf/nan in engines with IEEE division), which would
+    * silently drop the doc through every `quality >= θ` gate and
+    * diverge from the SQL oracle on the first symbol-only document. */
   def stopwordRatio(text: Column): Column = {
     val t = tokens(text)
-    stopHits(t, StopEn).cast("double") / size(t)
+    when(size(t) > 0, stopHits(t, StopEn).cast("double") / size(t))
+      .otherwise(lit(0.0))
   }
 
-  /** Ratio of alphanumeric chars to all chars. */
+  /** Ratio of alphanumeric chars to all chars (0 for empty text — see
+    * stopwordRatio on why the division must be guarded). */
   def alnumRatio(text: Column): Column =
-    length(regexp_replace(lower(text), "[^a-z0-9]", "")).cast("double") / length(text)
+    when(length(text) > 0,
+        length(regexp_replace(lower(text), "[^a-z0-9]", "")).cast("double") /
+          length(text))
+      .otherwise(lit(0.0))
 
   /** Composite quality score in [0,1]:
     * 0.5·min(1, n_tokens/120) + 0.3·stopword_ratio + 0.2·alnum_ratio,
@@ -56,7 +70,9 @@ object TextFunctions {
   def qualityScore(text: Column): Column = {
     val t = tokens(text)
     val lenTerm = lit(0.5) * least(lit(1.0), size(t).cast("double") / lit(120.0))
-    val stopTerm = lit(0.3) * (stopHits(t, StopEn).cast("double") / size(t))
+    val stopTerm = lit(0.3) *
+      when(size(t) > 0, stopHits(t, StopEn).cast("double") / size(t))
+        .otherwise(lit(0.0))
     val alnumTerm = lit(0.2) * alnumRatio(text)
     round(lenTerm + stopTerm + alnumTerm, 4)
   }

@@ -181,11 +181,18 @@ object TextQueries {
       // posting key is the 64-bit hash of the gram, not the gram text
       // (same trick as Dedup.ngramJaccard): identical group/join
       // semantics at ~0 collision odds, 3-4× less shuffle bytes
+      // First-occurrence via a WINDOW MIN over the gram partition, not
+      // a groupBy + join-back: the join form re-executed the tokenize +
+      // shingle + explode + hash lineage — the heaviest stage here —
+      // once per join branch (no exchange reuse: the aggregate's and
+      // the probe's exchanges differ), and shuffled the gram stream
+      // twice. The window shuffles it ONCE on g and reads the lineage
+      // once, same skew profile as the groupBy it replaces.
+      import org.apache.spark.sql.expressions.Window
       val grams = graft.dedup.Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 5)
         .select($"doc_id", explode($"sh").as("g0"))
         .select($"doc_id", xxhash64($"g0").as("g"))
-      val first = grams.groupBy($"g").agg(min($"doc_id").as("first_doc"))
-      grams.join(first, Seq("g"))
+      grams.withColumn("first_doc", min($"doc_id").over(Window.partitionBy($"g")))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_first"))
@@ -207,19 +214,26 @@ object TextQueries {
   def oracles: Map[String, String] = Map(
     "txt_tokens" ->
       s"""SELECT doc_id,
-         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_ws,
+         |  CAST(CASE WHEN trim(text) = '' THEN 0
+         |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_ws,
          |  CAST(len($cleanTok) AS INT) AS n_words,
          |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS INT) AS n_bpeish
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // zero-token and zero-length guards mirror TextFunctions exactly:
+    // both engines must say ratio 0 (not NULL/nan) for symbol-only docs
     "txt_quality" ->
       s"""SELECT doc_id,
          |  CAST(length(text) AS INT) AS n_chars,
-         |  ROUND(CAST(${hits(EnL)} AS DOUBLE) / len($cleanTok), 4) AS stop_ratio,
-         |  ROUND(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text), 4) AS alnum_ratio,
+         |  ROUND(CASE WHEN len($cleanTok) = 0 THEN 0.0
+         |        ELSE CAST(${hits(EnL)} AS DOUBLE) / len($cleanTok) END, 4) AS stop_ratio,
+         |  ROUND(CASE WHEN length(text) = 0 THEN 0.0
+         |        ELSE CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text) END, 4) AS alnum_ratio,
          |  ROUND(0.5 * least(1.0, CAST(len($cleanTok) AS DOUBLE) / 120.0)
-         |      + 0.3 * (CAST(${hits(EnL)} AS DOUBLE) / len($cleanTok))
-         |      + 0.2 * (CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text)), 4) AS quality
+         |      + 0.3 * (CASE WHEN len($cleanTok) = 0 THEN 0.0
+         |               ELSE CAST(${hits(EnL)} AS DOUBLE) / len($cleanTok) END)
+         |      + 0.2 * (CASE WHEN length(text) = 0 THEN 0.0
+         |               ELSE CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text) END), 4) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "txt_langid" ->
@@ -242,8 +256,10 @@ object TextQueries {
     "txt_pipeline" -> {
       val qual =
         s"""ROUND(0.5 * least(1.0, CAST(len($cleanTok) AS DOUBLE) / 120.0)
-           |  + 0.3 * (CAST(${hits(EnL)} AS DOUBLE) / len($cleanTok))
-           |  + 0.2 * (CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text)), 4)""".stripMargin
+           |  + 0.3 * (CASE WHEN len($cleanTok) = 0 THEN 0.0
+           |           ELSE CAST(${hits(EnL)} AS DOUBLE) / len($cleanTok) END)
+           |  + 0.2 * (CASE WHEN length(text) = 0 THEN 0.0
+           |           ELSE CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text) END), 4)""".stripMargin
       val lang =
         s"""CASE WHEN ${hits(EnL)} >= ${hits(DeL)} AND ${hits(EnL)} >= ${hits(EsL)} THEN 'en'
            |  WHEN ${hits(DeL)} >= ${hits(EsL)} THEN 'de' ELSE 'es' END""".stripMargin

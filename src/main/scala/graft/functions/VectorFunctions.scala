@@ -29,19 +29,4 @@ object VectorFunctions {
   def cosineComposed(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  /** Random-hyperplane LSH signature: `bits` sign-bits packed into a
-    * long. Hyperplane j, dim d has (deterministic, engine-portable)
-    * component sin(j·131 + d·7). Near-identical directions collide on
-    * all bits, so near-dup candidates share a bucket — candidate
-    * generation is a hash shuffle, never O(n²) (the 100 TB path). */
-  def lshBucket(v: Column, bits: Int = 16): Column = {
-    val planeDot = (j: Column) => aggregate(
-      zip_with(v, sequence(lit(0), size(v) - 1),
-        (x, d) => x.cast("double") * sin(j.cast("double") * lit(131.0) + d.cast("double") * lit(7.0))),
-      lit(0.0), (acc, x) => acc + x)
-    array_join(
-      transform(sequence(lit(0), lit(bits - 1)),
-        j => when(planeDot(j) >= 0.0, lit("1")).otherwise(lit("0"))),
-      "")
-  }
 }

@@ -26,9 +26,16 @@ object FullText {
   private val TokenPattern = "[^a-z0-9]+"
 
   /** Lowercase alnum tokenizer — deliberately simple and replicable in
-    * the DuckDB oracle (string_split_regex with the same pattern). */
-  def tokenize(c: Column): Column =
-    filter(split(lower(c), TokenPattern), t => length(t) > 0)
+    * the DuckDB oracle (string_split_regex with the same pattern).
+    * Runs as the native single-pass kernel (plans.TokensExpr, output
+    * identical to filter(split(lower(c), TokenPattern), len > 0) for
+    * ASCII text): buildPostings/buildPositional evaluate this on every
+    * document — the hottest full-scan pass in the module — and the
+    * composed form paid a Java-regex split plus an interpreted HOF
+    * lambda per row. Sharing ONE kernel with TextFunctions.tokens also
+    * eliminates the index/query tokenizer-divergence risk the
+    * TokenPattern comment above warns about. */
+  def tokenize(c: Column): Column = graft.plans.HashExpressions.tokens(c)
 
   /** Index terms are lowercased by the tokenizer; every query-side
     * term must normalize the same way or it can never match. */
@@ -110,6 +117,10 @@ object FullText {
     * prefix filter prunes row groups like an FST prefix seek. */
   def searchPrefix(docs: DataFrame, idCol: String, postings: DataFrame,
                    prefix: String): DataFrame = {
+    // every sibling entry point requires non-empty input; here an
+    // empty prefix would startsWith-match EVERY term — a full-index
+    // scan plus a full-corpus semi-join instead of a seek
+    require(norm(prefix).nonEmpty, "prefix search needs a non-empty prefix")
     val hits = postings.filter(col("term").startsWith(norm(prefix)))
       .select("doc_id").distinct()
     semiJoinDocs(docs, idCol, hits)

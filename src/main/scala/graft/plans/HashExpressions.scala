@@ -89,10 +89,13 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
 }
 
 /** Hyperplane-LSH bucket over array<float|double>: `bits` sign bits of
-  * dot(v, plane_j) with plane_j[d] = sin(j·131 + d·7), packed into a
-  * "0"/"1" string (matches VectorFunctions.lshBucket for vectors
-  * without null elements — a null element reads as 0.0 here). Plane
-  * values are memoized per (bits, dims) inside HashOps. */
+  * dot(v, plane_j) with plane_j[d] = sin(j·131 + d·7), emitted as a
+  * "0"/"1" string (a null element reads as 0.0; the empty vector has
+  * dot 0 on every plane → all-'1'). Near-identical directions collide
+  * on all bits, so near-dup candidate generation is a hash shuffle,
+  * never O(n²). Plane values are memoized per (bits, dims) inside
+  * HashOps. The sole implementation of these semantics — the composed
+  * HOF form it replaced diverged on null/empty vectors and is gone. */
 case class LshBucketExpr(child: Expression, bits: Int) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     KernelChecks.floatVec(child.dataType, "graft_lsh_bucket")
