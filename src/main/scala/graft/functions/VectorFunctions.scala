@@ -25,8 +25,11 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     graft.plans.HashExpressions.cosineSim(a, b)
 
-  /** The composed form (reference implementation of the semantics). */
-  def cosineComposed(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  /** The composed form (reference implementation of the semantics,
+    * incl. the zero-norm guard: similarity to the zero vector is 0). */
+  def cosineComposed(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom > 0, dot(a, b) / denom).otherwise(lit(0.0))
+  }
 
 }

@@ -27,7 +27,9 @@ object Multimodal {
     * Deterministic fake: metadata derived from payload bytes only. */
   private def decodeStub(payload: Array[Byte], mediaType: String): (Int, Int, String) = {
     val w = 64 + (payload.length % 640)
-    val h = 48 + ((payload.length * 7) % 480)
+    // long arithmetic: length * 7 wraps Int negative past ~307 MB and
+    // a negative modulo would emit a negative height
+    val h = 48 + ((payload.length.toLong * 7) % 480).toInt
     (w, h, mediaType.toUpperCase)
   }
 
@@ -56,6 +58,11 @@ object Multimodal {
     * `frameBytes` chunks, keep every `stride`-th. */
   def sampleFrames(spark: SparkSession, media: DataFrame,
                    frameBytes: Int = 64, stride: Int = 4): Dataset[Frame] = {
+    // fail fast like every other parameterized operator: stride = 0
+    // would throw ArithmeticException per row inside the task and a
+    // non-positive frameBytes divides by zero or silently emits nothing
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(stride > 0, s"stride must be positive, got $stride")
     import spark.implicits._
     media.as[MediaRow].flatMap { r =>
       val nFrames = (r.payload.length + frameBytes - 1) / frameBytes

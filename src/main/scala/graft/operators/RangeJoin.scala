@@ -85,8 +85,13 @@ object RangeJoin {
                leftVal: String, rightVal: String,
                eqKeys: Seq[String], maxDiff: Long): DataFrame = {
     require(maxDiff >= 0, s"maxDiff must be non-negative, got $maxDiff")
+    // BOTH sides: a right column named __band_lo/__band_hi would
+    // collide with the working columns and the final drop would
+    // silently remove the right side's data column too
     require(!left.columns.exists(_.startsWith("__band_")),
       "left may not carry reserved __band_ columns")
+    require(!right.columns.exists(_.startsWith("__band_")),
+      "right may not carry reserved __band_ columns")
     val intervals = left
       .withColumn("__band_lo", col(leftVal) - maxDiff)
       .withColumn("__band_hi", col(leftVal) + maxDiff)

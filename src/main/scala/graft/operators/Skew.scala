@@ -14,9 +14,21 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Two-phase salted aggregation for algebraic aggregates: scatter
-    * each key across `salt` sub-keys (deterministic hash of the whole
-    * row), partially aggregate (key, salt), then finish per key. The
-    * hot key's work spreads over `salt` tasks. */
+    * each key across `salt` sub-keys (POSITION-based salt — see the
+    * inline comment: content hashing would send identical duplicate
+    * rows, the common shape of a hot key, to one sub-key), partially
+    * aggregate (key, salt), then finish per key. The hot key's work
+    * spreads over `salt` tasks.
+    *
+    * CONTRACT: the input's per-partition row order must be
+    * deterministic under task retry (a parquet/file scan — both call
+    * sites here — is; the output of an unsorted shuffle is NOT). A
+    * position-based salt over retry-nondeterministic input is the
+    * SPARK-23207 hazard: a recomputed map task can salt a row
+    * differently than the partially-consumed original, double-counting
+    * it in one partial and dropping it from another. For such inputs,
+    * sortWithinPartitions on a total ordering first, or salt by a hash
+    * of the full row and accept duplicate-row clumping. */
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
                      salt: Int): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")

@@ -276,7 +276,12 @@ object HashOps {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm guard: 0/0 is NaN, and NaN sorts GREATER than every
+    // real double in Spark's ordering — one all-zero (padded/missing)
+    // vector would otherwise surface as the rank-1 neighbor of every
+    // query. Similarity to the zero vector is 0, not NaN.
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   /** Negated squared L2 (the IVF coarse-probe metric): −Σ(x−y)².

@@ -134,6 +134,10 @@ object TopK {
     * Registers the planner strategy on first use. */
   def perGroup(df: DataFrame, groupCols: Seq[String],
                orderSpecs: Seq[(String, Boolean)], k: Int): DataFrame = {
+    // fail at plan time with the cause, not mid-task: k = 0 creates an
+    // empty heap whose `heap.head` comparison throws an opaque
+    // NoSuchElementException on the first executor row
+    require(k > 0, s"perGroup needs k > 0, got $k")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(GraftStrategies))
       spark.experimental.extraStrategies =

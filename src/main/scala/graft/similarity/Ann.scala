@@ -84,6 +84,9 @@ object Ann {
       .sample(withReplacement = false, fraction, seed = 42L)
       .limit(maxTrain).cache()
     val nTrain = train.count()
+    // same explicit guard as buildPq: KMeans.fit on a 0-row frame
+    // throws an opaque internal MLlib error that never names the cause
+    require(nTrain > 0, "buildIvf: no vectors to train on — empty corpus")
     val nlist = math.max(2, math.sqrt(nTrain.toDouble).toInt)
     // random init, not k-means||: the parallel init is itself O(iter)
     // full passes, and an IVF coarse quantizer only needs roughly
@@ -180,7 +183,12 @@ object Ann {
       .select(array_to_vector(col("v").cast("array<double>")).as("features"))
       .sample(withReplacement = false, fraction, seed = 42L)
       .limit(maxTrain).cache()
-    val nTrain = math.max(train.count(), 2L)
+    // explicit zero-input guard (see buildIvf): the max(_, 2) below
+    // sizes k but cannot make an empty training frame fit
+    val nTrainRaw = train.count()
+    require(nTrainRaw > 0,
+      "clusterAssign: no vectors to train on — empty corpus")
+    val nTrain = math.max(nTrainRaw, 2L)
     val k = math.max(2, math.min(math.min(maxLists.toLong, nTrain),
       (n + targetListSize - 1) / targetListSize).toInt)
     val model = new KMeans().setK(k).setSeed(42).setMaxIter(maxIter)

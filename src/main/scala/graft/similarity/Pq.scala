@@ -34,6 +34,29 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
+  /** L2-normalize an array<float|double> column (zero vectors pass
+    * through unchanged). The norm is computed into its OWN column
+    * reference before the per-element division — referencing the norm
+    * expression inside the transform lambda would re-evaluate the full
+    * aggregate per element (O(d²) per vector). Plain-PQ search
+    * normalizes train/encode/query so the ADC inner product IS the
+    * cosine: without it, a small-norm vector with the highest cosine
+    * to q can rank below `shortlist` large-norm vectors on raw dot and
+    * never reach the exact re-rank — a recall loss that does not
+    * shrink with quantization error. (The FAISS cosine recipe:
+    * normalize, then search IP.) The residual IVF×PQ path is L2-metric
+    * throughout and does NOT normalize. */
+  private def withNormalized(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__nrm",
+        sqrt(aggregate(col(vecCol).cast("array<double>"),
+          lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn(vecCol,
+        when(col("__nrm") > 0,
+          transform(col(vecCol),
+            x => (x.cast("double") / col("__nrm")).cast("float")))
+          .otherwise(col(vecCol).cast("array<float>")))
+      .drop("__nrm")
+
   /** A built PQ index: codebook dims + the encoded corpus
     * (`encoded`: nn, codes array<int> of length m). Like IvfIndex this
     * is a persisted artifact — built once by DDL, consulted by every
@@ -57,7 +80,11 @@ object Pq {
     // time; an arbitrary unfiltered first row would fail the probe
     // with an opaque NPE, and a sampled NULL row would crash
     // KMeans.fit the same way.
-    val nonNull = embs.filter(col(vecCol).isNotNull)
+    // cosine-consistent codes: train and encode on L2-normalized
+    // vectors (see withNormalized) so ADC's inner product approximates
+    // the cosine the re-rank reports
+    val nonNull = withNormalized(
+      embs.filter(col(vecCol).isNotNull), vecCol)
     val head = nonNull.select(size(col(vecCol))).head(1)
     require(head.nonEmpty,
       s"buildPq: no non-null $vecCol vectors — nothing to train on")
@@ -98,7 +125,10 @@ object Pq {
       s += 1
     }
     train.unpersist()
-    val encoded = embs.select(col(idCol).as("nn"),
+    // encode the normalized form too (NULL vectors still encode to
+    // NULL codes: a NULL norm fails the `> 0` branch and the NULL
+    // vector passes through to pqCodes' nullSafeEval)
+    val encoded = withNormalized(embs, vecCol).select(col(idCol).as("nn"),
       PqExpressions.pqCodes(col(vecCol), codebook, m, kEff, dsub).as("codes"))
     PqIndex(m, kEff, dsub, codebook, encoded)
   }
@@ -110,7 +140,10 @@ object Pq {
   def pqSearch(idx: PqIndex, corpus: DataFrame, queries: DataFrame,
                idCol: String, vecCol: String, topK: Int,
                shortlist: Int = 32): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    // query vectors normalize like the encoded corpus: LUT dots are
+    // then cosine estimates, the same metric the re-rank reports
+    val q = withNormalized(
+        queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), "qv")
       .withColumn("lut",
         PqExpressions.pqLut(col("qv"), idx.codebook, idx.m, idx.k, idx.dsub))
     val adcScored = idx.encoded
