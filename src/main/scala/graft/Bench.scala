@@ -38,11 +38,18 @@ object Bench {
     // gated to the query families that consult it, so a targeted
     // one-query bench doesn't pay tens of seconds of unrelated index
     // builds before its ~0.2 s timed section.
-    if (anySelected(k => k.startsWith("ft_") || k == "idx_segment_ft")) {
+    // txt_vocab consults QueryCaches.postings too (TextQueries.scala) —
+    // without it here a targeted txt_vocab bench pays the postings
+    // build inside its first timed rep
+    if (anySelected(k => k.startsWith("ft_") || k == "idx_segment_ft" ||
+        k == "txt_vocab")) {
       QueryCaches.postings(spark, sfDir).count()
       QueryCaches.positional(spark, sfDir).count()
       QueryCaches.dictionary(spark, sfDir).count()
       QueryCaches.corpusSize(spark, sfDir)
+      QueryCaches.doclens(spark, sfDir).count()
+      QueryCaches.avgDocLen(spark, sfDir)
+      ()
     }
     if (anySelected(_.startsWith("idx_bitmap")))
       Seq("o_orderstatus", "o_orderpriority")

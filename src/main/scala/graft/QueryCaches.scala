@@ -33,6 +33,23 @@ object QueryCaches {
   def dictionary(s: SparkSession, d: String): DataFrame =
     memo(s"dictionary:$d")(index.FullText.buildDictionary(postings(s, d)))
 
+  /** Per-document token counts (BM25 norms), derived from the postings. */
+  def doclens(s: SparkSession, d: String): DataFrame =
+    memo(s"doclens:$d")(index.FullText.buildDocLens(postings(s, d)))
+
+  /** Average document length for BM25, computed as exact-integer
+    * totalTokens / N so every engine derives the identical double
+    * (a floating AVG would be summation-order-dependent). */
+  def avgDocLen(s: SparkSession, d: String): Double = {
+    val total = counts.computeIfAbsent(s"toktotal:$d",
+      new Function[String, java.lang.Long] {
+        override def apply(k: String): java.lang.Long =
+          doclens(s, d).agg(org.apache.spark.sql.functions.sum("dl"))
+            .head.getLong(0)
+      })
+    total.toDouble / corpusSize(s, d)
+  }
+
   /** Bitmap index over an orders column — built once per (column, dir)
     * like a persisted index table, consulted by every bitmap query. */
   def ordersBitmap(s: SparkSession, d: String, valueCol: String): DataFrame =

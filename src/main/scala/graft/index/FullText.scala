@@ -167,4 +167,45 @@ object FullText {
       .groupBy("doc_id").agg(round(sum(col("w")), 4).as("score"))
     scored.orderBy(col("score").desc, col("doc_id")).limit(k)
   }
+
+  /** Per-document token count — the "norms" frame a BM25 index stores
+    * alongside the postings (Lucene persists a length norm per doc per
+    * field for exactly this). Derived from the postings alone, so the
+    * corpus is never re-scanned. */
+  def buildDocLens(postings: DataFrame): DataFrame =
+    postings.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+
+  /** BM25 ranked top-k (the reference's full-text flavor is Lucene —
+    * index/lucene/LuceneIndexTable.kt — and Lucene's default
+    * similarity is BM25):
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *   idf(t)   = ln(1 + (N − df + 0.5) / (df + 0.5))
+    *
+    * All inputs come from the persisted index frames: tf from postings,
+    * df from the dictionary, dl from the doclens/norms frame, N and
+    * avgdl are index-time scalars. The per-term frames are filtered to
+    * the query terms BEFORE any join (postings pruned by the term
+    * predicate at the scan; dictionary side broadcast), so query cost
+    * scales with the query terms' posting lists, not the corpus. avgdl
+    * is passed as totalTokens/N computed from exact integer counts so
+    * every engine derives the identical double. Scores rounded to 4 dp
+    * for cross-engine reproducibility; ties broken by doc_id. */
+  def bm25TopK(postings: DataFrame, dictionary: DataFrame, doclens: DataFrame,
+               nDocs: Long, avgdl: Double, terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "empty term list")
+    require(nDocs > 0 && avgdl > 0, "BM25 needs a non-empty corpus")
+    val q = terms.map(norm)
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val w = idf * (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
+    val scored = postings.filter(col("term").isin(q: _*))
+      .join(broadcast(dictionary.filter(col("term").isin(q: _*))), "term")
+      .join(doclens, "doc_id")
+      .withColumn("w", w)
+      .groupBy("doc_id").agg(round(sum(col("w")), 4).as("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
 }

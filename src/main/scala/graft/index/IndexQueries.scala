@@ -168,6 +168,15 @@ object IndexQueries {
         Seq("spark", "join"), 20)
     },
 
+    "ft_bm25_topk" -> { (s, d) =>
+      val postings = graft.QueryCaches.postings(s, d)
+      val dict = graft.QueryCaches.dictionary(s, d)
+      val doclens = graft.QueryCaches.doclens(s, d)
+      FullText.bm25TopK(postings, dict, doclens,
+        graft.QueryCaches.corpusSize(s, d), graft.QueryCaches.avgDocLen(s, d),
+        Seq("spark", "join"), 20)
+    },
+
     "ft_hybrid_rrf" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -306,6 +315,31 @@ object IndexQueries {
         |  ROUND(SUM(tf * ln(CAST(n.n AS DOUBLE) / df.df)), 4) AS score
         |FROM tf JOIN df USING(term) CROSS JOIN n
         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "ft_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('spark','join') GROUP BY doc_id, term),
+        |df AS (
+        |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+        |  WHERE term IN ('spark','join') GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / (SELECT COUNT(*) FROM documents) AS avgdl FROM dl)
+        |SELECT tf.doc_id,
+        |  ROUND(SUM(
+        |    ln(1 + (CAST(n.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)) *
+        |    (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / ad.avgdl))
+        |  ), 4) AS score
+        |FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+        |CROSS JOIN n CROSS JOIN ad
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin,
 
     "ft_hybrid_rrf" ->
       """WITH toks AS (

@@ -166,12 +166,20 @@ final class FsLockProvider(dir: String => Path,
 }
 
 object FsLockProvider {
-  /** This host's identity for lock-owner tags, resolved once. Falls
-    * back to a stable per-JVM marker if the hostname is unresolvable —
-    * wrong-but-consistent beats throwing inside the lock loop. */
+  /** This host's identity for lock-owner tags, resolved once. The
+    * fallback must be unique PER JVM, not a shared constant: two hosts
+    * that both fail hostname lookup (or both misresolve to
+    * "localhost") would otherwise see each other's tags as same-host
+    * and pid-stale-break a live remote writer — the exact
+    * two-concurrent-writers hazard the host token exists to close.
+    * With a per-JVM random token, a remote owner's tag can never
+    * compare equal, so the waiter times out instead of breaking. */
   private[kv] val host: String =
     try java.net.InetAddress.getLocalHost.getHostName
-    catch { case _: Exception => "unknown-host" }
+    catch { case _: Exception =>
+      s"unknown-${ProcessHandle.current().pid()}-" +
+        java.util.UUID.randomUUID().toString.take(8)
+    }
 }
 
 /** Single-process provider: JVM-local semaphores keyed by resource.

@@ -52,14 +52,19 @@ object MutationIngest {
         // per-batch input I/O. The empty guard itself must stay:
         // incrementalMerge publishes a new table version even for an
         // empty patch, so an empty trailing trigger would burn a
-        // version (and a snapshot dir) for nothing.
-        val local = batch.localCheckpoint(true)
-        if (!local.isEmpty) {
-          val latest = latestPerKey(local, keyCol, orderCol, tieCol)
-            .select(catalog.table(table).df.columns.map(col): _*)
-          catalog.incrementalMerge(table, latest)
-        }
-        ()
+        // version (and a snapshot dir) for nothing. persist (not
+        // localCheckpoint): blocks are dropped in the finally rather
+        // than lingering until driver GC, and the lineage survives —
+        // an executor lost mid-batch recomputes the partition instead
+        // of failing the micro-batch back to the source checkpoint.
+        val local = batch.persist()
+        try {
+          if (!local.isEmpty) {
+            val latest = latestPerKey(local, keyCol, orderCol, tieCol)
+              .select(catalog.table(table).df.columns.map(col): _*)
+            catalog.incrementalMerge(table, latest)
+          }
+        } finally { local.unpersist(); () }
       }
       .start()
   }

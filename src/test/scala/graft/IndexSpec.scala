@@ -121,4 +121,33 @@ class IndexSpec extends AnyFunSuite {
     assert(top.length == 5)
     assert(top.sliding(2).forall(p => p(0).getDouble(1) >= p(1).getDouble(1)))
   }
+
+  test("bm25 matches the closed form and length-normalizes") {
+    import spark.implicits._
+    // planted corpus: docs 1 and 2 have IDENTICAL query-term tf (one
+    // 'spark') but doc 2 is longer — BM25's length normalization must
+    // rank doc 1 above doc 2 (raw tf-idf would tie them); doc 3 has no
+    // query term and must not appear
+    val docs = Seq(
+      (1L, "spark engine"),
+      (2L, "spark engine with a very long trailing tail of words here"),
+      (3L, "nothing relevant at all")).toDF("doc_id", "text")
+    val postings = FullText.buildPostings(docs, "doc_id", "text")
+    val dict = FullText.buildDictionary(postings)
+    val doclens = FullText.buildDocLens(postings)
+    val n = 3L
+    val dls = doclens.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val avgdl = dls.values.sum.toDouble / n
+    val top = FullText.bm25TopK(postings, dict, doclens, n, avgdl,
+      Seq("spark"), 10).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(top(0).getDouble(1) > top(1).getDouble(1))
+    // closed-form check for doc 1: tf=1, df=2, dl=2
+    val idf = math.log(1.0 + (3.0 - 2 + 0.5) / (2 + 0.5))
+    val expected = idf * (1 * 2.2) / (1 + 1.2 * (1 - 0.75 + 0.75 * dls(1L) / avgdl))
+    assert(math.abs(top(0).getDouble(1) - BigDecimal(expected)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    intercept[IllegalArgumentException](
+      FullText.bm25TopK(postings, dict, doclens, 0L, 0.0, Seq("spark"), 10))
+  }
 }
