@@ -289,19 +289,27 @@ object StreamQueries {
 
     "mm_grouped_stats" -> { (s, d) =>
       import s.implicits._
-      Multimodal.extractMeta(s, Multimodal.withPayload(Tables.documents(s, d)))
-        .toDF()
-        .groupBy($"format")
+      // per-container corpus stats with the corrupt payloads
+      // quarantined into their own bucket — the triage view a media
+      // pipeline runs before spending decode cycles
+      Multimodal.extractMeta(s, Multimodal.withCorruption(
+          Multimodal.withPayload(Tables.documents(s, d))))
+        .groupBy(coalesce($"format", lit("CORRUPT")).as("format"))
         .agg(count(lit(1)).as("n_docs"),
           sum($"byte_len").cast("long").as("total_bytes"),
-          max($"width").as("max_width"))
+          max($"width").as("max_width"),
+          max($"sample_rate").as("max_rate"))
         .orderBy($"format")
     },
 
     "mm_meta_extract" -> { (s, d) =>
       import s.implicits._
-      Multimodal.extractMeta(s, Multimodal.withPayload(Tables.documents(s, d)))
-        .toDF().orderBy($"doc_id")
+      // parse REAL container headers (PNG IHDR / WAV fmt / MP4 tkhd)
+      // back out of the payload bytes; corrupt magics land in the
+      // typed error column, never a task failure
+      Multimodal.extractMeta(s, Multimodal.withCorruption(
+          Multimodal.withPayload(Tables.documents(s, d))))
+        .orderBy($"doc_id")
     },
 
     "mm_frame_sample" -> { (s, d) =>
@@ -313,13 +321,16 @@ object StreamQueries {
     "mm_dedup" -> { (s, d) =>
       import s.implicits._
       // binary-payload exact dedup — the image-dedup shape: hash the
-      // payload BYTES (codec-independent), one hash shuffle, keep the
-      // smallest id. Planted byte-identical copies of doc_id<10.
+      // container-stripped BODY bytes, one hash shuffle, keep the
+      // smallest id. Hashing the body (not the whole payload) makes
+      // the dedup container-invariant: the planted copies land in a
+      // different container (doc_id+1e6 flips doc_id mod 3) yet still
+      // collapse, the way a re-muxed video or re-wrapped image should.
       val docs = Tables.documents(s, d)
       val planted = docs.unionByName(docs.filter($"doc_id" < 10)
         .withColumn("doc_id", $"doc_id" + 1000000L))
       Multimodal.withPayload(planted)
-        .groupBy(md5($"payload").as("h"))
+        .groupBy(md5(Multimodal.body($"payload")).as("h"))
         .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
         .filter($"n_copies" > 1)
         .orderBy($"keeper")
@@ -441,25 +452,52 @@ object StreamQueries {
         |     < MAX(CASE WHEN event_type = 'purchase' THEN ts END)
         |ORDER BY user_id""".stripMargin,
 
+    // the mm_ oracles model the synthesized container headers with
+    // arithmetic: header length 33 (PNG) / 44 (WAV) / 124 (MP4) by
+    // doc_id mod 3; the planted dimensions/rates the headers embed are
+    // pure functions of the body length; doc_id % 97 = 0 payloads have
+    // their magic zeroed and must surface as quarantined rows
     "mm_grouped_stats" ->
-      """SELECT
-        |  CASE WHEN doc_id % 3 = 0 THEN 'IMAGE/PNG'
-        |       WHEN doc_id % 3 = 1 THEN 'AUDIO/WAV'
-        |       ELSE 'VIDEO/MP4' END AS format,
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS blen,
+        |    CASE WHEN doc_id % 3 = 0 THEN 33
+        |         WHEN doc_id % 3 = 1 THEN 44 ELSE 124 END AS hdr,
+        |    doc_id % 97 = 0 AS corrupt
+        |  FROM documents)
+        |SELECT
+        |  CASE WHEN corrupt THEN 'CORRUPT'
+        |       WHEN doc_id % 3 = 0 THEN 'PNG'
+        |       WHEN doc_id % 3 = 1 THEN 'WAV' ELSE 'MP4' END AS format,
         |  COUNT(*) AS n_docs,
-        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-        |  CAST(MAX(64 + octet_length(encode(text)) % 640) AS INT) AS max_width
-        |FROM documents GROUP BY format ORDER BY format""".stripMargin,
+        |  CAST(SUM(blen + hdr) AS BIGINT) AS total_bytes,
+        |  CAST(MAX(CASE WHEN NOT corrupt AND doc_id % 3 <> 1
+        |    THEN 64 + blen % 640 END) AS INT) AS max_width,
+        |  CAST(MAX(CASE WHEN NOT corrupt AND doc_id % 3 = 1
+        |    THEN 8000 + (blen % 8) * 4000 END) AS INT) AS max_rate
+        |FROM m GROUP BY format ORDER BY format""".stripMargin,
 
     "mm_meta_extract" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
-        |  CAST(64 + octet_length(encode(text)) % 640 AS INT) AS width,
-        |  CAST(48 + (octet_length(encode(text)) * 7) % 480 AS INT) AS height,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'IMAGE/PNG'
-        |       WHEN doc_id % 3 = 1 THEN 'AUDIO/WAV'
-        |       ELSE 'VIDEO/MP4' END AS format
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS blen,
+        |    CASE WHEN doc_id % 3 = 0 THEN 33
+        |         WHEN doc_id % 3 = 1 THEN 44 ELSE 124 END AS hdr,
+        |    doc_id % 97 = 0 AS corrupt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(blen + hdr AS INT) AS byte_len,
+        |  CASE WHEN corrupt THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN 'PNG'
+        |       WHEN doc_id % 3 = 1 THEN 'WAV' ELSE 'MP4' END AS format,
+        |  CAST(CASE WHEN NOT corrupt AND doc_id % 3 <> 1
+        |    THEN 64 + blen % 640 END AS INT) AS width,
+        |  CAST(CASE WHEN NOT corrupt AND doc_id % 3 <> 1
+        |    THEN 48 + (blen * 7) % 480 END AS INT) AS height,
+        |  CAST(CASE WHEN NOT corrupt AND doc_id % 3 = 1
+        |    THEN 8000 + (blen % 8) * 4000 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN NOT corrupt AND doc_id % 3 = 1
+        |    THEN 1 + blen % 2 END AS INT) AS channels,
+        |  CASE WHEN corrupt THEN 'unknown container magic' END AS error
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS blen FROM documents)

@@ -173,9 +173,68 @@ class StreamingSpec extends AnyFunSuite {
     import graft.multimodal.Multimodal
     val docs = Tables.documents(spark, sf)
     val meta1 = Multimodal.extractMeta(spark, Multimodal.withPayload(docs))
-      .collect().map(m => (m.doc_id, m.byte_len, m.width, m.height, m.format)).toSet
+      .collect().map(_.toSeq).toSet
     val meta2 = Multimodal.extractMeta(spark, Multimodal.withPayload(docs))
-      .collect().map(m => (m.doc_id, m.byte_len, m.width, m.height, m.format)).toSet
+      .collect().map(_.toSeq).toSet
     assert(meta1 == meta2 && meta1.size == docs.count())
+  }
+
+  test("multimodal headers are real: ImageIO/javax parse what we synthesize") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    val docs = Seq((0L, "tiny png body"), (1L, "wav body x"), (2L, "mp4 body"))
+      .toDF("doc_id", "text")
+    val rows = Multimodal.withPayload(docs)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    // PNG: the stdlib decoder must read OUR planted dimensions straight
+    // from the signature+IHDR (proof the header is real, not header-ish)
+    val pngStream = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(rows(0L)))
+    val readers = javax.imageio.ImageIO.getImageReaders(pngStream)
+    assert(readers.hasNext, "stdlib found no reader for the synthesized PNG")
+    val reader = readers.next()
+    reader.setInput(pngStream)
+    val blen0 = "tiny png body".getBytes("UTF-8").length
+    assert(reader.getWidth(0) == 64 + blen0 % 640)
+    assert(reader.getHeight(0) == 48 + (blen0 * 7) % 480)
+    // WAV: RIFF/WAVE magic and the LE sample-rate field at offset 24
+    val wav = rows(1L)
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val blen1 = "wav body x".getBytes("UTF-8").length
+    val sr = java.nio.ByteBuffer.wrap(wav.slice(24, 28))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(sr == 8000 + (blen1 % 8) * 4000)
+    // MP4: ftyp box type at offset 4, moov at 20, tkhd width 16.16
+    val mp4 = rows(2L)
+    assert(new String(mp4.slice(4, 8), "US-ASCII") == "ftyp")
+    assert(new String(mp4.slice(20, 24), "US-ASCII") == "moov")
+    val blen2 = "mp4 body".getBytes("UTF-8").length
+    val w = java.nio.ByteBuffer.wrap(mp4.slice(116, 120)).getInt
+    assert(w == (64 + blen2 % 640) * 65536)
+  }
+
+  test("corrupt magic quarantines to the error column; body survives") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5, encode}
+    val docs = Seq((0L, "corrupt me"), (1L, "clean wav"), (5L, "also clean"))
+      .toDF("doc_id", "text")
+    val meta = Multimodal.extractMeta(spark,
+        Multimodal.withCorruption(Multimodal.withPayload(docs), everyN = 97))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(2)), Option(r.get(7)))).toMap
+    // doc 0 corrupt (0 % 97 == 0): no format, typed error; others clean
+    assert(meta(0L) == (None, Some("unknown container magic")))
+    assert(meta(1L) == (Some("WAV"), None))
+    assert(meta(5L) == (Some("MP4"), None))
+    // body() strips exactly the header even on corrupt payloads' clean
+    // siblings: md5(body) == md5(text bytes) for every clean row
+    val m = Multimodal.withPayload(docs)
+      .select(col("doc_id"), md5(Multimodal.body(col("payload"))).as("h"))
+      .join(docs.select(col("doc_id"),
+        md5(encode(col("text"), "UTF-8")).as("want")), "doc_id")
+      .collect()
+    assert(m.length == 3 && m.forall(r => r.getString(1) == r.getString(2)))
   }
 }
