@@ -1636,21 +1636,19 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     }
   }
 
-  private lazy val bitmapFoldUdf = org.apache.spark.sql.functions.udf(
-    (pbs: Seq[Row], tbs: Seq[Row]) => graft.index.Bitmap.foldVersions(
-      pbs.map(r => (r.getInt(0), r.getAs[Array[Byte]](1))),
-      Option(tbs).map(_.map(r => (r.getInt(0), r.getAs[Array[Byte]](1))))
-        .getOrElse(Seq.empty)))
-
   /** Bitmap rows folded per (value, shard): each part's bitmap loses
     * ids tombstoned at a later version, survivors OR together
-    * (Bitmap.foldVersions — property-tested last-writer-wins replay).
-    * Work spreads across (value, shard) rows like every other bitmap
-    * op; tombstone lists are patch-sized and broadcast. */
+    * (Bitmap.foldVersions — property-tested last-writer-wins replay,
+    * run through the codegen'd BitmapFoldExpr kernel: the fold stays
+    * inside the projection's codegen span, no UDF boxing). Work
+    * spreads across (value, shard) rows like every other bitmap op;
+    * tombstone lists are patch-sized and broadcast. */
   private def bitmapSegView(base: Path, baseVer: Int,
                             segs: Seq[(Int, Path)],
                             tombs: Seq[(Int, Path)]): DataFrame = {
     import org.apache.spark.sql.functions._
+    val emptyVersioned =
+      array().cast("array<struct<__tv:int,bm:binary>>")
     val parts = ((baseVer, base) +: segs).map { case (v, p) =>
       spark.read.parquet(p.toString)
         .select(col("iv"), col("shard"), col("bm")).withColumn("__v", lit(v))
@@ -1658,8 +1656,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     val partAgg = parts.groupBy("iv", "shard")
       .agg(collect_list(struct(col("__v"), col("bm"))).as("pbs"))
     val withTombs =
-      if (tombs.isEmpty) partAgg.withColumn("tbs",
-        lit(null).cast("array<struct<__tv:int,bm:binary>>"))
+      if (tombs.isEmpty) partAgg.withColumn("tbs", emptyVersioned)
       else partAgg.join(
         broadcast(tombs.map { case (v, p) =>
           spark.read.parquet(p.toString)
@@ -1667,7 +1664,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         }.reduce(_ unionByName _).groupBy("shard")
           .agg(collect_list(col("tb")).as("tbs"))),
         Seq("shard"), "left")
-    withTombs.withColumn("bm", bitmapFoldUdf(col("pbs"), col("tbs")))
+        // left join: shards with no tombstones carry a null list —
+        // normalize to empty so the fold kernel sees two real arrays
+        .withColumn("tbs", coalesce(col("tbs"), emptyVersioned))
+    withTombs.withColumn("bm",
+        graft.plans.BitmapExpressions.fold(col("pbs"), col("tbs")))
       .withColumn("card", graft.index.BitmapIndex.Ops.bitmapCard(col("bm")))
       .filter(col("card") > 0L)
       .select(col("iv"), col("shard"), col("bm"), col("card"))

@@ -29,6 +29,18 @@ object BitmapKernel {
   def ids(a: Array[Byte]): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(Bitmap.ids(a))
   def cardinality(a: Array[Byte]): Long = Bitmap.cardinality(a)
+  // version-aware fold: unpacks the array<struct<ver:int, bm:binary>>
+  // operands in expression space (getStruct — no Row boxing, unlike
+  // the udf this replaced) and delegates to the property-tested
+  // Bitmap.foldVersions replay
+  def fold(parts: ArrayData, tombs: ArrayData): Array[Byte] = {
+    def unpack(a: ArrayData): Seq[(Int, Array[Byte])] =
+      (0 until a.numElements()).map { i =>
+        val r = a.getStruct(i, 2)
+        (r.getInt(0), r.getBinary(1))
+      }
+    Bitmap.foldVersions(unpack(parts), unpack(tombs))
+  }
 }
 
 /** Word-wise AND of two serialized bitmaps (chunks present on one
@@ -85,6 +97,31 @@ case class BitmapCardExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): BitmapCardExpr = copy(child = c)
 }
 
+/** Version-aware fold of part bitmaps minus later tombstones
+  * (compact_index / segmented-read path): parts and tombs are
+  * array<struct<ver:int, bm:binary>>; each part drops ids tombstoned
+  * at a LATER version, survivors OR together. Runs at (value × shard)
+  * granularity like the other bitmap kernels. */
+case class BitmapFoldExpr(left: Expression, right: Expression) extends BinaryExpression {
+  private def versionedBitmaps(dt: DataType, fn: String): TypeCheckResult = dt match {
+    case ArrayType(s: StructType, _)
+        if s.length == 2 && s(0).dataType == IntegerType &&
+          s(1).dataType == BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn expects array<struct<int,binary>>, got ${other.sql}")
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelChecks.both(versionedBitmaps(left.dataType, "graft_bitmap_fold"),
+      versionedBitmaps(right.dataType, "graft_bitmap_fold"))
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    BitmapKernel.fold(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.plans.BitmapKernel.fold($l, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BitmapFoldExpr =
+    copy(left = l, right = r)
+}
+
 object BitmapExpressions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
   def and(a: Column, b: Column): Column =
@@ -93,4 +130,6 @@ object BitmapExpressions {
     column(BitmapOrExpr(expression(a), expression(b)))
   def ids(c: Column): Column = column(BitmapIdsExpr(expression(c)))
   def cardinality(c: Column): Column = column(BitmapCardExpr(expression(c)))
+  def fold(parts: Column, tombs: Column): Column =
+    column(BitmapFoldExpr(expression(parts), expression(tombs)))
 }

@@ -101,7 +101,17 @@ class CodegenSpec extends AnyFunSuite {
           array_sort(BitmapExpressions.ids(
             BitmapExpressions.and($"ba", $"bb"))).as("andIds"),
           array_sort(BitmapExpressions.ids(
-            BitmapExpressions.or($"ba", $"bb"))).as("orIds"))
+            BitmapExpressions.or($"ba", $"bb"))).as("orIds"),
+          // version fold (compact_index path): tombstone {2} at v2
+          // masks both parts (v0, v1), survivors OR together
+          array_sort(BitmapExpressions.ids(BitmapExpressions.fold(
+            array(struct(lit(0).as("v"), $"ba".as("bm")),
+              struct(lit(1).as("v"), $"bb".as("bm"))),
+            array(struct(lit(2).as("v"),
+              lit(bitmapBytes(2L)).as("bm")))))).as("foldIds"),
+          array_sort(BitmapExpressions.ids(BitmapExpressions.fold(
+            array(struct(lit(0).as("v"), $"ba".as("bm"))),
+            array().cast("array<struct<v:int,bm:binary>>")))).as("foldBare"))
         .orderBy($"id").collect().toSeq
     } finally {
       spark.conf.set("spark.sql.codegen.factoryMode", prev._1.getOrElse("FALLBACK"))
@@ -115,9 +125,12 @@ class CodegenSpec extends AnyFunSuite {
     assert(gen == interp)
     // hand-computed ground truth, not just mode agreement
     assert(gen.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getSeq[Long](3), r.getSeq[Long](4))) == Seq(
-      (1L, 3L, 3L, Seq(2L), Seq(1L, 2L, 3L, 70000L, 100000L)),
-      (2L, 1L, 1L, Seq.empty[Long], Seq(0L, 1L << 30))))
+        r.getSeq[Long](3), r.getSeq[Long](4), r.getSeq[Long](5),
+        r.getSeq[Long](6))) == Seq(
+      (1L, 3L, 3L, Seq(2L), Seq(1L, 2L, 3L, 70000L, 100000L),
+        Seq(1L, 3L, 70000L, 100000L), Seq(1L, 2L, 100000L)),
+      (2L, 1L, 1L, Seq.empty[Long], Seq(0L, 1L << 30),
+        Seq(0L, 1L << 30), Seq(0L))))
   }
 
   test("a full signature pipeline plans inside WholeStageCodegen") {
