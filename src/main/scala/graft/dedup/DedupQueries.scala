@@ -57,30 +57,50 @@ object DedupQueries {
     graft.QueryCaches.frame(s"minhash_pairs:$d")(
       Dedup.minhashLsh(plantedDocs(s, d), "doc_id", "text", threshold = 0.5))
 
-  /** The IVF index (coarse quantizer + assigned lists) is likewise a
-    * persisted index artifact — the reference's analog is a prebuilt
-    * index table; only SEARCH happens at query time. */
-  private def ivfIdx(s: SparkSession, d: String): Ann.IvfIndex =
-    graft.QueryCaches.obj(s"ivf:$d") {
-      val idx = Ann.buildIvf(plantedEmbs(s, d), "vec_id", "embedding")
-      Ann.IvfIndex(idx.assigned.cache(), idx.centroids.cache())
+  /** The PERSISTED vector index serving every IVF/PQ/IVF×PQ search: a
+    * pid-scoped warehouse holds an `emb` catalog table backfilled from
+    * the real embeddings corpus, indexed with the catalog's `vector`
+    * flavor (Catalog.createIndex — centroids + codebooks + cluster-
+    * sorted encoded entries on disk, the reference's persisted-index
+    * contract), then CDC-merged with the planted exact copies. The
+    * merge keeps the index FRESH by appending an encoded segment
+    * (Catalog.maintainAnalyticIndexes), so the planted-pair recall
+    * gates below run THROUGH the segmented read view — the production
+    * maintenance path, not a per-process rebuild. Memoized per
+    * (JVM, dir): build is DDL, the timed queries measure SEARCH. */
+  private def vecIndex(s: SparkSession, d: String):
+      (DataFrame, DataFrame, graft.similarity.VectorIndex.VMeta) =
+    graft.QueryCaches.obj(s"veccat:$d") {
+      val wh = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_warehouse_vec_${ProcessHandle.current().pid()}").toString
+      VecCleanup.register(wh)
+      val cat = new graft.kv.Catalog(s, wh)
+      val e = Tables.embeddings(s, d)
+      if (cat.tableExists("emb")) cat.dropTable("emb")
+      cat.createTable("emb", e.schema, Seq("vec_id"))
+      cat.bulkLoad("emb", e, partitions = 2)
+      cat.createIndex("emb", "ann", "vector", Seq("embedding"))
+      cat.incrementalMerge("emb", e.filter(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+      val (view, cent, meta) = cat.vectorIndexView("emb", "ann")
+      (view.cache(), cent.cache(), meta)
     }
 
-  /** The PQ index (codebook + encoded corpus) — same persisted-index
-    * contract as the IVF index above. */
-  private def pqIdx(s: SparkSession, d: String): graft.similarity.Pq.PqIndex =
-    graft.QueryCaches.obj(s"pq:$d") {
-      val idx = graft.similarity.Pq.buildPq(plantedEmbs(s, d), "vec_id", "embedding")
-      idx.copy(encoded = idx.encoded.cache())
-    }
+  private def ivfIdx(s: SparkSession, d: String): Ann.IvfIndex = {
+    val (view, cent, _) = vecIndex(s, d)
+    graft.similarity.VectorIndex.ivfOf(cent, view)
+  }
 
-  /** The IVF×PQ index (coarse lists + PQ codes per entry; `entries`
-    * comes back cached+materialized from the build). */
-  private def ivfPqIdx(s: SparkSession, d: String): graft.similarity.Pq.IvfPqIndex =
-    graft.QueryCaches.obj(s"ivfpq:$d") {
-      val idx = graft.similarity.Pq.buildIvfPq(plantedEmbs(s, d), "vec_id", "embedding")
-      idx.copy(centroids = idx.centroids.cache())
-    }
+  private def pqIdx(s: SparkSession, d: String): graft.similarity.Pq.PqIndex = {
+    val (view, _, meta) = vecIndex(s, d)
+    graft.similarity.VectorIndex.pqOf(meta, view)
+  }
+
+  private def ivfPqIdx(s: SparkSession, d: String): graft.similarity.Pq.IvfPqIndex = {
+    val (view, cent, meta) = vecIndex(s, d)
+    graft.similarity.VectorIndex.ivfPqOf(meta, cent, view)
+  }
 
   /** The near-dup cluster assignment (Ann.clusterAssign) — the same
     * persisted-index contract as the IVF/PQ indexes: the k-means fit
@@ -110,11 +130,8 @@ object DedupQueries {
     * prebuilt — index BUILD is DDL; the timed queries measure SEARCH. */
   def warmIndexes(s: SparkSession, d: String): Unit = {
     minhashPairs(s, d).count()
-    val idx = ivfIdx(s, d)
-    idx.assigned.count(); idx.centroids.count()
-    pqIdx(s, d).encoded.count()
-    val ip = ivfPqIdx(s, d)
-    ip.centroids.count(); ip.entries.count()
+    val (view, cent, _) = vecIndex(s, d)
+    view.count(); cent.count()
     dupAssign(s, d).count()
   }
 
@@ -459,4 +476,23 @@ object DedupQueries {
     // dd_minhash_lsh, dd_simhash, sim_lsh_ann: hash-seeded signatures
     // aren't reproducible in SQL → rows-only + ground-truth ScalaTest.
   )
+}
+
+/** Shutdown-hook reclamation for the pid-scoped vector-index warehouse
+  * (one hook per JVM — same contract as the segment-ft warehouse). */
+private[dedup] object VecCleanup {
+  private val registered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def register(wh: String): Unit =
+    if (registered.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(new Runnable {
+        override def run(): Unit = try {
+          val root = java.nio.file.Paths.get(wh)
+          if (java.nio.file.Files.exists(root)) {
+            val w = java.nio.file.Files.walk(root)
+            try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+            finally w.close()
+          }
+        } catch { case _: Throwable => }
+      }))
 }

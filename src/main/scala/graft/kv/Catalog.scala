@@ -735,15 +735,20 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       val dir = indexDir(name, iname, ty)
       if (Files.exists(dir)) {
         val baseData = resolveIndexDataDir(dir, name)
-        val keep = Set(baseData.getFileName.toString,
-          resolveIndexVersioned(dir, "dict", liveV).getFileName.toString)
         val baseVer = indexBaseVersion(baseData)
+        val keep = Set(baseData.getFileName.toString,
+          resolveIndexVersioned(dir, "dict", liveV).getFileName.toString,
+          // vector artifacts pair at the DATA base's version
+          // (vectorArtifacts), so retention keys off baseVer, not liveV
+          resolveIndexVersioned(dir, "cent", baseVer).getFileName.toString,
+          resolveIndexVersioned(dir, "vmeta", baseVer).getFileName.toString)
         withList(dir) { it =>
           it.filter { p =>
             val n = p.getFileName.toString
             val liveSegment = segmentVersion(n).exists(v =>
               v > baseVer && v <= liveV)
             (n.startsWith("data") || n.startsWith("dict") ||
+              n.startsWith("cent") || n.startsWith("vmeta") ||
               n.startsWith("seg_v") || n.startsWith("tomb_v") ||
               n.startsWith("dictdelta_v") ||
               // fold/refresh staging dirs stranded by a crash mid-build
@@ -798,7 +803,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * and segmentVersion all reason over the same families — a new
     * artifact flavor added here is covered everywhere at once. */
   private final val SegmentDirPrefixes = Seq("seg_v", "tomb_v", "dictdelta_v")
-  private final val IndexDirPrefixes = Seq("data_v", "dict_v") ++ SegmentDirPrefixes
+  private final val IndexDirPrefixes =
+    Seq("data_v", "dict_v", "cent_v", "vmeta_v") ++ SegmentDirPrefixes
 
   /** Version carried by a segment/tombstone/dict-delta dir name, if any. */
   private def segmentVersion(dirName: String): Option[Int] =
@@ -858,7 +864,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
                                       preRows: DataFrame): Unit = {
     import org.apache.spark.sql.functions._
     val analytic = indexesOf(name).filter(i =>
-      i._2.equalsIgnoreCase("fulltext") || i._2.equalsIgnoreCase("bitmap"))
+      i._2.equalsIgnoreCase("fulltext") || i._2.equalsIgnoreCase("bitmap") ||
+        i._2.equalsIgnoreCase("vector"))
     if (analytic.isEmpty) return
     val rk = primaryKeyOf(name).head
     // crashed-attempt healing: a prior merge toward this SAME `next`
@@ -872,13 +879,19 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     // dead attempt: stale indexes are excluded by the gate and never
     // bumped.)
     analytic.foreach { case (iname, ty, _) =>
-      if (indexAsOfVersion(name, iname, ty) == next) {
-        IndexDirPrefixes.foreach { p =>
-          val orphan = indexDir(name, iname, ty).resolve(s"$p$next")
-          if (Files.exists(orphan)) deleteRecursively(orphan)
-        }
-        setIndexAsOf(name, iname, ty, next - 1)
+      // delete version-`next` artifacts UNCONDITIONALLY, not only when
+      // the dead attempt reached its as-of bump: an attempt that died
+      // between an auto-fold's data_v(next) rename and setIndexAsOf
+      // leaves orphans with as-of still at next-1, and a retry that
+      // kept them would resolve the dead fold's base as its own.
+      // Always safe here — THIS attempt has written nothing yet, and
+      // `next` is unpublished so no reader resolves it.
+      IndexDirPrefixes.foreach { p =>
+        val orphan = indexDir(name, iname, ty).resolve(s"$p$next")
+        if (Files.exists(orphan)) deleteRecursively(orphan)
       }
+      if (indexAsOfVersion(name, iname, ty) == next)
+        setIndexAsOf(name, iname, ty, next - 1)
     }
     // a segment only extends an index that was CURRENT before this
     // merge: an index already stale (it missed a bulk write, which
@@ -920,6 +933,18 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
             .groupBy(shiftrightunsigned(col("__rk"),
               graft.index.BitmapIndex.ShardBits).as("shard"))
             .agg(agg(col("__rk")).as("bm"))
+            .write.mode("overwrite").parquet(dir.resolve(s"tomb_v$next").toString)
+        case "VECTOR" =>
+          // patch vectors assign to the nearest EXISTING centroid and
+          // encode against the EXISTING codebooks (cheap write-path
+          // maintenance; compact_index re-trains) — cost ∝ patch ×
+          // (|centroids| + m·k), never a corpus re-fit
+          val (cent, vmeta) = vectorArtifacts(dir, next)
+          KvLayout.writeSorted(
+            graft.similarity.VectorIndex.encodeEntries(
+              patchRows, rk, c, cent, vmeta),
+            Seq("cluster"), dir.resolve(s"seg_v$next").toString)
+          patchRows.select(col(rk).as("rk")).distinct()
             .write.mode("overwrite").parquet(dir.resolve(s"tomb_v$next").toString)
         case _ => ()
       }
@@ -1012,7 +1037,84 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
             .write.mode("overwrite").parquet(p)
         }
         true
+      case "VECTOR" =>
+        // crashed-fold healing (the fulltext orphan-dict reasoning):
+        // cent_v/vmeta_v at upTo with an OLDER data base are artifacts
+        // of a fold that died before its data write — readers never
+        // resolved them (artifacts pair at the data base's version, see
+        // vectorArtifacts), but the re-train below must not read its
+        // own output paths
+        Seq(s"cent_v$upTo", s"vmeta_v$upTo").foreach { n =>
+          val orphan = dir.resolve(n)
+          if (Files.exists(orphan)) deleteRecursively(orphan)
+        }
+        // compact RE-TRAINS: centroids drift as CDC patches accumulate
+        // (every patch assigned to backfill-time centroids), so the
+        // fold refits coarse quantizer + codebooks from the folded
+        // entries — reading ONLY index frames (the vectors live in the
+        // index), never the corpus. cent/vmeta land BEFORE data: the
+        // data base is the publish point (readers and vacuum pair
+        // artifacts at ITS version), so a crash between the writes
+        // leaves the old triple fully live.
+        val folded = vectorSegView(base, baseVer, segs, tombs)
+          .select("rk", "v").cache()
+        try {
+          val built = graft.similarity.VectorIndex.build(folded, "rk", "v")
+          writeIndexDirAtomic(dir, s"vmeta_v$upTo") { p =>
+            graft.similarity.VectorIndex.metaFrame(spark, built.meta)
+              .write.mode("overwrite").parquet(p)
+          }
+          writeIndexDirAtomic(dir, s"cent_v$upTo") { p =>
+            built.centroids.write.mode("overwrite").parquet(p)
+          }
+          writeIndexDirAtomic(dir, s"data_v$upTo") { p =>
+            KvLayout.writeSorted(built.entries, Seq("cluster"), p)
+          }
+        } finally folded.unpersist()
+        true
       case _ => false // kv indexes never write segments
+    }
+  }
+
+  /** Centroids + codebook meta paired at the resolved DATA base's
+    * version — never at the live table version: a fold writes
+    * cent/vmeta before its data base, so resolving them independently
+    * at `live` could pair re-trained centroids with pre-fold cluster
+    * ids after a mid-fold crash. Pairing at the data base version
+    * makes the triple consistent by construction (the same fold/
+    * backfill/refresh wrote all three). */
+  private def vectorArtifacts(dir: Path, upTo: Int): (DataFrame,
+      graft.similarity.VectorIndex.VMeta) = {
+    val bv = indexBaseVersion(resolveIndexVersioned(dir, "data", upTo))
+    val cent = spark.read.parquet(
+      resolveIndexVersioned(dir, "cent", bv).toString)
+    val meta = graft.similarity.VectorIndex.metaOf(spark.read.parquet(
+      resolveIndexVersioned(dir, "vmeta", bv).toString))
+    (cent, meta)
+  }
+
+  /** Encoded entries across base+segments, minus rows tombstoned at a
+    * later version (same mask as the fulltext view; tombstones are
+    * CDC-patch-sized — broadcast). Last-writer-wins per rk: a re-
+    * patched vector's older entry is masked by the newer tombstone. */
+  private def vectorSegView(base: Path, baseVer: Int,
+                            segs: Seq[(Int, Path)],
+                            tombs: Seq[(Int, Path)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val parts = ((baseVer, base) +: segs).map { case (v, p) =>
+      spark.read.parquet(p.toString)
+        .select(col("rk"), col("cluster"), col("v"), col("codes"),
+          col("rcodes")).withColumn("__v", lit(v))
+    }.reduce(_ unionByName _)
+    if (tombs.isEmpty) parts.drop("__v")
+    else {
+      val t = tombs.map { case (v, p) =>
+        spark.read.parquet(p.toString)
+          .select(col("rk").as("__trk"), lit(v).as("__tv"))
+      }.reduce(_ unionByName _)
+      parts.join(broadcast(t),
+          parts("rk") === t("__trk") && t("__tv") > parts("__v"), "left_anti")
+        .drop("__v")
     }
   }
 
@@ -1475,7 +1577,10 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * registry is a LIST — a table carries any number of named indexes,
     * like the reference's index tables (HBaseSchema.kt:262-319).
     * Index flavors: "kv" (graft.index.KvIndex layout, single- or
-    * multi-column), "bitmap" and "fulltext" (single-column). */
+    * multi-column), "bitmap", "fulltext" and "vector" (single-column;
+    * the vector flavor persists the IVF centroid table, PQ codebooks
+    * and cluster-sorted encoded entries — the ANN analog of the
+    * reference's persisted Lucene directory). */
   def createIndex(table: String, indexName: String, indexType: String,
                   cols: Seq[String]): Unit = {
     require(tableExists(table), s"table $table does not exist")
@@ -1530,6 +1635,18 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
             dir.resolve("data").toString)
           KvLayout.writeSorted(graft.index.FullText.buildDictionary(postings),
             Seq("term"), dir.resolve("dict").toString)
+        case "vector" =>
+          require(cols.size == 1, "vector indexes are single-column")
+          val built = graft.similarity.VectorIndex.build(t.df, pk, cols.head)
+          // cluster-sorted entries: an IVF probe's per-list scan prunes
+          // row groups on the cluster column instead of reading the
+          // whole encoded corpus
+          built.centroids.write.mode("overwrite")
+            .parquet(dir.resolve("cent").toString)
+          graft.similarity.VectorIndex.metaFrame(spark, built.meta)
+            .write.mode("overwrite").parquet(dir.resolve("vmeta").toString)
+          KvLayout.writeSorted(built.entries, Seq("cluster"),
+            dir.resolve("data").toString)
         case other => throw new IllegalArgumentException(s"index type $other")
       }
       val meta = readMeta(table)
@@ -1611,8 +1728,22 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     else indexType.toUpperCase match {
       case "FULLTEXT" => fulltextSegView(base, baseVer, segs, tombs)
       case "BITMAP"   => bitmapSegView(base, baseVer, segs, tombs)
+      case "VECTOR"   => vectorSegView(base, baseVer, segs, tombs)
       case _          => spark.read.parquet(base.toString) // kv maintains in place
     }
+  }
+
+  /** The live vector-index triple: (entries view, centroids, meta) —
+    * what every ANN search consumes. Entries come through the
+    * segmented read view (base + CDC segments − tombstones); centroids
+    * and codebooks pair at the data base's version (vectorArtifacts).
+    * Assemble search-shaped indexes with
+    * [[graft.similarity.VectorIndex.ivfOf]]/pqOf/ivfPqOf. */
+  def vectorIndexView(table: String, indexName: String): (DataFrame,
+      DataFrame, graft.similarity.VectorIndex.VMeta) = {
+    val dir = indexDir(table, indexName, "vector")
+    val (cent, meta) = vectorArtifacts(dir, dataVersionOf(table))
+    (indexData(table, indexName, "vector"), cent, meta)
   }
 
   /** Postings across base+segments, minus postings of docs tombstoned
@@ -1881,6 +2012,20 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           writeIndexDirAtomic(dir, s"dict_v$cur") { p =>
             KvLayout.writeSorted(graft.index.FullText.buildDictionary(postings),
               Seq("term"), p)
+          }
+        case "VECTOR" =>
+          // full corpus re-train at the live version; cent/vmeta land
+          // before data for the same crash reasoning as the fold
+          val built = graft.similarity.VectorIndex.build(t, pk, cols.head)
+          writeIndexDirAtomic(dir, s"vmeta_v$cur") { p =>
+            graft.similarity.VectorIndex.metaFrame(spark, built.meta)
+              .write.mode("overwrite").parquet(p)
+          }
+          writeIndexDirAtomic(dir, s"cent_v$cur") { p =>
+            built.centroids.write.mode("overwrite").parquet(p)
+          }
+          writeIndexDirAtomic(dir, s"data_v$cur") { p =>
+            KvLayout.writeSorted(built.entries, Seq("cluster"), p)
           }
         case other => throw new IllegalArgumentException(s"index type $other")
       }

@@ -46,7 +46,7 @@ object Pq {
     * shrink with quantization error. (The FAISS cosine recipe:
     * normalize, then search IP.) The residual IVF×PQ path is L2-metric
     * throughout and does NOT normalize. */
-  private def withNormalized(df: DataFrame, vecCol: String): DataFrame =
+  private[similarity] def withNormalized(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("__nrm",
         sqrt(aggregate(col(vecCol).cast("array<double>"),
           lit(0.0), (acc, x) => acc + x * x)))
