@@ -166,9 +166,13 @@ object Ann {
     * collides through one side's secondary assignment. Identical
     * vectors always share a primary list (deterministic seeded fit +
     * same-metric assignment), so exact-copy recall is 1 by
-    * construction. The k cap bounds flat k-means training cost; past
-    * it (≈ cap·targetListSize vectors) a real deployment goes
-    * two-level (cluster the centroids), the standard IVF scale-out. */
+    * construction. Past `maxLists` needed lists (≈ cap·targetListSize
+    * vectors for one flat fit) the quantizer goes TWO-LEVEL
+    * (IVF-of-centroids, the standard IVF scale-out): ~√k coarse cells,
+    * each subdivided into ~√k sublists, trained on the same bounded
+    * sample — so list count keeps growing ∝ corpus while training
+    * cost stays bounded and per-row assignment drops from O(k) to
+    * O(√k + nprobe·√k) centroid distances. */
   def clusterAssign(embs: DataFrame, idCol: String, vecCol: String,
                     targetListSize: Int = 128, nprobe: Int = 2,
                     maxIter: Int = 2, maxTrain: Int = 50000,
@@ -178,7 +182,10 @@ object Ann {
     val spark = embs.sparkSession
     val corpus = embs.select(col(idCol).as("vid"), col(vecCol).as("v"))
     val n: Long = corpus.count()
+    val neededK = math.max(1L, (n + targetListSize - 1) / targetListSize)
     val fraction = if (n == 0) 1.0 else math.min(1.0, maxTrain * 1.2 / n.toDouble)
+    if (neededK > maxLists)
+      return twoLevelAssign(corpus, neededK, fraction, nprobe, maxIter, maxTrain)
     val train = corpus
       .select(array_to_vector(col("v").cast("array<double>")).as("features"))
       .sample(withReplacement = false, fraction, seed = 42L)
@@ -189,8 +196,7 @@ object Ann {
     require(nTrainRaw > 0,
       "clusterAssign: no vectors to train on — empty corpus")
     val nTrain = math.max(nTrainRaw, 2L)
-    val k = math.max(2, math.min(math.min(maxLists.toLong, nTrain),
-      (n + targetListSize - 1) / targetListSize).toInt)
+    val k = math.max(2, math.min(math.min(maxLists.toLong, nTrain), neededK).toInt)
     val model = new KMeans().setK(k).setSeed(42).setMaxIter(maxIter)
       .setInitMode("random").fit(train)
     train.unpersist()
@@ -201,9 +207,116 @@ object Ann {
     val probes = coarseProbes(centroids,
       corpus.select(col("vid").as("qid"), col("v").as("qv")),
       nprobe, keep = Seq("qv"))
+    rankAssign(probes)
+  }
+
+  private def rankAssign(probes: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cdist").desc, col("cluster"))
     probes.withColumn("arank", row_number().over(w))
       .select(col("qid").as("vid"), col("qv").as("v"), col("cluster"), col("arank"))
+  }
+
+  /** Two-level coarse quantizer (IVF-of-centroids). Training runs on
+    * the DRIVER over the same bounded seeded sample the flat path
+    * uses (≤ maxTrain·d doubles — megabytes): a seeded Lloyd fit of
+    * k1 ≈ √k coarse cells, then one k2-sublist fit per cell over that
+    * cell's sample members. Assignment stays fully DISTRIBUTED and
+    * two-stage: each row finds its `nprobe` nearest coarse cells
+    * (O(k1) distances), then its `nprobe` nearest sublists among
+    * those cells' k2·nprobe candidates — never the full k. Same
+    * output contract as the flat path (vid, v, cluster, arank);
+    * identical vectors see identical probe sequences, so exact-copy
+    * recall stays 1 by construction. */
+  private def twoLevelAssign(corpus: DataFrame, neededK: Long,
+                             fraction: Double, nprobe: Int,
+                             maxIter: Int, maxTrain: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample: Array[Array[Double]] = corpus
+      .select(col("v").cast("array<double>"))
+      .sample(withReplacement = false, fraction, seed = 42L)
+      .limit(maxTrain).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty,
+      "clusterAssign: no vectors to train on — empty corpus")
+    val kTotal = math.min(neededK, sample.length.toLong).toInt
+    val k1 = math.max(2, math.ceil(math.sqrt(kTotal.toDouble)).toInt)
+    val k2 = math.max(1, (kTotal + k1 - 1) / k1)
+    val cent1 = lloydFit(sample, k1, maxIter, seed = 42L)
+    val cells = Array.fill(cent1.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+    sample.foreach(p => cells(nearestIdx(cent1, p)) += p)
+    // sequential global list ids across cells; an empty cell keeps its
+    // coarse centroid as a single sublist so every coarse probe has a
+    // landing list
+    val cent2 = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Seq[Double])]
+    var gid = 0
+    cent1.indices.foreach { c1 =>
+      val pts = cells(c1).toArray
+      val subs = if (pts.isEmpty) Array(cent1(c1))
+        else lloydFit(pts, math.min(k2, pts.length), maxIter, seed = 42L + c1)
+      subs.foreach { c => cent2 += ((c1, gid, c.toSeq)); gid += 1 }
+    }
+    val c1df = cent1.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("c1", "centroid")
+    val c2df = cent2.toSeq.toDF("c1", "cluster", "centroid")
+    val q = corpus.select(col("vid").as("qid"), col("v").as("qv"))
+    // stage 1: nprobe nearest coarse cells per row — O(n·k1)
+    val p1 = graft.plans.TopK.perGroup(
+      q.crossJoin(broadcast(c1df))
+        .withColumn("cdist", negL2(col("qv"), col("centroid")))
+        .select(col("qid"), col("qv"), col("c1"), col("cdist")),
+      Seq("qid"), Seq(("cdist", true), ("c1", false)),
+      math.min(nprobe, cent1.length))
+    // stage 2: nprobe nearest sublists among the probed cells — the
+    // probed cells' sublists only (≤ nprobe·k2 candidates per row)
+    val cand = p1.select(col("qid"), col("qv"), col("c1"))
+      .join(broadcast(c2df), Seq("c1"))
+      .withColumn("cdist", negL2(col("qv"), col("centroid")))
+    rankAssign(graft.plans.TopK.perGroup(
+      cand.select(col("qid"), col("qv"), col("cluster"), col("cdist")),
+      Seq("qid"), Seq(("cdist", true), ("cluster", false)), nprobe))
+  }
+
+  /** Seeded deterministic Lloyd's k-means over a driver-side sample:
+    * shuffled-index init, `iters` assign/recenter rounds, empty
+    * clusters keep their previous centroid, ties break on the lowest
+    * centroid index. Bounded by the sample cap, never corpus-sized. */
+  private def lloydFit(pts: Array[Array[Double]], k: Int,
+                       iters: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val kEff = math.max(1, math.min(k, pts.length))
+    val dim = pts(0).length
+    var cents = rnd.shuffle(pts.indices.toVector).take(kEff)
+      .map(pts(_).clone).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kEff)(new Array[Double](dim))
+      val cnt = new Array[Long](kEff)
+      pts.foreach { p =>
+        val c = nearestIdx(cents, p)
+        val s = sums(c)
+        var j = 0
+        while (j < dim) { s(j) += p(j); j += 1 }
+        cnt(c) += 1
+      }
+      cents = Array.tabulate(kEff)(c =>
+        if (cnt(c) == 0L) cents(c)
+        else sums(c).map(_ / cnt(c)))
+      it += 1
+    }
+    cents
+  }
+
+  private def nearestIdx(cents: Array[Array[Double]], p: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      val cc = cents(c)
+      var d = 0.0; var j = 0
+      while (j < p.length) { val x = p(j) - cc(j); d += x * x; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
   }
 
   /** Int8 quantization: q_i = round(x_i · 127 / max|x|), the standard
