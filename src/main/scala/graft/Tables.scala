@@ -172,6 +172,79 @@ object Tables {
   private val orderedEventDirs =
     new java.util.concurrent.ConcurrentHashMap[String, Staged]()
 
+  /** Events staged for the BOUNDED-watermark expiry gate
+    * (st_stream_expire): drop 0 carries every real event; drop 1 is a
+    * SPACER ("__flush" row at max ts); drop 2 replays the first two
+    * hours' events as LATE arrivals (ids +1e7, original timestamps);
+    * drops 3-4 are flush sentinels ("__flush", max ts + 3 h / + 4 h).
+    *
+    * The spacer exists because Spark filters late events with the
+    * PREVIOUS batch's watermark while evicting with the current one
+    * (SPARK-40925's two-value semantics): replays arriving one batch
+    * after the full table would still see late-watermark 0 and merge.
+    * One spacer batch later the late watermark stands at
+    * max(real ts) − delay — days past the replayed rows' window ends
+    * — so a bounded-watermark aggregation must DROP every replay
+    * deterministically. Two trailing sentinels for the same lag
+    * reason: the +4 h drop is the real data batch whose eviction
+    * watermark (stats through the +3 h drop) finally passes the last
+    * real window end and emits it in append mode — relying on a
+    * trailing no-data batch instead would race processAllAvailable. */
+  private[graft] def eventsStreamExpiry(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val st = stageOnce(expiryEventDirs, d, "graft_events_expiry") { dir =>
+      val ev = events(s, d)
+      val tmp = dir.resolve("tmp")
+      val base = System.currentTimeMillis() - 120000L
+      def stageDrop(df: DataFrame, name: String, slot: Int): Unit = {
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val parts = java.nio.file.Files.list(tmp)
+        try parts.filter(p => p.getFileName.toString.startsWith("part-"))
+          .forEach { p =>
+            val dst = dir.resolve(name)
+            java.nio.file.Files.move(p, dst)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(base + slot * 2000L))
+            ()
+          }
+        finally parts.close()
+        val leftovers = java.nio.file.Files.list(tmp)
+        try leftovers.forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally leftovers.close()
+        java.nio.file.Files.deleteIfExists(tmp): Unit
+      }
+      val bounds = ev.agg(min(col("ts")), max(col("ts"))).head
+      require(!bounds.isNullAt(0),
+        s"eventsStreamExpiry: events table at $d is empty — nothing to stage")
+      val minTs = bounds.getTimestamp(0)
+      val maxTs = bounds.getTimestamp(1)
+      require(maxTs.getTime - minTs.getTime >= 4L * 3600 * 1000,
+        "eventsStreamExpiry: the expiry gate needs an event span > 4 h " +
+          "so replayed first-hours rows are unambiguously late")
+      def sentinel(hoursPast: Long) = {
+        val fts = new java.sql.Timestamp(maxTs.getTime + hoursPast * 3600 * 1000)
+        ev.limit(1).select(lit(-1L - hoursPast).as("event_id"),
+          lit(fts).as("ts"), lit(0L).as("user_id"),
+          lit("__flush").as("event_type"), lit(0.0).as("value"),
+          lit(null).cast("string").as("props"))
+      }
+      stageDrop(ev, "batch-000.parquet", 0)
+      stageDrop(sentinel(0L), "batch-001.parquet", 1)
+      stageDrop(ev.filter(col("ts") <
+          lit(new java.sql.Timestamp(minTs.getTime + 2L * 3600 * 1000)))
+        .withColumn("event_id", col("event_id") + 10000000L),
+        "batch-002.parquet", 2)
+      stageDrop(sentinel(3L), "batch-003.parquet", 3)
+      stageDrop(sentinel(4L), "batch-004.parquet", 4)
+      ev.schema
+    }
+    normalizeEventTs(
+      s.readStream.schema(st.schema)
+        .option("maxFilesPerTrigger", 1).parquet(st.dir))
+  }
+  private val expiryEventDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, Staged]()
+
   private[graft] def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -125,6 +125,33 @@ object StreamQueries {
         .orderBy($"user_id", $"session_start")
     },
 
+    "st_stream_expire" -> { (s, d) =>
+      import s.implicits._
+      // BOUNDED-watermark gate: unlike st_stream_dedup/join's
+      // over-span watermark (state never expires, output == the batch
+      // plan), this query runs the PRODUCTION expiry semantics under
+      // the oracle. The staged drops replay the first two hours'
+      // events as late arrivals AFTER the full table has advanced the
+      // watermark to max(ts) − 30 min (Tables.eventsStreamExpiry), so
+      // the stateful aggregation must deterministically DROP every
+      // replay — their window ends sit days below the watermark — and
+      // the emitted append-mode set equals the batch hourly agg over
+      // the REAL events alone. A broken expiry (replays accepted, or
+      // real windows evicted early) shows up as inflated counts or
+      // missing windows — a hash mismatch. Sentinel rows advance the
+      // watermark through the watermark node but are filtered before
+      // the aggregation.
+      val agg = Streams.hourlyTypeAggExpiring(
+        Tables.eventsStreamExpiry(s, d), delay = "30 minutes")
+      // sentinel groups never pass the final watermark (staged within
+      // delay+window of end-of-input); the sink-side filter is the
+      // defensive belt — it CANNOT be pushed into the streaming plan
+      // (see hourlyTypeAggExpiring's watermark-pushdown note)
+      runToBatch(s, agg, "append", "st_stream_expire")
+        .filter($"event_type" =!= "__flush")
+        .orderBy($"hour", $"event_type")
+    },
+
     "st_window_agg" -> { (s, d) =>
       import s.implicits._
       Streams.hourlyTypeAgg(Tables.events(s, d))
@@ -367,6 +394,11 @@ object StreamQueries {
   def oracles: Map[String, String] = Map(
     // the streaming plan's complete-mode output == the batch hourly agg
     "st_stream_agg" -> hourlyAggSql,
+
+    // the expiry gate's oracle MODELS the expiry: the replayed late
+    // rows (ids +1e7) and the flush sentinels must NOT contribute —
+    // the real events table alone is the expected emitted set
+    "st_stream_expire" -> hourlyAggSql,
 
     // with an over-span watermark, streaming dedup == DISTINCT keys,
     // each emitted exactly once

@@ -39,6 +39,30 @@ object Streams {
         sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
+  /** The bounded-watermark (expiring) form for APPEND mode: rows whose
+    * window closed more than `delay` before the stream's high-water
+    * mark are dropped by the stateful operator's late-data filter, and
+    * a window emits exactly once, when the watermark passes its end —
+    * the production semantics of a continuous ingest (state size is
+    * bounded by delay × rate, not by the stream's history).
+    *
+    * "__flush" sentinel rows are NOT filtered here, deliberately: a
+    * pre-aggregation filter on event_type gets pushed by Catalyst
+    * below the EventTimeWatermark node (and a post-aggregation filter
+    * on the grouping key pushes through the Aggregate just the same),
+    * and sentinels that never reach the watermark stats collector
+    * never advance it — the final real windows would then sit in
+    * state forever, unevicted. Sentinel groups are emitted only if
+    * the watermark ever passes their own window end; callers staging
+    * sentinels within `delay + window` of end-of-input never see
+    * them, and the caller filters the SINK output defensively. */
+  def hourlyTypeAggExpiring(events: DataFrame, delay: String): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
   /** Gap-based sessionization (30-min inactivity closes a session),
     * batch form: lag + cumulative-sum-of-boundaries per user. One
     * shuffle on user_id; window functions stay within partitions. */

@@ -141,6 +141,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bounded watermark provably drops the staged late replays") {
+    // the expiry gate end-to-end at test scale: the staged stream
+    // carries every real event PLUS first-two-hours replays arriving
+    // after the watermark has advanced days past them
+    // (Tables.eventsStreamExpiry). The emitted set must equal the
+    // batch hourly agg of the REAL events alone — and must DIFFER
+    // from the with-replays batch agg, proving the drop is observable
+    // (not vacuously true because replays can't change the answer).
+    val out = graft.streaming.StreamQueries.queries("st_stream_expire")(spark, sf)
+      .select(col("hour"), col("event_type"), col("n"), col("total_value"))
+      .collect().map(_.toString).sorted.toSeq
+    val real = Streams.hourlyTypeAgg(events)
+      .select(col("hour"), col("event_type"), col("n"), col("total_value"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(out == real, "expiry output != batch agg over real events")
+    val bounds = events.agg(min(col("ts"))).head
+    val replays = events.filter(col("ts") < lit(new java.sql.Timestamp(
+        bounds.getTimestamp(0).getTime + 2L * 3600 * 1000)))
+      .withColumn("event_id", col("event_id") + 10000000L)
+    assert(replays.count() > 0, "no replay rows staged — the gate is vacuous")
+    val withReplays = Streams.hourlyTypeAgg(events.unionByName(replays))
+      .select(col("hour"), col("event_type"), col("n"), col("total_value"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(out != withReplays,
+      "replays don't change the aggregate — the drop is unobservable")
+  }
+
   test("flatMapGroupsWithState sessionization matches batch closed sessions") {
     val batch = Streams.sessionize(events)
       .select("user_id", "session_start", "n_events")
