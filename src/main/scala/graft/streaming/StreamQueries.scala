@@ -12,17 +12,24 @@ import org.apache.spark.sql.functions._
 object StreamQueries {
 
   /** Run a streaming frame to a memory sink and hand back the sink's
-    * rows as a BATCH frame the driver can write/compare. The sink name
-    * is deterministic per query key and the PREVIOUS run's table is
-    * dropped before starting — bench repeats queries in one JVM, and a
-    * fresh uuid-named table per rep would pin every rep's full result
-    * set in driver memory for the JVM's lifetime. The just-created
-    * table outlives `stop()`, so the returned frame stays valid until
-    * the same query runs again. */
+    * rows as a BATCH frame the driver can write/compare. Sink names
+    * carry a run-scoped counter and the PREVIOUS run's table for the
+    * same key is dropped before starting: bench repeats queries in
+    * one JVM (a fresh uuid-named table per rep would pin every rep's
+    * full result set in driver memory for the JVM's lifetime), while
+    * two CONCURRENT runs of the same key — parallel suites sharing
+    * the session — get distinct names instead of racing one
+    * queryName (TempTableAlreadyExists / serving the other run's
+    * rows). The just-created table outlives `stop()`, so the returned
+    * frame stays valid until the same key runs again. */
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val lastSink = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def runToBatch(s: SparkSession, out: DataFrame,
                          mode: String, key: String): DataFrame = {
-    val name = s"graft_sink_$key"
-    s.catalog.dropTempView(name)
+    val name = s"graft_sink_${key}_${sinkSeq.incrementAndGet()}"
+    Option(lastSink.put(key, name)).foreach(prev =>
+      s.catalog.dropTempView(prev): Unit)
     // Size state-store/shuffle partitioning to the micro-batch, not the
     // session default: each micro-batch here is one staged file, and at
     // local[32] the 32 state partitions per batch are pure per-batch
@@ -96,8 +103,8 @@ object StreamQueries {
       // uses a bounded watermark and state stays (rate × horizon); the
       // time-range join condition is what LETS Spark derive that state
       // bound instead of keeping both streams forever.
-      val views = Tables.eventsStream(s, d).filter($"event_type" === "view")
-      val purchases = Tables.eventsStream(s, d).filter($"event_type" === "purchase")
+      val views = Tables.eventsStreamByType(s, d, "view")
+      val purchases = Tables.eventsStreamByType(s, d, "purchase")
       val joined = Streams.attributionJoin(views, purchases,
         horizonMinutes = 60, watermark = "3650 days")
       runToBatch(s, joined, "append", "st_stream_join")
