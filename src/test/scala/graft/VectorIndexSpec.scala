@@ -264,6 +264,23 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(hit.getLong(0) == 9L && hit.getDouble(1) == 1.0)
   }
 
+  test("the SQL CALL surface drives vector index DDL end-to-end") {
+    val (cat, wh) = freshCat("vecsql")
+    spark.conf.set("spark.sql.catalog.gvec",
+      classOf[graft.kv.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gvec.warehouse", wh)
+    cat.createTable("t", schema, Seq("k"))
+    cat.bulkLoad("t", rowsDf(0L until 200L), partitions = 2)
+    spark.sql("CALL gvec.system.create_index('t', 'ann', 'vector', 'v')")
+    assert(cat.indexStatus("t", "ann", "vector") == "FRESH")
+    cat.incrementalMerge("t", rowsDf(Seq(1003L), i => vec(3L)))
+    spark.sql("CALL gvec.system.compact_index('t', 'ann', 'vector')")
+    val live = cat.dataVersionOf("t")
+    assert(Files.exists(Paths.get(wh, "t.vector.ann", s"data_v$live")))
+    val got = top1(cat, "ivf", Seq(3L))
+    assert(got(3L)._2 == 1.0)
+  }
+
   test("bulk writes leave the index STALE; refresh_index re-trains to FRESH") {
     val (cat, _) = builtCat("vecstale", n = 200)
     cat.bulkLoad("t", rowsDf(0L until 250L), partitions = 2)
