@@ -264,6 +264,26 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(hit.getLong(0) == 9L && hit.getDouble(1) == 1.0)
   }
 
+  test("ADC search over persisted entries prunes its scan to rk+codes") {
+    // the 100 TB contract of the PQ path: the encoded-entries scan
+    // streams 32×-compressed codes only — the float vectors enter the
+    // plan solely through the shortlist re-rank fetch from the base
+    // table, never the full-corpus ADC scan
+    val (cat, _) = builtCat("vecprune", n = 200)
+    val (view, _, meta) = cat.vectorIndexView("t", "ann")
+    val q = rowsDf(Seq(500003L), _ => vec(3L))
+    val plan = Pq.pqSearch(VectorIndex.pqOf(meta, view),
+        cat.table("t").df, q, "k", "v", topK = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rcodes"),
+      "plain-PQ ADC scan reads residual codes it never uses")
+    val entryScans = plan.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("codes")).toList
+    assert(entryScans.nonEmpty, s"no pruned entries scan found in:\n$plan")
+    entryScans.foreach(l => assert(!l.contains("v:array"),
+      s"the ADC scan reads the float vectors:\n$l"))
+  }
+
   test("the SQL CALL surface drives vector index DDL end-to-end") {
     val (cat, wh) = freshCat("vecsql")
     spark.conf.set("spark.sql.catalog.gvec",
