@@ -239,6 +239,17 @@ object DedupQueries {
         .orderBy($"qid", $"rn")
     },
 
+    "sim_filtered_topk" -> { (s, d) =>
+      import s.implicits._
+      // metadata-constrained vector search: neighbors must share the
+      // query's label — the constraint is the join key, so only
+      // matching rows reach the cosine kernel (Ann.filteredTopK)
+      val e = Tables.embeddings(s, d)
+      Ann.filteredTopK(e, "vec_id", "embedding", "label",
+          e.filter($"vec_id" < 20), k = 3)
+        .orderBy($"qid", $"rn")
+    },
+
     "sim_ivf_ann" -> { (s, d) =>
       import s.implicits._
       Ann.ivfSearch(ivfIdx(s, d), plantedEmbs(s, d).filter($"vec_id" < 20),
@@ -439,6 +450,22 @@ object DedupQueries {
         |  SELECT q.qid, e.vec_id AS nn,
         |    ROUND(list_cosine_similarity(q.qv, e.embedding), 3) AS score
         |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+        |ranked AS (
+        |  SELECT qid, nn, score,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nn) AS rn
+        |  FROM scored)
+        |SELECT qid, CAST(rn AS INT) AS rn, nn, score FROM ranked
+        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    // filtered search: the same exact ranking restricted to the
+    // query's own label — a filtered result that leaked another label
+    // (or post-filtered the global top-k) hash-mismatches
+    "sim_filtered_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv, label
+        |  FROM embeddings WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS nn,
+        |    ROUND(list_cosine_similarity(q.qv, e.embedding), 3) AS score
+        |  FROM q JOIN embeddings e ON e.label = q.label AND e.vec_id <> q.qid),
         |ranked AS (
         |  SELECT qid, nn, score,
         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nn) AS rn

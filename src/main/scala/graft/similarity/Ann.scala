@@ -34,6 +34,31 @@ object Ann {
     rank(scored, k)
   }
 
+  /** Filtered vector search: each query's neighbors are restricted to
+    * corpus rows whose `attrCol` equals the query's own — the
+    * "search within my tenant / language / shard" shape every
+    * production vector store serves. The constraint composes BEFORE
+    * scoring as the JOIN KEY (corpus ⋈ broadcast queries on the
+    * attribute): only matching rows ever reach the cosine kernel, so
+    * the filter prunes the scan instead of post-filtering a shortlist
+    * (post-filtering an ANN result loses recall when the constraint is
+    * selective — the top-k among label=x is NOT the label=x subset of
+    * the global top-k). At 100 TB the same plan rides attribute
+    * partitioning/bucketing: the hash join's probe side prunes to the
+    * queried labels' partitions, and a selective attribute makes this
+    * EXACT search cheaper than an unfiltered ANN probe. */
+  def filteredTopK(embs: DataFrame, idCol: String, vecCol: String,
+                   attrCol: String, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      col(attrCol).as("qattr"))
+    val scored = embs.select(col(idCol).as("nn"), col(vecCol).as("v"),
+        col(attrCol).as("attr"))
+      .join(broadcast(q), col("attr") === col("qattr"))
+      .filter(col("nn") =!= col("qid"))
+      .withColumn("score", round(cosine(col("qv"), col("v")), 3))
+    rank(scored, k)
+  }
+
   /** Bounded-heap reduction (graft.plans.TopKPerGroup) first — never
     * window-sorts the full scored set — then a row_number over the
     * ≤k survivors per query for the rank column. */

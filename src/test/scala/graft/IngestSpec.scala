@@ -226,4 +226,56 @@ class IngestSpec extends AnyFunSuite {
       .select("user_id").collect().map(_.getLong(0)).toSet
     assert(viaIndex == direct && direct.nonEmpty)
   }
+
+  test("streaming CDC keeps a vector index fresh; streamed-in copies searchable") {
+    import spark.implicits._
+    // the full composition: continuous mutation ingest → per-micro-
+    // batch incrementalMerge → encoded vector segments — an exact
+    // copy that arrives ONLY through the stream must be FRESH in (and
+    // found through) the persisted index without any re-train
+    val wh = java.nio.file.Files.createTempDirectory("graft_cdcvec_wh").toString
+    val cat = new Catalog(spark, wh)
+    val embs = Tables.embeddings(spark, sf)
+    cat.createTable("vec", embs.schema, primaryKey = Seq("vec_id"))
+    cat.bulkLoad("vec", embs)
+    cat.createIndex("vec", "ann", "vector", Seq("embedding"))
+
+    // two staged drops = two micro-batches: fresh vectors, then exact
+    // copies of vec_id 3 and 7 under new ids
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdcvec_src")
+    def stageDrop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      // tmp lives OUTSIDE the watched dir so the file source never
+      // lists the staging writes
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_cdcvec_tmp")
+        .resolve("out")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+      try part.filter(p => p.getFileName.toString.startsWith("part-"))
+        .forEach(p => { java.nio.file.Files.move(p, dir.resolve(name)); () })
+      finally part.close()
+    }
+    stageDrop(embs.filter($"vec_id".between(0, 9))
+      .withColumn("vec_id", $"vec_id" + 2000000L), "d0.parquet")
+    stageDrop(embs.filter($"vec_id".isin(3L, 7L))
+      .withColumn("vec_id", $"vec_id" + 1000000L), "d1.parquet")
+    val stream = spark.readStream.schema(embs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = MutationIngest.start(spark, stream, cat, "vec",
+      keyCol = "vec_id", orderCol = "label", tieCol = "vec_id")
+    try q.processAllAvailable() finally q.stop()
+
+    assert(cat.indexStatus("vec", "ann", "vector") == "FRESH")
+    val (entries, cent, _) = cat.vectorIndexView("vec", "ann")
+    assert(entries.count() == cat.table("vec").df.count())
+    // the streamed-in exact copies are found via the segmented view,
+    // each ranking its original first with cosine 1
+    val idx = graft.similarity.VectorIndex.ivfOf(cent, entries)
+    val hits = graft.similarity.Ann.ivfSearch(idx,
+        cat.table("vec").df.filter($"vec_id".isin(1000003L, 1000007L)),
+        "vec_id", "embedding", k = 1)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nn"),
+        r.getAs[Double]("score"))).toSet
+    assert(hits == Set((1000003L, 3L, 1.0), (1000007L, 7L, 1.0)),
+      s"streamed copies not recalled through the index: $hits")
+  }
 }
