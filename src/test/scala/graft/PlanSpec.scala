@@ -98,6 +98,16 @@ class PlanSpec extends AnyFunSuite {
     * joins that exist are deliberate tiny-side broadcasts (scalar
     * subquery, 5×25 dims, query-set × centroids) and must plan as
     * BroadcastNestedLoopJoin, never a shuffled cartesian. */
+  test("filtered vector search plans an attr-keyed broadcast hash join") {
+    // the label constraint must be the JOIN KEY — a cross join with a
+    // post-hoc label filter would score every (query, corpus) pair
+    val p = planOf("sim_filtered_topk")
+    assert(p.contains("BroadcastHashJoin") && p.contains("attr"),
+      s"label constraint not a hash-join key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"filtered search degenerated to an unkeyed join:\n$p")
+  }
+
   test("no query plans a shuffled cartesian product") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, sf)
