@@ -43,9 +43,14 @@ object QueryCaches {
   def avgDocLen(s: SparkSession, d: String): Double = {
     val total = counts.computeIfAbsent(s"toktotal:$d",
       new Function[String, java.lang.Long] {
-        override def apply(k: String): java.lang.Long =
-          doclens(s, d).agg(org.apache.spark.sql.functions.sum("dl"))
-            .head.getLong(0)
+        override def apply(k: String): java.lang.Long = {
+          val r = doclens(s, d).agg(org.apache.spark.sql.functions.sum("dl")).head
+          // sum over zero rows is NULL — fail with the real cause, not
+          // an opaque NPE inside the cache builder
+          require(!r.isNullAt(0),
+            s"avgDocLen: no tokenized documents under $d — BM25 needs a non-empty corpus")
+          r.getLong(0)
+        }
       })
     total.toDouble / corpusSize(s, d)
   }

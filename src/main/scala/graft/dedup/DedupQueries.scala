@@ -71,9 +71,14 @@ object DedupQueries {
   private def vecIndex(s: SparkSession, d: String):
       (DataFrame, DataFrame, graft.similarity.VectorIndex.VMeta) =
     graft.QueryCaches.obj(s"veccat:$d") {
+      // warehouse path carries the DATA DIR token like every other
+      // QueryCaches artifact key: a second sfDir in the same JVM gets
+      // its own warehouse instead of dropping and rebuilding 'emb'
+      // out from under the first dir's cached index frames
       val wh = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        s"graft_warehouse_vec_${ProcessHandle.current().pid()}").toString
+        s"graft_warehouse_vec_${ProcessHandle.current().pid()}_" +
+          java.lang.Integer.toHexString(d.hashCode)).toString
       VecCleanup.register(wh)
       val cat = new graft.kv.Catalog(s, wh)
       val e = Tables.embeddings(s, d)
@@ -505,21 +510,29 @@ object DedupQueries {
   )
 }
 
-/** Shutdown-hook reclamation for the pid-scoped vector-index warehouse
-  * (one hook per JVM — same contract as the segment-ft warehouse). */
+/** Shutdown-hook reclamation for the pid-scoped vector-index
+  * warehouses (one hook per JVM reclaiming EVERY registered path —
+  * the warehouse is per (pid, data dir), so a multi-dir JVM registers
+  * several). */
 private[dedup] object VecCleanup {
+  private val paths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val registered = new java.util.concurrent.atomic.AtomicBoolean(false)
-  def register(wh: String): Unit =
+  def register(wh: String): Unit = {
+    paths.add(wh)
     if (registered.compareAndSet(false, true))
       Runtime.getRuntime.addShutdownHook(new Thread(new Runnable {
-        override def run(): Unit = try {
-          val root = java.nio.file.Paths.get(wh)
-          if (java.nio.file.Files.exists(root)) {
-            val w = java.nio.file.Files.walk(root)
-            try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-            finally w.close()
-          }
-        } catch { case _: Throwable => }
+        override def run(): Unit = paths.forEach { wh =>
+          try {
+            val root = java.nio.file.Paths.get(wh)
+            if (java.nio.file.Files.exists(root)) {
+              val w = java.nio.file.Files.walk(root)
+              try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+              finally w.close()
+            }
+          } catch { case _: Throwable => }
+        }
       }))
+  }
 }

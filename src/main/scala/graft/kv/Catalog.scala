@@ -1067,9 +1067,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           writeIndexDirAtomic(dir, s"cent_v$upTo") { p =>
             built.centroids.write.mode("overwrite").parquet(p)
           }
-          writeIndexDirAtomic(dir, s"data_v$upTo") { p =>
+          try writeIndexDirAtomic(dir, s"data_v$upTo") { p =>
             KvLayout.writeSorted(built.entries, Seq("cluster"), p)
-          }
+          } finally built.release()
         } finally folded.unpersist()
         true
       case _ => false // kv indexes never write segments
@@ -1645,8 +1645,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
             .parquet(dir.resolve("cent").toString)
           graft.similarity.VectorIndex.metaFrame(spark, built.meta)
             .write.mode("overwrite").parquet(dir.resolve("vmeta").toString)
-          KvLayout.writeSorted(built.entries, Seq("cluster"),
+          try KvLayout.writeSorted(built.entries, Seq("cluster"),
             dir.resolve("data").toString)
+          finally built.release()
         case other => throw new IllegalArgumentException(s"index type $other")
       }
       val meta = readMeta(table)
@@ -2024,9 +2025,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           writeIndexDirAtomic(dir, s"cent_v$cur") { p =>
             built.centroids.write.mode("overwrite").parquet(p)
           }
-          writeIndexDirAtomic(dir, s"data_v$cur") { p =>
+          try writeIndexDirAtomic(dir, s"data_v$cur") { p =>
             KvLayout.writeSorted(built.entries, Seq("cluster"), p)
-          }
+          } finally built.release()
         case other => throw new IllegalArgumentException(s"index type $other")
       }
       setIndexAsOf(table, indexName, indexType, cur)

@@ -168,18 +168,26 @@ final class FsLockProvider(dir: String => Path,
 object FsLockProvider {
   /** This host's identity for lock-owner tags, resolved once. The
     * fallback must be unique PER JVM, not a shared constant: two hosts
-    * that both fail hostname lookup (or both misresolve to
-    * "localhost") would otherwise see each other's tags as same-host
-    * and pid-stale-break a live remote writer — the exact
-    * two-concurrent-writers hazard the host token exists to close.
-    * With a per-JVM random token, a remote owner's tag can never
-    * compare equal, so the waiter times out instead of breaking. */
-  private[kv] val host: String =
-    try java.net.InetAddress.getLocalHost.getHostName
-    catch { case _: Exception =>
-      s"unknown-${ProcessHandle.current().pid()}-" +
-        java.util.UUID.randomUUID().toString.take(8)
-    }
+    * that both fail hostname lookup would otherwise see each other's
+    * tags as same-host and pid-stale-break a live remote writer — the
+    * exact two-concurrent-writers hazard the host token exists to
+    * close. The same reasoning covers lookups that SUCCEED but return
+    * a name every misconfigured box shares ("localhost", loopback
+    * literals): such a name can't distinguish hosts either, so it gets
+    * the per-JVM token too. The cost of the token is that same-host
+    * stale-breaking of a dead JVM's lock no longer engages on such a
+    * box (tags never compare equal → waiters time out instead) — the
+    * safe direction: a missed stale-break costs a timeout, a false
+    * same-host match can break a LIVE remote writer's lock. */
+  private[kv] val host: String = {
+    val resolved =
+      try Some(java.net.InetAddress.getLocalHost.getHostName)
+      catch { case _: Exception => None }
+    resolved.filterNot(h => h.isEmpty || h.equalsIgnoreCase("localhost") ||
+        h == "127.0.0.1" || h == "::1")
+      .getOrElse(s"unknown-${ProcessHandle.current().pid()}-" +
+        java.util.UUID.randomUUID().toString.take(8))
+  }
 }
 
 /** Single-process provider: JVM-local semaphores keyed by resource.

@@ -74,7 +74,11 @@ object Multimodal {
   // re-derivable from the text by the DuckDB oracle): dimensions from
   // the body length, sample rate banded over common audio rates.
   private def widthOf(blen: Column): Column = lit(64) + blen % 640
-  private def heightOf(blen: Column): Column = lit(48) + (blen * 7) % 480
+  // length * 7 wraps Int negative past ~307 MB bodies (ANSI mode makes
+  // it a task failure instead) — multiply in long space; the oracle's
+  // octet_length is already BIGINT
+  private def heightOf(blen: Column): Column =
+    (lit(48L) + (blen.cast("long") * 7) % 480).cast("int")
   private def rateOf(blen: Column): Column = lit(8000) + (blen % 8) * 4000
   private def chansOf(blen: Column): Column = lit(1) + blen % 2
 

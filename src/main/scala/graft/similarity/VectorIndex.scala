@@ -44,8 +44,11 @@ object VectorIndex {
                          cbPlain: Array[Float], cbResid: Array[Float])
 
   /** A built index: centroids (cluster, centroid), entries
-    * (rk, cluster, v, codes, rcodes), meta. */
-  final case class Built(centroids: DataFrame, entries: DataFrame, meta: VMeta)
+    * (rk, cluster, v, codes, rcodes), meta. `release()` unpersists the
+    * cached assignment frame the build reuses across its fit and
+    * encode passes — call it once `entries` has been written. */
+  final case class Built(centroids: DataFrame, entries: DataFrame,
+                         meta: VMeta, release: () => Unit = () => ())
 
   /** Train centroids + both codebooks from `rows`, then encode every
     * row through the SAME kernel CDC patches use ([[encodeEntries]]).
@@ -55,10 +58,13 @@ object VectorIndex {
   def build(rows: DataFrame, rkCol: String, vecCol: String): Built = {
     val ivf = Ann.buildIvf(rows, rkCol, vecCol)
     // codebooks only — the lazy `assigned`/`encoded` frames inside
-    // these builders are never materialized here; encodeEntries below
-    // is the single encode pass
+    // these builders are never materialized here; encodeAssigned below
+    // is the single encode pass. The assignment join (corpus ×
+    // centroids coarse probe) is CACHED across its consumers — the
+    // residual codebook fit's sampling actions and the caller's
+    // entries write would otherwise each recompute it.
     val cbPlain = Pq.buildPq(rows, rkCol, vecCol)
-    val assigned = assignResid(rows, rkCol, vecCol, ivf.centroids)
+    val assigned = assignResid(rows, rkCol, vecCol, ivf.centroids).cache()
     val cbResid = Pq.buildPq(assigned.select(col("rk"), col("r")), "rk", "r")
     // both fits see the same non-null row count and dimension, so the
     // geometries agree; a mismatch would silently mis-decode codes
@@ -69,7 +75,8 @@ object VectorIndex {
         s"(${cbResid.m},${cbResid.k},${cbResid.dsub})")
     val meta = VMeta(cbPlain.m, cbPlain.k, cbPlain.dsub,
       cbPlain.codebook, cbResid.codebook)
-    Built(ivf.centroids, encodeAssigned(assigned, meta), meta)
+    Built(ivf.centroids, encodeAssigned(assigned, meta), meta,
+      () => { assigned.unpersist(); () })
   }
 
   /** Encode a (patch) frame against EXISTING centroids + codebooks —

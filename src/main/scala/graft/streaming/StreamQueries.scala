@@ -13,23 +13,23 @@ object StreamQueries {
 
   /** Run a streaming frame to a memory sink and hand back the sink's
     * rows as a BATCH frame the driver can write/compare. Sink names
-    * carry a run-scoped counter and the PREVIOUS run's table for the
-    * same key is dropped before starting: bench repeats queries in
-    * one JVM (a fresh uuid-named table per rep would pin every rep's
-    * full result set in driver memory for the JVM's lifetime), while
-    * two CONCURRENT runs of the same key — parallel suites sharing
-    * the session — get distinct names instead of racing one
-    * queryName (TempTableAlreadyExists / serving the other run's
-    * rows). The just-created table outlives `stop()`, so the returned
-    * frame stays valid until the same key runs again. */
+    * carry a run-scoped counter so two CONCURRENT runs of the same
+    * key — parallel suites sharing the session — never race one
+    * queryName; once the stream drains, the sink's rows are
+    * materialized into a local batch frame and the temp view is
+    * dropped IMMEDIATELY, inside this run. That keeps driver memory
+    * per-run (bench reps release each rep's sink store; the old
+    * scheme pinned every uuid-named table for the JVM's lifetime)
+    * without the drop-previous-at-next-start window where run B
+    * could drop run A's still-executing view. The sink already held
+    * the full result on the driver, so the collect adds no memory
+    * class — and these are query RESULTS, driver-sized by
+    * construction. */
   private val sinkSeq = new java.util.concurrent.atomic.AtomicLong()
-  private val lastSink = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def runToBatch(s: SparkSession, out: DataFrame,
                          mode: String, key: String): DataFrame = {
     val name = s"graft_sink_${key}_${sinkSeq.incrementAndGet()}"
-    Option(lastSink.put(key, name)).foreach(prev =>
-      s.catalog.dropTempView(prev): Unit)
     // Size state-store/shuffle partitioning to the micro-batch, not the
     // session default: each micro-batch here is one staged file, and at
     // local[32] the 32 state partitions per batch are pure per-batch
@@ -49,7 +49,11 @@ object StreamQueries {
           .outputMode(mode).start()
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     try q.processAllAvailable() finally q.stop()
-    s.table(name)
+    val sink = s.table(name)
+    val rows = sink.collect()
+    val schema = sink.schema
+    s.catalog.dropTempView(name)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
