@@ -9,6 +9,15 @@ import java.util.function.Function
   * once and consulted many times — rebuilding it per query would
   * misrepresent both the design and the benchmark. Entries are
   * Spark-cached; the cache is per-JVM and keyed by (kind, dir).
+  *
+  * The full-text and bitmap frames are not ad-hoc builds: they come
+  * out of a CATALOG-PERSISTED index (a pid+dir-scoped warehouse whose
+  * `docs`/`orders` tables carry real `fulltext`/`bitmap` indexes —
+  * the reference persists every index as its own table, and the
+  * standalone search queries here consume the same on-disk artifacts
+  * the CDC-maintained path serves). The memo layer then Spark-caches
+  * the persisted frames, so repeated searches read memory while the
+  * artifact of record lives on disk through the production DDL path.
   */
 object QueryCaches {
   private val cache = new ConcurrentHashMap[String, DataFrame]()
@@ -22,20 +31,66 @@ object QueryCaches {
       override def apply(k: String): DataFrame = build.cache()
     })
 
-  def postings(s: SparkSession, d: String): DataFrame =
-    memo(s"postings:$d")(
-      index.FullText.buildPostings(Tables.documents(s, d), "doc_id", "text"))
+  // Memoization layers each get their OWN map, and every builder
+  // resolves its dependencies BEFORE entering computeIfAbsent:
+  // ConcurrentHashMap forbids re-entrant updates of the map a mapping
+  // function is running under ("Recursive update"), and the violation
+  // is bin-collision-dependent — it must be impossible by structure,
+  // not by luck of the key hashes.
+  private val cats = new ConcurrentHashMap[String, graft.kv.Catalog]()
+  private val builtKinds = new ConcurrentHashMap[String, java.lang.Boolean]()
 
-  def positional(s: SparkSession, d: String): DataFrame =
-    memo(s"positional:$d")(
-      index.FullText.buildPositional(Tables.documents(s, d), "doc_id", "text"))
+  /** The pid+dir-scoped warehouse catalog backing the persisted index
+    * artifacts below. Tables/indexes are created lazily per kind. */
+  private def warehouse(s: SparkSession, d: String): graft.kv.Catalog =
+    cats.computeIfAbsent(d, new Function[String, graft.kv.Catalog] {
+      override def apply(k: String): graft.kv.Catalog = {
+        val wh = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_warehouse_qc_${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode)).toString
+        TempWarehouses.register(wh)
+        new graft.kv.Catalog(s, wh)
+      }
+    })
 
-  def dictionary(s: SparkSession, d: String): DataFrame =
-    memo(s"dictionary:$d")(index.FullText.buildDictionary(postings(s, d)))
+  /** The persisted full-text index over the documents table — build is
+    * DDL (once per JVM+dir); every ft_* search serves from its frames. */
+  private def ftIndex(s: SparkSession, d: String): graft.kv.Catalog = {
+    val cat = warehouse(s, d)
+    builtKinds.computeIfAbsent(s"ft:$d", new Function[String, java.lang.Boolean] {
+      override def apply(k: String): java.lang.Boolean = {
+        val docs = Tables.documents(s, d)
+        if (cat.tableExists("docs")) cat.dropTable("docs")
+        cat.createTable("docs", docs.schema, Seq("doc_id"))
+        cat.bulkLoad("docs", docs, partitions = 2)
+        cat.createIndex("docs", "ft", "fulltext", Seq("text"))
+        true
+      }
+    })
+    cat
+  }
+
+  def postings(s: SparkSession, d: String): DataFrame = {
+    val cat = ftIndex(s, d)
+    memo(s"postings:$d")(cat.indexData("docs", "ft", "fulltext"))
+  }
+
+  def positional(s: SparkSession, d: String): DataFrame = {
+    val cat = ftIndex(s, d)
+    memo(s"positional:$d")(cat.indexPositional("docs", "ft", "fulltext"))
+  }
+
+  def dictionary(s: SparkSession, d: String): DataFrame = {
+    val cat = ftIndex(s, d)
+    memo(s"dictionary:$d")(cat.indexDictionary("docs", "ft", "fulltext"))
+  }
 
   /** Per-document token counts (BM25 norms), derived from the postings. */
-  def doclens(s: SparkSession, d: String): DataFrame =
-    memo(s"doclens:$d")(index.FullText.buildDocLens(postings(s, d)))
+  def doclens(s: SparkSession, d: String): DataFrame = {
+    val p = postings(s, d)
+    memo(s"doclens:$d")(index.FullText.buildDocLens(p))
+  }
 
   /** Average document length for BM25, computed as exact-integer
     * totalTokens / N so every engine derives the identical double
@@ -55,11 +110,29 @@ object QueryCaches {
     total.toDouble / corpusSize(s, d)
   }
 
-  /** Bitmap index over an orders column — built once per (column, dir)
-    * like a persisted index table, consulted by every bitmap query. */
-  def ordersBitmap(s: SparkSession, d: String, valueCol: String): DataFrame =
+  /** Bitmap index over an orders column — a catalog-persisted `bitmap`
+    * index on the warehouse's orders table, built once per (column,
+    * dir) and consulted by every bitmap query. */
+  def ordersBitmap(s: SparkSession, d: String, valueCol: String): DataFrame = {
+    val cat = warehouse(s, d)
+    builtKinds.computeIfAbsent(s"orders:$d", new Function[String, java.lang.Boolean] {
+      override def apply(k: String): java.lang.Boolean = {
+        val orders = Tables.orders(s, d)
+        if (cat.tableExists("orders")) cat.dropTable("orders")
+        cat.createTable("orders", orders.schema, Seq("o_orderkey"))
+        cat.bulkLoad("orders", orders, partitions = 2)
+        true
+      }
+    })
+    builtKinds.computeIfAbsent(s"bm:$valueCol:$d", new Function[String, java.lang.Boolean] {
+      override def apply(k: String): java.lang.Boolean = {
+        cat.createIndex("orders", s"bm_$valueCol", "bitmap", Seq(valueCol))
+        true
+      }
+    })
     memo(s"bitmap:$valueCol:$d")(
-      index.BitmapIndex.build(Tables.orders(s, d), "o_orderkey", valueCol))
+      cat.indexData("orders", s"bm_$valueCol", "bitmap"))
+  }
 
   private val objs = new ConcurrentHashMap[String, AnyRef]()
 
@@ -81,4 +154,29 @@ object QueryCaches {
     counts.computeIfAbsent(s"ndocs:$d", new Function[String, java.lang.Long] {
       override def apply(k: String): java.lang.Long = Tables.documents(s, d).count()
     })
+}
+
+/** Shutdown-hook reclamation for pid-scoped warehouse dirs (one hook
+  * per JVM reclaiming EVERY registered path). */
+object TempWarehouses {
+  private val paths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val registered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def register(wh: String): Unit = {
+    paths.add(wh)
+    if (registered.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(new Runnable {
+        override def run(): Unit = paths.forEach { wh =>
+          try {
+            val root = java.nio.file.Paths.get(wh)
+            if (java.nio.file.Files.exists(root)) {
+              val w = java.nio.file.Files.walk(root)
+              try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+              finally w.close()
+            }
+          } catch { case _: Throwable => }
+        }
+      }))
+  }
 }

@@ -79,7 +79,7 @@ object DedupQueries {
         System.getProperty("java.io.tmpdir"),
         s"graft_warehouse_vec_${ProcessHandle.current().pid()}_" +
           java.lang.Integer.toHexString(d.hashCode)).toString
-      VecCleanup.register(wh)
+      graft.TempWarehouses.register(wh)
       val cat = new graft.kv.Catalog(s, wh)
       val e = Tables.embeddings(s, d)
       if (cat.tableExists("emb")) cat.dropTable("emb")
@@ -510,29 +510,3 @@ object DedupQueries {
   )
 }
 
-/** Shutdown-hook reclamation for the pid-scoped vector-index
-  * warehouses (one hook per JVM reclaiming EVERY registered path —
-  * the warehouse is per (pid, data dir), so a multi-dir JVM registers
-  * several). */
-private[dedup] object VecCleanup {
-  private val paths =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private val registered = new java.util.concurrent.atomic.AtomicBoolean(false)
-  def register(wh: String): Unit = {
-    paths.add(wh)
-    if (registered.compareAndSet(false, true))
-      Runtime.getRuntime.addShutdownHook(new Thread(new Runnable {
-        override def run(): Unit = paths.forEach { wh =>
-          try {
-            val root = java.nio.file.Paths.get(wh)
-            if (java.nio.file.Files.exists(root)) {
-              val w = java.nio.file.Files.walk(root)
-              try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-                .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-              finally w.close()
-            }
-          } catch { case _: Throwable => }
-        }
-      }))
-  }
-}

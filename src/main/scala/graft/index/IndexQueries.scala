@@ -94,7 +94,7 @@ object IndexQueries {
       // one cleanup hook per JVM: without it every Verify/Bench process
       // leaves a full warehouse (base table + index segments) in /tmp
       // forever — same reclamation contract as Tables.stageOnce
-      SegftCleanup.register(wh)
+      graft.TempWarehouses.register(wh)
       val cat = new graft.kv.Catalog(s, wh)
       if (cat.tableExists("segdocs")) cat.dropTable("segdocs")
       cat.createTable("segdocs", StructType(Seq(
@@ -376,21 +376,3 @@ object IndexQueries {
   )
 }
 
-/** Shutdown-hook reclamation for the pid-scoped segment-ft warehouse
-  * (registered once per JVM regardless of how many reps run). */
-private[index] object SegftCleanup {
-  private val registered = new java.util.concurrent.atomic.AtomicBoolean(false)
-  def register(wh: String): Unit =
-    if (registered.compareAndSet(false, true))
-      Runtime.getRuntime.addShutdownHook(new Thread(new Runnable {
-        override def run(): Unit = try {
-          val root = java.nio.file.Paths.get(wh)
-          if (java.nio.file.Files.exists(root)) {
-            val w = java.nio.file.Files.walk(root)
-            try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-            finally w.close()
-          }
-        } catch { case _: Throwable => }
-      }))
-}

@@ -741,7 +741,10 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           // vector artifacts pair at the DATA base's version
           // (vectorArtifacts), so retention keys off baseVer, not liveV
           resolveIndexVersioned(dir, "cent", baseVer).getFileName.toString,
-          resolveIndexVersioned(dir, "vmeta", baseVer).getFileName.toString)
+          resolveIndexVersioned(dir, "vmeta", baseVer).getFileName.toString,
+          // positional postings are written by the same backfill/fold
+          // as the postings base — pair at the data base's version
+          resolveIndexVersioned(dir, "pos", baseVer).getFileName.toString)
         withList(dir) { it =>
           it.filter { p =>
             val n = p.getFileName.toString
@@ -749,6 +752,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
               v > baseVer && v <= liveV)
             (n.startsWith("data") || n.startsWith("dict") ||
               n.startsWith("cent") || n.startsWith("vmeta") ||
+              n.startsWith("pos") ||
               n.startsWith("seg_v") || n.startsWith("tomb_v") ||
               n.startsWith("dictdelta_v") ||
               // fold/refresh staging dirs stranded by a crash mid-build
@@ -802,9 +806,10 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * Single source of truth: compact's orphan cleanup, vacuum's sweep
     * and segmentVersion all reason over the same families — a new
     * artifact flavor added here is covered everywhere at once. */
-  private final val SegmentDirPrefixes = Seq("seg_v", "tomb_v", "dictdelta_v")
+  private final val SegmentDirPrefixes =
+    Seq("seg_v", "tomb_v", "dictdelta_v", "posseg_v")
   private final val IndexDirPrefixes =
-    Seq("data_v", "dict_v", "cent_v", "vmeta_v") ++ SegmentDirPrefixes
+    Seq("data_v", "dict_v", "pos_v", "cent_v", "vmeta_v") ++ SegmentDirPrefixes
 
   /** Version carried by a segment/tombstone/dict-delta dir name, if any. */
   private def segmentVersion(dirName: String): Option[Int] =
@@ -908,6 +913,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           val segPost = graft.index.FullText.buildPostings(patchRows, rk, c)
           KvLayout.writeSorted(segPost, Seq("term"),
             dir.resolve(s"seg_v$next").toString)
+          // positional segment rides beside the postings segment; the
+          // shared tombstones mask both families' older rows
+          KvLayout.writeSorted(
+            graft.index.FullText.buildPositional(patchRows, rk, c),
+            Seq("term"), dir.resolve(s"posseg_v$next").toString)
           patchRows.select(col(rk).as("rk")).distinct()
             .write.mode("overwrite").parquet(dir.resolve(s"tomb_v$next").toString)
           // df delta: +1 per term newly in a patched doc, -1 per term
@@ -1016,15 +1026,20 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         // every retry would fail and wedge CDC on this table).
         val orphanDict = dir.resolve(s"dict_v$upTo")
         if (Files.exists(orphanDict)) deleteRecursively(orphanDict)
-        // dict BEFORE data: the folded DATA base is the effective
-        // publish point — vacuum's segment/delta retention keys off the
-        // resolved data base version. A crash between the two writes
-        // must leave the old data base live (consistent old view, all
-        // deltas still retained); the reverse order would let vacuum
-        // reclaim dictdelta dirs the still-unfolded dictionary needs,
-        // silently corrupting df counts.
+        val orphanPos = dir.resolve(s"pos_v$upTo")
+        if (Files.exists(orphanPos)) deleteRecursively(orphanPos)
+        // dict and pos BEFORE data: the folded DATA base is the
+        // effective publish point — vacuum's segment/delta retention
+        // keys off the resolved data base version, and readers pair
+        // the positional base at it. A crash between the writes must
+        // leave the old data base live (consistent old view, all
+        // deltas/possegs still retained); the reverse order would let
+        // vacuum reclaim dirs the still-unfolded frames need.
         writeIndexDirAtomic(dir, s"dict_v$upTo") { p =>
           KvLayout.writeSorted(dictSegView(dir, upTo), Seq("term"), p)
+        }
+        writeIndexDirAtomic(dir, s"pos_v$upTo") { p =>
+          KvLayout.writeSorted(posSegView(dir, upTo), Seq("term"), p)
         }
         writeIndexDirAtomic(dir, s"data_v$upTo") { p =>
           KvLayout.writeSorted(fulltextSegView(base, baseVer, segs, tombs),
@@ -1629,12 +1644,17 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         case "fulltext" =>
           require(cols.size == 1, "fulltext indexes are single-column")
           // the reference's Lucene flavor: persisted inverted index
-          // (postings term-sorted ⇒ term filters prune row groups)
+          // (postings term-sorted ⇒ term filters prune row groups),
+          // plus positional postings — the frame phrase queries need
+          // (Lucene stores positions per posting the same way)
           val postings = graft.index.FullText.buildPostings(t.df, pk, cols.head)
           KvLayout.writeSorted(postings, Seq("term"),
             dir.resolve("data").toString)
           KvLayout.writeSorted(graft.index.FullText.buildDictionary(postings),
             Seq("term"), dir.resolve("dict").toString)
+          KvLayout.writeSorted(
+            graft.index.FullText.buildPositional(t.df, pk, cols.head),
+            Seq("term"), dir.resolve("pos").toString)
         case "vector" =>
           require(cols.size == 1, "vector indexes are single-column")
           val built = graft.similarity.VectorIndex.build(t.df, pk, cols.head)
@@ -1745,6 +1765,39 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     val dir = indexDir(table, indexName, "vector")
     val (cent, meta) = vectorArtifacts(dir, dataVersionOf(table))
     (indexData(table, indexName, "vector"), cent, meta)
+  }
+
+  /** Live positional postings (term, doc_id, pos) — the frame phrase
+    * search consumes. Base pairs at the resolved data base's version
+    * (written by the same backfill/refresh/fold as the postings);
+    * positional segments and the shared tombstones overlay it exactly
+    * like the postings view. */
+  def indexPositional(table: String, indexName: String,
+                      indexType: String): DataFrame =
+    posSegView(indexDir(table, indexName, indexType), dataVersionOf(table))
+
+  private def posSegView(dir: Path, upTo: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dataBaseVer = indexBaseVersion(resolveIndexVersioned(dir, "data", upTo))
+    val posBase = resolveIndexVersioned(dir, "pos", dataBaseVer)
+    require(Files.exists(posBase),
+      s"no positional postings under $dir — the index predates " +
+        "positional support; CALL system.refresh_index to rebuild")
+    val segs = versionedDirs(dir, "posseg_v", dataBaseVer, upTo)
+    val tombs = versionedDirs(dir, "tomb_v", dataBaseVer, upTo)
+    val parts = ((dataBaseVer, posBase) +: segs).map { case (v, p) =>
+      spark.read.parquet(p.toString)
+        .select(col("doc_id"), col("term"), col("pos")).withColumn("__v", lit(v))
+    }.reduce(_ unionByName _)
+    if (tombs.isEmpty) parts.drop("__v")
+    else {
+      val t = tombs.map { case (v, p) =>
+        spark.read.parquet(p.toString).select(col("rk"), lit(v).as("__tv"))
+      }.reduce(_ unionByName _)
+      parts.join(broadcast(t),
+          parts("doc_id") === t("rk") && t("__tv") > parts("__v"), "left_anti")
+        .drop("__v")
+    }
   }
 
   /** Postings across base+segments, minus postings of docs tombstoned
@@ -2004,6 +2057,14 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           }
         case "FULLTEXT" =>
           val postings = graft.index.FullText.buildPostings(t, pk, cols.head)
+          // pos BEFORE data: readers pair the positional base at the
+          // resolved data base's version, so a crash here must leave
+          // the old (data, pos) pair live together
+          writeIndexDirAtomic(dir, s"pos_v$cur") { p =>
+            KvLayout.writeSorted(
+              graft.index.FullText.buildPositional(t, pk, cols.head),
+              Seq("term"), p)
+          }
           writeIndexDirAtomic(dir, s"data_v$cur") { p =>
             KvLayout.writeSorted(postings, Seq("term"), p)
           }

@@ -404,6 +404,52 @@ class SegmentedIndexSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet == Set(9L))
   }
 
+  test("positional postings ride segments: phrase search stays fresh; fold collapses the stack") {
+    import spark.implicits._
+    val (cat, wh) = freshCat("segpos")
+    cat.createTable("t", schema, Seq("k"))
+    cat.bulkLoad("t",
+      (0L until 400L).map(i => (i, "s", s"alpha bravo doc$i")).toDF("k", "seg", "body"))
+    cat.createIndex("t", "ft", "fulltext", Seq("body"))
+    val idxDir = Paths.get(wh, "t.fulltext.ft")
+    assert(Files.exists(idxDir.resolve("pos")),
+      "backfill did not persist positional postings")
+
+    // CDC: doc 5 rewritten with a NEW phrase; doc 9001 carries the
+    // phrase's words NON-adjacently (must not match)
+    cat.incrementalMerge("t",
+      Seq((5L, "s", "golf hotel india"), (9001L, "s", "golf x hotel"))
+        .toDF("k", "seg", "body"))
+    val v = cat.dataVersionOf("t")
+    assert(Files.exists(idxDir.resolve(s"posseg_v$v")),
+      "merge did not append a positional segment")
+
+    def phraseHits(): Set[Long] = FullText.searchPhrase(cat.table("t").df, "k",
+        cat.indexPositional("t", "ft", "fulltext"), "golf hotel")
+      .select("k").collect().map(_.getLong(0)).toSet
+    // adjacency honored through the segmented view; doc 5's OLD
+    // positions are tombstone-masked (no stale "alpha bravo" match)
+    assert(phraseHits() == Set(5L))
+    assert(FullText.searchPhrase(cat.table("t").df, "k",
+        cat.indexPositional("t", "ft", "fulltext"), "alpha bravo")
+      .filter($"k" === 5L).count() == 0)
+    // segmented positional view == from-scratch rebuild
+    assert(sortedRows(cat.indexPositional("t", "ft", "fulltext")) ==
+      sortedRows(FullText.buildPositional(cat.table("t").df, "k", "body")))
+
+    // fold collapses postings AND positions; vacuum reclaims segments
+    cat.compactIndex("t", "ft", "fulltext")
+    cat.vacuum("t", graceMs = 0L)
+    assert(Files.exists(idxDir.resolve(s"pos_v$v")))
+    assert(!Files.exists(idxDir.resolve(s"posseg_v$v")),
+      "vacuum left a folded positional segment behind")
+    assert(!Files.exists(idxDir.resolve("pos")),
+      "vacuum left the superseded positional base behind")
+    assert(phraseHits() == Set(5L))
+    assert(sortedRows(cat.indexPositional("t", "ft", "fulltext")) ==
+      sortedRows(FullText.buildPositional(cat.table("t").df, "k", "body")))
+  }
+
   test("createIndex on a typo'd column fails clean; the corrected retry succeeds") {
     import spark.implicits._
     val (cat, wh) = freshCat("idxretry")
