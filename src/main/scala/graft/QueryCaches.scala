@@ -44,14 +44,8 @@ object QueryCaches {
     * artifacts below. Tables/indexes are created lazily per kind. */
   private def warehouse(s: SparkSession, d: String): graft.kv.Catalog =
     cats.computeIfAbsent(d, new Function[String, graft.kv.Catalog] {
-      override def apply(k: String): graft.kv.Catalog = {
-        val wh = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"),
-          s"graft_warehouse_qc_${ProcessHandle.current().pid()}_" +
-            java.lang.Integer.toHexString(d.hashCode)).toString
-        TempWarehouses.register(wh)
-        new graft.kv.Catalog(s, wh)
-      }
+      override def apply(k: String): graft.kv.Catalog =
+        new graft.kv.Catalog(s, TempWarehouses.scoped("qc", d))
     })
 
   /** The persisted full-text index over the documents table — build is
@@ -162,6 +156,22 @@ object TempWarehouses {
   private val paths =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val registered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** A pid+dir-scoped warehouse path, registered for shutdown
+    * reclamation. The dir token is sanitized text PLUS the hash hex:
+    * lossy sanitization alone could alias distinct dirs, and the
+    * 32-bit hash alone has constructible collisions — aliasing needs
+    * BOTH to collide (the scheme KvQueries' z-order warehouse
+    * established). */
+  def scoped(prefix: String, d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + java.lang.Integer.toHexString(d.hashCode)
+    val wh = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_warehouse_${prefix}_${ProcessHandle.current().pid()}_$tag").toString
+    register(wh)
+    wh
+  }
+
   def register(wh: String): Unit = {
     paths.add(wh)
     if (registered.compareAndSet(false, true))

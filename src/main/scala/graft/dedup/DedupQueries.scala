@@ -75,12 +75,7 @@ object DedupQueries {
       // QueryCaches artifact key: a second sfDir in the same JVM gets
       // its own warehouse instead of dropping and rebuilding 'emb'
       // out from under the first dir's cached index frames
-      val wh = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_warehouse_vec_${ProcessHandle.current().pid()}_" +
-          java.lang.Integer.toHexString(d.hashCode)).toString
-      graft.TempWarehouses.register(wh)
-      val cat = new graft.kv.Catalog(s, wh)
+      val cat = new graft.kv.Catalog(s, graft.TempWarehouses.scoped("vec", d))
       val e = Tables.embeddings(s, d)
       if (cat.tableExists("emb")) cat.dropTable("emb")
       cat.createTable("emb", e.schema, Seq("vec_id"))

@@ -71,6 +71,14 @@ object FullText {
         posexplode(tokenize(col(textCol))))
       .select(col("doc_id"), col("col").as("term"), col("pos"))
 
+  /** Postings derived from the positional frame (tf = position count
+    * per (term, doc) — identical to [[buildPostings]] by definition).
+    * Index builds that persist BOTH families tokenize the corpus once
+    * through [[buildPositional]] and derive the postings here, instead
+    * of paying the explode-the-corpus pass twice. */
+  def postingsFromPositional(positional: DataFrame): DataFrame =
+    positional.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+
   /** Phrase search: docs containing the tokens of `phrase` adjacently
     * in order. Postings for term i are self-joined requiring
     * pos_i = pos_0 + i — each join is keyed (doc, pos), so the work

@@ -910,27 +910,32 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       val c = cols.head
       ty.toUpperCase match {
         case "FULLTEXT" =>
-          val segPost = graft.index.FullText.buildPostings(patchRows, rk, c)
-          KvLayout.writeSorted(segPost, Seq("term"),
-            dir.resolve(s"seg_v$next").toString)
+          // one tokenize pass over the patch: positions are the source
+          // of truth, the postings segment derives from them. The
           // positional segment rides beside the postings segment; the
-          // shared tombstones mask both families' older rows
-          KvLayout.writeSorted(
-            graft.index.FullText.buildPositional(patchRows, rk, c),
-            Seq("term"), dir.resolve(s"posseg_v$next").toString)
-          patchRows.select(col(rk).as("rk")).distinct()
-            .write.mode("overwrite").parquet(dir.resolve(s"tomb_v$next").toString)
-          // df delta: +1 per term newly in a patched doc, -1 per term
-          // that was in its pre-image — the dictionary view folds
-          // these without re-counting the corpus
-          val add = graft.index.FullText.buildDictionary(segPost)
-            .select(col("term"), col("df").cast("long").as("ddf"))
-          val remove = graft.index.FullText.buildDictionary(
-              graft.index.FullText.buildPostings(preRows, rk, c))
-            .select(col("term"), (-col("df")).cast("long").as("ddf"))
-          add.unionByName(remove).groupBy("term").agg(sum("ddf").as("ddf"))
-            .filter(col("ddf") =!= 0L)
-            .write.mode("overwrite").parquet(dir.resolve(s"dictdelta_v$next").toString)
+          // shared tombstones mask both families' older rows.
+          val segPos =
+            graft.index.FullText.buildPositional(patchRows, rk, c).cache()
+          val segPost = graft.index.FullText.postingsFromPositional(segPos)
+          try {
+            KvLayout.writeSorted(segPos, Seq("term"),
+              dir.resolve(s"posseg_v$next").toString)
+            KvLayout.writeSorted(segPost, Seq("term"),
+              dir.resolve(s"seg_v$next").toString)
+            patchRows.select(col(rk).as("rk")).distinct()
+              .write.mode("overwrite").parquet(dir.resolve(s"tomb_v$next").toString)
+            // df delta: +1 per term newly in a patched doc, -1 per term
+            // that was in its pre-image — the dictionary view folds
+            // these without re-counting the corpus
+            val add = graft.index.FullText.buildDictionary(segPost)
+              .select(col("term"), col("df").cast("long").as("ddf"))
+            val remove = graft.index.FullText.buildDictionary(
+                graft.index.FullText.buildPostings(preRows, rk, c))
+              .select(col("term"), (-col("df")).cast("long").as("ddf"))
+            add.unionByName(remove).groupBy("term").agg(sum("ddf").as("ddf"))
+              .filter(col("ddf") =!= 0L)
+              .write.mode("overwrite").parquet(dir.resolve(s"dictdelta_v$next").toString)
+          } finally { segPos.unpersist(); () }
         case "BITMAP" =>
           graft.index.BitmapIndex.build(patchRows, rk, c)
             .write.mode("overwrite").parquet(dir.resolve(s"seg_v$next").toString)
@@ -1038,9 +1043,15 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         writeIndexDirAtomic(dir, s"dict_v$upTo") { p =>
           KvLayout.writeSorted(dictSegView(dir, upTo), Seq("term"), p)
         }
-        writeIndexDirAtomic(dir, s"pos_v$upTo") { p =>
-          KvLayout.writeSorted(posSegView(dir, upTo), Seq("term"), p)
-        }
+        // an index built before positional support has no pos base —
+        // the fold must not throw from the CDC write path (it would
+        // wedge every subsequent merge at the auto-fold threshold);
+        // skip the family and let refresh_index backfill it. Orphaned
+        // posseg dirs below the advanced base are vacuum-reclaimed.
+        if (Files.exists(resolveIndexVersioned(dir, "pos", baseVer)))
+          writeIndexDirAtomic(dir, s"pos_v$upTo") { p =>
+            KvLayout.writeSorted(posSegView(dir, upTo), Seq("term"), p)
+          }
         writeIndexDirAtomic(dir, s"data_v$upTo") { p =>
           KvLayout.writeSorted(fulltextSegView(base, baseVer, segs, tombs),
             Seq("term"), p)
@@ -1075,15 +1086,17 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           .select("rk", "v").cache()
         try {
           val built = graft.similarity.VectorIndex.build(folded, "rk", "v")
-          writeIndexDirAtomic(dir, s"vmeta_v$upTo") { p =>
-            graft.similarity.VectorIndex.metaFrame(spark, built.meta)
-              .write.mode("overwrite").parquet(p)
-          }
-          writeIndexDirAtomic(dir, s"cent_v$upTo") { p =>
-            built.centroids.write.mode("overwrite").parquet(p)
-          }
-          try writeIndexDirAtomic(dir, s"data_v$upTo") { p =>
-            KvLayout.writeSorted(built.entries, Seq("cluster"), p)
+          try {
+            writeIndexDirAtomic(dir, s"vmeta_v$upTo") { p =>
+              graft.similarity.VectorIndex.metaFrame(spark, built.meta)
+                .write.mode("overwrite").parquet(p)
+            }
+            writeIndexDirAtomic(dir, s"cent_v$upTo") { p =>
+              built.centroids.write.mode("overwrite").parquet(p)
+            }
+            writeIndexDirAtomic(dir, s"data_v$upTo") { p =>
+              KvLayout.writeSorted(built.entries, Seq("cluster"), p)
+            }
           } finally built.release()
         } finally folded.unpersist()
         true
@@ -1646,28 +1659,34 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           // the reference's Lucene flavor: persisted inverted index
           // (postings term-sorted ⇒ term filters prune row groups),
           // plus positional postings — the frame phrase queries need
-          // (Lucene stores positions per posting the same way)
-          val postings = graft.index.FullText.buildPostings(t.df, pk, cols.head)
-          KvLayout.writeSorted(postings, Seq("term"),
-            dir.resolve("data").toString)
-          KvLayout.writeSorted(graft.index.FullText.buildDictionary(postings),
-            Seq("term"), dir.resolve("dict").toString)
-          KvLayout.writeSorted(
-            graft.index.FullText.buildPositional(t.df, pk, cols.head),
-            Seq("term"), dir.resolve("pos").toString)
+          // (Lucene stores positions per posting the same way). ONE
+          // tokenize pass: positions are the source of truth, the
+          // postings/dictionary derive from them.
+          val positional =
+            graft.index.FullText.buildPositional(t.df, pk, cols.head).cache()
+          try {
+            val postings = graft.index.FullText.postingsFromPositional(positional)
+            KvLayout.writeSorted(positional, Seq("term"),
+              dir.resolve("pos").toString)
+            KvLayout.writeSorted(postings, Seq("term"),
+              dir.resolve("data").toString)
+            KvLayout.writeSorted(graft.index.FullText.buildDictionary(postings),
+              Seq("term"), dir.resolve("dict").toString)
+          } finally { positional.unpersist(); () }
         case "vector" =>
           require(cols.size == 1, "vector indexes are single-column")
           val built = graft.similarity.VectorIndex.build(t.df, pk, cols.head)
           // cluster-sorted entries: an IVF probe's per-list scan prunes
           // row groups on the cluster column instead of reading the
           // whole encoded corpus
-          built.centroids.write.mode("overwrite")
-            .parquet(dir.resolve("cent").toString)
-          graft.similarity.VectorIndex.metaFrame(spark, built.meta)
-            .write.mode("overwrite").parquet(dir.resolve("vmeta").toString)
-          try KvLayout.writeSorted(built.entries, Seq("cluster"),
-            dir.resolve("data").toString)
-          finally built.release()
+          try {
+            built.centroids.write.mode("overwrite")
+              .parquet(dir.resolve("cent").toString)
+            graft.similarity.VectorIndex.metaFrame(spark, built.meta)
+              .write.mode("overwrite").parquet(dir.resolve("vmeta").toString)
+            KvLayout.writeSorted(built.entries, Seq("cluster"),
+              dir.resolve("data").toString)
+          } finally built.release()
         case other => throw new IllegalArgumentException(s"index type $other")
       }
       val meta = readMeta(table)
@@ -2056,38 +2075,43 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
               .write.mode("overwrite").parquet(p)
           }
         case "FULLTEXT" =>
-          val postings = graft.index.FullText.buildPostings(t, pk, cols.head)
+          // one tokenize pass (positions → postings → dictionary);
           // pos BEFORE data: readers pair the positional base at the
           // resolved data base's version, so a crash here must leave
           // the old (data, pos) pair live together
-          writeIndexDirAtomic(dir, s"pos_v$cur") { p =>
-            KvLayout.writeSorted(
-              graft.index.FullText.buildPositional(t, pk, cols.head),
-              Seq("term"), p)
-          }
-          writeIndexDirAtomic(dir, s"data_v$cur") { p =>
-            KvLayout.writeSorted(postings, Seq("term"), p)
-          }
-          // dict is versioned like the postings — rewriting a shared
-          // dict/ in place would clobber the snapshot a concurrent
-          // reader resolved
-          writeIndexDirAtomic(dir, s"dict_v$cur") { p =>
-            KvLayout.writeSorted(graft.index.FullText.buildDictionary(postings),
-              Seq("term"), p)
-          }
+          val positional =
+            graft.index.FullText.buildPositional(t, pk, cols.head).cache()
+          try {
+            val postings = graft.index.FullText.postingsFromPositional(positional)
+            writeIndexDirAtomic(dir, s"pos_v$cur") { p =>
+              KvLayout.writeSorted(positional, Seq("term"), p)
+            }
+            writeIndexDirAtomic(dir, s"data_v$cur") { p =>
+              KvLayout.writeSorted(postings, Seq("term"), p)
+            }
+            // dict is versioned like the postings — rewriting a shared
+            // dict/ in place would clobber the snapshot a concurrent
+            // reader resolved
+            writeIndexDirAtomic(dir, s"dict_v$cur") { p =>
+              KvLayout.writeSorted(graft.index.FullText.buildDictionary(postings),
+                Seq("term"), p)
+            }
+          } finally { positional.unpersist(); () }
         case "VECTOR" =>
           // full corpus re-train at the live version; cent/vmeta land
           // before data for the same crash reasoning as the fold
           val built = graft.similarity.VectorIndex.build(t, pk, cols.head)
-          writeIndexDirAtomic(dir, s"vmeta_v$cur") { p =>
-            graft.similarity.VectorIndex.metaFrame(spark, built.meta)
-              .write.mode("overwrite").parquet(p)
-          }
-          writeIndexDirAtomic(dir, s"cent_v$cur") { p =>
-            built.centroids.write.mode("overwrite").parquet(p)
-          }
-          try writeIndexDirAtomic(dir, s"data_v$cur") { p =>
-            KvLayout.writeSorted(built.entries, Seq("cluster"), p)
+          try {
+            writeIndexDirAtomic(dir, s"vmeta_v$cur") { p =>
+              graft.similarity.VectorIndex.metaFrame(spark, built.meta)
+                .write.mode("overwrite").parquet(p)
+            }
+            writeIndexDirAtomic(dir, s"cent_v$cur") { p =>
+              built.centroids.write.mode("overwrite").parquet(p)
+            }
+            writeIndexDirAtomic(dir, s"data_v$cur") { p =>
+              KvLayout.writeSorted(built.entries, Seq("cluster"), p)
+            }
           } finally built.release()
         case other => throw new IllegalArgumentException(s"index type $other")
       }

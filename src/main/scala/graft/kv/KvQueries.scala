@@ -215,11 +215,16 @@ object KvQueries {
   )
 
   private object Files {
-    def tempWarehouse(suffix: String = ""): String =
-      java.nio.file.Paths.get(
+    def tempWarehouse(suffix: String = ""): String = {
+      val wh = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
         // pid-scoped (see IndexQueries): no cross-process collisions
         s"graft_warehouse_${ProcessHandle.current().pid()}$suffix").toString
+      // shutdown reclamation like every other pid-scoped warehouse —
+      // without it each Verify/Bench process strands these in /tmp
+      graft.TempWarehouses.register(wh)
+      wh
+    }
   }
 
   /** The z-clustered two-key lineitem slice, built ONCE per (JVM,

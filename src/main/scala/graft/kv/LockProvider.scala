@@ -183,8 +183,17 @@ object FsLockProvider {
     val resolved =
       try Some(java.net.InetAddress.getLocalHost.getHostName)
       catch { case _: Exception => None }
-    resolved.filterNot(h => h.isEmpty || h.equalsIgnoreCase("localhost") ||
-        h == "127.0.0.1" || h == "::1")
+    // degenerate = any name every misconfigured box shares: localhost
+    // and its domain forms (RHEL's default localhost.localdomain),
+    // IPv4 loopback literals (the whole 127/8 block), and the IPv6
+    // loopback in BOTH of Java's renderings ("::1" and the expanded
+    // "0:0:0:0:0:0:0:1" that getHostName actually produces)
+    def degenerate(h: String): Boolean = {
+      val l = h.toLowerCase(java.util.Locale.ROOT)
+      l.isEmpty || l == "localhost" || l.startsWith("localhost.") ||
+        l.startsWith("127.") || l == "::1" || l == "0:0:0:0:0:0:0:1"
+    }
+    resolved.filterNot(degenerate)
       .getOrElse(s"unknown-${ProcessHandle.current().pid()}-" +
         java.util.UUID.randomUUID().toString.take(8))
   }
