@@ -163,7 +163,10 @@ object TempWarehouses {
     * BOTH to collide (the scheme KvQueries' z-order warehouse
     * established). */
   def scoped(prefix: String, d: String): String = {
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_") +
+    // cap the readable segment: a deep dataset path must not push the
+    // dir NAME past the filesystem's 255-byte component limit — the
+    // hash keeps capped tags distinct where truncation aliases them
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_").takeRight(40) +
       "_" + java.lang.Integer.toHexString(d.hashCode)
     val wh = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),

@@ -240,13 +240,11 @@ object KvQueries {
     import s.implicits._
     // the warehouse path must be unique per sf-dir like the cache key:
     // a shared path would let a second sf-dir's build replace the
-    // first's data while the first's cache entry still points at it.
-    // The path hash keeps distinct dirs distinct where a lossy
-    // character sanitization alone could alias them.
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_") +
-      "_" + java.lang.Integer.toHexString(d.hashCode)
+    // first's data while the first's cache entry still points at it
+    // (TempWarehouses.scoped: sanitized+hashed dir tag, shutdown
+    // reclamation — the one naming scheme for every pid+dir warehouse)
     val wh = graft.QueryCaches.obj(s"zorder_wh:$d") {
-      val cat = new Catalog(s, Files.tempWarehouse(s"zorder_$tag"))
+      val cat = new Catalog(s, graft.TempWarehouses.scoped("zorder", d))
       if (cat.tableExists("zli")) cat.dropTable("zli")
       cat.createTable("zli",
         StructType(Seq(

@@ -183,14 +183,16 @@ object FsLockProvider {
     val resolved =
       try Some(java.net.InetAddress.getLocalHost.getHostName)
       catch { case _: Exception => None }
-    // degenerate = any name every misconfigured box shares: localhost
-    // and its domain forms (RHEL's default localhost.localdomain),
-    // IPv4 loopback literals (the whole 127/8 block), and the IPv6
-    // loopback in BOTH of Java's renderings ("::1" and the expanded
-    // "0:0:0:0:0:0:0:1" that getHostName actually produces)
+    // degenerate = any name every misconfigured box shares: every
+    // localhost variant (localhost, localhost.localdomain, RHEL's
+    // localhost6/localhost6.localdomain6, Debian's ip6-localhost —
+    // all contain "localhost"), Debian's ip6-loopback, IPv4 loopback
+    // literals (the whole 127/8 block), and the IPv6 loopback in BOTH
+    // of Java's renderings ("::1" and the expanded "0:0:0:0:0:0:0:1"
+    // that getHostName actually produces)
     def degenerate(h: String): Boolean = {
       val l = h.toLowerCase(java.util.Locale.ROOT)
-      l.isEmpty || l == "localhost" || l.startsWith("localhost.") ||
+      l.isEmpty || l.contains("localhost") || l.contains("loopback") ||
         l.startsWith("127.") || l == "::1" || l == "0:0:0:0:0:0:0:1"
     }
     resolved.filterNot(degenerate)
