@@ -295,6 +295,71 @@ object Dedup {
     * array, never the keys). Exact count first: `expectedNumItems`
     * under the true cardinality blows past `fpp`, and the count runs
     * on the same (small, already-pruned) side being sketched. */
+  /** Exact-substring dedup spans (the "Deduplicating Training Data
+    * Makes Language Models Better" ExactSubstr operator, Lee et al.
+    * 2021, arXiv:2107.06499): find runs of >= `w` consecutive word
+    * tokens that appear verbatim in at least `minDocs` DISTINCT
+    * documents, merge overlapping/adjacent duplicated windows into
+    * maximal spans per doc, and report per-doc span statistics —
+    * the signal a training pipeline uses to cut or down-weight
+    * documents dominated by cross-document boilerplate.
+    *
+    * Spark-first shape (the scalable stand-in for the paper's
+    * suffix array, which is a single-machine structure): one pass
+    * emits every w-token window with its start position (codegen'd
+    * higher-order array expressions, no UDF); the duplicated-window
+    * set is a (gram, doc) distinct + count — two hash shuffles on
+    * the gram key; the join back is 1:1 per (doc, pos) since the
+    * dup set is distinct on gram — NO fan-out, so a hot boilerplate
+    * gram cannot blow up the join the way the Jaccard self-join
+    * can. Span merging is a per-document gaps-and-islands window —
+    * bounded by doc length, never corpus-wide. Intra-document
+    * repetition is deliberately out of scope (txt_repetition covers
+    * it): duplication means >= minDocs distinct docs.
+    *
+    * Window starts are 1-based. Spans merge when the next
+    * duplicated window starts within `w` tokens of the previous
+    * (overlap or exact adjacency), matching the paper's
+    * overlapping-match merge. Docs with no duplicated span are
+    * absent from the output. */
+  def substringSpans(docs: DataFrame, idCol: String, textCol: String,
+                     w: Int = 16, minDocs: Int = 2): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val grams = toks
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        posexplode(transform(
+          sequence(lit(1), size(col("toks")) - (w - 1)),
+          i => array_join(slice(col("toks"), i, lit(w)), " "))))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("pos") + 1).as("pos"), col("col").as("g"))
+    // duplicated = the gram occurs in >= minDocs distinct docs; the
+    // two-stage distinct-then-count avoids a per-gram count-distinct
+    val dup = grams.select("g", "doc_id").distinct()
+      .groupBy("g").count()
+      .filter(col("count") >= minDocs)
+      .select("g")
+    val hits = grams.join(dup, Seq("g"))
+      .select("doc_id", "n_tokens", "pos")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val spans = hits
+      .withColumn("lp", lag(col("pos"), 1).over(byDoc))
+      .withColumn("isl",
+        sum(when(col("lp").isNull || col("pos") - col("lp") <= w, 0)
+          .otherwise(1)).over(byDoc))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        min(col("pos")).as("s"), (max(col("pos")) + (w - 1)).as("e"))
+    spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"),
+        max(col("n_tokens")).as("n_tokens"))
+      .withColumn("dup_frac",
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 4))
+  }
+
   def bloomOf(keys: DataFrame, keyCol: String,
               fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
     val n = math.max(keys.count(), 1L)

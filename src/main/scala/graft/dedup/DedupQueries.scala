@@ -125,6 +125,30 @@ object DedupQueries {
     (corpus, evalGrams)
   }
 
+  /** Exact-substring corpus: documents plus two SQL-reproducible
+    * plants — (a) mirror copies of docs 200-204 behind a 3-token
+    * prefix (ids +3e6): the shared suffix duplicates, the prefix
+    * does not; (b) "chimera" docs (ids +4e6) splicing tokens 1-24
+    * and 30-53 of docs 210-219 around 20 unique filler tokens: two
+    * separated duplicated chunks per source doc, so the span merge
+    * must produce MULTIPLE islands, not one. */
+  private def substrCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val mirrors = docs.filter(col("doc_id").between(200, 204))
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(lit("exactsub mirror prefix "), col("text")).as("text"))
+    val filler = (1 to 20).map(i => f"xsf$i%02d").mkString(" ")
+    val chimeras = docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .filter(col("doc_id").between(210, 219) && size(col("toks")) >= 54)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(array_join(slice(col("toks"), 1, 24), " "),
+          lit(" " + filler + " "),
+          array_join(slice(col("toks"), 30, 24), " ")).as("text"))
+    docs.unionByName(mirrors).unionByName(chimeras)
+  }
+
   /** Index warmup for Bench: build the shared pair set + IVF/PQ
     * indexes the way the full-text postings/dictionary/bitmaps are
     * prebuilt — index BUILD is DDL; the timed queries measure SEARCH. */
@@ -187,6 +211,20 @@ object DedupQueries {
         .groupBy($"pack_id")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("pack_tokens"))
         .orderBy($"pack_id")
+    },
+
+    "dd_substring" -> { (s, d) =>
+      import s.implicits._
+      // ExactSubstr dedup (Lee et al. 2021): per-doc maximal spans of
+      // >= 16 consecutive tokens duplicated across >= 2 distinct docs
+      // (Dedup.substringSpans — gram-window shuffle + per-doc
+      // gaps-and-islands, the distributed stand-in for the paper's
+      // single-machine suffix array). Corpus carries planted mirrors
+      // AND two-chunk chimeras so single- and multi-island merges are
+      // both exercised under the oracle.
+      Dedup.substringSpans(substrCorpus(s, d), "doc_id", "text",
+          w = 16, minDocs = 2)
+        .orderBy($"doc_id")
     },
 
     "dd_decontam" -> { (s, d) =>
@@ -397,6 +435,54 @@ object DedupQueries {
          |  ON a.vec_id < b.vec_id AND b.vec_id >= 1000000
          |WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 3) >= 0.95
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // the same ExactSubstr computation term for term: planted corpus,
+    // 16-token windows with 1-based starts, cross-doc duplicated-gram
+    // set, per-doc gaps-and-islands merge (new island when the next
+    // duplicated start is more than w tokens after the previous)
+    "dd_substring" -> {
+      val cleanTok =
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"
+      val filler = (1 to 20).map(i => f"xsf$i%02d").mkString(" ")
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |mirrors AS (
+         |  SELECT doc_id + 3000000 AS doc_id,
+         |    'exactsub mirror prefix ' || text AS text
+         |  FROM base WHERE doc_id BETWEEN 200 AND 204),
+         |ct0 AS (SELECT doc_id, $cleanTok AS toks FROM base),
+         |chimeras AS (
+         |  SELECT doc_id + 4000000 AS doc_id,
+         |    array_to_string(toks[1:24], ' ') || ' $filler ' ||
+         |      array_to_string(toks[30:53], ' ') AS text
+         |  FROM ct0 WHERE doc_id BETWEEN 210 AND 219 AND len(toks) >= 54),
+         |corpus AS (SELECT * FROM base UNION ALL
+         |           SELECT * FROM mirrors UNION ALL
+         |           SELECT * FROM chimeras),
+         |ct AS (SELECT doc_id, $cleanTok AS toks FROM corpus),
+         |docs16 AS (SELECT doc_id, len(toks) AS n_tokens, toks
+         |           FROM ct WHERE len(toks) >= 16),
+         |ws AS (SELECT doc_id, n_tokens, toks,
+         |         unnest(range(1, n_tokens - 14)) AS pos FROM docs16),
+         |grams AS (SELECT doc_id, n_tokens, CAST(pos AS BIGINT) AS pos,
+         |    array_to_string(toks[CAST(pos AS INT):CAST(pos + 15 AS INT)], ' ') AS g
+         |  FROM ws),
+         |dup AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM grams)
+         |        GROUP BY g HAVING COUNT(*) >= 2),
+         |hits AS (SELECT doc_id, n_tokens, pos FROM grams JOIN dup USING (g)),
+         |lagd AS (SELECT doc_id, n_tokens, pos,
+         |    LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lp FROM hits),
+         |isl AS (SELECT doc_id, n_tokens, pos,
+         |    SUM(CASE WHEN lp IS NULL OR pos - lp <= 16 THEN 0 ELSE 1 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM lagd),
+         |spans AS (SELECT doc_id, grp, MAX(n_tokens) AS n_tokens,
+         |    MIN(pos) AS s, MAX(pos) + 15 AS e
+         |  FROM isl GROUP BY doc_id, grp)
+         |SELECT doc_id, COUNT(*) AS n_spans,
+         |  CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+         |  MAX(n_tokens) AS n_tokens,
+         |  ROUND(CAST(SUM(e - s + 1) AS DOUBLE) / MAX(n_tokens), 4) AS dup_frac
+         |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "dd_decontam" -> {
       val cleanTok =

@@ -200,6 +200,49 @@ object TextQueries {
           round($"n_first".cast("double") / $"n_grams", 4).as("novelty"))
         .orderBy($"doc_id")
     },
+
+    "txt_boilerplate" -> { (s, d) =>
+      import s.implicits._
+      // Corpus-frequent line removal (the CCNet/RefinedWeb boilerplate
+      // pass: a line repeated across many documents — nav text, cookie
+      // banners, license footers — carries no training signal and is
+      // dropped corpus-wide). The source docs are single-line, so the
+      // corpus plants SQL-reproducible line structure: every 7th doc
+      // gains a newsletter line, every 21st additionally a license
+      // line — those recur across >= 5 distinct docs and must be
+      // flagged; each doc's own body line recurs at most twice (the
+      // generator's planted exact dup) and must NOT be.
+      // Shape at 100 TB: explode to lines (map-side), duplicate-line
+      // set = distinct (line, doc) + count — two hash shuffles on the
+      // line key; join back is 1:1 per line occurrence (the frequent
+      // set is distinct), then one per-doc aggregation. Identical to
+      // the dd_substring candidate topology; no O(n²) anywhere.
+      val lined = Tables.documents(s, d).select($"doc_id",
+        concat($"text",
+          when($"doc_id" % 7 === 0,
+            lit("\nsubscribe to the graft newsletter for updates"))
+            .otherwise(lit("")),
+          when($"doc_id" % 21 === 0,
+            lit("\nall rights reserved by graft industries"))
+            .otherwise(lit(""))).as("text"))
+      val lines = lined
+        .select($"doc_id", explode(split($"text", "\n")).as("raw"))
+        .select($"doc_id", trim($"raw").as("line"))
+        .filter(length($"line") > 0)
+        .select($"doc_id", lower($"line").as("nline"),
+          length($"line").cast("long").as("len"))
+      val frequent = lines.select("nline", "doc_id").distinct()
+        .groupBy("nline").count().filter($"count" >= 5)
+        .select($"nline", lit(1).as("isb"))
+      lines.join(frequent, Seq("nline"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when($"isb".isNotNull, 1L).otherwise(0L)).as("n_boiler"),
+          sum(when($"isb".isNull, $"len").otherwise(0L)).as("clean_chars"))
+        .withColumn("boiler_frac",
+          round($"n_boiler".cast("double") / $"n_lines", 4))
+        .orderBy($"doc_id")
+    },
   )
 
   private val Tok = "string_split_regex(lower(text), '[^a-z0-9]+')"
@@ -359,5 +402,34 @@ object TextQueries {
          |    / COUNT(*), 4) AS novelty
          |FROM p JOIN f USING (g)
          |GROUP BY p.doc_id ORDER BY doc_id""".stripMargin,
+
+    // the same planted line structure and the same >= 5-distinct-docs
+    // frequency cut, term for term
+    "txt_boilerplate" ->
+      """WITH lined AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN chr(10) || 'subscribe to the graft newsletter for updates'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 21 = 0
+        |         THEN chr(10) || 'all rights reserved by graft industries'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |lines AS (SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS line
+        |          FROM lined),
+        |norm AS (SELECT doc_id, lower(line) AS nline,
+        |           CAST(length(line) AS BIGINT) AS len
+        |         FROM lines WHERE length(line) > 0),
+        |freq AS (SELECT nline FROM (SELECT DISTINCT nline, doc_id FROM norm)
+        |         GROUP BY nline HAVING COUNT(*) >= 5)
+        |SELECT n.doc_id, COUNT(*) AS n_lines,
+        |  CAST(SUM(CASE WHEN f.nline IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_boiler,
+        |  CAST(SUM(CASE WHEN f.nline IS NULL THEN n.len ELSE 0 END) AS BIGINT)
+        |    AS clean_chars,
+        |  ROUND(CAST(SUM(CASE WHEN f.nline IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 4) AS boiler_frac
+        |FROM norm n LEFT JOIN freq f ON n.nline = f.nline
+        |GROUP BY n.doc_id ORDER BY doc_id""".stripMargin,
   )
 }

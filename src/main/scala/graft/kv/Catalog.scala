@@ -582,22 +582,28 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       case _ => false
     }
 
+  /** Parse a snapshot's persisted range manifest, if present. Bounds
+    * come back canonicalized (Long/Double/String) like canonKey's
+    * output. Shared by the merge path and the driver-side get — pure
+    * JSON, no Spark. */
+  private def readManifestJson(dir: Path): Option[Seq[FileRange]] =
+    if (!Files.exists(manifestFile(dir))) None
+    else {
+      val root = mapper.readTree(Files.readString(manifestFile(dir)))
+      Some(root.elements().asScala.map { e =>
+        def v(n: JsonNode): Any =
+          if (n.isNull) null
+          else if (n.isIntegralNumber) java.lang.Long.valueOf(n.asLong())
+          else if (n.isFloatingPointNumber) java.lang.Double.valueOf(n.asDouble())
+          else n.asText()
+        FileRange(e.path("file").asText(), v(e.path("lo")), v(e.path("hi")))
+      }.toSeq)
+    }
+
   private def ensureRangeManifest(dir: Path, keyCol: String,
                                   persistable: Boolean): Seq[FileRange] = {
     if (!persistable) return scanRanges(dir, keyCol)
-    val cached: Option[Seq[FileRange]] =
-      if (!Files.exists(manifestFile(dir))) None
-      else {
-        val root = mapper.readTree(Files.readString(manifestFile(dir)))
-        Some(root.elements().asScala.map { e =>
-          def v(n: JsonNode): Any =
-            if (n.isNull) null
-            else if (n.isIntegralNumber) java.lang.Long.valueOf(n.asLong())
-            else if (n.isFloatingPointNumber) java.lang.Double.valueOf(n.asDouble())
-            else n.asText()
-          FileRange(e.path("file").asText(), v(e.path("lo")), v(e.path("hi")))
-        }.toSeq)
-      }
+    val cached: Option[Seq[FileRange]] = readManifestJson(dir)
     // a manifest is only trustworthy if it covers exactly the part
     // files present: SQL INSERT INTO appends files into the live
     // snapshot after the manifest was written, and pruning against a
@@ -1153,6 +1159,31 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
 
   def table(name: String): KvTable =
     KvTable(spark.read.parquet(dataDir(name)), primaryKeyOf(name))
+
+  /** Millisecond point read served on the calling thread — NO Spark
+    * job (the reference's HBase `Get` path: HBaseEnumerator.kt reads
+    * one region block client-side; KVIndexTable.kt:75-84 builds the
+    * Get from the rowkey). Resolves the SAME committed snapshot a
+    * lock-free Spark read would (dataVersionOf, including the
+    * transaction overlay), prunes files by the snapshot's range
+    * manifest when present (else per-file parquet footer statistics,
+    * cached in-process), and pushes the key predicate into
+    * parquet-hadoop for row-group/dictionary/column-index pruning —
+    * see [[DriverRead]]. `key` binds the full (possibly composite)
+    * primary key. Complement of the Spark scan path, not a
+    * replacement: bounded key sets only. */
+  def driverPointGet(name: String, key: Any*): Seq[Row] =
+    driverMultiGet(name, Seq(key.toSeq))
+
+  /** Batched driver-side multi-Get (reference multi-Get:
+    * KVIndexTable.kt:75-84): one OR-of-keys predicate per surviving
+    * file, so a batch costs one pass regardless of key count. */
+  def driverMultiGet(name: String, keys: Seq[Seq[Any]]): Seq[Row] = {
+    val dir = tableDir(name).resolve(s"data_v${dataVersionOf(name)}")
+    val ranges = readManifestJson(dir).getOrElse(Nil)
+      .map(r => (r.file, r.lo, r.hi))
+    DriverRead.get(dir, schemaOf(name), primaryKeyOf(name), keys, ranges)
+  }
 
   /** Live snapshot path — the V2 catalog (GraftCatalog) reads/writes
     * this directory directly. */

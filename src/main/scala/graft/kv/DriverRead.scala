@@ -1,0 +1,285 @@
+package graft.kv
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotation, DecimalLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import java.nio.file.{Files, Path}
+import java.util.concurrent.ConcurrentHashMap
+import scala.collection.JavaConverters._
+
+/** Millisecond point reads WITHOUT a Spark job — the analog of the
+  * reference's HBase `Get` path (HBaseEnumerator.kt: a point read is
+  * a client-side cursor over one region block, never a cluster scan;
+  * KVIndexTable.kt:75-84 builds the Get/multi-Get from the rowkey).
+  *
+  * Every other read in this engine is a Spark job: right for scans
+  * and analytics, but a single-key lookup pays ~100 ms of task
+  * scheduling for microseconds of work. This path serves the lookup
+  * entirely on the calling thread from the SAME snapshot files a
+  * Spark read would use, in three pruning layers, exactly the layers
+  * an HBase Get descends (region → block index → block):
+  *
+  *   1. file-level: the snapshot's range manifest (`_graft_ranges
+  *      .json`, maintained by the CDC merge path) keyed on the
+  *      leading primary-key column — zero data I/O. When the
+  *      manifest is missing or stale, per-file parquet FOOTER
+  *      min/max statistics stand in (one footer read per file,
+  *      cached per (path, size, mtime) for the process lifetime —
+  *      the client-side analog of HBase's block-index cache).
+  *   2. row-group / page-level: the key predicate is handed to
+  *      parquet-hadoop as a FilterPredicate, so row-group
+  *      statistics, dictionary pages and column indexes prune
+  *      before any record assembly.
+  *   3. record-level: the same predicate filters the few surviving
+  *      records; composite keys AND their column predicates, a
+  *      multi-get ORs the per-key predicates into one pass.
+  *
+  * This object never touches a SparkSession — a caller that only
+  * ever does point reads schedules no job at all. At 100 TB the
+  * manifest is ~800k entries (one JSON read), the footer cache only
+  * ever fills for files the manifest could not exclude, and each Get
+  * touches one or two row groups — the same I/O an HBase Get does.
+  *
+  * Scope: the serving-path complement of the analytic engine, not a
+  * replacement for scans — anything that reads more than a bounded
+  * key set belongs on the Spark path where 1000 executors help.
+  */
+private[kv] object DriverRead {
+
+  /** (path, size, mtimeMs) → per-row-group (min,max) of the leading
+    * key column. Size+mtime key: COW snapshots never rewrite a file
+    * in place, but the same part-file NAME can recur across
+    * snapshots — identity must come from content coordinates. */
+  private case class FooterKey(path: String, size: Long, mtime: Long)
+  private val footerRanges = new ConcurrentHashMap[FooterKey, Seq[(Any, Any)]]()
+
+  private def footerKey(p: Path): FooterKey =
+    FooterKey(p.toAbsolutePath.toString, Files.size(p),
+      Files.getLastModifiedTime(p).toMillis)
+
+  /** Leading-key (min,max) per row group from the file footer,
+    * canonicalized to Long/Double/String like the manifest's bounds.
+    * Null bounds (no stats / all-null pages) mean "cannot exclude". */
+  private def rowGroupRanges(file: Path, keyCol: String): Seq[(Any, Any)] =
+    footerRanges.computeIfAbsent(footerKey(file), { _ =>
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toUri), new Configuration())
+      val reader = ParquetFileReader.open(in)
+      try {
+        reader.getFooter.getBlocks.asScala.toSeq.map { block =>
+          block.getColumns.asScala
+            .find(_.getPath.toDotString == keyCol)
+            .map { cc =>
+              val st = cc.getStatistics
+              if (st == null || !st.hasNonNullValue) (null, null)
+              else (canonStat(st.genericGetMin), canonStat(st.genericGetMax))
+            }.getOrElse((null, null))
+        }
+      } finally reader.close()
+    })
+
+  private def canonStat(x: Any): Any = x match {
+    case null => null
+    case b: Binary => b.toStringUsingUTF8
+    case n: java.lang.Integer => java.lang.Long.valueOf(n.longValue())
+    case n: java.lang.Long => n
+    case n: java.lang.Float => java.lang.Double.valueOf(n.doubleValue())
+    case n: java.lang.Double => n
+    case other => other
+  }
+
+  /** Same canonical form as Catalog.canonKey for comparisons. */
+  private def canon(x: Any): Any = x match {
+    case null => null
+    case n: java.lang.Integer => java.lang.Long.valueOf(n.longValue())
+    case n: java.lang.Short => java.lang.Long.valueOf(n.longValue())
+    case n: java.lang.Byte => java.lang.Long.valueOf(n.longValue())
+    case n: java.lang.Float => java.lang.Double.valueOf(n.doubleValue())
+    case other => other
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
+    case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
+    case (x: String, y: String) => x.compareTo(y)
+    case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+  }
+
+  /** True iff some canonicalized key falls in [lo,hi]; null bounds
+    * never exclude. */
+  private def anyKeyIn(lo: Any, hi: Any, keys: Seq[Any]): Boolean =
+    lo == null || hi == null ||
+      keys.exists(k => cmp(k, lo) >= 0 && cmp(k, hi) <= 0)
+
+  /** The filter handed to parquet-hadoop: OR over keys of AND over
+    * the key columns — row-group stats, dictionaries and column
+    * indexes all evaluate it before record assembly. */
+  private def keyPredicate(schema: StructType, pk: Seq[String],
+                           keys: Seq[Seq[Any]]): FilterPredicate = {
+    def eqPred(colName: String, v: Any): FilterPredicate = {
+      require(v != null, s"primary key $colName may not be null in a get")
+      schema(colName).dataType match {
+        case LongType => FilterApi.eq(FilterApi.longColumn(colName),
+          java.lang.Long.valueOf(v.asInstanceOf[Number].longValue()))
+        case IntegerType | ShortType | ByteType =>
+          FilterApi.eq(FilterApi.intColumn(colName),
+            java.lang.Integer.valueOf(v.asInstanceOf[Number].intValue()))
+        case StringType => FilterApi.eq(FilterApi.binaryColumn(colName),
+          Binary.fromString(v.asInstanceOf[String]))
+        case DoubleType => FilterApi.eq(FilterApi.doubleColumn(colName),
+          java.lang.Double.valueOf(v.asInstanceOf[Number].doubleValue()))
+        case FloatType => FilterApi.eq(FilterApi.floatColumn(colName),
+          java.lang.Float.valueOf(v.asInstanceOf[Number].floatValue()))
+        case other => throw new IllegalArgumentException(
+          s"driver get supports long/int/string/double/float keys; $colName is $other")
+      }
+    }
+    keys.map { k =>
+      pk.zip(k).map { case (c, v) => eqPred(c, v) }
+        .reduce(FilterApi.and)
+    }.reduce(FilterApi.or)
+  }
+
+  /** Point/multi-get over one snapshot directory. `fileRanges` is the
+    * manifest view of the snapshot when available ((file, lo, hi) on
+    * the leading key, canonicalized); pass Nil to fall back to footer
+    * statistics for every file. Returns rows in table-schema order,
+    * unordered across keys (callers sort). */
+  def get(snapshotDir: Path, schema: StructType, pk: Seq[String],
+          keys: Seq[Seq[Any]],
+          fileRanges: Seq[(String, Any, Any)]): Seq[Row] = {
+    require(keys.nonEmpty && keys.forall(_.length == pk.length),
+      s"each get key must bind the full primary key ${pk.mkString(",")}")
+    val leadKeys = keys.map(k => canon(k.head))
+    val parts = listParts(snapshotDir)
+    val byManifest: Seq[Path] =
+      if (fileRanges.nonEmpty &&
+          fileRanges.map(_._1).toSet == parts.map(_.getFileName.toString).toSet)
+        fileRanges.filter(r => anyKeyIn(r._2, r._3, leadKeys))
+          .map(r => snapshotDir.resolve(r._1))
+      else parts
+    val pred = keyPredicate(schema, pk, keys)
+    val filter = FilterCompat.get(pred)
+    byManifest.flatMap { file =>
+      // footer row-group pruning: skip the whole file when no row
+      // group's leading-key range can hold any requested key
+      if (!rowGroupRanges(file, pk.head).exists(r => anyKeyIn(r._1, r._2, leadKeys))) Nil
+      else readMatching(file, schema, filter)
+    }
+  }
+
+  private def listParts(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.filter(_.getFileName.toString.startsWith("part-")).toSeq
+    finally s.close()
+  }
+
+  private def readMatching(file: Path, schema: StructType,
+                           filter: FilterCompat.Filter): Seq[Row] = {
+    val reader: ParquetReader[Group] = ParquetReader
+      .builder(new GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(file.toUri))
+      .withConf(new Configuration())
+      .withFilter(filter)
+      .build()
+    try {
+      val out = Seq.newBuilder[Row]
+      var g = reader.read()
+      while (g != null) {
+        out += toRow(g, schema)
+        g = reader.read()
+      }
+      out.result()
+    } finally reader.close()
+  }
+
+  /** Group → external Row per the TABLE schema (the values
+    * spark.createDataFrame expects: java.sql types for date/time,
+    * java BigDecimal for decimals). */
+  private def toRow(g: Group, schema: StructType): Row = {
+    val fileType = g.getType
+    val vals = schema.fields.map { f =>
+      if (!fileType.containsField(f.name)) null
+      else {
+        val idx = fileType.getFieldIndex(f.name)
+        if (g.getFieldRepetitionCount(idx) == 0) null
+        else readValue(g, idx, f)
+      }
+    }
+    Row.fromSeq(vals.toSeq)
+  }
+
+  private def readValue(g: Group, idx: Int, f: StructField): Any = {
+    val pt = g.getType.getType(idx).asPrimitiveType()
+    val logical: LogicalTypeAnnotation = pt.getLogicalTypeAnnotation
+    (f.dataType, pt.getPrimitiveTypeName) match {
+      case (LongType, _) => g.getLong(idx, 0)
+      case (IntegerType, _) => g.getInteger(idx, 0)
+      case (ShortType, _) => g.getInteger(idx, 0).toShort
+      case (ByteType, _) => g.getInteger(idx, 0).toByte
+      case (DoubleType, _) => g.getDouble(idx, 0)
+      case (FloatType, _) => g.getFloat(idx, 0)
+      case (BooleanType, _) => g.getBoolean(idx, 0)
+      case (StringType, _) => g.getString(idx, 0)
+      case (BinaryType, _) => g.getBinary(idx, 0).getBytes
+      case (DateType, _) =>
+        logical match {
+          case _: DateLogicalTypeAnnotation =>
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(g.getInteger(idx, 0).toLong))
+          case other => throw new IllegalArgumentException(
+            s"${f.name}: date column backed by unexpected parquet type $other")
+        }
+      case (TimestampType, ptn) =>
+        val micros: Long = (logical, ptn) match {
+          case (ts: TimestampLogicalTypeAnnotation, PrimitiveTypeName.INT64) =>
+            val raw = g.getLong(idx, 0)
+            ts.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
+              case LogicalTypeAnnotation.TimeUnit.MICROS => raw
+              case LogicalTypeAnnotation.TimeUnit.NANOS => raw / 1000L
+            }
+          case (_, PrimitiveTypeName.INT96) =>
+            // Spark's default on-disk timestamp: 12 bytes little-endian
+            // — nanos-of-day (8) + Julian day (4); 2440588 = Julian day
+            // of the Unix epoch
+            val buf = java.nio.ByteBuffer.wrap(g.getInt96(idx, 0).getBytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val nanosOfDay = buf.getLong
+            val julianDay = buf.getInt
+            (julianDay - 2440588).toLong * 86400000000L + nanosOfDay / 1000L
+          case other => throw new IllegalArgumentException(
+            s"${f.name}: timestamp column backed by unexpected parquet type $other")
+        }
+        val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        t
+      case (dt: DecimalType, ptn) =>
+        val scale = logical match {
+          case d: DecimalLogicalTypeAnnotation => d.getScale
+          case _ => dt.scale
+        }
+        val unscaled = ptn match {
+          case PrimitiveTypeName.INT32 => BigInt(g.getInteger(idx, 0))
+          case PrimitiveTypeName.INT64 => BigInt(g.getLong(idx, 0))
+          case PrimitiveTypeName.BINARY | PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY =>
+            BigInt(g.getBinary(idx, 0).getBytes)
+          case other => throw new IllegalArgumentException(
+            s"${f.name}: decimal backed by unexpected parquet type $other")
+        }
+        new java.math.BigDecimal(unscaled.bigInteger, scale)
+      case (other, _) => throw new IllegalArgumentException(
+        s"driver get does not read ${f.name}: $other columns (use the Spark path)")
+    }
+  }
+}

@@ -184,6 +184,27 @@ object KvQueries {
         .orderBy($"k")
     },
 
+    "kv_ms_get" -> { (s, d) =>
+      import s.implicits._
+      // Millisecond serving-path Get: the lookups run on the DRIVER
+      // thread with no Spark job (Catalog.driverMultiGet — manifest +
+      // parquet-footer pruning + pushed key predicate; the reference's
+      // HBase Get/multi-Get, HBaseEnumerator.kt). The table is built
+      // once per (JVM, sf-dir) — DDL, like the z-order layout — and
+      // carries a CDC merge so the get reads a multi-file snapshot
+      // with both carried-over and rewritten files. Keys cover an
+      // updated row, untouched rows, a merge-inserted row, and a miss.
+      val cat = msGetCatalog(s, d)
+      val rows = cat.driverMultiGet("ords", Seq(
+        Seq(10L), Seq(20L), Seq(100L), Seq(500L),
+        Seq(9000000001L), Seq(123456789L)))
+      s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.collection.JavaConverters.seqAsJavaList(rows)),
+          msGetSchema)
+        .orderBy($"o_orderkey")
+    },
+
     "ddl_catalog" -> { (s, d) =>
       import s.implicits._
       val wh = Files.tempWarehouse()
@@ -225,6 +246,45 @@ object KvQueries {
       graft.TempWarehouses.register(wh)
       wh
     }
+  }
+
+  /** Bench warmup hook: build (or reuse) the driver-get table so the
+    * timed reps measure the serving-path Get, not the DDL. */
+  def warmMsGet(s: SparkSession, d: String): Unit = {
+    msGetCatalog(s, d): Unit
+  }
+
+  private val msGetSchema = StructType(Seq(
+    StructField("o_orderkey", LongType, false),
+    StructField("o_custkey", LongType, true),
+    StructField("o_orderstatus", StringType, true),
+    StructField("o_totalprice", DoubleType, true)))
+
+  /** The driver-get demo table, built ONCE per (JVM, sf-dir) like the
+    * z-order layout: orders bulk-loaded across 8 part files, then one
+    * CDC incrementalMerge that rewrites two keys and inserts one —
+    * so the timed query serves point Gets against a realistic
+    * multi-file snapshot (carried-over links + rewritten files) while
+    * the build cost is DDL, paid once. */
+  private def msGetCatalog(s: SparkSession, d: String): Catalog = {
+    import s.implicits._
+    val wh = graft.QueryCaches.obj(s"msget_wh:$d") {
+      val cat = new Catalog(s, graft.TempWarehouses.scoped("msget", d))
+      if (cat.tableExists("ords")) cat.dropTable("ords")
+      cat.createTable("ords", msGetSchema, primaryKey = Seq("o_orderkey"))
+      cat.bulkLoad("ords", Tables.orders(s, d)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice"),
+        partitions = 8)
+      val upd = Tables.orders(s, d)
+        .filter($"o_orderkey".isin(10L, 20L))
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          lit(99999.0).as("o_totalprice"))
+      val ins = s.createDataFrame(Seq((9000000001L, 777L, "N", 1234.5)))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      cat.incrementalMerge("ords", upd.unionByName(ins))
+      cat.warehouse
+    }
+    new Catalog(s, wh)
   }
 
   /** The z-clustered two-key lineitem slice, built ONCE per (JVM,
@@ -324,6 +384,22 @@ object KvQueries {
     "kv_delete" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |WHERE o_orderkey NOT IN (10,11,12,13,14) AND o_orderkey < 30
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the driver-side Get must agree row-for-row with plain SQL over
+    // the same logical table state: base orders, two keys rewritten by
+    // the merge, one merge-inserted key, misses absent
+    "kv_ms_get" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey IN (10, 20) THEN CAST(99999.0 AS DOUBLE)
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey IN (10, 20, 100, 500)
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |      (CAST(9000000001 AS BIGINT), CAST(777 AS BIGINT), 'N',
+        |       CAST(1234.5 AS DOUBLE)))
+        |    t(o_orderkey, o_custkey, o_orderstatus, o_totalprice))
         |ORDER BY o_orderkey""".stripMargin,
     "sql_ddl_dml" ->
       """SELECT k, v, score FROM (VALUES

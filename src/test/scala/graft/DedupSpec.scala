@@ -186,4 +186,43 @@ class DedupSpec extends AnyFunSuite {
     // windows with its leaked copy unless another doc also overlaps
     assert(rows.values.forall(_ >= 1))
   }
+
+  /** substringSpans (ExactSubstr, Lee et al. 2021) ground truth:
+    * planted shared runs with known positions → exact span shapes. */
+  test("exact-substring spans: planted shared runs merge to the right spans") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => f"$prefix$i%03d").mkString(" ")
+    val shared20 = words("sh", 20)   // 20-token run shared by a & b
+    val chunkA = words("ca", 16)     // two separated shared chunks c & d
+    val chunkB = words("cb", 16)
+    val corpus = Seq(
+      // a: shared run at positions 11..30 of a 40-token doc
+      (1L, words("ua", 10) + " " + shared20 + " " + words("va", 10)),
+      // b: the same run at positions 1..20 of a 30-token doc
+      (2L, shared20 + " " + words("vb", 10)),
+      // c/d: chunkA then 20 unique tokens then chunkB — two islands
+      (3L, chunkA + " " + words("uc", 20) + " " + chunkB),
+      (4L, chunkA + " " + words("ud", 20) + " " + chunkB),
+      // e: INTRA-doc repetition only (the 16-gram repeats inside one
+      // doc, no other doc has it) — must NOT count (minDocs=2 docs)
+      (5L, words("ee", 16) + " " + words("ee", 16)),
+      // f: unique — absent from the output
+      (6L, words("ff", 40))
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringSpans(corpus, "doc_id", "text",
+        w = 16, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // a: dup windows start 11..15 (w=16 inside the 20 shared tokens)
+    //    → one span covering tokens 11..30 = 20 tokens of 40
+    assert(out(1L) == ((1L, 20L, 40L)), s"a: ${out.get(1L)}")
+    // b: starts 1..5 → span tokens 1..20 = 20 of 30
+    assert(out(2L) == ((1L, 20L, 30L)), s"b: ${out.get(2L)}")
+    // c,d: two 16-token islands separated by 20 unique tokens
+    assert(out(3L) == ((2L, 32L, 52L)), s"c: ${out.get(3L)}")
+    assert(out(4L) == ((2L, 32L, 52L)), s"d: ${out.get(4L)}")
+    // e (intra-doc only) and f (unique) never appear
+    assert(!out.contains(5L) && !out.contains(6L))
+  }
 }

@@ -1,0 +1,181 @@
+package graft.kv
+
+import graft.TestSpark
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Paths
+
+/** The driver-side millisecond Get (Catalog.driverPointGet /
+  * driverMultiGet, DriverRead): serves the committed snapshot with NO
+  * Spark job, through manifest/footer file pruning and a pushed
+  * parquet key predicate. */
+class DriverGetSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshCat(tag: String): Catalog =
+    new Catalog(spark, graft.TempWarehouses.scoped(s"dget_$tag", sf))
+
+  private def loadOrders(cat: Catalog, name: String): Unit = {
+    if (cat.tableExists(name)) cat.dropTable(name)
+    cat.createTable(name, StructType(Seq(
+      StructField("o_orderkey", LongType, false),
+      StructField("o_custkey", LongType, true),
+      StructField("o_orderstatus", StringType, true),
+      StructField("o_totalprice", DoubleType, true))), Seq("o_orderkey"))
+    cat.bulkLoad(name, graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice")), partitions = 4)
+  }
+
+  test("driver get agrees with the Spark read across bulk-load and CDC merge") {
+    val cat = freshCat("agree")
+    loadOrders(cat, "ords")
+    // CDC merge: rewrite two keys, insert a new one — the snapshot now
+    // mixes carried-over files with rewritten ones
+    val upd = graft.Tables.orders(spark, sf)
+      .filter(col("o_orderkey").isin(10L, 20L))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        lit(42.5).as("o_totalprice"))
+    val ins = spark.createDataFrame(Seq((8000000001L, 5L, "X", 7.25)))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    cat.incrementalMerge("ords", upd.unionByName(ins))
+
+    val keys = Seq(10L, 20L, 100L, 8000000001L, 987654321L)
+    val got = cat.driverMultiGet("ords", keys.map(Seq(_)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    val viaSpark = cat.table("ords").df
+      .filter(col("o_orderkey").isin(keys: _*)).collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("o_custkey"),
+        r.getAs[String]("o_orderstatus"), r.getAs[Double]("o_totalprice"))).toSet
+    assert(got == viaSpark)
+    assert(got.size == 4) // the miss key contributes nothing
+    assert(got.filter(t => t._1 == 10L || t._1 == 20L).forall(_._4 == 42.5))
+    assert(got.exists(_._1 == 8000000001L))
+  }
+
+  test("composite keys bind the FULL primary key") {
+    val cat = freshCat("comp")
+    if (cat.tableExists("li")) cat.dropTable("li")
+    cat.createTable("li", StructType(Seq(
+      StructField("l_orderkey", LongType, false),
+      StructField("l_linenumber", IntegerType, false),
+      StructField("l_quantity", DoubleType, true))),
+      Seq("l_orderkey", "l_linenumber"))
+    cat.bulkLoad("li", graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+      partitions = 4)
+    val rows = cat.driverPointGet("li", 3L, 2)
+    assert(rows.nonEmpty && rows.forall(r =>
+      r.getLong(0) == 3L && r.getInt(1) == 2))
+    // the same orderkey carries other linenumbers — head-only matching
+    // would have leaked them
+    val allFor3 = cat.table("li").df.filter(col("l_orderkey") === 3L).count()
+    assert(allFor3 > rows.length)
+    // a key binding only the head must be rejected loudly
+    intercept[IllegalArgumentException](
+      cat.driverMultiGet("li", Seq(Seq(3L))))
+  }
+
+  test("warm driver get schedules ZERO Spark jobs") {
+    val cat = freshCat("nojob")
+    loadOrders(cat, "ords")
+    cat.driverPointGet("ords", 42L) // warm footer cache + meta
+    @volatile var jobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val t0 = System.nanoTime()
+      (1 to 10).foreach { i =>
+        assert(cat.driverPointGet("ords", 42L + i).nonEmpty)
+      }
+      val perGetMs = (System.nanoTime() - t0) / 1e6 / 10
+      // serving-path envelope: far under any Spark job's scheduling
+      // cost (a local job alone is ~50-200 ms)
+      assert(perGetMs < 200.0, s"driver get took $perGetMs ms")
+      Thread.sleep(800) // listener bus is async — let events drain
+      assert(jobs == 0, s"driver get scheduled $jobs Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("manifest file pruning is exercised and stale manifests fall back") {
+    val cat = freshCat("manif")
+    loadOrders(cat, "ords")
+    val dir = Paths.get(cat.warehouse, "ords", s"data_v${cat.dataVersionOf("ords")}")
+    val schema = cat.schemaOf("ords")
+    val parts = {
+      val s = java.nio.file.Files.list(dir)
+      try {
+        import scala.collection.JavaConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("part-")).toSeq
+      } finally s.close()
+    }
+    assert(parts.size > 1)
+    // a manifest that excludes key 42 from EVERY file must hide the
+    // row — proof the file-level pruning actually consumes the ranges
+    val excluding = parts.map(f => (f, 1000000L: Any, 2000000L: Any))
+    assert(DriverRead.get(dir, schema, Seq("o_orderkey"),
+      Seq(Seq(42L)), excluding).isEmpty)
+    // a STALE manifest (wrong file set) must be ignored, not trusted:
+    // the row comes back via footer statistics
+    val stale = Seq(("part-nonexistent.parquet", 1000000L: Any, 2000000L: Any))
+    assert(DriverRead.get(dir, schema, Seq("o_orderkey"),
+      Seq(Seq(42L)), stale).nonEmpty)
+    // covering manifest with true ranges also finds it
+    val wide = parts.map(f => (f, 0L: Any, java.lang.Long.MAX_VALUE: Any))
+    assert(DriverRead.get(dir, schema, Seq("o_orderkey"),
+      Seq(Seq(42L)), wide).nonEmpty)
+  }
+
+  test("timestamp/date/boolean/int columns round-trip the Group decode") {
+    val cat = freshCat("types")
+    if (cat.tableExists("typed")) cat.dropTable("typed")
+    val schema = StructType(Seq(
+      StructField("k", LongType, false),
+      StructField("i", IntegerType, true),
+      StructField("s", StringType, true),
+      StructField("d", DoubleType, true),
+      StructField("b", BooleanType, true),
+      StructField("ts", TimestampType, true),
+      StructField("dt", DateType, true)))
+    cat.createTable("typed", schema, Seq("k"))
+    val rows = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, 7, "alpha", 2.5, true,
+          java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789"),
+          java.sql.Date.valueOf("2024-03-01")),
+        org.apache.spark.sql.Row(2L, null, null, null, null, null, null)),
+      schema)
+    cat.bulkLoad("typed", rows)
+    val r1 = cat.driverPointGet("typed", 1L).head
+    assert(r1.getLong(0) == 1L && r1.getInt(1) == 7 &&
+      r1.getString(2) == "alpha" && r1.getDouble(3) == 2.5 &&
+      r1.getBoolean(4))
+    assert(r1.get(5) == java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789"))
+    assert(r1.get(6) == java.sql.Date.valueOf("2024-03-01"))
+    val r2 = cat.driverPointGet("typed", 2L).head
+    assert(r2.getLong(0) == 2L && (1 to 6).forall(r2.isNullAt))
+    // expected miss
+    assert(cat.driverPointGet("typed", 3L).isEmpty)
+  }
+
+  test("driver get sees a committed transaction's overlay version") {
+    val cat = freshCat("txn")
+    if (cat.tableExists("acct")) cat.dropTable("acct")
+    cat.createTable("acct", StructType(Seq(
+      StructField("k", LongType, false),
+      StructField("bal", DoubleType, true))), Seq("k"))
+    cat.bulkLoad("acct", spark.createDataFrame(
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))).toDF("k", "bal"))
+    cat.transaction { txn =>
+      txn.updateWhere("acct", col("k") === 2L, "bal", lit(99.0))
+    }
+    val r = cat.driverPointGet("acct", 2L).head
+    assert(r.getDouble(1) == 99.0)
+  }
+}
