@@ -585,11 +585,20 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
   /** Parse a snapshot's persisted range manifest, if present. Bounds
     * come back canonicalized (Long/Double/String) like canonKey's
     * output. Shared by the merge path and the driver-side get — pure
-    * JSON, no Spark. */
+    * JSON, no Spark.
+    *
+    * A corrupt manifest reads as ABSENT, never as an error: the file
+    * is bookkeeping written without an atomic rename, so a crash (or
+    * a lock-free reader racing the writer) can observe a truncated
+    * byte stream — both consumers fall back to re-deriving ranges
+    * (scanRanges here, footer statistics on the driver-get path) and
+    * the next merge rewrites the file. Failing instead would wedge
+    * every subsequent merge of the table on a scrap of bookkeeping. */
   private def readManifestJson(dir: Path): Option[Seq[FileRange]] =
     if (!Files.exists(manifestFile(dir))) None
-    else {
+    else try {
       val root = mapper.readTree(Files.readString(manifestFile(dir)))
+      if (root == null || !root.isArray) return None
       Some(root.elements().asScala.map { e =>
         def v(n: JsonNode): Any =
           if (n.isNull) null
@@ -598,6 +607,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           else n.asText()
         FileRange(e.path("file").asText(), v(e.path("lo")), v(e.path("hi")))
       }.toSeq)
+    } catch {
+      case _: com.fasterxml.jackson.core.JacksonException => None
+      case _: java.io.IOException => None
     }
 
   private def ensureRangeManifest(dir: Path, keyCol: String,
@@ -636,7 +648,14 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       n.set[JsonNode]("hi", mapper.valueToTree[JsonNode](e.hi))
       arr.add(n): Unit
     }
-    Files.writeString(manifestFile(dir), mapper.writeValueAsString(arr)): Unit
+    // atomic publish: lock-free readers (the driver-get path) may
+    // observe the manifest mid-write; a rename makes every read see
+    // either the old complete file or the new one, never a prefix
+    val tmp = dir.resolve("_graft_ranges.json.tmp")
+    Files.writeString(tmp, mapper.writeValueAsString(arr))
+    Files.move(tmp, manifestFile(dir),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
   }
 
   /** Compaction — the HBase minor/major-compaction analog (HBase
@@ -1183,6 +1202,48 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     val ranges = readManifestJson(dir).getOrElse(Nil)
       .map(r => (r.file, r.lo, r.hi))
     DriverRead.get(dir, schemaOf(name), primaryKeyOf(name), keys, ranges)
+  }
+
+  /** Driver-side Get-by-secondary-index — the reference's getByIndex
+    * (KVIndexTable.kt:64-84: prefix-seek the index table, then
+    * multi-Get the base rowkeys), served like [[driverPointGet]] with
+    * NO Spark job. Two driver-side reads: an equality seek on the kv
+    * index's sorted (ik..., rk) parquet (value-sorted layout ⇒
+    * row-group statistics prune like the reference's index-region
+    * seek; `values` may bind a PREFIX of a composite index), then the
+    * base multi-Get for the matched rowkeys. The index snapshot is
+    * resolved at the published table version (resolveIndexVersioned),
+    * so the pair is consistent: kv indexes are maintained
+    * synchronously on every write path. Bounded-selectivity lookups
+    * only — a value matching a large slice of the base table belongs
+    * on the Spark lookup path (KvIndex.lookup), which AQE-joins. */
+  def driverIndexGet(table: String, indexName: String,
+                     values: Seq[Any]): Seq[Row] = {
+    val cols = indexesOf(table)
+      .collectFirst { case (n, ty, cs)
+        if n == indexName && ty.equalsIgnoreCase("kv") => cs }
+      .getOrElse(throw new IllegalArgumentException(
+        s"no kv index '$indexName' on $table"))
+    require(values.nonEmpty && values.length <= cols.length,
+      s"lookup binds 1..${cols.length} leading columns of ${cols.mkString(",")}")
+    val pk = primaryKeyOf(table)
+    require(pk.length == 1,
+      "driver index get serves single-column-rowkey tables (the " +
+        "reference's index rowkey points at one base rowkey); " +
+        "composite-pk tables use the Spark lookup path")
+    val ts = schemaOf(table)
+    val ikNames = ikColsOf(cols.length)
+    val idxSchema = StructType(
+      ikNames.zip(cols).map { case (ik, c) =>
+        StructField(ik, ts(c).dataType, nullable = true) } :+
+        StructField("rk", ts(pk.head).dataType, nullable = true))
+    val idxData = resolveIndexVersioned(
+      indexDir(table, indexName, "kv"), "data", dataVersionOf(table))
+    val hits = DriverRead.get(idxData, idxSchema,
+      ikNames.take(values.length), Seq(values), Nil)
+    val rkIdx = idxSchema.fieldNames.indexOf("rk")
+    val rks = hits.map(_.get(rkIdx)).distinct.filter(_ != null)
+    if (rks.isEmpty) Nil else driverMultiGet(table, rks.map(Seq(_)))
   }
 
   /** Live snapshot path — the V2 catalog (GraftCatalog) reads/writes

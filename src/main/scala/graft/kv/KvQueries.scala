@@ -205,6 +205,25 @@ object KvQueries {
         .orderBy($"o_orderkey")
     },
 
+    "idx_ms_lookup" -> { (s, d) =>
+      import s.implicits._
+      // Driver-side Get-by-secondary-index (the reference's getByIndex,
+      // KVIndexTable.kt:64-84): an equality seek on the value-sorted kv
+      // index resolves base rowkeys, then the base multi-Get serves the
+      // rows — both reads on the driver thread, no Spark job. Custkey
+      // 777 exists only via the merge-inserted row (proving the index
+      // was maintained THROUGH the CDC merge); custkey 100 exercises a
+      // natural multi-row hit.
+      val cat = msGetCatalog(s, d)
+      val rows = cat.driverIndexGet("ords", "bycust", Seq(777L)) ++
+        cat.driverIndexGet("ords", "bycust", Seq(100L))
+      s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.collection.JavaConverters.seqAsJavaList(rows)),
+          msGetSchema)
+        .orderBy($"o_orderkey")
+    },
+
     "ddl_catalog" -> { (s, d) =>
       import s.implicits._
       val wh = Files.tempWarehouse()
@@ -261,11 +280,13 @@ object KvQueries {
     StructField("o_totalprice", DoubleType, true)))
 
   /** The driver-get demo table, built ONCE per (JVM, sf-dir) like the
-    * z-order layout: orders bulk-loaded across 8 part files, then one
-    * CDC incrementalMerge that rewrites two keys and inserts one —
-    * so the timed query serves point Gets against a realistic
-    * multi-file snapshot (carried-over links + rewritten files) while
-    * the build cost is DDL, paid once. */
+    * z-order layout: orders bulk-loaded across 8 part files, a kv
+    * secondary index on o_custkey, then one CDC incrementalMerge that
+    * rewrites two keys and inserts one (the index is maintained
+    * through the merge) — so the timed queries serve point Gets and
+    * index lookups against a realistic multi-file snapshot
+    * (carried-over links + rewritten files) while the build cost is
+    * DDL, paid once. */
   private def msGetCatalog(s: SparkSession, d: String): Catalog = {
     import s.implicits._
     val wh = graft.QueryCaches.obj(s"msget_wh:$d") {
@@ -275,6 +296,7 @@ object KvQueries {
       cat.bulkLoad("ords", Tables.orders(s, d)
         .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice"),
         partitions = 8)
+      cat.createIndex("ords", "bycust", "kv", Seq("o_custkey"))
       val upd = Tables.orders(s, d)
         .filter($"o_orderkey".isin(10L, 20L))
         .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
@@ -395,6 +417,23 @@ object KvQueries {
         |    CASE WHEN o_orderkey IN (10, 20) THEN CAST(99999.0 AS DOUBLE)
         |         ELSE o_totalprice END AS o_totalprice
         |  FROM orders WHERE o_orderkey IN (10, 20, 100, 500)
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |      (CAST(9000000001 AS BIGINT), CAST(777 AS BIGINT), 'N',
+        |       CAST(1234.5 AS DOUBLE)))
+        |    t(o_orderkey, o_custkey, o_orderstatus, o_totalprice))
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // index-served driver get over the same logical table state: every
+    // order of the two looked-up customers (incl. the merge-inserted
+    // row — custkey 777's only guaranteed hit — and the CASE'd rewrite
+    // if either rewritten order happens to belong to them)
+    "idx_ms_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey IN (10, 20) THEN CAST(99999.0 AS DOUBLE)
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_custkey IN (777, 100)
         |  UNION ALL
         |  SELECT * FROM (VALUES
         |      (CAST(9000000001 AS BIGINT), CAST(777 AS BIGINT), 'N',

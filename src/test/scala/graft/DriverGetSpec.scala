@@ -132,6 +132,64 @@ class DriverGetSpec extends AnyFunSuite {
       Seq(Seq(42L)), wide).nonEmpty)
   }
 
+  test("index-served driver get matches the base state and stays fresh through writes") {
+    val cat = freshCat("idx")
+    if (cat.tableExists("cust")) cat.dropTable("cust")
+    cat.createTable("cust", StructType(Seq(
+      StructField("c_custkey", LongType, false),
+      StructField("c_name", StringType, true),
+      StructField("c_acctbal", DoubleType, true))), Seq("c_custkey"))
+    cat.bulkLoad("cust", graft.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+      partitions = 4)
+    cat.createIndex("cust", "byname", "kv", Seq("c_name"))
+    // equality seek on the unique name → exactly the keyed base row
+    val r = cat.driverIndexGet("cust", "byname", Seq("Customer#000000042"))
+    assert(r.map(_.getLong(0)) == Seq(42L))
+    // freshness: a CDC merge renames key 7 — the index get must serve
+    // the new name and MUST NOT serve the stale one
+    val patch = spark.createDataFrame(Seq((7L, "graft renamed", 1.25)))
+      .toDF("c_custkey", "c_name", "c_acctbal")
+    cat.incrementalMerge("cust", patch)
+    assert(cat.driverIndexGet("cust", "byname", Seq("graft renamed"))
+      .map(_.getLong(0)) == Seq(7L))
+    assert(cat.driverIndexGet("cust", "byname", Seq("Customer#000000007")).isEmpty)
+    // a miss value returns empty, and unknown index names fail loudly
+    assert(cat.driverIndexGet("cust", "byname", Seq("no such name")).isEmpty)
+    intercept[IllegalArgumentException](
+      cat.driverIndexGet("cust", "nope", Seq("x")))
+    // warm index-get path also schedules no Spark jobs
+    cat.driverIndexGet("cust", "byname", Seq("Customer#000000001"))
+    @volatile var jobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(cat.driverIndexGet("cust", "byname",
+        Seq("Customer#000000003")).nonEmpty)
+      Thread.sleep(800)
+      assert(jobs == 0, s"index driver get scheduled $jobs Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("a corrupt range manifest degrades to footer stats and heals on merge") {
+    val cat = freshCat("corrupt")
+    loadOrders(cat, "ords")
+    val dir = Paths.get(cat.warehouse, "ords", s"data_v${cat.dataVersionOf("ords")}")
+    // a crashed writer (or a reader racing a non-atomic write) leaves
+    // a truncated byte stream — the get must fall back, not throw
+    java.nio.file.Files.writeString(dir.resolve("_graft_ranges.json"),
+      "[{\"file\": \"part-trunc")
+    assert(cat.driverPointGet("ords", 42L).nonEmpty)
+    // and the merge path must recompute + rewrite instead of wedging
+    val patch = spark.createDataFrame(Seq((42L, 1L, "Z", 3.75)))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    cat.incrementalMerge("ords", patch)
+    val r = cat.driverPointGet("ords", 42L).head
+    assert(r.getString(2) == "Z" && r.getDouble(3) == 3.75)
+  }
+
   test("timestamp/date/boolean/int columns round-trip the Group decode") {
     val cat = freshCat("types")
     if (cat.tableExists("typed")) cat.dropTable("typed")
