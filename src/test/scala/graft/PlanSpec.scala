@@ -49,6 +49,21 @@ class PlanSpec extends AnyFunSuite {
       "novelty reads document columns it never uses")
   }
 
+  test("dd_substring and txt_boilerplate scan only doc_id and text") {
+    Seq("dd_substring", "txt_boilerplate").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      // judge the SCANS, not the whole plan: output aliases like
+      // clean_chars would substring-match n_chars
+      val scans = plan.linesIterator
+        .filter(_.contains("ReadSchema")).mkString("\n")
+      assert(scans.nonEmpty &&
+        !scans.contains("lang") && !scans.contains("n_chars") &&
+        !scans.contains("source"),
+        s"$q reads document columns it never uses:\n$scans")
+    }
+  }
+
   test("kv point get prunes via pushed rowkey filter") {
     val p = planOf("kv_point_get")
     assert(p.contains("PushedFilters") && p.contains("c_custkey"), p)
