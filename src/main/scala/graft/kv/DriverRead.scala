@@ -63,6 +63,11 @@ private[kv] object DriverRead {
     * snapshots — identity must come from content coordinates. */
   private case class FooterKey(path: String, size: Long, mtime: Long)
   private val footerRanges = new ConcurrentHashMap[FooterKey, Seq[(Any, Any)]]()
+  // COW churn strands entries for vacuumed snapshots; a serving
+  // process that lives for weeks must not leak them. Entries are tiny
+  // (~100 B) so the cap is generous, and a rare full reset only costs
+  // re-reading footers the next Gets touch anyway.
+  private val FooterCacheCap = 65536
 
   private def footerKey(p: Path): FooterKey =
     FooterKey(p.toAbsolutePath.toString, Files.size(p),
@@ -71,7 +76,8 @@ private[kv] object DriverRead {
   /** Leading-key (min,max) per row group from the file footer,
     * canonicalized to Long/Double/String like the manifest's bounds.
     * Null bounds (no stats / all-null pages) mean "cannot exclude". */
-  private def rowGroupRanges(file: Path, keyCol: String): Seq[(Any, Any)] =
+  private def rowGroupRanges(file: Path, keyCol: String): Seq[(Any, Any)] = {
+    if (footerRanges.size() > FooterCacheCap) footerRanges.clear()
     footerRanges.computeIfAbsent(footerKey(file), { _ =>
       val in = HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(file.toUri), new Configuration())
@@ -88,6 +94,7 @@ private[kv] object DriverRead {
         }
       } finally reader.close()
     })
+  }
 
   private def canonStat(x: Any): Any = x match {
     case null => null
