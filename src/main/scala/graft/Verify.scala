@@ -21,9 +21,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // fresh output dir: a stale result from a previous run must never
-    // mask a now-failing query
+    // mask a now-failing query. The wipe only ever touches a dir that
+    // is provably a PREVIOUS VERIFY OUTPUT (it carries oracle_sql.json)
+    // or is empty/absent — swapped CLI args once pointed this delete at
+    // a testdata directory and destroyed it; refusing loudly beats
+    // recovering from a deterministic-regeneration script.
     val out = Paths.get(outDir)
     if (Files.exists(out)) {
+      val prior = Files.exists(out.resolve("oracle_sql.json"))
+      val empty = {
+        val s = Files.list(out)
+        try !s.iterator().hasNext finally s.close()
+      }
+      require(prior || empty,
+        s"refusing to wipe $outDir: it is neither empty nor a previous " +
+          "Verify output (no oracle_sql.json) — are the <sfDir> <outDir> " +
+          "args swapped?")
       Files.walk(out).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(p => Files.delete(p))
     }
