@@ -61,7 +61,8 @@ object Bench {
     // like the z-order layout); the timed query is the millisecond
     // serving-path Get — without this gate a targeted one-rep bench
     // would time the build, not the Get
-    if (anySelected(k => k == "kv_ms_get" || k == "idx_ms_lookup"))
+    if (anySelected(k => k == "kv_ms_get" || k == "idx_ms_lookup" ||
+        k == "kv_ms_scan"))
       graft.kv.KvQueries.warmMsGet(spark, sfDir)
     // median of N runs per query (default 3): the recorded number
     // should reflect the engine, not whatever else the box was doing

@@ -1204,6 +1204,23 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     DriverRead.get(dir, schemaOf(name), primaryKeyOf(name), keys, ranges)
   }
 
+  /** Bounded driver-side range scan — the HBase `Scan(startRow,
+    * stopRow)` serving primitive (HBaseSchema.kt:236 range scans),
+    * with NO Spark job: manifest/footer pruning to the overlapping
+    * files, the [lo,hi] predicate pushed into parquet-hadoop. Bounds
+    * inclusive, on the LEADING primary-key column (rowkey order).
+    * `maxRows` is the serving contract — a wider range belongs on
+    * the Spark path, so exceeding it throws rather than truncating.
+    * Rows come back in file order; callers sort. */
+  def driverRangeScan(name: String, lo: Any, hi: Any,
+                      maxRows: Int = 10000): Seq[Row] = {
+    val dir = tableDir(name).resolve(s"data_v${dataVersionOf(name)}")
+    val ranges = readManifestJson(dir).getOrElse(Nil)
+      .map(r => (r.file, r.lo, r.hi))
+    DriverRead.range(dir, schemaOf(name), primaryKeyOf(name).head,
+      lo, hi, maxRows, ranges)
+  }
+
   /** Driver-side Get-by-secondary-index — the reference's getByIndex
     * (KVIndexTable.kt:64-84: prefix-seek the index table, then
     * multi-Get the base rowkeys), served like [[driverPointGet]] with

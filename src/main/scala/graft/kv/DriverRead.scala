@@ -158,6 +158,74 @@ private[kv] object DriverRead {
     }.reduce(FilterApi.or)
   }
 
+  /** Bounded range scan over one snapshot directory — the HBase
+    * `Scan(startRow, stopRow)` serving primitive, driver-side. Both
+    * bounds inclusive, on the LEADING key column (the rowkey-order
+    * dimension; HBase scans bound the same way). `maxRows` is the
+    * serving contract: a range that matches more rows than a client
+    * would page through belongs on the Spark path, so exceeding it
+    * throws rather than silently truncating. */
+  def range(snapshotDir: Path, schema: StructType, keyCol: String,
+            lo: Any, hi: Any, maxRows: Int,
+            fileRanges: Seq[(String, Any, Any)]): Seq[Row] = {
+    require(lo != null && hi != null, "range bounds may not be null")
+    val (cLo, cHi) = (canon(lo), canon(hi))
+    require(cmp(cLo, cHi) <= 0, s"empty range: $lo > $hi")
+    def overlaps(flo: Any, fhi: Any): Boolean =
+      flo == null || fhi == null ||
+        (cmp(fhi, cLo) >= 0 && cmp(flo, cHi) <= 0)
+    val parts = listParts(snapshotDir)
+    val files: Seq[Path] =
+      if (fileRanges.nonEmpty &&
+          fileRanges.map(_._1).toSet == parts.map(_.getFileName.toString).toSet)
+        fileRanges.filter(r => overlaps(r._2, r._3))
+          .map(r => snapshotDir.resolve(r._1))
+      else parts
+    val filter = FilterCompat.get(rangePredicate(schema, keyCol, lo, hi))
+    val out = Seq.newBuilder[Row]
+    var n = 0
+    files.foreach { file =>
+      if (rowGroupRanges(file, keyCol).exists(r => overlaps(r._1, r._2))) {
+        val rows = readMatching(file, schema, filter)
+        n += rows.length
+        require(n <= maxRows,
+          s"range matched more than $maxRows rows — use the Spark scan path")
+        out ++= rows
+      }
+    }
+    out.result()
+  }
+
+  /** lo <= col <= hi as a parquet FilterPredicate (row-group stats +
+    * column indexes evaluate it before record assembly). */
+  private def rangePredicate(schema: StructType, colName: String,
+                             lo: Any, hi: Any): FilterPredicate = {
+    schema(colName).dataType match {
+      case LongType =>
+        val c = FilterApi.longColumn(colName)
+        FilterApi.and(
+          FilterApi.gtEq(c, java.lang.Long.valueOf(lo.asInstanceOf[Number].longValue())),
+          FilterApi.ltEq(c, java.lang.Long.valueOf(hi.asInstanceOf[Number].longValue())))
+      case IntegerType | ShortType | ByteType =>
+        val c = FilterApi.intColumn(colName)
+        FilterApi.and(
+          FilterApi.gtEq(c, java.lang.Integer.valueOf(lo.asInstanceOf[Number].intValue())),
+          FilterApi.ltEq(c, java.lang.Integer.valueOf(hi.asInstanceOf[Number].intValue())))
+      case StringType =>
+        val c = FilterApi.binaryColumn(colName)
+        FilterApi.and(
+          FilterApi.gtEq(c, Binary.fromString(lo.asInstanceOf[String])),
+          FilterApi.ltEq(c, Binary.fromString(hi.asInstanceOf[String])))
+      case DoubleType =>
+        val c = FilterApi.doubleColumn(colName)
+        FilterApi.and(
+          FilterApi.gtEq(c, java.lang.Double.valueOf(lo.asInstanceOf[Number].doubleValue())),
+          FilterApi.ltEq(c, java.lang.Double.valueOf(hi.asInstanceOf[Number].doubleValue())))
+      case other => throw new IllegalArgumentException(
+        s"driver range scan supports long/int/string/double keys; $colName is $other")
+    }
+  }
+
   /** Point/multi-get over one snapshot directory. `fileRanges` is the
     * manifest view of the snapshot when available ((file, lo, hi) on
     * the leading key, canonicalized); pass Nil to fall back to footer

@@ -205,6 +205,24 @@ object KvQueries {
         .orderBy($"o_orderkey")
     },
 
+    "kv_ms_scan" -> { (s, d) =>
+      import s.implicits._
+      // Bounded driver-side range scan (the HBase Scan serving
+      // primitive): [500, 520] on the rowkey, no Spark job. The range
+      // includes neither rewritten key nor the merge-inserted one, so
+      // the oracle is the plain base slice — the interesting part is
+      // that the scan reads the POST-merge snapshot (carried-over
+      // links + rewritten files) through the same pruning layers the
+      // point Get uses.
+      val cat = msGetCatalog(s, d)
+      val rows = cat.driverRangeScan("ords", 500L, 520L)
+      s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.collection.JavaConverters.seqAsJavaList(rows)),
+          msGetSchema)
+        .orderBy($"o_orderkey")
+    },
+
     "idx_ms_lookup" -> { (s, d) =>
       import s.implicits._
       // Driver-side Get-by-secondary-index (the reference's getByIndex,
@@ -422,6 +440,13 @@ object KvQueries {
         |      (CAST(9000000001 AS BIGINT), CAST(777 AS BIGINT), 'N',
         |       CAST(1234.5 AS DOUBLE)))
         |    t(o_orderkey, o_custkey, o_orderstatus, o_totalprice))
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the driver-side range scan must agree with the plain SQL slice
+    // (neither the rewritten keys nor the inserted key fall in range)
+    "kv_ms_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey BETWEEN 500 AND 520
         |ORDER BY o_orderkey""".stripMargin,
 
     // index-served driver get over the same logical table state: every

@@ -132,6 +132,33 @@ class DriverGetSpec extends AnyFunSuite {
       Seq(Seq(42L)), wide).nonEmpty)
   }
 
+  test("driver range scan agrees with the Spark slice and enforces its row cap") {
+    val cat = freshCat("range")
+    loadOrders(cat, "ords")
+    val got = cat.driverRangeScan("ords", 100L, 140L)
+      .map(_.getLong(0)).sorted
+    val viaSpark = cat.table("ords").df
+      .filter(col("o_orderkey").between(100L, 140L))
+      .collect().map(_.getAs[Long]("o_orderkey")).sorted
+    assert(got.sameElements(viaSpark) && got.nonEmpty)
+    // inclusive bounds, empty range rejected, cap enforced
+    assert(cat.driverRangeScan("ords", 100L, 100L).map(_.getLong(0)) == Seq(100L))
+    intercept[IllegalArgumentException](cat.driverRangeScan("ords", 5L, 1L))
+    intercept[IllegalArgumentException](
+      cat.driverRangeScan("ords", 0L, Long.MaxValue, maxRows = 10))
+    // zero Spark jobs on the warm path
+    @volatile var jobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(cat.driverRangeScan("ords", 200L, 210L).nonEmpty)
+      Thread.sleep(800)
+      assert(jobs == 0, s"driver range scan scheduled $jobs Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("index-served driver get matches the base state and stays fresh through writes") {
     val cat = freshCat("idx")
     if (cat.tableExists("cust")) cat.dropTable("cust")
