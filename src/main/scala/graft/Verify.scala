@@ -28,6 +28,9 @@ object Verify {
     // recovering from a deterministic-regeneration script.
     val out = Paths.get(outDir)
     if (Files.exists(out)) {
+      require(Files.isDirectory(out),
+        s"refusing to wipe $outDir: it is a regular file, not a " +
+          "Verify output directory — are the <sfDir> <outDir> args swapped?")
       val prior = Files.exists(out.resolve("oracle_sql.json"))
       val empty = {
         val s = Files.list(out)
@@ -41,15 +44,6 @@ object Verify {
         .forEach(p => Files.delete(p))
     }
     new java.io.File(outDir).mkdirs()
-    var crashed = List.empty[String]
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        crashed ::= name
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -62,9 +56,23 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle dump FIRST, before any query runs: it doubles as the
+    // wipe-guard sentinel, so a run killed mid-loop leaves a dir the
+    // next invocation recognizes as its own output and resets —
+    // written last, an interrupted run would wedge every rerun behind
+    // the guard above
     val json = SparkEntry.oracleSql.filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    var crashed = List.empty[String]
+    selected.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        crashed ::= name
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
     // Manifest of every declared query + any that crashed, so the gate
     // can detect a query that silently produced no result dir.
     val manifest = s"""{"queries": [${selected.keys.toSeq.sorted.map(q).mkString(",")}], """ +

@@ -129,22 +129,27 @@ object DedupQueries {
     * plants — (a) mirror copies of docs 200-204 behind a 3-token
     * prefix (ids +3e6): the shared suffix duplicates, the prefix
     * does not; (b) "chimera" docs (ids +4e6) splicing tokens 1-24
-    * and 30-53 of docs 210-219 around 20 unique filler tokens: two
-    * separated duplicated chunks per source doc, so the span merge
-    * must produce MULTIPLE islands, not one. */
+    * and 30-53 of docs 210-219 around 20 PER-DOC-UNIQUE filler
+    * tokens ("xsf<doc_id>n<i>"): two separated duplicated chunks per
+    * source doc AND per chimera, so the span merge must produce
+    * MULTIPLE islands on both sides of each pair. (A filler shared
+    * across chimeras would itself duplicate, bridging the chunks
+    * into one chimera-side island — the first cut had exactly that
+    * flaw.) */
   private def substrCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val mirrors = docs.filter(col("doc_id").between(200, 204))
       .select((col("doc_id") + 3000000L).as("doc_id"),
         concat(lit("exactsub mirror prefix "), col("text")).as("text"))
-    val filler = (1 to 20).map(i => f"xsf$i%02d").mkString(" ")
+    val filler = transform(sequence(lit(1), lit(20)),
+      i => concat(lit("xsf"), col("doc_id"), lit("n"), i))
     val chimeras = docs
       .select(col("doc_id"),
         graft.functions.TextFunctions.tokens(col("text")).as("toks"))
       .filter(col("doc_id").between(210, 219) && size(col("toks")) >= 54)
       .select((col("doc_id") + 4000000L).as("doc_id"),
         concat(array_join(slice(col("toks"), 1, 24), " "),
-          lit(" " + filler + " "),
+          lit(" "), array_join(filler, " "), lit(" "),
           array_join(slice(col("toks"), 30, 24), " ")).as("text"))
     docs.unionByName(mirrors).unionByName(chimeras)
   }
@@ -443,7 +448,8 @@ object DedupQueries {
     "dd_substring" -> {
       val cleanTok =
         "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"
-      val filler = (1 to 20).map(i => f"xsf$i%02d").mkString(" ")
+      val filler = // per-doc-unique filler tokens, same as substrCorpus
+        "array_to_string(list_transform(range(1, 21), i -> 'xsf' || doc_id || 'n' || i), ' ')"
       s"""WITH base AS (SELECT doc_id, text FROM documents),
          |mirrors AS (
          |  SELECT doc_id + 3000000 AS doc_id,
@@ -452,7 +458,7 @@ object DedupQueries {
          |ct0 AS (SELECT doc_id, $cleanTok AS toks FROM base),
          |chimeras AS (
          |  SELECT doc_id + 4000000 AS doc_id,
-         |    array_to_string(toks[1:24], ' ') || ' $filler ' ||
+         |    array_to_string(toks[1:24], ' ') || ' ' || $filler || ' ' ||
          |      array_to_string(toks[30:53], ' ') AS text
          |  FROM ct0 WHERE doc_id BETWEEN 210 AND 219 AND len(toks) >= 54),
          |corpus AS (SELECT * FROM base UNION ALL

@@ -1256,8 +1256,14 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         StructField("rk", ts(pk.head).dataType, nullable = true))
     val idxData = resolveIndexVersioned(
       indexDir(table, indexName, "kv"), "data", dataVersionOf(table))
+    // index snapshots carry the same range manifest the base table
+    // does (maintenance reuses the manifest machinery) — consume it
+    // like driverMultiGet does; an absent/corrupt one degrades to
+    // footer statistics
+    val idxRanges = readManifestJson(idxData).getOrElse(Nil)
+      .map(r => (r.file, r.lo, r.hi))
     val hits = DriverRead.get(idxData, idxSchema,
-      ikNames.take(values.length), Seq(values), Nil)
+      ikNames.take(values.length), Seq(values), idxRanges)
     val rkIdx = idxSchema.fieldNames.indexOf("rk")
     val rks = hits.map(_.get(rkIdx)).distinct.filter(_ != null)
     if (rks.isEmpty) Nil else driverMultiGet(table, rks.map(Seq(_)))

@@ -61,7 +61,8 @@ private[kv] object DriverRead {
     * key column. Size+mtime key: COW snapshots never rewrite a file
     * in place, but the same part-file NAME can recur across
     * snapshots — identity must come from content coordinates. */
-  private case class FooterKey(path: String, size: Long, mtime: Long)
+  private case class FooterKey(path: String, size: Long, mtime: Long,
+                               keyCol: String)
   private val footerRanges = new ConcurrentHashMap[FooterKey, Seq[(Any, Any)]]()
   // COW churn strands entries for vacuumed snapshots; a serving
   // process that lives for weeks must not leak them. Entries are tiny
@@ -69,16 +70,16 @@ private[kv] object DriverRead {
   // re-reading footers the next Gets touch anyway.
   private val FooterCacheCap = 65536
 
-  private def footerKey(p: Path): FooterKey =
+  private def footerKey(p: Path, keyCol: String): FooterKey =
     FooterKey(p.toAbsolutePath.toString, Files.size(p),
-      Files.getLastModifiedTime(p).toMillis)
+      Files.getLastModifiedTime(p).toMillis, keyCol)
 
   /** Leading-key (min,max) per row group from the file footer,
     * canonicalized to Long/Double/String like the manifest's bounds.
     * Null bounds (no stats / all-null pages) mean "cannot exclude". */
   private def rowGroupRanges(file: Path, keyCol: String): Seq[(Any, Any)] = {
     if (footerRanges.size() > FooterCacheCap) footerRanges.clear()
-    footerRanges.computeIfAbsent(footerKey(file), { _ =>
+    footerRanges.computeIfAbsent(footerKey(file, keyCol), { _ =>
       val in = HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(file.toUri), new Configuration())
       val reader = ParquetFileReader.open(in)
@@ -106,21 +107,47 @@ private[kv] object DriverRead {
     case other => other
   }
 
-  /** Same canonical form as Catalog.canonKey for comparisons. */
-  private def canon(x: Any): Any = x match {
-    case null => null
-    case n: java.lang.Integer => java.lang.Long.valueOf(n.longValue())
-    case n: java.lang.Short => java.lang.Long.valueOf(n.longValue())
-    case n: java.lang.Byte => java.lang.Long.valueOf(n.longValue())
-    case n: java.lang.Float => java.lang.Double.valueOf(n.doubleValue())
-    case other => other
+  /** Canonical comparable form, driven by the DECLARED column type so
+    * a key whose runtime class merely widens (Long literal against a
+    * DoubleType column) lands in the same class as the manifest/footer
+    * bounds (Long/Double/String — the same canonical set
+    * Catalog.canonKey emits when writing the manifest; the manifest's
+    * JSON round-trip preserves integral-vs-floating, so both sides
+    * stay aligned per column type). Mismatched kinds fail loudly
+    * instead of class-cast-crashing inside a comparison. */
+  private def canon(dt: DataType, x: Any): Any = (dt, x) match {
+    case (_, null) => null
+    case (LongType | IntegerType | ShortType | ByteType, n: Number) =>
+      java.lang.Long.valueOf(n.longValue())
+    case (DoubleType | FloatType, n: Number) =>
+      java.lang.Double.valueOf(n.doubleValue())
+    case (StringType, s: String) => s
+    case (t, other) => throw new IllegalArgumentException(
+      s"key value $other (${other.getClass.getSimpleName}) does not match column type $t")
   }
 
   private def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
     case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
-    case (x: String, y: String) => x.compareTo(y)
+    // unsigned UTF-8 byte order — the order parquet stats, Spark's
+    // UTF8String and the manifest's min/max all use. Java's UTF-16
+    // compareTo disagrees for supplementary chars vs U+E000..U+FFFF
+    // and would falsely prune files there (silent missing rows).
+    case (x: String, y: String) => utf8Cmp(x, y)
     case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+  }
+
+  private def utf8Cmp(a: String, b: String): Int = {
+    val xb = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val yb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(xb.length, yb.length)
+    while (i < n) {
+      val d = (xb(i) & 0xff) - (yb(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    xb.length - yb.length
   }
 
   /** True iff some canonicalized key falls in [lo,hi]; null bounds
@@ -169,7 +196,8 @@ private[kv] object DriverRead {
             lo: Any, hi: Any, maxRows: Int,
             fileRanges: Seq[(String, Any, Any)]): Seq[Row] = {
     require(lo != null && hi != null, "range bounds may not be null")
-    val (cLo, cHi) = (canon(lo), canon(hi))
+    val dt = schema(keyCol).dataType
+    val (cLo, cHi) = (canon(dt, lo), canon(dt, hi))
     require(cmp(cLo, cHi) <= 0, s"empty range: $lo > $hi")
     def overlaps(flo: Any, fhi: Any): Boolean =
       flo == null || fhi == null ||
@@ -236,7 +264,7 @@ private[kv] object DriverRead {
           fileRanges: Seq[(String, Any, Any)]): Seq[Row] = {
     require(keys.nonEmpty && keys.forall(_.length == pk.length),
       s"each get key must bind the full primary key ${pk.mkString(",")}")
-    val leadKeys = keys.map(k => canon(k.head))
+    val leadKeys = keys.map(k => canon(schema(pk.head).dataType, k.head))
     val parts = listParts(snapshotDir)
     val byManifest: Seq[Path] =
       if (fileRanges.nonEmpty &&
