@@ -326,6 +326,10 @@ object Dedup {
                      w: Int = 16, minDocs: Int = 2): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("toks"))
+    // the shuffle/join key is the 64-bit hash of the window, not its
+    // text (same trick as ngramJaccard/txt_novelty): identical
+    // group/join semantics at ~0 collision odds, ~10× less shuffle
+    // bytes than a 16-token string key
     val grams = toks
       .filter(size(col("toks")) >= w)
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
@@ -333,7 +337,7 @@ object Dedup {
           sequence(lit(1), size(col("toks")) - (w - 1)),
           i => array_join(slice(col("toks"), i, lit(w)), " "))))
       .select(col("doc_id"), col("n_tokens"),
-        (col("pos") + 1).as("pos"), col("col").as("g"))
+        (col("pos") + 1).as("pos"), xxhash64(col("col")).as("g"))
     // duplicated = the gram occurs in >= minDocs distinct docs; the
     // two-stage distinct-then-count avoids a per-gram count-distinct
     val dup = grams.select("g", "doc_id").distinct()

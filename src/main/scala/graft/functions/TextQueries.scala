@@ -225,11 +225,14 @@ object TextQueries {
           when($"doc_id" % 21 === 0,
             lit("\nall rights reserved by graft industries"))
             .otherwise(lit(""))).as("text"))
+      // shuffle/join on the 64-bit line hash, not the line text (the
+      // ngramJaccard/txt_novelty trick): same semantics, a fraction of
+      // the shuffle bytes
       val lines = lined
         .select($"doc_id", explode(split($"text", "\n")).as("raw"))
         .select($"doc_id", trim($"raw").as("line"))
         .filter(length($"line") > 0)
-        .select($"doc_id", lower($"line").as("nline"),
+        .select($"doc_id", xxhash64(lower($"line")).as("nline"),
           length($"line").cast("long").as("len"))
       val frequent = lines.select("nline", "doc_id").distinct()
         .groupBy("nline").count().filter($"count" >= 5)
