@@ -246,6 +246,50 @@ object TextQueries {
           round($"n_boiler".cast("double") / $"n_lines", 4))
         .orderBy($"doc_id")
     },
+
+    "txt_dsir" -> { (s, d) =>
+      import s.implicits._
+      // DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169
+      // "Data Selection for Language Models via Importance
+      // Resampling"): per-doc log importance weight under add-1
+      // smoothed unigram models — target = the English slice, raw =
+      // the whole corpus; documents whose token distribution looks
+      // like the target score high and get sampled preferentially.
+      // Shape at 100 TB: two frequency aggregations on the token
+      // hash-key + a join of the token stream to the (corpus-
+      // vocabulary-sized) frequency tables + one per-doc sum — the
+      // frequency tables are the only state, exactly the n-gram
+      // tables the paper materializes.
+      // Floating parity with the oracle: each token's log-ratio is
+      // rounded to 6 dp and summed as DECIMAL (exact, order-
+      // independent) — a raw double sum would depend on reduction
+      // order and diverge across engines at the rounding boundary.
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", $"lang",
+          explode(graft.functions.TextFunctions.tokens($"text")).as("w"))
+      val bg = toks.groupBy($"w").agg(count(lit(1)).as("cb"))
+      val tg = toks.filter($"lang" === "en")
+        .groupBy($"w").agg(count(lit(1)).as("ct"))
+      val totals = toks.agg(
+        count(lit(1)).as("nb"), countDistinct($"w").as("v"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("nt"))
+      val term = round(
+        log((coalesce($"ct", lit(0L)) + 1.0) / ($"nt" + $"v") *
+          (($"nb" + $"v") / ($"cb" + 1.0))), 6)
+        .cast("decimal(18,6)")
+      toks.join(bg, Seq("w"))
+        .join(tg, Seq("w"), "left")
+        .crossJoin(broadcast(totals))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(term).as("w_dec"))
+        .select($"doc_id", $"n_tokens",
+          // + 0.0 folds IEEE -0.0 to 0.0 — a weight summing to a tiny
+          // negative rounds to -0.0 in one engine and 0.0 in the
+          // other, and the two hash differently
+          (round($"w_dec".cast("double"), 4) + 0.0).as("dsir_weight"))
+        .orderBy($"doc_id")
+    },
   )
 
   private val Tok = "string_split_regex(lower(text), '[^a-z0-9]+')"
@@ -434,5 +478,26 @@ object TextQueries {
         |    / COUNT(*), 4) AS boiler_frac
         |FROM norm n LEFT JOIN freq f ON n.nline = f.nline
         |GROUP BY n.doc_id ORDER BY doc_id""".stripMargin,
+
+    // the same add-1 smoothed unigram log-ratio, per-token rounded to
+    // 6 dp and summed as DECIMAL so the sum is order-independent
+    "txt_dsir" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, unnest($cleanTok) AS w FROM documents),
+         |bg AS (SELECT w, COUNT(*) AS cb FROM toks GROUP BY w),
+         |tg AS (SELECT w, COUNT(*) AS ct FROM toks WHERE lang = 'en' GROUP BY w),
+         |totals AS (SELECT COUNT(*) AS nb, COUNT(DISTINCT w) AS v,
+         |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt
+         |  FROM toks)
+         |SELECT t.doc_id, COUNT(*) AS n_tokens,
+         |  ROUND(CAST(SUM(CAST(ROUND(LN(
+         |      (COALESCE(tg.ct, 0) + 1.0) / (totals.nt + totals.v) *
+         |      (totals.nb + totals.v) / (bg.cb + 1.0)), 6) AS DECIMAL(18,6)))
+         |    AS DOUBLE), 4) + 0.0 AS dsir_weight
+         |FROM toks t
+         |JOIN bg USING (w)
+         |LEFT JOIN tg USING (w)
+         |CROSS JOIN totals
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
   )
 }

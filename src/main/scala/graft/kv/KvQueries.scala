@@ -223,6 +223,22 @@ object KvQueries {
         .orderBy($"o_orderkey")
     },
 
+    "kv_time_travel" -> { (s, d) =>
+      import s.implicits._
+      // Snapshot time travel (the COW analog of HBase cell versions /
+      // Tephra snapshot reads): read the version BEFORE the CDC merge
+      // — the rewritten keys show their ORIGINAL totalprice and the
+      // merge-inserted key does not exist yet, while the live table
+      // (kv_ms_get) serves the post-image. Both views are served from
+      // immutable snapshot dirs; no flashback reconstruction.
+      val cat = msGetCatalog(s, d)
+      val preMerge = cat.dataVersionOf("ords") - 1
+      cat.tableAt("ords", preMerge).df
+        .filter($"o_orderkey".isin(10L, 20L, 100L, 9000000001L))
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
+
     "idx_ms_lookup" -> { (s, d) =>
       import s.implicits._
       // Driver-side Get-by-secondary-index (the reference's getByIndex,
@@ -447,6 +463,13 @@ object KvQueries {
     "kv_ms_scan" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey BETWEEN 500 AND 520
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the pre-merge snapshot: original prices, no inserted key — a
+    // time-travel read that leaked any post-merge state hash-mismatches
+    "kv_time_travel" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey IN (10, 20, 100)
         |ORDER BY o_orderkey""".stripMargin,
 
     // index-served driver get over the same logical table state: every
