@@ -264,30 +264,39 @@ object TextQueries {
       // rounded to 6 dp and summed as DECIMAL (exact, order-
       // independent) — a raw double sum would depend on reduction
       // order and diverge across engines at the rounding boundary.
+      // ONE corpus-wide token aggregation builds the whole vocabulary
+      // table (background count + conditional target count per token);
+      // the corpus-level totals derive from that vocab-sized frame, so
+      // the token stream is shuffled once, not three times
       val toks = Tables.documents(s, d)
         .select($"doc_id", $"lang",
           explode(graft.functions.TextFunctions.tokens($"text")).as("w"))
-      val bg = toks.groupBy($"w").agg(count(lit(1)).as("cb"))
-      val tg = toks.filter($"lang" === "en")
-        .groupBy($"w").agg(count(lit(1)).as("ct"))
-      val totals = toks.agg(
-        count(lit(1)).as("nb"), countDistinct($"w").as("v"),
-        sum(when($"lang" === "en", 1L).otherwise(0L)).as("nt"))
+      val vocab = toks.groupBy($"w").agg(
+        count(lit(1)).as("cb"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"))
+      val totals = vocab.agg(
+        sum($"cb").as("nb"), count(lit(1)).as("v"), sum($"ct").as("nt"))
+      // parenthesization matches the oracle EXACTLY — a different
+      // association order can differ by an ulp right at a 6-dp half
+      // boundary and flip the per-token round
       val term = round(
-        log((coalesce($"ct", lit(0L)) + 1.0) / ($"nt" + $"v") *
+        log((($"ct" + 1.0) / ($"nt" + $"v")) *
           (($"nb" + $"v") / ($"cb" + 1.0))), 6)
         .cast("decimal(18,6)")
-      toks.join(bg, Seq("w"))
-        .join(tg, Seq("w"), "left")
+      toks.join(vocab, Seq("w"))
         .crossJoin(broadcast(totals))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           sum(term).as("w_dec"))
         .select($"doc_id", $"n_tokens",
-          // + 0.0 folds IEEE -0.0 to 0.0 — a weight summing to a tiny
-          // negative rounds to -0.0 in one engine and 0.0 in the
-          // other, and the two hash differently
-          (round($"w_dec".cast("double"), 4) + 0.0).as("dsir_weight"))
+          // the final 4-dp round happens in DECIMAL space via ROUND
+          // (half away from zero in BOTH engines — verified): rounding
+          // the DOUBLE diverges on half boundaries (Spark rounds the
+          // shortest decimal string, DuckDB scales the binary double),
+          // and DuckDB's decimal DOWNCAST truncates instead of
+          // rounding. The double cast afterwards is deterministic and
+          // cannot produce IEEE -0.0.
+          round($"w_dec", 4).cast("double").as("dsir_weight"))
         .orderBy($"doc_id")
     },
   )
@@ -484,19 +493,18 @@ object TextQueries {
     "txt_dsir" ->
       s"""WITH toks AS (
          |  SELECT doc_id, lang, unnest($cleanTok) AS w FROM documents),
-         |bg AS (SELECT w, COUNT(*) AS cb FROM toks GROUP BY w),
-         |tg AS (SELECT w, COUNT(*) AS ct FROM toks WHERE lang = 'en' GROUP BY w),
-         |totals AS (SELECT COUNT(*) AS nb, COUNT(DISTINCT w) AS v,
-         |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt
-         |  FROM toks)
+         |vocab AS (SELECT w, COUNT(*) AS cb,
+         |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+         |  FROM toks GROUP BY w),
+         |totals AS (SELECT SUM(cb) AS nb, COUNT(*) AS v, SUM(ct) AS nt
+         |  FROM vocab)
          |SELECT t.doc_id, COUNT(*) AS n_tokens,
-         |  ROUND(CAST(SUM(CAST(ROUND(LN(
-         |      (COALESCE(tg.ct, 0) + 1.0) / (totals.nt + totals.v) *
-         |      (totals.nb + totals.v) / (bg.cb + 1.0)), 6) AS DECIMAL(18,6)))
-         |    AS DOUBLE), 4) + 0.0 AS dsir_weight
+         |  CAST(ROUND(SUM(CAST(ROUND(LN(
+         |      ((vocab.ct + 1.0) / (totals.nt + totals.v)) *
+         |      ((totals.nb + totals.v) / (vocab.cb + 1.0))), 6) AS DECIMAL(18,6))),
+         |    4) AS DOUBLE) AS dsir_weight
          |FROM toks t
-         |JOIN bg USING (w)
-         |LEFT JOIN tg USING (w)
+         |JOIN vocab USING (w)
          |CROSS JOIN totals
          |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
   )

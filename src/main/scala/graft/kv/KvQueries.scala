@@ -231,8 +231,7 @@ object KvQueries {
       // merge-inserted key does not exist yet, while the live table
       // (kv_ms_get) serves the post-image. Both views are served from
       // immutable snapshot dirs; no flashback reconstruction.
-      val cat = msGetCatalog(s, d)
-      val preMerge = cat.dataVersionOf("ords") - 1
+      val (cat, preMerge) = msGetState(s, d)
       cat.tableAt("ords", preMerge).df
         .filter($"o_orderkey".isin(10L, 20L, 100L, 9000000001L))
         .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
@@ -321,9 +320,16 @@ object KvQueries {
     * index lookups against a realistic multi-file snapshot
     * (carried-over links + rewritten files) while the build cost is
     * DDL, paid once. */
-  private def msGetCatalog(s: SparkSession, d: String): Catalog = {
+  private def msGetCatalog(s: SparkSession, d: String): Catalog =
+    msGetState(s, d)._1
+
+  /** (catalog, pre-merge snapshot version). The pre-merge version is
+    * recorded AT THE MERGE — deriving it later as live−1 would
+    * silently re-encode the build sequence and break the time-travel
+    * gate the day this builder gains a second version bump. */
+  private def msGetState(s: SparkSession, d: String): (Catalog, Int) = {
     import s.implicits._
-    val wh = graft.QueryCaches.obj(s"msget_wh:$d") {
+    val (wh, preVer) = graft.QueryCaches.obj(s"msget_wh:$d") {
       val cat = new Catalog(s, graft.TempWarehouses.scoped("msget", d))
       if (cat.tableExists("ords")) cat.dropTable("ords")
       cat.createTable("ords", msGetSchema, primaryKey = Seq("o_orderkey"))
@@ -337,10 +343,11 @@ object KvQueries {
           lit(99999.0).as("o_totalprice"))
       val ins = s.createDataFrame(Seq((9000000001L, 777L, "N", 1234.5)))
         .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val pre = cat.dataVersionOf("ords")
       cat.incrementalMerge("ords", upd.unionByName(ins))
-      cat.warehouse
+      (cat.warehouse, pre)
     }
-    new Catalog(s, wh)
+    (new Catalog(s, wh), preVer)
   }
 
   /** The z-clustered two-key lineitem slice, built ONCE per (JVM,
