@@ -240,10 +240,27 @@ private[kv] object DriverRead {
           FilterApi.gtEq(c, java.lang.Integer.valueOf(lo.asInstanceOf[Number].intValue())),
           FilterApi.ltEq(c, java.lang.Integer.valueOf(hi.asInstanceOf[Number].intValue())))
       case StringType =>
+        // parquet-hadoop evaluates Binary lt/gt record-level filters in
+        // SIGNED-byte order, while footer stats, the manifest and the
+        // engine's own string order are UNSIGNED — the two agree on
+        // membership for ANY key content iff both bounds are ASCII
+        // (non-ASCII keys fall outside an ASCII range under either
+        // order). Beyond 0x7F they diverge (an emoji key sorts above
+        // U+E000 unsigned but below it signed), so non-ASCII bounds are
+        // rejected loudly rather than served wrong.
+        def asciiOnly(v: Any, which: String): String = {
+          val s = v.asInstanceOf[String]
+          require(s.forall(_ < 0x80),
+            s"driver range scan requires ASCII string bounds ($which " +
+              s"bound '$s' is not): parquet's signed-byte range " +
+              "evaluation diverges from unsigned order past 0x7F — " +
+              "use the Spark scan path for non-ASCII ranges")
+          s
+        }
         val c = FilterApi.binaryColumn(colName)
         FilterApi.and(
-          FilterApi.gtEq(c, Binary.fromString(lo.asInstanceOf[String])),
-          FilterApi.ltEq(c, Binary.fromString(hi.asInstanceOf[String])))
+          FilterApi.gtEq(c, Binary.fromString(asciiOnly(lo, "lo"))),
+          FilterApi.ltEq(c, Binary.fromString(asciiOnly(hi, "hi"))))
       case DoubleType =>
         val c = FilterApi.doubleColumn(colName)
         FilterApi.and(

@@ -159,6 +159,40 @@ class DriverGetSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("string-key gets and range scans serve byte-ordered bounds") {
+    val cat = freshCat("strkey")
+    if (cat.tableExists("skv")) cat.dropTable("skv")
+    cat.createTable("skv", StructType(Seq(
+      StructField("k", StringType, false),
+      StructField("v", LongType, true))), Seq("k"))
+    // includes a supplementary-plane key and a U+E000-block key — the
+    // pair whose relative order flips between UTF-16 compareTo and
+    // the unsigned UTF-8 byte order the stats/manifest use
+    val rows = Seq(("alpha", 1L), ("beta", 2L), ("gamma", 3L),
+      ("😀grin", 4L), ("private", 5L))
+    cat.bulkLoad("skv", spark.createDataFrame(rows).toDF("k", "v"))
+    assert(cat.driverPointGet("skv", "beta").head.getLong(1) == 2L)
+    assert(cat.driverPointGet("skv", "😀grin").head.getLong(1) == 4L)
+    assert(cat.driverPointGet("skv", "private").head.getLong(1) == 5L)
+    // byte-ordered range: alpha..gamma covers the three ASCII keys and
+    // neither of the high-codepoint ones
+    val got = cat.driverRangeScan("skv", "alpha", "gamma")
+      .map(_.getString(0)).sorted
+    assert(got == Seq("alpha", "beta", "gamma"))
+    // ASCII bounds are order-agnostic for ANY key content: the two
+    // high-codepoint keys (U+1F600-led and U+E000-led) fall outside
+    // ["alpha","private"] under both the unsigned byte order (they
+    // sort above "private") and parquet's signed record-level order
+    // (they sort below "alpha"), so the result is exact either way
+    val mid = cat.driverRangeScan("skv", "alpha", "private")
+      .map(_.getLong(1)).sorted
+    assert(mid == Seq(1L, 2L, 3L))
+    // non-ASCII bounds are where the two orders diverge — refused
+    // loudly instead of served wrong
+    intercept[IllegalArgumentException](
+      cat.driverRangeScan("skv", "", "􏿿"))
+  }
+
   test("index-served driver get matches the base state and stays fresh through writes") {
     val cat = freshCat("idx")
     if (cat.tableExists("cust")) cat.dropTable("cust")
