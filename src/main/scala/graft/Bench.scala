@@ -62,7 +62,7 @@ object Bench {
     // serving-path Get — without this gate a targeted one-rep bench
     // would time the build, not the Get
     if (anySelected(k => k == "kv_ms_get" || k == "idx_ms_lookup" ||
-        k == "kv_ms_scan"))
+        k == "kv_ms_scan" || k == "kv_time_travel"))
       graft.kv.KvQueries.warmMsGet(spark, sfDir)
     // median of N runs per query (default 3): the recorded number
     // should reflect the engine, not whatever else the box was doing

@@ -126,6 +126,22 @@ private[kv] object DriverRead {
       s"key value $other (${other.getClass.getSimpleName}) does not match column type $t")
   }
 
+  /** Whether a (non-null) key value can exist at all in a column of
+    * the declared type — int-family columns cannot hold values
+    * outside their range, so such keys match nothing by definition. */
+  private def representable(dt: DataType, v: Any): Boolean = dt match {
+    case IntegerType =>
+      val l = v.asInstanceOf[Number].longValue()
+      l >= Int.MinValue && l <= Int.MaxValue
+    case ShortType =>
+      val l = v.asInstanceOf[Number].longValue()
+      l >= Short.MinValue && l <= Short.MaxValue
+    case ByteType =>
+      val l = v.asInstanceOf[Number].longValue()
+      l >= Byte.MinValue && l <= Byte.MaxValue
+    case _ => true
+  }
+
   private def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
     case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
@@ -235,39 +251,45 @@ private[kv] object DriverRead {
           FilterApi.gtEq(c, java.lang.Long.valueOf(lo.asInstanceOf[Number].longValue())),
           FilterApi.ltEq(c, java.lang.Long.valueOf(hi.asInstanceOf[Number].longValue())))
       case IntegerType | ShortType | ByteType =>
+        // CLAMP, never truncate: intValue() on a Long bound past the
+        // int range wraps (0..Long.MaxValue would become k <= -1 and
+        // silently drop every row); the clamped predicate is
+        // semantics-preserving because no int column value lies
+        // outside [Int.MinValue, Int.MaxValue]
         val c = FilterApi.intColumn(colName)
-        FilterApi.and(
-          FilterApi.gtEq(c, java.lang.Integer.valueOf(lo.asInstanceOf[Number].intValue())),
-          FilterApi.ltEq(c, java.lang.Integer.valueOf(hi.asInstanceOf[Number].intValue())))
+        val loI = math.max(lo.asInstanceOf[Number].longValue(),
+          Int.MinValue.toLong).toInt
+        val hiI = math.min(hi.asInstanceOf[Number].longValue(),
+          Int.MaxValue.toLong).toInt
+        if (loI > hiI) // entire range outside int space: match nothing
+          FilterApi.and(
+            FilterApi.gtEq(c, java.lang.Integer.valueOf(Int.MaxValue)),
+            FilterApi.ltEq(c, java.lang.Integer.valueOf(Int.MinValue)))
+        else FilterApi.and(
+          FilterApi.gtEq(c, java.lang.Integer.valueOf(loI)),
+          FilterApi.ltEq(c, java.lang.Integer.valueOf(hiI)))
       case StringType =>
-        // parquet-hadoop evaluates Binary lt/gt record-level filters in
-        // SIGNED-byte order, while footer stats, the manifest and the
-        // engine's own string order are UNSIGNED — the two agree on
-        // membership for ANY key content iff both bounds are ASCII
-        // (non-ASCII keys fall outside an ASCII range under either
-        // order). Beyond 0x7F they diverge (an emoji key sorts above
-        // U+E000 unsigned but below it signed), so non-ASCII bounds are
-        // rejected loudly rather than served wrong.
-        def asciiOnly(v: Any, which: String): String = {
-          val s = v.asInstanceOf[String]
-          require(s.forall(_ < 0x80),
-            s"driver range scan requires ASCII string bounds ($which " +
-              s"bound '$s' is not): parquet's signed-byte range " +
-              "evaluation diverges from unsigned order past 0x7F — " +
-              "use the Spark scan path for non-ASCII ranges")
-          s
-        }
+        // parquet-hadoop evaluates Binary range filters with the
+        // column's logical-type comparator — UNSIGNED lexicographic
+        // for UTF8 — the same order as the footer statistics, the
+        // manifest bounds and utf8Cmp, so arbitrary (incl. non-ASCII)
+        // string bounds are served exactly
         val c = FilterApi.binaryColumn(colName)
         FilterApi.and(
-          FilterApi.gtEq(c, Binary.fromString(asciiOnly(lo, "lo"))),
-          FilterApi.ltEq(c, Binary.fromString(asciiOnly(hi, "hi"))))
+          FilterApi.gtEq(c, Binary.fromString(lo.asInstanceOf[String])),
+          FilterApi.ltEq(c, Binary.fromString(hi.asInstanceOf[String])))
+      case FloatType =>
+        val c = FilterApi.floatColumn(colName)
+        FilterApi.and(
+          FilterApi.gtEq(c, java.lang.Float.valueOf(lo.asInstanceOf[Number].floatValue())),
+          FilterApi.ltEq(c, java.lang.Float.valueOf(hi.asInstanceOf[Number].floatValue())))
       case DoubleType =>
         val c = FilterApi.doubleColumn(colName)
         FilterApi.and(
           FilterApi.gtEq(c, java.lang.Double.valueOf(lo.asInstanceOf[Number].doubleValue())),
           FilterApi.ltEq(c, java.lang.Double.valueOf(hi.asInstanceOf[Number].doubleValue())))
       case other => throw new IllegalArgumentException(
-        s"driver range scan supports long/int/string/double keys; $colName is $other")
+        s"driver range scan supports long/int/string/double/float keys; $colName is $other")
     }
   }
 
@@ -281,7 +303,14 @@ private[kv] object DriverRead {
           fileRanges: Seq[(String, Any, Any)]): Seq[Row] = {
     require(keys.nonEmpty && keys.forall(_.length == pk.length),
       s"each get key must bind the full primary key ${pk.mkString(",")}")
-    val leadKeys = keys.map(k => canon(schema(pk.head).dataType, k.head))
+    // a key value outside its int-family column's range can never
+    // match a stored row — drop it up front rather than let
+    // intValue()'s wraparound alias it onto a DIFFERENT key
+    // (4294967297L would silently match int key 1)
+    val usable = keys.filter(k => pk.zip(k).forall { case (c, v) =>
+      representable(schema(c).dataType, v) })
+    if (usable.isEmpty) return Nil
+    val leadKeys = usable.map(k => canon(schema(pk.head).dataType, k.head))
     val parts = listParts(snapshotDir)
     val byManifest: Seq[Path] =
       if (fileRanges.nonEmpty &&
@@ -289,7 +318,7 @@ private[kv] object DriverRead {
         fileRanges.filter(r => anyKeyIn(r._2, r._3, leadKeys))
           .map(r => snapshotDir.resolve(r._1))
       else parts
-    val pred = keyPredicate(schema, pk, keys)
+    val pred = keyPredicate(schema, pk, usable)
     val filter = FilterCompat.get(pred)
     byManifest.flatMap { file =>
       // footer row-group pruning: skip the whole file when no row

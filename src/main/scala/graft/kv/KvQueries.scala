@@ -198,11 +198,7 @@ object KvQueries {
       val rows = cat.driverMultiGet("ords", Seq(
         Seq(10L), Seq(20L), Seq(100L), Seq(500L),
         Seq(9000000001L), Seq(123456789L)))
-      s.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](
-            scala.collection.JavaConverters.seqAsJavaList(rows)),
-          msGetSchema)
-        .orderBy($"o_orderkey")
+      rowsToDf(s, rows)
     },
 
     "kv_ms_scan" -> { (s, d) =>
@@ -216,11 +212,7 @@ object KvQueries {
       // point Get uses.
       val cat = msGetCatalog(s, d)
       val rows = cat.driverRangeScan("ords", 500L, 520L)
-      s.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](
-            scala.collection.JavaConverters.seqAsJavaList(rows)),
-          msGetSchema)
-        .orderBy($"o_orderkey")
+      rowsToDf(s, rows)
     },
 
     "kv_time_travel" -> { (s, d) =>
@@ -250,11 +242,7 @@ object KvQueries {
       val cat = msGetCatalog(s, d)
       val rows = cat.driverIndexGet("ords", "bycust", Seq(777L)) ++
         cat.driverIndexGet("ords", "bycust", Seq(100L))
-      s.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](
-            scala.collection.JavaConverters.seqAsJavaList(rows)),
-          msGetSchema)
-        .orderBy($"o_orderkey")
+      rowsToDf(s, rows)
     },
 
     "ddl_catalog" -> { (s, d) =>
@@ -311,6 +299,16 @@ object KvQueries {
     StructField("o_custkey", LongType, true),
     StructField("o_orderstatus", StringType, true),
     StructField("o_totalprice", DoubleType, true)))
+
+  /** Driver-side result rows → ordered DataFrame in the ms-get schema
+    * (shared by every serving-path gate query). */
+  private def rowsToDf(s: SparkSession,
+                       rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+    s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.collection.JavaConverters.seqAsJavaList(rows)),
+        msGetSchema)
+      .orderBy(col("o_orderkey"))
 
   /** The driver-get demo table, built ONCE per (JVM, sf-dir) like the
     * z-order layout: orders bulk-loaded across 8 part files, a kv

@@ -169,28 +169,34 @@ class DriverGetSpec extends AnyFunSuite {
     // pair whose relative order flips between UTF-16 compareTo and
     // the unsigned UTF-8 byte order the stats/manifest use
     val rows = Seq(("alpha", 1L), ("beta", 2L), ("gamma", 3L),
-      ("😀grin", 4L), ("private", 5L))
+      ("😀grin", 4L), ("\uE000private", 5L))
     cat.bulkLoad("skv", spark.createDataFrame(rows).toDF("k", "v"))
     assert(cat.driverPointGet("skv", "beta").head.getLong(1) == 2L)
     assert(cat.driverPointGet("skv", "😀grin").head.getLong(1) == 4L)
-    assert(cat.driverPointGet("skv", "private").head.getLong(1) == 5L)
+    assert(cat.driverPointGet("skv", "\uE000private").head.getLong(1) == 5L)
     // byte-ordered range: alpha..gamma covers the three ASCII keys and
     // neither of the high-codepoint ones
     val got = cat.driverRangeScan("skv", "alpha", "gamma")
       .map(_.getString(0)).sorted
     assert(got == Seq("alpha", "beta", "gamma"))
-    // ASCII bounds are order-agnostic for ANY key content: the two
-    // high-codepoint keys (U+1F600-led and U+E000-led) fall outside
-    // ["alpha","private"] under both the unsigned byte order (they
-    // sort above "private") and parquet's signed record-level order
-    // (they sort below "alpha"), so the result is exact either way
+    // the two high-codepoint keys (U+1F600-led and U+E000-led) sort
+    // ABOVE "private" in unsigned UTF-8 byte order — the order
+    // parquet's UTF8 comparator, the footer stats and utf8Cmp all
+    // share — so the ASCII-bounded range excludes them
     val mid = cat.driverRangeScan("skv", "alpha", "private")
       .map(_.getLong(1)).sorted
     assert(mid == Seq(1L, 2L, 3L))
-    // non-ASCII bounds are where the two orders diverge — refused
-    // loudly instead of served wrong
-    intercept[IllegalArgumentException](
-      cat.driverRangeScan("skv", "", "􏿿"))
+    // and a NON-ASCII range serves the same rows the Spark path does:
+    // [U+E000, U+10FFFF] catches both high keys (the supplementary-
+    // plane key sorts above U+E000 in UTF-8 bytes; a UTF-16
+    // comparator would have dropped it below)
+    val high = cat.driverRangeScan("skv", "\uE000", "\uDBFF\uDFFF")
+      .map(_.getLong(1)).sorted
+    assert(high == Seq(4L, 5L))
+    val viaSpark = cat.table("skv").df
+      .filter(col("k") >= "\uE000" && col("k") <= "\uDBFF\uDFFF")
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(high == viaSpark)
   }
 
   test("index-served driver get matches the base state and stays fresh through writes") {
