@@ -153,9 +153,11 @@ private[kv] object DriverRead {
     case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
   }
 
-  private def utf8Cmp(a: String, b: String): Int = {
-    val xb = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val yb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private def utf8Cmp(a: String, b: String): Int =
+    byteCmp(a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def byteCmp(xb: Array[Byte], yb: Array[Byte]): Int = {
     var i = 0
     val n = math.min(xb.length, yb.length)
     while (i < n) {
@@ -166,11 +168,29 @@ private[kv] object DriverRead {
     xb.length - yb.length
   }
 
+  /** Pre-encode a fixed-side comparison value: string keys/bounds are
+    * compared against EVERY manifest entry and row group (~800k
+    * entries at the documented scale), so their UTF-8 encoding is
+    * done once here instead of once per comparison. The varying side
+    * (a file's bound) is still encoded per comparison — inherent
+    * while the manifest stores text. */
+  private def prepare(v: Any): Any = v match {
+    case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    case other => other
+  }
+
+  /** cmp where the LEFT side may be a pre-encoded string. */
+  private def cmpPrep(prepped: Any, other: Any): Int = (prepped, other) match {
+    case (a: Array[Byte], b: String) =>
+      byteCmp(a, b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case _ => cmp(prepped, other)
+  }
+
   /** True iff some canonicalized key falls in [lo,hi]; null bounds
-    * never exclude. */
+    * never exclude. `keys` are [[prepare]]d (string keys pre-encoded). */
   private def anyKeyIn(lo: Any, hi: Any, keys: Seq[Any]): Boolean =
     lo == null || hi == null ||
-      keys.exists(k => cmp(k, lo) >= 0 && cmp(k, hi) <= 0)
+      keys.exists(k => cmpPrep(k, lo) >= 0 && cmpPrep(k, hi) <= 0)
 
   /** The filter handed to parquet-hadoop: OR over keys of AND over
     * the key columns — row-group stats, dictionaries and column
@@ -215,9 +235,10 @@ private[kv] object DriverRead {
     val dt = schema(keyCol).dataType
     val (cLo, cHi) = (canon(dt, lo), canon(dt, hi))
     require(cmp(cLo, cHi) <= 0, s"empty range: $lo > $hi")
+    val (pLo, pHi) = (prepare(cLo), prepare(cHi))
     def overlaps(flo: Any, fhi: Any): Boolean =
       flo == null || fhi == null ||
-        (cmp(fhi, cLo) >= 0 && cmp(flo, cHi) <= 0)
+        (cmpPrep(pLo, fhi) <= 0 && cmpPrep(pHi, flo) >= 0)
     val parts = listParts(snapshotDir)
     val files: Seq[Path] =
       if (fileRanges.nonEmpty &&
@@ -310,7 +331,8 @@ private[kv] object DriverRead {
     val usable = keys.filter(k => pk.zip(k).forall { case (c, v) =>
       representable(schema(c).dataType, v) })
     if (usable.isEmpty) return Nil
-    val leadKeys = usable.map(k => canon(schema(pk.head).dataType, k.head))
+    val leadKeys = usable.map(k =>
+      prepare(canon(schema(pk.head).dataType, k.head)))
     val parts = listParts(snapshotDir)
     val byManifest: Seq[Path] =
       if (fileRanges.nonEmpty &&
