@@ -1197,8 +1197,17 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
   /** Batched driver-side multi-Get (reference multi-Get:
     * KVIndexTable.kt:75-84): one OR-of-keys predicate per surviving
     * file, so a batch costs one pass regardless of key count. */
-  def driverMultiGet(name: String, keys: Seq[Seq[Any]]): Seq[Row] = {
-    val dir = tableDir(name).resolve(s"data_v${dataVersionOf(name)}")
+  def driverMultiGet(name: String, keys: Seq[Seq[Any]]): Seq[Row] =
+    driverMultiGetAt(name, keys, dataVersionOf(name))
+
+  /** Multi-Get pinned to an explicit snapshot version — the building
+    * block that lets a caller holding an index snapshot at version v
+    * read the base table at the SAME v (a CDC merge committing
+    * between two independent dataVersionOf calls would otherwise pair
+    * a pre-merge index with a post-merge base). */
+  private def driverMultiGetAt(name: String, keys: Seq[Seq[Any]],
+                               version: Int): Seq[Row] = {
+    val dir = tableDir(name).resolve(s"data_v$version")
     val ranges = readManifestJson(dir).getOrElse(Nil)
       .map(r => (r.file, r.lo, r.hi))
     DriverRead.get(dir, schemaOf(name), primaryKeyOf(name), keys, ranges)
@@ -1254,8 +1263,14 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       ikNames.zip(cols).map { case (ik, c) =>
         StructField(ik, ts(c).dataType, nullable = true) } :+
         StructField("rk", ts(pk.head).dataType, nullable = true))
+    // resolve the published version ONCE and pin both reads to it:
+    // resolving again for the base multi-Get could observe a CDC
+    // merge that committed in between, pairing a pre-merge index with
+    // a post-merge base table (a lookup by an old indexed value would
+    // return the row with its new value)
+    val v = dataVersionOf(table)
     val idxData = resolveIndexVersioned(
-      indexDir(table, indexName, "kv"), "data", dataVersionOf(table))
+      indexDir(table, indexName, "kv"), "data", v)
     // index snapshots carry the same range manifest the base table
     // does (maintenance reuses the manifest machinery) — consume it
     // like driverMultiGet does; an absent/corrupt one degrades to
@@ -1266,7 +1281,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       ikNames.take(values.length), Seq(values), idxRanges)
     val rkIdx = idxSchema.fieldNames.indexOf("rk")
     val rks = hits.map(_.get(rkIdx)).distinct.filter(_ != null)
-    if (rks.isEmpty) Nil else driverMultiGet(table, rks.map(Seq(_)))
+    if (rks.isEmpty) Nil
+    else driverMultiGetAt(table, rks.map(Seq(_)), v)
   }
 
   /** Live snapshot path — the V2 catalog (GraftCatalog) reads/writes

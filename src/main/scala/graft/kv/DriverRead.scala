@@ -118,7 +118,13 @@ private[kv] object DriverRead {
   private def canon(dt: DataType, x: Any): Any = (dt, x) match {
     case (_, null) => null
     case (LongType | IntegerType | ShortType | ByteType, n: Number) =>
-      java.lang.Long.valueOf(n.longValue())
+      // a fractional value silently truncated here (5.5 → 5) would
+      // MATCH rows the equivalent Spark filter (col === 5.5) excludes
+      // — fail loudly like any other type mismatch instead
+      if (n.doubleValue() != n.longValue())
+        throw new IllegalArgumentException(
+          s"non-integral key value $n does not match column type $dt")
+      else java.lang.Long.valueOf(n.longValue())
     case (DoubleType | FloatType, n: Number) =>
       java.lang.Double.valueOf(n.doubleValue())
     case (StringType, s: String) => s
@@ -300,10 +306,23 @@ private[kv] object DriverRead {
           FilterApi.gtEq(c, Binary.fromString(lo.asInstanceOf[String])),
           FilterApi.ltEq(c, Binary.fromString(hi.asInstanceOf[String])))
       case FloatType =>
+        // floatValue() rounds to NEAREST: a double bound strictly
+        // between two floats can round down (lo) or up (hi), widening
+        // the float predicate beyond the requested double range —
+        // file/row-group pruning compares in double space, so only
+        // this record-level filter would diverge from the Spark
+        // path's double-promoted comparison. Nudge outward-rounded
+        // bounds back inside the requested range.
+        val loD = lo.asInstanceOf[Number].doubleValue()
+        val hiD = hi.asInstanceOf[Number].doubleValue()
+        val loF0 = loD.toFloat
+        val loF = if (loF0.toDouble < loD) Math.nextUp(loF0) else loF0
+        val hiF0 = hiD.toFloat
+        val hiF = if (hiF0.toDouble > hiD) Math.nextDown(hiF0) else hiF0
         val c = FilterApi.floatColumn(colName)
         FilterApi.and(
-          FilterApi.gtEq(c, java.lang.Float.valueOf(lo.asInstanceOf[Number].floatValue())),
-          FilterApi.ltEq(c, java.lang.Float.valueOf(hi.asInstanceOf[Number].floatValue())))
+          FilterApi.gtEq(c, java.lang.Float.valueOf(loF)),
+          FilterApi.ltEq(c, java.lang.Float.valueOf(hiF)))
       case DoubleType =>
         val c = FilterApi.doubleColumn(colName)
         FilterApi.and(
@@ -418,7 +437,12 @@ private[kv] object DriverRead {
             ts.getUnit match {
               case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
               case LogicalTypeAnnotation.TimeUnit.MICROS => raw
-              case LogicalTypeAnnotation.TimeUnit.NANOS => raw / 1000L
+              // floorDiv, not truncating /: pre-epoch nanos must
+              // round toward negative infinity the way Spark's
+              // DateTimeUtils converts them, or the decode lands one
+              // microsecond high of the Spark-path value
+              case LogicalTypeAnnotation.TimeUnit.NANOS =>
+                Math.floorDiv(raw, 1000L)
             }
           case (_, PrimitiveTypeName.INT96) =>
             // Spark's default on-disk timestamp: 12 bytes little-endian

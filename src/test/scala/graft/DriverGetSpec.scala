@@ -303,4 +303,45 @@ class DriverGetSpec extends AnyFunSuite {
     val r = cat.driverPointGet("acct", 2L).head
     assert(r.getDouble(1) == 99.0)
   }
+
+  test("non-integral keys on integral columns fail loudly, never truncate") {
+    val cat = freshCat("frac")
+    loadOrders(cat, "ords")
+    // 5.5 truncated to 5 would silently MATCH a row the equivalent
+    // Spark filter (o_orderkey === 5.5) excludes
+    intercept[IllegalArgumentException](
+      cat.driverPointGet("ords", java.lang.Double.valueOf(5.5)))
+    intercept[IllegalArgumentException](
+      cat.driverRangeScan("ords", java.lang.Double.valueOf(5.5), 10L))
+    // integral-valued Numbers of a wider runtime class still serve
+    assert(cat.driverPointGet("ords",
+      java.lang.Double.valueOf(5.0)).map(_.getLong(0)) == Seq(5L))
+  }
+
+  test("float-key range bounds never widen past the requested double range") {
+    val cat = freshCat("flt")
+    if (cat.tableExists("fkv")) cat.dropTable("fkv")
+    cat.createTable("fkv", StructType(Seq(
+      StructField("k", FloatType, false),
+      StructField("v", LongType, true))), Seq("k"))
+    cat.bulkLoad("fkv", spark.createDataFrame(
+      Seq((0.1f, 1L), (0.2f, 2L), (0.3f, 3L), (0.5f, 5L)))
+      .toDF("k", "v"))
+    // 0.1f as a double is 0.10000000149…; a lo bound just above the
+    // float (but below the next float up) must exclude the 0.1f row —
+    // round-to-nearest floatValue() would round back DOWN to 0.1f and
+    // admit it
+    val loAbove = 0.1f.toDouble + 1e-9
+    val got = cat.driverRangeScan("fkv", loAbove, 0.4)
+      .map(_.getLong(1)).sorted
+    val viaSpark = cat.table("fkv").df
+      .filter(col("k") >= loAbove && col("k") <= 0.4)
+      .collect().map(_.getAs[Long]("v")).sorted.toSeq
+    assert(got == viaSpark)
+    assert(!got.contains(1L))
+    // and a hi bound just below a stored float excludes it the same way
+    val hiBelow = 0.5f.toDouble - 1e-9
+    val got2 = cat.driverRangeScan("fkv", 0.0, hiBelow).map(_.getLong(1)).sorted
+    assert(got2 == Seq(1L, 2L, 3L) && !got2.contains(5L))
+  }
 }
