@@ -338,13 +338,22 @@ object Dedup {
           i => array_join(slice(col("toks"), i, lit(w)), " "))))
       .select(col("doc_id"), col("n_tokens"),
         (col("pos") + 1).as("pos"), xxhash64(col("col")).as("g"))
-    // duplicated = the gram occurs in >= minDocs distinct docs; the
-    // two-stage distinct-then-count avoids a per-gram count-distinct
-    val dup = grams.select("g", "doc_id").distinct()
-      .groupBy("g").count()
-      .filter(col("count") >= minDocs)
-      .select("g")
-    val hits = grams.join(dup, Seq("g"))
+    // duplicated = the gram occurs in >= minDocs distinct docs.
+    // Derive that IN the gram exchange: dense_rank over doc_id within
+    // each gram numbers the distinct docs, its per-gram max is the
+    // distinct-doc count. One shuffle on g and — critically — ONE
+    // evaluation of the explode above: the earlier
+    // distinct→count→join-back shape re-computed the scan + tokenize
+    // + posexplode (the dominant cost) as a second subtree, which
+    // exchange reuse cannot merge. A hot boilerplate gram co-locates
+    // in one partition either way (the join shuffled by g too), so
+    // the skew exposure is unchanged while the heavy stage halves.
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val hits = grams
+      .withColumn("dr",
+        dense_rank().over(byGram.orderBy("doc_id")))
+      .withColumn("n_docs", max(col("dr")).over(byGram))
+      .filter(col("n_docs") >= minDocs)
       .select("doc_id", "n_tokens", "pos")
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")

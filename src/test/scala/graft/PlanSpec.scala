@@ -64,6 +64,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dd_substring explodes the gram windows exactly once") {
+    // the gram posexplode (scan + tokenize + 16-token windows) is the
+    // operator's dominant cost; duplication status must be derived in
+    // the SAME exchange, not via a second distinct→count→join-back
+    // subtree that re-runs the explode
+    val plan = SparkEntry.queries("dd_substring")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val generates = plan.linesIterator.count(_.contains("Generate "))
+    assert(generates == 1,
+      s"expected one Generate (posexplode), found $generates:\n$plan")
+    // on a plain (non-union) corpus the single explode implies a
+    // single scan of the documents table
+    val raw = graft.dedup.Dedup.substringSpans(
+      Tables.documents(spark, sf), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val docScans = raw.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("documents"))
+    assert(docScans == 1,
+      s"expected one documents scan, found $docScans:\n$raw")
+  }
+
   test("kv point get prunes via pushed rowkey filter") {
     val p = planOf("kv_point_get")
     assert(p.contains("PushedFilters") && p.contains("c_custkey"), p)
