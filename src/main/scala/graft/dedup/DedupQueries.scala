@@ -68,7 +68,7 @@ object DedupQueries {
     * gates below run THROUGH the segmented read view — the production
     * maintenance path, not a per-process rebuild. Memoized per
     * (JVM, dir): build is DDL, the timed queries measure SEARCH. */
-  private def vecIndex(s: SparkSession, d: String):
+  private[graft] def vecIndex(s: SparkSession, d: String):
       (DataFrame, DataFrame, graft.similarity.VectorIndex.VMeta) =
     graft.QueryCaches.obj(s"veccat:$d") {
       // warehouse path carries the DATA DIR token like every other

@@ -183,16 +183,22 @@ object IndexQueries {
       // Hybrid retrieval (the RAG shape): lexical tf-idf ranking and
       // vector-cosine ranking fused by reciprocal-rank fusion,
       // rrf = Σ 1/(60 + rank). Both windows run over ALREADY-REDUCED
-      // top-50 lists (one partition of ≤50 rows); the vector side is
-      // exact here — at scale it swaps for Ann.ivfSearch/lshTopK probes
-      // with identical downstream shape.
-      val postings = graft.QueryCaches.postings(s, d)
-      val dict = graft.QueryCaches.dictionary(s, d)
-      val lex = FullText.tfidfTopK(postings, dict,
-          graft.QueryCaches.corpusSize(s, d), Seq("spark", "join"), 50)
-        .withColumn("r_lex", row_number().over(
-          Window.orderBy($"score".desc, $"doc_id")))
-        .select($"doc_id", $"r_lex")
+      // top-50 lists (one partition of ≤50 rows). The vector arm is
+      // EXACT by contract (it is what the DuckDB oracle can express),
+      // and its plan is the one exact top-k wants at any scale:
+      // a column-pruned scan + per-partition bounded heap merged on
+      // the driver (TakeOrderedAndProject — PlanSpec pins that no
+      // corpus-wide sort or window materializes). Serving it from
+      // the persisted IVF index CANNOT keep the exact oracle on this
+      // corpus — measured at sf0.01 (31 lists): probing 4/8/12/16/24
+      // lists recovers only 18/25/33/37/45 of the true top-50; full
+      // recall arrives exactly when nprobe reaches the list count,
+      // i.e. a disguised full scan. (Unit-norm synthetic embeddings:
+      // the query's true top-50 spreads across all 10 label clusters,
+      // so no coarse cell subset contains it.) The index-served
+      // approximate hybrid ships as its own gated query —
+      // ft_hybrid_ann below — with the honest sublinear nprobe.
+      val lex = hybridLex(s, d)
       val e = Tables.embeddings(s, d)
       val qv = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
       val vec = e.crossJoin(broadcast(qv))
@@ -203,14 +209,61 @@ object IndexQueries {
         .withColumn("r_vec", row_number().over(
           Window.orderBy($"score".desc, $"vec_id")))
         .select($"vec_id".as("doc_id"), $"r_vec")
-      lex.join(vec, Seq("doc_id"), "full_outer")
-        .withColumn("rrf", round(
-          coalesce(lit(1.0) / (lit(60) + $"r_lex"), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60) + $"r_vec"), lit(0.0)), 6))
-        .orderBy($"rrf".desc, $"doc_id").limit(20)
-        .select($"doc_id", $"rrf")
+      hybridFuse(lex, vec)
+    },
+
+    "ft_hybrid_ann" -> { (s, d) =>
+      import s.implicits._
+      // The index-served hybrid: same lexical arm and RRF fusion as
+      // ft_hybrid_rrf, vector arm probed from the catalog's PERSISTED
+      // `vector` index (the segmented, CDC-fresh artifact sim_ivf_ann
+      // serves from). nprobe=8 of √N lists — the scanned fraction
+      // SHRINKS as the corpus grows (8/√N), which is the 100 TB plan;
+      // the price is approximate vector ranks, so this query is
+      // rows-only (k-means cells aren't SQL-expressible) and
+      // HybridAnnSpec holds the ground truth: lex-arm parity with the
+      // exact hybrid, a fused-overlap floor, determinism, and a plan
+      // pin that the corpus reaches the cosine kernel only through
+      // the coarse-quantizer list join — never a corpus-wide cross
+      // join.
+      val lex = hybridLex(s, d)
+      val e = Tables.embeddings(s, d)
+      val (view, cent, _) = graft.dedup.DedupQueries.vecIndex(s, d)
+      // the shared index also carries the sim_* planted copies
+      // (rk >= 1e6) — scope the hybrid search to the real corpus
+      val idx = graft.similarity.VectorIndex.ivfOf(
+        cent, view.filter($"rk" < 1000000L))
+      val vec = graft.similarity.Ann.ivfSearch(idx,
+          e.filter($"vec_id" === 0), "vec_id", "embedding",
+          k = 50, nprobe = 8)
+        .select($"nn".as("doc_id"), $"rn".as("r_vec"))
+      hybridFuse(lex, vec)
     },
   )
+
+  /** The shared lexical arm of the hybrid queries: tf-idf top-50 with
+    * a dense rank (one window over ≤50 rows). */
+  private def hybridLex(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val postings = graft.QueryCaches.postings(s, d)
+    val dict = graft.QueryCaches.dictionary(s, d)
+    FullText.tfidfTopK(postings, dict,
+        graft.QueryCaches.corpusSize(s, d), Seq("spark", "join"), 50)
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_lex"))
+  }
+
+  /** Reciprocal-rank fusion of the two arms — identical for the exact
+    * and index-served hybrids so the spec's arm-level comparisons
+    * isolate the vector shortlist as the only difference. */
+  private def hybridFuse(lex: DataFrame, vec: DataFrame): DataFrame =
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"), col("rrf"))
 
   def oracles: Map[String, String] = Map(
     "idx_kv_lookup" ->

@@ -85,6 +85,18 @@ class PlanSpec extends AnyFunSuite {
       s"expected one documents scan, found $docScans:\n$raw")
   }
 
+  test("ft_hybrid_rrf's exact vector arm is a bounded-heap top-k") {
+    // the exact arm's contract is a full scan (no index can serve an
+    // exact cosine top-k on this corpus — see the query's comment),
+    // so the plan must be the one exact top-k wants at scale: a
+    // TakeOrderedAndProject (per-partition heap + driver merge of
+    // 50-row partials), never a global Sort of the corpus feeding the
+    // limit
+    val p = planOf("ft_hybrid_rrf")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"exact top-k not heap-reduced:\n$p")
+  }
+
   test("kv point get prunes via pushed rowkey filter") {
     val p = planOf("kv_point_get")
     assert(p.contains("PushedFilters") && p.contains("c_custkey"), p)
