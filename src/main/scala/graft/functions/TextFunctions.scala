@@ -36,6 +36,18 @@ object TextFunctions {
   def bpeishCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
 
+  /** REAL BPE subword tokens: greedy merge application over the
+    * deterministic in-repo merges table (Sennrich et al. 2015,
+    * arXiv:1508.07909; graft.plans.BpeOps). The counts trainers
+    * actually budget in — mixture sampling, sequence packing and
+    * chunking take these as their budget column. */
+  def bpeTokens(text: Column): Column =
+    graft.plans.HashExpressions.bpeTokens(text)
+
+  /** BPE subword token count (same kernel, no string materialization). */
+  def bpeTokenCount(text: Column): Column =
+    graft.plans.HashExpressions.bpeCount(text)
+
   val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
   val StopDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein")
   val StopEs: Seq[String] = Seq("el", "la", "de", "los", "es", "y")

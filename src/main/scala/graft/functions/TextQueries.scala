@@ -19,6 +19,26 @@ object TextQueries {
         .orderBy($"doc_id")
     },
 
+    "txt_bpe_tokens" -> { (s, d) =>
+      import s.implicits._
+      // REAL subword counts (greedy BPE over the in-repo merges
+      // table) next to the word counts — the budget column a trainer
+      // denominates in, feeding the mixture/packing/chunking
+      // operators. One codegen'd pass per doc (BpeCountExpr shares
+      // the per-word cache with BpeTokensExpr); greedy merge loops
+      // aren't SQL-expressible → rows-only, BpeSpec holds the
+      // brute-force-reference ground truth.
+      Tables.documents(s, d)
+        .select($"doc_id",
+          size(tokens($"text")).as("n_words"),
+          bpeTokenCount($"text").as("n_bpe"),
+          size(array_distinct(bpeTokens($"text"))).as("n_bpe_distinct"))
+        .withColumn("subwords_per_word",
+          when($"n_words" > 0,
+            round($"n_bpe".cast("double") / $"n_words", 4)).otherwise(lit(0.0)))
+        .orderBy($"doc_id")
+    },
+
     "txt_quality" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)

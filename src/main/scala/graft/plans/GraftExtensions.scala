@@ -78,6 +78,12 @@ object GraftExtensions {
     inject("graft_tokens", "graft_tokens(str) - lowercase alnum-run tokens") {
       case Seq(c) => TokensExpr(c)
     }
+    inject("graft_bpe_tokens", "graft_bpe_tokens(str) - BPE subword tokens (in-repo merges table)") {
+      case Seq(c) => BpeTokensExpr(c)
+    }
+    inject("graft_bpe_count", "graft_bpe_count(str) - BPE subword token count") {
+      case Seq(c) => BpeCountExpr(c)
+    }
     inject("graft_cosine", "graft_cosine(vecA, vecB) - cosine similarity") {
       case Seq(a, b) => CosineSimExpr(a, b)
     }

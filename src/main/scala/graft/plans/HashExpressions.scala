@@ -139,6 +139,36 @@ case class TokensExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): TokensExpr = copy(child = c)
 }
 
+/** BPE subword tokens of the text — lowercase-alnum word tokens each
+  * run through the greedy merge loop over the deterministic in-repo
+  * merges table (BpeOps; Sennrich et al. 2015). Native kernel: the
+  * per-word merge loop would be thousands of interpreted lambda
+  * evaluations per row as a HOF pipeline. */
+case class BpeTokensExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelChecks.text(child.dataType, "graft_bpe_tokens")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    BpeOps.bpeTokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.BpeOps.bpeTokens($c)")
+  override protected def withNewChildInternal(c: Expression): BpeTokensExpr = copy(child = c)
+}
+
+/** BPE subword token COUNT — the budget column trainers denominate
+  * in. Shares encodeWord (and its word cache) with BpeTokensExpr but
+  * never materializes the subword strings. */
+case class BpeCountExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelChecks.text(child.dataType, "graft_bpe_count")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    BpeOps.bpeCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.BpeOps.bpeCount($c)")
+  override protected def withNewChildInternal(c: Expression): BpeCountExpr = copy(child = c)
+}
+
 /** Distinct word n-gram shingles in one pass: lowercase, tokenize on
   * non-[a-z0-9] runs, emit space-joined n-token windows (or one
   * shingle of all tokens if fewer than n), first-occurrence order.
@@ -301,4 +331,6 @@ object HashExpressions {
   def wordShingles(c: Column, n: Int): Column = column(WordShinglesExpr(expression(c), n))
   def wordNgrams(c: Column, n: Int): Column = column(WordNgramsExpr(expression(c), n))
   def tokens(c: Column): Column = column(TokensExpr(expression(c)))
+  def bpeTokens(c: Column): Column = column(BpeTokensExpr(expression(c)))
+  def bpeCount(c: Column): Column = column(BpeCountExpr(expression(c)))
 }

@@ -131,6 +131,35 @@ class DedupSpec extends AnyFunSuite {
     assert(again == rows.map(r => (r.getLong(0), r.getLong(2))).toSet)
   }
 
+  test("greedy packing under a REAL BPE subword budget") {
+    import graft.dedup.Mixture
+    import graft.functions.TextFunctions
+    // the budget column trainers denominate in: BPE subword counts,
+    // not whitespace/regex words — same packing contract must hold
+    val withBpe = docs.select(col("doc_id"),
+      TextFunctions.bpeTokenCount(col("text")).as("n_bpe"))
+    val packed = Mixture.packGreedy(withBpe, "doc_id", "n_bpe",
+      budget = 768, partitions = 4)
+    val rows = packed.collect()
+    assert(rows.length == withBpe.count(), "every doc must be packed")
+    // packGreedy normalizes the budget column name to n_tokens
+    val perPack = rows.groupBy(_.getAs[Long]("pack_id"))
+      .view.mapValues(_.map(_.getAs[Int]("n_tokens").toLong).sum).toMap
+    perPack.foreach { case (pack, total) =>
+      assert(total <= 768 || rows.count(_.getAs[Long]("pack_id") == pack) == 1,
+        s"pack $pack holds $total BPE tokens")
+    }
+    // subword counts exceed word counts (merges never cross words),
+    // so the BPE packing is strictly tighter than the word packing
+    val words = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(
+        TextFunctions.tokens(col("text"))).as("n_words"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_tokens") >= words(r.getAs[Long]("doc_id")))
+    }
+  }
+
   test("lsh ANN ranks a planted identical vector first with score 1.0") {
     val e = Tables.embeddings(spark, sf)
     val withCopy = e.unionByName(
