@@ -41,17 +41,66 @@ object FullText {
     * term must normalize the same way or it can never match. */
   private def norm(t: String): String = t.toLowerCase(java.util.Locale.ROOT)
 
+  // ---- Analyzers -----------------------------------------------------
+  // The reference's Lucene stack puts an analyzer pipeline (tokenize →
+  // stopwords → stem) behind every index (index/lucene/
+  // HBaseDirectory.kt:1-164 is storage plumbing for Lucene, whose
+  // Standard/EnglishAnalyzer is the default search contract). Two
+  // analyzers here: "standard" (the plain alnum tokenizer above) and
+  // "english" (stopword removal + the bounded suffix stemmer), applied
+  // IDENTICALLY at index build and query time — the one invariant an
+  // analyzer must keep, or morphological queries silently miss.
+
+  /** Lucene's classic English stopword set (StandardAnalyzer /
+    * StopAnalyzer default — public contract, 33 words). */
+  val StopWordsEn: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+    "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
+    "such", "that", "the", "their", "then", "there", "these", "they",
+    "this", "to", "was", "will", "with")
+
+  val Analyzers: Set[String] = Set("standard", "english")
+
+  /** Minimal English suffix stemmer (native StemExpr kernel;
+    * HashOps.stemWord holds the ordered rule set — bounded enough to
+    * replicate term-for-term in the DuckDB oracle's SQL CASE). */
+  def stem(c: Column): Column = graft.plans.HashExpressions.stem(c)
+
+  /** The `english` analysis of an already-tokenized term column:
+    * drop stopwords, stem the survivors. Shared by the build-side
+    * frames and nothing else — query terms go through
+    * [[analyzeTerms]], which applies the same two steps in Scala. */
+  private def analyzeTermCol(df: DataFrame): DataFrame =
+    df.filter(!col("term").isin(StopWordsEn.toSeq: _*))
+      .withColumn("term", stem(col("term")))
+
+  /** Query-side analysis: normalize, drop stopwords, stem — the exact
+    * build-time pipeline, applied to the user's terms. */
+  def analyzeTerms(terms: Seq[String], analyzer: String): Seq[String] = {
+    require(Analyzers.contains(analyzer), s"unknown analyzer $analyzer")
+    if (analyzer == "standard") terms.map(norm)
+    else terms.map(norm).filterNot(StopWordsEn.contains)
+      .map(graft.plans.HashOps.stemWord)
+  }
+
   /** The common search epilogue: semi-join the hit doc-ids back to the
     * base table. One implementation so the join-back contract can't
     * diverge between search flavors. */
   private def semiJoinDocs(docs: DataFrame, idCol: String, hits: DataFrame): DataFrame =
     docs.join(hits, docs(idCol) === hits("doc_id"), "left_semi")
 
-  /** Postings list: one row per (term, doc) with term frequency. */
-  def buildPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(tokenize(col(textCol))).as("term"))
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+  /** Postings list: one row per (term, doc) with term frequency.
+    * `analyzer` picks the analysis chain — "standard" (tokenize only)
+    * or "english" (tokenize → stopwords → stem). */
+  def buildPostings(docs: DataFrame, idCol: String, textCol: String,
+                    analyzer: String = "standard"): DataFrame = {
+    require(Analyzers.contains(analyzer), s"unknown analyzer $analyzer")
+    val exploded = docs.select(col(idCol).as("doc_id"),
+      explode(tokenize(col(textCol))).as("term"))
+    val analyzed =
+      if (analyzer == "english") analyzeTermCol(exploded) else exploded
+    analyzed.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+  }
 
   /** Dictionary: document frequency per term, plus the STORED term
     * length `tlen`. Storing the length (instead of computing it at
@@ -65,11 +114,18 @@ object FullText {
 
   /** Positional postings: one row per (term, doc, position) — the
     * index shape phrase queries need (Lucene stores positions the
-    * same way). */
-  def buildPositional(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    * same way). Under the `english` analyzer, stopword positions are
+    * dropped but the surviving terms KEEP their original offsets
+    * (Lucene's StopFilter position-increment behavior), so phrase
+    * adjacency never falsely collapses across a removed stopword. */
+  def buildPositional(docs: DataFrame, idCol: String, textCol: String,
+                      analyzer: String = "standard"): DataFrame = {
+    require(Analyzers.contains(analyzer), s"unknown analyzer $analyzer")
+    val base = docs.select(col(idCol).as("doc_id"),
         posexplode(tokenize(col(textCol))))
       .select(col("doc_id"), col("col").as("term"), col("pos"))
+    if (analyzer == "english") analyzeTermCol(base) else base
+  }
 
   /** Postings derived from the positional frame (tf = position count
     * per (term, doc) — identical to [[buildPostings]] by definition).
@@ -109,6 +165,19 @@ object FullText {
       .filter(col("nterms") === distinctTerms.length)
       .select("doc_id")
     semiJoinDocs(docs, idCol, hits)
+  }
+
+  /** AND search through an analyzer: the query terms go through the
+    * SAME stopword+stem chain the index was built with, so
+    * morphological variants match ("sparks" finds docs indexed from
+    * "spark"/"sparking"/"sparked") and stopword query terms impose no
+    * constraint — exactly Lucene's analyzed-query contract. */
+  def searchAllAnalyzed(docs: DataFrame, idCol: String, postings: DataFrame,
+                        terms: Seq[String], analyzer: String): DataFrame = {
+    val analyzed = analyzeTerms(terms, analyzer).distinct
+    require(analyzed.nonEmpty,
+      "every query term is a stopword under this analyzer")
+    searchAll(docs, idCol, postings, analyzed)
   }
 
   /** OR search: docs containing any query term. */

@@ -115,6 +115,42 @@ object IndexQueries {
       }.reduce(_ unionByName _).orderBy($"probe", $"k")
     },
 
+    "ft_search_stem" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      // Analyzed fulltext (the Lucene EnglishAnalyzer analog): a
+      // catalog index created WITH analyzer='english' (stopword
+      // removal + the bounded suffix stemmer), kept CDC-fresh through
+      // an incrementalMerge whose segment is built with the SAME
+      // analyzer, then searched with morphological-variant query
+      // terms ("sparks","joins") that the standard index would miss.
+      // Stopword query terms ("the") impose no constraint. The
+      // stemmer is a bounded ordered rule set, so the DuckDB oracle
+      // replicates the whole chain term-for-term in SQL.
+      val wh = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_warehouse_ftstem_${ProcessHandle.current().pid()}").toString
+      graft.TempWarehouses.register(wh)
+      val cat = new graft.kv.Catalog(s, wh)
+      if (cat.tableExists("adocs")) cat.dropTable("adocs")
+      cat.createTable("adocs", StructType(Seq(
+        StructField("k", LongType, false),
+        StructField("body", StringType, true))), Seq("k"))
+      cat.bulkLoad("adocs",
+        Tables.documents(s, d).filter($"doc_id" < 300)
+          .select($"doc_id".as("k"), $"text".as("body")), partitions = 4)
+      cat.createIndex("adocs", "aft", "fulltext", Seq("body"),
+        analyzer = "english")
+      cat.incrementalMerge("adocs", Seq(
+        (5L, "the sparks joined the engines"),
+        (900002L, "sparking joins for the reader")).toDF("k", "body"))
+      val view = cat.indexData("adocs", "aft", "fulltext")
+      val base = cat.table("adocs").df
+      FullText.searchAllAnalyzed(base, "k", view,
+          Seq("the", "sparks", "joins"), "english")
+        .select($"k").orderBy($"k")
+    },
+
     "ft_search_and" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
@@ -314,6 +350,35 @@ object IndexQueries {
         |  UNION ALL
         |  SELECT 'spark' AS probe, k FROM m WHERE list_contains(toks, 'spark'))
         |ORDER BY probe, k""".stripMargin,
+
+    "ft_search_stem" ->
+      """WITH t AS (
+        |  SELECT doc_id AS k,
+        |    CASE WHEN doc_id = 5 THEN 'the sparks joined the engines' ELSE text END AS body
+        |  FROM documents WHERE doc_id < 300
+        |  UNION ALL SELECT CAST(900002 AS BIGINT), 'sparking joins for the reader'),
+        |m AS (SELECT k, list_transform(
+        |    list_filter(string_split_regex(lower(body), '[^a-z0-9]+'),
+        |      x -> length(x) > 0 AND x NOT IN
+        |        ('a','an','and','are','as','at','be','but','by','for',
+        |         'if','in','into','is','it','no','not','of','on','or',
+        |         'such','that','the','their','then','there','these',
+        |         'they','this','to','was','will','with')),
+        |    x -> CASE
+        |      WHEN length(x) >= 5 AND x LIKE '%ies'
+        |        THEN substr(x, 1, length(x)-3) || 'y'
+        |      WHEN x LIKE '%sses' THEN substr(x, 1, length(x)-2)
+        |      WHEN length(x) >= 6 AND x LIKE '%ing'
+        |        THEN substr(x, 1, length(x)-3)
+        |      WHEN length(x) >= 5 AND x LIKE '%ed'
+        |        THEN substr(x, 1, length(x)-2)
+        |      WHEN length(x) >= 4 AND x LIKE '%s' AND x NOT LIKE '%ss'
+        |        AND x NOT LIKE '%us' AND x NOT LIKE '%is'
+        |        THEN substr(x, 1, length(x)-1)
+        |      ELSE x END) AS toks FROM t)
+        |SELECT k FROM m
+        |WHERE list_contains(toks, 'spark') AND list_contains(toks, 'join')
+        |ORDER BY k""".stripMargin,
 
     "ft_search_and" ->
       """SELECT doc_id, lang, source FROM documents

@@ -938,9 +938,12 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           // one tokenize pass over the patch: positions are the source
           // of truth, the postings segment derives from them. The
           // positional segment rides beside the postings segment; the
-          // shared tombstones mask both families' older rows.
+          // shared tombstones mask both families' older rows. The
+          // segment MUST use the index's own analyzer or it would mix
+          // stemmed and unstemmed terms into one view.
+          val an = indexAnalyzer(name, iname)
           val segPos =
-            graft.index.FullText.buildPositional(patchRows, rk, c).cache()
+            graft.index.FullText.buildPositional(patchRows, rk, c, an).cache()
           val segPost = graft.index.FullText.postingsFromPositional(segPos)
           try {
             KvLayout.writeSorted(segPos, Seq("term"),
@@ -955,7 +958,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
             val add = graft.index.FullText.buildDictionary(segPost)
               .select(col("term"), col("df").cast("long").as("ddf"))
             val remove = graft.index.FullText.buildDictionary(
-                graft.index.FullText.buildPostings(preRows, rk, c))
+                graft.index.FullText.buildPostings(preRows, rk, c, an))
               .select(col("term"), (-col("df")).cast("long").as("ddf"))
             add.unionByName(remove).groupBy("term").agg(sum("ddf").as("ddf"))
               .filter(col("ddf") =!= 0L)
@@ -1741,9 +1744,15 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * and cluster-sorted encoded entries — the ANN analog of the
     * reference's persisted Lucene directory). */
   def createIndex(table: String, indexName: String, indexType: String,
-                  cols: Seq[String]): Unit = {
+                  cols: Seq[String], analyzer: String = "standard"): Unit = {
     require(tableExists(table), s"table $table does not exist")
     require(cols.nonEmpty, "index needs at least one column")
+    // the analyzer option belongs to the fulltext flavor (the Lucene
+    // Standard/EnglishAnalyzer analog); "standard" is the no-op chain
+    require(graft.index.FullText.Analyzers.contains(analyzer),
+      s"unknown analyzer $analyzer")
+    require(analyzer == "standard" || indexType.equalsIgnoreCase("fulltext"),
+      s"analyzer option applies to fulltext indexes, not $indexType")
     val dir = indexDir(table, indexName, indexType)
     withWriteLock(table) {
     // existence checks INSIDE the lock: two concurrent createIndex
@@ -1794,7 +1803,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           // tokenize pass: positions are the source of truth, the
           // postings/dictionary derive from them.
           val positional =
-            graft.index.FullText.buildPositional(t.df, pk, cols.head).cache()
+            graft.index.FullText.buildPositional(t.df, pk, cols.head,
+              analyzer).cache()
           try {
             val postings = graft.index.FullText.postingsFromPositional(positional)
             KvLayout.writeSorted(positional, Seq("term"),
@@ -1826,6 +1836,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       entry.put("name", indexName)
       entry.put("type", indexType.toUpperCase)
       entry.put("cols", cols.mkString(","))
+      if (analyzer != "standard") entry.put("analyzer", analyzer): Unit
       entry.put("asOfVersion", dataVersionOf(table))
       reg.add(entry): Unit
       writeMeta(table, meta)
@@ -2015,6 +2026,17 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       (e.path("name").asText(), e.path("type").asText(),
         e.path("cols").asText().split(",").toSeq)
     }.toSeq
+
+  /** The analyzer a fulltext index was created with ("standard" when
+    * unset — incl. every pre-option index). EVERY build path (create,
+    * CDC segment, refresh) must consult this, or a segment built with
+    * the wrong chain would silently mix stemmed and unstemmed terms
+    * in one postings view. */
+  def indexAnalyzer(table: String, indexName: String): String =
+    readMeta(table).withArray[ArrayNode]("indexes").elements().asScala
+      .find(e => e.path("name").asText() == indexName)
+      .map(_.path("analyzer").asText("standard"))
+      .getOrElse("standard")
 
   // ------------------------------------------------------------------
   // Per-write index maintenance.
@@ -2209,9 +2231,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           // one tokenize pass (positions → postings → dictionary);
           // pos BEFORE data: readers pair the positional base at the
           // resolved data base's version, so a crash here must leave
-          // the old (data, pos) pair live together
+          // the old (data, pos) pair live together. Rebuild with the
+          // index's own analyzer.
           val positional =
-            graft.index.FullText.buildPositional(t, pk, cols.head).cache()
+            graft.index.FullText.buildPositional(t, pk, cols.head,
+              indexAnalyzer(table, indexName)).cache()
           try {
             val postings = graft.index.FullText.postingsFromPositional(positional)
             writeIndexDirAtomic(dir, s"pos_v$cur") { p =>

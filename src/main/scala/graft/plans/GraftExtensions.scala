@@ -78,6 +78,9 @@ object GraftExtensions {
     inject("graft_tokens", "graft_tokens(str) - lowercase alnum-run tokens") {
       case Seq(c) => TokensExpr(c)
     }
+    inject("graft_stem", "graft_stem(term) - minimal English suffix stemmer") {
+      case Seq(c) => StemExpr(c)
+    }
     inject("graft_bpe_tokens", "graft_bpe_tokens(str) - BPE subword tokens (in-repo merges table)") {
       case Seq(c) => BpeTokensExpr(c)
     }

@@ -139,6 +139,21 @@ case class TokensExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): TokensExpr = copy(child = c)
 }
 
+/** Minimal English suffix-stemmer for one term (HashOps.stemWord) —
+  * the `english` analyzer applies it to every index term at build
+  * time and to every query term at search time. Native so the
+  * build-time full-corpus pass stays in codegen. */
+case class StemExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelChecks.text(child.dataType, "graft_stem")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    HashOps.stem(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashOps.stem($c)")
+  override protected def withNewChildInternal(c: Expression): StemExpr = copy(child = c)
+}
+
 /** BPE subword tokens of the text — lowercase-alnum word tokens each
   * run through the greedy merge loop over the deterministic in-repo
   * merges table (BpeOps; Sennrich et al. 2015). Native kernel: the
@@ -331,6 +346,7 @@ object HashExpressions {
   def wordShingles(c: Column, n: Int): Column = column(WordShinglesExpr(expression(c), n))
   def wordNgrams(c: Column, n: Int): Column = column(WordNgramsExpr(expression(c), n))
   def tokens(c: Column): Column = column(TokensExpr(expression(c)))
+  def stem(c: Column): Column = column(StemExpr(expression(c)))
   def bpeTokens(c: Column): Column = column(BpeTokensExpr(expression(c)))
   def bpeCount(c: Column): Column = column(BpeCountExpr(expression(c)))
 }

@@ -137,6 +137,29 @@ object HashOps {
     new GenericArrayData(out.toArray)
   }
 
+  // ---- Minimal English stemmer ---------------------------------------
+  // Bounded suffix-rule stemmer (the Lucene EnglishMinimalStemFilter
+  // shape, extended with -ies/-ing/-ed): ordered first-match rules
+  // with min-length guards, deliberately small enough to replicate
+  // term-for-term in the DuckDB oracle's SQL CASE. Applied identically
+  // at index build and query time (FullText's `english` analyzer).
+  def stemWord(t: String): String = {
+    val n = t.length
+    if (n >= 5 && t.endsWith("ies")) t.substring(0, n - 3) + "y"
+    else if (t.endsWith("sses")) t.substring(0, n - 2)
+    else if (n >= 6 && t.endsWith("ing")) t.substring(0, n - 3)
+    else if (n >= 5 && t.endsWith("ed")) t.substring(0, n - 2)
+    else if (n >= 4 && t.endsWith("s") && !t.endsWith("ss") &&
+      !t.endsWith("us") && !t.endsWith("is")) t.substring(0, n - 1)
+    else t
+  }
+
+  def stem(input: UTF8String): UTF8String = {
+    val s = input.toString
+    val r = stemWord(s)
+    if (r eq s) input else UTF8String.fromString(r)
+  }
+
   // ---- Word shingles ------------------------------------------------
   def wordShingles(input: UTF8String, n: Int): ArrayData = {
     val s = input.toLowerCase.toString

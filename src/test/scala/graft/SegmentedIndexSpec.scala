@@ -107,6 +107,59 @@ class SegmentedIndexSpec extends AnyFunSuite {
     assert(sortedRows(dictView) == sortedRows(dictRebuild))
   }
 
+  test("english-analyzed fulltext stays CDC-fresh: segments use the index's analyzer") {
+    import spark.implicits._
+    val (cat, _) = freshCat("anseg")
+    cat.createTable("t", schema, Seq("k"))
+    cat.bulkLoad("t",
+      (0L until 500L).map(i => (i, s"s${i % 3}", s"the readers joined group$i"))
+        .toDF("k", "seg", "body"), partitions = 4)
+    cat.createIndex("t", "aft", "fulltext", Seq("body"), analyzer = "english")
+    assert(cat.indexAnalyzer("t", "aft") == "english")
+
+    // base build: stopwords absent, suffixes stemmed
+    val view0 = cat.indexData("t", "aft", "fulltext")
+    assert(view0.filter($"term" === "the").count() == 0)
+    assert(view0.filter($"term" === "readers").count() == 0)
+    assert(view0.filter($"term" === "reader").count() == 500)
+    assert(view0.filter($"term" === "join").count() == 500)
+
+    // CDC merge: the segment must be built with the SAME analyzer —
+    // "sparking" arrives only via stemming, "the" must not appear
+    cat.incrementalMerge("t",
+      Seq((5L, "sX", "the sparking engines"), (9001L, "sX", "sparks fly"))
+        .toDF("k", "seg", "body"))
+    assert(cat.indexStatus("t", "aft", "fulltext") == "FRESH")
+    val view = cat.indexData("t", "aft", "fulltext")
+    assert(view.filter($"term" === "the").count() == 0)
+    assert(view.filter($"term" === "spark").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(5L, 9001L))
+    // doc 5's pre-merge analyzed terms are masked
+    assert(view.filter($"term" === "reader" && $"doc_id" === 5L).count() == 0)
+
+    // segmented view == analyzed rebuild of the live table (postings
+    // AND the delta-folded dictionary)
+    val rebuilt = FullText.buildPostings(cat.table("t").df, "k", "body",
+      analyzer = "english")
+    assert(sortedRows(view) == sortedRows(rebuilt))
+    val dictView = cat.indexDictionary("t", "aft", "fulltext")
+      .select($"term", $"df".cast("long"))
+    val dictRebuild = FullText.buildDictionary(rebuilt)
+      .select($"term", $"df".cast("long"))
+    assert(sortedRows(dictView) == sortedRows(dictRebuild))
+
+    // analyzed search end-to-end: morphological variants match, a
+    // stopword query term imposes no constraint
+    val hits = FullText.searchAllAnalyzed(cat.table("t").df, "k", view,
+        Seq("the", "sparks"), "english")
+      .select($"k").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(5L, 9001L))
+    // refresh_index rebuilds with the analyzer too
+    cat.refreshIndex("t", "aft", "fulltext")
+    assert(sortedRows(cat.indexData("t", "aft", "fulltext")) ==
+      sortedRows(rebuilt))
+  }
+
   test("multi-segment stack: re-updating a doc across merges keeps last-writer-wins") {
     import spark.implicits._
     val (cat, _) = freshCat("segstack")
