@@ -471,7 +471,14 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     // simply don't anti-join away anything
     val merged = KvTable(touchedDf, pk)
       .upsert(patch.select(tableCols.map(org.apache.spark.sql.functions.col): _*))
-    writeData(name, merged.df, nextDir.toString)
+    // explicit partition count = touched-file count: the rewrite
+    // replaces exactly those files, so sizing output files to match
+    // preserves file granularity at any scale AND skips
+    // repartitionByRange's sampling pass — which would execute the
+    // whole upsert plan (touched-file scan + anti-join + union) a
+    // second time just to pick ranges
+    writeData(name, merged.df, nextDir.toString,
+      partitions = math.max(1, touched.size))
     val newEntries = scanRanges(nextDir, keyCol)
     // carry untouched files into the new snapshot without touching data
     untouched.foreach(e => linkOrCopy(curDir.resolve(e.file), nextDir.resolve(e.file)))
@@ -942,15 +949,37 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           // segment MUST use the index's own analyzer or it would mix
           // stemmed and unstemmed terms into one view.
           val an = indexAnalyzer(name, iname)
+          val ts = schemaOf(name)
+          val rkType = ts(rk).dataType
+          // bounded patches (the CDC contract — unbounded writes take
+          // the bulk path) build all four artifacts ON THE DRIVER with
+          // the same static kernels the Spark expressions call
+          // (DriverSegment — the reference's synchronous per-Put
+          // maintenance shape): four tiny Spark write actions would
+          // cost ~10 scheduler round-trips for microseconds of CPU.
+          val maxDriver = spark.conf
+            .getOption("spark.graft.index.driverSegmentMaxRows")
+            .map(_.toInt).getOrElse(10000)
+          val probe: Array[Row] =
+            if (DriverSegment.supports(rkType, ts(c).dataType))
+              patchRows.select(col(rk), col(c)).limit(maxDriver + 1).collect()
+            else Array.empty
+          if (probe.nonEmpty && probe.length <= maxDriver) {
+            val pre = preRows.select(col(rk), col(c)).collect()
+            DriverSegment.writeFulltext(dir, next, probe, pre, an, rkType)
+          } else {
           val segPos =
             graft.index.FullText.buildPositional(patchRows, rk, c, an).cache()
           val segPost = graft.index.FullText.postingsFromPositional(segPos)
           try {
+            // patch-sized frames, ONE sorted file per segment (the
+            // Lucene segment shape): an explicit single partition
+            // skips repartitionByRange's range-sampling job per write
             KvLayout.writeSorted(segPos, Seq("term"),
-              dir.resolve(s"posseg_v$next").toString)
+              dir.resolve(s"posseg_v$next").toString, partitions = 1)
             KvLayout.writeSorted(segPost, Seq("term"),
-              dir.resolve(s"seg_v$next").toString)
-            patchRows.select(col(rk).as("rk")).distinct()
+              dir.resolve(s"seg_v$next").toString, partitions = 1)
+            patchRows.select(col(rk).as("rk")).distinct().coalesce(1)
               .write.mode("overwrite").parquet(dir.resolve(s"tomb_v$next").toString)
             // df delta: +1 per term newly in a patched doc, -1 per term
             // that was in its pre-image — the dictionary view folds
@@ -961,9 +990,10 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
                 graft.index.FullText.buildPostings(preRows, rk, c, an))
               .select(col("term"), (-col("df")).cast("long").as("ddf"))
             add.unionByName(remove).groupBy("term").agg(sum("ddf").as("ddf"))
-              .filter(col("ddf") =!= 0L)
+              .filter(col("ddf") =!= 0L).coalesce(1)
               .write.mode("overwrite").parquet(dir.resolve(s"dictdelta_v$next").toString)
           } finally { segPos.unpersist(); () }
+          }
         case "BITMAP" =>
           graft.index.BitmapIndex.build(patchRows, rk, c)
             .write.mode("overwrite").parquet(dir.resolve(s"seg_v$next").toString)
@@ -983,11 +1013,14 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           // maintenance; compact_index re-trains) — cost ∝ patch ×
           // (|centroids| + m·k), never a corpus re-fit
           val (cent, vmeta) = vectorArtifacts(dir, next)
+          // one file per patch segment, same bounded-patch reasoning
+          // as the fulltext branch
           KvLayout.writeSorted(
             graft.similarity.VectorIndex.encodeEntries(
               patchRows, rk, c, cent, vmeta),
-            Seq("cluster"), dir.resolve(s"seg_v$next").toString)
-          patchRows.select(col(rk).as("rk")).distinct()
+            Seq("cluster"), dir.resolve(s"seg_v$next").toString,
+            partitions = 1)
+          patchRows.select(col(rk).as("rk")).distinct().coalesce(1)
             .write.mode("overwrite").parquet(dir.resolve(s"tomb_v$next").toString)
         case _ => ()
       }

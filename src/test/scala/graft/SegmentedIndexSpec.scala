@@ -160,6 +160,43 @@ class SegmentedIndexSpec extends AnyFunSuite {
       sortedRows(rebuilt))
   }
 
+  test("driver-built segments are row-identical to Spark-built ones") {
+    import spark.implicits._
+    // same table + same merge through both build paths: the driver
+    // fast path (bounded patch, default) and the Spark path (forced
+    // via driverSegmentMaxRows=0) must produce identical postings,
+    // positional, dictionary and search views
+    def run(tag: String, forceSpark: Boolean): (Seq[String], Seq[String], Seq[String]) = {
+      val (cat, _) = freshCat(tag)
+      cat.createTable("t", schema, Seq("k"))
+      cat.bulkLoad("t",
+        (0L until 300L).map(i => (i, s"s${i % 3}", s"the readers joined group$i"))
+          .toDF("k", "seg", "body"), partitions = 2)
+      cat.createIndex("t", "ft", "fulltext", Seq("body"), analyzer = "english")
+      val old = spark.conf.getOption("spark.graft.index.driverSegmentMaxRows")
+      if (forceSpark) spark.conf.set("spark.graft.index.driverSegmentMaxRows", "0")
+      try
+        cat.incrementalMerge("t",
+          Seq((5L, "sX", "the sparking engines"), (9001L, "sX", "sparks fly"))
+            .toDF("k", "seg", "body"))
+      finally {
+        if (forceSpark) old match {
+          case Some(v) => spark.conf.set("spark.graft.index.driverSegmentMaxRows", v)
+          case None => spark.conf.unset("spark.graft.index.driverSegmentMaxRows")
+        }
+      }
+      (sortedRows(cat.indexData("t", "ft", "fulltext")),
+        sortedRows(cat.indexPositional("t", "ft", "fulltext")),
+        sortedRows(cat.indexDictionary("t", "ft", "fulltext")
+          .select($"term", $"df".cast("long"))))
+    }
+    val (p1, pos1, d1) = run("drvseg", forceSpark = false)
+    val (p2, pos2, d2) = run("spkseg", forceSpark = true)
+    assert(p1 == p2, "postings views diverge between build paths")
+    assert(pos1 == pos2, "positional views diverge between build paths")
+    assert(d1 == d2, "dictionary views diverge between build paths")
+  }
+
   test("multi-segment stack: re-updating a doc across merges keeps last-writer-wins") {
     import spark.implicits._
     val (cat, _) = freshCat("segstack")
