@@ -430,6 +430,15 @@ private[kv] object DriverRead {
           case other => throw new IllegalArgumentException(
             s"${f.name}: date column backed by unexpected parquet type $other")
         }
+      // ANSI intervals (reference HBaseTable.kt:253-296 declares
+      // INTERVAL-family codecs): Spark stores YearMonthIntervalType
+      // as INT32 months and DayTimeIntervalType as INT64 micros with
+      // no logical annotation; Row values surface as java.time types
+      // exactly like the Spark read path
+      case (_: YearMonthIntervalType, PrimitiveTypeName.INT32) =>
+        java.time.Period.ofMonths(g.getInteger(idx, 0)).normalized()
+      case (_: DayTimeIntervalType, PrimitiveTypeName.INT64) =>
+        java.time.Duration.of(g.getLong(idx, 0), java.time.temporal.ChronoUnit.MICROS)
       case (TimestampType, ptn) =>
         val micros: Long = (logical, ptn) match {
           case (ts: TimestampLogicalTypeAnnotation, PrimitiveTypeName.INT64) =>

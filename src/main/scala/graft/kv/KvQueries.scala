@@ -250,15 +250,23 @@ object KvQueries {
       val wh = Files.tempWarehouse()
       val cat = new Catalog(s, wh)
       if (cat.tableExists("kv_demo")) cat.dropTable("kv_demo")
+      // schema exercises the ANSI interval family (reference
+      // HBaseTable.kt:253-296 declares INTERVAL codecs): YearMonth
+      // rides parquet as INT32 months, DayTime as INT64 micros
       cat.createTable("kv_demo",
         StructType(Seq(
           StructField("k", LongType, false),
           StructField("v", StringType, true),
-          StructField("score", DoubleType, true))),
+          StructField("score", DoubleType, true),
+          StructField("retention", YearMonthIntervalType(), true),
+          StructField("ttl", DayTimeIntervalType(), true))),
         primaryKey = Seq("k"))
       cat.bulkLoad("kv_demo",
-        s.createDataFrame(Seq((1L, "a", 0.5), (2L, "b", 1.5), (3L, "c", 2.5)))
-          .toDF("k", "v", "score"))
+        s.createDataFrame(Seq(
+          (1L, "a", 0.5, java.time.Period.ofMonths(14), java.time.Duration.ofSeconds(30)),
+          (2L, "b", 1.5, java.time.Period.ofYears(1), java.time.Duration.ofHours(2)),
+          (3L, "c", 2.5, java.time.Period.ofMonths(3), java.time.Duration.ofMillis(1500))))
+          .toDF("k", "v", "score", "retention", "ttl"))
       val loaded = cat.table("kv_demo").pointGet(2L)
         .select($"k".cast("string").as("column_name"), lit("POINT_GET").as("datatype"))
       // dump column.sys + table.sys metadata + prove the round-trip read

@@ -304,6 +304,40 @@ class DriverGetSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 99.0)
   }
 
+  test("ANSI interval columns round-trip through the catalog and the driver get") {
+    val cat = freshCat("ivl")
+    if (cat.tableExists("ivl")) cat.dropTable("ivl")
+    cat.createTable("ivl", StructType(Seq(
+      StructField("k", LongType, false),
+      StructField("retention", YearMonthIntervalType(), true),
+      StructField("ttl", DayTimeIntervalType(), true))), Seq("k"))
+    import TestSpark.spark.implicits._
+    cat.bulkLoad("ivl", Seq(
+      (1L, java.time.Period.ofMonths(14), java.time.Duration.ofSeconds(3725)),
+      (2L, java.time.Period.ofYears(2), java.time.Duration.ofMillis(1500)),
+      (3L, null, null))
+      .toDF("k", "retention", "ttl"))
+    // Spark path round-trip
+    val viaSpark = cat.table("ivl").df.orderBy(col("k")).collect()
+    assert(viaSpark(0).get(1) == java.time.Period.of(1, 2, 0))
+    assert(viaSpark(0).get(2) == java.time.Duration.ofSeconds(3725))
+    assert(viaSpark(1).get(1) == java.time.Period.ofYears(2))
+    assert(viaSpark(2).isNullAt(1) && viaSpark(2).isNullAt(2))
+    // driver serving path decodes the same java.time values
+    val r1 = cat.driverPointGet("ivl", 1L).head
+    assert(r1.get(1) == java.time.Period.of(1, 2, 0))
+    assert(r1.get(2) == java.time.Duration.ofSeconds(3725))
+    val r3 = cat.driverPointGet("ivl", 3L).head
+    assert(r3.isNullAt(1) && r3.isNullAt(2))
+    // CDC merge keeps interval columns intact through the COW rewrite
+    cat.incrementalMerge("ivl", Seq(
+      (2L, java.time.Period.ofMonths(7), java.time.Duration.ofMinutes(5)))
+      .toDF("k", "retention", "ttl"))
+    val r2 = cat.driverPointGet("ivl", 2L).head
+    assert(r2.get(1) == java.time.Period.ofMonths(7))
+    assert(r2.get(2) == java.time.Duration.ofMinutes(5))
+  }
+
   test("non-integral keys on integral columns fail loudly, never truncate") {
     val cat = freshCat("frac")
     loadOrders(cat, "ords")
