@@ -1,0 +1,159 @@
+package graft.kv
+
+import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.net.{ServerSocket, Socket}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicBoolean
+
+/** Lease-based coordination-service locking — the [[LockProvider]]
+  * implementation the reference gets from Redis
+  * (RedisLockFactory.kt:16-30 / RedisLock.kt: a distributed lock with
+  * TTL expiry, renewed by the holder, chosen by configuration). The
+  * design is the standard public lease-lock recipe (a Redis
+  * SET-NX-with-TTL / ZooKeeper-ephemeral analog): a grant carries a
+  * lease; the holder heartbeats renewals; a holder that DIES stops
+  * renewing and its lease expires, so the next waiter proceeds — the
+  * crash-recovery story pid-liveness cannot provide across hosts, and
+  * the mutual-exclusion story no file protocol can provide on an
+  * object store without atomic create.
+  *
+  * [[LeaseLockServer]] is the minimal in-repo coordination service
+  * (single authority, line-oriented TCP, three verbs) that proves the
+  * seam end-to-end in ConcurrencySpec's two-JVM tests; a production
+  * deployment swaps it for its real service behind the same
+  * [[LeaseLockProvider]] wire calls.
+  *
+  * Protocol (one request per connection, one line each way):
+  *   ACQUIRE <resource> <owner> <leaseMs>  -> OK | BUSY <remainMs>
+  *   RENEW   <resource> <owner> <leaseMs>  -> OK | GONE
+  *   RELEASE <resource> <owner>            -> OK | GONE
+  * ACQUIRE is granted when the resource is free, its lease has
+  * expired, or the same owner re-acquires (renewal semantics).
+  */
+final class LeaseLockServer(port: Int = 0) {
+  private case class Lease(owner: String, expiresAt: Long)
+  private val leases = new ConcurrentHashMap[String, Lease]()
+  private val running = new AtomicBoolean(false)
+  private var server: ServerSocket = _
+
+  def boundPort: Int = server.getLocalPort
+
+  def start(): LeaseLockServer = {
+    server = new ServerSocket(port)
+    running.set(true)
+    val t = new Thread(() => {
+      while (running.get()) {
+        try {
+          val sock = server.accept()
+          val h = new Thread(() => handle(sock))
+          h.setDaemon(true)
+          h.start()
+        } catch { case _: Exception => () } // socket closed on stop
+      }
+    }, "graft-lease-lock-server")
+    t.setDaemon(true)
+    t.start()
+    this
+  }
+
+  def stop(): Unit = {
+    running.set(false)
+    if (server != null) server.close()
+  }
+
+  private def handle(sock: Socket): Unit = {
+    try {
+      val in = new BufferedReader(new InputStreamReader(sock.getInputStream))
+      val out = new PrintWriter(sock.getOutputStream, true)
+      val line = in.readLine()
+      if (line != null) out.println(respond(line.trim))
+    } catch { case _: Exception => () }
+    finally sock.close()
+  }
+
+  /** All grant/renew/release decisions serialize on one monitor —
+    * resources number in the dozens and requests are a handful of
+    * map operations; a single authority is the point of the design. */
+  private def respond(line: String): String = synchronized {
+    val now = System.currentTimeMillis()
+    line.split("\\s+").toSeq match {
+      case Seq("ACQUIRE", res, owner, leaseMs) =>
+        val cur = leases.get(res)
+        if (cur == null || cur.expiresAt <= now || cur.owner == owner) {
+          leases.put(res, Lease(owner, now + leaseMs.toLong))
+          "OK"
+        } else s"BUSY ${cur.expiresAt - now}"
+      case Seq("RENEW", res, owner, leaseMs) =>
+        val cur = leases.get(res)
+        if (cur != null && cur.owner == owner && cur.expiresAt > now) {
+          leases.put(res, Lease(owner, now + leaseMs.toLong))
+          "OK"
+        } else "GONE"
+      case Seq("RELEASE", res, owner) =>
+        val cur = leases.get(res)
+        if (cur != null && cur.owner == owner) { leases.remove(res); "OK" }
+        else "GONE"
+      case _ => "ERR"
+    }
+  }
+}
+
+/** [[LockProvider]] over a [[LeaseLockServer]] (or any service
+  * speaking its three verbs). Each acquisition heartbeats a renewal
+  * every leaseMs/3 from a daemon thread; release stops the heartbeat
+  * and frees the lease. A heartbeat that finds its lease GONE (the
+  * holder was paused past its lease and someone else took over) sets
+  * `lost` on the handle and stops renewing — the safe direction:
+  * stop claiming ownership the service no longer recognizes. */
+final class LeaseLockProvider(host: String, port: Int,
+                              leaseMs: Long = 10000L) extends LockProvider {
+
+  private def call(req: String): String = {
+    val sock = new Socket(host, port)
+    try {
+      sock.setSoTimeout(5000)
+      val out = new PrintWriter(sock.getOutputStream, true)
+      val in = new BufferedReader(new InputStreamReader(sock.getInputStream))
+      out.println(req)
+      val resp = in.readLine()
+      if (resp == null) "ERR" else resp
+    } finally sock.close()
+  }
+
+  override def acquire(resource: String, timeoutMs: Long): LockProvider.Handle = {
+    val owner = s"${ProcessHandle.current().pid()}-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var granted = false
+    while (!granted) {
+      call(s"ACQUIRE $resource $owner $leaseMs") match {
+        case "OK" => granted = true
+        case busy =>
+          if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"write lock on $resource held past ${timeoutMs}ms ($busy)")
+          Thread.sleep(math.min(100L, math.max(leaseMs / 10, 10L)))
+      }
+    }
+    val released = new AtomicBoolean(false)
+    val lost = new AtomicBoolean(false)
+    val hb = new Thread(() => {
+      while (!released.get() && !lost.get()) {
+        Thread.sleep(math.max(leaseMs / 3, 10L))
+        if (!released.get()) {
+          val r = try call(s"RENEW $resource $owner $leaseMs")
+            catch { case _: Exception => "ERR" } // transient — retry next beat
+          if (r == "GONE") lost.set(true)
+        }
+      }
+    }, s"graft-lease-heartbeat-$resource")
+    hb.setDaemon(true)
+    hb.start()
+    () => {
+      if (released.compareAndSet(false, true)) {
+        try { call(s"RELEASE $resource $owner"); () }
+        catch { case _: Exception => () } // lease will expire on its own
+      }
+    }
+  }
+}

@@ -20,13 +20,15 @@ import java.nio.file.{Files, Path}
   * Object-store caveat: on a store WITHOUT an atomic
   * create-if-absent primitive (plain S3 before conditional writes),
   * NO file-based protocol can provide mutual exclusion — two writers
-  * can both "create" the lock and both win. Sharing a warehouse there
-  * requires a provider backed by a real coordination service (the
-  * reference's Redis lock; a DynamoDB conditional put, the pattern
-  * Delta's S3 LogStore documents; ZooKeeper/etcd leases). This trait
-  * is exactly that seam: implement `acquire` against the service and
-  * hand the provider to [[Catalog]] — every table write lock,
-  * transaction commit and DDL lock resolves through it.
+  * can both "create" the lock and both win. Sharing a warehouse there:
+  * swap in [[LeaseLockProvider]] (LeaseLock.scala) — the lease-based
+  * coordination-service provider (the reference's Redis lock analog;
+  * same recipe as a DynamoDB conditional put or ZooKeeper/etcd
+  * leases), with crash recovery by lease expiry instead of
+  * pid-liveness, proven across real process boundaries in
+  * ConcurrencySpec's two-JVM tests. This trait is exactly that seam:
+  * every table write lock, transaction commit and DDL lock resolves
+  * through whichever provider [[Catalog]] is handed.
   */
 trait LockProvider {
   /** Block until the named resource's lock is held, or fail after

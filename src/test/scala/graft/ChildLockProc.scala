@@ -22,11 +22,21 @@ import java.nio.file.{Files, Paths}
   *    journal AND a dead-owner lock for the parent to recover.
   */
 object ChildLockProc {
-  def main(args: Array[String]): Unit = {
+  def main(args0: Array[String]): Unit = {
+    // optional trailing "--lease=<port>:<leaseMs>" switches the child
+    // onto the lease provider against the parent's LeaseLockServer —
+    // the same modes then exercise lease expiry instead of
+    // pid-liveness as the stale-break mechanism
+    val (leaseSpec, args) = args0.partition(_.startsWith("--lease="))
     val mode = args(0)
     val wh = args(1)
     val table = args(2)
-    val provider = new FsLockProvider(r => Paths.get(wh, r))
+    val provider: graft.kv.LockProvider = leaseSpec.headOption match {
+      case Some(spec) =>
+        val Array(port, lease) = spec.stripPrefix("--lease=").split(":")
+        new graft.kv.LeaseLockProvider("127.0.0.1", port.toInt, lease.toLong)
+      case None => new FsLockProvider(r => Paths.get(wh, r))
+    }
     mode match {
       case "acquire-hold" =>
         val h = provider.acquire(table, 30000)

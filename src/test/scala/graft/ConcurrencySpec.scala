@@ -370,6 +370,85 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(cat.dataVersionOf("a") == v)
   }
 
+  // ---- Lease-based coordination-service locking ---------------------
+  // The reference's Redis DDL lock (RedisLockFactory.kt:16-30): a
+  // central lease service instead of lock files — the provider that
+  // makes multi-process writers safe on object stores without atomic
+  // create, with crash recovery by LEASE EXPIRY instead of
+  // pid-liveness. Same two-JVM harness as the FsLockProvider tests.
+
+  test("lease: a live holder in another JVM excludes this one; release unblocks") {
+    val server = new graft.kv.LeaseLockServer().start()
+    try {
+      val cat = freshCat("lease_hold")
+      cat.createTable("t", kv, Seq("k"))
+      val provider = new graft.kv.LeaseLockProvider(
+        "127.0.0.1", server.boundPort, leaseMs = 5000)
+      val child = spawnChild("acquire-hold", cat.warehouse, "t",
+        s"--lease=${server.boundPort}:5000")
+      try {
+        // the child heartbeats its lease — this JVM must time out, the
+        // lease must NOT expire out from under a live holder
+        intercept[IllegalStateException] { provider.acquire("t", 2000) }
+        child.getOutputStream.close()
+        assert(child.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+        provider.acquire("t", 10000).release()
+      } finally { child.destroyForcibly(); () }
+    } finally server.stop()
+  }
+
+  test("lease: a dead owner's lease expires; the next writer proceeds") {
+    val server = new graft.kv.LeaseLockServer().start()
+    try {
+      val cat = freshCat("lease_die")
+      cat.createTable("t", kv, Seq("k"))
+      val provider = new graft.kv.LeaseLockProvider(
+        "127.0.0.1", server.boundPort, leaseMs = 1500)
+      // child takes the lease then halts WITHOUT releasing — no
+      // heartbeats follow, so the lease expires on its own; no process
+      // table consulted (works across hosts, unlike pid-liveness)
+      val child = spawnChild("acquire-die", cat.warehouse, "t",
+        s"--lease=${server.boundPort}:1500")
+      assert(child.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+      val t0 = System.nanoTime()
+      provider.acquire("t", 15000).release()
+      val waited = (System.nanoTime() - t0) / 1e9
+      assert(waited < 15, s"lease never expired (waited ${waited}s)")
+    } finally server.stop()
+  }
+
+  test("lease: a committer that crashed mid-commit is healed under the lease lock") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val server = new graft.kv.LeaseLockServer().start()
+    try {
+      val provider = new graft.kv.LeaseLockProvider(
+        "127.0.0.1", server.boundPort, leaseMs = 1500)
+      val wh = Files.createTempDirectory("graft_lease_crash_wh").toString
+      // EVERY lock of this catalog resolves through the lease service
+      val cat = new Catalog(spark, wh, Some(provider))
+      cat.createTable("a", kv, Seq("k"))
+      cat.createTable("b", kv, Seq("k"))
+      load(cat, "a", Seq(1L -> "pre"))
+      load(cat, "b", Seq(1L -> "pre"))
+      cat.transaction { txn =>
+        txn.updateWhere("a", col("k") === 1L, "v", lit("post"))
+        txn.updateWhere("b", col("k") === 1L, "v", lit("post"))
+      }
+      val v = cat.dataVersionOf("a")
+      // child reconstructs the mid-commit crash HOLDING b's lease,
+      // then halts: recovery needs lease expiry + the in-lock heal
+      val child = spawnChild("crash-commit", wh, "b", "a", v.toString,
+        s"--lease=${server.boundPort}:1500")
+      assert(child.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+      import spark.implicits._
+      cat.incrementalMerge("b", Seq(9L -> "merged").toDF("k", "v"))
+      assert(cat.dataVersionOf("b") == v + 1)
+      assert(cat.table("b").pointGet(1L).head().getAs[String]("v") == "post",
+        "the crashed transaction's committed write was lost")
+      assert(cat.table("b").pointGet(9L).count() == 1)
+    } finally server.stop()
+  }
+
   test("row-level delete of every row publishes an empty snapshot through each path") {
     val wh = Files.createTempDirectory("graft_delall_wh").toString
     spark.conf.set("spark.sql.catalog.gdel",
