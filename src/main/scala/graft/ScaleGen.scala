@@ -76,8 +76,10 @@ object ScaleGen {
     val vB = baseOf(embs, "vec_id")
     // the planted-dup overlays in the dedup queries add +1e6 to ids;
     // scaled ids must stay below that or planted copies collide
-    require(dB * copies < 1000000L, s"doc_id base $dB x $copies crosses 1e6")
-    require(vB * copies < 1000000L, s"vec_id base $vB x $copies crosses 1e6")
+    require(dB * copies < Tables.PlantedIdBase,
+      s"doc_id base $dB x $copies crosses the planted-id boundary")
+    require(vB * copies < Tables.PlantedIdBase,
+      s"vec_id base $vB x $copies crosses the planted-id boundary")
 
     /** Cross the table with replica indexes 0..copies-1 and apply the
       * per-replica column rewrites (cols keeps source order). */

@@ -10,6 +10,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pushdown (reference: HBaseProjectableFilterableTable.kt:16).
   */
 object Tables {
+  /** Planted-row id boundary, defined ONCE for every consumer: the
+    * dedup/similarity queries plant deterministic duplicate overlays
+    * at id + PlantedIdBase (so ids ≥ this are synthetic copies, ids
+    * below it are real corpus), ScaleGen guards that scaled-up real
+    * ids never cross it, and index-backed searches scope themselves
+    * to the real corpus with `< PlantedIdBase`. Moving it anywhere
+    * moves it everywhere — that is the point. */
+  val PlantedIdBase: Long = 1000000L
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   *
   * The driver's corpus has no duplicate documents, so dup-finding
   * queries run against the corpus plus a deterministic planted-dup
-  * overlay (copies of low-id docs, id+1000000, some with a trailing
+  * overlay (copies of low-id docs, id+Tables.PlantedIdBase, some with a trailing
   * token appended). The DuckDB oracle replicates the same overlay, so
   * the expected answer is exactly the planted pairs — a real
   * ground-truth check of recall AND precision.
@@ -21,33 +21,33 @@ object DedupQueries {
   private def plantedDocs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val exactCopies = docs.filter(col("doc_id") < 10)
-      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("doc_id", col("doc_id") + Tables.PlantedIdBase)
     val nearCopies = docs.filter(col("doc_id") >= 10 && col("doc_id") < 20)
-      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("doc_id", col("doc_id") + Tables.PlantedIdBase)
       .withColumn("text", concat(col("text"), lit(" graftdup")))
     docs.unionByName(exactCopies).unionByName(nearCopies)
   }
 
   private val plantedDocsSql =
-    """SELECT * FROM documents
+    s"""SELECT * FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+      |  SELECT doc_id + ${Tables.PlantedIdBase} AS doc_id, text, lang, source, n_chars
       |  FROM documents WHERE doc_id < 10
       |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id, text || ' graftdup' AS text, lang, source, n_chars
+      |  SELECT doc_id + ${Tables.PlantedIdBase} AS doc_id, text || ' graftdup' AS text, lang, source, n_chars
       |  FROM documents WHERE doc_id >= 10 AND doc_id < 20""".stripMargin
 
   /** embeddings ∪ exact vector copies of vec_id<5 (ids +1e6). */
   private def plantedEmbs(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     e.unionByName(e.filter(col("vec_id") < 5)
-      .withColumn("vec_id", col("vec_id") + 1000000L))
+      .withColumn("vec_id", col("vec_id") + Tables.PlantedIdBase))
   }
 
   private val plantedEmbsSql =
-    """SELECT * FROM embeddings
+    s"""SELECT * FROM embeddings
       |  UNION ALL
-      |  SELECT vec_id + 1000000 AS vec_id, embedding, label
+      |  SELECT vec_id + ${Tables.PlantedIdBase} AS vec_id, embedding, label
       |  FROM embeddings WHERE vec_id < 5""".stripMargin
 
   /** The LSH candidate-pair set is an index-like artifact (built once,
@@ -82,7 +82,7 @@ object DedupQueries {
       cat.bulkLoad("emb", e, partitions = 2)
       cat.createIndex("emb", "ann", "vector", Seq("embedding"))
       cat.incrementalMerge("emb", e.filter(col("vec_id") < 5)
-        .withColumn("vec_id", col("vec_id") + 1000000L))
+        .withColumn("vec_id", col("vec_id") + Tables.PlantedIdBase))
       val (view, cent, meta) = cat.vectorIndexView("emb", "ann")
       (view.cache(), cent.cache(), meta)
     }
@@ -363,11 +363,11 @@ object DedupQueries {
       // are seed-dependent, so no SQL oracle; RecallGateSpec pins
       // recall >= 0.9 per flavor on the same frames.
       val e = plantedEmbs(s, d)
-      val probes = e.filter($"vec_id" >= 1000000L)
+      val probes = e.filter($"vec_id" >= Tables.PlantedIdBase)
       // denominator is the PLANTED set, not the rows a flavor returned
       // — a flavor that drops a query entirely must lose recall for it
       def recallRow(flavor: String, res: DataFrame): DataFrame = {
-        val hits = res.filter($"nn" === $"qid" - 1000000L)
+        val hits = res.filter($"nn" === $"qid" - Tables.PlantedIdBase)
           .select($"qid").distinct().withColumn("hit", lit(1))
         probes.select($"vec_id".as("qid"))
           .join(hits, Seq("qid"), "left")
@@ -437,7 +437,7 @@ object DedupQueries {
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ROUND(list_cosine_similarity(a.embedding, b.embedding), 3) AS sim
          |FROM corpus a JOIN corpus b
-         |  ON a.vec_id < b.vec_id AND b.vec_id >= 1000000
+         |  ON a.vec_id < b.vec_id AND b.vec_id >= ${Tables.PlantedIdBase}
          |WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 3) >= 0.95
          |ORDER BY id_a, id_b""".stripMargin,
 

@@ -155,6 +155,44 @@ object FullText {
     semiJoinDocs(docs, idCol, matched.select("doc_id").distinct())
   }
 
+  /** Phrase search through an analyzer — the positional counterpart
+    * of [[searchAllAnalyzed]]. Without this, a phrase query against
+    * an `english` index silently returns nothing: the index terms are
+    * stemmed/stopword-filtered while [[searchPhrase]]'s query terms
+    * are only lowercased, so they can never match.
+    *
+    * Lucene's analyzed-phrase contract, replicated exactly: query
+    * stopwords are dropped but KEEP their position increment (the
+    * StopFilter behavior [[buildPositional]] applies on the index
+    * side), so surviving term with original offset o must sit at
+    * pos_first + (o − o_first) — "jumped over the dog" matches a doc
+    * indexed as jump@i … dog@i+3 with a hole at i+2. */
+  def searchPhraseAnalyzed(docs: DataFrame, idCol: String, positional: DataFrame,
+                           phrase: String, analyzer: String): DataFrame = {
+    require(Analyzers.contains(analyzer), s"unknown analyzer $analyzer")
+    if (analyzer == "standard")
+      return searchPhrase(docs, idCol, positional, phrase)
+    val raw = norm(phrase).split(TokenPattern).filter(_.nonEmpty).toSeq
+    require(raw.nonEmpty, "empty phrase")
+    val terms = raw.zipWithIndex
+      .filterNot { case (t, _) => StopWordsEn.contains(t) }
+      .map { case (t, off) => (graft.plans.HashOps.stemWord(t), off) }
+    require(terms.nonEmpty,
+      "every phrase term is a stopword under this analyzer")
+    val (t0, o0) = terms.head
+    val first = positional.filter(col("term") === t0)
+      .select(col("doc_id"), col("pos").as("p0"))
+    val matched = terms.drop(1).zipWithIndex.foldLeft(first) {
+      case (acc, ((t, off), i)) =>
+        val next = positional.filter(col("term") === t)
+          .select(col("doc_id"), col("pos").as(s"p${i + 1}"))
+        acc.join(next, Seq("doc_id"))
+          .filter(col(s"p${i + 1}") === col("p0") + (off - o0))
+          .select(col("doc_id"), col("p0"))
+    }
+    semiJoinDocs(docs, idCol, matched.select("doc_id").distinct())
+  }
+
   /** AND search: docs containing every query term. */
   def searchAll(docs: DataFrame, idCol: String, postings: DataFrame,
                 terms: Seq[String]): DataFrame = {

@@ -268,7 +268,7 @@ object IndexQueries {
       // the shared index also carries the sim_* planted copies
       // (rk >= 1e6) — scope the hybrid search to the real corpus
       val idx = graft.similarity.VectorIndex.ivfOf(
-        cent, view.filter($"rk" < 1000000L))
+        cent, view.filter($"rk" < Tables.PlantedIdBase))
       val vec = graft.similarity.Ann.ivfSearch(idx,
           e.filter($"vec_id" === 0), "vec_id", "embedding",
           k = 50, nprobe = 8)

@@ -398,8 +398,18 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * published). */
   private def withWriteLock[A](name: String, timeoutMs: Long = 600000L)(f: => A): A = {
     val lock = acquireWriteLock(name, timeoutMs)
-    try f finally lock.release()
+    try heldWriteLock.withValue(Some(lock))(f) finally lock.release()
   }
+
+  /** The write lock the current thread's write path holds, visible to
+    * [[publishVersion]] so the commit point can fence on
+    * [[LockProvider.Handle.ensureValid]] — a lease-based lock lost to
+    * a pause (new owner writing concurrently) must fail the publish
+    * loudly, not swap the pointer over the new owner's work.
+    * Thread-bound like the lock itself; commitTxn fences its several
+    * handles explicitly before journaling instead. */
+  private val heldWriteLock =
+    new scala.util.DynamicVariable[Option[LockProvider.Handle]](None)
 
   /** THE single-table write-path preamble, expressed once: heal
     * pending txn journals before taking the lock (a crashed
@@ -420,6 +430,13 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       f
     }
   }
+
+  /** Target rows per output file for the incremental-merge rewrite's
+    * patch-size partition floor. ~1M PK-unique rows lands in the
+    * ballpark of the 128 MB parquet file the rest of the pruning
+    * design assumes (FileRange manifests, splitByKeyIntersect's
+    * 800k-entry example). */
+  private val mergeTargetRowsPerFile: Int = 1000000
 
   /** Bare acquire — for [[commitTxn]], which holds locks on SEVERAL
     * tables at once (always acquired in sorted table order, so two
@@ -476,9 +493,16 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     // preserves file granularity at any scale AND skips
     // repartitionByRange's sampling pass — which would execute the
     // whole upsert plan (touched-file scan + anti-join + union) a
-    // second time just to pick ranges
+    // second time just to pick ranges. Floor on the patch size too:
+    // a patch dominated by brand-new keys touches few/no files
+    // (touched ≈ 0) yet still writes every patch row, and one
+    // monolithic output file would degrade granularity for every
+    // later merge; distinct patch keys ≈ merged new rows (PK
+    // semantics), so they stand in for the row estimate.
+    val patchParts =
+      ((patchKeys.length + mergeTargetRowsPerFile - 1) / mergeTargetRowsPerFile).toInt
     writeData(name, merged.df, nextDir.toString,
-      partitions = math.max(1, touched.size))
+      partitions = math.max(math.max(1, touched.size), patchParts))
     val newEntries = scanRanges(nextDir, keyCol)
     // carry untouched files into the new snapshot without touching data
     untouched.foreach(e => linkOrCopy(curDir.resolve(e.file), nextDir.resolve(e.file)))
@@ -1592,6 +1616,10 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         maintainIndexes(t, next, dir, pre = None, post = None)
         (t, next)
       }
+      // the journal is THE txn commit point (recovery rolls forward
+      // from it): fence every held lease first — a lapsed lease means
+      // another committer may already own one of these tables
+      locks.foreach(_.ensureValid())
       journal = Some(writeTxnJournal(publishes))
       publishes.foreach { case (t, next) => publishVersion(t, next) }
       // best-effort: once every pointer is bumped the transaction IS
@@ -2326,6 +2354,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * long after publish, which would otherwise shift a snapshot's
     * apparent publish time forward. */
   private def publishVersion(table: String, version: Int): Unit = {
+    // commit-point fence: prove the lock is still ours BEFORE the
+    // pointer swap (no-op for providers whose locks can't lapse)
+    heldWriteLock.value.foreach(_.ensureValid())
     val meta = readMeta(table)
     // monotonic: every caller publishes forward (bulk writes, merges,
     // txn bumps, recovery roll-forward). The only path that could ask

@@ -96,22 +96,47 @@ final class LeaseLockServer(port: Int = 0) {
       case _ => "ERR"
     }
   }
+
+  /** Test hook: force a lease's expiry into the past — simulates a
+    * holder paused beyond its lease (the next ACQUIRE wins, the old
+    * holder's next RENEW gets GONE), without real multi-second waits
+    * in specs. */
+  private[graft] def expireNow(resource: String): Unit = synchronized {
+    val cur = leases.get(resource)
+    if (cur != null) leases.put(resource, Lease(cur.owner, 0L)): Unit
+  }
 }
 
 /** [[LockProvider]] over a [[LeaseLockServer]] (or any service
   * speaking its three verbs). Each acquisition heartbeats a renewal
-  * every leaseMs/3 from a daemon thread; release stops the heartbeat
-  * and frees the lease. A heartbeat that finds its lease GONE (the
-  * holder was paused past its lease and someone else took over) sets
-  * `lost` on the handle and stops renewing — the safe direction:
-  * stop claiming ownership the service no longer recognizes. */
+  * every leaseMs/3 from a daemon thread (leaseMs/6 after a failed
+  * beat, so one transient miss doesn't burn most of a small lease);
+  * release stops the heartbeat and frees the lease.
+  *
+  * Loss surfacing: a heartbeat that finds its lease GONE (the holder
+  * was paused past its lease and someone else took over) marks the
+  * handle lost; [[LockProvider.Handle.ensureValid]] then THROWS —
+  * commit points call it so a lapsed holder fails loudly instead of
+  * double-writing concurrently with the new owner (the reference's
+  * RedisLock ensureValid contract). ensureValid also self-checks
+  * against the locally-tracked lease expiry: a holder that resumes
+  * from a pause LONGER than its lease cannot trust the last
+  * heartbeat, so it re-proves ownership with a synchronous RENEW
+  * before declaring itself valid. */
 final class LeaseLockProvider(host: String, port: Int,
                               leaseMs: Long = 10000L) extends LockProvider {
 
+  /** RPC timeouts scale with the lease: a renewal stuck for a fixed
+    * 5 s against a 1.5 s lease would consume the whole lease before
+    * the next beat. Floor keeps tiny test leases workable. */
+  private val callTimeoutMs: Int =
+    math.min(5000L, math.max(leaseMs / 5, 100L)).toInt
+
   private def call(req: String): String = {
-    val sock = new Socket(host, port)
+    val sock = new Socket()
     try {
-      sock.setSoTimeout(5000)
+      sock.connect(new java.net.InetSocketAddress(host, port), callTimeoutMs)
+      sock.setSoTimeout(callTimeoutMs)
       val out = new PrintWriter(sock.getOutputStream, true)
       val in = new BufferedReader(new InputStreamReader(sock.getInputStream))
       out.println(req)
@@ -124,10 +149,22 @@ final class LeaseLockProvider(host: String, port: Int,
     val owner = s"${ProcessHandle.current().pid()}-" +
       java.util.UUID.randomUUID().toString.take(8)
     val deadline = System.currentTimeMillis() + timeoutMs
+    // tracked lease expiry (grant/renewal time + leaseMs): the
+    // holder-side lower bound on when the service may hand the lock
+    // to someone else. Conservative — set BEFORE the RPC, so clock
+    // skew and RPC latency only make the holder doubt itself sooner.
+    val expiresAt = new java.util.concurrent.atomic.AtomicLong(0L)
     var granted = false
     while (!granted) {
-      call(s"ACQUIRE $resource $owner $leaseMs") match {
-        case "OK" => granted = true
+      val sentAt = System.currentTimeMillis()
+      // a transient connection failure (service restarting, SYN
+      // dropped) retries like BUSY until the deadline — same
+      // semantics as a BUSY response, instead of failing the acquire
+      // on the first network hiccup
+      val resp = try call(s"ACQUIRE $resource $owner $leaseMs")
+        catch { case e: Exception => s"ERR ${e.getClass.getSimpleName}" }
+      resp match {
+        case "OK" => expiresAt.set(sentAt + leaseMs); granted = true
         case busy =>
           if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
@@ -137,22 +174,45 @@ final class LeaseLockProvider(host: String, port: Int,
     }
     val released = new AtomicBoolean(false)
     val lost = new AtomicBoolean(false)
+    def renewOnce(): String = {
+      val sentAt = System.currentTimeMillis()
+      val r = try call(s"RENEW $resource $owner $leaseMs")
+        catch { case _: Exception => "ERR" } // transient — caller retries
+      if (r == "OK") expiresAt.set(sentAt + leaseMs)
+      else if (r == "GONE") lost.set(true)
+      r
+    }
     val hb = new Thread(() => {
+      var lastOk = true
       while (!released.get() && !lost.get()) {
-        Thread.sleep(math.max(leaseMs / 3, 10L))
-        if (!released.get()) {
-          val r = try call(s"RENEW $resource $owner $leaseMs")
-            catch { case _: Exception => "ERR" } // transient — retry next beat
-          if (r == "GONE") lost.set(true)
-        }
+        // after a failed beat renew at double cadence: the lease is
+        // now burning down with no confirmed renewal behind it
+        Thread.sleep(math.max(leaseMs / (if (lastOk) 3 else 6), 10L))
+        if (!released.get()) lastOk = renewOnce() == "OK"
       }
     }, s"graft-lease-heartbeat-$resource")
     hb.setDaemon(true)
     hb.start()
-    () => {
-      if (released.compareAndSet(false, true)) {
-        try { call(s"RELEASE $resource $owner"); () }
-        catch { case _: Exception => () } // lease will expire on its own
+    new LockProvider.Handle {
+      override def release(): Unit = {
+        if (released.compareAndSet(false, true)) {
+          try { call(s"RELEASE $resource $owner"); () }
+          catch { case _: Exception => () } // lease will expire on its own
+        }
+      }
+      override def ensureValid(): Unit = {
+        def fail(why: String): Nothing = throw new IllegalStateException(
+          s"lease on $resource lost by $owner ($why) — another writer may " +
+          "hold the lock; abort instead of double-writing")
+        if (released.get()) fail("already released")
+        if (lost.get()) fail("service reports lease taken over")
+        // past the locally-tracked expiry the last heartbeat proves
+        // nothing (a GC/VM pause longer than the lease) — re-prove
+        // ownership synchronously; a transient failure here cannot
+        // prove validity, so it fails too (safe direction)
+        if (System.currentTimeMillis() >= expiresAt.get()) {
+          if (renewOnce() != "OK") fail("could not re-prove lease past expiry")
+        }
       }
     }
   }

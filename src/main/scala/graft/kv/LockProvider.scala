@@ -46,6 +46,18 @@ object LockProvider {
     * while holding the lock). */
   trait Handle {
     def release(): Unit
+
+    /** Fail-loudly fencing check, called at COMMIT points (just
+      * before a version-pointer swap / transaction journal): throw if
+      * this acquisition can no longer be proven to hold the lock —
+      * the reference's RedisLock exposes ensureValid() for exactly
+      * this. Lease-based providers lose a lock silently when the
+      * holder pauses past its lease and another writer takes over;
+      * without this check the lapsed holder would double-write
+      * concurrently with the new owner. Providers whose locks cannot
+      * lapse while the process lives (file create, in-process
+      * semaphore) keep the no-op default. */
+    def ensureValid(): Unit = ()
   }
 }
 

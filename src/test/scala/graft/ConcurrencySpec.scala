@@ -449,6 +449,49 @@ class ConcurrencySpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("lease: a lapsed holder fails ensureValid loudly instead of double-writing") {
+    val server = new graft.kv.LeaseLockServer().start()
+    try {
+      val provider = new graft.kv.LeaseLockProvider(
+        "127.0.0.1", server.boundPort, leaseMs = 1500)
+      val h = provider.acquire("t", 5000)
+      h.ensureValid() // live lease: silent
+      // the holder "pauses" past its lease: the service expires it and
+      // the next writer takes over (the scenario publishVersion fences)
+      server.expireNow("t")
+      val h2 = provider.acquire("t", 5000)
+      h2.ensureValid() // the NEW owner is valid
+      // the lapsed holder's next heartbeat sees GONE; within a beat
+      // ensureValid must throw rather than let a commit proceed
+      val deadline = System.currentTimeMillis() + 5000
+      var lostSeen = false
+      while (!lostSeen && System.currentTimeMillis() < deadline) {
+        try { h.ensureValid(); Thread.sleep(50) }
+        catch { case _: IllegalStateException => lostSeen = true }
+      }
+      assert(lostSeen, "lapsed holder's ensureValid never threw")
+      h.release() // idempotent and silent even when lost
+      h2.release()
+      // a released handle can't vouch for a commit either
+      intercept[IllegalStateException] { h2.ensureValid() }
+    } finally server.stop()
+  }
+
+  test("lease: acquire retries through connection failures until its deadline") {
+    // no server listening: every ACQUIRE attempt fails to connect —
+    // that must read as BUSY-until-deadline (service restarting), not
+    // an instant ConnectException
+    val dead = new java.net.ServerSocket(0)
+    val port = dead.getLocalPort
+    dead.close()
+    val provider = new graft.kv.LeaseLockProvider("127.0.0.1", port, leaseMs = 1500)
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalStateException] { provider.acquire("t", 700) }
+    assert(e.getMessage.contains("held past"),
+      s"expected the deadline path, got: ${e.getMessage}")
+    assert((System.nanoTime() - t0) / 1e6 >= 700, "gave up before the deadline")
+  }
+
   test("row-level delete of every row publishes an empty snapshot through each path") {
     val wh = Files.createTempDirectory("graft_delall_wh").toString
     spark.conf.set("spark.sql.catalog.gdel",

@@ -160,6 +160,49 @@ class SegmentedIndexSpec extends AnyFunSuite {
       sortedRows(rebuilt))
   }
 
+  test("analyzed phrase search: stems match, stopword holes keep their position") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick fox jumped over the dog today"), // stopword holes
+      (2L, "quick foxes jumping over lazy dogs"),      // jumping→jump, dogs→dog;
+                                                       // "lazy" fills the hole
+      (3L, "quick fox over jumped lazy dog"),          // right terms, wrong order
+      (4L, "jumped over dog"),                         // missing the stopword GAP:
+                                                       // dog would sit at +2 not +3
+      (5L, "completely unrelated text")
+    ).toDF("doc_id", "body")
+    val pos = FullText.buildPositional(docs, "doc_id", "body", analyzer = "english")
+
+    // "jumped over the dog" analyzes to jump@0 over@1 _the_ dog@3: doc 1
+    // has jump/over/dog at exactly those relative offsets (hole where
+    // "the" was), doc 2 matches via stemming, doc 4 fails because its
+    // dog sits one position too early (no stopword hole)
+    val hits = FullText.searchPhraseAnalyzed(docs, "doc_id", pos,
+        "jumped over the dog", "english")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 2L))
+
+    // leading stopword: surviving offsets are RELATIVE to the first
+    // survivor, so "the quick fox" == "quick fox"
+    // (doc 2 is out: the bounded stemmer maps "foxes"→"foxe" ≠ "fox")
+    val lead = FullText.searchPhraseAnalyzed(docs, "doc_id", pos,
+        "the quick fox", "english")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lead == Set(1L, 3L))
+
+    // standard analyzer delegates to the exact positional match
+    val stdPos = FullText.buildPositional(docs, "doc_id", "body")
+    val std = FullText.searchPhraseAnalyzed(docs, "doc_id", stdPos,
+        "quick fox", "standard")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(std == Set(1L, 3L))
+
+    // an all-stopword phrase can't constrain anything — fail loudly
+    intercept[IllegalArgumentException] {
+      FullText.searchPhraseAnalyzed(docs, "doc_id", pos, "the and of", "english")
+    }
+  }
+
   test("driver-built segments are row-identical to Spark-built ones") {
     import spark.implicits._
     // same table + same merge through both build paths: the driver
