@@ -15,6 +15,7 @@ object Bench {
       // the ones Verify gates
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.timeType.enabled", "true")
       .getOrCreate()
     // ERROR, not WARN: repeated function registration across reps emits
     // hundreds of WARN lines; the driver captures a bounded stdout tail

@@ -18,6 +18,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.timeType.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // fresh output dir: a stale result from a previous run must never

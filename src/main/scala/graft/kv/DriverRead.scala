@@ -9,7 +9,7 @@ import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.LogicalTypeAnnotation
-import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotation, DecimalLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotation, DecimalLogicalTypeAnnotation, TimeLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
@@ -439,6 +439,22 @@ private[kv] object DriverRead {
         java.time.Period.ofMonths(g.getInteger(idx, 0)).normalized()
       case (_: DayTimeIntervalType, PrimitiveTypeName.INT64) =>
         java.time.Duration.of(g.getLong(idx, 0), java.time.temporal.ChronoUnit.MICROS)
+      // TIME (reference HBaseTable.kt:274 declares a TIME codec —
+      // the last enumerated reference type): Spark's TimeType rides
+      // parquet as INT64 with a TIME(MICROS) annotation; Row values
+      // surface as java.time.LocalTime like the Spark read path
+      case (_: TimeType, PrimitiveTypeName.INT64) =>
+        val nanos = logical match {
+          case t: TimeLogicalTypeAnnotation
+            if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+            Math.multiplyExact(g.getLong(idx, 0), 1000L)
+          case t: TimeLogicalTypeAnnotation
+            if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
+            g.getLong(idx, 0)
+          case other => throw new IllegalArgumentException(
+            s"${f.name}: TIME column backed by unexpected parquet annotation $other")
+        }
+        java.time.LocalTime.ofNanoOfDay(nanos)
       case (TimestampType, ptn) =>
         val micros: Long = (logical, ptn) match {
           case (ts: TimestampLogicalTypeAnnotation, PrimitiveTypeName.INT64) =>

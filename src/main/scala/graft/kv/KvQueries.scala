@@ -1,7 +1,7 @@
 package graft.kv
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -250,23 +250,35 @@ object KvQueries {
       val wh = Files.tempWarehouse()
       val cat = new Catalog(s, wh)
       if (cat.tableExists("kv_demo")) cat.dropTable("kv_demo")
+      // TIME is feature-flagged in Spark 4.1 and the flag is a
+      // runtime SQL conf — set it here so the query works under any
+      // caller-built session (driver, Verify, tests alike)
+      s.conf.set("spark.sql.timeType.enabled", "true")
       // schema exercises the ANSI interval family (reference
-      // HBaseTable.kt:253-296 declares INTERVAL codecs): YearMonth
-      // rides parquet as INT32 months, DayTime as INT64 micros
+      // HBaseTable.kt:253-296 declares INTERVAL codecs: YearMonth
+      // rides parquet as INT32 months, DayTime as INT64 micros) AND
+      // the TIME codec (HBaseTable.kt:274; INT64 TIME(MICROS),
+      // java.time.LocalTime rows) — full reference codec parity
       cat.createTable("kv_demo",
         StructType(Seq(
           StructField("k", LongType, false),
           StructField("v", StringType, true),
           StructField("score", DoubleType, true),
           StructField("retention", YearMonthIntervalType(), true),
-          StructField("ttl", DayTimeIntervalType(), true))),
+          StructField("ttl", DayTimeIntervalType(), true),
+          StructField("daily_at", TimeType(), true))),
         primaryKey = Seq("k"))
+      // Row-based load: the tuple Encoder derivation has no LocalTime
+      // member, so TIME columns load through an explicit schema
+      val demoRows = java.util.Arrays.asList(
+        Row(1L, "a", 0.5, java.time.Period.ofMonths(14),
+          java.time.Duration.ofSeconds(30), java.time.LocalTime.of(6, 30)),
+        Row(2L, "b", 1.5, java.time.Period.ofYears(1),
+          java.time.Duration.ofHours(2), java.time.LocalTime.of(23, 59, 59)),
+        Row(3L, "c", 2.5, java.time.Period.ofMonths(3),
+          java.time.Duration.ofMillis(1500), java.time.LocalTime.NOON))
       cat.bulkLoad("kv_demo",
-        s.createDataFrame(Seq(
-          (1L, "a", 0.5, java.time.Period.ofMonths(14), java.time.Duration.ofSeconds(30)),
-          (2L, "b", 1.5, java.time.Period.ofYears(1), java.time.Duration.ofHours(2)),
-          (3L, "c", 2.5, java.time.Period.ofMonths(3), java.time.Duration.ofMillis(1500))))
-          .toDF("k", "v", "score", "retention", "ttl"))
+        s.createDataFrame(demoRows, cat.schemaOf("kv_demo")))
       val loaded = cat.table("kv_demo").pointGet(2L)
         .select($"k".cast("string").as("column_name"), lit("POINT_GET").as("datatype"))
       // dump column.sys + table.sys metadata + prove the round-trip read

@@ -338,6 +338,40 @@ class DriverGetSpec extends AnyFunSuite {
     assert(r2.get(2) == java.time.Duration.ofMinutes(5))
   }
 
+  test("TIME columns round-trip through the catalog and the driver get") {
+    // the last enumerated reference codec (HBaseTable.kt:274 TIME);
+    // feature-flagged in Spark 4.1 behind a runtime SQL conf
+    TestSpark.spark.conf.set("spark.sql.timeType.enabled", "true")
+    val cat = freshCat("tim")
+    if (cat.tableExists("tim")) cat.dropTable("tim")
+    cat.createTable("tim", StructType(Seq(
+      StructField("k", LongType, false),
+      StructField("at", TimeType(), true))), Seq("k"))
+    def lt(s: String) = java.time.LocalTime.parse(s)
+    // Row-based load: tuple Encoders have no LocalTime member
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, lt("06:30:15.123456")), // sub-second micros
+      org.apache.spark.sql.Row(2L, lt("23:59:59.999999")), // day-edge
+      org.apache.spark.sql.Row(3L, null))
+    cat.bulkLoad("tim",
+      TestSpark.spark.createDataFrame(rows, cat.schemaOf("tim")))
+    // Spark path round-trip (micros precision preserved)
+    val viaSpark = cat.table("tim").df.orderBy(col("k")).collect()
+    assert(viaSpark(0).get(1) == lt("06:30:15.123456"))
+    assert(viaSpark(1).get(1) == lt("23:59:59.999999"))
+    assert(viaSpark(2).isNullAt(1))
+    // driver serving path decodes the same java.time.LocalTime values
+    assert(cat.driverPointGet("tim", 1L).head.get(1) == lt("06:30:15.123456"))
+    assert(cat.driverPointGet("tim", 2L).head.get(1) == lt("23:59:59.999999"))
+    assert(cat.driverPointGet("tim", 3L).head.isNullAt(1))
+    // CDC merge keeps TIME columns intact through the COW rewrite
+    val patch = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(2L, lt("00:00:00.000001")))
+    cat.incrementalMerge("tim",
+      TestSpark.spark.createDataFrame(patch, cat.schemaOf("tim")))
+    assert(cat.driverPointGet("tim", 2L).head.get(1) == lt("00:00:00.000001"))
+  }
+
   test("non-integral keys on integral columns fail loudly, never truncate") {
     val cat = freshCat("frac")
     loadOrders(cat, "ords")
