@@ -48,6 +48,16 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     graft.plans.HashExpressions.bpeCount(text)
 
+  /** The production shape: the same BPE kernels over a PUBLISHED
+    * merges table (graft.plans.BpeVocab.fromFile/fromLines — the
+    * standard merges.txt format) instead of the seed-trained default.
+    * Trainers ship merges files; they don't retrain from prose. */
+  def bpeTokens(text: Column, vocab: graft.plans.BpeVocab): Column =
+    graft.plans.HashExpressions.bpeTokens(text, vocab)
+
+  def bpeTokenCount(text: Column, vocab: graft.plans.BpeVocab): Column =
+    graft.plans.HashExpressions.bpeCount(text, vocab)
+
   val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
   val StopDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein")
   val StopEs: Seq[String] = Seq("el", "la", "de", "los", "es", "y")

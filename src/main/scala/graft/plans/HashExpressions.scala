@@ -155,32 +155,54 @@ case class StemExpr(child: Expression) extends UnaryExpression {
 }
 
 /** BPE subword tokens of the text — lowercase-alnum word tokens each
-  * run through the greedy merge loop over the deterministic in-repo
-  * merges table (BpeOps; Sennrich et al. 2015). Native kernel: the
+  * run through the greedy merge loop over a BPE merges table
+  * (BpeOps/BpeVocab; Sennrich et al. 2015). Native kernel: the
   * per-word merge loop would be thousands of interpreted lambda
-  * evaluations per row as a HOF pipeline. */
-case class BpeTokensExpr(child: Expression) extends UnaryExpression {
+  * evaluations per row as a HOF pipeline.
+  *
+  * `vocab=None` (the common case) encodes with the deterministic
+  * seed-trained default via a STATIC call — every JVM derives the
+  * same table, so codegen carries nothing. An explicit vocabulary (a
+  * loaded published merges file) rides the expression node as a
+  * Catalyst reference object instead — the PQ-codebook pattern:
+  * serialized once with the plan, never shuffled. */
+case class BpeTokensExpr(child: Expression,
+                         vocab: Option[BpeVocab] = None) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     KernelChecks.text(child.dataType, "graft_bpe_tokens")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    BpeOps.bpeTokens(input.asInstanceOf[UTF8String])
+    vocab.getOrElse(BpeOps.default).bpeTokens(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.BpeOps.bpeTokens($c)")
+    vocab match {
+      case None =>
+        defineCodeGen(ctx, ev, c => s"graft.plans.BpeOps.bpeTokens($c)")
+      case Some(v) =>
+        val ref = ctx.addReferenceObj("bpeVocab", v, classOf[BpeVocab].getName)
+        defineCodeGen(ctx, ev, c => s"$ref.bpeTokens($c)")
+    }
   override protected def withNewChildInternal(c: Expression): BpeTokensExpr = copy(child = c)
 }
 
 /** BPE subword token COUNT — the budget column trainers denominate
   * in. Shares encodeWord (and its word cache) with BpeTokensExpr but
-  * never materializes the subword strings. */
-case class BpeCountExpr(child: Expression) extends UnaryExpression {
+  * never materializes the subword strings. Vocabulary handling as in
+  * [[BpeTokensExpr]]. */
+case class BpeCountExpr(child: Expression,
+                        vocab: Option[BpeVocab] = None) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     KernelChecks.text(child.dataType, "graft_bpe_count")
   override def dataType: DataType = IntegerType
   override def nullSafeEval(input: Any): Any =
-    BpeOps.bpeCount(input.asInstanceOf[UTF8String])
+    vocab.getOrElse(BpeOps.default).bpeCount(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.BpeOps.bpeCount($c)")
+    vocab match {
+      case None =>
+        defineCodeGen(ctx, ev, c => s"graft.plans.BpeOps.bpeCount($c)")
+      case Some(v) =>
+        val ref = ctx.addReferenceObj("bpeVocab", v, classOf[BpeVocab].getName)
+        defineCodeGen(ctx, ev, c => s"$ref.bpeCount($c)")
+    }
   override protected def withNewChildInternal(c: Expression): BpeCountExpr = copy(child = c)
 }
 
@@ -349,4 +371,10 @@ object HashExpressions {
   def stem(c: Column): Column = column(StemExpr(expression(c)))
   def bpeTokens(c: Column): Column = column(BpeTokensExpr(expression(c)))
   def bpeCount(c: Column): Column = column(BpeCountExpr(expression(c)))
+  /** Same kernels over an explicitly loaded vocabulary (a published
+    * merges file) instead of the seed-trained default. */
+  def bpeTokens(c: Column, vocab: BpeVocab): Column =
+    column(BpeTokensExpr(expression(c), Some(vocab)))
+  def bpeCount(c: Column, vocab: BpeVocab): Column =
+    column(BpeCountExpr(expression(c), Some(vocab)))
 }

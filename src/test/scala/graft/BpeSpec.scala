@@ -111,6 +111,52 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("a published merges file loads and drives the same kernels") {
+    import graft.plans.BpeVocab
+    // the standard merges.txt shape: version header, one pair per
+    // line, rank = line order
+    val mergesFile = java.nio.file.Files.createTempFile("graft_merges", ".txt")
+    java.nio.file.Files.writeString(mergesFile,
+      """#version: 0.2
+        |t h
+        |th e
+        |i n
+        |in g
+        |a t
+        |""".stripMargin)
+    val vocab = BpeVocab.fromFile(mergesFile.toString)
+    assert(vocab.merges == Vector("t" -> "h", "th" -> "e", "i" -> "n",
+      "in" -> "g", "a" -> "t"))
+    // greedy loop under the LOADED table: "thing" = th+ing, "that" =
+    // th+at, "the" = the (rank-1 merge wins over nothing later)
+    assert(vocab.encodeWord("thing").toSeq == Seq("th", "ing"))
+    assert(vocab.encodeWord("that").toSeq == Seq("th", "at"))
+    assert(vocab.encodeWord("the").toSeq == Seq("the"))
+    // …and differs from the seed-trained default where the tables
+    // differ (the default learned "the" too, but not only these five)
+    assert(vocab.merges != BpeOps.merges)
+
+    // expression path: the vocabulary rides the expression node
+    import spark.implicits._
+    val rows = Seq("the thing at that", "nothing").toDF("text")
+      .select(graft.functions.TextFunctions.bpeTokens($"text", vocab).as("t"),
+        graft.functions.TextFunctions.bpeTokenCount($"text", vocab).as("n"))
+      .collect()
+    assert(rows(0).getSeq[String](0) ==
+      Seq("the", "th", "ing", "at", "th", "at"))
+    assert(rows(0).getInt(1) == 6)
+    assert(rows(1).getSeq[String](0) == Seq("n", "o", "th", "ing"))
+    assert(rows(1).getInt(1) == 4)
+
+    // a merges file for a different pre-tokenizer (cased/byte-level
+    // symbols) must fail loudly, not silently never fire
+    intercept[IllegalArgumentException] {
+      BpeVocab.fromLines(Seq("Ġthe n"))
+    }
+    intercept[IllegalArgumentException] { BpeVocab.fromLines(Seq("#only")) }
+    java.nio.file.Files.deleteIfExists(mergesFile): Unit
+  }
+
   test("every document's subword count nests between words and chars") {
     import spark.implicits._
     val bad = SparkEntry.queries("txt_bpe_tokens")(spark, sf)
