@@ -300,6 +300,30 @@ object DedupQueries {
         .orderBy($"qid", $"rn")
     },
 
+    "sim_filtered_ann" -> { (s, d) =>
+      import s.implicits._
+      // sim_filtered_topk's label constraint served from the catalog's
+      // PERSISTED vector index: the label composes INSIDE the IVF
+      // probe (pre-rank — top-k among label matches within the probed
+      // lists), labels joined rk-keyed from the base table so only
+      // probed candidates reach the label test and the cosine kernel.
+      // k-means lists → rows-only; FilteredAnnSpec pins the pre-rank
+      // contract and a recall floor through this exact path.
+      val e = Tables.embeddings(s, d)
+      val (view, cent, _) = vecIndex(s, d)
+      // the shared index carries the planted sim_* copies — scope to
+      // the real corpus like the exact variant's input
+      val idx = graft.similarity.VectorIndex.ivfOf(
+        cent, view.filter($"rk" < Tables.PlantedIdBase))
+      // nprobe = L × the unfiltered budget (4 labels × 4): the filter
+      // keeps ~1/L of every probed list, so holding candidate mass
+      // means probing L× more lists — still a shrinking fraction of
+      // the corpus as N grows (16/√N)
+      Ann.filteredIvfSearch(idx, e.filter($"vec_id" < 20),
+          "vec_id", "embedding", "label", e, k = 3, nprobe = 16)
+        .orderBy($"qid", $"rn")
+    },
+
     "sim_lsh_ann" -> { (s, d) =>
       import s.implicits._
       val e = plantedEmbs(s, d)
