@@ -1282,12 +1282,35 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * the Spark path, so exceeding it throws rather than truncating.
     * Rows come back in file order; callers sort. */
   def driverRangeScan(name: String, lo: Any, hi: Any,
-                      maxRows: Int = 10000): Seq[Row] = {
+                      maxRows: Int = 10000,
+                      keyCol: Option[String] = None): Seq[Row] = {
+    val pk = primaryKeyOf(name)
+    val layout = layoutOf(name)
+    val c = keyCol.getOrElse(pk.head)
+    // which columns the millisecond path can serve is a property of
+    // the LAYOUT: a sorted snapshot clusters only the leading rowkey
+    // column; a z-ordered one clusters BOTH key dimensions (that is
+    // its purpose), so a range on either is servable. Anything else
+    // would degrade to an unpruned every-file driver read — fail
+    // loudly onto the Spark scan path instead.
+    val zSecond = layout == "zorder" && pk.size == 2 && c == pk(1)
+    require(c == pk.head || zSecond,
+      s"driver range scan on '$name' (layout '$layout') serves the " +
+        s"leading rowkey column '${pk.head}'" +
+        (if (layout == "zorder" && pk.size == 2)
+          s" or the z-ordered second key '${pk(1)}'" else "") +
+        s" — not '$c'; use the Spark scan path (table(\"$name\").df)")
     val dir = tableDir(name).resolve(s"data_v${dataVersionOf(name)}")
-    val ranges = readManifestJson(dir).getOrElse(Nil)
-      .map(r => (r.file, r.lo, r.hi))
-    DriverRead.range(dir, schemaOf(name), primaryKeyOf(name).head,
-      lo, hi, maxRows, ranges)
+    // the range manifest records LEADING-column bounds; a z-second
+    // scan prunes by parquet footer stats instead, which the z-layout
+    // keeps narrow in both dimensions (ZOrderSpec pins the claim) —
+    // the per-file natural-key interval check, derived from the files
+    // themselves rather than a manifest that doesn't cover this column
+    val ranges =
+      if (c == pk.head)
+        readManifestJson(dir).getOrElse(Nil).map(r => (r.file, r.lo, r.hi))
+      else Nil
+    DriverRead.range(dir, schemaOf(name), c, lo, hi, maxRows, ranges)
   }
 
   /** Driver-side Get-by-secondary-index — the reference's getByIndex

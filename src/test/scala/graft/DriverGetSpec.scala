@@ -372,6 +372,57 @@ class DriverGetSpec extends AnyFunSuite {
     assert(cat.driverPointGet("tim", 2L).head.get(1) == lt("00:00:00.000001"))
   }
 
+  test("driver range scan serves BOTH keys of a z-ordered table; others fail typed") {
+    import TestSpark.spark.implicits._
+    val cat = freshCat("zscan")
+    if (cat.tableExists("zt")) cat.dropTable("zt")
+    cat.createTable("zt", StructType(Seq(
+      StructField("a", LongType, false),
+      StructField("b", LongType, false),
+      StructField("v", DoubleType, true))),
+      Seq("a", "b"), layout = "zorder")
+    val rnd = new scala.util.Random(11)
+    cat.bulkLoad("zt",
+      (0 until 20000).map(_ => (rnd.nextInt(1000).toLong,
+        rnd.nextInt(1000).toLong, rnd.nextDouble()))
+        .toDF("a", "b", "v"), partitions = 8)
+
+    def viaSpark(c: String, lo: Long, hi: Long): Set[(Long, Long)] =
+      cat.table("zt").df.filter(col(c) >= lo && col(c) <= hi)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def viaDriver(c: Option[String], lo: Long, hi: Long): Set[(Long, Long)] =
+      cat.driverRangeScan("zt", lo, hi, maxRows = 10000, keyCol = c)
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // leading key (manifest path) and the z-second key (footer-stats
+    // path) both agree exactly with the Spark slice
+    assert(viaDriver(None, 100L, 120L) == viaSpark("a", 100L, 120L))
+    assert(viaDriver(Some("a"), 100L, 120L) == viaSpark("a", 100L, 120L))
+    assert(viaDriver(Some("b"), 400L, 420L) == viaSpark("b", 400L, 420L))
+    // ...and through a CDC merge (the rewritten snapshot keeps serving)
+    cat.incrementalMerge("zt",
+      Seq((5000L, 410L, 9.9)).toDF("a", "b", "v"))
+    assert(viaDriver(Some("b"), 400L, 420L) == viaSpark("b", 400L, 420L))
+    assert(viaDriver(Some("b"), 400L, 420L).contains((5000L, 410L)))
+
+    // non-key columns fail with the typed onto-Spark message
+    val e1 = intercept[IllegalArgumentException] {
+      cat.driverRangeScan("zt", 0L, 1L, keyCol = Some("v"))
+    }
+    assert(e1.getMessage.contains("Spark scan path"))
+    // on a SORTED layout the second pk column is not servable either
+    val cat2 = freshCat("zscan_sorted")
+    if (cat2.tableExists("st")) cat2.dropTable("st")
+    cat2.createTable("st", StructType(Seq(
+      StructField("a", LongType, false),
+      StructField("b", LongType, false))), Seq("a", "b"))
+    cat2.bulkLoad("st", Seq((1L, 2L)).toDF("a", "b"))
+    val e2 = intercept[IllegalArgumentException] {
+      cat2.driverRangeScan("st", 0L, 1L, keyCol = Some("b"))
+    }
+    assert(e2.getMessage.contains("leading rowkey column 'a'"))
+  }
+
   test("non-integral keys on integral columns fail loudly, never truncate") {
     val cat = freshCat("frac")
     loadOrders(cat, "ords")
