@@ -109,6 +109,31 @@ class FilteredAnnSpec extends AnyFunSuite {
     println(f"[filtered-ann] recall@3 through persisted index: $recall%.3f")
   }
 
+  test("filtered probe: corpus reaches the cosine kernel only through the list join") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val (view, cent, _) = graft.dedup.DedupQueries.vecIndex(spark, sf)
+    val idx = graft.similarity.VectorIndex.ivfOf(
+      cent, view.filter($"rk" < Tables.PlantedIdBase))
+    val res = Ann.filteredIvfSearch(idx, e.filter(col("vec_id") < 20),
+      "vec_id", "embedding", "label", e, k = 3, nprobe = 16)
+    val plan = res.queryExecution.executedPlan
+    // the only condition-less join allowed is the bounded query×
+    // centroid probe; entries (nn/v) and labels must arrive via
+    // equi-joins — a nested-loop carrying them would be the
+    // corpus-wide cross scan the index exists to avoid
+    val bnl = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    bnl.foreach { j =>
+      val outs = j.output.map(_.name).toSet
+      assert(!outs.contains("nn") && !outs.contains("v") &&
+        !outs.contains("attr"),
+        s"corpus-wide cross join in sim_filtered_ann:\n$j")
+    }
+    assert(plan.toString.contains("cluster"),
+      "no coarse-quantizer list join found")
+  }
+
   test("every returned neighbor carries the query's label") {
     val e = Tables.embeddings(spark, sf)
     val res = Ann.filteredTopK(e, "vec_id", "embedding", "label",
