@@ -315,12 +315,14 @@ object DedupQueries {
       // the real corpus like the exact variant's input
       val idx = graft.similarity.VectorIndex.ivfOf(
         cent, view.filter($"rk" < Tables.PlantedIdBase))
-      // nprobe = L × the unfiltered budget (4 labels × 4): the filter
-      // keeps ~1/L of every probed list, so holding candidate mass
-      // means probing L× more lists — still a shrinking fraction of
-      // the corpus as N grows (16/√N)
-      Ann.filteredIvfSearch(idx, e.filter($"vec_id" < 20),
-          "vec_id", "embedding", "label", e, k = 3, nprobe = 16)
+      // per-label probe budget from measured label frequencies (one
+      // L-row agg, broadcast): a label covering fraction f of the
+      // corpus probes ceil(4/f) lists — the uniform 4-label corpus
+      // reproduces the constant-16 rule, a skewed one holds candidate
+      // mass per label. Still a shrinking fraction of the corpus as N
+      // grows (nprobe/√N)
+      Ann.filteredIvfSearchAdaptive(idx, e.filter($"vec_id" < 20),
+          "vec_id", "embedding", "label", e, k = 3, baseNprobe = 4)
         .orderBy($"qid", $"rn")
     },
 

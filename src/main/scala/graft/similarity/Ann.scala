@@ -174,33 +174,89 @@ object Ann {
     * semantics: the top-k among label matches within the probed
     * lists — never a post-filter of an unfiltered shortlist).
     *
-    * `attrs` is the metadata frame (idCol, attrCol) — in the catalog,
-    * the base table the index was declared on. The entries⋈attrs join
-    * is keyed on the table's rowkey, so both sides arrive
-    * co-partitioned from the same table at scale, and only the probed
-    * lists' rows carry through to the label test. A deployment that
-    * filters on one attribute routinely would denormalize it into the
-    * index entries; the join form keeps the persisted layout
-    * attribute-agnostic.
+    * Join ORDER is the scale contract (the reference's index rule,
+    * KVIndexTable.kt:64-84: seek the index FIRST, then fetch): the
+    * coarse-quantizer probe join restricts the entry set to the
+    * probed lists (~nprobe·√N rows) BEFORE the label table joins on.
+    * Catalyst keeps inner equi-join chains in declared order without
+    * CBO, so joining attrs first would run a corpus-wide entries⋈
+    * labels join per query batch and spend the index's sublinearity
+    * before the filter applies — FilteredAnnSpec pins the order
+    * (cluster join strictly below the attrs join). `attrs` is the
+    * metadata frame (idCol, attrCol) — in the catalog, the base table
+    * the index was declared on; the probe output is candidate-sized,
+    * so AQE broadcasts it into the attrs join at any corpus size. A
+    * deployment that filters on one attribute routinely would
+    * denormalize it into the index entries; the join form keeps the
+    * persisted layout attribute-agnostic.
     *
     * Recall caveat vs [[filteredTopK]]: the filter thins every probed
     * list, so the same nprobe holds LESS same-label candidate mass.
-    * Scaling rule: a uniform L-valued attribute keeps ~1/L of each
-    * list — probe L× the unfiltered budget to hold the candidate mass
-    * (FilteredAnnSpec's measured sweep confirms the rule and pins a
-    * 0.9 recall floor at L×4 on the gate corpus). The probed fraction
-    * still shrinks as (L·nprobe)/√N with corpus growth. */
+    * Scaling rule: an attribute value covering fraction f of the
+    * corpus keeps ~f of each list — probe 1/f× the unfiltered budget
+    * to hold the candidate mass. With a constant `nprobe` the caller
+    * applies the rule for the WORST label; [[filteredIvfSearchAdaptive]]
+    * derives it per label from measured frequencies so a skewed
+    * attribute neither over-probes the common value nor under-recalls
+    * the rare one. The probed fraction still shrinks as nprobe/√N
+    * with corpus growth. */
   def filteredIvfSearch(idx: IvfIndex, queries: DataFrame, idCol: String,
                         vecCol: String, attrCol: String, attrs: DataFrame,
                         k: Int, nprobe: Int = 4): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       col(attrCol).as("qattr"))
     val probes = coarseProbes(idx.centroids, q, nprobe, keep = Seq("qv", "qattr"))
-    val labeled = idx.assigned.join(
-      attrs.select(col(idCol).as("nn"), col(attrCol).as("attr")), Seq("nn"))
-    val scored = labeled
-      .join(broadcast(probes.select(col("qid"), col("qv"), col("qattr"),
-        col("cluster"))), Seq("cluster"))
+    probeThenLabel(idx,
+      probes.select(col("qid"), col("qv"), col("qattr"), col("cluster")),
+      attrs, idCol, attrCol, k)
+  }
+
+  /** [[filteredIvfSearch]] with the probe budget derived PER LABEL
+    * from measured frequencies: one small agg over the label column
+    * (L rows — broadcastable by construction) yields each label's
+    * corpus fraction f, and a query probes ceil(baseNprobe/f) lists.
+    * A uniform L-valued label reproduces the constant rule
+    * (baseNprobe·L everywhere); a skewed label probes few lists for
+    * the dominant value and many for the rare one — holding the
+    * same-label candidate mass, hence recall, per label instead of
+    * per corpus (FilteredAnnSpec's skewed-corpus sweep pins the 0.9
+    * floor for BOTH labels). A budget exceeding the list count just
+    * probes every list — no clamp needed, so the frequency agg stays
+    * the only extra pass and nothing is collected to the driver. */
+  def filteredIvfSearchAdaptive(idx: IvfIndex, queries: DataFrame,
+                                idCol: String, vecCol: String, attrCol: String,
+                                attrs: DataFrame, k: Int,
+                                baseNprobe: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      col(attrCol).as("qattr"))
+    val cnts = attrs.select(col(attrCol).as("qattr"))
+      .groupBy("qattr").agg(count(lit(1)).as("cnt"))
+    val freqs = cnts.crossJoin(broadcast(cnts.agg(sum(col("cnt")).as("tot"))))
+      .select(col("qattr"),
+        ceil(lit(baseNprobe) * col("tot") / col("cnt")).cast("int").as("want"))
+    // rank ALL lists per query by probe distance, keep the first
+    // `want`: the query×centroid frame is |Q|·√N rows — probe-sized,
+    // never corpus-sized — so the per-query window sort is bounded
+    val ranked = q.join(broadcast(freqs), Seq("qattr"), "left")
+      .withColumn("want", coalesce(col("want"), lit(baseNprobe)))
+      .crossJoin(broadcast(idx.centroids))
+      .withColumn("cdist", negL2(col("qv"), col("centroid")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cdist").desc, col("cluster"))
+    val probes = ranked.withColumn("prn", row_number().over(w))
+      .filter(col("prn") <= col("want"))
+      .select(col("qid"), col("qv"), col("qattr"), col("cluster"))
+    probeThenLabel(idx, probes, attrs, idCol, attrCol, k)
+  }
+
+  /** The shared filtered-search tail: index-first join order (probe
+    * join restricts entries to ~|probes| candidates, THEN the label
+    * joins on the rowkey), label equality and self-exclusion before
+    * the cosine kernel, bounded-heap rank. */
+  private def probeThenLabel(idx: IvfIndex, probes: DataFrame, attrs: DataFrame,
+                             idCol: String, attrCol: String, k: Int): DataFrame = {
+    val scored = idx.assigned
+      .join(broadcast(probes), Seq("cluster"))
+      .join(attrs.select(col(idCol).as("nn"), col(attrCol).as("attr")), Seq("nn"))
       .filter(col("attr") === col("qattr"))
       .filter(col("nn") =!= col("qid"))
       .withColumn("score", round(cosine(col("qv"), col("v")), 3))

@@ -109,6 +109,94 @@ class FilteredAnnSpec extends AnyFunSuite {
     println(f"[filtered-ann] recall@3 through persisted index: $recall%.3f")
   }
 
+  test("index-first join order: probe join sits strictly below the label join") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import spark.implicits._
+    // the scale contract (KVIndexTable.kt:64-84 applied to vectors —
+    // seek the index FIRST, then fetch): the coarse-quantizer list
+    // join must restrict the entry set BEFORE the corpus-sized label
+    // table joins on. Catalyst keeps inner equi-join chains in
+    // declared order without CBO, so a label-first declaration would
+    // survive to execution as a corpus-wide entries⋈labels join per
+    // query batch — this pins the order in the OPTIMIZED plan for
+    // both the constant and the adaptive probe path.
+    val e = Tables.embeddings(spark, sf)
+    val (view, cent, _) = graft.dedup.DedupQueries.vecIndex(spark, sf)
+    val idx = graft.similarity.VectorIndex.ivfOf(
+      cent, view.filter($"rk" < Tables.PlantedIdBase))
+    val plans = Seq(
+      Ann.filteredIvfSearch(idx, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", "label", e, k = 3, nprobe = 16),
+      Ann.filteredIvfSearchAdaptive(idx, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", "label", e, k = 3, baseNprobe = 4)
+    ).map(_.queryExecution.optimizedPlan)
+    plans.foreach { lp =>
+      val joins = lp.collect { case j: Join => j }
+      def refs(j: Join): Set[String] =
+        j.condition.map(_.references.map(_.name).toSet).getOrElse(Set.empty)
+      val attrJoins = joins.filter(j => refs(j).contains("attr"))
+      val clusterJoins = joins.filter(j => refs(j).contains("cluster"))
+      assert(attrJoins.nonEmpty, s"no label join found:\n$lp")
+      assert(clusterJoins.nonEmpty, s"no coarse-quantizer list join found:\n$lp")
+      // every cluster-keyed probe join is a descendant of a label join
+      val probeBelowLabel = clusterJoins.forall(cj =>
+        attrJoins.exists(aj => aj.collect {
+          case j: Join if j eq cj => j
+        }.nonEmpty))
+      assert(probeBelowLabel,
+        s"probe join is not below the label join — labels join the " +
+          s"FULL entry set before the probe restricts it:\n$lp")
+      // and no label join hides below a probe join
+      clusterJoins.foreach { cj =>
+        val labelBelow = cj.collect {
+          case j: Join if !(j eq cj) && refs(j).contains("attr") => j
+        }
+        assert(labelBelow.isEmpty,
+          s"label join below the probe join:\n$lp")
+      }
+    }
+  }
+
+  test("adaptive per-label probe holds the recall floor on a SKEWED label") {
+    import spark.implicits._
+    // 90/10 label skew over a clustered corpus: the frequency-derived
+    // budget probes ~ceil(4/0.9)=5 lists for the dominant label and
+    // ~ceil(4/0.1)=40 for the rare one — holding the same-label
+    // candidate mass, hence the 0.9 recall floor, PER LABEL. A
+    // constant budget sized for the average either over-probes the
+    // common label or under-recalls the rare one.
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(40)(Array.fill(8)(rnd.nextGaussian()))
+    val rows = (0 until 2000).map { i =>
+      val c = centers(rnd.nextInt(centers.length))
+      val v = c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+      val label = if (rnd.nextDouble() < 0.9) 1 else 2
+      (i.toLong, v, label)
+    }
+    val e = rows.toDF("vec_id", "embedding", "label")
+      .repartition(4).cache()
+    val idx = Ann.buildIvf(e, "vec_id", "embedding")
+    val queries = e.filter($"vec_id" < 40).cache()
+    val exact = Ann.filteredTopK(e, "vec_id", "embedding", "label", queries, k = 3)
+    val approx = Ann.filteredIvfSearchAdaptive(idx, queries, "vec_id",
+      "embedding", "label", e, k = 3, baseNprobe = 4)
+    val ql = queries.select($"vec_id".as("qid"), $"label".as("qlabel"))
+    def byLabel(df: org.apache.spark.sql.DataFrame) =
+      df.join(ql, Seq("qid")).select("qlabel", "qid", "nn").collect()
+        .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).toSet }
+    val exactBy = byLabel(exact)
+    val approxBy = byLabel(approx)
+    exactBy.foreach { case (label, truth) =>
+      val got = approxBy.getOrElse(label, Set.empty)
+      val recall = (truth intersect got).size.toDouble / truth.size
+      assert(recall >= 0.9,
+        f"label $label recall@3 fell to $recall%.3f (floor 0.9) under skew")
+      println(f"[filtered-ann-adaptive] label $label recall@3: $recall%.3f")
+    }
+    e.unpersist(); queries.unpersist()
+  }
+
   test("filtered probe: corpus reaches the cosine kernel only through the list join") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     import spark.implicits._
