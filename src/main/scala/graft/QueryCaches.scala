@@ -65,6 +65,30 @@ object QueryCaches {
     cat
   }
 
+  /** English-analyzed sibling of [[ftIndex]] (stopword position holes
+    * + stems, the Lucene StandardAnalyzer/EnglishAnalyzer contract) —
+    * the analyzed-phrase gate serves from its positional frame. */
+  private def ftIndexEn(s: SparkSession, d: String): graft.kv.Catalog = {
+    val cat = warehouse(s, d)
+    builtKinds.computeIfAbsent(s"ften:$d", new Function[String, java.lang.Boolean] {
+      override def apply(k: String): java.lang.Boolean = {
+        val docs = Tables.documents(s, d)
+        if (cat.tableExists("docs_en")) cat.dropTable("docs_en")
+        cat.createTable("docs_en", docs.schema, Seq("doc_id"))
+        cat.bulkLoad("docs_en", docs, partitions = 2)
+        cat.createIndex("docs_en", "ft", "fulltext", Seq("text"),
+          analyzer = "english")
+        true
+      }
+    })
+    cat
+  }
+
+  def positionalEnglish(s: SparkSession, d: String): DataFrame = {
+    val cat = ftIndexEn(s, d)
+    memo(s"positional_en:$d")(cat.indexPositional("docs_en", "ft", "fulltext"))
+  }
+
   def postings(s: SparkSession, d: String): DataFrame = {
     val cat = ftIndex(s, d)
     memo(s"postings:$d")(cat.indexData("docs", "ft", "fulltext"))

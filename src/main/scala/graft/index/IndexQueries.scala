@@ -178,6 +178,23 @@ object IndexQueries {
         .orderBy($"doc_id")
     },
 
+    "ft_phrase_analyzed" -> { (s, d) =>
+      import s.implicits._
+      // phrase through the english analyzer, served from the
+      // PERSISTED analyzed positional index: "joins" stems to the
+      // indexed "join", the stopword "a" is dropped but keeps its
+      // position increment (Lucene's StopFilter contract), so the
+      // match requires join@p and vector@p+2 with a hole at p+1 —
+      // any token may sit there. searchPhrase on the same index
+      // would return nothing (unstemmed query terms never match).
+      val docs = Tables.documents(s, d)
+      val positional = graft.QueryCaches.positionalEnglish(s, d)
+      FullText.searchPhraseAnalyzed(docs, "doc_id", positional,
+          "joins a vector", "english")
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    },
+
     "ft_prefix" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
@@ -402,6 +419,36 @@ object IndexQueries {
         |WHERE list_contains(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
         |  i -> array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')),
         |  'spark join')
+        |ORDER BY doc_id""".stripMargin,
+
+    "ft_phrase_analyzed" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, source, list_transform(toks, x -> CASE
+        |    WHEN x IN ('a','an','and','are','as','at','be','but','by','for',
+        |       'if','in','into','is','it','no','not','of','on','or',
+        |       'such','that','the','their','then','there','these',
+        |       'they','this','to','was','will','with') THEN ''
+        |    WHEN length(x) >= 5 AND x LIKE '%ies'
+        |      THEN substr(x, 1, length(x)-3) || 'y'
+        |    WHEN x LIKE '%sses' THEN substr(x, 1, length(x)-2)
+        |    WHEN length(x) >= 6 AND x LIKE '%ing'
+        |      THEN substr(x, 1, length(x)-3)
+        |    WHEN length(x) >= 5 AND x LIKE '%ed'
+        |      THEN substr(x, 1, length(x)-2)
+        |    WHEN length(x) >= 4 AND x LIKE '%s' AND x NOT LIKE '%ss'
+        |      AND x NOT LIKE '%us' AND x NOT LIKE '%is'
+        |      THEN substr(x, 1, length(x)-1)
+        |    ELSE x END) AS ix
+        |  FROM t)
+        |SELECT doc_id, source FROM a
+        |WHERE len(list_filter(range(1, greatest(len(ix) - 2, 0) + 1),
+        |  p -> ix[CAST(p AS INT)] = 'join'
+        |    AND ix[CAST(p + 2 AS INT)] = 'vector')) > 0
         |ORDER BY doc_id""".stripMargin,
 
     "ft_prefix" ->
