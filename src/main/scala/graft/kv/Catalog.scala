@@ -1594,11 +1594,14 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     if (writes.isEmpty) return
     val ordered = writes.sortBy(_._1)
     val locks = scala.collection.mutable.ListBuffer[LockProvider.Handle]()
+    val lockFor = scala.collection.mutable.Map[String, LockProvider.Handle]()
     val stagedDirs = scala.collection.mutable.ListBuffer[Path]()
     val indexRollbacks = scala.collection.mutable.ListBuffer[() => Unit]()
     var journal: Option[Path] = None
     try {
-      ordered.foreach { case (t, _, _) => locks += acquireWriteLock(t) }
+      ordered.foreach { case (t, _, _) =>
+        val h = acquireWriteLock(t); locks += h; lockFor(t) = h
+      }
       // In-lock heal BEFORE the CAS (like every other write path): a
       // crashed committer's pending journal (next = base+1) must be
       // rolled forward now, or this commit's own journal (next = base+2)
@@ -1607,7 +1610,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       // would resolve this table at the new txn's pre-image while its
       // other tables already show the post-image. Healing here
       // guarantees at most one pending journal per table ever exists.
-      ordered.foreach { case (t, _, _) => healPendingForLocked(t) }
+      ordered.foreach { case (t, _, _) => healPendingForLocked(t, lockFor.get(t)) }
       // conflict-check EVERY table before staging ANY write: a failed
       // CAS must leave all tables untouched. Post-heal, dataVersionOf
       // has no overlay left to apply for these tables, so the CAS runs
@@ -1644,7 +1647,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       // another committer may already own one of these tables
       locks.foreach(_.ensureValid())
       journal = Some(writeTxnJournal(publishes))
-      publishes.foreach { case (t, next) => publishVersion(t, next) }
+      publishes.foreach { case (t, next) => publishVersion(t, next, lockFor.get(t)) }
       // best-effort: once every pointer is bumped the transaction IS
       // committed — a failed unlink must not surface as a commit
       // failure. The orphan journal is harmless (recovery re-reads it,
@@ -1701,7 +1704,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * staged snapshot. Journals are left in place (other tables' bumps
     * may still be pending); the next full recovery CAS-skips the bump
     * done here and deletes them. */
-  private def healPendingForLocked(name: String): Unit =
+  private def healPendingForLocked(
+      name: String, handle: Option[LockProvider.Handle] = None): Unit =
     // both locations: a legacy pending journal at the warehouse root
     // also owns data_v(next) and must not be overwritten
     (pendingJournals(txnDir) ++ pendingJournals(Paths.get(warehouse))).foreach {
@@ -1710,7 +1714,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         // which would make the bump look already applied
         if (t == name && metaVersionOf(name) == next - 1 &&
             Files.exists(tableDir(name).resolve(s"data_v$next")))
-          publishVersion(name, next)
+          publishVersion(name, next, handle)
       }
       case _ => () // corrupt: full recovery quarantines
     }
@@ -2376,11 +2380,38 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * PREVIOUS snapshot dir when the next merge starts) bumps mtimes
     * long after publish, which would otherwise shift a snapshot's
     * apparent publish time forward. */
-  private def publishVersion(table: String, version: Int): Unit = {
+  private def publishVersion(table: String, version: Int,
+                             handle: Option[LockProvider.Handle] = None): Unit = {
+    val h = handle.orElse(heldWriteLock.value)
     // commit-point fence: prove the lock is still ours BEFORE the
     // pointer swap (no-op for providers whose locks can't lapse)
-    heldWriteLock.value.foreach(_.ensureValid())
+    h.foreach(_.ensureValid())
     val meta = readMeta(table)
+    // fencing token at the swap ITSELF (ensureValid is check-then-act
+    // — a lease can lapse between the check and this write): the meta
+    // records the highest grant epoch that ever published; a holder
+    // whose grant is OLDER than that has provably lost the lock to a
+    // newer writer, and must abort no matter how it got past the
+    // check. Token-less grants (epoch 0: file locks, in-process
+    // semaphores — locks that cannot lapse while the process lives)
+    // skip the compare, so a warehouse can move between providers.
+    // Ordered BEFORE the monotonic skip below: a lapsed lease-holder
+    // replaying a version the new owner already published must fail
+    // loudly, not report silent success. Residual (documented, not
+    // closed here): the STAGED DATA write preceding this swap targets
+    // the version-numbered dir directly, so a lapse mid-stage can
+    // still cross-write the new owner's staged files — true end-to-end
+    // fencing needs unique staging dirs renamed at this point.
+    val tok = h.map(_.fencingToken).getOrElse(0L)
+    if (tok > 0L) {
+      val seen = meta.path("fenceEpoch").asLong(0L)
+      if (tok < seen)
+        throw new IllegalStateException(
+          s"fencing: grant epoch $tok for $table is behind published epoch " +
+          s"$seen — this holder's lease lapsed and a newer writer has " +
+          "committed; aborting instead of swapping the pointer over its work")
+      if (tok > seen) meta.put("fenceEpoch", tok): Unit
+    }
     // monotonic: every caller publishes forward (bulk writes, merges,
     // txn bumps, recovery roll-forward). The only path that could ask
     // to regress is a commit whose lock was wrongly broken mid-bump

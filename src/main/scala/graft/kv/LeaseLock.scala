@@ -24,15 +24,22 @@ import java.util.concurrent.atomic.AtomicBoolean
   * [[LeaseLockProvider]] wire calls.
   *
   * Protocol (one request per connection, one line each way):
-  *   ACQUIRE <resource> <owner> <leaseMs>  -> OK | BUSY <remainMs>
+  *   ACQUIRE <resource> <owner> <leaseMs>  -> OK <epoch> | BUSY <remainMs>
   *   RENEW   <resource> <owner> <leaseMs>  -> OK | GONE
   *   RELEASE <resource> <owner>            -> OK | GONE
   * ACQUIRE is granted when the resource is free, its lease has
-  * expired, or the same owner re-acquires (renewal semantics).
+  * expired, or the same owner re-acquires (renewal semantics). Every
+  * grant carries a server-wide monotonically increasing EPOCH — the
+  * fencing token (the Chubby sequencer / ZooKeeper zxid recipe): a
+  * later grant always sees a higher number, so storage that records
+  * the highest epoch seen can reject a lapsed holder's write no
+  * matter when it arrives. RENEW extends the lease but keeps the
+  * grant's epoch (same acquisition, same token).
   */
 final class LeaseLockServer(port: Int = 0) {
-  private case class Lease(owner: String, expiresAt: Long)
+  private case class Lease(owner: String, expiresAt: Long, epoch: Long)
   private val leases = new ConcurrentHashMap[String, Lease]()
+  private var epochCounter = 0L
   private val running = new AtomicBoolean(false)
   private var server: ServerSocket = _
 
@@ -80,13 +87,19 @@ final class LeaseLockServer(port: Int = 0) {
       case Seq("ACQUIRE", res, owner, leaseMs) =>
         val cur = leases.get(res)
         if (cur == null || cur.expiresAt <= now || cur.owner == owner) {
-          leases.put(res, Lease(owner, now + leaseMs.toLong))
-          "OK"
+          // same-owner re-ACQUIRE keeps its grant's epoch (it is the
+          // same acquisition retrying); any change of ownership mints
+          // a fresh, strictly higher one
+          val epoch =
+            if (cur != null && cur.owner == owner) cur.epoch
+            else { epochCounter += 1; epochCounter }
+          leases.put(res, Lease(owner, now + leaseMs.toLong, epoch))
+          s"OK $epoch"
         } else s"BUSY ${cur.expiresAt - now}"
       case Seq("RENEW", res, owner, leaseMs) =>
         val cur = leases.get(res)
         if (cur != null && cur.owner == owner && cur.expiresAt > now) {
-          leases.put(res, Lease(owner, now + leaseMs.toLong))
+          leases.put(res, Lease(owner, now + leaseMs.toLong, cur.epoch))
           "OK"
         } else "GONE"
       case Seq("RELEASE", res, owner) =>
@@ -103,7 +116,8 @@ final class LeaseLockServer(port: Int = 0) {
     * in specs. */
   private[graft] def expireNow(resource: String): Unit = synchronized {
     val cur = leases.get(resource)
-    if (cur != null) leases.put(resource, Lease(cur.owner, 0L)): Unit
+    if (cur != null)
+      leases.put(resource, Lease(cur.owner, 0L, cur.epoch)): Unit
   }
 }
 
@@ -155,6 +169,7 @@ final class LeaseLockProvider(host: String, port: Int,
     // skew and RPC latency only make the holder doubt itself sooner.
     val expiresAt = new java.util.concurrent.atomic.AtomicLong(0L)
     var granted = false
+    var epoch = 0L
     while (!granted) {
       val sentAt = System.currentTimeMillis()
       // a transient connection failure (service restarting, SYN
@@ -163,15 +178,21 @@ final class LeaseLockProvider(host: String, port: Int,
       // on the first network hiccup
       val resp = try call(s"ACQUIRE $resource $owner $leaseMs")
         catch { case e: Exception => s"ERR ${e.getClass.getSimpleName}" }
-      resp match {
-        case "OK" => expiresAt.set(sentAt + leaseMs); granted = true
-        case busy =>
+      resp.split("\\s+").toSeq match {
+        case "OK" +: rest =>
+          // the grant's fencing epoch (absent only against a
+          // pre-epoch server — then 0, i.e. token-less)
+          epoch = rest.headOption
+            .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L)
+          expiresAt.set(sentAt + leaseMs); granted = true
+        case _ =>
           if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
-              s"write lock on $resource held past ${timeoutMs}ms ($busy)")
+              s"write lock on $resource held past ${timeoutMs}ms ($resp)")
           Thread.sleep(math.min(100L, math.max(leaseMs / 10, 10L)))
       }
     }
+    val grantedEpoch = epoch
     val released = new AtomicBoolean(false)
     val lost = new AtomicBoolean(false)
     def renewOnce(): String = {
@@ -194,6 +215,7 @@ final class LeaseLockProvider(host: String, port: Int,
     hb.setDaemon(true)
     hb.start()
     new LockProvider.Handle {
+      override def fencingToken: Long = grantedEpoch
       override def release(): Unit = {
         if (released.compareAndSet(false, true)) {
           try { call(s"RELEASE $resource $owner"); () }

@@ -58,6 +58,18 @@ object LockProvider {
       * lapse while the process lives (file create, in-process
       * semaphore) keep the no-op default. */
     def ensureValid(): Unit = ()
+
+    /** Fencing token (Chubby/ZooKeeper sequencer recipe): a number
+      * that grows with every grant the provider hands out, 0 when the
+      * provider issues none. ensureValid is check-then-act — a lease
+      * can lapse between the check and the meta write — so the commit
+      * point ALSO stamps this token into the table meta and refuses
+      * the swap when the meta already carries a HIGHER one: a lapsed
+      * holder then fails at the write itself, no matter how it got
+      * past the check. Providers whose locks cannot lapse keep 0
+      * (the stamp-and-compare is skipped for token-less grants, so a
+      * warehouse can move between providers). */
+    def fencingToken: Long = 0L
   }
 }
 

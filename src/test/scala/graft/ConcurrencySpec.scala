@@ -9,6 +9,17 @@ import java.nio.file.{Files, Paths}
   * version pointer, stale-lock recovery, staging-dir reclamation, and
   * DDL races. (Reference analog: Redis DDL locks + Tephra transactions
   * — index/lucene/RedisLockFactory.kt, KVTransactionalIndexTable.kt.) */
+/** Task-side gates for the fencing-token test: static so the local-
+  * mode executor threads share them with the driver. */
+object FenceGate {
+  @volatile var started = new java.util.concurrent.CountDownLatch(1)
+  @volatile var proceed = new java.util.concurrent.CountDownLatch(1)
+  def reset(): Unit = {
+    started = new java.util.concurrent.CountDownLatch(1)
+    proceed = new java.util.concurrent.CountDownLatch(1)
+  }
+}
+
 class ConcurrencySpec extends AnyFunSuite {
   import TestSpark._
 
@@ -474,6 +485,62 @@ class ConcurrencySpec extends AnyFunSuite {
       h2.release()
       // a released handle can't vouch for a commit either
       intercept[IllegalStateException] { h2.ensureValid() }
+    } finally server.stop()
+  }
+
+  test("lease: fencing token blocks a lapsed holder's publish even past ensureValid") {
+    // ensureValid is check-then-act — a lease can lapse between the
+    // check and the meta write. The fencing epoch closes that window
+    // at the write itself: here the lapsed holder's handles NEVER
+    // self-check (ensureValid bypassed), the new owner commits first,
+    // and the stale publish must still fail on the epoch compare.
+    import spark.implicits._
+    val server = new graft.kv.LeaseLockServer().start()
+    try {
+      val real = new graft.kv.LeaseLockProvider(
+        "127.0.0.1", server.boundPort, leaseMs = 60000)
+      val blind = new graft.kv.LockProvider {
+        override def acquire(r: String, t: Long): graft.kv.LockProvider.Handle = {
+          val h = real.acquire(r, t)
+          new graft.kv.LockProvider.Handle {
+            override def release(): Unit = h.release()
+            override def fencingToken: Long = h.fencingToken
+            override def ensureValid(): Unit = () // deliberately bypassed
+          }
+        }
+      }
+      val wh = Files.createTempDirectory("graft_fence_wh").toString
+      val catA = new Catalog(spark, wh, lockProviderOpt = Some(blind))
+      val catB = new Catalog(spark, wh, lockProviderOpt = Some(real))
+      catA.createTable("t", kv, Seq("k"))
+      load(catA, "t", Seq(1L -> "base"))
+      val rows = Seq(1L -> "next")
+      // holder A stalls INSIDE its staging write (under the lock),
+      // pauses past its lease, and B commits the same version in the
+      // meantime — then A's publish replays into B's published epoch
+      FenceGate.reset()
+      val slow = spark.range(1).repartition(1).mapPartitions { it =>
+        FenceGate.started.countDown()
+        FenceGate.proceed.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        it
+      }.flatMap(_ => rows).toDF("k", "v")
+      var failure: Option[Throwable] = None
+      val t1 = new Thread(() => {
+        try catA.bulkLoad("t", slow)
+        catch { case e: Throwable => failure = Some(e) }
+      })
+      t1.start()
+      assert(FenceGate.started.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      server.expireNow("t")
+      catB.bulkLoad("t", rows.toDF("k", "v")) // new grant, higher epoch
+      FenceGate.proceed.countDown()
+      t1.join(60000)
+      assert(failure.exists(_.isInstanceOf[IllegalStateException]) &&
+        failure.exists(_.getMessage.contains("fencing")),
+        s"lapsed holder's publish was not fenced: $failure")
+      // the table still reads, at the NEW owner's committed version
+      assert(new Catalog(spark, wh).table("t")
+        .pointGet(1L).head().getAs[String]("v") == "next")
     } finally server.stop()
   }
 
