@@ -468,8 +468,17 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     val keyCol = pk.head
     val cur = dataVersionOf(name)
     val curDir = tableDir(name).resolve(s"data_v$cur")
+    // z tables record the SECOND key's per-file bounds too, so the
+    // driver range scan on that dimension serves from the manifest
+    // instead of opening every footer cold (one extra min/max pair in
+    // the same columnar scan — no additional pass)
+    val secondCol =
+      if (layoutOf(name) == "zorder" && pk.size == 2 &&
+          manifestPersistable(schemaOf(name).apply(pk(1)).dataType))
+        Some(pk(1))
+      else None
     val manifest = ensureRangeManifest(curDir, keyCol,
-      manifestPersistable(schemaOf(name).apply(keyCol).dataType))
+      manifestPersistable(schemaOf(name).apply(keyCol).dataType), secondCol)
     val patchKeys = precollectedKeys.getOrElse(
       patch.select(keyCol).distinct().collect().map(r => canonKey(r.get(0))))
     // rowkeys are non-null (HBase rowkey semantics); a null here would
@@ -503,7 +512,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       ((patchKeys.length + mergeTargetRowsPerFile - 1) / mergeTargetRowsPerFile).toInt
     writeData(name, merged.df, nextDir.toString,
       partitions = math.max(math.max(1, touched.size), patchParts))
-    val newEntries = scanRanges(nextDir, keyCol)
+    val newEntries = scanRanges(nextDir, keyCol, secondCol)
     // carry untouched files into the new snapshot without touching data
     untouched.foreach(e => linkOrCopy(curDir.resolve(e.file), nextDir.resolve(e.file)))
     writeRangeManifest(nextDir, newEntries ++ untouched)
@@ -547,7 +556,14 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
   }
 
-  private[graft] case class FileRange(file: String, lo: Any, hi: Any)
+  /** One manifest entry: per-file bounds of the LEADING key, plus —
+    * for z-ordered tables — the SECOND key's bounds (`second`), so a
+    * driver range scan on either z dimension prunes from the one
+    * manifest read instead of opening O(files) footers cold. None =
+    * written before the second-key upgrade or not a z table; such an
+    * entry is never pruned on the second key (footers stand in). */
+  private[graft] case class FileRange(file: String, lo: Any, hi: Any,
+                                      second: Option[(Any, Any)] = None)
 
   /** (touched, untouched) split of file ranges against a patch-key
     * set: the keys are sorted once and each file's [lo,hi] does ONE
@@ -587,18 +603,34 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     case other => other
   }
 
-  /** Per-file (min,max) of the leading key column, scanning ONLY the
-    * key column (columnar read) of the given snapshot. */
-  private def scanRanges(dir: Path, keyCol: String): Seq[FileRange] = {
+  /** Per-file (min,max) of the leading key column — and of the second
+    * key when asked (z tables) — scanning ONLY those columns
+    * (columnar read) of the given snapshot, one pass for both. */
+  private def scanRanges(dir: Path, keyCol: String,
+                         secondCol: Option[String] = None): Seq[FileRange] = {
     import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax}
-    spark.read.parquet(dir.toString)
-      .select(org.apache.spark.sql.functions.col(keyCol).as("k"),
-        input_file_name().as("f"))
-      .groupBy("f").agg(fmin("k").as("lo"), fmax("k").as("hi"))
-      .collect().toSeq.map { r =>
-        val fname = r.getString(0).split("/").last
-        FileRange(fname, canonKey(r.get(1)), canonKey(r.get(2)))
-      }
+    val fcol = org.apache.spark.sql.functions.col _
+    secondCol match {
+      case None =>
+        spark.read.parquet(dir.toString)
+          .select(fcol(keyCol).as("k"), input_file_name().as("f"))
+          .groupBy("f").agg(fmin("k").as("lo"), fmax("k").as("hi"))
+          .collect().toSeq.map { r =>
+            val fname = r.getString(0).split("/").last
+            FileRange(fname, canonKey(r.get(1)), canonKey(r.get(2)))
+          }
+      case Some(c2) =>
+        spark.read.parquet(dir.toString)
+          .select(fcol(keyCol).as("k"), fcol(c2).as("k2"),
+            input_file_name().as("f"))
+          .groupBy("f").agg(fmin("k").as("lo"), fmax("k").as("hi"),
+            fmin("k2").as("lo2"), fmax("k2").as("hi2"))
+          .collect().toSeq.map { r =>
+            val fname = r.getString(0).split("/").last
+            FileRange(fname, canonKey(r.get(1)), canonKey(r.get(2)),
+              Some((canonKey(r.get(3)), canonKey(r.get(4)))))
+          }
+    }
   }
 
   private def manifestFile(dir: Path): Path = dir.resolve("_graft_ranges.json")
@@ -636,7 +668,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           else if (n.isIntegralNumber) java.lang.Long.valueOf(n.asLong())
           else if (n.isFloatingPointNumber) java.lang.Double.valueOf(n.asDouble())
           else n.asText()
-        FileRange(e.path("file").asText(), v(e.path("lo")), v(e.path("hi")))
+        val second =
+          if (e.has("lo2")) Some((v(e.path("lo2")), v(e.path("hi2"))))
+          else None
+        FileRange(e.path("file").asText(), v(e.path("lo")), v(e.path("hi")),
+          second)
       }.toSeq)
     } catch {
       case _: com.fasterxml.jackson.core.JacksonException => None
@@ -644,8 +680,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     }
 
   private def ensureRangeManifest(dir: Path, keyCol: String,
-                                  persistable: Boolean): Seq[FileRange] = {
-    if (!persistable) return scanRanges(dir, keyCol)
+                                  persistable: Boolean,
+                                  secondCol: Option[String] = None): Seq[FileRange] = {
+    if (!persistable) return scanRanges(dir, keyCol, secondCol)
     val cached: Option[Seq[FileRange]] = readManifestJson(dir)
     // a manifest is only trustworthy if it covers exactly the part
     // files present: SQL INSERT INTO appends files into the live
@@ -656,9 +693,14 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       it.map(_.getFileName.toString).filter(_.startsWith("part-")).toSet
     }
     cached match {
-      case Some(entries) if entries.map(_.file).toSet == present => entries
+      case Some(entries) if entries.map(_.file).toSet == present &&
+          // a z table needs SECOND-key bounds on every data-bearing
+          // entry; a manifest from before the upgrade rescans once
+          (secondCol.isEmpty ||
+            entries.forall(e => e.second.isDefined || e.lo == null)) =>
+        entries
       case _ =>
-        val scanned = scanRanges(dir, keyCol)
+        val scanned = scanRanges(dir, keyCol, secondCol)
         // zero-row part files yield no agg group; record them with null
         // bounds (always "touched", contribute nothing) so the manifest
         // still covers exactly the present files
@@ -677,6 +719,10 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       n.put("file", e.file)
       n.set[JsonNode]("lo", mapper.valueToTree[JsonNode](e.lo))
       n.set[JsonNode]("hi", mapper.valueToTree[JsonNode](e.hi))
+      e.second.foreach { case (lo2, hi2) =>
+        n.set[JsonNode]("lo2", mapper.valueToTree[JsonNode](lo2))
+        n.set[JsonNode]("hi2", mapper.valueToTree[JsonNode](hi2)): Unit
+      }
       arr.add(n): Unit
     }
     // atomic publish: lock-free readers (the driver-get path) may
@@ -1301,15 +1347,20 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           s" or the z-ordered second key '${pk(1)}'" else "") +
         s" — not '$c'; use the Spark scan path (table(\"$name\").df)")
     val dir = tableDir(name).resolve(s"data_v${dataVersionOf(name)}")
-    // the range manifest records LEADING-column bounds; a z-second
-    // scan prunes by parquet footer stats instead, which the z-layout
-    // keeps narrow in both dimensions (ZOrderSpec pins the claim) —
-    // the per-file natural-key interval check, derived from the files
-    // themselves rather than a manifest that doesn't cover this column
+    // both z dimensions serve from the ONE manifest read: leading
+    // bounds for pk.head, the recorded second-key bounds for the
+    // z-second column (written by the merge path at no extra pass).
+    // An entry without second bounds (pre-upgrade manifest) passes
+    // null bounds — never pruned, parquet footer stats stand in for
+    // just that file, which the z layout keeps narrow in both
+    // dimensions (ZOrderSpec pins the claim). No manifest at all →
+    // footer path for every file, as before.
     val ranges =
       if (c == pk.head)
         readManifestJson(dir).getOrElse(Nil).map(r => (r.file, r.lo, r.hi))
-      else Nil
+      else
+        readManifestJson(dir).getOrElse(Nil).map(r =>
+          (r.file, r.second.map(_._1).orNull, r.second.map(_._2).orNull))
     DriverRead.range(dir, schemaOf(name), c, lo, hi, maxRows, ranges)
   }
 

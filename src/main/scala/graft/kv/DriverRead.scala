@@ -70,6 +70,12 @@ private[kv] object DriverRead {
   // re-reading footers the next Gets touch anyway.
   private val FooterCacheCap = 65536
 
+  /** Cold footer opens, counted for the scale pin (DriverGetSpec):
+    * a manifest-served range scan must not fall back to O(files)
+    * footer metadata I/O on a cold process. Cache hits don't count —
+    * the pin is about physical reads. */
+  private[graft] val footerReadCount = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def footerKey(p: Path, keyCol: String): FooterKey =
     FooterKey(p.toAbsolutePath.toString, Files.size(p),
       Files.getLastModifiedTime(p).toMillis, keyCol)
@@ -80,6 +86,7 @@ private[kv] object DriverRead {
   private def rowGroupRanges(file: Path, keyCol: String): Seq[(Any, Any)] = {
     if (footerRanges.size() > FooterCacheCap) footerRanges.clear()
     footerRanges.computeIfAbsent(footerKey(file, keyCol), { _ =>
+      footerReadCount.incrementAndGet()
       val in = HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(file.toUri), new Configuration())
       val reader = ParquetFileReader.open(in)

@@ -423,6 +423,43 @@ class DriverGetSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("leading rowkey column 'a'"))
   }
 
+  test("z-second range scan prunes from the manifest, not O(files) footer reads") {
+    import TestSpark.spark.implicits._
+    val cat = freshCat("zmanif")
+    if (cat.tableExists("zm")) cat.dropTable("zm")
+    cat.createTable("zm", StructType(Seq(
+      StructField("a", LongType, false),
+      StructField("b", LongType, false),
+      StructField("v", DoubleType, true))),
+      Seq("a", "b"), layout = "zorder")
+    val rnd = new scala.util.Random(13)
+    cat.bulkLoad("zm",
+      (0 until 20000).map(_ => (rnd.nextInt(1000).toLong,
+        rnd.nextInt(1000).toLong, rnd.nextDouble())).toDF("a", "b", "v"),
+      partitions = 8)
+    // the merge writes the manifest, now with BOTH keys' bounds
+    cat.incrementalMerge("zm", Seq((5000L, 410L, 9.9)).toDF("a", "b", "v"))
+    val dir = Paths.get(cat.warehouse, "zm", s"data_v${cat.dataVersionOf("zm")}")
+    val json = java.nio.file.Files.readString(dir.resolve("_graft_ranges.json"))
+    assert(json.contains("\"lo2\""), "manifest lacks second-key bounds")
+    // a second-key range beyond every file's recorded bounds must be
+    // answered from the manifest alone: zero rows, ZERO cold footer
+    // opens — at 100 TB scale that is one JSON read vs ~800k footer
+    // reads on a cold serving process
+    val before = graft.kv.DriverRead.footerReadCount.get()
+    assert(cat.driverRangeScan("zm", 5000L, 6000L, keyCol = Some("b")).isEmpty)
+    assert(graft.kv.DriverRead.footerReadCount.get() == before,
+      "z-second scan opened parquet footers despite a covering manifest")
+    // an in-range scan still agrees exactly with the Spark slice
+    val got = cat.driverRangeScan("zm", 400L, 420L, keyCol = Some("b"))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exp = cat.table("zm").df
+      .filter(col("b") >= 400L && col("b") <= 420L)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exp)
+    assert(got.contains((5000L, 410L)))
+  }
+
   test("non-integral keys on integral columns fail loudly, never truncate") {
     val cat = freshCat("frac")
     loadOrders(cat, "ords")
