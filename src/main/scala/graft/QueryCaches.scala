@@ -48,41 +48,35 @@ object QueryCaches {
         new graft.kv.Catalog(s, TempWarehouses.scoped("qc", d))
     })
 
-  /** The persisted full-text index over the documents table — build is
-    * DDL (once per JVM+dir); every ft_* search serves from its frames. */
-  private def ftIndex(s: SparkSession, d: String): graft.kv.Catalog = {
+  /** One persisted full-text index build over the documents table —
+    * build is DDL (once per JVM+dir+analyzer); searches serve from
+    * its frames. Two instances below: the "standard" index every
+    * ft_* search uses, and its english-analyzed sibling (stopword
+    * position holes + stems, the Lucene EnglishAnalyzer contract)
+    * the analyzed-phrase gate serves from. */
+  private def ftIndexFor(s: SparkSession, d: String, table: String,
+                         analyzer: String): graft.kv.Catalog = {
     val cat = warehouse(s, d)
-    builtKinds.computeIfAbsent(s"ft:$d", new Function[String, java.lang.Boolean] {
-      override def apply(k: String): java.lang.Boolean = {
-        val docs = Tables.documents(s, d)
-        if (cat.tableExists("docs")) cat.dropTable("docs")
-        cat.createTable("docs", docs.schema, Seq("doc_id"))
-        cat.bulkLoad("docs", docs, partitions = 2)
-        cat.createIndex("docs", "ft", "fulltext", Seq("text"))
-        true
-      }
-    })
+    builtKinds.computeIfAbsent(s"ft:$analyzer:$d",
+      new Function[String, java.lang.Boolean] {
+        override def apply(k: String): java.lang.Boolean = {
+          val docs = Tables.documents(s, d)
+          if (cat.tableExists(table)) cat.dropTable(table)
+          cat.createTable(table, docs.schema, Seq("doc_id"))
+          cat.bulkLoad(table, docs, partitions = 2)
+          cat.createIndex(table, "ft", "fulltext", Seq("text"),
+            analyzer = analyzer)
+          true
+        }
+      })
     cat
   }
 
-  /** English-analyzed sibling of [[ftIndex]] (stopword position holes
-    * + stems, the Lucene StandardAnalyzer/EnglishAnalyzer contract) —
-    * the analyzed-phrase gate serves from its positional frame. */
-  private def ftIndexEn(s: SparkSession, d: String): graft.kv.Catalog = {
-    val cat = warehouse(s, d)
-    builtKinds.computeIfAbsent(s"ften:$d", new Function[String, java.lang.Boolean] {
-      override def apply(k: String): java.lang.Boolean = {
-        val docs = Tables.documents(s, d)
-        if (cat.tableExists("docs_en")) cat.dropTable("docs_en")
-        cat.createTable("docs_en", docs.schema, Seq("doc_id"))
-        cat.bulkLoad("docs_en", docs, partitions = 2)
-        cat.createIndex("docs_en", "ft", "fulltext", Seq("text"),
-          analyzer = "english")
-        true
-      }
-    })
-    cat
-  }
+  private def ftIndex(s: SparkSession, d: String): graft.kv.Catalog =
+    ftIndexFor(s, d, "docs", "standard")
+
+  private def ftIndexEn(s: SparkSession, d: String): graft.kv.Catalog =
+    ftIndexFor(s, d, "docs_en", "english")
 
   def positionalEnglish(s: SparkSession, d: String): DataFrame = {
     val cat = ftIndexEn(s, d)

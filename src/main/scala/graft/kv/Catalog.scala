@@ -610,27 +610,17 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
                          secondCol: Option[String] = None): Seq[FileRange] = {
     import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax}
     val fcol = org.apache.spark.sql.functions.col _
-    secondCol match {
-      case None =>
-        spark.read.parquet(dir.toString)
-          .select(fcol(keyCol).as("k"), input_file_name().as("f"))
-          .groupBy("f").agg(fmin("k").as("lo"), fmax("k").as("hi"))
-          .collect().toSeq.map { r =>
-            val fname = r.getString(0).split("/").last
-            FileRange(fname, canonKey(r.get(1)), canonKey(r.get(2)))
-          }
-      case Some(c2) =>
-        spark.read.parquet(dir.toString)
-          .select(fcol(keyCol).as("k"), fcol(c2).as("k2"),
-            input_file_name().as("f"))
-          .groupBy("f").agg(fmin("k").as("lo"), fmax("k").as("hi"),
-            fmin("k2").as("lo2"), fmax("k2").as("hi2"))
-          .collect().toSeq.map { r =>
-            val fname = r.getString(0).split("/").last
-            FileRange(fname, canonKey(r.get(1)), canonKey(r.get(2)),
-              Some((canonKey(r.get(3)), canonKey(r.get(4)))))
-          }
-    }
+    val keyCols = fcol(keyCol).as("k") +: secondCol.map(c => fcol(c).as("k2")).toSeq
+    val aggs = Seq(fmin("k").as("lo"), fmax("k").as("hi")) ++
+      secondCol.toSeq.flatMap(_ => Seq(fmin("k2").as("lo2"), fmax("k2").as("hi2")))
+    spark.read.parquet(dir.toString)
+      .select(keyCols :+ input_file_name().as("f"): _*)
+      .groupBy("f").agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq.map { r =>
+        val fname = r.getString(0).split("/").last
+        val second = secondCol.map(_ => (canonKey(r.get(3)), canonKey(r.get(4))))
+        FileRange(fname, canonKey(r.get(1)), canonKey(r.get(2)), second)
+      }
   }
 
   private def manifestFile(dir: Path): Path = dir.resolve("_graft_ranges.json")
@@ -2442,17 +2432,22 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     // — a lease can lapse between the check and this write): the meta
     // records the highest grant epoch that ever published; a holder
     // whose grant is OLDER than that has provably lost the lock to a
-    // newer writer, and must abort no matter how it got past the
-    // check. Token-less grants (epoch 0: file locks, in-process
-    // semaphores — locks that cannot lapse while the process lives)
-    // skip the compare, so a warehouse can move between providers.
-    // Ordered BEFORE the monotonic skip below: a lapsed lease-holder
-    // replaying a version the new owner already published must fail
-    // loudly, not report silent success. Residual (documented, not
-    // closed here): the STAGED DATA write preceding this swap targets
-    // the version-numbered dir directly, so a lapse mid-stage can
-    // still cross-write the new owner's staged files — true end-to-end
-    // fencing needs unique staging dirs renamed at this point.
+    // newer writer, and aborts here even when the validity check was
+    // bypassed or raced. Token-less grants (epoch 0: file locks,
+    // in-process semaphores — locks that cannot lapse while the
+    // process lives) skip the compare, so a warehouse can move
+    // between providers. Ordered BEFORE the monotonic skip below: a
+    // lapsed lease-holder replaying a version the new owner already
+    // published must fail loudly, not report silent success.
+    // Residuals (documented, not closed here — both need storage
+    // with an atomic conditional write, where writeMeta would CAS on
+    // fenceEpoch): (a) this read→compare→write is itself unfenced,
+    // so the compare is deterministic only once the new owner HAS
+    // published — two publishes racing inside this method can still
+    // interleave; (b) the STAGED DATA write preceding this swap
+    // targets the version-numbered dir directly, so a lapse
+    // mid-stage can cross-write the new owner's staged files (true
+    // end-to-end fencing = unique staging dirs renamed here).
     val tok = h.map(_.fencingToken).getOrElse(0L)
     if (tok > 0L) {
       val seen = meta.path("fenceEpoch").asLong(0L)

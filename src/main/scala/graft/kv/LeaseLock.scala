@@ -39,6 +39,15 @@ import java.util.concurrent.atomic.AtomicBoolean
 final class LeaseLockServer(port: Int = 0) {
   private case class Lease(owner: String, expiresAt: Long, epoch: Long)
   private val leases = new ConcurrentHashMap[String, Lease]()
+  // Epochs must outlive the SERVER process: table meta persists the
+  // highest epoch that ever published (Catalog fenceEpoch), so a
+  // restart that re-minted from 0 would fence out every legitimate
+  // writer forever. Each grant takes max(counter+1, now-ms): strictly
+  // increasing within a process, and across a restart the wall clock
+  // re-anchors above any prior grant (the production analog: Redis
+  // TIME+sequence, a ZooKeeper zxid — monotone tokens survive the
+  // authority's restart). A clock stepped backwards past a restart
+  // boundary is the residual, as for any wall-clock-anchored token.
   private var epochCounter = 0L
   private val running = new AtomicBoolean(false)
   private var server: ServerSocket = _
@@ -92,7 +101,10 @@ final class LeaseLockServer(port: Int = 0) {
           // a fresh, strictly higher one
           val epoch =
             if (cur != null && cur.owner == owner) cur.epoch
-            else { epochCounter += 1; epochCounter }
+            else {
+              epochCounter = math.max(epochCounter + 1, now)
+              epochCounter
+            }
           leases.put(res, Lease(owner, now + leaseMs.toLong, epoch))
           s"OK $epoch"
         } else s"BUSY ${cur.expiresAt - now}"

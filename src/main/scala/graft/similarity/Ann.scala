@@ -231,9 +231,12 @@ object Ann {
       col(attrCol).as("qattr"))
     val cnts = attrs.select(col(attrCol).as("qattr"))
       .groupBy("qattr").agg(count(lit(1)).as("cnt"))
+    // want stays LONG: ceil(base·tot/cnt) for a 1-row label on a 1e9
+    // corpus is ~4e9 — an int cast would wrap negative and silently
+    // probe zero lists; a budget past the list count just probes all
     val freqs = cnts.crossJoin(broadcast(cnts.agg(sum(col("cnt")).as("tot"))))
       .select(col("qattr"),
-        ceil(lit(baseNprobe) * col("tot") / col("cnt")).cast("int").as("want"))
+        ceil(lit(baseNprobe) * col("tot") / col("cnt")).as("want"))
     // rank ALL lists per query by probe distance, keep the first
     // `want`: the query×centroid frame is |Q|·√N rows — probe-sized,
     // never corpus-sized — so the per-query window sort is bounded
@@ -251,11 +254,16 @@ object Ann {
   /** The shared filtered-search tail: index-first join order (probe
     * join restricts entries to ~|probes| candidates, THEN the label
     * joins on the rowkey), label equality and self-exclusion before
-    * the cosine kernel, bounded-heap rank. */
+    * the cosine kernel, bounded-heap rank. NO broadcast hint on the
+    * probe frame: the constant path bounds it at |Q|·nprobe rows, but
+    * the adaptive path can probe every list for a rare label
+    * (|Q|·√N rows each carrying the query vector) — a hardcoded hint
+    * would force that through the driver; AQE broadcasts it whenever
+    * it is actually small, and plans a shuffled hash join when not. */
   private def probeThenLabel(idx: IvfIndex, probes: DataFrame, attrs: DataFrame,
                              idCol: String, attrCol: String, k: Int): DataFrame = {
     val scored = idx.assigned
-      .join(broadcast(probes), Seq("cluster"))
+      .join(probes, Seq("cluster"))
       .join(attrs.select(col(idCol).as("nn"), col(attrCol).as("attr")), Seq("nn"))
       .filter(col("attr") === col("qattr"))
       .filter(col("nn") =!= col("qid"))
