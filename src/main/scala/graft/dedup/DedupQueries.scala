@@ -367,6 +367,39 @@ object DedupQueries {
         .orderBy($"source", $"h")
     },
 
+    "dd_temperature_sample" -> { (s, d) =>
+      import s.implicits._
+      // Temperature-scaled mixture resampling (the XLM-R multilingual
+      // recipe, Conneau et al. 2019, arXiv:1911.02116 §3.1: sample
+      // languages with probability proportional to frequency^alpha so
+      // low-resource slices are up-weighted). alpha = 0.5 makes the
+      // per-language keep rate sqrt(n_min/n_l) — every step (integer
+      // counts, one division, one sqrt) is IEEE correctly-rounded, so
+      // the rate is bit-identical across engines; the Bernoulli gate
+      // compares an md5-derived 8-hex-digit uniform against the
+      // rate's hex threshold as STRINGS, so no numeric parse happens
+      // on the oracle side. The rarest language keeps every document
+      // by the exact n_l = n_min test (a hex threshold for rate 1.0
+      // would be 9 digits and lpad would truncate it).
+      // Shape at 100 TB: two tiny language aggregations broadcast
+      // onto one corpus scan with a map-side gate — no shuffle of the
+      // corpus at all, the same class as a pushed filter.
+      val docs = Tables.documents(s, d)
+      val stats = docs.groupBy($"lang").agg(count(lit(1)).as("n_l"))
+      val rates = stats
+        .crossJoin(broadcast(stats.agg(min($"n_l").as("n_min"))))
+        .withColumn("rate",
+          sqrt($"n_min".cast("double") / $"n_l".cast("double")))
+        .withColumn("thr",
+          lpad(lower(hex(floor($"rate" * lit(4294967296.0)).cast("long"))),
+            8, "0"))
+      docs.join(broadcast(rates), Seq("lang"))
+        .where($"n_l" === $"n_min" ||
+          substring(md5($"doc_id".cast("string")), 1, 8) < $"thr")
+        .select($"lang", $"doc_id", round($"rate", 6).as("rate"))
+        .orderBy($"lang", $"doc_id")
+    },
+
     "sim_ivfpq_ann" -> { (s, d) =>
       import s.implicits._
       // the composed two-level stack: IVF prunes the scanned lists,
@@ -617,6 +650,23 @@ object DedupQueries {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY source, h""".stripMargin,
+
+    // the same alpha=0.5 temperature gate: correctly-rounded
+    // sqrt-of-ratio rate, hex-string threshold against the md5 prefix
+    "dd_temperature_sample" ->
+      """WITH s AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+        |m AS (SELECT MIN(n_l) AS n_min FROM s),
+        |r AS (SELECT lang, n_l, n_min,
+        |    sqrt(CAST(n_min AS DOUBLE) / CAST(n_l AS DOUBLE)) AS rate,
+        |    lpad(lower(to_hex(CAST(floor(
+        |        sqrt(CAST(n_min AS DOUBLE) / CAST(n_l AS DOUBLE))
+        |          * 4294967296.0) AS BIGINT))), 8, '0') AS thr
+        |  FROM s CROSS JOIN m)
+        |SELECT d.lang, d.doc_id, ROUND(r.rate, 6) AS rate
+        |FROM documents d JOIN r USING (lang)
+        |WHERE r.n_l = r.n_min
+        |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < r.thr
+        |ORDER BY d.lang, d.doc_id""".stripMargin,
 
     // dd_minhash_lsh, dd_simhash, sim_lsh_ann: hash-seeded signatures
     // aren't reproducible in SQL → rows-only + ground-truth ScalaTest.

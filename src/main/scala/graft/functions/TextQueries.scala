@@ -319,6 +319,76 @@ object TextQueries {
           round($"w_dec", 4).cast("double").as("dsir_weight"))
         .orderBy($"doc_id")
     },
+
+    "txt_lm_ppl" -> { (s, d) =>
+      import s.implicits._
+      // Bigram-LM perplexity scoring (the CCNet quality signal,
+      // Wenzek et al. 2019, arXiv:1911.00359: score every document by
+      // a language model's perplexity and filter/bucket on it) with
+      // the LM trained ON the corpus: add-1-smoothed bigram model,
+      // per-doc cross-entropy and perplexity. Shape at 100 TB: the
+      // bigram stream is shuffled ONCE (window count over the 64-bit
+      // bigram hash — the txt_novelty trick: no join-back, no second
+      // lineage execution), the unigram table is one vocab-sized
+      // aggregation joined back on the word key, and the per-doc
+      // reduction is map-side-combining. No all-pairs, no driver
+      // state; the only broadcast is the 1-row vocabulary total.
+      // Floating parity with the oracle: per-bigram log terms round
+      // to 6 dp and sum as DECIMAL (exact, order-independent — the
+      // txt_dsir contract); the normalized cross-entropy divides in
+      // INTEGER micro-nat space (exact on both engines), and only the
+      // display-grade ppl column touches double transcendentals.
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, d)
+        .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+      val uni = t.select(explode($"toks").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c_a"))
+      val totals = uni.agg(count(lit(1)).as("v"))
+      val bg = t.filter(size($"toks") >= 2)
+        .select($"doc_id",
+          explode(zip_with(
+            slice($"toks", lit(1), size($"toks") - 1),
+            slice($"toks", lit(2), size($"toks") - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .select($"doc_id", $"p.a".as("a"), $"p.b".as("b"))
+        .withColumn("bh", xxhash64($"a", lit(" "), $"b"))
+      val counted = bg
+        .withColumn("c_ab", count(lit(1)).over(Window.partitionBy($"bh")))
+      // parenthesization matches the oracle exactly (the txt_dsir rule)
+      val term = round(
+        log(($"c_ab".cast("double") + 1.0) /
+          ($"c_a".cast("double") + $"v".cast("double"))), 6)
+        .cast("decimal(18,6)")
+      counted.join(uni.withColumnRenamed("w", "a"), Seq("a"))
+        .crossJoin(broadcast(totals))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(term).as("w_dec"))
+        .withColumn("h_micro", (-$"w_dec" * 1000000).cast("long"))
+        .withColumn("xent_unats", expr("h_micro div n_bigrams"))
+        .select($"doc_id", $"n_bigrams", $"h_micro", $"xent_unats",
+          round(exp($"xent_unats".cast("double") / 1000000.0), 3).as("ppl"))
+        .orderBy($"doc_id")
+    },
+
+    "txt_bpe_train" -> { (s, d) =>
+      import s.implicits._
+      // Distributed BPE merge LEARNING over the corpus (Sennrich 2015
+      // training, the counterpart of txt_bpe_tokens' application
+      // kernel): one map-side-combining shuffle builds the word
+      // histogram, the deterministic top-maxWords truncation bounds
+      // the driver-side merge loop (the trainer-standard candidate
+      // cap — the same bounded-driver-set contract as the ANN
+      // quantizer's <= maxTrain sample), and the corpus itself is
+      // never iterated. Iterative merge learning is not
+      // SQL-expressible -> rows-only; BpeTrainSpec pins distributed
+      // == single-JVM trainer equality on the same text.
+      val merges = graft.plans.BpeTrain.learnDistributed(
+        Tables.documents(s, d), $"text", numMerges = 40)
+      s.createDataset(merges.zipWithIndex.map {
+        case ((a, b), r) => (r, a, b)
+      }).toDF("rank", "lhs", "rhs").orderBy($"rank")
+    },
   )
 
   private val Tok = "string_split_regex(lower(text), '[^a-z0-9]+')"
@@ -527,5 +597,33 @@ object TextQueries {
          |JOIN vocab USING (w)
          |CROSS JOIN totals
          |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    // the same add-1 bigram LM term for term: 6-dp-rounded log terms
+    // summed as DECIMAL (exact), integer micro-nat normalization,
+    // double transcendentals only in the display ppl column
+    "txt_lm_ppl" ->
+      s"""WITH t AS (SELECT doc_id, $cleanTok AS toks FROM documents),
+         |uni AS (SELECT w, COUNT(*) AS c_a
+         |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         |vv AS (SELECT COUNT(*) AS v FROM uni),
+         |bx AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+         |  FROM t WHERE len(toks) >= 2),
+         |bg AS (SELECT doc_id, toks[CAST(i AS INT)] AS a,
+         |    toks[CAST(i + 1 AS INT)] AS b FROM bx),
+         |bic AS (SELECT a, b, COUNT(*) AS c_ab FROM bg GROUP BY a, b),
+         |terms AS (SELECT bg.doc_id,
+         |    CAST(ROUND(LN((CAST(c_ab AS DOUBLE) + 1.0) /
+         |      (CAST(c_a AS DOUBLE) + CAST(v AS DOUBLE))), 6)
+         |      AS DECIMAL(18,6)) AS term
+         |  FROM bg JOIN bic USING (a, b) JOIN uni ON bg.a = uni.w
+         |  CROSS JOIN vv),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+         |    CAST(-SUM(term) * 1000000 AS BIGINT) AS h_micro
+         |  FROM terms GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, h_micro,
+         |  h_micro // n_bigrams AS xent_unats,
+         |  ROUND(exp(CAST(h_micro // n_bigrams AS DOUBLE) / 1000000.0), 3)
+         |    AS ppl
+         |FROM agg ORDER BY doc_id""".stripMargin,
   )
 }
