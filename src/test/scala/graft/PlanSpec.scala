@@ -156,6 +156,31 @@ class PlanSpec extends AnyFunSuite {
       s"filtered search degenerated to an unkeyed join:\n$p")
   }
 
+  test("dd_temperature_sample never shuffles the corpus") {
+    // the gate must stay a map-side filter: the documents scan joins
+    // the (one-row-per-language) rate frame by BROADCAST — a sort-
+    // merge or shuffled-hash join here would exchange the whole
+    // corpus to sample it
+    val p = planOf("dd_temperature_sample")
+    assert(p.contains("BroadcastHashJoin"), s"rate join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus shuffled on the way to the sampling gate:\n$p")
+  }
+
+  test("txt_lm_ppl counts bigrams in one exchange and prunes the scan") {
+    // the bigram stream must be shuffled ONCE (window count over the
+    // hashed bigram key), not aggregated AND joined back — the
+    // txt_novelty contract; and the LM only ever needs doc_id + text
+    val df = SparkEntry.queries("txt_lm_ppl")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), s"bigram count lost the window form:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in LM scoring:\n$p")
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(scans.nonEmpty && !scans.contains("lang") &&
+      !scans.contains("source") && !scans.contains("n_chars"),
+      s"LM scoring reads document columns it never uses:\n$scans")
+  }
+
   test("no query plans a shuffled cartesian product") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, sf)
