@@ -300,6 +300,19 @@ object DedupQueries {
         .orderBy($"qid", $"rn")
     },
 
+    "sim_mmr" -> { (s, d) =>
+      import s.implicits._
+      // MMR-diversified retrieval: exact top-20 relevance shortlist,
+      // then the greedy λ=0.7 marginal-relevance selection of 5 —
+      // the full iterative algorithm is replicated in the oracle as
+      // five unrolled argmax steps, so selection (not just scoring)
+      // is hash-gated.
+      val e = Tables.embeddings(s, d)
+      Ann.mmrTopK(e, "vec_id", "embedding", e.filter($"vec_id" < 20),
+          shortlist = 20, k = 5, lambda = 0.7)
+        .orderBy($"qid", $"rn")
+    },
+
     "sim_filtered_ann" -> { (s, d) =>
       import s.implicits._
       // sim_filtered_topk's label constraint served from the catalog's
@@ -650,6 +663,76 @@ object DedupQueries {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY source, h""".stripMargin,
+
+    // the same greedy MMR selection, unrolled: five argmax steps over
+    // the 3-dp-rounded relevance/pairwise-sim tables — the ITERATIVE
+    // algorithm itself is replicated, not just its scores; the
+    // (1.0 - 0.7) form matches the engine's 1−λ double exactly
+    "sim_mmr" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 20),
+        |sc AS (SELECT q.qid, e.vec_id AS nn,
+        |    ROUND(list_cosine_similarity(q.qv, e.embedding), 3) AS score,
+        |    e.embedding AS v
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+        |sh AS (SELECT qid, nn, score, v FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, nn) AS srn FROM sc) WHERE srn <= 20),
+        |pr AS (SELECT a.qid, a.nn AS x, b.nn AS y,
+        |    ROUND(list_cosine_similarity(a.v, b.v), 3) AS sim
+        |  FROM sh a JOIN sh b ON a.qid = b.qid AND a.nn <> b.nn),
+        |s1 AS (SELECT qid, nn, score, 0.7 * score AS mmr FROM (
+        |    SELECT qid, nn, score, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, nn) AS r FROM sh) WHERE r = 1),
+        |m2 AS (SELECT sh.qid, sh.nn, sh.score,
+        |    0.7 * sh.score - (1.0 - 0.7) * pr.sim AS mmr
+        |  FROM sh JOIN s1 ON sh.qid = s1.qid AND sh.nn <> s1.nn
+        |  JOIN pr ON pr.qid = sh.qid AND pr.x = sh.nn AND pr.y = s1.nn),
+        |s2 AS (SELECT qid, nn, score, mmr FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY mmr DESC, nn) AS r FROM m2) WHERE r = 1),
+        |m3 AS (SELECT sh.qid, sh.nn, sh.score,
+        |    0.7 * sh.score - (1.0 - 0.7) * GREATEST(p1.sim, p2.sim) AS mmr
+        |  FROM sh JOIN s1 ON sh.qid = s1.qid AND sh.nn <> s1.nn
+        |  JOIN s2 ON sh.qid = s2.qid AND sh.nn <> s2.nn
+        |  JOIN pr p1 ON p1.qid = sh.qid AND p1.x = sh.nn AND p1.y = s1.nn
+        |  JOIN pr p2 ON p2.qid = sh.qid AND p2.x = sh.nn AND p2.y = s2.nn),
+        |s3 AS (SELECT qid, nn, score, mmr FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY mmr DESC, nn) AS r FROM m3) WHERE r = 1),
+        |m4 AS (SELECT sh.qid, sh.nn, sh.score,
+        |    0.7 * sh.score - (1.0 - 0.7) * GREATEST(p1.sim, p2.sim, p3.sim) AS mmr
+        |  FROM sh JOIN s1 ON sh.qid = s1.qid AND sh.nn <> s1.nn
+        |  JOIN s2 ON sh.qid = s2.qid AND sh.nn <> s2.nn
+        |  JOIN s3 ON sh.qid = s3.qid AND sh.nn <> s3.nn
+        |  JOIN pr p1 ON p1.qid = sh.qid AND p1.x = sh.nn AND p1.y = s1.nn
+        |  JOIN pr p2 ON p2.qid = sh.qid AND p2.x = sh.nn AND p2.y = s2.nn
+        |  JOIN pr p3 ON p3.qid = sh.qid AND p3.x = sh.nn AND p3.y = s3.nn),
+        |s4 AS (SELECT qid, nn, score, mmr FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY mmr DESC, nn) AS r FROM m4) WHERE r = 1),
+        |m5 AS (SELECT sh.qid, sh.nn, sh.score,
+        |    0.7 * sh.score
+        |      - (1.0 - 0.7) * GREATEST(p1.sim, p2.sim, p3.sim, p4.sim) AS mmr
+        |  FROM sh JOIN s1 ON sh.qid = s1.qid AND sh.nn <> s1.nn
+        |  JOIN s2 ON sh.qid = s2.qid AND sh.nn <> s2.nn
+        |  JOIN s3 ON sh.qid = s3.qid AND sh.nn <> s3.nn
+        |  JOIN s4 ON sh.qid = s4.qid AND sh.nn <> s4.nn
+        |  JOIN pr p1 ON p1.qid = sh.qid AND p1.x = sh.nn AND p1.y = s1.nn
+        |  JOIN pr p2 ON p2.qid = sh.qid AND p2.x = sh.nn AND p2.y = s2.nn
+        |  JOIN pr p3 ON p3.qid = sh.qid AND p3.x = sh.nn AND p3.y = s3.nn
+        |  JOIN pr p4 ON p4.qid = sh.qid AND p4.x = sh.nn AND p4.y = s4.nn),
+        |s5 AS (SELECT qid, nn, score, mmr FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY mmr DESC, nn) AS r FROM m5) WHERE r = 1)
+        |SELECT qid, CAST(rn AS INT) AS rn, nn, score, ROUND(mmr, 4) AS mmr
+        |FROM (
+        |  SELECT qid, 1 AS rn, nn, score, mmr FROM s1 UNION ALL
+        |  SELECT qid, 2, nn, score, mmr FROM s2 UNION ALL
+        |  SELECT qid, 3, nn, score, mmr FROM s3 UNION ALL
+        |  SELECT qid, 4, nn, score, mmr FROM s4 UNION ALL
+        |  SELECT qid, 5, nn, score, mmr FROM s5)
+        |ORDER BY qid, rn""".stripMargin,
 
     // the same alpha=0.5 temperature gate: correctly-rounded
     // sqrt-of-ratio rate, hex-string threshold against the md5 prefix

@@ -59,6 +59,97 @@ object Ann {
     rank(scored, k)
   }
 
+  /** MMR-diversified retrieval (Carbonell & Goldstein 1998, SIGIR —
+    * maximal marginal relevance): greedily re-rank a relevance
+    * shortlist so each pick balances relevance against redundancy
+    * with what's already picked — mmr(c) = λ·rel(c) −
+    * (1−λ)·max_{s∈picked} sim(c, s). The standard diversification
+    * pass over any retrieval shortlist (search results, RAG context
+    * selection, eval-set sampling).
+    *
+    * Scale shape: the EXPENSIVE part is the relevance shortlist —
+    * the same broadcast-query scan + bounded-heap reduction as
+    * bruteTopK (swap in an index-served shortlist at 100 TB; MMR
+    * composes with any of them). The greedy selection then touches
+    * only `shortlist` rows per query: a typed fold over bounded
+    * groups (the packing-fold contract — never a driver loop), with
+    * all pairwise similarity confined to the ≤shortlist² in-group
+    * pairs. Determinism across engines: relevance and pairwise sims
+    * round to 3 dp (Spark Round = BigDecimal HALF_UP — replicated
+    * exactly in the fold), λ-arithmetic on identical doubles is
+    * IEEE-identical, ties break on neighbor id.
+    */
+  def mmrTopK(embs: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, shortlist: Int, k: Int,
+              lambda: Double): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val scored = embs.select(col(idCol).as("nn"), col(vecCol).as("v"))
+      .crossJoin(broadcast(q))
+      .filter(col("nn") =!= col("qid"))
+      .withColumn("score", round(cosine(col("qv"), col("v")), 3))
+    val short = graft.plans.TopK.perGroup(
+      scored.select(col("qid"), col("nn"), col("score"), col("v")),
+      Seq("qid"), Seq(("score", true), ("nn", false)), shortlist)
+    def round3(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    short.select(col("qid").cast("long"), col("nn").cast("long"),
+        col("score"), col("v").cast("array<double>"))
+      .as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cand = it.map { case (_, nn, s, v) => (nn, s, v.toArray) }
+          .toArray.sortBy { case (nn, s, _) => (-s, nn) }
+        // pairwise cosine exactly as the scan computes it: sequential
+        // double accumulation, zero-norm → 0, 3-dp HALF_UP
+        def sim(a: Array[Double], b: Array[Double]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var i = 0
+          while (i < a.length) {
+            dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+            i += 1
+          }
+          val denom = math.sqrt(na) * math.sqrt(nb)
+          if (denom == 0.0) 0.0 else round3(dot / denom)
+        }
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Double], Double)]
+        while (picked.length < k && picked.length < cand.length) {
+          var bestNn = -1L; var bestScore = 0.0; var bestVec: Array[Double] = null
+          var bestMmr = Double.NegativeInfinity
+          cand.foreach { case (nn, rel, v) =>
+            if (!picked.exists(_._1 == nn)) {
+              // max over the PICKED set (can be negative — the
+              // redundancy term then rewards anti-correlation, the
+              // textbook formula); 0 only for the empty first pick
+              var maxSim =
+                if (picked.isEmpty) 0.0 else Double.NegativeInfinity
+              picked.foreach { case (_, _, pv, _) =>
+                val sv = sim(v, pv); if (sv > maxSim) maxSim = sv
+              }
+              val mmr = lambda * rel - (1.0 - lambda) * maxSim
+              // strict >: candidates arrive (rel desc, nn asc), so on
+              // an mmr tie the earlier (lower-id-within-score) wins —
+              // mirrored by the oracle's (mmr DESC, nn) row_number
+              if (mmr > bestMmr ||
+                  (mmr == bestMmr && bestNn >= 0 && nn < bestNn)) {
+                bestMmr = mmr; bestNn = nn; bestScore = rel; bestVec = v
+              }
+            }
+          }
+          picked += ((bestNn, bestScore, bestVec, bestMmr))
+        }
+        picked.iterator.zipWithIndex.map { case ((nn, rel, _, mmr), i) =>
+          (qid, i + 1, nn, rel, round4(mmr))
+        }
+      }
+      .toDF("qid", "rn", "nn", "score", "mmr")
+  }
+
   /** Bounded-heap reduction (graft.plans.TopKPerGroup) first — never
     * window-sorts the full scored set — then a row_number over the
     * ≤k survivors per query for the rank column. */

@@ -1,0 +1,54 @@
+package graft
+
+import graft.similarity.Ann
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MMR diversification semantics (sim_mmr's oracle hash-gates the
+  * full greedy selection against planted data; this pins the REASON
+  * the operator exists on a hand-built corpus): a duplicate of an
+  * already-picked result must fall BELOW a less-relevant-but-diverse
+  * candidate, which plain top-k ranking would never do. */
+class MmrSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("a picked result's duplicate ranks below a diverse candidate") {
+    import spark.implicits._
+    // q = e1; A (id 10) and its exact duplicate A' (id 11) at rel 0.9;
+    // B (id 12) equally relevant but in a different direction —
+    // sim(A,B) = 0.81 < sim(A,A') = 1. Greedy λ=0.7: A first (tie →
+    // lower id), then B (0.63 − 0.3·0.81 beats 0.63 − 0.3·1.0),
+    // duplicate last. Pure relevance ranking gives 10, 11, 12.
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (10L, Seq(0.9f, 0.436f, 0.0f)),
+      (11L, Seq(0.9f, 0.436f, 0.0f)),
+      (12L, Seq(0.9f, 0.0f, 0.436f))
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 1L)
+
+    val brute = Ann.bruteTopK(corpus, "vec_id", "embedding", queries, k = 3)
+      .orderBy("rn").select("nn").as[Long].collect().toSeq
+    assert(brute == Seq(10L, 11L, 12L), s"brute baseline moved: $brute")
+
+    val mmr = Ann.mmrTopK(corpus, "vec_id", "embedding", queries,
+        shortlist = 10, k = 3, lambda = 0.7)
+      .orderBy("rn").select("nn").as[Long].collect().toSeq
+    assert(mmr == Seq(10L, 12L, 11L),
+      s"MMR did not demote the duplicate: $mmr")
+  }
+
+  test("first pick always equals the relevance top-1; picks distinct") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val queries = e.filter($"vec_id" < 5)
+    val top1 = Ann.bruteTopK(e, "vec_id", "embedding", queries, k = 1)
+      .select($"qid", $"nn".as("bn"))
+    val m = Ann.mmrTopK(e, "vec_id", "embedding", queries,
+      shortlist = 20, k = 5, lambda = 0.7)
+    assert(m.filter($"rn" === 1).join(top1, Seq("qid"))
+      .filter($"nn" =!= $"bn").count() == 0,
+      "rank-1 MMR pick diverged from the relevance top-1")
+    val dup = m.groupBy($"qid", $"nn").count().filter($"count" > 1).count()
+    assert(dup == 0, "a neighbor was picked twice for one query")
+  }
+}
