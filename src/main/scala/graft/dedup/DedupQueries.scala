@@ -666,33 +666,35 @@ object DedupQueries {
 
     // the same greedy MMR selection, unrolled: five argmax steps over
     // the 3-dp-rounded relevance/pairwise-sim tables — the ITERATIVE
-    // algorithm itself is replicated, not just its scores; the
-    // (1.0 - 0.7) form matches the engine's 1−λ double exactly
+    // algorithm itself is replicated, not just its scores. Every mmr
+    // rounds to 4 dp BEFORE its argmax (see Ann.mmrTopK: exact 4-dp
+    // ties are common and sub-ulp 1−λ folding differs across engines)
     "sim_mmr" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv
         |  FROM embeddings WHERE vec_id < 20),
         |sc AS (SELECT q.qid, e.vec_id AS nn,
-        |    ROUND(list_cosine_similarity(q.qv, e.embedding), 3) AS score,
+        |    ROUND(CAST(list_cosine_similarity(q.qv, e.embedding) AS DOUBLE),
+        |      3) AS score,
         |    e.embedding AS v
         |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
         |sh AS (SELECT qid, nn, score, v FROM (
         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
         |      ORDER BY score DESC, nn) AS srn FROM sc) WHERE srn <= 20),
         |pr AS (SELECT a.qid, a.nn AS x, b.nn AS y,
-        |    ROUND(list_cosine_similarity(a.v, b.v), 3) AS sim
+        |    ROUND(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE), 3) AS sim
         |  FROM sh a JOIN sh b ON a.qid = b.qid AND a.nn <> b.nn),
-        |s1 AS (SELECT qid, nn, score, 0.7 * score AS mmr FROM (
+        |s1 AS (SELECT qid, nn, score, ROUND(0.7 * score, 4) AS mmr FROM (
         |    SELECT qid, nn, score, ROW_NUMBER() OVER (PARTITION BY qid
         |      ORDER BY score DESC, nn) AS r FROM sh) WHERE r = 1),
         |m2 AS (SELECT sh.qid, sh.nn, sh.score,
-        |    0.7 * sh.score - (1.0 - 0.7) * pr.sim AS mmr
+        |    ROUND(0.7 * sh.score - (1.0 - 0.7) * pr.sim, 4) AS mmr
         |  FROM sh JOIN s1 ON sh.qid = s1.qid AND sh.nn <> s1.nn
         |  JOIN pr ON pr.qid = sh.qid AND pr.x = sh.nn AND pr.y = s1.nn),
         |s2 AS (SELECT qid, nn, score, mmr FROM (
         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
         |      ORDER BY mmr DESC, nn) AS r FROM m2) WHERE r = 1),
         |m3 AS (SELECT sh.qid, sh.nn, sh.score,
-        |    0.7 * sh.score - (1.0 - 0.7) * GREATEST(p1.sim, p2.sim) AS mmr
+        |    ROUND(0.7 * sh.score - (1.0 - 0.7) * GREATEST(p1.sim, p2.sim), 4) AS mmr
         |  FROM sh JOIN s1 ON sh.qid = s1.qid AND sh.nn <> s1.nn
         |  JOIN s2 ON sh.qid = s2.qid AND sh.nn <> s2.nn
         |  JOIN pr p1 ON p1.qid = sh.qid AND p1.x = sh.nn AND p1.y = s1.nn
@@ -701,7 +703,8 @@ object DedupQueries {
         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
         |      ORDER BY mmr DESC, nn) AS r FROM m3) WHERE r = 1),
         |m4 AS (SELECT sh.qid, sh.nn, sh.score,
-        |    0.7 * sh.score - (1.0 - 0.7) * GREATEST(p1.sim, p2.sim, p3.sim) AS mmr
+        |    ROUND(0.7 * sh.score
+        |      - (1.0 - 0.7) * GREATEST(p1.sim, p2.sim, p3.sim), 4) AS mmr
         |  FROM sh JOIN s1 ON sh.qid = s1.qid AND sh.nn <> s1.nn
         |  JOIN s2 ON sh.qid = s2.qid AND sh.nn <> s2.nn
         |  JOIN s3 ON sh.qid = s3.qid AND sh.nn <> s3.nn
@@ -712,8 +715,8 @@ object DedupQueries {
         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
         |      ORDER BY mmr DESC, nn) AS r FROM m4) WHERE r = 1),
         |m5 AS (SELECT sh.qid, sh.nn, sh.score,
-        |    0.7 * sh.score
-        |      - (1.0 - 0.7) * GREATEST(p1.sim, p2.sim, p3.sim, p4.sim) AS mmr
+        |    ROUND(0.7 * sh.score
+        |      - (1.0 - 0.7) * GREATEST(p1.sim, p2.sim, p3.sim, p4.sim), 4) AS mmr
         |  FROM sh JOIN s1 ON sh.qid = s1.qid AND sh.nn <> s1.nn
         |  JOIN s2 ON sh.qid = s2.qid AND sh.nn <> s2.nn
         |  JOIN s3 ON sh.qid = s3.qid AND sh.nn <> s3.nn
@@ -725,7 +728,7 @@ object DedupQueries {
         |s5 AS (SELECT qid, nn, score, mmr FROM (
         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
         |      ORDER BY mmr DESC, nn) AS r FROM m5) WHERE r = 1)
-        |SELECT qid, CAST(rn AS INT) AS rn, nn, score, ROUND(mmr, 4) AS mmr
+        |SELECT qid, CAST(rn AS INT) AS rn, nn, score, mmr
         |FROM (
         |  SELECT qid, 1 AS rn, nn, score, mmr FROM s1 UNION ALL
         |  SELECT qid, 2, nn, score, mmr FROM s2 UNION ALL

@@ -76,8 +76,11 @@ object Ann {
     * all pairwise similarity confined to the ≤shortlist² in-group
     * pairs. Determinism across engines: relevance and pairwise sims
     * round to 3 dp (Spark Round = BigDecimal HALF_UP — replicated
-    * exactly in the fold), λ-arithmetic on identical doubles is
-    * IEEE-identical, ties break on neighbor id.
+    * exactly in the fold), the λ-combination rounds to 4 dp BEFORE
+    * each argmax (3-dp inputs × 1-dp λ make every mmr an exact 4-dp
+    * decimal, so exact ties are common and must not be left to
+    * sub-ulp noise — engines fold 1−λ differently), ties break on
+    * neighbor id.
     */
   def mmrTopK(embs: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, shortlist: Int, k: Int,
@@ -131,7 +134,13 @@ object Ann {
               picked.foreach { case (_, _, pv, _) =>
                 val sv = sim(v, pv); if (sv > maxSim) maxSim = sv
               }
-              val mmr = lambda * rel - (1.0 - lambda) * maxSim
+              // round to 4 dp BEFORE the argmax: with 3-dp scores and
+              // a 1-dp λ every mmr is an EXACT 4-dp decimal, so exact
+              // ties are common and sub-ulp noise (engines fold 1−λ
+              // differently: decimal vs binary) must not decide them —
+              // the 4-dp round lands both engines on the same value
+              // and the nn tie-break resolves deterministically
+              val mmr = round4(lambda * rel - (1.0 - lambda) * maxSim)
               // strict >: candidates arrive (rel desc, nn asc), so on
               // an mmr tie the earlier (lower-id-within-score) wins —
               // mirrored by the oracle's (mmr DESC, nn) row_number
@@ -144,7 +153,7 @@ object Ann {
           picked += ((bestNn, bestScore, bestVec, bestMmr))
         }
         picked.iterator.zipWithIndex.map { case ((nn, rel, _, mmr), i) =>
-          (qid, i + 1, nn, rel, round4(mmr))
+          (qid, i + 1, nn, rel, mmr)
         }
       }
       .toDF("qid", "rn", "nn", "score", "mmr")
