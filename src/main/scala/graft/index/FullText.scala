@@ -127,6 +127,37 @@ object FullText {
     if (analyzer == "english") analyzeTermCol(base) else base
   }
 
+  /** Snippet (hit-highlighting) generation — the Lucene-highlighter
+    * counterpart of the search queries (reference surface:
+    * KtSqlFullTextTable's Lucene delegation includes result
+    * presentation): for every document containing `term`, a window of
+    * `before` tokens left and `after` tokens right of the FIRST
+    * occurrence, plus the occurrence count. The first position and
+    * count come from the PERSISTED positional index (an index seek on
+    * the term — never a corpus scan for the positions); only the
+    * matched documents' text is then tokenized for the window slice,
+    * so the text pass is bounded by the hit set, not the corpus.
+    * Positions are returned 1-based (the positional frame is 0-based
+    * posexplode output). */
+  def snippets(docs: DataFrame, idCol: String, textCol: String,
+               positional: DataFrame, term: String,
+               before: Int = 3, after: Int = 4): DataFrame = {
+    val t = norm(term)
+    require(t.split(TokenPattern).count(_.nonEmpty) == 1,
+      s"snippets takes ONE term, got '$term'")
+    val hits = positional.filter(col("term") === t)
+      .groupBy(col("doc_id"))
+      .agg((min(col("pos")) + 1).as("first_pos"),
+        count(lit(1)).as("n_hits"))
+    docs.select(col(idCol).as("doc_id"), tokenize(col(textCol)).as("toks"))
+      .join(hits, Seq("doc_id"))
+      .withColumn("s", greatest(col("first_pos") - before, lit(1)))
+      .withColumn("e", least(col("first_pos") + after, size(col("toks"))))
+      .select(col("doc_id"), col("first_pos"), col("n_hits"),
+        array_join(slice(col("toks"), col("s"), col("e") - col("s") + 1),
+          " ").as("snippet"))
+  }
+
   /** Postings derived from the positional frame (tf = position count
     * per (term, doc) — identical to [[buildPostings]] by definition).
     * Index builds that persist BOTH families tokenize the corpus once

@@ -195,6 +195,17 @@ object IndexQueries {
         .orderBy($"doc_id")
     },
 
+    "ft_snippet" -> { (s, d) =>
+      import s.implicits._
+      // hit highlighting from the persisted positional index: first
+      // occurrence + count are an index SEEK; only matched docs'
+      // text is tokenized for the +-window snippet
+      val docs = Tables.documents(s, d)
+      val positional = graft.QueryCaches.positional(s, d)
+      FullText.snippets(docs, "doc_id", "text", positional, "stream")
+        .orderBy($"doc_id")
+    },
+
     "ft_prefix" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
@@ -420,6 +431,22 @@ object IndexQueries {
         |  i -> array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')),
         |  'spark join')
         |ORDER BY doc_id""".stripMargin,
+
+    // the same window around the first occurrence, re-derived from the
+    // text — gating that the index's positions agree with the corpus
+    "ft_snippet" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |h AS (SELECT doc_id, toks, list_position(toks, 'stream') AS p,
+        |    len(list_filter(toks, x -> x = 'stream')) AS n_hits
+        |  FROM t WHERE list_contains(toks, 'stream'))
+        |SELECT doc_id, CAST(p AS INT) AS first_pos, n_hits,
+        |  array_to_string(toks[CAST(greatest(p - 3, 1) AS INT):
+        |    CAST(least(p + 4, len(toks)) AS INT)], ' ') AS snippet
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "ft_phrase_analyzed" ->
       """WITH t AS (
