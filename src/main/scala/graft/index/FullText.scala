@@ -142,9 +142,12 @@ object FullText {
   def snippets(docs: DataFrame, idCol: String, textCol: String,
                positional: DataFrame, term: String,
                before: Int = 3, after: Int = 4): DataFrame = {
-    val t = norm(term)
-    require(t.split(TokenPattern).count(_.nonEmpty) == 1,
-      s"snippets takes ONE term, got '$term'")
+    // match the extracted TOKEN, not the raw normalized string — a
+    // decorated single-token input ("stream.") would otherwise pass
+    // the arity check yet silently miss the alnum-tokenized index
+    val toks = norm(term).split(TokenPattern).filter(_.nonEmpty)
+    require(toks.length == 1, s"snippets takes ONE term, got '$term'")
+    val t = toks.head
     val hits = positional.filter(col("term") === t)
       .groupBy(col("doc_id"))
       .agg((min(col("pos")) + 1).as("first_pos"),

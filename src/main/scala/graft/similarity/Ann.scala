@@ -87,6 +87,15 @@ object Ann {
               lambda: Double): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
+    // the typed fold below carries ids as Long — guard at the API
+    // boundary (a string/UUID id would cast to null and surface as an
+    // opaque non-nullable-encoder error deep inside the fold)
+    Seq(embs, queries).foreach { df =>
+      import org.apache.spark.sql.types._
+      val dt = df.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"mmrTopK needs an integral id column, $idCol is $dt")
+    }
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val scored = embs.select(col(idCol).as("nn"), col(vecCol).as("v"))
       .crossJoin(broadcast(q))
@@ -120,41 +129,55 @@ object Ann {
           val denom = math.sqrt(na) * math.sqrt(nb)
           if (denom == 0.0) 0.0 else round3(dot / denom)
         }
-        val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Double], Double)]
-        while (picked.length < k && picked.length < cand.length) {
-          var bestNn = -1L; var bestScore = 0.0; var bestVec: Array[Double] = null
+        // running max-sim-to-picked per candidate, refreshed with ONLY
+        // the newest pick each round — each (candidate, pick) pair is
+        // measured once, O(k·n·d) instead of recomputing the whole
+        // picked set per candidate per round
+        val maxSim = Array.fill(cand.length)(Double.NegativeInfinity)
+        val used = new Array[Boolean](cand.length)
+        val out = Vector.newBuilder[(Long, Int, Long, Double, Double)]
+        var picks = 0
+        while (picks < k && picks < cand.length) {
+          var bestI = -1
           var bestMmr = Double.NegativeInfinity
-          cand.foreach { case (nn, rel, v) =>
-            if (!picked.exists(_._1 == nn)) {
-              // max over the PICKED set (can be negative — the
-              // redundancy term then rewards anti-correlation, the
+          var i = 0
+          while (i < cand.length) {
+            if (!used(i)) {
+              // redundancy term: max over the PICKED set (can be
+              // negative — then it rewards anti-correlation, the
               // textbook formula); 0 only for the empty first pick
-              var maxSim =
-                if (picked.isEmpty) 0.0 else Double.NegativeInfinity
-              picked.foreach { case (_, _, pv, _) =>
-                val sv = sim(v, pv); if (sv > maxSim) maxSim = sv
-              }
+              val ms = if (picks == 0) 0.0 else maxSim(i)
               // round to 4 dp BEFORE the argmax: with 3-dp scores and
               // a 1-dp λ every mmr is an EXACT 4-dp decimal, so exact
               // ties are common and sub-ulp noise (engines fold 1−λ
               // differently: decimal vs binary) must not decide them —
               // the 4-dp round lands both engines on the same value
               // and the nn tie-break resolves deterministically
-              val mmr = round4(lambda * rel - (1.0 - lambda) * maxSim)
-              // strict >: candidates arrive (rel desc, nn asc), so on
-              // an mmr tie the earlier (lower-id-within-score) wins —
-              // mirrored by the oracle's (mmr DESC, nn) row_number
+              val mmr = round4(lambda * cand(i)._2 - (1.0 - lambda) * ms)
+              // the explicit nn clause IS the oracle's (mmr DESC, nn)
+              // row_number tie-break — arrival order alone would pick
+              // the higher-RELEVANCE side of an mmr tie instead
               if (mmr > bestMmr ||
-                  (mmr == bestMmr && bestNn >= 0 && nn < bestNn)) {
-                bestMmr = mmr; bestNn = nn; bestScore = rel; bestVec = v
+                  (mmr == bestMmr && bestI >= 0 && cand(i)._1 < cand(bestI)._1)) {
+                bestMmr = mmr; bestI = i
               }
             }
+            i += 1
           }
-          picked += ((bestNn, bestScore, bestVec, bestMmr))
+          val (nn, rel, v) = cand(bestI)
+          used(bestI) = true
+          picks += 1
+          out += ((qid, picks, nn, rel, bestMmr))
+          var j = 0
+          while (j < cand.length) {
+            if (!used(j)) {
+              val sv = sim(cand(j)._3, v)
+              if (sv > maxSim(j)) maxSim(j) = sv
+            }
+            j += 1
+          }
         }
-        picked.iterator.zipWithIndex.map { case ((nn, rel, _, mmr), i) =>
-          (qid, i + 1, nn, rel, mmr)
-        }
+        out.result().iterator
       }
       .toDF("qid", "rn", "nn", "score", "mmr")
   }
