@@ -67,6 +67,34 @@ object Tables {
   private val stagedEventDirs =
     new java.util.concurrent.ConcurrentHashMap[String, Staged]()
 
+  /** The documents table as a STREAMING ingest drop (doc_id, text,
+    * synthetic arrival ts), with exact copies of doc_id<10 planted at
+    * id+PlantedIdBase one hour later — the ingest-dedup ground truth:
+    * a duplicate arriving in a LATER micro-batch must be suppressed
+    * by state, not by intra-batch distinct. Staged once per (JVM,
+    * dir) into 4 files so the file source genuinely advances state
+    * across micro-batches (the eventsStream contract). */
+  private[graft] def documentsStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val st = stageOnce(stagedDocDirs, d, "graft_docs_stream") { dir =>
+      val docs = load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + PlantedIdBase)
+      val all = docs.unionByName(planted)
+        .withColumn("ts",
+          (lit(1700000000L) + (col("doc_id") % PlantedIdBase)
+            + when(col("doc_id") >= PlantedIdBase, 3600L).otherwise(0L))
+            .cast("timestamp"))
+      all.repartition(4).write.mode("overwrite").parquet(dir.toString)
+      all.schema
+    }
+    s.readStream.schema(st.schema).option("maxFilesPerTrigger", 1)
+      .parquet(st.dir)
+  }
+  private val stagedDocDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, Staged]()
+
   /** One event type's slice of the events table as its own file
     * stream. The stream-stream join reads views and purchases as two
     * INDEPENDENT sources; staging each side pre-filtered means every

@@ -94,6 +94,34 @@ object StreamQueries {
         .orderBy($"k")
     },
 
+    "st_stream_neardedup" -> { (s, d) =>
+      import s.implicits._
+      // Streaming ingest dedup by CONTENT fingerprint — the
+      // LLM-pipeline intersection of st_stream_dedup (key identity)
+      // and dd_simhash (content identity): documents arrive as a
+      // file stream, the 64-bit SimHash of the token stream is the
+      // dedup key, and a re-ingested copy landing in a LATER
+      // micro-batch is suppressed by the state store (the planted
+      // copies arrive an hour after their originals — intra-batch
+      // distinct cannot catch them). Exact-fingerprint suppression is
+      // the production ingest-filter stage; hamming-band near-match
+      // would compose the same stream with flatMapGroupsWithState on
+      // band keys (the st_stream_sessions machinery). Output is one
+      // row per fingerprint with its emission count — any duplicate
+      // leaking through shows as n_emitted=2. SimHash isn't
+      // SQL-expressible → rows-only; StreamingSpec pins emitted set
+      // == batch first-per-fingerprint.
+      val fp = graft.plans.HashExpressions.simhash64(
+        graft.plans.HashExpressions.tokens($"text"))
+      val deduped = Streams.dedupStream(Tables.documentsStream(s, d),
+        "ts", fp, watermark = "3650 days")
+      runToBatch(s, deduped, "append", "st_stream_neardedup")
+        .select(graft.plans.HashExpressions.simhash64(
+            graft.plans.HashExpressions.tokens($"text")).as("fp"))
+        .groupBy($"fp").agg(count(lit(1)).as("n_emitted"))
+        .orderBy($"fp")
+    },
+
     "st_stream_join" -> { (s, d) =>
       import s.implicits._
       // Stream-stream inner join (watermarked state on BOTH sides):

@@ -65,6 +65,31 @@ class StreamingSpec extends AnyFunSuite {
         .dropDuplicates("user_id", "event_type").count())
   }
 
+  test("streaming content-fingerprint dedup equals batch first-per-fingerprint") {
+    import spark.implicits._
+    // the gated query's exact pipeline: staged doc stream with planted
+    // copies arriving an hour later, simhash64 dedup key
+    val result = SparkEntry.queries("st_stream_neardedup")(spark, sf)
+      .collect()
+    // batch ground truth over the SAME staged content: docs ∪ copies
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val all = docs.unionByName(docs.filter($"doc_id" < 10)
+      .withColumn("doc_id", $"doc_id" + Tables.PlantedIdBase))
+    val fps = all.select(graft.plans.HashExpressions.simhash64(
+        graft.plans.HashExpressions.tokens($"text")).as("fp"))
+      .distinct().as[Long].collect().toSet
+    // one emission per distinct fingerprint — a cross-micro-batch
+    // duplicate leaking past the state store would show n_emitted = 2
+    assert(result.map(_.getLong(0)).toSet == fps,
+      "emitted fingerprint set != batch distinct fingerprints")
+    assert(result.forall(_.getLong(1) == 1L),
+      "a fingerprint was emitted more than once")
+    // the planted exact copies genuinely collide with their originals
+    // (the suppression is exercised, not vacuous)
+    assert(result.length < all.count(),
+      "no duplicate fingerprints in the staged corpus — test is vacuous")
+  }
+
   test("stream-stream attribution join equals the batch time-range join") {
     def staged = stagedStream
     val q = graft.streaming.Streams.attributionJoin(
