@@ -333,6 +333,45 @@ object StreamQueries {
         .orderBy($"cohort", $"week_n")
     },
 
+    "evt_cms_topk" -> { (s, d) =>
+      import s.implicits._
+      // Count-Min frequency sketch (Cormode & Muthukrishnan 2005) —
+      // the third mergeable sketch family beside the HLL distincts
+      // and the Bloom membership filter: d=4 hash rows × w=2048
+      // counters, built in ONE corpus scan with map-side combine (the
+      // sketch IS a (row, bucket) → count relation, so merging across
+      // partitions/streams/days is counter addition for free). The
+      // exact top-15 heavy hitters then probe it: estimate = min over
+      // rows of the probed counter, with CMS's one-sided guarantee
+      // est >= true surfacing as a non-negative overcount column. The
+      // row hashes are integer affine maps (mod-2^31 arithmetic) so
+      // the DuckDB oracle replays the SKETCH itself exactly — a
+      // production key wider than ~31 bits swaps in xxhash64 (same
+      // plan, rows-only gate).
+      val params = Seq((2654435761L, 97L), (2246822519L, 1031L),
+        (3266489917L, 193L), (668265263L, 769L))
+      def bucket(u: org.apache.spark.sql.Column, a: Long, b: Long): org.apache.spark.sql.Column =
+        (((u % 2147483647L) * a + b) % 2147483647L) % 2048L
+      def rowBuckets(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column = explode(array(
+        params.zipWithIndex.map { case ((a, b), i) =>
+          struct(lit(i).as("r"), bucket(u, a, b).as("bkt"))
+        }: _*))
+      val sketch = Tables.events(s, d).select(rowBuckets($"user_id").as("p"))
+        .select($"p.r", $"p.bkt")
+        .groupBy($"r", $"bkt").agg(count(lit(1)).as("c"))
+      val top = Tables.events(s, d).groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy($"n_events".desc, $"user_id").limit(15)
+      top.select($"user_id", $"n_events", rowBuckets($"user_id").as("p"))
+        .select($"user_id", $"n_events", $"p.r", $"p.bkt")
+        .join(sketch, Seq("r", "bkt"))
+        .groupBy($"user_id", $"n_events")
+        .agg(min($"c").as("n_est"))
+        .select($"user_id", $"n_events", $"n_est",
+          ($"n_est" - $"n_events").as("overcount"))
+        .orderBy($"n_events".desc, $"user_id")
+    },
+
     "evt_hll_users" -> { (s, d) =>
       import s.implicits._
       // mergeable distinct-count sketches (DataSketches HLL, Spark
@@ -512,6 +551,32 @@ object StreamQueries {
         |      ORDER BY COUNT(*) DESC, user_id) AS rn
         |  FROM events GROUP BY event_type, user_id)
         |WHERE rn <= 3 ORDER BY event_type, n_events DESC, user_id""".stripMargin,
+
+    // the same d=4 × w=2048 Count-Min sketch replayed exactly: the
+    // row hashes are integer affine maps, so the ORACLE builds the
+    // identical counter relation and probes it with the same min rule
+    "evt_cms_topk" ->
+      """WITH b AS (SELECT * FROM (VALUES (0, 2654435761, 97),
+        |    (1, 2246822519, 1031), (2, 3266489917, 193),
+        |    (3, 668265263, 769)) AS t(r, a, bo)),
+        |pairs AS (SELECT b.r,
+        |    (((e.user_id % 2147483647) * b.a + b.bo) % 2147483647) % 2048
+        |      AS bkt
+        |  FROM events e CROSS JOIN b),
+        |sketch AS (SELECT r, bkt, COUNT(*) AS c FROM pairs GROUP BY r, bkt),
+        |top AS (SELECT user_id, n_events FROM (
+        |    SELECT user_id, COUNT(*) AS n_events,
+        |      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS rn
+        |    FROM events GROUP BY user_id) WHERE rn <= 15),
+        |probes AS (SELECT t.user_id, t.n_events, b.r,
+        |    (((t.user_id % 2147483647) * b.a + b.bo) % 2147483647) % 2048
+        |      AS bkt
+        |  FROM top t CROSS JOIN b)
+        |SELECT p.user_id, p.n_events, MIN(s.c) AS n_est,
+        |  CAST(MIN(s.c) - p.n_events AS BIGINT) AS overcount
+        |FROM probes p JOIN sketch s ON s.r = p.r AND s.bkt = p.bkt
+        |GROUP BY p.user_id, p.n_events
+        |ORDER BY p.n_events DESC, p.user_id""".stripMargin,
 
     "evt_funnel" ->
       """SELECT user_id,
