@@ -71,23 +71,49 @@ object Tables {
     * synthetic arrival ts), with exact copies of doc_id<10 planted at
     * id+PlantedIdBase one hour later — the ingest-dedup ground truth:
     * a duplicate arriving in a LATER micro-batch must be suppressed
-    * by state, not by intra-batch distinct. Staged once per (JVM,
-    * dir) into 4 files so the file source genuinely advances state
-    * across micro-batches (the eventsStream contract). */
+    * by state, not by intra-batch distinct. Staging enforces that
+    * contract structurally (the eventsStreamOrdered pattern):
+    * originals land as batch-000..002 with ascending mtimes, the
+    * planted copies as batch-999 strictly last in BOTH file-source
+    * sort keys — repartition alone could co-locate a copy with its
+    * original in one file and make the cross-batch claim vacuous. */
   private[graft] def documentsStream(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val st = stageOnce(stagedDocDirs, d, "graft_docs_stream") { dir =>
       val docs = load(s, d, "documents")
         .select(col("doc_id"), col("text"))
-      val planted = docs.filter(col("doc_id") < 10)
-        .withColumn("doc_id", col("doc_id") + PlantedIdBase)
-      val all = docs.unionByName(planted)
         .withColumn("ts",
-          (lit(1700000000L) + (col("doc_id") % PlantedIdBase)
-            + when(col("doc_id") >= PlantedIdBase, 3600L).otherwise(0L))
+          (lit(1700000000L) + col("doc_id")).cast("timestamp"))
+      val planted = load(s, d, "documents")
+        .filter(col("doc_id") < 10)
+        .select((col("doc_id") + PlantedIdBase).as("doc_id"), col("text"))
+        .withColumn("ts",
+          (lit(1700000000L) + (col("doc_id") % PlantedIdBase) + 3600L)
             .cast("timestamp"))
-      all.repartition(4).write.mode("overwrite").parquet(dir.toString)
-      all.schema
+      val tmp = dir.resolve("tmp")
+      def moveParts(prefixIdx: Int => String): Unit = {
+        val w = java.nio.file.Files.list(tmp)
+        val arr = new java.util.ArrayList[java.nio.file.Path]()
+        try w.filter(p => p.getFileName.toString.startsWith("part-"))
+          .sorted().forEach(p => { arr.add(p); () })
+        finally w.close()
+        val base = System.currentTimeMillis() - 120000L
+        var i = 0
+        while (i < arr.size()) {
+          val name = prefixIdx(i)
+          val dst = dir.resolve(name)
+          java.nio.file.Files.move(arr.get(i), dst)
+          val off = if (name.startsWith("batch-999")) 60000L else i * 2000L
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(base + off))
+          i += 1
+        }
+      }
+      docs.repartition(3).write.mode("overwrite").parquet(tmp.toString)
+      moveParts(i => f"batch-$i%03d.parquet")
+      planted.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      moveParts(_ => "batch-999.parquet")
+      docs.schema
     }
     s.readStream.schema(st.schema).option("maxFilesPerTrigger", 1)
       .parquet(st.dir)

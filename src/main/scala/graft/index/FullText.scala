@@ -152,8 +152,12 @@ object FullText {
       .groupBy(col("doc_id"))
       .agg((min(col("pos")) + 1).as("first_pos"),
         count(lit(1)).as("n_hits"))
-    docs.select(col(idCol).as("doc_id"), tokenize(col(textCol)).as("toks"))
+    // join FIRST, tokenize the joined frame: Catalyst never pulls a
+    // projection up through a join, so tokenizing before the join
+    // would pay a full-corpus tokenize pass for a rare term
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__snip_text"))
       .join(hits, Seq("doc_id"))
+      .withColumn("toks", tokenize(col("__snip_text")))
       .withColumn("s", greatest(col("first_pos") - before, lit(1)))
       .withColumn("e", least(col("first_pos") + after, size(col("toks"))))
       .select(col("doc_id"), col("first_pos"), col("n_hits"),

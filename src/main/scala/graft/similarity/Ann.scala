@@ -137,7 +137,8 @@ object Ann {
         val used = new Array[Boolean](cand.length)
         val out = Vector.newBuilder[(Long, Int, Long, Double, Double)]
         var picks = 0
-        while (picks < k && picks < cand.length) {
+        var exhausted = false
+        while (picks < k && !exhausted) {
           var bestI = -1
           var bestMmr = Double.NegativeInfinity
           var i = 0
@@ -164,6 +165,8 @@ object Ann {
             }
             i += 1
           }
+          if (bestI < 0) { exhausted = true }
+          else {
           val (nn, rel, v) = cand(bestI)
           used(bestI) = true
           picks += 1
@@ -171,10 +174,17 @@ object Ann {
           var j = 0
           while (j < cand.length) {
             if (!used(j)) {
-              val sv = sim(cand(j)._3, v)
-              if (sv > maxSim(j)) maxSim(j) = sv
+              // an un-deduplicated corpus can carry the picked id
+              // twice — retire every candidate with this id, or the
+              // same nn could be emitted at two ranks
+              if (cand(j)._1 == nn) used(j) = true
+              else {
+                val sv = sim(cand(j)._3, v)
+                if (sv > maxSim(j)) maxSim(j) = sv
+              }
             }
             j += 1
+          }
           }
         }
         out.result().iterator

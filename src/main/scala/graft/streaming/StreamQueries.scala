@@ -111,13 +111,15 @@ object StreamQueries {
       // leaking through shows as n_emitted=2. SimHash isn't
       // SQL-expressible → rows-only; StreamingSpec pins emitted set
       // == batch first-per-fingerprint.
-      val fp = graft.plans.HashExpressions.simhash64(
-        graft.plans.HashExpressions.tokens($"text"))
-      val deduped = Streams.dedupStream(Tables.documentsStream(s, d),
-        "ts", fp, watermark = "3650 days")
+      // fingerprint ONCE as a stream column — it serves as both the
+      // dedup key and the post-sink group key (recomputing it after
+      // the sink would re-tokenize the whole emitted set)
+      val stream = Tables.documentsStream(s, d)
+        .withColumn("fp", graft.plans.HashExpressions.simhash64(
+          graft.plans.HashExpressions.tokens($"text")))
+      val deduped = Streams.dedupStream(stream, "ts", $"fp",
+        watermark = "3650 days")
       runToBatch(s, deduped, "append", "st_stream_neardedup")
-        .select(graft.plans.HashExpressions.simhash64(
-            graft.plans.HashExpressions.tokens($"text")).as("fp"))
         .groupBy($"fp").agg(count(lit(1)).as("n_emitted"))
         .orderBy($"fp")
     },

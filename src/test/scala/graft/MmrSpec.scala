@@ -51,4 +51,22 @@ class MmrSpec extends AnyFunSuite {
     val dup = m.groupBy($"qid", $"nn").count().filter($"count" > 1).count()
     assert(dup == 0, "a neighbor was picked twice for one query")
   }
+
+  test("an un-deduplicated corpus cannot emit the same id at two ranks") {
+    import spark.implicits._
+    // id 10 appears TWICE in the corpus — both rows survive the
+    // shortlist as separate candidates; the fold must retire both
+    // once either is picked
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (10L, Seq(0.9f, 0.436f, 0.0f)),
+      (10L, Seq(0.9f, 0.436f, 0.0f)),
+      (12L, Seq(0.9f, 0.0f, 0.436f))
+    ).toDF("vec_id", "embedding")
+    val m = Ann.mmrTopK(corpus, "vec_id", "embedding",
+        corpus.filter($"vec_id" === 1L).limit(1),
+        shortlist = 10, k = 3, lambda = 0.7)
+      .orderBy("rn").select("nn").as[Long].collect().toSeq
+    assert(m == Seq(10L, 12L), s"duplicate id emitted twice: $m")
+  }
 }
