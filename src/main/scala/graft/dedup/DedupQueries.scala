@@ -380,6 +380,61 @@ object DedupQueries {
         .orderBy($"source", $"h")
     },
 
+    "dd_curriculum" -> { (s, d) =>
+      import s.implicits._
+      // Curriculum scheduling (Bengio et al. 2009 curriculum
+      // learning, the data-ordering pass of a training pipeline):
+      // rank documents by a difficulty signal (exact token count —
+      // the standard short-to-long curriculum), decile them, and
+      // interleave the deciles so every training round sees one doc
+      // from each difficulty band, easiest band first within the
+      // round. A naive NTILE over the corpus would be a
+      // SINGLE-PARTITION global window; instead the global rank
+      // decomposes as (cumulative count of shorter docs) + (rank
+      // within my length), so the only unpartitioned window runs
+      // over the LENGTH HISTOGRAM (bounded by max doc length, never
+      // corpus-sized) and the per-length window distributes on the
+      // length key. NTILE's first-buckets-get-the-remainder contract
+      // is reproduced arithmetically from the 0-based global rank —
+      // exact integers end to end, so the oracle's real NTILE gates
+      // the decomposition.
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.documents(s, d)
+        .select($"doc_id",
+          size(graft.functions.TextFunctions.tokens($"text"))
+            .cast("long").as("n_words"))
+      val hist = scored.groupBy($"n_words").agg(count(lit(1)).as("cnt"))
+      val offs = hist
+        .withColumn("start0",
+          sum($"cnt").over(Window.orderBy($"n_words")) - $"cnt")
+        .select($"n_words", $"start0")
+      val total = hist.agg(sum($"cnt").as("n"))
+      val k = 10L
+      val ranked = scored
+        .withColumn("lrn", row_number().over(
+          Window.partitionBy($"n_words").orderBy($"doc_id")))
+        .join(broadcast(offs), Seq("n_words"))
+        .crossJoin(broadcast(total))
+        .withColumn("r0", $"start0" + $"lrn" - 1L)
+        // Column./ is DOUBLE division — every quotient below must be
+        // integral, hence the `div` operator
+        .withColumn("sz", expr(s"n div $k"))
+        .withColumn("rem", $"n" % k)
+      ranked
+        .withColumn("bucket",
+          when($"r0" < $"rem" * ($"sz" + 1L),
+            expr("r0 div (sz + 1) + 1"))
+            .otherwise(expr("rem + (r0 - rem * (sz + 1)) div sz + 1")))
+        .withColumn("rnk",
+          when($"r0" < $"rem" * ($"sz" + 1L), $"r0" % ($"sz" + 1L) + 1L)
+            .otherwise(($"r0" - $"rem" * ($"sz" + 1L)) % $"sz" + 1L))
+        .select(
+          (($"rnk" - 1L) * k + $"bucket").cast("int").as("pos"),
+          $"bucket".cast("int").as("bucket"), $"rnk".cast("int").as("rnk"),
+          $"doc_id", $"n_words".cast("int").as("n_words"))
+        .orderBy($"pos")
+    },
+
     "dd_temperature_sample" -> { (s, d) =>
       import s.implicits._
       // Temperature-scaled mixture resampling (the XLM-R multilingual
@@ -736,6 +791,23 @@ object DedupQueries {
         |  SELECT qid, 4, nn, score, mmr FROM s4 UNION ALL
         |  SELECT qid, 5, nn, score, mmr FROM s5)
         |ORDER BY qid, rn""".stripMargin,
+
+    // the same decile interleave: identical NTILE/ROW_NUMBER tie
+    // orders (n_words, doc_id — total), identical position arithmetic
+    "dd_curriculum" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0)) AS n_words
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_words,
+        |    NTILE(10) OVER (ORDER BY n_words, doc_id) AS bucket FROM t),
+        |r AS (SELECT doc_id, n_words, bucket,
+        |    ROW_NUMBER() OVER (PARTITION BY bucket
+        |      ORDER BY n_words, doc_id) AS rnk FROM b)
+        |SELECT CAST((rnk - 1) * 10 + bucket AS INT) AS pos,
+        |  CAST(bucket AS INT) AS bucket, CAST(rnk AS INT) AS rnk,
+        |  doc_id, CAST(n_words AS INT) AS n_words
+        |FROM r ORDER BY pos""".stripMargin,
 
     // the same alpha=0.5 temperature gate: correctly-rounded
     // sqrt-of-ratio rate, hex-string threshold against the md5 prefix
