@@ -313,6 +313,18 @@ object DedupQueries {
         .orderBy($"qid", $"rn")
     },
 
+    "sim_mmr_ann" -> { (s, d) =>
+      import s.implicits._
+      // the same diversified selection with the shortlist served by
+      // the PERSISTED IVF index's coarse probe instead of the exact
+      // scan — sublinear candidates, identical greedy fold. k-means
+      // lists → rows-only; MmrSpec pins rank-1 agreement with
+      // ivfSearch and shortlist containment.
+      Ann.mmrAnnTopK(ivfIdx(s, d), plantedEmbs(s, d).filter($"vec_id" < 20),
+          "vec_id", "embedding", shortlist = 20, k = 5, lambda = 0.7)
+        .orderBy($"qid", $"rn")
+    },
+
     "sim_filtered_ann" -> { (s, d) =>
       import s.implicits._
       // sim_filtered_topk's label constraint served from the catalog's

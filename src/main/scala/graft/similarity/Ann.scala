@@ -104,6 +104,38 @@ object Ann {
     val short = graft.plans.TopK.perGroup(
       scored.select(col("qid"), col("nn"), col("score"), col("v")),
       Seq("qid"), Seq(("score", true), ("nn", false)), shortlist)
+    mmrRerank(short, k, lambda)
+  }
+
+  /** MMR over an INDEX-served shortlist — the 100 TB composition:
+    * the relevance candidates come from the persisted IVF index's
+    * coarse-quantizer probe (sublinear, like ivfSearch) instead of
+    * the exact corpus scan, and the same bounded greedy fold
+    * diversifies them. k-means lists aren't SQL-replicable, so the
+    * gate is rows-only; MmrSpec pins rank-1 agreement with ivfSearch
+    * and shortlist containment. */
+  def mmrAnnTopK(idx: IvfIndex, queries: DataFrame, idCol: String,
+                 vecCol: String, shortlist: Int, k: Int, lambda: Double,
+                 nprobe: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val probes = coarseProbes(idx.centroids, q, nprobe, keep = Seq("qv"))
+    val scored = idx.assigned
+      .join(broadcast(probes.select(col("qid"), col("qv"), col("cluster"))),
+        Seq("cluster"))
+      .filter(col("nn") =!= col("qid"))
+      .withColumn("score", round(cosine(col("qv"), col("v")), 3))
+    val short = graft.plans.TopK.perGroup(
+      scored.select(col("qid"), col("nn"), col("score"), col("v")),
+      Seq("qid"), Seq(("score", true), ("nn", false)), shortlist)
+    mmrRerank(short, k, lambda)
+  }
+
+  /** The shared greedy selection over a bounded (qid, nn, score, v)
+    * shortlist — see [[mmrTopK]] for the determinism contract. */
+  private[similarity] def mmrRerank(short: DataFrame, k: Int,
+                                    lambda: Double): DataFrame = {
+    val spark = short.sparkSession
+    import spark.implicits._
     def round3(x: Double): Double =
       java.math.BigDecimal.valueOf(x)
         .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()

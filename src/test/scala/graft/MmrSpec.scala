@@ -1,6 +1,7 @@
 package graft
 
 import graft.similarity.Ann
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 
 /** MMR diversification semantics (sim_mmr's oracle hash-gates the
@@ -68,5 +69,32 @@ class MmrSpec extends AnyFunSuite {
         shortlist = 10, k = 3, lambda = 0.7)
       .orderBy("rn").select("nn").as[Long].collect().toSeq
     assert(m == Seq(10L, 12L), s"duplicate id emitted twice: $m")
+  }
+
+  test("index-served MMR agrees with ivfSearch at rank 1, stays in the probe set") {
+    import spark.implicits._
+    // the gate query's own persisted-index shortlist source
+    val idx = {
+      val (view, cent, _) = graft.dedup.DedupQueries.vecIndex(spark, sf)
+      graft.similarity.VectorIndex.ivfOf(cent, view)
+    }
+    val q = Tables.embeddings(spark, sf).filter($"vec_id" < 5)
+    val mmr = Ann.mmrAnnTopK(idx, q, "vec_id", "embedding",
+      shortlist = 20, k = 5, lambda = 0.7)
+    // rank 1 = the index's relevance top-1 (MMR's first pick is pure
+    // relevance over the same probed candidate set)
+    val ivf1 = Ann.ivfSearch(idx, q, "vec_id", "embedding", k = 1)
+      .select($"qid", $"nn".as("bn"))
+    assert(mmr.filter($"rn" === 1).join(ivf1, Seq("qid"))
+      .filter($"nn" =!= $"bn").count() == 0,
+      "index-served MMR rank-1 diverged from ivfSearch top-1")
+    // every pick comes from the index's own top-20 probe shortlist
+    val short20 = Ann.ivfSearch(idx, q, "vec_id", "embedding", k = 20)
+      .select($"qid", $"nn").withColumn("inshort", lit(1))
+    assert(mmr.join(short20, Seq("qid", "nn"), "left")
+      .filter($"inshort".isNull).count() == 0,
+      "an MMR pick fell outside the probed shortlist")
+    val dup = mmr.groupBy($"qid", $"nn").count().filter($"count" > 1).count()
+    assert(dup == 0, "a neighbor was picked twice for one query")
   }
 }
