@@ -181,6 +181,34 @@ class PlanSpec extends AnyFunSuite {
       s"LM scoring reads document columns it never uses:\n$scans")
   }
 
+  test("dd_curriculum's only unpartitioned window runs over the histogram") {
+    // the scale claim: the corpus ranking distributes on the length
+    // key; only the bounded length-histogram cumsum may use a global
+    // (single-partition) window
+    val p = planOf("dd_curriculum")
+    val windows = p.linesIterator.filter(_.contains("Window ["))
+      .map(l => l.substring(l.indexOf("Window ["))).toSeq
+    assert(windows.nonEmpty, s"no Window operators found:\n$p")
+    // a partitioned Window prints THREE bracket groups
+    // ([funcs], [partition], [order]); a global one prints TWO
+    def groups(l: String) = {
+      var depth = 0; var n = 0
+      l.foreach { c =>
+        if (c == '[') { if (depth == 0) n += 1; depth += 1 }
+        else if (c == ']') depth -= 1
+      }
+      n
+    }
+    val global = windows.filter(groups(_) == 2)
+    assert(global.size == 1,
+      s"expected exactly one global window (the histogram cumsum):\n${windows.mkString("\n")}")
+    assert(global.head.contains("cnt"),
+      s"the global window is not the histogram cumsum:\n${global.head}")
+    val partitioned = windows.filter(groups(_) == 3)
+    assert(partitioned.forall(_.contains("n_words")),
+      s"corpus window not partitioned on the length key:\n${partitioned.mkString("\n")}")
+  }
+
   test("no query plans a shuffled cartesian product") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, sf)
