@@ -327,8 +327,9 @@ object TextQueries {
       // a language model's perplexity and filter/bucket on it) with
       // the LM trained ON the corpus: add-1-smoothed bigram model,
       // per-doc cross-entropy and perplexity. Shape at 100 TB: the
-      // bigram stream is shuffled ONCE (window count over the 64-bit
-      // bigram hash — the txt_novelty trick: no join-back, no second
+      // bigram stream is shuffled ONCE (window count over the exact
+      // (a, b) pair — the txt_novelty shape minus its hash-collision
+      // caveat: no join-back, no second
       // lineage execution), the unigram table is one vocab-sized
       // aggregation joined back on the word key, and the per-doc
       // reduction is map-side-combining. No all-pairs, no driver
@@ -351,9 +352,12 @@ object TextQueries {
             slice($"toks", lit(2), size($"toks") - 1),
             (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
         .select($"doc_id", $"p.a".as("a"), $"p.b".as("b"))
-        .withColumn("bh", xxhash64($"a", lit(" "), $"b"))
+      // partition by the exact (a, b) pair, not a 64-bit hash of it:
+      // both columns are already carried, and the oracle groups by
+      // the pair — a hash would merge colliding bigrams' counts on
+      // this side only (the txt_novelty caveat, avoided here for free)
       val counted = bg
-        .withColumn("c_ab", count(lit(1)).over(Window.partitionBy($"bh")))
+        .withColumn("c_ab", count(lit(1)).over(Window.partitionBy($"a", $"b")))
       // parenthesization matches the oracle exactly (the txt_dsir rule)
       val term = round(
         log(($"c_ab".cast("double") + 1.0) /

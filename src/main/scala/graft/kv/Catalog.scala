@@ -2421,8 +2421,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * PREVIOUS snapshot dir when the next merge starts) bumps mtimes
     * long after publish, which would otherwise shift a snapshot's
     * apparent publish time forward. */
-  private def publishVersion(table: String, version: Int,
-                             handle: Option[LockProvider.Handle] = None): Unit = {
+  private[graft] def publishVersion(table: String, version: Int,
+                                    handle: Option[LockProvider.Handle] = None): Unit = {
     val h = handle.orElse(heldWriteLock.value)
     // commit-point fence: prove the lock is still ours BEFORE the
     // pointer swap (no-op for providers whose locks can't lapse)
@@ -2449,6 +2449,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     // mid-stage can cross-write the new owner's staged files (true
     // end-to-end fencing = unique staging dirs renamed here).
     val tok = h.map(_.fencingToken).getOrElse(0L)
+    var epochAdvanced = false
     if (tok > 0L) {
       val seen = meta.path("fenceEpoch").asLong(0L)
       if (tok < seen)
@@ -2456,7 +2457,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           s"fencing: grant epoch $tok for $table is behind published epoch " +
           s"$seen — this holder's lease lapsed and a newer writer has " +
           "committed; aborting instead of swapping the pointer over its work")
-      if (tok > seen) meta.put("fenceEpoch", tok): Unit
+      if (tok > seen) { meta.put("fenceEpoch", tok): Unit; epochAdvanced = true }
     }
     // monotonic: every caller publishes forward (bulk writes, merges,
     // txn bumps, recovery roll-forward). The only path that could ask
@@ -2465,7 +2466,14 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     // the breaker healed this txn's journal — publishing the SAME
     // version — and may have published its own write on top; replaying
     // the stale bump must not roll the newer snapshot back.
-    if (meta.path("dataVersion").asInt() >= version) return
+    if (meta.path("dataVersion").asInt() >= version) {
+      // a replayed publish by the highest-epoch holder still has to
+      // PERSIST its advanced epoch before this skip returns —
+      // otherwise the fence compares against a stale on-disk value
+      // and a lapsed holder with an intermediate epoch passes it
+      if (epochAdvanced) writeMeta(table, meta)
+      return
+    }
     meta.put("dataVersion", version): Unit
     val times = meta.get("publishTimes") match {
       case o: ObjectNode => o

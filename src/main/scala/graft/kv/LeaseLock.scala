@@ -46,8 +46,16 @@ final class LeaseLockServer(port: Int = 0) {
   // increasing within a process, and across a restart the wall clock
   // re-anchors above any prior grant (the production analog: Redis
   // TIME+sequence, a ZooKeeper zxid — monotone tokens survive the
-  // authority's restart). A clock stepped backwards past a restart
-  // boundary is the residual, as for any wall-clock-anchored token.
+  // authority's restart). Two residuals, both of the same
+  // clock-vs-counter shape: (a) a clock stepped BACKWARDS past a
+  // restart boundary, as for any wall-clock-anchored token; (b) a
+  // SAME-MS BURST of ownership changes climbs the counter above the
+  // wall clock (+1 per change), so a restart inside that overhang
+  // re-anchors at `now` BELOW epochs already persisted in table
+  // meta, fencing legitimate writers until the clock catches up —
+  // bounded by the burst size in ms, and closed entirely by a
+  // durable counter (the production services persist theirs; this
+  // in-repo authority is deliberately stateless).
   private var epochCounter = 0L
   private val running = new AtomicBoolean(false)
   private var server: ServerSocket = _

@@ -87,15 +87,6 @@ object Ann {
               lambda: Double): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
-    // the typed fold below carries ids as Long — guard at the API
-    // boundary (a string/UUID id would cast to null and surface as an
-    // opaque non-nullable-encoder error deep inside the fold)
-    Seq(embs, queries).foreach { df =>
-      import org.apache.spark.sql.types._
-      val dt = df.schema(idCol).dataType
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-        s"mmrTopK needs an integral id column, $idCol is $dt")
-    }
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val scored = embs.select(col(idCol).as("nn"), col(vecCol).as("v"))
       .crossJoin(broadcast(q))
@@ -136,6 +127,17 @@ object Ann {
                                     lambda: Double): DataFrame = {
     val spark = short.sparkSession
     import spark.implicits._
+    // the typed fold below carries ids as Long — guard here, where
+    // EVERY mmr entry point (exact-scan and index-served alike)
+    // flows through, so a string/UUID id fails at plan-construction
+    // time with this message instead of an opaque
+    // non-nullable-encoder error deep inside the fold
+    Seq("qid", "nn").foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = short.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"MMR reranking needs an integral id column, $c is $dt")
+    }
     def round3(x: Double): Double =
       java.math.BigDecimal.valueOf(x)
         .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()

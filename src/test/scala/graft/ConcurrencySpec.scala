@@ -544,6 +544,33 @@ class ConcurrencySpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("fencing: a replayed publish persists its advanced epoch before skipping") {
+    // the monotonic-skip path returns without swapping the pointer —
+    // but a highest-epoch holder REPLAYING a published version must
+    // still persist its advanced fence epoch, or a lapsed holder with
+    // an intermediate epoch later passes the compare against the
+    // stale on-disk value
+    val wh = Files.createTempDirectory("graft_fence_persist_wh").toString
+    val cat = new Catalog(spark, wh)
+    cat.createTable("t", kv, Seq("k"))
+    load(cat, "t", Seq(1L -> "base"))
+    def handle(epoch: Long) = new graft.kv.LockProvider.Handle {
+      override def release(): Unit = ()
+      override def fencingToken: Long = epoch
+      override def ensureValid(): Unit = ()
+    }
+    cat.publishVersion("t", 0, Some(handle(1000L))) // version 0 <= current: pure replay
+    val meta = new String(Files.readAllBytes(Paths.get(wh, "t", "_graft_meta.json")))
+    assert(meta.contains("\"fenceEpoch\":1000"),
+      s"advanced epoch not persisted by the skip path: $meta")
+    // an intermediate-epoch holder now fails the fence from a FRESH
+    // catalog — proving the compare reads the PERSISTED value
+    val e = intercept[IllegalStateException] {
+      new Catalog(spark, wh).publishVersion("t", 99, Some(handle(500L)))
+    }
+    assert(e.getMessage.contains("fencing"), e.getMessage)
+  }
+
   test("lease: acquire retries through connection failures until its deadline") {
     // no server listening: every ACQUIRE attempt fails to connect —
     // that must read as BUSY-until-deadline (service restarting), not

@@ -97,4 +97,28 @@ class MmrSpec extends AnyFunSuite {
     val dup = mmr.groupBy($"qid", $"nn").count().filter($"count" > 1).count()
     assert(dup == 0, "a neighbor was picked twice for one query")
   }
+
+  test("both MMR entry points reject a non-integral id at plan time") {
+    import spark.implicits._
+    // the guard lives in the shared rerank fold, so the exact-scan
+    // AND index-served paths both fail with the clear message instead
+    // of an opaque encoder error mid-fold
+    val embs = Seq(("a", Seq(1.0f, 0.0f)), ("b", Seq(0.0f, 1.0f)))
+      .toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Ann.mmrTopK(embs, "id", "v", embs, shortlist = 2, k = 1, lambda = 0.7)
+    }
+    assert(e.getMessage.contains("integral id"), e.getMessage)
+    val idx = {
+      val (view, cent, _) = graft.dedup.DedupQueries.vecIndex(spark, sf)
+      graft.similarity.VectorIndex.ivfOf(cent, view)
+    }
+    val badQ = Tables.embeddings(spark, sf).filter($"vec_id" < 2)
+      .withColumn("vec_id", $"vec_id".cast("string"))
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.mmrAnnTopK(idx, badQ, "vec_id", "embedding",
+        shortlist = 5, k = 2, lambda = 0.7)
+    }
+    assert(e2.getMessage.contains("integral id"), e2.getMessage)
+  }
 }
