@@ -37,6 +37,40 @@ object DedupQueries {
       |  SELECT doc_id + ${Tables.PlantedIdBase} AS doc_id, text || ' graftdup' AS text, lang, source, n_chars
       |  FROM documents WHERE doc_id >= 10 AND doc_id < 20""".stripMargin
 
+  /** The n-gram-Jaccard pair pipeline as a reusable CTE chain
+    * (corpus → shingles → df-cut postings → shared counts → `jpairs`
+    * with the unrounded ratio `j`) — the oracle side of
+    * Dedup.ngramJaccard, shared by dd_ngram_jaccard and the
+    * connected-components gate built on its pair graph. */
+  private val jaccardCtes =
+    s"""corpus AS ($plantedDocsSql),
+       |t AS (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
+       |  FROM corpus),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(toks) = 0 THEN [] ELSE
+       |    list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+       |      i -> array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))) END AS s
+       |  FROM t),
+       |sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+       |posting AS (SELECT doc_id, unnest(s) AS sgl FROM sh),
+       |rare AS (SELECT sgl FROM posting GROUP BY sgl
+       |         HAVING COUNT(*) >= 2 AND COUNT(*) <=
+       |           (SELECT greatest(100, CAST(ceil(COUNT(*) * 0.02) AS BIGINT))
+       |            FROM corpus)),
+       |p AS (SELECT posting.doc_id, posting.sgl FROM posting JOIN rare USING (sgl)),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |  FROM p a JOIN p b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |jpairs AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS j
+       |  FROM shared
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.8)""".stripMargin
+
   /** embeddings ∪ exact vector copies of vec_id<5 (ids +1e6). */
   private def plantedEmbs(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
@@ -197,6 +231,19 @@ object DedupQueries {
     "dd_keep_list" -> { (s, d) =>
       import s.implicits._
       Dedup.dropList(minhashPairs(s, d)).orderBy($"doc_id")
+    },
+
+    "dd_cc_labels" -> { (s, d) =>
+      import s.implicits._
+      // The iterative connected-components operator under a FULL
+      // oracle: min-label propagation over the (SQL-replicable)
+      // n-gram-Jaccard pair graph, gated against DuckDB's recursive
+      // transitive closure. dd_keep_list exercises the same operator
+      // over MinHash pairs (rows-only — xxhash64 signatures); this
+      // key proves the fixpoint itself, label for label.
+      Dedup.clusters(Dedup.ngramJaccard(plantedDocs(s, d), "doc_id",
+          "text", n = 3, threshold = 0.8))
+        .orderBy($"doc_id")
     },
 
     "dd_mixture_pack" -> { (s, d) =>
@@ -538,33 +585,24 @@ object DedupQueries {
          |GROUP BY h HAVING COUNT(*) > 1 ORDER BY keeper""".stripMargin,
 
     "dd_ngram_jaccard" ->
-      s"""WITH corpus AS ($plantedDocsSql),
-         |t AS (SELECT doc_id,
-         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
-         |  FROM corpus),
-         |sh AS (SELECT doc_id,
-         |  CASE WHEN len(toks) = 0 THEN [] ELSE
-         |    list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-         |      i -> array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))) END AS s
-         |  FROM t),
-         |sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
-         |posting AS (SELECT doc_id, unnest(s) AS sgl FROM sh),
-         |rare AS (SELECT sgl FROM posting GROUP BY sgl
-         |         HAVING COUNT(*) >= 2 AND COUNT(*) <=
-         |           (SELECT greatest(100, CAST(ceil(COUNT(*) * 0.02) AS BIGINT))
-         |            FROM corpus)),
-         |p AS (SELECT posting.doc_id, posting.sgl FROM posting JOIN rare USING (sgl)),
-         |shared AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-         |  FROM p a JOIN p b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT doc_a, doc_b,
-         |  ROUND(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 4) AS jaccard
-         |FROM shared
-         |JOIN sizes sa ON sa.doc_id = doc_a
-         |JOIN sizes sb ON sb.doc_id = doc_b
-         |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.8
-         |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $jaccardCtes
+         |SELECT doc_a, doc_b, ROUND(j, 4) AS jaccard
+         |FROM jpairs ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd_cc_labels" ->
+      // the iterative min-label fixpoint replicated as DuckDB's
+      // recursive transitive closure over the same Jaccard pair
+      // graph: reach(s, d) covers every node's component (including
+      // s itself via any back-edge), so the component label is
+      // LEAST(MIN(reachable), self)
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM jpairs
+         |          UNION ALL SELECT doc_b AS s, doc_a AS d FROM jpairs),
+         |reach AS (SELECT s, d FROM edges
+         |          UNION
+         |          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         |SELECT s AS doc_id, LEAST(MIN(d), s) AS cluster
+         |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
 
     "dd_embedding" ->
       // Search space restricted to pairs whose b side is a planted

@@ -374,6 +374,74 @@ object StreamQueries {
         .orderBy($"n_events".desc, $"user_id")
     },
 
+    "evt_kmv_distinct" -> { (s, d) =>
+      import s.implicits._
+      // KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002; the
+      // DataSketches Theta family's core): keep the k smallest hash
+      // values of the key set, estimate distincts from the k-th as
+      // (k−1)·M / h_k for hashes uniform on [0, M). The fourth
+      // mergeable sketch family (HLL distincts / Bloom membership /
+      // CMS frequencies / KMV distincts) — and unlike HLL, exactly
+      // oracle-replayable: the same mod-2^31 affine hash as
+      // evt_cms_topk, so DuckDB reproduces the sketch hash-for-hash
+      // (a production key swaps in xxhash64: same plan, rows-only).
+      // Merge = bottom-k of pooled bottom-k's — precisely what the
+      // bounded-heap operator's per-partition heaps + final merge
+      // compute, so day/stream sketches union for free. The exact
+      // count rides along to surface the error, as in evt_cms_topk.
+      val M = 2147483647L
+      val k = 64
+      val hashed = Tables.events(s, d)
+        .select(((($"user_id" % M) * 2654435761L + 97L) % M).as("h"))
+        .distinct()
+      val bottom = graft.plans.TopK.perGroup(
+        hashed.withColumn("g", lit(0)), Seq("g"), Seq(("h", false)), k)
+      val kth = bottom.agg(max($"h").as("h_k"), count(lit(1)).as("k_eff"))
+      val exact = Tables.events(s, d)
+        .agg(countDistinct($"user_id").as("n_exact"))
+      kth.crossJoin(exact)
+        .select($"k_eff", $"h_k",
+          // an UNDERFULL sketch (fewer than k distinct hashes) has
+          // seen every value — its estimate IS the seen count; the
+          // (k−1)·M/h_k rule only applies once the heap saturates
+          expr(s"case when k_eff < $k then k_eff " +
+            s"else (${k - 1} * ${M}L) div greatest(h_k, 1L) end").as("n_est"),
+          $"n_exact")
+    },
+
+    "evt_quantile_hist" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // Mergeable equi-width histogram quantiles — the sketch answer
+      // to "p50/p95/p99 per event type" at 100 TB: the histogram is
+      // ONE map-side-combining groupBy on (type, bucket) with bucket
+      // = floor(value·4) (width 0.25; ×4 and the quarter-edge are
+      // exact in binary and floor is IEEE-identical across engines,
+      // so the sketch replays exactly in the oracle — the
+      // evt_cms_topk contract for doubles). Merging partitions /
+      // days / streams is counter addition. The quantile walk runs
+      // over the BOUNDED per-type histogram (the dd_curriculum
+      // rule: windows over histograms, never over the event stream)
+      // and reports the bucket upper edge — error ≤ the bucket
+      // width, the standard fixed-width-histogram bound. Rank
+      // arithmetic stays integral (100·cum ≥ p·n) so no engine ever
+      // rounds a target.
+      val hist = Tables.events(s, d)
+        .groupBy($"event_type", floor($"value" * 4).as("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val cum = hist
+        .withColumn("cum", sum($"c").over(
+          Window.partitionBy($"event_type").orderBy($"bucket")))
+        .withColumn("n", sum($"c").over(Window.partitionBy($"event_type")))
+      val ps = Seq(50, 95, 99).toDF("p")
+      cum.join(broadcast(ps), $"cum" * 100 >= $"p" * $"n")
+        .groupBy($"event_type", $"p", $"n")
+        .agg(min($"bucket").as("bucket"))
+        .select($"event_type", $"p", $"n", $"bucket",
+          (($"bucket" + 1) / lit(4.0)).as("q_est"))
+        .orderBy($"event_type", $"p")
+    },
+
     "evt_hll_users" -> { (s, d) =>
       import s.implicits._
       // mergeable distinct-count sketches (DataSketches HLL, Spark
@@ -579,6 +647,38 @@ object StreamQueries {
         |FROM probes p JOIN sketch s ON s.r = p.r AND s.bkt = p.bkt
         |GROUP BY p.user_id, p.n_events
         |ORDER BY p.n_events DESC, p.user_id""".stripMargin,
+
+    "evt_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT
+        |    ((user_id % 2147483647) * 2654435761 + 97) % 2147483647 AS h
+        |  FROM events),
+        |bottom AS (SELECT h FROM h ORDER BY h LIMIT 64),
+        |kth AS (SELECT MAX(h) AS h_k, COUNT(*) AS k_eff FROM bottom),
+        |exact AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events)
+        |SELECT k_eff, h_k,
+        |  CASE WHEN k_eff < 64 THEN k_eff
+        |       ELSE (CAST(63 AS BIGINT) * 2147483647) // greatest(h_k, 1)
+        |  END AS n_est,
+        |  n_exact
+        |FROM kth, exact""".stripMargin,
+
+    "evt_quantile_hist" ->
+      """WITH hist AS (
+        |  SELECT event_type, CAST(floor(value * 4) AS BIGINT) AS bucket,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, bucket,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bucket)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM hist),
+        |ps AS (SELECT CAST(unnest([50, 95, 99]) AS INT) AS p)
+        |SELECT event_type, p, n, MIN(bucket) AS bucket,
+        |  CAST(MIN(bucket) + 1 AS DOUBLE) / 4 AS q_est
+        |FROM cum, ps WHERE cum * 100 >= p * n
+        |GROUP BY event_type, p, n
+        |ORDER BY event_type, p""".stripMargin,
 
     "evt_funnel" ->
       """SELECT user_id,

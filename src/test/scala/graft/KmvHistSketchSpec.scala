@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws of the KMV bottom-k distinct sketch and the equi-width
+  * histogram quantile sketch, beyond what their oracles replay
+  * (the oracle proves the computation matches; this pins the
+  * estimator guarantees the 100 TB story rests on — merge algebra
+  * and error bounds). */
+class KmvHistSketchSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val M = 2147483647L
+
+  private def hashes(ev: DataFrame): DataFrame = {
+    import spark.implicits._
+    ev.select(((($"user_id" % M) * 2654435761L + 97L) % M).as("h")).distinct()
+  }
+
+  private def bottomK(h: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    graft.plans.TopK.perGroup(h.withColumn("g", lit(0)), Seq("g"),
+      Seq(("h", false)), k).select($"h")
+  }
+
+  test("KMV merge law: bottom-k of pooled slice bottom-k's == whole-corpus bottom-k") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf).select($"user_id", $"event_id")
+    val k = 64
+    val slices = Seq(0, 1, 2).map(i =>
+      bottomK(hashes(ev.filter($"event_id" % 3 === i)), k))
+    // pooled slice sketches can carry the same hash twice (a user
+    // active in two slices) — the union dedups, exactly as a sketch
+    // merge must
+    val merged = bottomK(slices.reduce(_ unionByName _).distinct(), k)
+    val whole = bottomK(hashes(ev), k)
+    assert(merged.except(whole).count() == 0 &&
+      whole.except(merged).count() == 0,
+      "merged slice sketches differ from the whole-corpus sketch")
+  }
+
+  test("KMV estimate lands within the k=64 error envelope") {
+    import spark.implicits._
+    val row = SparkEntry.queries("evt_kmv_distinct")(spark, sf).head()
+    val est = row.getAs[Long]("n_est").toDouble
+    val exact = row.getAs[Long]("n_exact").toDouble
+    // std error ~ 1/sqrt(k-2) ~ 13% at k=64; 2.5 sigma envelope
+    assert(math.abs(est - exact) / exact < 0.33,
+      s"KMV estimate $est strayed >33% from exact $exact")
+  }
+
+  test("histogram quantile error is bounded by one bucket width") {
+    import spark.implicits._
+    val got = SparkEntry.queries("evt_quantile_hist")(spark, sf).collect()
+    val byType = Tables.events(spark, sf)
+      .select($"event_type", $"value").collect()
+      .groupBy(_.getString(0)).map { case (t, rows) =>
+        t -> rows.map(_.getDouble(1)).sorted
+      }
+    got.foreach { r =>
+      val vals = byType(r.getAs[String]("event_type"))
+      val p = r.getAs[Int]("p")
+      val t = (vals.length * p + 99) / 100 // ceil(p·n/100), integer
+      val exact = vals(t - 1)
+      val est = r.getAs[Double]("q_est")
+      // the estimate is the upper edge of the target value's bucket
+      assert(est - exact > 0 && est - exact <= 0.25,
+        s"${r.getAs[String]("event_type")} p$p: est $est vs exact $exact")
+    }
+  }
+}
