@@ -124,6 +124,46 @@ object StreamQueries {
         .orderBy($"fp")
     },
 
+    "st_stream_upsert" -> { (s, d) =>
+      import s.implicits._
+      // GENUINE streaming ingest into the TRANSACTIONAL catalog — the
+      // missing integration between the streaming surface and the COW
+      // table store: events arrive as a file stream (one file per
+      // micro-batch), and foreachBatch folds each batch into a
+      // keyed user_state table through the catalog's real commit path
+      // (write lock → incremental merge via the range manifest →
+      // version publish). The merge is CONDITIONAL on (ts, event_id)
+      // — a row only overwrites a strictly older state — which makes
+      // the final table the global argmax per user regardless of how
+      // files split into batches AND makes a replayed batch a no-op:
+      // the standard idempotent-foreachBatch exactly-once recipe. At
+      // 100 TB each micro-batch rewrites only the files its keys
+      // touch (patch-sized incremental merge), not the table.
+      val seq = sinkSeq.incrementAndGet()
+      val wh = java.nio.file.Files
+        .createTempDirectory(s"graft_stream_upsert_$seq").toString
+      val cat = new graft.kv.Catalog(s, wh)
+      val stateCols = Seq("user_id", "event_id", "ts", "event_type", "value")
+      val evSchema = Tables.events(s, d).select(stateCols.map(col): _*).schema
+      cat.createTable("user_state", evSchema, Seq("user_id"))
+      val stream = Tables.eventsStream(s, d)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      val q =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "2")
+          stream.writeStream.foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+            Streams.upsertLatestBatch(cat, "user_state",
+              batch.select(stateCols.map(col): _*),
+              keyCol = "user_id", tsCol = "ts", seqCol = "event_id")
+          }.start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      try q.processAllAvailable() finally q.stop()
+      cat.table("user_state").df
+        .select(stateCols.map(col): _*).orderBy($"user_id")
+    },
+
     "st_stream_join" -> { (s, d) =>
       import s.implicits._
       // Stream-stream inner join (watermarked state on BOTH sides):
@@ -647,6 +687,14 @@ object StreamQueries {
         |FROM probes p JOIN sketch s ON s.r = p.r AND s.bkt = p.bkt
         |GROUP BY p.user_id, p.n_events
         |ORDER BY p.n_events DESC, p.user_id""".stripMargin,
+
+    "st_stream_upsert" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "evt_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT

@@ -179,4 +179,33 @@ object Streams {
       .unionByName(keyed.filter(col("__graft_dedup_key").isNull))
       .drop("__graft_dedup_key")
   }
+
+  /** One micro-batch of a streaming upsert into a catalog KV table:
+    * fold the batch to last-write-wins per key on the (tsCol, seqCol)
+    * total order, then merge CONDITIONALLY — a row only overwrites a
+    * strictly older table state. Conditionality is what buys the two
+    * laws a foreachBatch sink needs (StreamingSpec pins both):
+    * batch-order INDEPENDENCE (the final table is the global argmax
+    * per key however the source split into batches) and replay
+    * IDEMPOTENCE (a re-delivered batch finds nothing strictly newer
+    * and commits nothing — exactly-once semantics over an
+    * at-least-once trigger). Each call rewrites only the files its
+    * keys touch (incremental merge via the range manifest). */
+  def upsertLatestBatch(cat: graft.kv.Catalog, table: String,
+                        batch: DataFrame, keyCol: String, tsCol: String,
+                        seqCol: String): Unit = {
+    val cols = cat.table(table).df.columns.toSeq
+    val others = cols.filterNot(_ == keyCol)
+    val latest = batch.groupBy(col(keyCol))
+      .agg(max_by(struct(others.map(col): _*),
+        struct(col(tsCol), col(seqCol))).as("__w"))
+      .select(col(keyCol) +: others.map(o => col(s"__w.$o").as(o)): _*)
+    val cur = cat.table(table).df
+      .select(col(keyCol), col(tsCol).as("__old_ts"), col(seqCol).as("__old_seq"))
+    val winners = latest.join(cur, Seq(keyCol), "left")
+      .filter(col("__old_ts").isNull ||
+        struct(col(tsCol), col(seqCol)) > struct(col("__old_ts"), col("__old_seq")))
+      .select(cols.map(col): _*)
+    if (!winners.isEmpty) cat.incrementalMerge(table, winners)
+  }
 }

@@ -289,4 +289,49 @@ class StreamingSpec extends AnyFunSuite {
       .collect()
     assert(m.length == 3 && m.forall(r => r.getString(1) == r.getString(2)))
   }
+
+  test("streaming upsert: order-independent final state, replay commits nothing") {
+    // the two laws the conditional foreachBatch merge buys
+    // (Streams.upsertLatestBatch): however the source splits into
+    // batches, the table converges to the global per-key argmax; and
+    // a re-delivered batch finds nothing strictly newer, so it
+    // publishes NO new version — exactly-once over at-least-once
+    import spark.implicits._
+    val cols = Seq("user_id", "event_id", "ts", "event_type", "value")
+    val ev = events.select(cols.map(col): _*)
+    def freshTable(): (graft.kv.Catalog, String) = {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_upsert_law").toString
+      val cat = new graft.kv.Catalog(spark, wh)
+      cat.createTable("user_state", ev.schema, Seq("user_id"))
+      (cat, wh)
+    }
+    def apply(cat: graft.kv.Catalog, slices: Seq[Int]): Unit =
+      slices.foreach(i => Streams.upsertLatestBatch(cat, "user_state",
+        ev.filter($"event_id" % 3 === i), "user_id", "ts", "event_id"))
+    val (catA, _) = freshTable()
+    val (catB, whB) = freshTable()
+    apply(catA, Seq(0, 1, 2))
+    apply(catB, Seq(2, 1, 0)) // reversed batch order
+    val a = catA.table("user_state").df
+    val b = catB.table("user_state").df
+    assert(a.except(b).isEmpty && b.except(a).isEmpty,
+      "final state depends on batch arrival order")
+    val want = ev.groupBy($"user_id")
+      .agg(max(struct($"ts", $"event_id")).as("w"))
+      .select($"user_id", $"w.event_id".as("event_id"))
+    assert(a.select("user_id", "event_id").except(want).isEmpty,
+      "final state is not the global per-key argmax")
+    // replay batch 1 against B: no strictly-newer row, no new version
+    def versions(wh: String): Long = {
+      val s = java.nio.file.Files.list(
+        java.nio.file.Paths.get(wh, "user_state"))
+      try s.filter(_.getFileName.toString.startsWith("data_v")).count()
+      finally s.close()
+    }
+    val before = versions(whB)
+    apply(catB, Seq(1))
+    assert(versions(whB) == before,
+      "a replayed batch published a new version — replay is not idempotent")
+  }
 }
