@@ -347,6 +347,29 @@ object DedupQueries {
         .orderBy($"qid", $"rn")
     },
 
+    "sim_radius_brute" -> { (s, d) =>
+      import s.implicits._
+      // radius (range) retrieval: EVERY neighbor with cosine ≥ τ —
+      // the mode top-k can't express; exact scan over the planted
+      // corpus (exact copies surface at score 1.0), full oracle
+      Ann.bruteRadius(plantedEmbs(s, d), "vec_id", "embedding",
+          plantedEmbs(s, d).filter($"vec_id" < 20), tau = 0.3)
+        .orderBy($"qid", $"nn")
+    },
+
+    "sim_radius_indexed" -> { (s, d) =>
+      import s.implicits._
+      // the same τ-ball served from the persisted IVF index with the
+      // triangle-inequality probe bound (Ann.ivfRadius): recall 1.0
+      // by construction, so the index-served plan shares the brute
+      // scan's FULL oracle — the k-means lists only decide the
+      // pruning, never the answer
+      Ann.ivfRadius(ivfIdx(s, d),
+          Tables.embeddings(s, d).filter($"vec_id" < 20),
+          "vec_id", "embedding", tau = 0.3)
+        .orderBy($"qid", $"nn")
+    },
+
     "sim_mmr" -> { (s, d) =>
       import s.implicits._
       // MMR-diversified retrieval: exact top-20 relevance shortlist,
@@ -725,6 +748,30 @@ object DedupQueries {
         |  FROM scored)
         |SELECT qid, CAST(rn AS INT) AS rn, nn, score FROM ranked
         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    "sim_radius_brute" ->
+      s"""WITH corpus AS ($plantedEmbsSql),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM corpus
+         |      WHERE vec_id < 20)
+         |SELECT q.qid, e.vec_id AS nn,
+         |  ROUND(list_cosine_similarity(q.qv, e.embedding), 3) AS score
+         |FROM q CROSS JOIN corpus e
+         |WHERE e.vec_id <> q.qid
+         |  AND ROUND(list_cosine_similarity(q.qv, e.embedding), 3) >= 0.3
+         |ORDER BY qid, nn""".stripMargin,
+
+    // the triangle-bound probe provably returns the brute answer, so
+    // the index-served plan is gated by the IDENTICAL full oracle
+    "sim_radius_indexed" ->
+      s"""WITH corpus AS ($plantedEmbsSql),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM corpus
+         |      WHERE vec_id < 20)
+         |SELECT q.qid, e.vec_id AS nn,
+         |  ROUND(list_cosine_similarity(q.qv, e.embedding), 3) AS score
+         |FROM q CROSS JOIN corpus e
+         |WHERE e.vec_id <> q.qid
+         |  AND ROUND(list_cosine_similarity(q.qv, e.embedding), 3) >= 0.3
+         |ORDER BY qid, nn""".stripMargin,
+
     // filtered search: the same exact ranking restricted to the
     // query's own label — a filtered result that leaked another label
     // (or post-filtered the global top-k) hash-mismatches

@@ -34,6 +34,80 @@ object Ann {
     rank(scored, k)
   }
 
+  /** Radius (range) search: ALL neighbors with cosine ≥ tau per
+    * query — the retrieval mode top-k cannot express ("everything
+    * this similar", near-dup audits, recall-complete candidate
+    * pulls), with an UNBOUNDED per-query result the caller thresholds
+    * rather than truncates. Same broadcast-query scan as
+    * [[bruteTopK]]; no rank stage — the τ-filter IS the result
+    * bound, so the plan needs no per-group heap at all. */
+  def bruteRadius(embs: DataFrame, idCol: String, vecCol: String,
+                  queries: DataFrame, tau: Double): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    embs.select(col(idCol).as("nn"), col(vecCol).as("v"))
+      .crossJoin(broadcast(q))
+      .filter(col("nn") =!= col("qid"))
+      .withColumn("score", round(cosine(col("qv"), col("v")), 3))
+      .filter(col("score") >= tau)
+      .select(col("qid"), col("nn"), col("score"))
+  }
+
+  /** EXACT radius search served from the persisted IVF index — the
+    * FAISS range-search recipe: a fixed nprobe cannot bound a τ-ball
+    * (RADIUS recall depends on how many lists the ball spans, not on
+    * k), so the probe set comes from the triangle inequality instead.
+    * On the unit sphere cos(a,b) ≥ t ⟺ ‖â−b̂‖ ≤ √(2−2t), and for any
+    * member v of list c, ‖q̂−ĉ‖ ≤ ‖q̂−v̂‖ + ‖v̂−ĉ‖ — so probing every
+    * list with ‖q̂−ĉ‖ ≤ r + R_c (R_c = the list's max member-to-
+    * centroid distance, an index-maintenance-time statistic) provably
+    * covers every qualifying neighbor: recall 1.0 BY CONSTRUCTION,
+    * precision exact from the post-probe cosine re-verification —
+    * which is what lets this index-served plan share the brute scan's
+    * FULL SQL oracle. All distances derive from the shared cosine
+    * kernel (√(2−2cos) — no separate normalization pass), with the
+    * τ-margin widened by the 3-dp score rounding so a round-up at the
+    * boundary can't escape the bound. Pruning power is the corpus's
+    * clustering structure: tight lists (R_c small) prune hard,
+    * unstructured corpora degrade toward a verified full scan — the
+    * honest range-search contract (RecallGateSpec pins both: brute
+    * equality on the gate corpus, genuine pruning on a clustered
+    * one). */
+  def ivfRadius(idx: IvfIndex, queries: DataFrame, idCol: String,
+                vecCol: String, tau: Double): DataFrame = {
+    val probes = radiusProbes(idx,
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), tau)
+    idx.assigned
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("nn") =!= col("qid"))
+      .withColumn("score", round(cosine(col("qv"), col("v")), 3))
+      .filter(col("score") >= tau)
+      // an entry listed twice (secondary assignments) must not emit
+      // its pair twice when both lists are probed
+      .dropDuplicates("qid", "nn")
+      .select(col("qid"), col("nn"), col("score"))
+  }
+
+  /** The triangle-bound probe set for [[ivfRadius]] — (qid, qv,
+    * cluster) rows for every list a τ-ball can intersect. Exposed so
+    * RadiusSpec can pin the PRUNING claim (a clustered corpus probes
+    * a fraction of its lists) separately from the correctness claim
+    * (the gate's full oracle). */
+  private[graft] def radiusProbes(idx: IvfIndex, q: DataFrame,
+                                  tau: Double): DataFrame = {
+    // round(cos,3) ≥ τ admits exact cos ≥ τ − 5e-4; 1e-9 absorbs
+    // float noise in the distance arithmetic
+    val r = math.sqrt(math.max(0.0, 2.0 - 2.0 * (tau - 0.0005))) + 1e-9
+    def sphereDist(a: Column, b: Column): Column =
+      sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * cosine(a, b)))
+    val listStats = idx.assigned
+      .join(broadcast(idx.centroids), Seq("cluster"))
+      .groupBy(col("cluster"))
+      .agg(max(sphereDist(col("v"), col("centroid"))).as("rc"))
+    q.crossJoin(broadcast(idx.centroids.join(listStats, Seq("cluster"))))
+      .filter(sphereDist(col("qv"), col("centroid")) <= lit(r) + col("rc"))
+      .select(col("qid"), col("qv"), col("cluster"))
+  }
+
   /** Filtered vector search: each query's neighbors are restricted to
     * corpus rows whose `attrCol` equals the query's own — the
     * "search within my tenant / language / shard" shape every
