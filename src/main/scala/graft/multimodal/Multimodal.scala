@@ -188,6 +188,33 @@ object Multimodal {
     substring(p, headerLen + 1, lit(Int.MaxValue))
   }
 
+  /** 64-bit dHash of the media body as FOUR 16-bit band values — the
+    * perceptual-hash shape (row-wise adjacent-pixel gradient signs
+    * over an 8×9 grayscale thumbnail) with the pixel DECODE stubbed
+    * deterministically: the "thumbnail" samples the body at 72 evenly
+    * spaced byte offsets (pos(t) = 1 + ⌊t·len/72⌋ — a real decoder
+    * slots in at exactly this point via the [[sampleFrames]]
+    * mapPartitions shape, everything downstream unchanged). Returning
+    * the bands directly (b = Σ_j bit(16b+j)·2^j, each < 2^16) keeps
+    * the banding join sign-free and lets hamming distance sum
+    * per-band XOR popcounts. Fully unrolled native expressions
+    * (substr/conv/when — codegen'd, no UDF, no HOF lambdas): ~200
+    * nodes once per row, never per pair. */
+  def dhashBands(bodyCol: Column): Column = {
+    val blen = octet_length(bodyCol)
+    def px(t: Int): Column =
+      conv(hex(bodyCol.substr(
+        (floor(lit(t) * blen / 72) + 1).cast("int"), lit(1))), 16, 10)
+        .cast("long")
+    array((0 until 4).map { b =>
+      (0 until 16).map { j =>
+        val k = b * 16 + j
+        val a = (k / 8) * 9 + (k % 8) // pixel grid: 8 rows × 9 cols
+        when(px(a) < px(a + 1), lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
   /** Deterministic frame/chunk sampling over the media BODY: split
     * into `frameBytes` chunks, keep every `stride`-th. Typed
     * mapPartitions shape — this is where a real per-partition codec

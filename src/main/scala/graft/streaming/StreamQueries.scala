@@ -550,7 +550,59 @@ object StreamQueries {
         .filter($"n_copies" > 1)
         .orderBy($"keeper")
     },
+
+    "mm_phash" -> { (s, d) =>
+      import s.implicits._
+      // PERCEPTUAL near-dup for media — what mm_dedup's exact body
+      // hash cannot do: the planted copies here land in a different
+      // container AND carry three corrupted body bytes (a re-encoded
+      // thumbnail, a bit-flipped frame), so exact hashing misses them
+      // while the 64-bit dHash (Multimodal.dhashBands) differs in at
+      // most a few gradient bits. Candidates collide on one of four
+      // 16-bit bands (the dd_simhash recipe — never all-pairs), kept
+      // at hamming ≤ 6. The deterministic byte-sampling decode stub
+      // makes the WHOLE pipeline oracle-replayable — a full SQL gate
+      // for a perceptual-hash operator.
+      val docs = Tables.documents(s, d)
+      val planted = docs.unionByName(docs.filter($"doc_id" < 10)
+        .withColumn("doc_id", $"doc_id" + 1000000L)
+        .withColumn("text", expr(PhashPerturbSql)))
+      // materialize the (doc_id, bands) signature frame ONCE: project
+      // collapse would otherwise inline the payload synthesis into
+      // all 144 byte-sample sites of the unrolled dHash (the
+      // signature pass is one corpus scan at any scale; both join
+      // sides and the hamming arrays then read 36 bytes/row)
+      val ph = Multimodal.withPayload(planted)
+        .select($"doc_id",
+          Multimodal.dhashBands(Multimodal.body($"payload")).as("bands"))
+        .localCheckpoint(true)
+      val banded = ph.select($"doc_id", $"bands", posexplode($"bands"))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      // the candidate join shuffles on the band key — the 100 TB plan
+      // (both sides are corpus-sized); the hint also stops Catalyst
+      // from broadcasting a side whose size ESTIMATE is inflated by
+      // the payload-synthesis lineage it would re-execute
+      banded.as("a").join(banded.as("b").hint("shuffle_hash"),
+          $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          $"a.bands".as("ba"), $"b.bands".as("bb"))
+        .dropDuplicates("doc_a", "doc_b")
+        .withColumn("hamming", (0 until 4).map(i =>
+            bit_count(element_at($"ba", i + 1)
+              .bitwiseXOR(element_at($"bb", i + 1)))).reduce(_ + _)
+          .cast("int"))
+        .filter($"hamming" <= 6)
+        .select($"doc_a", $"doc_b", $"hamming")
+        .orderBy($"doc_a", $"doc_b")
+    },
   )
+
+  /** Three in-place byte corruptions (positions 11/23/37), shared
+    * verbatim by the Spark plant, the DuckDB oracle, and the spec. */
+  private[graft] val PhashPerturbSql =
+    "concat(substr(text,1,10),'q',substr(text,12,11),'z'," +
+      "substr(text,24,13),'x',substr(text,38))"
 
   /** The hourly-agg contract, shared verbatim by the batch and
     * streaming variants — they gate against the SAME SQL by
@@ -845,5 +897,39 @@ object StreamQueries {
         |  FROM documents WHERE doc_id < 10)
         |SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
         |FROM corpus GROUP BY h HAVING COUNT(*) > 1 ORDER BY keeper""".stripMargin,
+
+    // the dHash decode stub is deterministic byte sampling, so the
+    // ENTIRE perceptual pipeline unrolls into SQL: the same 64
+    // gradient comparisons (ascii of the sampled byte — the corpus is
+    // pure ASCII, so char code == body byte), the same four 16-bit
+    // bands, the same band-collision candidate rule and hamming cut
+    "mm_phash" -> {
+      def px(a: Int) =
+        s"ascii(substr(text, CAST(1 + ($a * blen) // 72 AS INT), 1))"
+      val bandExprs = (0 until 4).map { b =>
+        val bits = (0 until 16).map { j =>
+          val k = b * 16 + j
+          val a = (k / 8) * 9 + (k % 8)
+          s"CASE WHEN ${px(a)} < ${px(a + 1)} THEN ${1L << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"($bits) AS b$b"
+      }.mkString(", ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, $PhashPerturbSql AS text
+         |  FROM documents WHERE doc_id < 10),
+         |sized AS (SELECT doc_id, text, octet_length(encode(text)) AS blen
+         |          FROM corpus),
+         |ph AS (SELECT doc_id, $bandExprs FROM sized),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+         |    bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hamming
+         |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id AND
+         |    (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+         |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM cand
+         |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
+    },
   )
 }

@@ -290,6 +290,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(m.length == 3 && m.forall(r => r.getString(1) == r.getString(2)))
   }
 
+  test("perceptual dedup finds corrupted cross-container copies exact hashing misses") {
+    import graft.multimodal.Multimodal
+    import graft.streaming.StreamQueries
+    val docs = Tables.documents(spark, sf)
+    // the mm_phash plant: doc_id < 10 re-landed at +1,000,000 with
+    // three corrupted body bytes (the SAME expression the query and
+    // oracle use — package-visible so this spec tracks edits)
+    val copies = docs.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", expr(StreamQueries.PhashPerturbSql))
+    // exact body hash misses every planted copy...
+    val exactPairs = Multimodal.withPayload(docs).select(
+        col("doc_id").as("doc_a"), md5(Multimodal.body(col("payload"))).as("h"))
+      .join(Multimodal.withPayload(copies).select(
+        col("doc_id").as("doc_b"), md5(Multimodal.body(col("payload"))).as("h")),
+        "h")
+      .count()
+    assert(exactPairs == 0L, "corrupted copies must defeat exact hashing")
+    // ...while the banded dHash query recovers all 10 planted pairs
+    val found = SparkEntry.queries("mm_phash")(spark, sf)
+      .filter(col("doc_b") === col("doc_a") + 1000000L && col("doc_a") < 10)
+      .count()
+    assert(found == 10L, s"phash recovered $found/10 planted pairs")
+  }
+
   test("streaming upsert: order-independent final state, replay commits nothing") {
     // the two laws the conditional foreachBatch merge buys
     // (Streams.upsertLatestBatch): however the source splits into
