@@ -246,6 +246,59 @@ object Dedup {
     clusters(pairs, maxIters).filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id"), col("cluster").as("keeper"))
 
+  /** PageRank (Brin & Page 1998) over the undirected near-dup pair
+    * graph — the CENTRALITY answer to keeper selection: where
+    * [[dropList]] keeps the smallest id, the rank orders each dup
+    * cluster by how representative a member is (the medoid-ish doc a
+    * trainer keeps). Fixed-iteration power method, damping 0.85; each
+    * round is one join + one agg shuffled on the node key — the same
+    * Pregel-on-DataFrames shape as [[clusters]], and at 100 TB it
+    * scales the same way (edges partition by src; no driver state but
+    * the node count).
+    *
+    * Cross-engine determinism (the [[dd_cc_labels]] contract, extended
+    * to weighted iteration): contributions round to 9 dp and SUM as
+    * DECIMAL (order-independent — raw double sums differ per reduction
+    * order), the damping mix runs in plain IEEE doubles (single mul +
+    * add, engine-identical), and each round re-quantizes the rank to
+    * 9 dp so the next round's inputs match bit-for-bit. */
+  def pagerank(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .cache()
+    val deg = edges.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("degree")).cache()
+    try {
+      // the node count is the one driver-side scalar the method needs
+      // (it seeds 1/N and the teleport term); O(1) result, one action
+      val n = deg.count().toDouble
+      var ranks = deg.withColumn("rank", round(lit(1.0) / lit(n), 9))
+      for (_ <- 1 to iters) {
+        val sums = edges
+          .join(ranks.select(col("doc_id").as("src"),
+            round(col("rank") / col("degree"), 9)
+              .cast("decimal(24,9)").as("c")), "src")
+          .groupBy(col("dst").as("doc_id"))
+          .agg(sum(col("c")).as("s"))
+        // undirected graph: every node has in-edges, but keep the
+        // left join + coalesce so a future directed caller is safe
+        ranks = deg.join(sums, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("degree"),
+            round(lit(0.15) / lit(n) + lit(0.85) *
+              coalesce(col("s").cast("double"), lit(0.0)), 9).as("rank"))
+      }
+      // iters is small and fixed (power iteration converges
+      // geometrically; rank ORDER stabilizes in a handful of rounds)
+      // so the lineage stays shallow — no per-round materialization
+      ranks.localCheckpoint(true)
+    } finally {
+      deg.unpersist()
+      edges.unpersist(): Unit
+    }
+  }
+
   /** Embedding-cosine near-dup pairs via k-means cluster buckets (the
     * SemDeDup shape): pairs sharing a coarse list, kept if
     * round(cos, 3) ≥ threshold. List count grows with the corpus

@@ -246,6 +246,22 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
 
+    "dd_pagerank" -> { (s, d) =>
+      import s.implicits._
+      // WEIGHTED iterative graph computation under a full oracle —
+      // the centrality companion to dd_cc_labels' label fixpoint:
+      // 3-round damped PageRank over the same SQL-replicable
+      // n-gram-Jaccard pair graph, ranking each dup cluster's members
+      // by representativeness (the keeper a trainer would keep,
+      // instead of dd_keep_list's min-id rule). Decimal contribution
+      // sums + per-round 9-dp re-quantization make the power
+      // iteration bit-identical across engines; the oracle unrolls
+      // the same three rounds as CTEs.
+      Dedup.pagerank(Dedup.ngramJaccard(plantedDocs(s, d), "doc_id",
+          "text", n = 3, threshold = 0.8), iters = 3)
+        .orderBy($"doc_id")
+    },
+
     "dd_mixture_pack" -> { (s, d) =>
       import s.implicits._
       // mixing + packing composed: reweight sources by hash-gated
@@ -626,6 +642,38 @@ object DedupQueries {
          |          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
          |SELECT s AS doc_id, LEAST(MIN(d), s) AS cluster
          |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+
+    "dd_pagerank" -> {
+      // the same three damped power-iteration rounds, unrolled: each
+      // round's contributions ROUND to 9 dp and SUM as DECIMAL(24,9)
+      // (order-independent), the 0.15/n + 0.85*s mix runs in DOUBLE
+      // (single mul + add — IEEE-identical), and the result
+      // re-quantizes to 9 dp before feeding the next round
+      def step(prev: String, out: String) =
+        s"""$out AS (
+           |  SELECT g.doc_id, g.degree,
+           |    ROUND(CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
+           |      CAST(COALESCE(s.s, 0) AS DOUBLE), 9) AS rank
+           |  FROM deg g
+           |  LEFT JOIN (
+           |    SELECT e.dst AS doc_id,
+           |      SUM(CAST(ROUND(r.rank / r.degree, 9) AS DECIMAL(24,9))) AS s
+           |    FROM edges e JOIN $prev r ON r.doc_id = e.src
+           |    GROUP BY e.dst) s USING (doc_id),
+           |  nn)""".stripMargin
+      s"""WITH $jaccardCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jpairs
+         |          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM jpairs),
+         |deg AS (SELECT src AS doc_id, COUNT(*) AS degree
+         |        FROM edges GROUP BY src),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+         |r0 AS (SELECT doc_id, degree, ROUND(CAST(1 AS DOUBLE) / nn.n, 9) AS rank
+         |       FROM deg, nn),
+         |${step("r0", "r1")},
+         |${step("r1", "r2")},
+         |${step("r2", "r3")}
+         |SELECT doc_id, degree, rank FROM r3 ORDER BY doc_id""".stripMargin
+    },
 
     "dd_embedding" ->
       // Search space restricted to pairs whose b side is a planted

@@ -267,6 +267,41 @@ object TextQueries {
         .orderBy($"doc_id")
     },
 
+    "txt_collocations" -> { (s, d) =>
+      import s.implicits._
+      // PMI collocation mining (Church & Hanks 1990) — the phrase-
+      // vocabulary step a tokenizer/embedding pipeline runs before
+      // committing multi-word units: adjacent-bigram pointwise mutual
+      // information ln(c_ab·N / (c_a·c_b)), support floor c_ab ≥ 5,
+      // top-25. Shape at 100 TB: one vocab-sized unigram agg + one
+      // bigram-vocab agg (both map-side-combining), word-key joins,
+      // a 1-row broadcast total, TakeOrdered for the top-K — the
+      // corpus shuffles twice, windows never. Parity: the PMI ratio
+      // is exact-long products under ONE double division (both
+      // factors < 2^53 well past sf1), ln rounds to 6 dp (the
+      // txt_lm_ppl transcendental contract), ties break on (a, b).
+      val t = Tables.documents(s, d)
+        .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+      val uni = t.select(explode($"toks").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c_w"))
+      val bg = t.filter(size($"toks") >= 2)
+        .select(explode(zip_with(
+          slice($"toks", lit(1), size($"toks") - 1),
+          slice($"toks", lit(2), size($"toks") - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .select($"p.a".as("a"), $"p.b".as("b"))
+      val bic = bg.groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
+      val nb = bic.agg(sum($"c_ab").as("n_bg"))
+      bic.filter($"c_ab" >= 5)
+        .join(uni.select($"w".as("a"), $"c_w".as("c_a")), Seq("a"))
+        .join(uni.select($"w".as("b"), $"c_w".as("c_b")), Seq("b"))
+        .crossJoin(broadcast(nb))
+        .select($"a", $"b", $"c_ab",
+          round(log(($"c_ab" * $"n_bg").cast("double") /
+            ($"c_a" * $"c_b").cast("double")), 6).as("pmi"))
+        .orderBy($"pmi".desc, $"a", $"b").limit(25)
+    },
+
     "txt_dsir" -> { (s, d) =>
       import s.implicits._
       // DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169
@@ -605,6 +640,25 @@ object TextQueries {
     // the same add-1 bigram LM term for term: 6-dp-rounded log terms
     // summed as DECIMAL (exact), integer micro-nat normalization,
     // double transcendentals only in the display ppl column
+    "txt_collocations" ->
+      s"""WITH t AS (SELECT doc_id, $cleanTok AS toks FROM documents),
+         |uni AS (SELECT w, COUNT(*) AS c_w
+         |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         |bx AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+         |  FROM t WHERE len(toks) >= 2),
+         |bg AS (SELECT toks[CAST(i AS INT)] AS a,
+         |    toks[CAST(i + 1 AS INT)] AS b FROM bx),
+         |bic AS (SELECT a, b, COUNT(*) AS c_ab FROM bg GROUP BY a, b),
+         |nb AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bg FROM bic)
+         |SELECT a, b, c_ab,
+         |  ROUND(LN(CAST(c_ab * n_bg AS DOUBLE) /
+         |    CAST(ua.c_w * ub.c_w AS DOUBLE)), 6) AS pmi
+         |FROM bic JOIN uni ua ON bic.a = ua.w
+         |JOIN uni ub ON bic.b = ub.w
+         |CROSS JOIN nb
+         |WHERE c_ab >= 5
+         |ORDER BY pmi DESC, a, b LIMIT 25""".stripMargin,
+
     "txt_lm_ppl" ->
       s"""WITH t AS (SELECT doc_id, $cleanTok AS toks FROM documents),
          |uni AS (SELECT w, COUNT(*) AS c_a

@@ -406,6 +406,54 @@ object Relational {
         .filter($"n_in_window" > 0)
         .orderBy($"iv_key")
     },
+
+    "q31_unnest" -> { (s, d) =>
+      import s.implicits._
+      // Array generation + UNNEST (the Calcite surface's generated-
+      // column/lateral family): each order fans out into an
+      // installment schedule of k = orderkey%4 + 1 equal monthly
+      // payments — sequence() + explode() is Spark's lateral unnest,
+      // a pure map-side row multiplier (no shuffle until the final
+      // small agg). Installments divide in integer CENTS (floor) —
+      // round(price/k, 2) would tie at exact half-cents for k=2 and
+      // Spark (shortest-repr HALF_UP) and DuckDB (binary) break
+      // those ties differently; integer division is exact everywhere.
+      val o = Tables.orders(s, d)
+        .select($"o_orderkey",
+          ($"o_totalprice".cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"),
+          (($"o_orderkey" % 4) + 1).cast("int").as("k"))
+      o.select(explode(sequence(lit(1), $"k")).as("m"),
+          expr("cents div k").as("ic"))
+        .groupBy($"m")
+        .agg(count(lit(1)).as("n_orders"),
+          ((sum($"ic")).cast("double") / 100.0).as("total_installment"))
+        .orderBy($"m")
+    },
+
+    "q32_range_frame" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // RANGE-frame window (value-based sliding frame — the frame
+      // family q7/q27's ROWS frames don't cover): per order, the
+      // customer's trailing-30-day order count and spend, the frame
+      // bounded by DAY VALUE so gaps in order history shrink it and
+      // same-day peers stay excluded (frame ends at -1). One shuffle
+      // on the partition key; day numbers are exact ints and sums
+      // are DECIMAL, so the oracle matches bit-for-bit.
+      val day = datediff($"o_orderdate".cast("date"),
+        lit("1990-01-01").cast("date")).cast("long")
+      val o = Tables.orders(s, d).select($"o_custkey", $"o_orderkey",
+        day.as("dd"), $"o_totalprice".cast(DecimalType(18, 2)).as("price"))
+      val w = Window.partitionBy($"o_custkey").orderBy($"dd")
+        .rangeBetween(-30, -1)
+      o.select($"o_custkey", $"o_orderkey", $"dd",
+          count($"price").over(w).as("n_prior_30d"),
+          coalesce(sum($"price").over(w),
+            lit(0).cast(DecimalType(18, 2))).cast("double")
+            .as("total_prior_30d"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
   )
 
   def oracles: Map[String, String] = Map(
@@ -650,5 +698,29 @@ object Relational {
         |  AND d.dd BETWEEN iv.start_d AND iv.end_d
         |  AND d.o_orderkey <> iv.iv_key
         |GROUP BY iv_key ORDER BY iv_key""".stripMargin,
+
+    "q31_unnest" ->
+      """WITH inst AS (
+        |  SELECT CAST(unnest(generate_series(1, (o_orderkey % 4) + 1))
+        |      AS INT) AS m,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      // ((o_orderkey % 4) + 1) AS ic
+        |  FROM orders)
+        |SELECT m, COUNT(*) AS n_orders,
+        |  CAST(SUM(ic) AS DOUBLE) / 100 AS total_installment
+        |FROM inst GROUP BY m ORDER BY m""".stripMargin,
+
+    "q32_range_frame" ->
+      """WITH d AS (SELECT o_custkey, o_orderkey,
+        |    datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS dd,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, dd,
+        |  COUNT(price) OVER w AS n_prior_30d,
+        |  CAST(COALESCE(SUM(price) OVER w, 0) AS DOUBLE) AS total_prior_30d
+        |FROM d
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY dd
+        |  RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
   )
 }

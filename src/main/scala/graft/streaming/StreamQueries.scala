@@ -449,6 +449,65 @@ object StreamQueries {
           $"n_exact")
     },
 
+    "evt_kmv_intersect" -> { (s, d) =>
+      import s.implicits._
+      // Theta-sketch SET OPERATIONS over the KMV sketches — the
+      // capability that makes bottom-k sketches an algebra, not just
+      // a counter (Dasgupta et al. 2016, the DataSketches theta
+      // framework): per-event-type bottom-k user sketches intersect
+      // pairwise as {h ∈ A∩B : h < θ}, θ = min(θ_A, θ_B), scaled by
+      // M/θ — "how many distinct users did BOTH X and Y" for every
+      // type pair WITHOUT re-scanning events per pair. The corpus
+      // pays one distinct + one bounded-heap pass (the
+      // evt_kmv_distinct plan, keyed by type); everything pairwise
+      // runs on ≤ k·L sketch rows. Same affine hash ⇒ the oracle
+      // replays the sketches hash-for-hash; exact pair counts ride
+      // along as the error witness.
+      val M = 2147483647L
+      val k = 64
+      val tu = Tables.events(s, d)
+        .select($"event_type",
+          ((($"user_id" % M) * 2654435761L + 97L) % M).as("h"))
+        .distinct()
+      val bottom = graft.plans.TopK.perGroup(
+        tu, Seq("event_type"), Seq(("h", false)), k)
+      // θ per sketch: the k-th smallest hash once saturated; an
+      // underfull sketch has seen its whole set, so θ = M (estimates
+      // below stay exact for it)
+      val theta = bottom.groupBy($"event_type")
+        .agg(max($"h").as("h_k"), count(lit(1)).as("k_eff"))
+        .select($"event_type",
+          expr(s"case when k_eff < $k then ${M}L else h_k end").as("theta"))
+      // all type pairs (L² tiny rows) so zero-overlap pairs still
+      // report their row — the estimate must be 0, not missing
+      val pairs = theta.select($"event_type".as("type_a"), $"theta".as("th_a"))
+        .crossJoin(theta.select($"event_type".as("type_b"), $"theta".as("th_b")))
+        .filter($"type_a" < $"type_b")
+        .select($"type_a", $"type_b", least($"th_a", $"th_b").as("theta"))
+      val matches = bottom.select($"event_type".as("type_a"), $"h")
+        .join(bottom.select($"event_type".as("type_b"), $"h"), Seq("h"))
+        .filter($"type_a" < $"type_b")
+        .join(pairs, Seq("type_a", "type_b"))
+        .filter($"h" < $"theta")
+        .groupBy($"type_a", $"type_b")
+        .agg(count(lit(1)).as("n_match"))
+      val exactTu = Tables.events(s, d)
+        .select($"event_type", $"user_id").distinct()
+      val exact = exactTu.select($"event_type".as("type_a"), $"user_id")
+        .join(exactTu.select($"event_type".as("type_b"), $"user_id"),
+          Seq("user_id"))
+        .filter($"type_a" < $"type_b")
+        .groupBy($"type_a", $"type_b")
+        .agg(count(lit(1)).as("n_exact"))
+      pairs.join(matches, Seq("type_a", "type_b"), "left_outer")
+        .join(exact, Seq("type_a", "type_b"), "left_outer")
+        .select($"type_a", $"type_b",
+          coalesce($"n_match", lit(0L)).as("n_match"),
+          expr(s"(coalesce(n_match, 0L) * ${M}L) div theta").as("n_est"),
+          coalesce($"n_exact", lit(0L)).as("n_exact"))
+        .orderBy($"type_a", $"type_b")
+    },
+
     "evt_quantile_hist" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -761,6 +820,45 @@ object StreamQueries {
         |  END AS n_est,
         |  n_exact
         |FROM kth, exact""".stripMargin,
+
+    // the same sketches hash-for-hash: bottom-64 per type via a
+    // ranked window, θ per the saturation rule, pairwise match below
+    // min(θ_A, θ_B), scaled by M/θ in integer floor division
+    "evt_kmv_intersect" ->
+      """WITH tu AS (SELECT DISTINCT event_type,
+        |    ((user_id % 2147483647) * 2654435761 + 97) % 2147483647 AS h
+        |  FROM events),
+        |bottom AS (SELECT event_type, h FROM (
+        |    SELECT event_type, h,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS r
+        |    FROM tu) WHERE r <= 64),
+        |theta AS (SELECT event_type,
+        |    CASE WHEN COUNT(*) < 64 THEN 2147483647 ELSE MAX(h) END AS theta
+        |  FROM bottom GROUP BY event_type),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    LEAST(a.theta, b.theta) AS theta
+        |  FROM theta a JOIN theta b ON a.event_type < b.event_type),
+        |m AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    COUNT(*) AS n_match
+        |  FROM bottom a
+        |  JOIN bottom b ON a.h = b.h AND a.event_type < b.event_type
+        |  JOIN pairs p ON p.type_a = a.event_type
+        |    AND p.type_b = b.event_type AND a.h < p.theta
+        |  GROUP BY 1, 2),
+        |ex AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    COUNT(*) AS n_exact
+        |  FROM (SELECT DISTINCT event_type, user_id FROM events) a
+        |  JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b,
+        |  COALESCE(m.n_match, 0) AS n_match,
+        |  (COALESCE(m.n_match, 0) * 2147483647) // p.theta AS n_est,
+        |  COALESCE(ex.n_exact, 0) AS n_exact
+        |FROM pairs p
+        |LEFT JOIN m ON m.type_a = p.type_a AND m.type_b = p.type_b
+        |LEFT JOIN ex ON ex.type_a = p.type_a AND ex.type_b = p.type_b
+        |ORDER BY p.type_a, p.type_b""".stripMargin,
 
     "evt_quantile_hist" ->
       """WITH hist AS (

@@ -254,4 +254,25 @@ class DedupSpec extends AnyFunSuite {
     // e (intra-doc only) and f (unique) never appear
     assert(!out.contains(5L) && !out.contains(6L))
   }
+
+  test("pagerank: mass conservation, symmetry, and centrality order") {
+    import spark.implicits._
+    // star 1-{2,3,4} plus disjoint clique {10,11,12}
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L))
+      .toDF("doc_a", "doc_b")
+    val r = graft.dedup.Dedup.pagerank(pairs, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r.size == 7)
+    // stochastic + teleport: total rank mass stays ~1 (9-dp rounding
+    // slack per node per round)
+    val mass = r.values.sum
+    assert(math.abs(mass - 1.0) < 1e-6 * r.size * 3,
+      s"rank mass drifted: $mass")
+    // symmetric positions get identical ranks
+    assert(r(2L) == r(3L) && r(3L) == r(4L), s"star leaves differ: $r")
+    assert(r(10L) == r(11L) && r(11L) == r(12L), s"clique members differ: $r")
+    // the hub out-ranks its leaves
+    assert(r(1L) > r(2L), s"star center ${r(1L)} !> leaf ${r(2L)}")
+  }
 }

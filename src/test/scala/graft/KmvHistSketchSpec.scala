@@ -51,6 +51,47 @@ class KmvHistSketchSpec extends AnyFunSuite {
       s"KMV estimate $est strayed >33% from exact $exact")
   }
 
+  test("theta intersection is EXACT while both sketches are underfull") {
+    import spark.implicits._
+    // two event types over 40 and 60 users overlapping in 20: both
+    // distinct sets fit under k=64, so θ = M for both and the
+    // intersection estimate must equal the exact count — the
+    // underfull-exactness law the saturation rule encodes
+    val rows = ((1L to 40L).map(u => ("view", u)) ++
+      (21L to 80L).map(u => ("purchase", u)))
+      .zipWithIndex.map { case ((t, u), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          u, t, 1.0, "{}")
+      }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_theta").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("evt_kmv_intersect")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_exact") == 20L)
+    assert(r.getAs[Long]("n_est") == 20L,
+      s"underfull theta intersection must be exact, got ${r.getAs[Long]("n_est")}")
+    assert(r.getAs[Long]("n_match") == 20L)
+  }
+
+  test("theta intersection estimates land in a loose k=64 envelope on real pairs") {
+    import spark.implicits._
+    val out = SparkEntry.queries("evt_kmv_intersect")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // intersection error grows as overlap shrinks (effective sample =
+    // matches below θ); only gate pairs with real support
+    out.filter(r => r.getAs[Long]("n_exact") >= 50 &&
+        r.getAs[Long]("n_match") >= 10).foreach { r =>
+      val est = r.getAs[Long]("n_est").toDouble
+      val exact = r.getAs[Long]("n_exact").toDouble
+      assert(math.abs(est - exact) / exact < 0.6,
+        s"${r.getAs[String]("type_a")}∩${r.getAs[String]("type_b")}: " +
+          s"est $est vs exact $exact strayed >60%")
+    }
+  }
+
   test("histogram quantile error is bounded by one bucket width") {
     import spark.implicits._
     val got = SparkEntry.queries("evt_quantile_hist")(spark, sf).collect()

@@ -209,6 +209,20 @@ class PlanSpec extends AnyFunSuite {
       s"corpus window not partitioned on the length key:\n${partitioned.mkString("\n")}")
   }
 
+  test("txt_collocations aggregates without windowing or sorting the corpus") {
+    // PMI mining must stay two map-side-combining aggs + word-key
+    // joins: no Window over the bigram stream, and the top-25 must
+    // be a bounded TakeOrdered, never a global sort
+    val df = SparkEntry.queries("txt_collocations")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"corpus windowed in PMI mining:\n$p")
+    assert(p.contains("TakeOrdered"), s"top-K is not a bounded heap:\n$p")
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(scans.nonEmpty && !scans.contains("lang") &&
+      !scans.contains("source") && !scans.contains("n_chars"),
+      s"PMI mining reads document columns it never uses:\n$scans")
+  }
+
   test("no query plans a shuffled cartesian product") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, sf)
