@@ -42,8 +42,8 @@ object DedupQueries {
     * with the unrounded ratio `j`) — the oracle side of
     * Dedup.ngramJaccard, shared by dd_ngram_jaccard and the
     * connected-components gate built on its pair graph. */
-  private val jaccardCtes =
-    s"""corpus AS ($plantedDocsSql),
+  private def jaccardCtesFor(corpusSql: String) =
+    s"""corpus AS ($corpusSql),
        |t AS (SELECT doc_id,
        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
        |  FROM corpus),
@@ -70,6 +70,23 @@ object DedupQueries {
        |  JOIN sizes sa ON sa.doc_id = doc_a
        |  JOIN sizes sb ON sb.doc_id = doc_b
        |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.8)""".stripMargin
+
+  private val jaccardCtes = jaccardCtesFor(plantedDocsSql)
+
+  /** plantedDocs plus a SECOND exact copy of doc_id<10 (ids
+    * +2·PlantedIdBase): turns each planted pair into a mutually-
+    * similar triple, the ground truth triangle enumeration needs. */
+  private def triDocs(s: SparkSession, d: String): DataFrame =
+    plantedDocs(s, d).unionByName(
+      Tables.documents(s, d).filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 2 * Tables.PlantedIdBase))
+
+  private val triDocsSql =
+    s"""$plantedDocsSql
+      |  UNION ALL
+      |  SELECT doc_id + ${2 * Tables.PlantedIdBase} AS doc_id,
+      |    text, lang, source, n_chars
+      |  FROM documents WHERE doc_id < 10""".stripMargin
 
   /** embeddings ∪ exact vector copies of vec_id<5 (ids +1e6). */
   private def plantedEmbs(s: SparkSession, d: String): DataFrame = {
@@ -260,6 +277,29 @@ object DedupQueries {
       Dedup.pagerank(Dedup.ngramJaccard(plantedDocs(s, d), "doc_id",
           "text", n = 3, threshold = 0.8), iters = 3)
         .orderBy($"doc_id")
+    },
+
+    "dd_triangles" -> { (s, d) =>
+      import s.implicits._
+      // Triangle enumeration (the motif-counting graph family beside
+      // dd_cc_labels' components and dd_pagerank's centrality): fully
+      // mutually-similar doc triples in the Jaccard pair graph — the
+      // signal that separates a tight dup CLUSTER from a chain of
+      // borderline pairs. The canonical a<b edge orientation makes
+      // the wedge join count each triangle exactly once (x<y<z by
+      // construction): two shuffles on the join keys, no all-pairs.
+      // Near-dup graphs have bounded cluster-sized degrees, so the
+      // Σdeg² wedge bound stays linear-ish; a heavy-tailed graph
+      // would swap id-order for degree-order (same plan shape).
+      // Corpus plants a second exact copy so real triples exist.
+      val e = Dedup.ngramJaccard(triDocs(s, d), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .select($"doc_a".as("a"), $"doc_b".as("b"))
+      e.as("e1").join(e.as("e2"), $"e1.b" === $"e2.a")
+        .select($"e1.a".as("x"), $"e1.b".as("y"), $"e2.b".as("z"))
+        .join(e.select($"a".as("x"), $"b".as("z")), Seq("x", "z"))
+        .select($"x", $"y", $"z")
+        .orderBy($"x", $"y", $"z")
     },
 
     "dd_mixture_pack" -> { (s, d) =>
@@ -674,6 +714,14 @@ object DedupQueries {
          |${step("r2", "r3")}
          |SELECT doc_id, degree, rank FROM r3 ORDER BY doc_id""".stripMargin
     },
+
+    "dd_triangles" ->
+      s"""WITH ${jaccardCtesFor(triDocsSql)}
+         |SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+         |FROM jpairs e1
+         |JOIN jpairs e2 ON e2.doc_a = e1.doc_b
+         |JOIN jpairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+         |ORDER BY x, y, z""".stripMargin,
 
     "dd_embedding" ->
       // Search space restricted to pairs whose b side is a planted

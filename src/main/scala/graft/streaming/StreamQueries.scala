@@ -164,6 +164,52 @@ object StreamQueries {
         .select(stateCols.map(col): _*).orderBy($"user_id")
     },
 
+    "st_stream_kmv" -> { (s, d) =>
+      import s.implicits._
+      // Streaming SKETCH maintenance — mergeability IS the streaming
+      // story: each micro-batch contributes its own bottom-k of the
+      // affine user hashes, the running state folds as bottom-k of
+      // the union (the merge law KmvHistSketchSpec pins), so the
+      // final sketch is BIT-identical to the batch sketch over the
+      // same rows no matter how files split into micro-batches — a
+      // genuinely streaming operator under evt_kmv_distinct's full
+      // SQL oracle, shared verbatim. Driver state is ≤ k longs: the
+      // k-bounded collect is the sketch's whole point (constant
+      // memory at any corpus size; a 100 TB ingest keeps the same 64
+      // values). The exact count rides along as the error witness,
+      // computed batch-side like every sketch gate here.
+      val M = 2147483647L
+      val k = 64
+      val stream = Tables.eventsStream(s, d)
+      var state = scala.collection.immutable.SortedSet.empty[Long]
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      val q =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "2")
+          stream.writeStream.foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              val bh = batch
+                .select((((col("user_id") % M) * 2654435761L + 97L) % M)
+                  .as("h"))
+                .distinct().orderBy(col("h"))
+                .limit(k).collect().map(_.getLong(0))
+              state = (state ++ bh).take(k)
+              ()
+          }.start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      try q.processAllAvailable() finally q.stop()
+      val bottom = state.toSeq.toDF("h")
+      val kth = bottom.agg(max($"h").as("h_k"), count(lit(1)).as("k_eff"))
+      val exact = Tables.events(s, d)
+        .agg(countDistinct($"user_id").as("n_exact"))
+      kth.crossJoin(exact)
+        .select($"k_eff", $"h_k",
+          expr(s"case when k_eff < $k then k_eff " +
+            s"else (${k - 1} * ${M}L) div greatest(h_k, 1L) end").as("n_est"),
+          $"n_exact")
+    },
+
     "st_stream_join" -> { (s, d) =>
       import s.implicits._
       // Stream-stream inner join (watermarked state on BOTH sides):
@@ -657,6 +703,23 @@ object StreamQueries {
     },
   )
 
+  /** The KMV distinct-sketch contract, shared verbatim by the batch
+    * (evt_kmv_distinct) and streaming (st_stream_kmv) flavors — the
+    * sketch's merge law guarantees they compute the same bits. */
+  private val KmvDistinctSql =
+    """WITH h AS (SELECT DISTINCT
+      |    ((user_id % 2147483647) * 2654435761 + 97) % 2147483647 AS h
+      |  FROM events),
+      |bottom AS (SELECT h FROM h ORDER BY h LIMIT 64),
+      |kth AS (SELECT MAX(h) AS h_k, COUNT(*) AS k_eff FROM bottom),
+      |exact AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events)
+      |SELECT k_eff, h_k,
+      |  CASE WHEN k_eff < 64 THEN k_eff
+      |       ELSE (CAST(63 AS BIGINT) * 2147483647) // greatest(h_k, 1)
+      |  END AS n_est,
+      |  n_exact
+      |FROM kth, exact""".stripMargin
+
   /** Three in-place byte corruptions (positions 11/23/37), shared
     * verbatim by the Spark plant, the DuckDB oracle, and the spec. */
   private[graft] val PhashPerturbSql =
@@ -807,19 +870,13 @@ object StreamQueries {
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
-    "evt_kmv_distinct" ->
-      """WITH h AS (SELECT DISTINCT
-        |    ((user_id % 2147483647) * 2654435761 + 97) % 2147483647 AS h
-        |  FROM events),
-        |bottom AS (SELECT h FROM h ORDER BY h LIMIT 64),
-        |kth AS (SELECT MAX(h) AS h_k, COUNT(*) AS k_eff FROM bottom),
-        |exact AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events)
-        |SELECT k_eff, h_k,
-        |  CASE WHEN k_eff < 64 THEN k_eff
-        |       ELSE (CAST(63 AS BIGINT) * 2147483647) // greatest(h_k, 1)
-        |  END AS n_est,
-        |  n_exact
-        |FROM kth, exact""".stripMargin,
+    "evt_kmv_distinct" -> KmvDistinctSql,
+
+    // the SAME oracle verbatim: the KMV merge law (bottom-k of pooled
+    // per-batch bottom-k's == whole-corpus bottom-k) makes the
+    // streaming sketch bit-identical to the batch sketch, so both
+    // queries gate against one contract by construction
+    "st_stream_kmv" -> KmvDistinctSql,
 
     // the same sketches hash-for-hash: bottom-64 per type via a
     // ranked window, θ per the saturation rule, pairwise match below

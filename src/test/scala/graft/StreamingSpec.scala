@@ -315,6 +315,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(found == 10L, s"phash recovered $found/10 planted pairs")
   }
 
+  test("streaming KMV sketch equals the batch sketch bit-for-bit") {
+    // the merge law (KmvHistSketchSpec) says per-batch bottom-k's
+    // fold to the whole-corpus bottom-k; this pins the streaming
+    // query actually delivering it: identical k_eff/h_k/n_est/n_exact
+    val st = SparkEntry.queries("st_stream_kmv")(spark, sf).collect().toSeq
+    val bt = SparkEntry.queries("evt_kmv_distinct")(spark, sf).collect().toSeq
+    assert(st == bt, s"streaming sketch $st differs from batch $bt")
+  }
+
   test("streaming upsert: order-independent final state, replay commits nothing") {
     // the two laws the conditional foreachBatch merge buys
     // (Streams.upsertLatestBatch): however the source splits into
