@@ -279,6 +279,54 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
 
+    "dd_containment" -> { (s, d) =>
+      import s.implicits._
+      // ASYMMETRIC containment dedup (Broder 1997's containment
+      // coefficient |S_A ∩ S_B| / |S_A|): flags docs mostly INSIDE a
+      // larger doc — quote inclusion, excerpt pages, subset crawls —
+      // which symmetric Jaccard structurally misses (a small doc in
+      // a big one has tiny Jaccard but containment ≈ 1). Planted
+      // ground truth: half-length prefix excerpts of docs 20–29 at
+      // +3·PlantedIdBase. Same posting/df-cut machinery as
+      // ngramJaccard (hashed shingle keys, never all-pairs); the
+      // denominator counts a doc's COUNTABLE (df ≥ 2, ≤ cut)
+      // shingles, so an excerpt's truncation-boundary shingles
+      // (df = 1) drop from both sides and true containment reads 1.0.
+      // Containment is directional but shared counts are symmetric:
+      // one ordered-pair join, two directional projections.
+      val docs = Tables.documents(s, d)
+      val excerpts = docs.filter($"doc_id" >= 20 && $"doc_id" < 30)
+        .withColumn("doc_id", $"doc_id" + 3 * Tables.PlantedIdBase)
+        .withColumn("text", expr("substr(text, 1, length(text) div 2)"))
+      val corpus = docs.unionByName(excerpts)
+      val posting = Dedup.shingles(corpus, "doc_id", "text", 3)
+        .select($"doc_id", explode($"sh").as("s0"))
+        .select($"doc_id", xxhash64($"s0").as("s"))
+      val byDf = posting.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter($"df" >= 2)
+      val cut = corpus.agg(
+        greatest(lit(100L), ceil(count(lit(1)) * 0.02).cast("long"))
+          .as("maxdf_eff"))
+      val rare = byDf.crossJoin(broadcast(cut))
+        .filter($"df" <= $"maxdf_eff").select("s")
+      val p = posting.join(rare, Seq("s"))
+      val sizes = p.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val shared = p.as("a").join(p.as("b"),
+          $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sza")), "doc_a")
+        .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("szb")), "doc_b")
+      val dir = shared.select($"doc_a".as("doc_sub"),
+          $"doc_b".as("doc_sup"), $"shared", $"sza".as("szsub"))
+        .unionByName(shared.select($"doc_b".as("doc_sub"),
+          $"doc_a".as("doc_sup"), $"shared", $"szb".as("szsub")))
+      dir.withColumn("c", $"shared".cast("double") / $"szsub")
+        .filter($"c" >= 0.9)
+        .select($"doc_sub", $"doc_sup", round($"c", 4).as("containment"))
+        .orderBy($"doc_sub", $"doc_sup")
+    },
+
     "dd_triangles" -> { (s, d) =>
       import s.implicits._
       // Triangle enumeration (the motif-counting graph family beside
@@ -292,9 +340,14 @@ object DedupQueries {
       // Σdeg² wedge bound stays linear-ish; a heavy-tailed graph
       // would swap id-order for degree-order (same plan shape).
       // Corpus plants a second exact copy so real triples exist.
+      // The edge list feeds THREE join arms — materialize the pair
+      // pipeline (posting self-join + df-cut) once, not per arm; the
+      // pair set is candidate-sized (near-linear in the corpus, the
+      // LshDiagSpec bound), so the checkpoint is cheap at any scale
       val e = Dedup.ngramJaccard(triDocs(s, d), "doc_id", "text",
           n = 3, threshold = 0.8)
         .select($"doc_a".as("a"), $"doc_b".as("b"))
+        .localCheckpoint(true)
       e.as("e1").join(e.as("e2"), $"e1.b" === $"e2.a")
         .select($"e1.a".as("x"), $"e1.b".as("y"), $"e2.b".as("z"))
         .join(e.select($"a".as("x"), $"b".as("z")), Seq("x", "z"))
@@ -714,6 +767,45 @@ object DedupQueries {
          |${step("r2", "r3")}
          |SELECT doc_id, degree, rank FROM r3 ORDER BY doc_id""".stripMargin
     },
+
+    "dd_containment" ->
+      s"""WITH corpus AS (SELECT * FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + ${3 * Tables.PlantedIdBase} AS doc_id,
+         |    substr(text, 1, length(text) // 2) AS text, lang, source, n_chars
+         |  FROM documents WHERE doc_id >= 20 AND doc_id < 30),
+         |t AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
+         |  FROM corpus),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(toks) = 0 THEN [] ELSE
+         |    list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+         |      i -> array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))) END AS s
+         |  FROM t),
+         |posting AS (SELECT doc_id, unnest(s) AS sgl FROM sh),
+         |rare AS (SELECT sgl FROM posting GROUP BY sgl
+         |         HAVING COUNT(*) >= 2 AND COUNT(*) <=
+         |           (SELECT greatest(100, CAST(ceil(COUNT(*) * 0.02) AS BIGINT))
+         |            FROM corpus)),
+         |p AS (SELECT posting.doc_id, posting.sgl FROM posting JOIN rare USING (sgl)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM p GROUP BY doc_id),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared,
+         |    sa.sz AS sza, sb.sz AS szb
+         |  FROM p a JOIN p b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+         |  JOIN sizes sa ON sa.doc_id = a.doc_id
+         |  JOIN sizes sb ON sb.doc_id = b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz),
+         |dir AS (
+         |  SELECT doc_a AS doc_sub, doc_b AS doc_sup, shared, sza AS szsub
+         |  FROM shared
+         |  UNION ALL
+         |  SELECT doc_b AS doc_sub, doc_a AS doc_sup, shared, szb AS szsub
+         |  FROM shared)
+         |SELECT doc_sub, doc_sup,
+         |  ROUND(CAST(shared AS DOUBLE) / szsub, 4) AS containment
+         |FROM dir WHERE CAST(shared AS DOUBLE) / szsub >= 0.9
+         |ORDER BY doc_sub, doc_sup""".stripMargin,
 
     "dd_triangles" ->
       s"""WITH ${jaccardCtesFor(triDocsSql)}

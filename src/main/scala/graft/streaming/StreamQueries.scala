@@ -315,6 +315,24 @@ object StreamQueries {
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     },
 
+    "sql_lateral" -> { (s, d) =>
+      graft.Sql.register(s, d)
+      // Correlated LATERAL subquery as SQL TEXT (the front-door form
+      // of the q25 groupwise-top-N semantic): per nation, the two
+      // richest customers. Exercises Spark's lateral-join
+      // decorrelation (DecorrelateInnerQuery turns the per-row LIMIT
+      // into a partitioned rank — no per-nation re-execution), which
+      // the DataFrame surface can't reach — LATERAL exists only in
+      // SQL text. Tie-broken on name for a deterministic total order.
+      s.sql(
+        """SELECT n.n_name, t.c_name, t.c_acctbal
+          |FROM nation n,
+          |LATERAL (SELECT c_name, c_acctbal FROM customer
+          |         WHERE c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+          |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
+    },
+
     "sql_shingle_stats" -> { (s, d) =>
       graft.Sql.register(s, d)
       s.sql(
@@ -515,8 +533,12 @@ object StreamQueries {
         .select($"event_type",
           ((($"user_id" % M) * 2654435761L + 97L) % M).as("h"))
         .distinct()
+      // the sketch frame feeds θ + both sides of the match join —
+      // materialize the corpus-wide distinct+heap pass once; ≤ k·L
+      // rows at any corpus size, so the checkpoint is constant-sized
       val bottom = graft.plans.TopK.perGroup(
         tu, Seq("event_type"), Seq(("h", false)), k)
+        .localCheckpoint(true)
       // θ per sketch: the k-th smallest hash once saturated; an
       // underfull sketch has seen its whole set, so θ = M (estimates
       // below stay exact for it)
@@ -809,6 +831,14 @@ object StreamQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "sql_lateral" ->
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin,
 
     "sql_shingle_stats" ->
       """WITH t AS (

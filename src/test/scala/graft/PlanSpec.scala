@@ -223,6 +223,16 @@ class PlanSpec extends AnyFunSuite {
       s"PMI mining reads document columns it never uses:\n$scans")
   }
 
+  test("sql_lateral decorrelates to a ranked join, not per-row re-execution") {
+    // Spark must rewrite the correlated LATERAL-with-LIMIT into a
+    // partitioned rank + equi-join (DecorrelateInnerQuery); a
+    // nested-loop per outer row would re-execute the subquery per
+    // nation — the O(outer × inner) shape that cannot scale
+    val p = planOf("sql_lateral")
+    assert(p.contains("Window"), s"lateral not decorrelated to a rank:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian lateral:\n$p")
+  }
+
   test("no query plans a shuffled cartesian product") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, sf)
