@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.Tables
 import graft.multimodal.Multimodal
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SparkEntry wiring for SURVEY.md §2 "Streaming" + "multimodal".
@@ -454,28 +454,51 @@ object StreamQueries {
       // the DuckDB oracle replays the SKETCH itself exactly — a
       // production key wider than ~31 bits swaps in xxhash64 (same
       // plan, rows-only gate).
-      val params = Seq((2654435761L, 97L), (2246822519L, 1031L),
-        (3266489917L, 193L), (668265263L, 769L))
-      def bucket(u: org.apache.spark.sql.Column, a: Long, b: Long): org.apache.spark.sql.Column =
-        (((u % 2147483647L) * a + b) % 2147483647L) % 2048L
-      def rowBuckets(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column = explode(array(
-        params.zipWithIndex.map { case ((a, b), i) =>
-          struct(lit(i).as("r"), bucket(u, a, b).as("bkt"))
-        }: _*))
-      val sketch = Tables.events(s, d).select(rowBuckets($"user_id").as("p"))
+      val sketch = Tables.events(s, d)
+        .select(cmsRowBuckets($"user_id").as("p"))
         .select($"p.r", $"p.bkt")
         .groupBy($"r", $"bkt").agg(count(lit(1)).as("c"))
-      val top = Tables.events(s, d).groupBy($"user_id")
-        .agg(count(lit(1)).as("n_events"))
-        .orderBy($"n_events".desc, $"user_id").limit(15)
-      top.select($"user_id", $"n_events", rowBuckets($"user_id").as("p"))
-        .select($"user_id", $"n_events", $"p.r", $"p.bkt")
-        .join(sketch, Seq("r", "bkt"))
-        .groupBy($"user_id", $"n_events")
-        .agg(min($"c").as("n_est"))
-        .select($"user_id", $"n_events", $"n_est",
-          ($"n_est" - $"n_events").as("overcount"))
-        .orderBy($"n_events".desc, $"user_id")
+      cmsProbe(s, d, sketch)
+    },
+
+    "st_stream_cms" -> { (s, d) =>
+      import s.implicits._
+      // Streaming Count-Min maintenance — the CMS counterpart of
+      // st_stream_kmv's merge-law demonstration: each micro-batch
+      // builds its own (row, bucket) counter relation, and the
+      // running sketch folds by COUNTER ADDITION (the CMS merge
+      // operation), so the final counters are bit-identical to the
+      // one-scan batch sketch however the files split into batches.
+      // State is the d×w counter relation (8,192 rows — CONSTANT at
+      // any corpus size), kept distributed and re-materialized per
+      // batch; the probe and the full SQL oracle are shared verbatim
+      // with evt_cms_topk.
+      val stream = Tables.eventsStream(s, d)
+      var acc: DataFrame = null
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      val q =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "2")
+          stream.writeStream.foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              val counters = batch
+                .select(cmsRowBuckets(col("user_id")).as("p"))
+                .select(col("p.r"), col("p.bkt"))
+                .groupBy(col("r"), col("bkt"))
+                .agg(count(lit(1)).as("c"))
+              val merged =
+                if (acc == null) counters
+                else acc.unionByName(counters).groupBy(col("r"), col("bkt"))
+                  .agg(sum(col("c")).as("c"))
+              // truncate lineage per batch: the state must stay a
+              // bounded leaf, not a growing union tree
+              acc = merged.localCheckpoint(true)
+              ()
+          }.start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      try q.processAllAvailable() finally q.stop()
+      cmsProbe(s, d, acc)
     },
 
     "evt_kmv_distinct" -> { (s, d) =>
@@ -725,6 +748,62 @@ object StreamQueries {
     },
   )
 
+  /** CMS row-hash parameters (d=4 affine maps mod 2^31, w=2048),
+    * shared by the batch (evt_cms_topk) and streaming (st_stream_cms)
+    * sketches and replayed exactly by their common oracle. */
+  private val CmsParams = Seq((2654435761L, 97L), (2246822519L, 1031L),
+    (3266489917L, 193L), (668265263L, 769L))
+
+  private def cmsRowBuckets(u: Column): Column = explode(array(
+    CmsParams.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("r"),
+        ((((u % 2147483647L) * a + b) % 2147483647L) % 2048L).as("bkt"))
+    }: _*))
+
+  /** Probe a CMS counter relation with the exact top-15 heavy
+    * hitters: estimate = min over rows, one-sided overcount rides. */
+  private def cmsProbe(s: SparkSession, d: String,
+                       counters: DataFrame): DataFrame = {
+    import s.implicits._
+    val top = Tables.events(s, d).groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy($"n_events".desc, $"user_id").limit(15)
+    top.select($"user_id", $"n_events", cmsRowBuckets($"user_id").as("p"))
+      .select($"user_id", $"n_events", $"p.r", $"p.bkt")
+      .join(counters, Seq("r", "bkt"))
+      .groupBy($"user_id", $"n_events")
+      .agg(min($"c").as("n_est"))
+      .select($"user_id", $"n_events", $"n_est",
+        ($"n_est" - $"n_events").as("overcount"))
+      .orderBy($"n_events".desc, $"user_id")
+  }
+
+  /** The CMS heavy-hitter contract, shared verbatim by the batch
+    * (evt_cms_topk) and streaming (st_stream_cms) flavors — CMS merge
+    * is counter addition, so both compute identical counters. */
+  private val CmsTopkSql =
+    """WITH b AS (SELECT * FROM (VALUES (0, 2654435761, 97),
+      |    (1, 2246822519, 1031), (2, 3266489917, 193),
+      |    (3, 668265263, 769)) AS t(r, a, bo)),
+      |pairs AS (SELECT b.r,
+      |    (((e.user_id % 2147483647) * b.a + b.bo) % 2147483647) % 2048
+      |      AS bkt
+      |  FROM events e CROSS JOIN b),
+      |sketch AS (SELECT r, bkt, COUNT(*) AS c FROM pairs GROUP BY r, bkt),
+      |top AS (SELECT user_id, n_events FROM (
+      |    SELECT user_id, COUNT(*) AS n_events,
+      |      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS rn
+      |    FROM events GROUP BY user_id) WHERE rn <= 15),
+      |probes AS (SELECT t.user_id, t.n_events, b.r,
+      |    (((t.user_id % 2147483647) * b.a + b.bo) % 2147483647) % 2048
+      |      AS bkt
+      |  FROM top t CROSS JOIN b)
+      |SELECT p.user_id, p.n_events, MIN(s.c) AS n_est,
+      |  CAST(MIN(s.c) - p.n_events AS BIGINT) AS overcount
+      |FROM probes p JOIN sketch s ON s.r = p.r AND s.bkt = p.bkt
+      |GROUP BY p.user_id, p.n_events
+      |ORDER BY p.n_events DESC, p.user_id""".stripMargin
+
   /** The KMV distinct-sketch contract, shared verbatim by the batch
     * (evt_kmv_distinct) and streaming (st_stream_kmv) flavors — the
     * sketch's merge law guarantees they compute the same bits. */
@@ -869,28 +948,11 @@ object StreamQueries {
     // the same d=4 × w=2048 Count-Min sketch replayed exactly: the
     // row hashes are integer affine maps, so the ORACLE builds the
     // identical counter relation and probes it with the same min rule
-    "evt_cms_topk" ->
-      """WITH b AS (SELECT * FROM (VALUES (0, 2654435761, 97),
-        |    (1, 2246822519, 1031), (2, 3266489917, 193),
-        |    (3, 668265263, 769)) AS t(r, a, bo)),
-        |pairs AS (SELECT b.r,
-        |    (((e.user_id % 2147483647) * b.a + b.bo) % 2147483647) % 2048
-        |      AS bkt
-        |  FROM events e CROSS JOIN b),
-        |sketch AS (SELECT r, bkt, COUNT(*) AS c FROM pairs GROUP BY r, bkt),
-        |top AS (SELECT user_id, n_events FROM (
-        |    SELECT user_id, COUNT(*) AS n_events,
-        |      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS rn
-        |    FROM events GROUP BY user_id) WHERE rn <= 15),
-        |probes AS (SELECT t.user_id, t.n_events, b.r,
-        |    (((t.user_id % 2147483647) * b.a + b.bo) % 2147483647) % 2048
-        |      AS bkt
-        |  FROM top t CROSS JOIN b)
-        |SELECT p.user_id, p.n_events, MIN(s.c) AS n_est,
-        |  CAST(MIN(s.c) - p.n_events AS BIGINT) AS overcount
-        |FROM probes p JOIN sketch s ON s.r = p.r AND s.bkt = p.bkt
-        |GROUP BY p.user_id, p.n_events
-        |ORDER BY p.n_events DESC, p.user_id""".stripMargin,
+    "evt_cms_topk" -> CmsTopkSql,
+
+    // the SAME oracle verbatim: CMS merge is counter addition, so the
+    // per-batch streaming sketch folds to the batch sketch exactly
+    "st_stream_cms" -> CmsTopkSql,
 
     "st_stream_upsert" ->
       """SELECT user_id, event_id, ts, event_type, value FROM (

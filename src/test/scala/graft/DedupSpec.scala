@@ -255,6 +255,20 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.contains(5L) && !out.contains(6L))
   }
 
+  test("entity match: prefix filtering recovers every planted typo exactly once") {
+    import spark.implicits._
+    // the q-gram prefix scheme's recall guarantee: one substitution
+    // destroys ≤ 3 grams, so each 1-edit pair shares ≥ 1 of the
+    // master's 4 rarest — every planted dirty record must resolve to
+    // its own clean key at dist 1 (an arbitrary df-cut measured 6/21)
+    val out = SparkEntry.queries("dd_entity_match")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.length == 21, s"expected 21 planted matches, got ${out.length}")
+    out.foreach { case (dk, ck, dist) =>
+      assert(dk == ck + 1000000L && dist == 1, s"bad match ($dk, $ck, $dist)")
+    }
+  }
+
   test("pagerank: mass conservation, symmetry, and centrality order") {
     import spark.implicits._
     // star 1-{2,3,4} plus disjoint clique {10,11,12}
