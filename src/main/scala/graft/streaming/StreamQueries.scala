@@ -701,6 +701,45 @@ object StreamQueries {
         .orderBy($"keeper")
     },
 
+    "mm_scene_cuts" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // VIDEO SHOT-BOUNDARY detection plumbing (the pre-step that
+      // decides WHERE mm_frame_sample should sample): per-frame
+      // 16-bit gradient signatures, a cut wherever consecutive
+      // frames' signatures differ. Ground truth is constructed
+      // in-query: each doc becomes an 8-frame "video" of two still
+      // scenes (one 64-byte block repeated 4×, then a second block
+      // 4×), so the detector must report exactly one cut at frame 4
+      // unless the doc's two blocks coincide. The frame DECODE is the
+      // deterministic byte-sampling stub (ascii of frame bytes — the
+      // mm_phash contract), so the whole detector replays in SQL; a
+      // real codec slots into the same per-frame signature seam. One
+      // corpus scan, per-doc lag window partitioned on doc_id — no
+      // shuffle wider than the frame table.
+      val docs = Tables.documents(s, d).filter(length($"text") >= 128)
+      val vb = concat((0 until 4).map(_ => substring($"text", 1, 64)) ++
+        (0 until 4).map(_ => substring($"text", 65, 64)): _*)
+      def sig(f: Column): Column = (0 until 16).map { j =>
+        when(ascii(col("vb").substr(f * 64 + j + 1, lit(1))) <
+          ascii(col("vb").substr(f * 64 + j + 2, lit(1))),
+          lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+      val frames = docs.select($"doc_id", vb.as("vb"))
+        .select($"doc_id", explode(sequence(lit(0), lit(7))).as("f"),
+          $"vb")
+        .select($"doc_id", $"f", sig($"f").as("sig"))
+      val w = Window.partitionBy($"doc_id").orderBy($"f")
+      frames.withColumn("prev", lag($"sig", 1).over(w))
+        .withColumn("cut",
+          when($"prev".isNotNull && $"prev" =!= $"sig", 1).otherwise(0))
+        .groupBy($"doc_id")
+        .agg(sum($"cut").cast("long").as("n_cuts"),
+          (sum($"cut") + 1).cast("long").as("n_scenes"),
+          min(when($"cut" === 1, $"f")).cast("int").as("first_cut"))
+        .orderBy($"doc_id")
+    },
+
     "mm_phash" -> { (s, d) =>
       import s.implicits._
       // PERCEPTUAL near-dup for media — what mm_dedup's exact body
@@ -1144,6 +1183,33 @@ object StreamQueries {
         |  FROM documents WHERE doc_id < 10)
         |SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
         |FROM corpus GROUP BY h HAVING COUNT(*) > 1 ORDER BY keeper""".stripMargin,
+
+    // the same two-scene construction and 16-bit gradient signature,
+    // unrolled: a cut wherever LAG(sig) differs within the doc
+    "mm_scene_cuts" -> {
+      def bit(j: Int) =
+        s"CASE WHEN ascii(substr(vb, f * 64 + $j + 1, 1)) < " +
+          s"ascii(substr(vb, f * 64 + $j + 2, 1)) THEN ${1 << j} ELSE 0 END"
+      val sig = (0 until 16).map(bit).mkString(" + ")
+      s"""WITH v AS (SELECT doc_id,
+         |    repeat(substr(text, 1, 64), 4) ||
+         |    repeat(substr(text, 65, 64), 4) AS vb
+         |  FROM documents WHERE length(text) >= 128),
+         |fr AS (SELECT doc_id, vb, CAST(unnest(range(0, 8)) AS INT) AS f
+         |  FROM v),
+         |sg AS (SELECT doc_id, f, $sig AS sig FROM fr),
+         |c AS (SELECT doc_id, f, sig,
+         |    LAG(sig) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+         |  FROM sg),
+         |k AS (SELECT doc_id, f,
+         |    CASE WHEN prev IS NOT NULL AND prev <> sig THEN 1 ELSE 0 END
+         |      AS cut
+         |  FROM c)
+         |SELECT doc_id, CAST(SUM(cut) AS BIGINT) AS n_cuts,
+         |  CAST(SUM(cut) + 1 AS BIGINT) AS n_scenes,
+         |  CAST(MIN(CASE WHEN cut = 1 THEN f END) AS INT) AS first_cut
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     // the dHash decode stub is deterministic byte sampling, so the
     // ENTIRE perceptual pipeline unrolls into SQL: the same 64

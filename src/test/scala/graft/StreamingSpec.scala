@@ -315,6 +315,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(found == 10L, s"phash recovered $found/10 planted pairs")
   }
 
+  test("scene detector finds exactly the planted two-scene boundary") {
+    val rows = SparkEntry.queries("mm_scene_cuts")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_cuts") == 1L &&
+        r.getAs[Int]("first_cut") == 4,
+        s"doc ${r.getAs[Long]("doc_id")}: expected one cut at frame 4, " +
+          s"got ${r.getAs[Long]("n_cuts")} at ${r.getAs[Int]("first_cut")}")
+    }
+  }
+
   test("streaming KMV sketch equals the batch sketch bit-for-bit") {
     // the merge law (KmvHistSketchSpec) says per-batch bottom-k's
     // fold to the whole-corpus bottom-k; this pins the streaming
