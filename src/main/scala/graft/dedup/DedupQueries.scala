@@ -140,7 +140,12 @@ object DedupQueries {
 
   private def ivfIdx(s: SparkSession, d: String): Ann.IvfIndex = {
     val (view, cent, _) = vecIndex(s, d)
-    graft.similarity.VectorIndex.ivfOf(cent, view)
+    val idx = graft.similarity.VectorIndex.ivfOf(cent, view)
+    // the range-search pruning statistic is a SNAPSHOT property:
+    // memoized per index (production path: persisted with the index,
+    // CDC-folded by max), never recomputed per query batch
+    idx.copy(listRadii = Some(graft.QueryCaches.frame(s"ivfradii:$d")(
+      Ann.listRadiiOf(idx.assigned, idx.centroids))))
   }
 
   private def pqIdx(s: SparkSession, d: String): graft.similarity.Pq.PqIndex = {

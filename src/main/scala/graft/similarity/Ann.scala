@@ -97,12 +97,11 @@ object Ann {
     // round(cos,3) ≥ τ admits exact cos ≥ τ − 5e-4; 1e-9 absorbs
     // float noise in the distance arithmetic
     val r = math.sqrt(math.max(0.0, 2.0 - 2.0 * (tau - 0.0005))) + 1e-9
-    def sphereDist(a: Column, b: Column): Column =
-      sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * cosine(a, b)))
-    val listStats = idx.assigned
-      .join(broadcast(idx.centroids), Seq("cluster"))
-      .groupBy(col("cluster"))
-      .agg(max(sphereDist(col("v"), col("centroid"))).as("rc"))
+    // the snapshot statistic comes WITH the index when the caller
+    // memoized/persisted it; the inline fallback recomputes (one
+    // map-side-combining pass over the entries) for ad-hoc indexes
+    val listStats = idx.listRadii
+      .getOrElse(listRadiiOf(idx.assigned, idx.centroids))
     q.crossJoin(broadcast(idx.centroids.join(listStats, Seq("cluster"))))
       .filter(sphereDist(col("qv"), col("centroid")) <= lit(r) + col("rc"))
       .select(col("qid"), col("qv"), col("cluster"))
@@ -317,7 +316,23 @@ object Ann {
     * (`centroids`: cluster, centroid — √N rows, broadcastable). Like
     * the reference's Lucene/bitmap index tables this is a PERSISTED
     * artifact: built once by DDL, consulted by every search. */
-  case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+  case class IvfIndex(assigned: DataFrame, centroids: DataFrame,
+                      listRadii: Option[DataFrame] = None)
+
+  /** Per-list max member-to-centroid distance — the range-search
+    * pruning statistic. An index-snapshot property, not a query-time
+    * one: callers memoize it per snapshot (QueryCaches) and the
+    * production path persists it WITH the index, where CDC
+    * maintenance is a max-merge (a new member can only widen its
+    * list, so segment radii fold by max). */
+  def listRadiiOf(assigned: DataFrame, centroids: DataFrame): DataFrame =
+    assigned.join(broadcast(centroids), Seq("cluster"))
+      .groupBy(col("cluster"))
+      .agg(max(sphereDist(col("v"), col("centroid"))).as("rc"))
+
+  /** Unit-sphere chord distance from the shared cosine kernel. */
+  private def sphereDist(a: Column, b: Column): Column =
+    sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * cosine(a, b)))
 
   /** IVF index build (the DDL step): k-means coarse quantizer
     * (√N lists), corpus bucketed by nearest centroid. Training reads a
