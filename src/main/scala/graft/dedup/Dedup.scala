@@ -262,7 +262,17 @@ object Dedup {
     * order), the damping mix runs in plain IEEE doubles (single mul +
     * add, engine-identical), and each round re-quantizes the rank to
     * 9 dp so the next round's inputs match bit-for-bit. */
-  def pagerank(pairs: DataFrame, iters: Int = 3): DataFrame = {
+  def pagerank(pairs: DataFrame, iters: Int = 3): DataFrame =
+    pagerankImpl(pairs, iters, None)
+
+  /** Test seam: `planProbe` receives the optimized-plan node count of
+    * the final pre-checkpoint ranks frame, so a spec can pin that deep
+    * loops really run on truncated lineage (a leaf + one projection,
+    * not an `iters`-deep join chain). */
+  private[graft] def pagerankImpl(pairs: DataFrame, iters: Int,
+                                  planProbe: Option[Int => Unit]): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    val spark = pairs.sparkSession
     val edges = pairs.select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
@@ -270,10 +280,29 @@ object Dedup {
       .cache()
     val deg = edges.groupBy(col("src").as("doc_id"))
       .agg(count(lit(1)).as("degree")).cache()
+    // tracks the previous round's materialized frame for deep loops so
+    // each round releases its predecessor deterministically
+    var cached: DataFrame = null
     try {
       // the node count is the one driver-side scalar the method needs
       // (it seeds 1/N and the teleport term); O(1) result, one action
       val n = deg.count().toDouble
+      // empty graph: return the empty (doc_id, degree, rank) frame
+      // explicitly rather than letting the 1/0 seed literal propagate
+      // Infinity through a future non-empty-deg/zero-n refactor
+      if (n == 0)
+        return deg.withColumn("rank", lit(0.0)).localCheckpoint(true)
+      // A handful of rounds keeps the direct lineage chain (power
+      // iteration converges geometrically, so callers rarely need
+      // more, and each materialization costs an action). PAST that,
+      // Catalyst re-optimizes the whole nested lineage every round —
+      // the clusters() loop measured 8.6 s of pure planning at sf0.1
+      // from exactly this shape — so deep loops truncate the plan per
+      // round via createDataFrame(rdd, schema) with a deterministic
+      // cache release, the clusters() pattern.
+      val truncateEachRound = iters > 5
+      def materialize(df: DataFrame): DataFrame =
+        spark.createDataFrame(df.rdd, df.schema).cache()
       var ranks = deg.withColumn("rank", round(lit(1.0) / lit(n), 9))
       for (_ <- 1 to iters) {
         val sums = edges
@@ -288,12 +317,18 @@ object Dedup {
           .select(col("doc_id"), col("degree"),
             round(lit(0.15) / lit(n) + lit(0.85) *
               coalesce(col("s").cast("double"), lit(0.0)), 9).as("rank"))
+        if (truncateEachRound) {
+          val next = materialize(ranks)
+          if (cached != null) cached.unpersist()
+          cached = next
+          ranks = next
+        }
       }
-      // iters is small and fixed (power iteration converges
-      // geometrically; rank ORDER stabilizes in a handful of rounds)
-      // so the lineage stays shallow — no per-round materialization
+      planProbe.foreach(_(ranks.queryExecution.optimizedPlan
+        .collect { case p => p }.size))
       ranks.localCheckpoint(true)
     } finally {
+      if (cached != null) cached.unpersist()
       deg.unpersist()
       edges.unpersist(): Unit
     }

@@ -307,10 +307,17 @@ object DedupQueries {
       val dirty = clean.filter($"key" <= 20)
         .select(($"key" + 1000000L).as("key"),
           expr("concat(substr(name, 1, 4), 'q', substr(name, 6))").as("name"))
-      def grams(df: DataFrame) = df.select($"key", $"name",
-        explode(expr(
-          "transform(sequence(1, length(name) - 2), i -> substring(name, i, 3))"))
-          .as("g"))
+      // names shorter than a gram yield NO grams on either side: the
+      // oracle's range(1, length-1) is empty for start > stop, but
+      // Spark's sequence(1, length-2) DESCENDS ([1,0]) and would emit
+      // bogus grams — pre-filter so both engines agree (and a gramless
+      // record is un-blockable anyway; c_name is fixed-width today,
+      // this guards the general-name caller)
+      def grams(df: DataFrame) = df.filter(length($"name") >= 3)
+        .select($"key", $"name",
+          explode(expr(
+            "transform(sequence(1, length(name) - 2), i -> substring(name, i, 3))"))
+            .as("g"))
       val cg = grams(clean).dropDuplicates("key", "g")
       val dfs = cg.groupBy($"g").agg(count(lit(1)).as("df"))
       val cp = cg.join(dfs, Seq("g"))

@@ -498,7 +498,13 @@ object StreamQueries {
           }.start()
         } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       try q.processAllAvailable() finally q.stop()
-      cmsProbe(s, d, acc)
+      // zero micro-batches (an empty staged source) leaves acc null —
+      // probe an EMPTY counter relation instead of NPEing; the probe
+      // then correctly reports no estimates
+      val counters =
+        if (acc != null) acc
+        else Seq.empty[(Int, Long, Long)].toDF("r", "bkt", "c")
+      cmsProbe(s, d, counters)
     },
 
     "evt_kmv_distinct" -> { (s, d) =>
@@ -752,7 +758,15 @@ object StreamQueries {
       // at hamming ≤ 6. The deterministic byte-sampling decode stub
       // makes the WHOLE pipeline oracle-replayable — a full SQL gate
       // for a perceptual-hash operator.
+      // ASCII enforced, not assumed: dhashBands samples payload BYTES
+      // while the oracle samples text CHARS via ascii(substr(...)) —
+      // they coincide only when every char is one byte. The corpus is
+      // pure ASCII today; the filter (same predicate in the oracle)
+      // makes that a pinned contract instead of a silent coincidence,
+      // so a future multibyte doc drops out of BOTH sides rather than
+      // hash-mismatching the gate.
       val docs = Tables.documents(s, d)
+        .filter(octet_length($"text") === length($"text"))
       val planted = docs.unionByName(docs.filter($"doc_id" < 10)
         .withColumn("doc_id", $"doc_id" + 1000000L)
         .withColumn("text", expr(PhashPerturbSql)))
@@ -1227,11 +1241,14 @@ object StreamQueries {
         }.mkString(" + ")
         s"($bits) AS b$b"
       }.mkString(", ")
-      s"""WITH corpus AS (
+      s"""WITH ascii_docs AS (
          |  SELECT doc_id, text FROM documents
+         |  WHERE octet_length(encode(text)) = length(text)),
+         |corpus AS (
+         |  SELECT doc_id, text FROM ascii_docs
          |  UNION ALL
          |  SELECT doc_id + 1000000 AS doc_id, $PhashPerturbSql AS text
-         |  FROM documents WHERE doc_id < 10),
+         |  FROM ascii_docs WHERE doc_id < 10),
          |sized AS (SELECT doc_id, text, octet_length(encode(text)) AS blen
          |          FROM corpus),
          |ph AS (SELECT doc_id, $bandExprs FROM sized),

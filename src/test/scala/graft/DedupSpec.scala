@@ -289,4 +289,41 @@ class DedupSpec extends AnyFunSuite {
     // the hub out-ranks its leaves
     assert(r(1L) > r(2L), s"star center ${r(1L)} !> leaf ${r(2L)}")
   }
+
+  test("pagerank: deep iteration runs on truncated lineage, same invariants") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L))
+      .toDF("doc_a", "doc_b")
+    // past the shallow-loop cutoff each round rebuilds from its
+    // materialized RDD: the final pre-checkpoint frame must be a leaf,
+    // not a 10-deep join chain (which planned in seconds per round at
+    // sf0.1 in the clusters() measurement)
+    var nodes = -1
+    val r = graft.dedup.Dedup.pagerankImpl(pairs, iters = 10,
+        Some(n => nodes = n))
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(nodes >= 1 && nodes <= 5,
+      s"deep-loop plan not truncated: $nodes optimized nodes")
+    assert(r.size == 7)
+    val mass = r.values.sum
+    assert(math.abs(mass - 1.0) < 1e-6 * r.size * 10,
+      s"rank mass drifted at iters=10: $mass")
+    assert(r(1L) > r(2L), "centrality order lost at deep iteration")
+    // shallow loops keep the direct chain: the probe sees a DEEP plan
+    var shallowNodes = -1
+    graft.dedup.Dedup.pagerankImpl(pairs, iters = 3,
+      Some(n => shallowNodes = n)).collect()
+    assert(shallowNodes > 5,
+      s"3-round plan unexpectedly truncated ($shallowNodes nodes) — " +
+        "the gate's lineage shape changed")
+  }
+
+  test("pagerank: empty pair graph returns the empty frame, no Infinity seed") {
+    import spark.implicits._
+    val r = graft.dedup.Dedup.pagerank(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    assert(r.columns.toSeq == Seq("doc_id", "degree", "rank"))
+    assert(r.count() == 0)
+  }
 }
