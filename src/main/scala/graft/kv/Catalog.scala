@@ -2427,6 +2427,17 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     // commit-point fence: prove the lock is still ours BEFORE the
     // pointer swap (no-op for providers whose locks can't lapse)
     h.foreach(_.ensureValid())
+    // compare-and-publish AT THE AUTHORITY (throws when this grant is
+    // superseded): providers with a central lease service make the
+    // fence check atomic in the authority's own serialization —
+    // closing the read→compare→write window of the meta-stamp compare
+    // below on stores without conditional writes, and rejecting a
+    // lapsed holder the moment a newer grant EXISTS, before the new
+    // owner publishes anything. Providers without an authority (file
+    // locks, in-process) return false and rely on the meta compare
+    // alone — for them the lock itself cannot lapse, so the compare
+    // is already race-free under it.
+    h.foreach(_.fencedPublish(): Unit)
     val meta = readMeta(table)
     // fencing token at the swap ITSELF (ensureValid is check-then-act
     // — a lease can lapse between the check and this write): the meta
@@ -2439,15 +2450,16 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     // between providers. Ordered BEFORE the monotonic skip below: a
     // lapsed lease-holder replaying a version the new owner already
     // published must fail loudly, not report silent success.
-    // Residuals (documented, not closed here — both need storage
-    // with an atomic conditional write, where writeMeta would CAS on
-    // fenceEpoch): (a) this read→compare→write is itself unfenced,
-    // so the compare is deterministic only once the new owner HAS
-    // published — two publishes racing inside this method can still
-    // interleave; (b) the STAGED DATA write preceding this swap
-    // targets the version-numbered dir directly, so a lapse
-    // mid-stage can cross-write the new owner's staged files (true
-    // end-to-end fencing = unique staging dirs renamed here).
+    // Residuals: (a) this read→compare→write is itself unfenced on
+    // storage without conditional writes — CLOSED for providers with
+    // a central authority by the fencedPublish call above (the
+    // authority serializes the compare); still open for token-less /
+    // file-lock providers, where the lock itself cannot lapse so the
+    // compare runs under real exclusion anyway; (b) the STAGED DATA
+    // write preceding this swap targets the version-numbered dir
+    // directly, so a lapse mid-stage can cross-write the new owner's
+    // staged files (true end-to-end fencing = unique staging dirs
+    // renamed here) — documented, not closed.
     val tok = h.map(_.fencingToken).getOrElse(0L)
     var epochAdvanced = false
     if (tok > 0L) {

@@ -27,6 +27,7 @@ import java.util.concurrent.atomic.AtomicBoolean
   *   ACQUIRE <resource> <owner> <leaseMs>  -> OK <epoch> | BUSY <remainMs>
   *   RENEW   <resource> <owner> <leaseMs>  -> OK | GONE
   *   RELEASE <resource> <owner>            -> OK | GONE
+  *   PUBLISH <resource> <owner> <epoch>    -> OK | FENCED <epoch> | GONE
   * ACQUIRE is granted when the resource is free, its lease has
   * expired, or the same owner re-acquires (renewal semantics). Every
   * grant carries a server-wide monotonically increasing EPOCH — the
@@ -35,10 +36,27 @@ import java.util.concurrent.atomic.AtomicBoolean
   * the highest epoch seen can reject a lapsed holder's write no
   * matter when it arrives. RENEW extends the lease but keeps the
   * grant's epoch (same acquisition, same token).
+  *
+  * PUBLISH is the compare-and-publish primitive: inside the
+  * authority's one monitor it verifies the presented (owner, epoch)
+  * IS the resource's current unexpired grant AND at least the highest
+  * epoch ever published, then records the epoch as published — so a
+  * commit point on storage WITHOUT conditional writes gets an atomic
+  * fence check anyway (the authority serializes what the store
+  * can't). A lapsed holder is rejected the moment a newer grant
+  * EXISTS, before the new owner publishes anything. The published
+  * register is in-memory (per authority lifetime); the durable fence
+  * record stays the storage-side fenceEpoch stamp, which commit
+  * points compare AFTER this call — the two layers compose across an
+  * authority restart.
   */
-final class LeaseLockServer(port: Int = 0) {
+final class LeaseLockServer(port: Int = 0,
+                            persistDir: Option[java.nio.file.Path] = None) {
   private case class Lease(owner: String, expiresAt: Long, epoch: Long)
   private val leases = new ConcurrentHashMap[String, Lease]()
+  // highest epoch PUBLISHED per resource (the compare-and-publish
+  // register); monotone within this authority's lifetime
+  private val published = new ConcurrentHashMap[String, java.lang.Long]()
   // Epochs must outlive the SERVER process: table meta persists the
   // highest epoch that ever published (Catalog fenceEpoch), so a
   // restart that re-minted from 0 would fence out every legitimate
@@ -46,19 +64,48 @@ final class LeaseLockServer(port: Int = 0) {
   // increasing within a process, and across a restart the wall clock
   // re-anchors above any prior grant (the production analog: Redis
   // TIME+sequence, a ZooKeeper zxid — monotone tokens survive the
-  // authority's restart). Two residuals, both of the same
+  // authority's restart). Stateless-mode residuals, both of the same
   // clock-vs-counter shape: (a) a clock stepped BACKWARDS past a
   // restart boundary, as for any wall-clock-anchored token; (b) a
   // SAME-MS BURST of ownership changes climbs the counter above the
   // wall clock (+1 per change), so a restart inside that overhang
   // re-anchors at `now` BELOW epochs already persisted in table
-  // meta, fencing legitimate writers until the clock catches up —
-  // bounded by the burst size in ms, and closed entirely by a
-  // durable counter (the production services persist theirs; this
-  // in-repo authority is deliberately stateless).
+  // meta, fencing legitimate writers until the clock catches up.
+  // `persistDir` closes (b) — and (a) for restarts, though not for a
+  // clock stepped back UNDER a live process's counter — with a
+  // durable epoch CEILING: the counter pre-allocates blocks of
+  // EpochBlock epochs, persisting the ceiling (atomic tmp+move)
+  // BEFORE any epoch under it is granted, so a restart re-anchors at
+  // the ceiling — above every epoch that could ever have been handed
+  // out — at one fsync per block instead of per grant (the ZooKeeper
+  // zxid-epoch / Kafka producer-id-block recipe).
   private var epochCounter = 0L
+  private var epochCeiling = 0L
+  private val EpochBlock = 1024L
+  private def ceilingFile = persistDir.map(_.resolve("epoch_ceiling"))
   private val running = new AtomicBoolean(false)
   private var server: ServerSocket = _
+
+  // re-anchor ABOVE everything a prior incarnation could have granted
+  ceilingFile.foreach { f =>
+    if (java.nio.file.Files.exists(f)) {
+      epochCeiling = new String(java.nio.file.Files.readAllBytes(f)).trim.toLong
+      epochCounter = epochCeiling
+    }
+  }
+
+  /** Extend the persisted ceiling past `epoch` before granting it. */
+  private def ensureCeiling(epoch: Long): Unit =
+    ceilingFile.foreach { f =>
+      if (epoch >= epochCeiling) {
+        epochCeiling = epoch + EpochBlock
+        val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
+        java.nio.file.Files.write(tmp, epochCeiling.toString.getBytes)
+        java.nio.file.Files.move(tmp, f,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+    }
 
   def boundPort: Int = server.getLocalPort
 
@@ -111,11 +158,27 @@ final class LeaseLockServer(port: Int = 0) {
             if (cur != null && cur.owner == owner) cur.epoch
             else {
               epochCounter = math.max(epochCounter + 1, now)
+              ensureCeiling(epochCounter)
               epochCounter
             }
           leases.put(res, Lease(owner, now + leaseMs.toLong, epoch))
           s"OK $epoch"
         } else s"BUSY ${cur.expiresAt - now}"
+      case Seq("PUBLISH", res, owner, epochStr) =>
+        val epoch = epochStr.toLong
+        val cur = leases.get(res)
+        val pub = Option(published.get(res)).map(_.longValue).getOrElse(0L)
+        if (cur == null || cur.expiresAt <= now)
+          "GONE" // no current grant to validate against — cannot prove
+        else if (cur.owner != owner || cur.epoch != epoch || epoch < pub)
+          // a newer grant exists (or a newer publish landed): the
+          // presented grant is superseded — atomically rejected here,
+          // BEFORE the new owner publishes anything to storage
+          s"FENCED ${math.max(cur.epoch, pub)}"
+        else {
+          published.put(res, java.lang.Long.valueOf(epoch)): Unit
+          "OK"
+        }
       case Seq("RENEW", res, owner, leaseMs) =>
         val cur = leases.get(res)
         if (cur != null && cur.owner == owner && cur.expiresAt > now) {
@@ -139,6 +202,11 @@ final class LeaseLockServer(port: Int = 0) {
     if (cur != null)
       leases.put(resource, Lease(cur.owner, 0L, cur.epoch)): Unit
   }
+
+  /** Test hook: drive the protocol without the TCP round-trip — lets
+    * the durable-epoch spec mint a same-ms grant burst fast enough to
+    * climb the counter above the wall clock. */
+  private[graft] def handleLineForTest(line: String): String = respond(line)
 }
 
 /** [[LockProvider]] over a [[LeaseLockServer]] (or any service
@@ -242,10 +310,10 @@ final class LeaseLockProvider(host: String, port: Int,
           catch { case _: Exception => () } // lease will expire on its own
         }
       }
+      private def fail(why: String): Nothing = throw new IllegalStateException(
+        s"lease on $resource lost by $owner ($why) — another writer may " +
+        "hold the lock; abort instead of double-writing")
       override def ensureValid(): Unit = {
-        def fail(why: String): Nothing = throw new IllegalStateException(
-          s"lease on $resource lost by $owner ($why) — another writer may " +
-          "hold the lock; abort instead of double-writing")
         if (released.get()) fail("already released")
         if (lost.get()) fail("service reports lease taken over")
         // past the locally-tracked expiry the last heartbeat proves
@@ -254,6 +322,36 @@ final class LeaseLockProvider(host: String, port: Int,
         // prove validity, so it fails too (safe direction)
         if (System.currentTimeMillis() >= expiresAt.get()) {
           if (renewOnce() != "OK") fail("could not re-prove lease past expiry")
+        }
+      }
+      override def fencedPublish(): Boolean = {
+        if (released.get()) fail("already released")
+        if (lost.get()) fail("service reports lease taken over")
+        // transient connection failures retry briefly; an authority
+        // that stays unreachable CANNOT vouch for the grant, and an
+        // unproven publish is exactly what this primitive exists to
+        // prevent — fail in the safe direction (same reasoning as
+        // ensureValid past expiry)
+        var resp = "ERR"
+        var attempt = 0
+        while (resp == "ERR" && attempt < 3) {
+          if (attempt > 0) Thread.sleep(math.min(100L, math.max(leaseMs / 10, 10L)))
+          resp = try call(s"PUBLISH $resource $owner $grantedEpoch")
+            catch { case _: Exception => "ERR" }
+          attempt += 1
+        }
+        resp.split("\\s+").toSeq match {
+          case Seq("OK") => true
+          case "FENCED" +: rest =>
+            lost.set(true)
+            fail(s"fencing: authority reports grant epoch $grantedEpoch " +
+              s"superseded by ${rest.headOption.getOrElse("?")} at publish")
+          case Seq("GONE") =>
+            lost.set(true)
+            fail("authority has no current grant for this holder at publish")
+          case other =>
+            fail(s"authority unreachable at publish ($other) — cannot " +
+              "prove the grant is current")
         }
       }
     }

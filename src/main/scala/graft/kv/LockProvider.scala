@@ -70,6 +70,22 @@ object LockProvider {
       * (the stamp-and-compare is skipped for token-less grants, so a
       * warehouse can move between providers). */
     def fencingToken: Long = 0L
+
+    /** Compare-and-publish AT THE AUTHORITY: atomically prove this
+      * grant is still the resource's CURRENT one and record its epoch
+      * as published, inside the authority's own serialization — the
+      * primitive that makes the commit-point fence atomic even on
+      * storage without conditional writes, where the meta-stamp
+      * compare is itself an unfenced read→compare→write. Throws
+      * (same contract as ensureValid) when the authority reports the
+      * grant superseded — a newer grant EXISTS, whether or not its
+      * holder has published yet. Returns true when the authority
+      * performed the atomic compare; false (the default) when the
+      * provider has no central authority to ask (file locks,
+      * in-process semaphores — locks that cannot lapse, where the
+      * meta-stamp compare alone is already race-free because the lock
+      * itself still excludes). */
+    def fencedPublish(): Boolean = false
   }
 }
 

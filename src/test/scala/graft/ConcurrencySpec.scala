@@ -544,6 +544,108 @@ class ConcurrencySpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("lease: authority-side compare-and-publish fences a lapsed holder BEFORE the new owner commits") {
+    // The meta-stamp fence is read→compare→write: it only rejects a
+    // lapsed holder once the new owner HAS published a higher epoch.
+    // The PUBLISH verb closes that window at the authority itself —
+    // here the lapsed holder's handle never self-checks (ensureValid
+    // bypassed), the on-disk fenceEpoch is still the OLD grant's (the
+    // new owner has acquired but published NOTHING), and the stale
+    // publish must still lose, deterministically, on the server-side
+    // compare against the newer grant.
+    import spark.implicits._
+    val server = new graft.kv.LeaseLockServer().start()
+    try {
+      val real = new graft.kv.LeaseLockProvider(
+        "127.0.0.1", server.boundPort, leaseMs = 60000)
+      val blind = new graft.kv.LockProvider {
+        override def acquire(r: String, t: Long): graft.kv.LockProvider.Handle = {
+          val h = real.acquire(r, t)
+          new graft.kv.LockProvider.Handle {
+            override def release(): Unit = h.release()
+            override def fencingToken: Long = h.fencingToken
+            override def ensureValid(): Unit = () // deliberately bypassed
+            // forwarded: the point under test is the AUTHORITY's
+            // compare, not the handle's local state
+            override def fencedPublish(): Boolean = h.fencedPublish()
+          }
+        }
+      }
+      val wh = Files.createTempDirectory("graft_authfence_wh").toString
+      val catA = new Catalog(spark, wh, lockProviderOpt = Some(blind))
+      catA.createTable("t", kv, Seq("k"))
+      load(catA, "t", Seq(1L -> "base"))
+      val rows = Seq(1L -> "stale")
+      FenceGate.reset()
+      val slow = spark.range(1).repartition(1).mapPartitions { it =>
+        FenceGate.started.countDown()
+        FenceGate.proceed.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        it
+      }.flatMap(_ => rows).toDF("k", "v")
+      var failure: Option[Throwable] = None
+      val t1 = new Thread(() => {
+        try catA.bulkLoad("t", slow)
+        catch { case e: Throwable => failure = Some(e) }
+      })
+      t1.start()
+      assert(FenceGate.started.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      server.expireNow("t")
+      // the new owner ACQUIRES (minting a higher-epoch grant) but
+      // does NOT publish — the meta compare alone would let the stale
+      // publish through
+      val newOwner = real.acquire("t", 5000)
+      FenceGate.proceed.countDown()
+      t1.join(60000)
+      assert(failure.exists(_.isInstanceOf[IllegalStateException]) &&
+        failure.exists(_.getMessage.contains("fencing")),
+        s"lapsed holder's publish was not fenced by the authority: $failure")
+      // the table still reads the pre-race snapshot, and the new
+      // owner's own write path works end-to-end afterwards
+      newOwner.release()
+      val catB = new Catalog(spark, wh, lockProviderOpt = Some(real))
+      assert(catB.table("t").pointGet(1L).head().getAs[String]("v") == "base")
+      load(catB, "t", Seq(1L -> "next"))
+      assert(new Catalog(spark, wh).table("t")
+        .pointGet(1L).head().getAs[String]("v") == "next")
+    } finally server.stop()
+  }
+
+  test("lease: durable epochs survive an authority restart inside a same-ms grant burst") {
+    // Stateless epochs re-anchor on the wall clock at restart; a
+    // same-ms burst of ownership changes climbs the counter ABOVE the
+    // clock, so a restart inside that overhang would mint epochs
+    // BELOW ones already persisted in table meta, fencing legitimate
+    // writers. With a persistDir the authority pre-allocates epoch
+    // blocks durably and a restart re-anchors at the persisted
+    // ceiling — above every epoch that could ever have been granted.
+    val dir = Files.createTempDirectory("graft_lease_epochs")
+    val s1 = new graft.kv.LeaseLockServer(persistDir = Some(dir)).start()
+    var maxEpoch = 0L
+    try {
+      // alternate owners so every ACQUIRE mints a fresh epoch; driven
+      // through the direct hook — TCP round-trips would let the wall
+      // clock keep pace with the counter
+      for (i <- 1 to 5000) {
+        val resp = s1.handleLineForTest(s"ACQUIRE t o$i 10000")
+        assert(resp.startsWith("OK "), resp)
+        maxEpoch = resp.drop(3).trim.toLong
+        assert(s1.handleLineForTest(s"RELEASE t o$i") == "OK")
+      }
+    } finally s1.stop()
+    assert(maxEpoch > System.currentTimeMillis(),
+      s"burst never outran the wall clock ($maxEpoch) — test inconclusive")
+    // restart INSIDE the overhang: grants must resume above every
+    // persisted epoch, not at the (smaller) wall clock
+    val s2 = new graft.kv.LeaseLockServer(persistDir = Some(dir)).start()
+    try {
+      val resp = s2.handleLineForTest("ACQUIRE t restarted 10000")
+      assert(resp.startsWith("OK "), resp)
+      val first = resp.drop(3).trim.toLong
+      assert(first > maxEpoch,
+        s"restarted authority minted epoch $first <= pre-restart $maxEpoch")
+    } finally s2.stop()
+  }
+
   test("fencing: a replayed publish persists its advanced epoch before skipping") {
     // the monotonic-skip path returns without swapping the pointer —
     // but a highest-epoch holder REPLAYING a published version must
