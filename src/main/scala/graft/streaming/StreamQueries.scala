@@ -178,7 +178,6 @@ object StreamQueries {
       // memory at any corpus size; a 100 TB ingest keeps the same 64
       // values). The exact count rides along as the error witness,
       // computed batch-side like every sketch gate here.
-      val M = 2147483647L
       val k = 64
       val stream = Tables.eventsStream(s, d)
       var state = scala.collection.immutable.SortedSet.empty[Long]
@@ -190,8 +189,7 @@ object StreamQueries {
             (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
              _: Long) =>
               val bh = batch
-                .select((((col("user_id") % M) * 2654435761L + 97L) % M)
-                  .as("h"))
+                .select(Sketches.kmvHash(col("user_id")).as("h"))
                 .distinct().orderBy(col("h"))
                 .limit(k).collect().map(_.getLong(0))
               state = (state ++ bh).take(k)
@@ -200,14 +198,12 @@ object StreamQueries {
         } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       try q.processAllAvailable() finally q.stop()
       val bottom = state.toSeq.toDF("h")
-      val kth = bottom.agg(max($"h").as("h_k"), count(lit(1)).as("k_eff"))
+      // sketch-only estimate over the drained state; the exact
+      // distinct is the gate-only error witness
+      val est = Sketches.kmvEstimate(bottom, Seq.empty, k)
       val exact = Tables.events(s, d)
         .agg(countDistinct($"user_id").as("n_exact"))
-      kth.crossJoin(exact)
-        .select($"k_eff", $"h_k",
-          expr(s"case when k_eff < $k then k_eff " +
-            s"else (${k - 1} * ${M}L) div greatest(h_k, 1L) end").as("n_est"),
-          $"n_exact")
+      est.crossJoin(exact).select($"k_eff", $"h_k", $"n_est", $"n_exact")
     },
 
     "st_stream_join" -> { (s, d) =>
@@ -453,12 +449,11 @@ object StreamQueries {
       // row hashes are integer affine maps (mod-2^31 arithmetic) so
       // the DuckDB oracle replays the SKETCH itself exactly — a
       // production key wider than ~31 bits swaps in xxhash64 (same
-      // plan, rows-only gate).
-      val sketch = Tables.events(s, d)
-        .select(cmsRowBuckets($"user_id").as("p"))
-        .select($"p.r", $"p.bkt")
-        .groupBy($"r", $"bkt").agg(count(lit(1)).as("c"))
-      cmsProbe(s, d, sketch)
+      // plan, rows-only gate). Build + probe are the production
+      // Sketches entry points; the exact top-15 keys/counts are the
+      // GATE-ONLY witness (cmsProbeWithWitness).
+      cmsProbeWithWitness(s, d,
+        Sketches.cmsBuild(Tables.events(s, d), "user_id"))
     },
 
     "st_stream_cms" -> { (s, d) =>
@@ -482,15 +477,10 @@ object StreamQueries {
           stream.writeStream.foreachBatch {
             (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
              _: Long) =>
-              val counters = batch
-                .select(cmsRowBuckets(col("user_id")).as("p"))
-                .select(col("p.r"), col("p.bkt"))
-                .groupBy(col("r"), col("bkt"))
-                .agg(count(lit(1)).as("c"))
+              val counters = Sketches.cmsBuild(batch, "user_id")
               val merged =
                 if (acc == null) counters
-                else acc.unionByName(counters).groupBy(col("r"), col("bkt"))
-                  .agg(sum(col("c")).as("c"))
+                else Sketches.cmsMerge(Seq(acc, counters))
               // truncate lineage per batch: the state must stay a
               // bounded leaf, not a growing union tree
               acc = merged.localCheckpoint(true)
@@ -504,7 +494,7 @@ object StreamQueries {
       val counters =
         if (acc != null) acc
         else Seq.empty[(Int, Long, Long)].toDF("r", "bkt", "c")
-      cmsProbe(s, d, counters)
+      cmsProbeWithWitness(s, d, counters)
     },
 
     "evt_kmv_distinct" -> { (s, d) =>
@@ -522,24 +512,18 @@ object StreamQueries {
       // bounded-heap operator's per-partition heaps + final merge
       // compute, so day/stream sketches union for free. The exact
       // count rides along to surface the error, as in evt_cms_topk.
-      val M = 2147483647L
+      // production path: Sketches.kmvSketch (one corpus pass) +
+      // kmvEstimate (sketch-only — an underfull sketch has seen every
+      // value, so its estimate IS the seen count); the exact distinct
+      // is the GATE-ONLY error witness
       val k = 64
-      val hashed = Tables.events(s, d)
-        .select(((($"user_id" % M) * 2654435761L + 97L) % M).as("h"))
-        .distinct()
-      val bottom = graft.plans.TopK.perGroup(
-        hashed.withColumn("g", lit(0)), Seq("g"), Seq(("h", false)), k)
-      val kth = bottom.agg(max($"h").as("h_k"), count(lit(1)).as("k_eff"))
+      val bottom = Sketches.kmvSketch(
+        Tables.events(s, d).select(lit(0).as("g"), $"user_id"),
+        "user_id", Seq("g"), k)
+      val est = Sketches.kmvEstimate(bottom, Seq("g"), k)
       val exact = Tables.events(s, d)
         .agg(countDistinct($"user_id").as("n_exact"))
-      kth.crossJoin(exact)
-        .select($"k_eff", $"h_k",
-          // an UNDERFULL sketch (fewer than k distinct hashes) has
-          // seen every value — its estimate IS the seen count; the
-          // (k−1)·M/h_k rule only applies once the heap saturates
-          expr(s"case when k_eff < $k then k_eff " +
-            s"else (${k - 1} * ${M}L) div greatest(h_k, 1L) end").as("n_est"),
-          $"n_exact")
+      est.crossJoin(exact).select($"k_eff", $"h_k", $"n_est", $"n_exact")
     },
 
     "evt_kmv_intersect" -> { (s, d) =>
@@ -556,38 +540,22 @@ object StreamQueries {
       // runs on ≤ k·L sketch rows. Same affine hash ⇒ the oracle
       // replays the sketches hash-for-hash; exact pair counts ride
       // along as the error witness.
-      val M = 2147483647L
+      // production path: Sketches.kmvSketch keyed by type (the one
+      // corpus pass; the sketch frame feeds θ + both sides of the
+      // match join, so it's materialized once — ≤ k·L rows at any
+      // corpus size) + Sketches.kmvIntersect (sketch-only: theta
+      // frame, L² tiny pairs so zero-overlap pairs still report 0,
+      // match join — all on sketch rows). The exact pairwise counts
+      // are the GATE-ONLY error witness: the corpus self-join lives
+      // here, never in the production entry point (PlanSpec pins the
+      // sketch-only plan corpus-free).
       val k = 64
-      val tu = Tables.events(s, d)
-        .select($"event_type",
-          ((($"user_id" % M) * 2654435761L + 97L) % M).as("h"))
-        .distinct()
-      // the sketch frame feeds θ + both sides of the match join —
-      // materialize the corpus-wide distinct+heap pass once; ≤ k·L
-      // rows at any corpus size, so the checkpoint is constant-sized
-      val bottom = graft.plans.TopK.perGroup(
-        tu, Seq("event_type"), Seq(("h", false)), k)
+      val bottom = Sketches.kmvSketch(
+        Tables.events(s, d).select($"event_type", $"user_id"),
+        "user_id", Seq("event_type"), k)
         .localCheckpoint(true)
-      // θ per sketch: the k-th smallest hash once saturated; an
-      // underfull sketch has seen its whole set, so θ = M (estimates
-      // below stay exact for it)
-      val theta = bottom.groupBy($"event_type")
-        .agg(max($"h").as("h_k"), count(lit(1)).as("k_eff"))
-        .select($"event_type",
-          expr(s"case when k_eff < $k then ${M}L else h_k end").as("theta"))
-      // all type pairs (L² tiny rows) so zero-overlap pairs still
-      // report their row — the estimate must be 0, not missing
-      val pairs = theta.select($"event_type".as("type_a"), $"theta".as("th_a"))
-        .crossJoin(theta.select($"event_type".as("type_b"), $"theta".as("th_b")))
-        .filter($"type_a" < $"type_b")
-        .select($"type_a", $"type_b", least($"th_a", $"th_b").as("theta"))
-      val matches = bottom.select($"event_type".as("type_a"), $"h")
-        .join(bottom.select($"event_type".as("type_b"), $"h"), Seq("h"))
-        .filter($"type_a" < $"type_b")
-        .join(pairs, Seq("type_a", "type_b"))
-        .filter($"h" < $"theta")
-        .groupBy($"type_a", $"type_b")
-        .agg(count(lit(1)).as("n_match"))
+      val sk = Sketches.kmvIntersect(bottom, "event_type", k)
+        .withColumnRenamed("g_a", "type_a").withColumnRenamed("g_b", "type_b")
       val exactTu = Tables.events(s, d)
         .select($"event_type", $"user_id").distinct()
       val exact = exactTu.select($"event_type".as("type_a"), $"user_id")
@@ -596,11 +564,8 @@ object StreamQueries {
         .filter($"type_a" < $"type_b")
         .groupBy($"type_a", $"type_b")
         .agg(count(lit(1)).as("n_exact"))
-      pairs.join(matches, Seq("type_a", "type_b"), "left_outer")
-        .join(exact, Seq("type_a", "type_b"), "left_outer")
-        .select($"type_a", $"type_b",
-          coalesce($"n_match", lit(0L)).as("n_match"),
-          expr(s"(coalesce(n_match, 0L) * ${M}L) div theta").as("n_est"),
+      sk.join(exact, Seq("type_a", "type_b"), "left_outer")
+        .select($"type_a", $"type_b", $"n_match", $"n_est",
           coalesce($"n_exact", lit(0L)).as("n_exact"))
         .orderBy($"type_a", $"type_b")
     },
@@ -801,31 +766,19 @@ object StreamQueries {
     },
   )
 
-  /** CMS row-hash parameters (d=4 affine maps mod 2^31, w=2048),
-    * shared by the batch (evt_cms_topk) and streaming (st_stream_cms)
-    * sketches and replayed exactly by their common oracle. */
-  private val CmsParams = Seq((2654435761L, 97L), (2246822519L, 1031L),
-    (3266489917L, 193L), (668265263L, 769L))
-
-  private def cmsRowBuckets(u: Column): Column = explode(array(
-    CmsParams.zipWithIndex.map { case ((a, b), i) =>
-      struct(lit(i).as("r"),
-        ((((u % 2147483647L) * a + b) % 2147483647L) % 2048L).as("bkt"))
-    }: _*))
-
-  /** Probe a CMS counter relation with the exact top-15 heavy
-    * hitters: estimate = min over rows, one-sided overcount rides. */
-  private def cmsProbe(s: SparkSession, d: String,
-                       counters: DataFrame): DataFrame = {
+  /** GATE-ONLY witness probe: the exact top-15 heavy hitters (a
+    * corpus aggregation) supply both the probe keys and the true
+    * counts, so the one-sided overcount (est ≥ true) is visible to
+    * the oracle. The probe itself is the production sketch-only
+    * [[Sketches.cmsProbe]] — callers with their own keys never pay
+    * this corpus pass. */
+  private def cmsProbeWithWitness(s: SparkSession, d: String,
+                                  counters: DataFrame): DataFrame = {
     import s.implicits._
     val top = Tables.events(s, d).groupBy($"user_id")
       .agg(count(lit(1)).as("n_events"))
       .orderBy($"n_events".desc, $"user_id").limit(15)
-    top.select($"user_id", $"n_events", cmsRowBuckets($"user_id").as("p"))
-      .select($"user_id", $"n_events", $"p.r", $"p.bkt")
-      .join(counters, Seq("r", "bkt"))
-      .groupBy($"user_id", $"n_events")
-      .agg(min($"c").as("n_est"))
+    Sketches.cmsProbe(counters, top, "user_id")
       .select($"user_id", $"n_events", $"n_est",
         ($"n_est" - $"n_events").as("overcount"))
       .orderBy($"n_events".desc, $"user_id")

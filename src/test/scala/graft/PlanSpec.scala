@@ -11,6 +11,47 @@ class PlanSpec extends AnyFunSuite {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("sketch-only CMS/KMV entry points never touch the corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // build the sketches FROM the corpus once (the one legitimate
+    // scan), then pin that every production sketch-only plan —
+    // cmsProbe with caller keys, kmvEstimate, kmvIntersect — contains
+    // no file scan and no corpus self-join: at 100 TB everything
+    // downstream of a sketch must run on ≤ d·w / ≤ k·L rows. The
+    // exact witnesses (corpus distinct-pair joins) are gate-only.
+    import graft.streaming.Sketches
+    val events = Tables.events(spark, sf)
+    val counters = Sketches.cmsBuild(events, "user_id").localCheckpoint(true)
+    val keys = Seq(1L, 2L, 3L).toDF("user_id")
+    val probePlan = Sketches.cmsProbe(counters, keys, "user_id")
+      .queryExecution.executedPlan.toString
+    assert(!probePlan.contains("FileScan") && !probePlan.contains("parquet"),
+      s"sketch-only CMS probe scans the corpus:\n$probePlan")
+    val bottom = Sketches.kmvSketch(
+        events.select(col("event_type"), col("user_id")),
+        "user_id", Seq("event_type"), 64)
+      .localCheckpoint(true)
+    val estPlan = Sketches.kmvEstimate(bottom, Seq("event_type"), 64)
+      .queryExecution.executedPlan.toString
+    assert(!estPlan.contains("FileScan") && !estPlan.contains("parquet"),
+      s"sketch-only KMV estimate scans the corpus:\n$estPlan")
+    val xPlan = Sketches.kmvIntersect(bottom, "event_type", 64)
+      .queryExecution.executedPlan.toString
+    assert(!xPlan.contains("FileScan") && !xPlan.contains("parquet"),
+      s"sketch-only KMV intersect scans the corpus:\n$xPlan")
+    // and the sketch-only results agree with the gated composition
+    val gated = SparkEntry.queries("evt_kmv_intersect")(spark, sf)
+      .select("type_a", "type_b", "n_match", "n_est")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    val skOnly = Sketches.kmvIntersect(bottom, "event_type", 64)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(gated == skOnly,
+      "sketch-only intersect diverged from the gated composition")
+  }
+
   test("q4 star join broadcasts the dimension tables") {
     val p = planOf("q4_broadcast_join")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
