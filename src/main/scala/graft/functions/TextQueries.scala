@@ -428,7 +428,101 @@ object TextQueries {
         case ((a, b), r) => (r, a, b)
       }).toDF("rank", "lhs", "rhs").orderBy($"rank")
     },
+
+    "txt_url_canon" -> { (s, d) =>
+      import s.implicits._
+      // URL canonicalization (the CCNet/RefinedWeb crawl pre-step):
+      // the corpus has no URL column, so a deterministic dirty-URL
+      // plant — scheme/host case noise, www, default and explicit
+      // ports, trailing slashes, utm_*/fbclid/gclid tracking params,
+      // fragments, keyed off doc_id/source — is constructed by the
+      // SAME expression in both engines, and the oracle re-derives
+      // the canonical form independently with its own regex chain: a
+      // full ground-truth gate for every rule in
+      // UrlFunctions.canonicalize. One codegen'd pass per row.
+      urlFrame(Tables.documents(s, d))
+        .select($"doc_id", $"url_raw", $"url_canon", $"host")
+        .orderBy($"doc_id")
+    },
+
+    "txt_host_stats" -> { (s, d) =>
+      import s.implicits._
+      // HOST-level aggregation over canonical URLs — the crawl-triage
+      // view (docs/host, distinct pages/host, bytes/host) that decides
+      // per-host caps and crawl budgets. One hash shuffle on the host
+      // key; case/www/port raw variants of the same host MUST collapse
+      // (pinned by the plant's mixed-case construction).
+      urlFrame(Tables.documents(s, d))
+        .groupBy($"host")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"url_canon").as("n_urls"),
+          sum($"n_chars").cast("long").as("total_chars"))
+        .orderBy($"host")
+    },
+
+    "txt_host_cap" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // URL-level dedup + per-host cap — the two crawl-layer keeps a
+      // pipeline applies before content dedup ever runs: (1) collapse
+      // raw variants of the SAME canonical URL onto the smallest
+      // doc_id (the planted rows at +PlantedIdBase re-dress docs < 30
+      // with canon-equivalent raw URLs — every one must lose to its
+      // original); (2) cap each host at its 10 highest-quality
+      // survivors (n_chars as the quality proxy, doc_id tiebreak).
+      // Both windows partition on bounded keys (url_canon groups are
+      // variant-sized, hosts are host-sized) — never corpus-wide.
+      val docs = Tables.documents(s, d).select($"doc_id", $"source", $"n_chars")
+      val planted = docs.filter($"doc_id" < 30)
+        .withColumn("doc_id", $"doc_id" + Tables.PlantedIdBase)
+      val urls = urlFrame(docs.unionByName(planted))
+      val byUrl = Window.partitionBy($"url_canon").orderBy($"doc_id")
+      val byHost = Window.partitionBy($"host")
+        .orderBy($"n_chars".desc, $"doc_id")
+      urls.withColumn("rn", row_number().over(byUrl))
+        .filter($"rn" === 1)
+        .withColumn("rk", row_number().over(byHost))
+        .filter($"rk" <= 10)
+        .select($"host", $"rk", $"doc_id", $"n_chars")
+        .orderBy($"host", $"rk")
+    },
   )
+
+  /** Deterministic dirty-URL plant, written once in SQL that parses
+    * in BOTH engines (the mm_phash PerturbSql recipe): scheme/host
+    * case noise, www prefixes, default (strippable) and :8080
+    * (kept) ports, trailing slashes, tracking params in every
+    * position, fragments. Planted rows (doc_id ≥ PlantedIdBase)
+    * re-dress their source doc's URL with an extra fragment — a
+    * DIFFERENT raw string with the SAME canonical form. */
+  private[graft] val UrlRawSql: String = {
+    val id = s"(doc_id % ${Tables.PlantedIdBase})"
+    s"""(CASE WHEN $id % 3 = 0 THEN 'HTTPS://' ELSE 'Http://' END ||
+       | CASE WHEN $id % 2 = 0 THEN 'WWW.' ELSE '' END ||
+       | CASE WHEN $id % 2 = 0 THEN upper(source) ELSE source END ||
+       | '.Example.COM' ||
+       | CASE WHEN $id % 5 = 0 THEN
+       |        (CASE WHEN $id % 3 = 0 THEN ':443' ELSE ':80' END)
+       |      WHEN $id % 5 = 1 THEN ':8080' ELSE '' END ||
+       | '/Docs/' || CAST($id AS STRING) ||
+       | CASE WHEN $id % 4 = 0 THEN '/' ELSE '' END ||
+       | CASE WHEN $id % 3 = 0 THEN
+       |        '?utm_source=feed&id=' || CAST($id % 10 AS STRING)
+       |          || '&utm_campaign=x'
+       |      WHEN $id % 3 = 1 THEN
+       |        '?id=' || CAST($id % 10 AS STRING) || '&fbclid=zzz'
+       |      ELSE '?gclid=q' END ||
+       | CASE WHEN $id % 7 = 0 THEN '#sec2' ELSE '' END ||
+       | CASE WHEN doc_id >= ${Tables.PlantedIdBase} THEN '#v2' ELSE '' END)"""
+      .stripMargin.replace('\n', ' ')
+  }
+
+  /** (doc_id, …, url_raw, url_canon, host) over a (doc_id, source,
+    * n_chars…) corpus. */
+  private def urlFrame(docs: DataFrame): DataFrame =
+    docs.withColumn("url_raw", expr(UrlRawSql))
+      .withColumn("url_canon", UrlFunctions.canonicalize(col("url_raw")))
+      .withColumn("host", UrlFunctions.host(col("url_raw")))
 
   private val Tok = "string_split_regex(lower(text), '[^a-z0-9]+')"
   private def cleanTok = // DuckDB split keeps empty edge tokens; drop them
@@ -683,5 +777,64 @@ object TextQueries {
          |  ROUND(exp(CAST(h_micro // n_bigrams AS DOUBLE) / 1000000.0), 3)
          |    AS ppl
          |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "txt_url_canon" ->
+      s"""WITH ${urlCanonCtes("SELECT doc_id, source, n_chars FROM documents")}
+         |SELECT doc_id, url_raw, url_canon, host
+         |FROM urls ORDER BY doc_id""".stripMargin,
+
+    "txt_host_stats" ->
+      s"""WITH ${urlCanonCtes("SELECT doc_id, source, n_chars FROM documents")}
+         |SELECT host, COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT url_canon) AS n_urls,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM urls GROUP BY host ORDER BY host""".stripMargin,
+
+    "txt_host_cap" -> {
+      val corpus =
+        s"""SELECT doc_id, source, n_chars FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + ${Tables.PlantedIdBase} AS doc_id, source, n_chars
+           |  FROM documents WHERE doc_id < 30""".stripMargin
+      s"""WITH ${urlCanonCtes(corpus)},
+         |dedup AS (
+         |  SELECT host, doc_id, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY url_canon ORDER BY doc_id) AS rn
+         |  FROM urls),
+         |capped AS (
+         |  SELECT host, doc_id, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY host
+         |                       ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM dedup WHERE rn = 1)
+         |SELECT host, CAST(rk AS INT) AS rk, doc_id, n_chars
+         |FROM capped WHERE rk <= 10 ORDER BY host, rk""".stripMargin
+    },
   )
+
+  /** The oracle's INDEPENDENT canonicalization: the same dirty-URL
+    * plant ([[UrlRawSql]] parses in both engines), but the rule chain
+    * re-derived in DuckDB regex syntax — a real cross-check of
+    * UrlFunctions, not a replay of its expressions. Yields CTE `urls`
+    * with (doc_id, n_chars, url_raw, url_canon, host). */
+  private def urlCanonCtes(corpusSql: String): String =
+    s"""raw AS (SELECT doc_id, n_chars, $UrlRawSql AS url_raw
+       |  FROM ($corpusSql)),
+       |s1 AS (SELECT *, regexp_replace(url_raw, '#.*$$', '') AS u1 FROM raw),
+       |s2 AS (SELECT *, regexp_replace(regexp_replace(u1,
+       |    '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+       |    '^([^?&]*)&', '\\1?') AS u2 FROM s1),
+       |s3 AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(u2,
+       |    '\\?$$', ''), '/+\\?', '?'), '/+$$', '') AS u3 FROM s2),
+       |pf AS (SELECT *,
+       |    regexp_extract(u3, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)
+       |      AS prefix FROM s3),
+       |cp AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(
+       |    lower(prefix),
+       |    '^(https?://)www\\.', '\\1'),
+       |    '^(http://[^:/]*):80$$', '\\1'),
+       |    '^(https://[^:/]*):443$$', '\\1') AS cprefix FROM pf),
+       |urls AS (SELECT doc_id, n_chars, url_raw,
+       |    cprefix || substr(u3, length(prefix) + 1) AS url_canon,
+       |    regexp_extract(cprefix, '^[a-z0-9+.-]*://([^:/]*)', 1) AS host
+       |  FROM cp)""".stripMargin
 }

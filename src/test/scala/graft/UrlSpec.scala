@@ -1,0 +1,46 @@
+package graft
+
+import graft.functions.UrlFunctions
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge cases of the URL canonicalizer beyond what the gated plant
+  * constructs (the plant covers case/www/ports/slashes/params/
+  * fragments in combination; these pin the degenerate shapes). */
+class UrlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def canon(urls: String*): Seq[(String, String)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    urls.toDF("u")
+      .select(UrlFunctions.canonicalize(col("u")).as("c"),
+        UrlFunctions.host(col("u")).as("h"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
+  test("adjacent tracking params all strip; the survivor re-anchors on '?'") {
+    val Seq((c1, _), (c2, _), (c3, _)) = canon(
+      "http://a.com/p?utm_source=x&utm_medium=y&id=3",
+      "http://a.com/p?utm_source=x&fbclid=y&gclid=z",
+      "http://a.com/p?id=3&utm_source=x&utm_medium=y")
+    assert(c1 == "http://a.com/p?id=3", c1)
+    assert(c2 == "http://a.com/p", c2)
+    assert(c3 == "http://a.com/p?id=3", c3)
+  }
+
+  test("root and pathless URLs normalize to the bare authority") {
+    val Seq((c1, h1), (c2, _), (c3, _)) = canon(
+      "HTTP://WWW.A.COM/",
+      "https://A.com:443",
+      "http://a.com/#frag")
+    assert(c1 == "http://a.com" && h1 == "a.com", s"$c1 $h1")
+    assert(c2 == "https://a.com", c2)
+    assert(c3 == "http://a.com", c3)
+  }
+
+  test("path and query case survive; non-default ports and real params survive") {
+    val Seq((c, h)) = canon("HTTPS://B.org:8443/CaseS/Path?Q=Vv&fbclid=k#x")
+    assert(c == "https://b.org:8443/CaseS/Path?Q=Vv", c)
+    assert(h == "b.org", h)
+  }
+}
