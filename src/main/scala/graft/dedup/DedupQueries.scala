@@ -166,6 +166,46 @@ object DedupQueries {
       graft.similarity.Ann.clusterAssign(plantedEmbs(s, d), "vec_id", "embedding",
         targetListSize = 64, nprobe = 2))
 
+  /** SemDeDup corpus: plantedEmbs plus SECOND exact copies of
+    * vec_id<5 (+2·PlantedIdBase — each planted pair becomes a
+    * 3-member semantic CLUSTER, so keep-one-per-cluster is actually
+    * exercised) plus 1.001-SCALED copies of 5≤vec_id<10
+    * (+3·PlantedIdBase — genuinely different float vectors with
+    * cosine exactly 1.0 after 3-dp rounding, the paraphrase stand-in
+    * that stays bit-stable across engines; the per-element float
+    * product of two float32s is exact in double, so both engines
+    * quantize to the same float32 vector). */
+  private def semEmbs(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val b = Tables.PlantedIdBase
+    plantedEmbs(s, d)
+      .unionByName(e.filter(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + 2 * b))
+      .unionByName(e.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 3 * b)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x * lit(1.001f))))
+  }
+
+  private val semEmbsSql =
+    s"""$plantedEmbsSql
+      |  UNION ALL
+      |  SELECT vec_id + ${2 * Tables.PlantedIdBase} AS vec_id, embedding, label
+      |  FROM embeddings WHERE vec_id < 5
+      |  UNION ALL
+      |  SELECT vec_id + ${3 * Tables.PlantedIdBase} AS vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT)) AS embedding,
+      |    label
+      |  FROM embeddings WHERE vec_id >= 5 AND vec_id < 10""".stripMargin
+
+  /** The SemDeDup assignment over the semantic-cluster corpus — built
+    * once like dupAssign (the k-means fit + bucketing is the index). */
+  private def semAssign(s: SparkSession, d: String): DataFrame =
+    graft.QueryCaches.frame(s"semassign:$d")(
+      graft.similarity.Ann.clusterAssign(semEmbs(s, d), "vec_id", "embedding",
+        targetListSize = 64, nprobe = 2))
+
   /** Decontamination inputs shared by the exact and bloom-prefiltered
     * sweeps: (corpus with planted leaks, distinct eval 8-gram set). */
   private def decontamFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
@@ -218,6 +258,7 @@ object DedupQueries {
     val (view, cent, _) = vecIndex(s, d)
     view.count(); cent.count()
     dupAssign(s, d).count()
+    semAssign(s, d).count()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -282,6 +323,28 @@ object DedupQueries {
       Dedup.pagerank(Dedup.ngramJaccard(plantedDocs(s, d), "doc_id",
           "text", n = 3, threshold = 0.8), iters = 3)
         .orderBy($"doc_id")
+    },
+
+    "dd_semdedup" -> { (s, d) =>
+      import s.implicits._
+      // SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — CLUSTER-level
+      // semantic dedup, the keep-one-per-cluster complement of
+      // dd_embedding's pair listing: k-means buckets the embeddings
+      // (semAssign — the build artifact), within-list pairwise cosine
+      // at 0.95 yields the semantic-duplicate graph, connected
+      // components group paraphrase clusters (the planted 3-member
+      // exact clusters and the scaled near-copies), and each cluster
+      // keeps its min-id representative — everything else lands on
+      // the drop list with its keeper. Candidate enumeration stays
+      // O(n·listSize); the fixpoint is the dd_cc_labels operator; the
+      // oracle replays pairs brute-force + recursive closure, so
+      // recall AND precision of the whole composition are
+      // ground-truth-checked.
+      val pairs = Dedup.embeddingDupsFromAssign(semAssign(s, d), threshold = 0.95)
+        .select($"id_a".as("doc_a"), $"id_b".as("doc_b"))
+      Dedup.dropList(pairs)
+        .select($"doc_id".as("vec_id"), $"keeper")
+        .orderBy($"vec_id")
     },
 
     "dd_entity_match" -> { (s, d) =>
@@ -912,6 +975,29 @@ object DedupQueries {
          |  ON a.vec_id < b.vec_id AND b.vec_id >= ${Tables.PlantedIdBase}
          |WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 3) >= 0.95
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dd_semdedup" ->
+      // brute-force pairs (the dd_embedding pruning: cosine >= 0.95
+      // between two ORGANIC vectors is a ~7.6 sigma event, so only
+      // pairs with a planted b side are searched; a spurious Spark
+      // pair still fails as an extra drop row) + the dd_cc_labels
+      // recursive closure + keep-min-per-component
+      s"""WITH RECURSIVE corpus AS ($semEmbsSql),
+         |spairs AS (
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM corpus a JOIN corpus b
+         |    ON a.vec_id < b.vec_id AND b.vec_id >= ${Tables.PlantedIdBase}
+         |  WHERE ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding)
+         |    AS DOUBLE), 3) >= 0.95),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM spairs
+         |          UNION ALL SELECT doc_b AS s, doc_a AS d FROM spairs),
+         |reach AS (SELECT s, d FROM edges
+         |          UNION
+         |          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         |SELECT s AS vec_id, LEAST(MIN(d), s) AS keeper
+         |FROM reach GROUP BY s
+         |HAVING s != LEAST(MIN(d), s)
+         |ORDER BY vec_id""".stripMargin,
 
     // the same ExactSubstr computation term for term: planted corpus,
     // 16-token windows with 1-based starts, cross-doc duplicated-gram

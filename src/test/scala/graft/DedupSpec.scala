@@ -319,6 +319,21 @@ class DedupSpec extends AnyFunSuite {
         "the gate's lineage shape changed")
   }
 
+  test("semdedup: every planted paraphrase drops to its original; no original drops") {
+    import TestSpark.sf
+    val b = Tables.PlantedIdBase
+    val out = SparkEntry.queries("dd_semdedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected =
+      (0L until 5L).flatMap(v => Seq((v + b, v), (v + 2 * b, v))).toSet ++
+        (5L until 10L).map(v => (v + 3 * b, v)).toSet
+    assert(out == expected,
+      s"drop list diverged: extra=${out.diff(expected)} missing=${expected.diff(out)}")
+    // keeper invariants: keepers are originals, never themselves dropped
+    assert(out.forall { case (dropped, keeper) =>
+      dropped >= b && keeper < b && !out.exists(_._1 == keeper) })
+  }
+
   test("pagerank: empty pair graph returns the empty frame, no Infinity seed") {
     import spark.implicits._
     val r = graft.dedup.Dedup.pagerank(
