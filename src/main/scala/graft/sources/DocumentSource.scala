@@ -75,4 +75,85 @@ object DocumentSource {
     * written distributed. */
   def writeJsonl(docs: DataFrame, path: String, shards: Int): Unit =
     docs.repartition(shards).write.mode("overwrite").json(path)
+
+  /** One parsed Avro record (or quarantined raw) — Option fields so
+    * the product encoder yields the nullable withCorrupt shape. */
+  private case class AvroDoc(doc_id: Option[Long], text: String,
+                             lang: String, source: String,
+                             n_chars: Option[Int], _corrupt: String)
+
+  /** Avro container-file reader, same contract as the other readers:
+    * the EXPECTED schema is explicit (each record is validated
+    * field-by-field against the canonical documents schema — never
+    * inferred from a scan), and corruption quarantines instead of
+    * failing the job, at BOTH granularities: a record missing a
+    * field / carrying a wrong-typed value quarantines that record
+    * (with the file and record payload), and a file that isn't a
+    * readable Avro container quarantines as one row for the file.
+    *
+    * Spark-first shape: files parallelize through the built-in
+    * binaryFile source (no spark-avro module on this classpath; the
+    * decode uses only avro-core, which is), one DataFileStream per
+    * file inside mapPartitions — the standard many-shards crawl
+    * layout, where the unit of parallelism is the file. Avro blocks
+    * are also splittable WITHIN a file; a deployment with multi-GB
+    * single files would extend the seam with block-level splits, the
+    * same per-partition decode otherwise. Writer-side int widening
+    * (int→long for doc_id, long→int for n_chars when exact) is
+    * accepted, matching Avro's own promotion rules. */
+  def readAvro(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+    val parsed = files.mapPartitions { it =>
+      it.flatMap { case (p, bytes) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[AvroDoc]
+        try {
+          val reader =
+            new org.apache.avro.file.DataFileStream[org.apache.avro.generic.GenericRecord](
+              new java.io.ByteArrayInputStream(bytes),
+              new org.apache.avro.generic.GenericDatumReader[
+                org.apache.avro.generic.GenericRecord]())
+          try {
+            while (reader.hasNext) {
+              val r = reader.next()
+              out += (try {
+                def fld(n: String): AnyRef = {
+                  require(r.getSchema.getField(n) != null, s"missing field $n")
+                  r.get(n)
+                }
+                val id = fld("doc_id") match {
+                  case l: java.lang.Long => l.longValue
+                  case i: java.lang.Integer => i.longValue
+                  case other => throw new IllegalArgumentException(
+                    s"doc_id not integral: $other")
+                }
+                def str(n: String): String =
+                  Option(fld(n)).map(_.toString).orNull
+                val nc = fld("n_chars") match {
+                  case null => None
+                  case i: java.lang.Integer => Some(i.intValue)
+                  case l: java.lang.Long if l.longValue == l.intValue.toLong =>
+                    Some(l.intValue)
+                  case other => throw new IllegalArgumentException(
+                    s"n_chars not an int: $other")
+                }
+                AvroDoc(Some(id), str("text"), str("lang"), str("source"),
+                  nc, null)
+              } catch {
+                case e: Exception =>
+                  AvroDoc(None, null, null, null, None, s"$p: $r (${e.getMessage})")
+              })
+            }
+          } finally reader.close()
+        } catch {
+          case e: Exception => // not an Avro container / truncated header
+            out += AvroDoc(None, null, null, null, None,
+              s"$p: unreadable container (${e.getMessage})")
+        }
+        out
+      }
+    }
+    materialize(parsed.toDF())
+  }
 }

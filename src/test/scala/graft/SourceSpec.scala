@@ -58,6 +58,62 @@ class SourceSpec extends AnyFunSuite {
     assert(clean.filter(col("doc_id") === 2L).select("lang").head().getString(0) == "de")
   }
 
+  test("avro reader: round-trip plus record- and file-level quarantine") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = tmp("graft_avro")
+    val docSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"doc","fields":[
+        |{"name":"doc_id","type":"long"},
+        |{"name":"text","type":["null","string"],"default":null},
+        |{"name":"lang","type":["null","string"],"default":null},
+        |{"name":"source","type":["null","string"],"default":null},
+        |{"name":"n_chars","type":["null","int"],"default":null}]}"""
+        .stripMargin)
+    val docs = Tables.documents(spark, sf).limit(50)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    def write(file: String, schema: Schema)(rows: Seq[GenericRecord]): Unit = {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, new java.io.File(dir, file))
+      try rows.foreach(w.append) finally w.close()
+    }
+    write("good.avro", docSchema)(docs.map { case (id, t, l, s, nc) =>
+      val r = new GenericData.Record(docSchema)
+      r.put("doc_id", id); r.put("text", t); r.put("lang", l)
+      r.put("source", s); r.put("n_chars", nc.toInt)
+      r
+    }.toSeq)
+    // a file written with a FOREIGN schema (no doc_id): every record
+    // quarantines individually, the file itself reads fine
+    val alien = new Schema.Parser().parse(
+      """{"type":"record","name":"other","fields":[
+        |{"name":"id","type":"long"},{"name":"body","type":"string"}]}"""
+        .stripMargin)
+    write("alien.avro", alien)((1L to 3L).map { i =>
+      val r = new GenericData.Record(alien)
+      r.put("id", i); r.put("body", s"row $i")
+      r
+    })
+    // not an Avro container at all: one whole-file quarantine row
+    Files.writeString(java.nio.file.Paths.get(dir, "junk.avro"),
+      "definitely not avro")
+    val (clean, corrupt) = DocumentSource.readAvro(spark, dir.toString)
+    assert(clean.count() == 50)
+    val corrupts = corrupt.collect().map(_.getString(0))
+    assert(corrupts.length == 4, corrupts.mkString("\n"))
+    assert(corrupts.count(_.contains("missing field doc_id")) == 3)
+    assert(corrupts.count(_.contains("unreadable container")) == 1)
+    // full-fidelity round trip against the source rows
+    val back = clean.orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Int]("n_chars").toLong))
+    assert(back.sameElements(docs))
+  }
+
   test("text-dir reader: one doc per file with stable hashed ids") {
     val dir = tmp("graft_txt")
     Files.writeString(java.nio.file.Paths.get(dir, "a.txt"), "alpha doc\nsecond line")
