@@ -325,6 +325,47 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
 
+    "sim_label_centroids" -> { (s, d) =>
+      import s.implicits._
+      // Vector AGGREGATION (the complement of the search family):
+      // per-label centroids + intra-label cohesion (mean cosine of
+      // members to their centroid) — the corpus-diagnostics view a
+      // pipeline runs before trusting labels for filtered search or
+      // stratified sampling. Plan shape: one map-side-combining
+      // groupBy on (label, pos) builds the centroid sums (the
+      // exchange carries k·dim partials, not n·dim rows), the tiny
+      // k·dim centroid frame BROADCASTS back onto the exploded
+      // members, per-member sums reduce on the member key. Cosine is
+      // scale-invariant, so the centroid SUM vector serves as the
+      // centroid direction — no mean division anywhere.
+      //
+      // Cross-engine exactness: components quantize to fixed-point
+      // floor(x·2^20) — float→double is exact, ×2^20 is exact, floor
+      // is IEEE-identical — so every sum is INTEGER arithmetic; the
+      // only doubles are one sqrt/mul/div chain per member over
+      // exact integers (IEEE-identical), rounded to 6 dp, then
+      // decimal-summed for the order-independent cohesion mean.
+      val ex = Tables.embeddings(s, d)
+        .select($"vec_id", $"label", posexplode($"embedding"))
+        .select($"vec_id", $"label", ($"pos" + 1).as("i"),
+          floor($"col".cast("double") * 1048576L).as("q"))
+      val cent = ex.groupBy($"label", $"i").agg(sum($"q").as("sq"))
+      val snorm = cent.groupBy($"label")
+        .agg(sqrt(sum($"sq" * $"sq").cast("double")).as("sn"))
+      val scored = ex
+        .join(broadcast(cent), Seq("label", "i"))
+        .groupBy($"vec_id", $"label")
+        .agg(sum($"q" * $"sq").cast("double").as("num"),
+          sqrt(sum($"q" * $"q").cast("double")).as("vn"))
+        .join(broadcast(snorm), "label")
+        .withColumn("cos6",
+          expr("CAST(ROUND(num / (vn * sn), 6) AS DECIMAL(18,6))"))
+      scored.groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum($"cos6").cast("double") / count(lit(1)), 4).as("cohesion"))
+        .orderBy($"label")
+    },
+
     "dd_semdedup" -> { (s, d) =>
       import s.implicits._
       // SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — CLUSTER-level
@@ -975,6 +1016,33 @@ object DedupQueries {
          |  ON a.vec_id < b.vec_id AND b.vec_id >= ${Tables.PlantedIdBase}
          |WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 3) >= 0.95
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_label_centroids" ->
+      // identical fixed-point arithmetic: floor(x·2^20) quantization,
+      // integer sums throughout, one double sqrt/mul/div chain per
+      // member, 6-dp round, decimal cohesion mean
+      """WITH exi AS (SELECT vec_id, label, embedding,
+        |    unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings),
+        |ex AS (SELECT vec_id, label, CAST(i AS INT) AS i,
+        |    CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS q
+        |  FROM exi),
+        |cent AS (SELECT label, i, CAST(SUM(q) AS BIGINT) AS sq
+        |  FROM ex GROUP BY label, i),
+        |snorm AS (SELECT label, sqrt(CAST(SUM(sq * sq) AS DOUBLE)) AS sn
+        |  FROM cent GROUP BY label),
+        |scored AS (SELECT ex.vec_id, ex.label,
+        |    CAST(SUM(ex.q * cent.sq) AS DOUBLE) AS num,
+        |    sqrt(CAST(SUM(ex.q * ex.q) AS DOUBLE)) AS vn
+        |  FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
+        |  GROUP BY ex.vec_id, ex.label),
+        |c6 AS (SELECT scored.label,
+        |    CAST(ROUND(num / (vn * sn), 6) AS DECIMAL(18,6)) AS cos6
+        |  FROM scored JOIN snorm ON scored.label = snorm.label)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  ROUND(CAST(SUM(cos6) AS DOUBLE) / COUNT(*), 4) AS cohesion
+        |FROM c6 GROUP BY label ORDER BY label""".stripMargin,
 
     "dd_semdedup" ->
       // brute-force pairs (the dd_embedding pruning: cosine >= 0.95

@@ -429,6 +429,37 @@ object TextQueries {
       }).toDF("rank", "lhs", "rhs").orderBy($"rank")
     },
 
+    "txt_quality_clf" -> { (s, d) =>
+      import s.implicits._
+      // MODEL-BASED quality filtering plumbing (the fasttext-style
+      // linear classifier stage of CCNet/LLaMA data pipelines, beside
+      // the heuristic txt_quality and the importance-weighting
+      // txt_dsir): score = mean over tokens of a hashed-feature
+      // weight, keep = score ≥ 0. The model here is a deterministic
+      // affine-hash weight function (so the gate is full-oracle,
+      // integer-exact in both engines); a TRAINED model swaps in a
+      // broadcast (bucket → weight) table at exactly this lookup —
+      // same plan: one codegen'd HOF pass per doc (transform +
+      // aggregate), zero shuffles, zero joins.
+      // score normalization in EXACT integer micro-units: the naive
+      // ROUND(w_sum/(10000·n), 6) ties at exactly 5 in the 7th
+      // decimal whenever 100·w_sum ≡ n/2 (mod n) — hit 3× at sf1 —
+      // and the engines break the tie differently (the q31 lesson).
+      // Shift-positive floor division is engine-identical (Spark div
+      // truncates, DuckDB // floors; they agree on non-negatives).
+      Tables.documents(s, d)
+        .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+        .withColumn("n_tokens", size($"toks"))
+        .withColumn("w_sum", expr(ClfWsumSql))
+        .withColumn("score_micro", when($"n_tokens" === 0, lit(0L))
+          .otherwise(expr(
+            "(w_sum + 10000L * n_tokens) * 100L div n_tokens - 1000000L")))
+        .select($"doc_id", $"n_tokens", $"w_sum",
+          ($"score_micro".cast("double") / 1000000.0).as("score"),
+          ($"w_sum" >= 0).cast("int").as("keep"))
+        .orderBy($"doc_id")
+    },
+
     "txt_url_canon" -> { (s, d) =>
       import s.implicits._
       // URL canonicalization (the CCNet/RefinedWeb crawl pre-step):
@@ -487,6 +518,17 @@ object TextQueries {
         .orderBy($"host", $"rk")
     },
   )
+
+  /** The hashed-linear-classifier token fold, SQL that parses in BOTH
+    * engines' HOF dialects via shared integer arithmetic: bucket =
+    * affine hash of (ascii, length) mod 4096, weight = second affine
+    * map onto [-10000, 10000] — every step exact 64-bit integer math,
+    * so the fold replays bit-for-bit. */
+  private val ClfWsumSql =
+    "aggregate(transform(toks, t -> " +
+      "((((((ascii(t) * 131 + length(t)) * 2654435761) % 2147483647) % 4096)" +
+      " * 2246822519 + 1031) % 2147483647) % 20001 - 10000), " +
+      "0L, (a, w) -> a + w)"
 
   /** Deterministic dirty-URL plant, written once in SQL that parses
     * in BOTH engines (the mm_phash PerturbSql recipe): scheme/host
@@ -777,6 +819,25 @@ object TextQueries {
          |  ROUND(exp(CAST(h_micro // n_bigrams AS DOUBLE) / 1000000.0), 3)
          |    AS ppl
          |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "txt_quality_clf" ->
+      s"""WITH t AS (SELECT doc_id, $cleanTok AS toks FROM documents),
+         |w AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+         |    CAST(COALESCE(list_sum(list_transform(toks, t ->
+         |      ((((((ascii(t) * 131 + length(t)) * 2654435761) % 2147483647)
+         |        % 4096) * 2246822519 + 1031) % 2147483647) % 20001 - 10000)),
+         |      0) AS BIGINT) AS w_sum
+         |  FROM t),
+         |scored AS (SELECT doc_id, n_tokens, w_sum,
+         |    CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE ((w_sum + 10000 * n_tokens) * 100) // n_tokens
+         |              - 1000000
+         |    END AS score_micro
+         |  FROM w)
+         |SELECT doc_id, n_tokens, w_sum,
+         |  CAST(score_micro AS DOUBLE) / 1000000.0 AS score,
+         |  CAST(w_sum >= 0 AS INT) AS keep
+         |FROM scored ORDER BY doc_id""".stripMargin,
 
     "txt_url_canon" ->
       s"""WITH ${urlCanonCtes("SELECT doc_id, source, n_chars FROM documents")}

@@ -81,4 +81,58 @@ object AsOfJoin {
         payload.map { case (src, dst) =>
           col("__graft_carried").getField(extraName(src)).as(dst) }: _*)
   }
+
+  /** NEAREST as-of join with tolerance (the pandas merge_asof
+    * `direction='nearest'` / kdb wj sibling of [[asOf]]'s backward
+    * rule): for each left row, the right row with the same key whose
+    * time is CLOSEST to the left time — in either direction — within
+    * `tolerance`; a tie in |Δt| prefers the earlier (backward) match.
+    * Time columns must be integral (epoch micros/seconds): the
+    * forward pass is the backward pass over NEGATED times, so the
+    * whole operator is two union-scan as-of passes — two key
+    * shuffles, O(n log n) per key, no inequality join at any scale.
+    * Rows with no match within tolerance keep NULL payload (left
+    * semantics; callers filter for inner).
+    *
+    * Emits `payload` plus `deltaCol` = chosen (right − left) time
+    * delta (negative = backward match, NULL = no match). */
+  def asOfNearest(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                  leftTime: String, rightTime: String,
+                  payload: Seq[(String, String)],
+                  tieCols: Seq[String], tolerance: Long,
+                  deltaCol: String): DataFrame = {
+    require(tolerance >= 0, s"tolerance must be non-negative, got $tolerance")
+    val leftCols = left.columns
+    def tagged(dir: String) =
+      payload.map { case (s, d) => (s, s"__${dir}_$d") } :+
+        (rightTime, s"__${dir}_t")
+    // backward: latest right <= t
+    val back = asOf(left, right, keyCols, leftTime, rightTime,
+      tagged("b"), tieCols)
+    // forward: earliest right >= t == backward over negated times.
+    // The negated column lives on BOTH sides under a private name
+    // (never leaks: dropped before returning).
+    val ln = back.withColumn("__neg_lt", -col(leftTime))
+    val rn = right.withColumn("__neg_rt", -col(rightTime))
+    val both = asOf(ln, rn, keyCols, "__neg_lt", "__neg_rt",
+      tagged("f").map { case (s, d) =>
+        (if (s == rightTime) "__neg_rt" else s, d) }, tieCols)
+      .drop("__neg_lt")
+    val db = col(leftTime) - col("__b_t")          // >= 0 when matched
+    val df = -col("__f_t") - col(leftTime)         // >= 0 (stored negated)
+    val bOk = col("__b_t").isNotNull && db <= tolerance
+    val fOk = col("__f_t").isNotNull && df <= tolerance
+    val takeBack = bOk && (!fOk || db <= df)       // tie -> backward
+    val takeFwd = fOk && !takeBack
+    val out = both
+      .withColumn(deltaCol,
+        when(takeBack, -db).when(takeFwd, df).otherwise(lit(null)))
+    payload.foldLeft(out) { case (acc, (_, d)) =>
+        acc.withColumn(d,
+          when(takeBack, col(s"__b_$d"))
+            .when(takeFwd, col(s"__f_$d")).otherwise(lit(null)))
+      }
+      .select(leftCols.map(col) ++ payload.map(p => col(p._2)) :+
+        col(deltaCol): _*)
+  }
 }

@@ -302,6 +302,32 @@ object StreamQueries {
         .orderBy($"event_id")
     },
 
+    "st_asof_nearest" -> { (s, d) =>
+      import s.implicits._
+      // NEAREST as-of with tolerance (pandas merge_asof
+      // direction='nearest' / kdb wj — the attribution rule when
+      // cause can land on EITHER side of effect): each view matches
+      // the same user's closest purchase within ±30 min, ties to the
+      // earlier one. Two union-scan as-of passes (forward = backward
+      // over negated epoch micros) — two key shuffles, no inequality
+      // join at any scale; the oracle re-derives both directions with
+      // ranked range joins and the same tie/tolerance arithmetic.
+      val ev = Tables.events(s, d)
+      val views = ev.filter($"event_type" === "view")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("t"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", unix_micros($"ts").as("pt"), $"value",
+          $"event_id".as("p_eid"))
+      graft.operators.AsOfJoin.asOfNearest(views, purchases,
+          keyCols = Seq("user_id"), leftTime = "t", rightTime = "pt",
+          payload = Seq(("value", "nearest_purchase_value")),
+          tieCols = Seq("p_eid"), tolerance = 1800L * 1000000L,
+          deltaCol = "delta_us")
+        .filter($"delta_us".isNotNull)
+        .select($"event_id", $"user_id", $"nearest_purchase_value", $"delta_us")
+        .orderBy($"event_id")
+    },
+
     "sql_pricing" -> { (s, d) =>
       graft.Sql.register(s, d)
       s.sql(
@@ -861,6 +887,42 @@ object StreamQueries {
       |  FROM w)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "st_asof_nearest" ->
+      // both directional candidates ranked the way the union-scan
+      // carry resolves them (latest/earliest time, then HIGHEST
+      // p_eid at equal time — window carry takes the last row in
+      // ascending tie order), then the operator's exact choose rule
+      """WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, epoch_us(ts) AS pt, value,
+        |    event_id AS p_eid
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT event_id, pt, value FROM (
+        |    SELECT v.event_id, p.pt, p.value,
+        |      ROW_NUMBER() OVER (PARTITION BY v.event_id
+        |        ORDER BY p.pt DESC, p.p_eid DESC) AS rn
+        |    FROM v JOIN p ON p.user_id = v.user_id AND p.pt <= v.t)
+        |  WHERE rn = 1),
+        |f AS (SELECT event_id, pt, value FROM (
+        |    SELECT v.event_id, p.pt, p.value,
+        |      ROW_NUMBER() OVER (PARTITION BY v.event_id
+        |        ORDER BY p.pt ASC, p.p_eid DESC) AS rn
+        |    FROM v JOIN p ON p.user_id = v.user_id AND p.pt >= v.t)
+        |  WHERE rn = 1),
+        |j AS (SELECT v.event_id, v.user_id, v.t,
+        |    b.pt AS bt, b.value AS bv, f.pt AS ft, f.value AS fv,
+        |    b.pt IS NOT NULL AND v.t - b.pt <= 1800000000 AS bok,
+        |    f.pt IS NOT NULL AND f.pt - v.t <= 1800000000 AS fok
+        |  FROM v LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)),
+        |c AS (SELECT event_id, user_id,
+        |    CASE WHEN bok AND (NOT fok OR (t - bt) <= (ft - t)) THEN bv
+        |         WHEN fok THEN fv END AS nearest_purchase_value,
+        |    CASE WHEN bok AND (NOT fok OR (t - bt) <= (ft - t)) THEN bt - t
+        |         WHEN fok THEN ft - t END AS delta_us
+        |  FROM j)
+        |SELECT event_id, user_id, nearest_purchase_value, delta_us
+        |FROM c WHERE delta_us IS NOT NULL ORDER BY event_id""".stripMargin,
+
     // the streaming plan's complete-mode output == the batch hourly agg
     "st_stream_agg" -> hourlyAggSql,
 

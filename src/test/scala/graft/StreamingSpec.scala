@@ -127,6 +127,32 @@ class StreamingSpec extends AnyFunSuite {
       (2L, "L3", null)))    // no state yet
   }
 
+  test("asOfNearest: direction choice, |dt| ties, tolerance edges, no-match") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "fwd-nearer"), (1L, 207L, "back-nearer"),
+        (1L, 205L, "exact-tie"), (2L, 100L, "only-late"),
+        (3L, 100L, "nothing"))
+      .toDF("k", "t", "tag")
+    // k=1 states at 200 and 210: t=100 -> 200 is 100 fwd (no back
+    // within reach); t=207 -> back 200 (7) beats fwd 210 (3)? no:
+    // fwd 210 is 3 away, nearer. t=205 -> both 5 away, tie -> BACK.
+    // k=2 state only at 2100: outside tolerance 1000 from t=100.
+    val r = Seq((1L, 200L, "s200"), (1L, 210L, "s210"), (2L, 2100L, "s2100"))
+      .toDF("k", "ts", "state")
+    val out = graft.operators.AsOfJoin.asOfNearest(l, r, Seq("k"), "t", "ts",
+        payload = Seq("state" -> "state"), tieCols = Seq("ts"),
+        tolerance = 1000L, deltaCol = "dt")
+      .collect()
+      .map(row => row.getAs[String]("tag") ->
+        (row.getAs[String]("state"), Option(row.getAs[java.lang.Long]("dt"))))
+      .toMap
+    assert(out("fwd-nearer") == (("s200", Some(100L))))
+    assert(out("back-nearer") == (("s210", Some(3L))))
+    assert(out("exact-tie") == (("s200", Some(-5L))), s"tie must prefer backward: $out")
+    assert(out("only-late") == ((null, None)), "tolerance must exclude the 2000-away state")
+    assert(out("nothing") == ((null, None)))
+  }
+
   test("asOf join: NULL keys and NULL times follow equi-join semantics") {
     import spark.implicits._
     // a right row with NULL time must never match (NULL <= t is not
