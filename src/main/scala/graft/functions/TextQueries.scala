@@ -876,8 +876,9 @@ object TextQueries {
     * plant ([[UrlRawSql]] parses in both engines), but the rule chain
     * re-derived in DuckDB regex syntax — a real cross-check of
     * UrlFunctions, not a replay of its expressions. Yields CTE `urls`
-    * with (doc_id, n_chars, url_raw, url_canon, host). */
-  private def urlCanonCtes(corpusSql: String): String =
+    * with (doc_id, n_chars, url_raw, url_canon, host). Shared with
+    * the streaming URL-dedup gate's oracle (StreamQueries). */
+  private[graft] def urlCanonCtes(corpusSql: String): String =
     s"""raw AS (SELECT doc_id, n_chars, $UrlRawSql AS url_raw
        |  FROM ($corpusSql)),
        |s1 AS (SELECT *, regexp_replace(url_raw, '#.*$$', '') AS u1 FROM raw),

@@ -124,6 +124,34 @@ object StreamQueries {
         .orderBy($"fp")
     },
 
+    "st_stream_urldedup" -> { (s, d) =>
+      import s.implicits._
+      // Streaming URL-level dedup — the crawl-frontier integration of
+      // the URL layer (txt_url_canon/txt_host_cap) with the streaming
+      // state store: documents arrive as a file stream, each is
+      // dressed with its raw URL (the shared deterministic plant; the
+      // `source` column rides a broadcast stream-static join), the
+      // CANONICAL form is the dedup key, and the planted
+      // canon-equivalent re-dressings (doc_id+PlantedIdBase, arriving
+      // an hour later in a LATER micro-batch) are suppressed by state
+      // — a re-crawled URL variant never re-enters the corpus. The
+      // emitted set is exactly the originals, so the full oracle is
+      // the batch canonicalization over plain documents.
+      val src = broadcast(Tables.documents(s, d)
+        .select($"doc_id".as("eff_id"), $"source"))
+      val stream = Tables.documentsStream(s, d)
+        .withColumn("eff_id", $"doc_id" % Tables.PlantedIdBase)
+        .join(src, "eff_id")
+        .withColumn("url_raw", expr(graft.functions.TextQueries.UrlRawSql))
+        .withColumn("url_canon",
+          graft.functions.UrlFunctions.canonicalize($"url_raw"))
+      val deduped = Streams.dedupStream(stream, "ts", $"url_canon",
+        watermark = "3650 days")
+      runToBatch(s, deduped, "append", "st_stream_urldedup")
+        .select($"doc_id", $"url_canon")
+        .orderBy($"doc_id")
+    },
+
     "st_stream_upsert" -> { (s, d) =>
       import s.implicits._
       // GENUINE streaming ingest into the TRANSACTIONAL catalog — the
@@ -922,6 +950,14 @@ object StreamQueries {
         |  FROM j)
         |SELECT event_id, user_id, nearest_purchase_value, delta_us
         |FROM c WHERE delta_us IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    // streaming URL dedup emits exactly the originals: every original
+    // doc has a unique canonical URL and every planted re-dressing
+    // (later micro-batch) canonicalizes onto an existing key
+    "st_stream_urldedup" ->
+      s"""WITH ${graft.functions.TextQueries.urlCanonCtes(
+             "SELECT doc_id, source, n_chars FROM documents")}
+         |SELECT doc_id, url_canon FROM urls ORDER BY doc_id""".stripMargin,
 
     // the streaming plan's complete-mode output == the batch hourly agg
     "st_stream_agg" -> hourlyAggSql,

@@ -52,6 +52,27 @@ class PlanSpec extends AnyFunSuite {
       "sketch-only intersect diverged from the gated composition")
   }
 
+  test("txt_quality_clf scores in one pass: no join, no aggregate, no wide shuffle") {
+    val p = planOf("txt_quality_clf")
+    assert(!p.contains("Join"), s"classifier pass grew a join:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"classifier pass grew an aggregate (the HOF fold should stay in-row):\n$p")
+  }
+
+  test("sim_label_centroids broadcasts the centroid frame, never shuffle-joins the corpus") {
+    val p = planOf("sim_label_centroids")
+    assert(p.contains("BroadcastHashJoin"), s"centroid join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-sized shuffle join in the centroid rejoin:\n$p")
+  }
+
+  test("st_asof_nearest plans two union-scan windows, no inequality join") {
+    val p = planOf("st_asof_nearest")
+    assert(p.contains("Window"), s"as-of carry lost its window form:\n$p")
+    assert(!p.contains("BroadcastNestedLoop"),
+      s"nearest as-of regressed to an inequality join:\n$p")
+  }
+
   test("q4 star join broadcasts the dimension tables") {
     val p = planOf("q4_broadcast_join")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
