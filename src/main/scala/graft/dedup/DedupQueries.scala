@@ -325,6 +325,41 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
 
+    "dd_source_overlap" -> { (s, d) =>
+      import s.implicits._
+      // Cross-SOURCE contamination matrix — "which sources duplicate
+      // each other" at corpus scale: per-source KMV sketches over the
+      // 3-gram shingle sets, intersected pairwise with the theta
+      // algebra (Sketches.kmvIntersectHex — the production sketch-only
+      // path this round factored out, exercised here on its md5-keyed
+      // variant for set elements wider than 31 bits). One corpus
+      // shingle pass builds ALL the sketches; every pairwise estimate
+      // runs on ≤ k·L sketch rows — the exact pairwise overlap (a
+      // corpus shingle self-join) rides along as the GATE-ONLY error
+      // witness, the evt_kmv_intersect contract.
+      val k = 64
+      val tu = Tables.documents(s, d)
+        .select($"source",
+          explode(graft.plans.HashExpressions.wordShingles($"text", 3)).as("sg"))
+        .select($"source", md5($"sg").as("h"))
+        .distinct()
+      val bottom = graft.plans.TopK.perGroup(
+          tu, Seq("source"), Seq(("h", false)), k)
+        .localCheckpoint(true)
+      val sk = graft.streaming.Sketches.kmvIntersectHex(bottom, "source", k)
+        .withColumnRenamed("g_a", "source_a")
+        .withColumnRenamed("g_b", "source_b")
+      val exact = tu.select($"source".as("source_a"), $"h")
+        .join(tu.select($"source".as("source_b"), $"h"), Seq("h"))
+        .filter($"source_a" < $"source_b")
+        .groupBy($"source_a", $"source_b")
+        .agg(count(lit(1)).as("n_exact"))
+      sk.join(exact, Seq("source_a", "source_b"), "left_outer")
+        .select($"source_a", $"source_b", $"n_match", $"n_est",
+          coalesce($"n_exact", lit(0L)).as("n_exact"))
+        .orderBy($"source_a", $"source_b")
+    },
+
     "sim_label_centroids" -> { (s, d) =>
       import s.implicits._
       // Vector AGGREGATION (the complement of the search family):
@@ -1016,6 +1051,59 @@ object DedupQueries {
          |  ON a.vec_id < b.vec_id AND b.vec_id >= ${Tables.PlantedIdBase}
          |WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 3) >= 0.95
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dd_source_overlap" -> {
+      // the sketch replayed term for term: per-source shingle md5s,
+      // ROW_NUMBER bottom-64, theta as string with the 12-hex-digit
+      // numeric parse (lexicographic == numeric on fixed-width hex),
+      // plus the exact pairwise witness
+      val hex12 = (1 to 12).map(i =>
+        s"(strpos('0123456789abcdef', substr(MAX(h), $i, 1)) - 1) * " +
+          s"${1L << (4 * (12 - i))}").mkString("(", " + ", ")")
+      s"""WITH t AS (SELECT source,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |      x -> length(x) > 0) AS toks
+         |  FROM documents),
+         |sh AS (SELECT source,
+         |    CASE WHEN len(toks) = 0 THEN [] ELSE
+         |      list_distinct(list_transform(
+         |        range(1, greatest(len(toks) - 2, 1) + 1),
+         |        i -> array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')))
+         |    END AS s
+         |  FROM t),
+         |tu AS (SELECT DISTINCT source, md5(unnest(s)) AS h FROM sh),
+         |bottom AS (SELECT source, h FROM (
+         |    SELECT source, h,
+         |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+         |    FROM tu) WHERE rn <= 64),
+         |theta AS (SELECT source,
+         |    CASE WHEN COUNT(*) < 64 THEN 'g' ELSE MAX(h) END AS theta,
+         |    CASE WHEN COUNT(*) < 64 THEN ${1L << 48} ELSE $hex12 END
+         |      AS theta_num
+         |  FROM bottom GROUP BY source),
+         |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    least(a.theta, b.theta) AS theta,
+         |    least(a.theta_num, b.theta_num) AS theta_num
+         |  FROM theta a JOIN theta b ON a.source < b.source),
+         |m AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    COUNT(*) AS n_match
+         |  FROM bottom a JOIN bottom b ON a.h = b.h AND a.source < b.source
+         |  JOIN pairs p ON p.source_a = a.source AND p.source_b = b.source
+         |  WHERE a.h < p.theta
+         |  GROUP BY a.source, b.source),
+         |x AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    COUNT(*) AS n_exact
+         |  FROM tu a JOIN tu b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY a.source, b.source)
+         |SELECT p.source_a, p.source_b,
+         |  COALESCE(m.n_match, 0) AS n_match,
+         |  (COALESCE(m.n_match, 0) * ${1L << 48}) // p.theta_num AS n_est,
+         |  COALESCE(x.n_exact, 0) AS n_exact
+         |FROM pairs p
+         |LEFT JOIN m USING (source_a, source_b)
+         |LEFT JOIN x USING (source_a, source_b)
+         |ORDER BY source_a, source_b""".stripMargin
+    },
 
     "sim_label_centroids" ->
       // identical fixed-point arithmetic: floor(x·2^20) quantization,

@@ -429,6 +429,31 @@ object TextQueries {
       }).toDF("rank", "lhs", "rhs").orderBy($"rank")
     },
 
+    "txt_oov" -> { (s, d) =>
+      import s.implicits._
+      // Tokenizer-vocabulary COVERAGE QC (the companion of txt_vocab's
+      // build): per-doc out-of-vocabulary token rate against the
+      // top-50 corpus vocabulary — the gate a pipeline runs before
+      // committing a tokenizer (high OOV = the vocab misfits the
+      // slice). Everything runs on the shared postings index (one
+      // prebuilt (doc, term, tf) relation): the vocab is a top-K agg,
+      // the membership test a BROADCAST anti-join, the per-doc rate
+      // exact integer micro-units (positive floor division agrees
+      // across engines — no rounding ties possible).
+      val p = graft.QueryCaches.postings(s, d)
+      val vocab = p.groupBy($"term").agg(sum($"tf").as("n"))
+        .orderBy($"n".desc, $"term").limit(50).select($"term")
+      val oov = p.join(broadcast(vocab), Seq("term"), "left_anti")
+        .groupBy($"doc_id").agg(sum($"tf").as("n_oov"))
+      p.groupBy($"doc_id").agg(sum($"tf").as("n_tokens"))
+        .join(oov, Seq("doc_id"), "left_outer")
+        .select($"doc_id", $"n_tokens",
+          coalesce($"n_oov", lit(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          expr("(n_oov * 1000000L) div n_tokens").cast("double") / 1000000.0)
+        .orderBy($"doc_id")
+    },
+
     "txt_quality_clf" -> { (s, d) =>
       import s.implicits._
       // MODEL-BASED quality filtering plumbing (the fasttext-style
@@ -818,6 +843,24 @@ object TextQueries {
          |  h_micro // n_bigrams AS xent_unats,
          |  ROUND(exp(CAST(h_micro // n_bigrams AS DOUBLE) / 1000000.0), 3)
          |    AS ppl
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "txt_oov" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest($cleanTok) AS term FROM documents)
+         |  GROUP BY doc_id, term),
+         |vocab AS (SELECT term FROM (
+         |    SELECT term, SUM(tf) AS n FROM tf GROUP BY term
+         |    ORDER BY n DESC, term LIMIT 50)),
+         |agg AS (SELECT tf.doc_id,
+         |    CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(CASE WHEN v.term IS NULL THEN tf.tf ELSE 0 END)
+         |      AS BIGINT) AS n_oov
+         |  FROM tf LEFT JOIN vocab v USING (term) GROUP BY tf.doc_id)
+         |SELECT doc_id, n_tokens, n_oov,
+         |  CAST((n_oov * 1000000) // n_tokens AS DOUBLE) / 1000000.0
+         |    AS oov_rate
          |FROM agg ORDER BY doc_id""".stripMargin,
 
     "txt_quality_clf" ->

@@ -121,4 +121,50 @@ object Sketches {
         coalesce(col("n_match"), lit(0L)).as("n_match"),
         expr(s"(coalesce(n_match, 0L) * ${M}L) div theta").as("n_est"))
   }
+
+  /** [[kmvIntersect]] for sketches keyed by 32-char lowercase MD5 hex
+    * strings (`h` column) — the variant for set elements WIDER than
+    * ~31 bits that still has to replay in an oracle: fixed-width hex
+    * sorts lexicographically exactly as it compares numerically, so
+    * the bottom-k heap, θ = min(θ_A, θ_B), and the h < θ match cut
+    * all run on the strings; only the final M/θ scaling needs a
+    * number, parsed from θ's first 12 hex digits (M = 2^48 — the
+    * estimate's precision, not the sketch's). An underfull sketch
+    * takes θ = "g" (greater than every hex string) and θ_num = M, so
+    * its estimates stay exact. */
+  def kmvIntersectHex(bottom: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val M = 1L << 48
+    def hexVal(c: String): Column =
+      (1 to 12).map { i =>
+        (expr(s"position(substring($c, $i, 1), '0123456789abcdef')") - 1)
+          .cast("long") * lit(1L << (4 * (12 - i)))
+      }.reduce(_ + _)
+    val theta = bottom.groupBy(col(groupCol))
+      .agg(max(col("h")).as("h_k"), count(lit(1)).as("k_eff"))
+      .select(col(groupCol),
+        when(col("k_eff") < k, lit("g")).otherwise(col("h_k")).as("theta"),
+        when(col("k_eff") < k, lit(M)).otherwise(hexVal("h_k")).as("theta_num"))
+    val pairs = theta.select(col(groupCol).as("g_a"),
+        col("theta").as("th_a"), col("theta_num").as("tn_a"))
+      .crossJoin(theta.select(col(groupCol).as("g_b"),
+        col("theta").as("th_b"), col("theta_num").as("tn_b")))
+      .filter(col("g_a") < col("g_b"))
+      // least() picks consistently across the string/numeric forms:
+      // lexicographic order on fixed-width hex IS numeric order, and
+      // a tie in the first 12 digits leaves theta_num equal either way
+      .select(col("g_a"), col("g_b"),
+        least(col("th_a"), col("th_b")).as("theta"),
+        least(col("tn_a"), col("tn_b")).as("theta_num"))
+    val matches = bottom.select(col(groupCol).as("g_a"), col("h"))
+      .join(bottom.select(col(groupCol).as("g_b"), col("h")), Seq("h"))
+      .filter(col("g_a") < col("g_b"))
+      .join(pairs, Seq("g_a", "g_b"))
+      .filter(col("h") < col("theta"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("n_match"))
+    pairs.join(matches, Seq("g_a", "g_b"), "left_outer")
+      .select(col("g_a"), col("g_b"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        expr(s"(coalesce(n_match, 0L) * ${M}L) div theta_num").as("n_est"))
+  }
 }
