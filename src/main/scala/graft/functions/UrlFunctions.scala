@@ -47,9 +47,14 @@ object UrlFunctions {
     val noFrag = regexp_replace(u, "#.*$", "")
     // each tracking param goes with its PRECEDING separator; if the
     // first surviving param is left dangling on '&', re-anchor it on
-    // '?' (the anchored pattern fires at most once)
+    // '?' (the anchored pattern fires at most once). The class must
+    // exclude '&' as well as '?': a greedy [^?]* would re-anchor the
+    // LAST dangling separator instead of the first when several
+    // non-tracking params survive a stripped leading '?utm_…' —
+    // caught by UrlPropertySpec's idempotence law (the gated plant
+    // never leaves two dangling '&'s, so the gates alone missed it).
     val noTrack = regexp_replace(noFrag, s"[?&]$Tracking=[^&#]*", "")
-    val fixedSep = regexp_replace(noTrack, "^([^?]*)&", "$1?")
+    val fixedSep = regexp_replace(noTrack, "^([^?&]*)&", "$1?")
     val noEmptyQ = regexp_replace(fixedSep, "\\?$", "")
     val noSlashQ = regexp_replace(noEmptyQ, "/+\\?", "?")
     val noTrailSlash = regexp_replace(noSlashQ, "/+$", "")
