@@ -20,6 +20,12 @@ import java.nio.file.{Files, Paths}
   *    next-1, journal publishes for BOTH tables at `next`, take
   *    `table`'s lock, print ACQUIRED, halt — leaving a pending
   *    journal AND a dead-owner lock for the parent to recover.
+  *  - acquire-publish (lease only): take the lease, print ACQUIRED,
+  *    wait for one stdin line (during which the parent expires the
+  *    lease and acquires a newer grant), then attempt the
+  *    authority-side compare-and-publish and print PUBLISH-OK or
+  *    PUBLISH-FENCED — the lapsed holder's publish racing a newer
+  *    grant across a TRUE process boundary.
   */
 object ChildLockProc {
   def main(args0: Array[String]): Unit = {
@@ -48,6 +54,18 @@ object ChildLockProc {
         provider.acquire(table, 30000)
         println("ACQUIRED"); Console.flush()
         Runtime.getRuntime.halt(0)
+
+      case "acquire-publish" =>
+        val h = provider.acquire(table, 30000)
+        println("ACQUIRED"); Console.flush()
+        // wait for the parent's go-signal (one line), then race
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(System.in))
+        r.readLine()
+        val verdict =
+          try { h.fencedPublish(); "PUBLISH-OK" }
+          catch { case _: IllegalStateException => "PUBLISH-FENCED" }
+        println(verdict); Console.flush()
 
       case "crash-commit" =>
         val other = args(3)

@@ -277,7 +277,14 @@ class ConcurrencySpec extends AnyFunSuite {
 
   /** Spawn ChildLockProc in a separate JVM (same classpath as this
     * forked test JVM) and wait for its ACQUIRED handshake. */
-  private def spawnChild(args: String*): Process = {
+  private def spawnChild(args: String*): Process =
+    spawnChildWithLines(args: _*)._1
+
+  /** As [[spawnChild]], also handing back the line queue so a test can
+    * read the child's post-handshake verdict lines (the queue's pump
+    * keeps draining; "<<EOF>>" marks stream end). */
+  private def spawnChildWithLines(args: String*):
+      (Process, java.util.concurrent.LinkedBlockingQueue[String]) = {
     val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
     val cmd = (Seq(javaBin, "-cp", System.getProperty("java.class.path"),
       "graft.ChildLockProc") ++ args)
@@ -308,7 +315,7 @@ class ConcurrencySpec extends AnyFunSuite {
     }
     if (line != "ACQUIRED") p.destroyForcibly()
     assert(line == "ACQUIRED", s"child never acquired (last: $line)")
-    p
+    (p, lines)
   }
 
   test("cross-process: a live holder excludes this JVM; its release unblocks us") {
@@ -644,6 +651,39 @@ class ConcurrencySpec extends AnyFunSuite {
       assert(first > maxEpoch,
         s"restarted authority minted epoch $first <= pre-restart $maxEpoch")
     } finally s2.stop()
+  }
+
+  test("lease: two-JVM publish race — the lapsed holder's process loses at the authority") {
+    // the compare-and-publish race across a TRUE process boundary:
+    // the child JVM holds the lease, the parent expires it and
+    // acquires a newer grant (publishing NOTHING), then signals the
+    // child to publish — the authority must fence the child's stale
+    // grant, and the parent's own publish must succeed after.
+    val server = new graft.kv.LeaseLockServer().start()
+    try {
+      val (child, lines) = spawnChildWithLines("acquire-publish",
+        Files.createTempDirectory("graft_xpub_wh").toString, "t",
+        s"--lease=${server.boundPort}:60000")
+      try {
+        server.expireNow("t")
+        val parent = new graft.kv.LeaseLockProvider(
+          "127.0.0.1", server.boundPort, leaseMs = 60000)
+        val h2 = parent.acquire("t", 5000)
+        // go-signal: one stdin line
+        child.getOutputStream.write('\n'); child.getOutputStream.flush()
+        val deadline = System.currentTimeMillis() + 30000
+        var verdict: String = null
+        while (verdict == null && System.currentTimeMillis() < deadline) {
+          val l = lines.poll(1000, java.util.concurrent.TimeUnit.MILLISECONDS)
+          if (l != null && l.startsWith("PUBLISH-")) verdict = l
+        }
+        assert(verdict == "PUBLISH-FENCED",
+          s"lapsed child process was not fenced at the authority: $verdict")
+        h2.fencedPublish() // the live owner's publish goes through
+        h2.release()
+        assert(child.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+      } finally { child.destroyForcibly(); () }
+    } finally server.stop()
   }
 
   test("fencing: a replayed publish persists its advanced epoch before skipping") {
