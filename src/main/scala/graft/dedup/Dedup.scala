@@ -280,9 +280,6 @@ object Dedup {
       .cache()
     val deg = edges.groupBy(col("src").as("doc_id"))
       .agg(count(lit(1)).as("degree")).cache()
-    // tracks the previous round's materialized frame for deep loops so
-    // each round releases its predecessor deterministically
-    var cached: DataFrame = null
     try {
       // the node count is the one driver-side scalar the method needs
       // (it seeds 1/N and the teleport term); O(1) result, one action
@@ -294,15 +291,17 @@ object Dedup {
         return deg.withColumn("rank", lit(0.0)).localCheckpoint(true)
       // A handful of rounds keeps the direct lineage chain (power
       // iteration converges geometrically, so callers rarely need
-      // more, and each materialization costs an action). PAST that,
-      // Catalyst re-optimizes the whole nested lineage every round —
-      // the clusters() loop measured 8.6 s of pure planning at sf0.1
-      // from exactly this shape — so deep loops truncate the plan per
-      // round via createDataFrame(rdd, schema) with a deterministic
-      // cache release, the clusters() pattern.
+      // more). PAST that, Catalyst re-optimizes the whole nested
+      // lineage every round — the clusters() loop measured 8.6 s of
+      // pure planning at sf0.1 from exactly this shape — so deep
+      // loops truncate the LOGICAL plan per round via
+      // createDataFrame(df.rdd, schema): .rdd forces physical
+      // planning of the round eagerly and the next round plans
+      // against an RDD leaf. Unlike clusters() there is no per-round
+      // ACTION here (no convergence count to take), so nothing is
+      // cached per round — execution chains through the round RDDs
+      // in the one job the final checkpoint runs.
       val truncateEachRound = iters > 5
-      def materialize(df: DataFrame): DataFrame =
-        spark.createDataFrame(df.rdd, df.schema).cache()
       var ranks = deg.withColumn("rank", round(lit(1.0) / lit(n), 9))
       for (_ <- 1 to iters) {
         val sums = edges
@@ -317,18 +316,13 @@ object Dedup {
           .select(col("doc_id"), col("degree"),
             round(lit(0.15) / lit(n) + lit(0.85) *
               coalesce(col("s").cast("double"), lit(0.0)), 9).as("rank"))
-        if (truncateEachRound) {
-          val next = materialize(ranks)
-          if (cached != null) cached.unpersist()
-          cached = next
-          ranks = next
-        }
+        if (truncateEachRound)
+          ranks = spark.createDataFrame(ranks.rdd, ranks.schema)
       }
       planProbe.foreach(_(ranks.queryExecution.optimizedPlan
         .collect { case p => p }.size))
       ranks.localCheckpoint(true)
     } finally {
-      if (cached != null) cached.unpersist()
       deg.unpersist()
       edges.unpersist(): Unit
     }

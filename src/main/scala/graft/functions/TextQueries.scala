@@ -925,16 +925,20 @@ object TextQueries {
     s"""raw AS (SELECT doc_id, n_chars, $UrlRawSql AS url_raw
        |  FROM ($corpusSql)),
        |s1 AS (SELECT *, regexp_replace(url_raw, '#.*$$', '') AS u1 FROM raw),
-       |s2 AS (SELECT *, regexp_replace(regexp_replace(u1,
-       |    '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
-       |    '^([^?&]*)&', '\\1?') AS u2 FROM s1),
+       |s2 AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(u1,
+       |    '&(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+       |    '\\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '?'),
+       |    '\\?(utm_[a-z]+|fbclid|gclid)=[^&#]*$$', '') AS u2 FROM s1),
        |s3 AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(u2,
-       |    '\\?$$', ''), '/+\\?', '?'), '/+$$', '') AS u3 FROM s2),
+       |    '\\?$$', ''),
+       |    '^([^?#]*?)/+\\?', '\\1?'),
+       |    '^([^?#]*?)/+$$', '\\1') AS u3 FROM s2),
        |pf AS (SELECT *,
        |    regexp_extract(u3, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)
        |      AS prefix FROM s3),
        |cp AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(
-       |    lower(prefix),
+       |    regexp_replace(lower(prefix),
+       |    '^([a-z0-9+.-]*://)[^/?#@]*@', '\\1'),
        |    '^(https?://)www\\.', '\\1'),
        |    '^(http://[^:/]*):80$$', '\\1'),
        |    '^(https://[^:/]*):443$$', '\\1') AS cprefix FROM pf),

@@ -1684,9 +1684,18 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         (t, next)
       }
       // the journal is THE txn commit point (recovery rolls forward
-      // from it): fence every held lease first — a lapsed lease means
-      // another committer may already own one of these tables
+      // from it, so a journal written by a lapsed holder would be
+      // replayed over the new owner's work even though publishVersion
+      // fences): fence every held lease HERE, and at the AUTHORITY —
+      // fencedPublish atomically proves each grant is still the
+      // resource's current one inside the authority's serialization,
+      // rejecting this committer the moment a newer grant exists.
+      // ensureValid alone is check-then-act; the authority compare
+      // shrinks the residual to a lapse strictly between this line
+      // and the journal rename (closable only by conditional writes
+      // on the journal store itself).
       locks.foreach(_.ensureValid())
+      locks.foreach(_.fencedPublish(): Unit)
       journal = Some(writeTxnJournal(publishes))
       publishes.foreach { case (t, next) => publishVersion(t, next, lockFor.get(t)) }
       // best-effort: once every pointer is bumped the transaction IS

@@ -94,16 +94,35 @@ final class LeaseLockServer(port: Int = 0,
     }
   }
 
-  /** Extend the persisted ceiling past `epoch` before granting it. */
+  /** Extend the persisted ceiling past `epoch` before granting it.
+    * The write is SYNCed (data reaches the device, not just the page
+    * cache) and the directory entry is force()d after the atomic
+    * move where the platform allows — a ceiling that could regress
+    * across a POWER loss would re-mint epochs under ones already
+    * persisted in table meta, the exact failure persistence exists
+    * to close. Still one device sync per BLOCK of grants, not per
+    * grant. */
   private def ensureCeiling(epoch: Long): Unit =
     ceilingFile.foreach { f =>
       if (epoch >= epochCeiling) {
         epochCeiling = epoch + EpochBlock
         val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
-        java.nio.file.Files.write(tmp, epochCeiling.toString.getBytes)
+        java.nio.file.Files.write(tmp, epochCeiling.toString.getBytes,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+          java.nio.file.StandardOpenOption.SYNC)
         java.nio.file.Files.move(tmp, f,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        // fsync the directory so the rename itself is durable; not
+        // every filesystem lets a directory be opened for read —
+        // best-effort there (the data sync above already holds)
+        try {
+          val dc = java.nio.channels.FileChannel.open(f.getParent,
+            java.nio.file.StandardOpenOption.READ)
+          try dc.force(true) finally dc.close()
+        } catch { case _: Exception => () }
       }
     }
 

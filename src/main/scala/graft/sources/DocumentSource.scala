@@ -128,8 +128,17 @@ object DocumentSource {
                   case other => throw new IllegalArgumentException(
                     s"doc_id not integral: $other")
                 }
-                def str(n: String): String =
-                  Option(fld(n)).map(_.toString).orNull
+                // strings must BE strings (Avro decodes them as Utf8):
+                // a blanket toString would launder ints/records/bytes
+                // into the clean output as garbage text — the exact
+                // schema drift the quarantine contract exists to catch
+                def str(n: String): String = fld(n) match {
+                  case null => null
+                  case s: org.apache.avro.util.Utf8 => s.toString
+                  case s: String => s
+                  case other => throw new IllegalArgumentException(
+                    s"$n not a string: ${other.getClass.getSimpleName}")
+                }
                 val nc = fld("n_chars") match {
                   case null => None
                   case i: java.lang.Integer => Some(i.intValue)
@@ -147,7 +156,13 @@ object DocumentSource {
             }
           } finally reader.close()
         } catch {
-          case e: Exception => // not an Avro container / truncated header
+          case e: Exception =>
+            // not an Avro container, truncated header, or a stream
+            // that corrupts MID-FILE: quarantine the file WHOLE —
+            // records decoded before the failure are discarded, not
+            // emitted as clean (an operator repairing and re-ingesting
+            // the quarantined file must not duplicate them)
+            out.clear()
             out += AvroDoc(None, null, null, null, None,
               s"$p: unreadable container (${e.getMessage})")
         }

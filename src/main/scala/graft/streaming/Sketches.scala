@@ -54,14 +54,19 @@ object Sketches {
     * keys (est = min over the d probed counters; one-sided, est ≥
     * true). Extra columns on `keys` ride through. The plan touches
     * only the ≤ d·w counter rows and the key frame — never the corpus
-    * the sketch was built from. */
+    * the sketch was built from. The counter relation is SPARSE
+    * (absent cell = count 0), so the probe LEFT-joins and coalesces:
+    * a key the sketch never saw reports n_est = 0 — an inner join
+    * would silently DROP it, breaking the est ≥ true contract for
+    * unseen keys (the gate witnesses only ever probe guaranteed-heavy
+    * keys, so only a spec can see this). */
   def cmsProbe(counters: DataFrame, keys: DataFrame, keyCol: String): DataFrame = {
     val kcols = keys.columns.toSeq
     keys.select(kcols.map(col) :+ cmsRowBuckets(col(keyCol)).as("p"): _*)
       .select(kcols.map(col) :+ col("p.r") :+ col("p.bkt"): _*)
-      .join(counters, Seq("r", "bkt"))
+      .join(counters, Seq("r", "bkt"), "left_outer")
       .groupBy(kcols.map(col): _*)
-      .agg(min(col("c")).as("n_est"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("n_est"))
   }
 
   // ---- KMV / bottom-k distincts (Bar-Yossef et al. 2002; theta set

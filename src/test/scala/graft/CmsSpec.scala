@@ -42,6 +42,27 @@ class CmsSpec extends AnyFunSuite {
       "Count-Min underestimated a key — the one-sided bound is broken")
   }
 
+  test("probing an unseen key reports n_est = 0, not a missing row") {
+    import spark.implicits._
+    // the counter relation is sparse (absent cell = 0): a key the
+    // sketch never ingested must still come back — with estimate 0 —
+    // or a caller iterating probe results reads "no answer" where
+    // the sketch's answer is "count 0"
+    val ev = Tables.events(spark, sf).select($"user_id")
+    val counters = graft.streaming.Sketches.cmsBuild(ev, "user_id")
+      .localCheckpoint(true)
+    val unseen = Seq(-987654321L, -5L).toDF("user_id")
+    val probed = graft.streaming.Sketches.cmsProbe(counters, unseen, "user_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(probed.keySet == Set(-987654321L, -5L),
+      s"unseen keys vanished from the probe: $probed")
+    // negative affine hashes can still collide with live buckets, so
+    // the bound is est >= 0 with at least the row PRESENT; for these
+    // two keys at this corpus the cells are empty in practice, but
+    // the contract under test is presence + the one-sided floor
+    assert(probed.values.forall(_ >= 0L))
+  }
+
   test("sketches of disjoint slices merge by counter addition") {
     import spark.implicits._
     val ev = Tables.events(spark, sf).select($"user_id", $"event_id")

@@ -15,21 +15,26 @@ class UrlPropertySpec extends AnyFunSuite {
 
   private val scheme = Gen.oneOf("http", "https", "HTTP", "Https")
   private val hostG = for {
+    user <- Gen.oneOf("", "u@", "User:Pw@")
     www <- Gen.oneOf("", "www.", "WWW.")
     a <- Gen.choose(1, 8); b <- Gen.choose(1, 6)
     h1 <- Gen.listOfN(a, Gen.alphaNumChar).map(_.mkString)
     h2 <- Gen.listOfN(b, Gen.alphaChar).map(_.mkString)
     cased <- Gen.oneOf[String => String](
       (s: String) => s, (s: String) => s.toUpperCase)
-  } yield cased(s"$www$h1.$h2")
+  } yield user + cased(s"$www$h1.$h2")
   private val port = Gen.oneOf("", ":80", ":443", ":8080", ":9")
   private val path = for {
     n <- Gen.choose(0, 3)
-    segs <- Gen.listOfN(n, Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString))
+    // path segments may contain literal '&' (a legal RFC 3986
+    // sub-delim) — the tracking rules must never rewrite it
+    segs <- Gen.listOfN(n, Gen.oneOf(
+      Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString),
+      Gen.const("a&b"), Gen.const("x&utm=1")))
     trail <- Gen.oneOf("", "/", "//")
   } yield (if (segs.isEmpty) "" else segs.mkString("/", "/", "")) + trail
   private val param = Gen.oneOf("id=3", "Q=Vv", "utm_source=x", "utm_medium=m",
-    "fbclid=z", "gclid=g", "a=1")
+    "fbclid=z", "gclid=g", "a=1", "next=/x/", "r=/a/?b")
   private val query = for {
     n <- Gen.choose(0, 4)
     ps <- Gen.listOfN(n, param)
