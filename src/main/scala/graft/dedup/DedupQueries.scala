@@ -380,17 +380,23 @@ object DedupQueries {
       // only doubles are one sqrt/mul/div chain per member over
       // exact integers (IEEE-identical), rounded to 6 dp, then
       // decimal-summed for the order-independent cohesion mean.
+      // Centroid-side products go through WIDE integers (Spark
+      // DECIMAL(37,0), oracle HUGEINT): sq grows as group-size·2^20,
+      // so sq·sq summed over 64 dims exceeds Long near group size
+      // ~2100 already — Spark would wrap silently (non-ANSI) while
+      // DuckDB widens (r15 ADVICE). Exact up to group size ~9e11.
       val ex = Tables.embeddings(s, d)
         .select($"vec_id", $"label", posexplode($"embedding"))
         .select($"vec_id", $"label", ($"pos" + 1).as("i"),
           floor($"col".cast("double") * 1048576L).as("q"))
       val cent = ex.groupBy($"label", $"i").agg(sum($"q").as("sq"))
+      val sqd = $"sq".cast("decimal(18,0)")
       val snorm = cent.groupBy($"label")
-        .agg(sqrt(sum($"sq" * $"sq").cast("double")).as("sn"))
+        .agg(sqrt(sum(sqd * sqd).cast("double")).as("sn"))
       val scored = ex
         .join(broadcast(cent), Seq("label", "i"))
         .groupBy($"vec_id", $"label")
-        .agg(sum($"q" * $"sq").cast("double").as("num"),
+        .agg(sum($"q".cast("decimal(18,0)") * sqd).cast("double").as("num"),
           sqrt(sum($"q" * $"q").cast("double")).as("vn"))
         .join(broadcast(snorm), "label")
         .withColumn("cos6",
@@ -1118,10 +1124,11 @@ object DedupQueries {
         |  FROM exi),
         |cent AS (SELECT label, i, CAST(SUM(q) AS BIGINT) AS sq
         |  FROM ex GROUP BY label, i),
-        |snorm AS (SELECT label, sqrt(CAST(SUM(sq * sq) AS DOUBLE)) AS sn
+        |snorm AS (SELECT label,
+        |    sqrt(CAST(SUM(CAST(sq AS HUGEINT) * sq) AS DOUBLE)) AS sn
         |  FROM cent GROUP BY label),
         |scored AS (SELECT ex.vec_id, ex.label,
-        |    CAST(SUM(ex.q * cent.sq) AS DOUBLE) AS num,
+        |    CAST(SUM(CAST(ex.q AS HUGEINT) * cent.sq) AS DOUBLE) AS num,
         |    sqrt(CAST(SUM(ex.q * ex.q) AS DOUBLE)) AS vn
         |  FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
         |  GROUP BY ex.vec_id, ex.label),

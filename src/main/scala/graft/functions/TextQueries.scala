@@ -925,12 +925,18 @@ object TextQueries {
     s"""raw AS (SELECT doc_id, n_chars, $UrlRawSql AS url_raw
        |  FROM ($corpusSql)),
        |s1 AS (SELECT *, regexp_replace(url_raw, '#.*$$', '') AS u1 FROM raw),
-       |s2 AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(u1,
+       |sp AS (SELECT *,
+       |    CASE WHEN strpos(u1, '?') = 0 THEN u1
+       |         ELSE substr(u1, 1, strpos(u1, '?') - 1) END AS pth,
+       |    CASE WHEN strpos(u1, '?') = 0 THEN ''
+       |         ELSE substr(u1, strpos(u1, '?')) END AS qry FROM s1),
+       |s2 AS (SELECT *, pth || regexp_replace(regexp_replace(
+       |    regexp_replace(regexp_replace(qry,
        |    '&(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
-       |    '\\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '?'),
-       |    '\\?(utm_[a-z]+|fbclid|gclid)=[^&#]*$$', '') AS u2 FROM s1),
-       |s3 AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(u2,
-       |    '\\?$$', ''),
+       |    '^\\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '?'),
+       |    '^\\?(utm_[a-z]+|fbclid|gclid)=[^&#]*$$', ''),
+       |    '^\\?$$', '') AS u2 FROM sp),
+       |s3 AS (SELECT *, regexp_replace(regexp_replace(u2,
        |    '^([^?#]*?)/+\\?', '\\1?'),
        |    '^([^?#]*?)/+$$', '\\1') AS u3 FROM s2),
        |pf AS (SELECT *,

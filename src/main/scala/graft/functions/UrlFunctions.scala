@@ -17,9 +17,9 @@ import org.apache.spark.sql.functions._
   * the scheme-based normalizations every crawler applies):
   *   1. drop the fragment (never sent to the server)
   *   2. drop tracking parameters (utm_*, fbclid, gclid) wherever they
-  *      sit in the query — each rule touches only a [?&]-delimited
-  *      query parameter, so a literal '&' in the PATH (a legal RFC
-  *      3986 sub-delim) is never rewritten
+  *      sit in the query — the rules run on the substring AFTER the
+  *      first '?' only, so a literal '&' (or even '&utm_x=') in the
+  *      PATH (legal RFC 3986 sub-delims) is never rewritten
   *   3. drop an emptied query's dangling '?'
   *   4. collapse trailing PATH slashes ('/a/b/' = '/a/b'; the
   *      authority with an empty path normalizes to no slash) — both
@@ -59,16 +59,25 @@ object UrlFunctions {
   /** Canonical form of a raw URL per the rules above. */
   def canonicalize(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*$", "")
-    // tracking params in three positions, each rule scoped to a real
-    // query parameter so path '&'s are never touched:
+    // The tracking rules run on the QUERY substring only (everything
+    // from the first '?', split exactly like canonPrefix splits on
+    // the authority) — a path segment containing '&utm_x=...' (legal
+    // RFC 3986 sub-delims) is structurally out of reach, not merely
+    // unmatched. Within the query, three positions:
     //   (a) non-leading ('&track=v' anywhere) — global;
     //   (b) leading with a successor ('?track=v&' → '?') — after (a)
     //       at most one remains, promoted onto the next param;
-    //   (c) a sole tracking-only query ('?track=v$') — dropped whole.
-    val noMid = regexp_replace(noFrag, s"&$Tracking=[^&#]*", "")
-    val noLead = regexp_replace(noMid, s"\\?$Tracking=[^&#]*&", "?")
-    val noTrack = regexp_replace(noLead, s"\\?$Tracking=[^&#]*$$", "")
-    val noEmptyQ = regexp_replace(noTrack, "\\?$", "")
+    //   (c) a sole tracking-only query ('?track=v$') — dropped whole;
+    //   (d) a query emptied to a bare '?' — dropped.
+    val qpos = instr(noFrag, "?")
+    val pathPart = when(qpos === 0, noFrag)
+      .otherwise(noFrag.substr(lit(1), qpos - 1))
+    val queryPart = when(qpos === 0, lit(""))
+      .otherwise(noFrag.substr(qpos, lit(Int.MaxValue)))
+    val noMid = regexp_replace(queryPart, s"&$Tracking=[^&#]*", "")
+    val noLead = regexp_replace(noMid, s"^\\?$Tracking=[^&#]*&", "?")
+    val noTrack = regexp_replace(noLead, s"^\\?$Tracking=[^&#]*$$", "")
+    val noEmptyQ = concat(pathPart, regexp_replace(noTrack, "^\\?$", ""))
     // path-slash collapse: anchored, lazy prefix that cannot cross a
     // '?' — fires at most once, only on the path/query boundary or a
     // query-less tail (query-value slashes are content)

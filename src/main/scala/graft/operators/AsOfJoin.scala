@@ -103,6 +103,23 @@ object AsOfJoin {
                   deltaCol: String): DataFrame = {
     require(tolerance >= 0, s"tolerance must be non-negative, got $tolerance")
     val leftCols = left.columns
+    // internal carry columns are __b_<dst>/__f_<dst>/__b_t/__f_t and
+    // __neg_lt — guard the whole namespace like asOf guards __graft_:
+    // a payload destination named 't' would alias the time tag, and a
+    // left column already named __b_*/__f_*/__neg_lt would silently
+    // collide in the union (r15 ADVICE)
+    require(!payload.exists(_._2 == "t"),
+      "payload destination 't' collides with the internal __b_t/__f_t time tags")
+    require(payload.map(_._2).distinct.size == payload.size,
+      "payload destinations must be distinct")
+    val reserved = (c: String) =>
+      c.startsWith("__b_") || c.startsWith("__f_") || c.startsWith("__neg_")
+    require(!leftCols.exists(reserved),
+      "left columns may not use the reserved __b_/__f_/__neg_ prefixes")
+    require(!payload.exists(p => reserved(p._2)),
+      "payload destinations may not use the reserved __b_/__f_/__neg_ prefixes")
+    require(!leftCols.contains(deltaCol) && !payload.exists(_._2 == deltaCol),
+      s"deltaCol '$deltaCol' collides with a left/payload column")
     def tagged(dir: String) =
       payload.map { case (s, d) => (s, s"__${dir}_$d") } :+
         (rightTime, s"__${dir}_t")

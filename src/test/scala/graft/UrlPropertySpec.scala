@@ -27,10 +27,14 @@ class UrlPropertySpec extends AnyFunSuite {
   private val path = for {
     n <- Gen.choose(0, 3)
     // path segments may contain literal '&' (a legal RFC 3986
-    // sub-delim) — the tracking rules must never rewrite it
+    // sub-delim) — the tracking rules must never rewrite it, EVEN
+    // when the segment textually matches the tracking class
+    // ('&utm_a=1' — the r15 ADVICE divergence: an unscoped rule
+    // swallowed the rest of the path and the whole query)
     segs <- Gen.listOfN(n, Gen.oneOf(
       Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString),
-      Gen.const("a&b"), Gen.const("x&utm=1")))
+      Gen.const("a&b"), Gen.const("x&utm=1"),
+      Gen.const("x&utm_a=1"), Gen.const("p&fbclid=9")))
     trail <- Gen.oneOf("", "/", "//")
   } yield (if (segs.isEmpty) "" else segs.mkString("/", "/", "")) + trail
   private val param = Gen.oneOf("id=3", "Q=Vv", "utm_source=x", "utm_medium=m",
@@ -68,13 +72,31 @@ class UrlPropertySpec extends AnyFunSuite {
   test("canonical form never retains tracking params, fragments, or default ports") {
     val urls = Gen.listOfN(300, urlG).sample.getOrElse(Seq.empty)
     val bad = canonBatch(urls).map(_._1).filter { c =>
-      c.contains("#") || c.contains("utm_") || c.contains("fbclid") ||
-        c.contains("gclid") || c.endsWith("?") ||
+      // tracking-param residue is a QUERY-scope law: path segments
+      // legitimately carry 'utm_'-looking text (see the generator)
+      val qry = c.dropWhile(_ != '?')
+      c.contains("#") || qry.contains("utm_") || qry.contains("fbclid") ||
+        qry.contains("gclid") || c.endsWith("?") ||
         c.matches("^http://[^/:?]*:80([/?].*)?$") ||
         c.matches("^https://[^/:?]*:443([/?].*)?$") ||
         c.matches("^https?://www\\..*")
     }
     assert(bad.isEmpty, s"residue survived: ${bad.take(5)}")
+  }
+
+  test("path text is byte-preserved: only query/fragment/authority rules fire") {
+    // the direct regression pin for the r15 ADVICE bug: a tracking
+    // segment in the PATH must survive, and the query must keep its
+    // non-tracking params
+    val pairs = Seq(
+      "http://a.com/x&utm_a=1/y?id=3" -> "http://a.com/x&utm_a=1/y?id=3",
+      "http://a.com/x&utm_a=1/y?utm_b=2&id=3" -> "http://a.com/x&utm_a=1/y?id=3",
+      "https://WWW.A.com/p&fbclid=9?gclid=x" -> "https://a.com/p&fbclid=9",
+      "http://a.com/x&utm_a=1/" -> "http://a.com/x&utm_a=1")
+    val got = canonBatch(pairs.map(_._1)).map(_._1)
+    pairs.map(_._2).lazyZip(got).lazyZip(pairs.map(_._1)).foreach {
+      case (want, have, raw) => assert(have == want, s"canon($raw)")
+    }
   }
 
   test("the 12-hex-digit theta parse matches BigInt on md5 prefixes") {
