@@ -144,6 +144,49 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
+  /** [[minhashLsh]] on the ORACLE-REPLAYABLE md5-hex hash family:
+    * signature row i = min over shingles of md5("i:" ++ shingle) — a
+    * 32-char lowercase hex string whose lexicographic min both engines
+    * agree on byte-for-byte — and each band hash = md5 of the band's
+    * rows joined by '|'. The banding composition, candidate dedup and
+    * estimate cut are IDENTICAL to the production entry point; only
+    * the hash family changes (sigLen md5 evaluations per shingle
+    * instead of one seeded XXH64 native pass), so production callers
+    * keep [[minhashLsh]] and this variant serves the DuckDB gate —
+    * proving the LSH pipeline itself, pair for pair, est for est. */
+  def minhashLshHex(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, sigLen: Int = 16, rowsPerBand: Int = 4,
+                    threshold: Double = 0.5): DataFrame = {
+    require(rowsPerBand > 0, s"rowsPerBand must be positive, got $rowsPerBand")
+    require(sigLen >= rowsPerBand && sigLen % rowsPerBand == 0,
+      s"sigLen ($sigLen) must be a positive multiple of rowsPerBand ($rowsPerBand)")
+    val bands = sigLen / rowsPerBand
+    val sig = shingles(docs, idCol, textCol, n)
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(sigLen - 1)),
+          i => array_min(transform(col("sh"),
+            sgl => md5(concat(i.cast("string"), lit(":"), sgl))))).as("sig"))
+    val banded = sig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(concat_ws("|",
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("siga")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sigb")), "doc_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), b => b))
+          .cast("double") / lit(sigLen.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
   /** 64-bit SimHash: bit b is the sign of Σ_tokens (±1 by bit b of
     * XXH64(token)). Native Catalyst expression
     * (graft.plans.SimHash64Expr) over the token array. */

@@ -37,12 +37,10 @@ object DedupQueries {
       |  SELECT doc_id + ${Tables.PlantedIdBase} AS doc_id, text || ' graftdup' AS text, lang, source, n_chars
       |  FROM documents WHERE doc_id >= 10 AND doc_id < 20""".stripMargin
 
-  /** The n-gram-Jaccard pair pipeline as a reusable CTE chain
-    * (corpus → shingles → df-cut postings → shared counts → `jpairs`
-    * with the unrounded ratio `j`) — the oracle side of
-    * Dedup.ngramJaccard, shared by dd_ngram_jaccard and the
-    * connected-components gate built on its pair graph. */
-  private def jaccardCtesFor(corpusSql: String) =
+  /** corpus → tokens → distinct 3-gram shingles (`sh`) — the shared
+    * tokenization prefix of every shingle-based oracle (the SQL mirror
+    * of Dedup.shingles / HashExpressions.wordShingles). */
+  private def shingleCtesFor(corpusSql: String) =
     s"""corpus AS ($corpusSql),
        |t AS (SELECT doc_id,
        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0) AS toks
@@ -51,7 +49,15 @@ object DedupQueries {
        |  CASE WHEN len(toks) = 0 THEN [] ELSE
        |    list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
        |      i -> array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))) END AS s
-       |  FROM t),
+       |  FROM t)""".stripMargin
+
+  /** The n-gram-Jaccard pair pipeline as a reusable CTE chain
+    * (corpus → shingles → df-cut postings → shared counts → `jpairs`
+    * with the unrounded ratio `j`) — the oracle side of
+    * Dedup.ngramJaccard, shared by dd_ngram_jaccard and the
+    * connected-components gate built on its pair graph. */
+  private def jaccardCtesFor(corpusSql: String) =
+    s"""${shingleCtesFor(corpusSql)},
        |sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
        |posting AS (SELECT doc_id, unnest(s) AS sgl FROM sh),
        |rare AS (SELECT sgl FROM posting GROUP BY sgl
@@ -107,6 +113,43 @@ object DedupQueries {
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
     graft.QueryCaches.frame(s"minhash_pairs:$d")(
       Dedup.minhashLsh(plantedDocs(s, d), "doc_id", "text", threshold = 0.5))
+
+  /** The gate-facing LSH pair set on the md5-hex hash family
+    * (Dedup.minhashLshHex) — same banding pipeline, every hash
+    * replayable in DuckDB, so dd_minhash_lsh and the keep-list built
+    * on its pair graph run under the FULL oracle. Production callers
+    * stay on [[minhashPairs]]' native xxhash64 signatures. */
+  private def minhashPairsHex(s: SparkSession, d: String): DataFrame =
+    graft.QueryCaches.frame(s"minhash_pairs_hex:$d")(
+      Dedup.minhashLshHex(plantedDocs(s, d), "doc_id", "text",
+        sigLen = 16, rowsPerBand = 4, threshold = 0.5))
+
+  /** DuckDB replay of [[Dedup.minhashLshHex]] (sigLen 16, 4 rows per
+    * band): per-row signature mins, per-band md5 over the '|'-joined
+    * rows, banded candidate pairs, agreement-fraction estimate cut —
+    * ending in `lshpairs(doc_a, doc_b, ej)` with the unrounded
+    * estimate. */
+  private def minhashHexCtesFor(corpusSql: String) =
+    s"""${shingleCtesFor(corpusSql)},
+       |shp AS (SELECT doc_id, unnest(s) AS sgl FROM sh WHERE len(s) > 0),
+       |sigrow AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || sgl)) AS m
+       |           FROM shp CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+       |           GROUP BY doc_id, i),
+       |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sigrow GROUP BY doc_id),
+       |banded AS (SELECT doc_id, band,
+       |    md5(array_to_string(sig[CAST(band*4+1 AS INT):CAST(band*4+4 AS INT)], '|')) AS bh
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+       |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |lshpairs AS (SELECT doc_a, doc_b,
+       |    CAST(len(list_filter(range(1, 17),
+       |      i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 16 AS ej
+       |  FROM cands
+       |  JOIN sig sa ON sa.doc_id = cands.doc_a
+       |  JOIN sig sb ON sb.doc_id = cands.doc_b
+       |  WHERE CAST(len(list_filter(range(1, 17),
+       |      i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 16 >= 0.5)""".stripMargin
 
   /** The PERSISTED vector index serving every IVF/PQ/IVF×PQ search: a
     * pid-scoped warehouse holds an `emb` catalog table backfilled from
@@ -255,6 +298,7 @@ object DedupQueries {
     * prebuilt — index BUILD is DDL; the timed queries measure SEARCH. */
   def warmIndexes(s: SparkSession, d: String): Unit = {
     minhashPairs(s, d).count()
+    minhashPairsHex(s, d).count()
     val (view, cent, _) = vecIndex(s, d)
     view.count(); cent.count()
     dupAssign(s, d).count()
@@ -276,7 +320,10 @@ object DedupQueries {
 
     "dd_minhash_lsh" -> { (s, d) =>
       import s.implicits._
-      minhashPairs(s, d).orderBy($"doc_a", $"doc_b")
+      // the md5-hex family so the WHOLE banding pipeline replays in
+      // DuckDB (full oracle); production signatures stay xxhash64
+      // (minhashPairs — exercised by DedupSpec and the bench floor)
+      minhashPairsHex(s, d).orderBy($"doc_a", $"doc_b")
     },
 
     "dd_simhash" -> { (s, d) =>
@@ -293,7 +340,10 @@ object DedupQueries {
 
     "dd_keep_list" -> { (s, d) =>
       import s.implicits._
-      Dedup.dropList(minhashPairs(s, d)).orderBy($"doc_id")
+      // drop-list over the hex LSH pair graph: the min-id fixpoint
+      // composes with the oracle's recursive transitive closure, so
+      // this graduates to the full oracle alongside dd_minhash_lsh
+      Dedup.dropList(minhashPairsHex(s, d)).orderBy($"doc_id")
     },
 
     "dd_cc_labels" -> { (s, d) =>
@@ -1444,8 +1494,30 @@ object DedupQueries {
         |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < r.thr
         |ORDER BY d.lang, d.doc_id""".stripMargin,
 
-    // dd_minhash_lsh, dd_simhash, sim_lsh_ann: hash-seeded signatures
-    // aren't reproducible in SQL → rows-only + ground-truth ScalaTest.
+    "dd_minhash_lsh" ->
+      s"""WITH ${minhashHexCtesFor(plantedDocsSql)}
+         |SELECT doc_a, doc_b, ROUND(ej, 4) AS est_jaccard
+         |FROM lshpairs ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd_keep_list" ->
+      // min-id keeper fixpoint over the hex LSH pair graph, replayed
+      // as the recursive transitive closure (the dd_cc_labels
+      // construction): non-keepers are the nodes whose component
+      // label is smaller than themselves
+      s"""WITH RECURSIVE ${minhashHexCtesFor(plantedDocsSql)},
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM lshpairs
+         |          UNION ALL SELECT doc_b AS s, doc_a AS d FROM lshpairs),
+         |reach AS (SELECT s, d FROM edges
+         |          UNION
+         |          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         |SELECT s AS doc_id, LEAST(MIN(d), s) AS keeper
+         |FROM reach GROUP BY s HAVING LEAST(MIN(d), s) < s
+         |ORDER BY doc_id""".stripMargin,
+
+    // dd_simhash, sim_lsh_ann: hash-seeded signatures aren't
+    // reproducible in SQL → rows-only + ground-truth ScalaTest.
+    // (dd_minhash_lsh/dd_keep_list graduated to the full oracle via
+    // the md5-hex hash family above.)
   )
 }
 

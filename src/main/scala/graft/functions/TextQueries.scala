@@ -542,6 +542,26 @@ object TextQueries {
         .select($"host", $"rk", $"doc_id", $"n_chars")
         .orderBy($"host", $"rk")
     },
+
+    "txt_html_extract" -> { (s, d) =>
+      import s.implicits._
+      // HTML main-content extraction (the trafilatura/RefinedWeb
+      // step between URL canonicalization and the quality gates):
+      // the corpus has no HTML column, so each doc is dressed into a
+      // full page by the SAME expression in both engines (head with
+      // title/script/style, nav bar, a promo insert on every third
+      // doc, the doc text as the main block, an appendix paragraph
+      // on every second doc, a link footer); the operator strips
+      // non-content spans, segments into blocks, drops boilerplate
+      // by integer-exact link density, and reassembles the main
+      // text. The oracle re-derives extraction with its own regex
+      // chain — a full ground-truth gate for every rule.
+      HtmlFunctions.extractMain(
+        Tables.documents(s, d).withColumn("html", expr(HtmlRawSql)),
+        "doc_id", "html")
+        .select($"doc_id", $"main_text", $"n_blocks", $"n_dropped", $"n_chars")
+        .orderBy($"doc_id")
+    },
   )
 
   /** The hashed-linear-classifier token fold, SQL that parses in BOTH
@@ -583,6 +603,27 @@ object TextQueries {
        | CASE WHEN doc_id >= ${Tables.PlantedIdBase} THEN '#v2' ELSE '' END)"""
       .stripMargin.replace('\n', ' ')
   }
+
+  /** Deterministic HTML page dressing, written once in SQL that
+    * parses in BOTH engines (the UrlRawSql recipe): head with title +
+    * script + style (all to be stripped), a 3-anchor nav bar (link
+    * density 1 → dropped), a promo div on every third doc (5 words, 3
+    * of them anchor text → dropped), the doc text as the main
+    * paragraph (no anchors → kept), a short appendix paragraph on
+    * every second doc (kept), and a 2-anchor footer (dropped). */
+  private[graft] val HtmlRawSql: String =
+    """('<html><head><title>doc ' || CAST(doc_id AS STRING) ||
+      |  '</title><script>var a=1;</script><style>p{margin:0}</style></head><body>' ||
+      |  '<nav><a href="/">home</a> <a href="/a">a</a> <a href="/b">b</a></nav>' ||
+      |  CASE WHEN doc_id % 3 = 0 THEN
+      |    '<div>promo <a href="/s">subscribe</a> <a href="/b">buy</a> <a href="/m">more</a> now</div>'
+      |  ELSE '' END ||
+      |  '<p>' || text || '</p>' ||
+      |  CASE WHEN doc_id % 2 = 0 THEN
+      |    '<p>appendix note for doc ' || CAST(doc_id AS STRING) || '</p>'
+      |  ELSE '' END ||
+      |  '<footer><a href="/about">about</a> <a href="/terms">terms</a></footer></body></html>')"""
+      .stripMargin.replace('\n', ' ')
 
   /** (doc_id, …, url_raw, url_canon, host) over a (doc_id, source,
     * n_chars…) corpus. */
@@ -913,6 +954,47 @@ object TextQueries {
          |SELECT host, CAST(rk AS INT) AS rk, doc_id, n_chars
          |FROM capped WHERE rk <= 10 ORDER BY host, rk""".stripMargin
     },
+
+    "txt_html_extract" ->
+      // independent re-derivation of HtmlFunctions.extractMain: same
+      // dressing (HtmlRawSql parses in both engines), DuckDB's own
+      // regex engine for the strip/segment/visible-text chain, the
+      // identical integer link-density cut (2·link_chars ≤ visible)
+      s"""WITH page AS (SELECT doc_id, $HtmlRawSql AS html FROM documents),
+         |seg AS (SELECT doc_id,
+         |    replace(replace(replace(replace(
+         |      regexp_replace(regexp_replace(regexp_replace(html,
+         |        '<script.*?</script>', ' ', 'gs'),
+         |        '<style.*?</style>', ' ', 'gs'),
+         |        '<head.*?</head>', ' ', 'gs'),
+         |      '<p>', chr(1) || '<p>'), '<nav>', chr(1) || '<nav>'),
+         |      '<div>', chr(1) || '<div>'), '<footer>', chr(1) || '<footer>') AS c
+         |  FROM page),
+         |blk AS (SELECT doc_id,
+         |    unnest(range(1, len(string_split(c, chr(1))) + 1)) AS pos,
+         |    unnest(string_split(c, chr(1))) AS b
+         |  FROM seg),
+         |vis AS (SELECT doc_id, pos,
+         |    trim(regexp_replace(regexp_replace(b,
+         |      '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS visible,
+         |    trim(regexp_replace(regexp_replace(regexp_replace(b,
+         |      '<a[^>]*>.*?</a>', '', 'gs'),
+         |      '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS non_anchor
+         |  FROM blk),
+         |scored AS (SELECT doc_id, pos, visible,
+         |    length(visible) - length(non_anchor) AS link_chars
+         |  FROM vis WHERE length(visible) > 0)
+         |SELECT doc_id,
+         |  COALESCE(string_agg(
+         |    CASE WHEN link_chars * 2 <= length(visible) THEN visible END,
+         |    ' ' ORDER BY pos), '') AS main_text,
+         |  COUNT(*) AS n_blocks,
+         |  CAST(SUM(CASE WHEN link_chars * 2 > length(visible) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dropped,
+         |  CAST(length(COALESCE(string_agg(
+         |    CASE WHEN link_chars * 2 <= length(visible) THEN visible END,
+         |    ' ' ORDER BY pos), '')) AS BIGINT) AS n_chars
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 
   /** The oracle's INDEPENDENT canonicalization: the same dirty-URL

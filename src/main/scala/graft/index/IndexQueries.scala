@@ -303,7 +303,54 @@ object IndexQueries {
         .select($"nn".as("doc_id"), $"rn".as("r_vec"))
       hybridFuse(lex, vec)
     },
+
+    "ft_ms_search" -> { (s, d) =>
+      import s.implicits._
+      // Driver-side full-text serving (the Lucene QUERY-path analog
+      // completing kv_ms_get / idx_ms_lookup): dictionary-seek-style
+      // term lookups on the CALLING thread — DriverRead's pruning
+      // over the term-sorted postings, THROUGH the segmented view
+      // (base + CDC segment − tombstones; doc 5's pre-merge terms
+      // must be masked, the merge-inserted doc visible) — no Spark
+      // job (DriverGetSpec pins zero-jobs and Spark-path equality).
+      // Probes: a merge-only term, a corpus term, and a two-term AND.
+      val cat = ftMsCatalog(s, d)
+      val rows = Seq(
+        "graft" -> Seq("graft"),
+        "spark" -> Seq("spark"),
+        "spark+join" -> Seq("spark", "join")).flatMap { case (probe, ts) =>
+        cat.driverFtSearch("ftdocs", "ft", ts)
+          .map(k => (probe, k.asInstanceOf[Long]))
+      }
+      rows.toDF("probe", "k").orderBy($"probe", $"k")
+    },
   )
+
+  /** The driver-side full-text serving table, built ONCE per (JVM,
+    * sf-dir) — the msGetCatalog recipe with a FULLTEXT index: docs
+    * < 300 bulk-loaded, the index backfilled, then one CDC merge
+    * rewriting doc 5 and inserting 900001 so the timed query serves
+    * lookups through a REAL base+segment−tombstone stack. */
+  private def ftMsCatalog(s: SparkSession, d: String): graft.kv.Catalog = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val wh = graft.QueryCaches.obj(s"ftms_wh:$d") {
+      val cat = new graft.kv.Catalog(s, graft.TempWarehouses.scoped("ftms", d))
+      if (cat.tableExists("ftdocs")) cat.dropTable("ftdocs")
+      cat.createTable("ftdocs", StructType(Seq(
+        StructField("k", LongType, false),
+        StructField("body", StringType, true))), Seq("k"))
+      cat.bulkLoad("ftdocs",
+        Tables.documents(s, d).filter($"doc_id" < 300)
+          .select($"doc_id".as("k"), $"text".as("body")), partitions = 4)
+      cat.createIndex("ftdocs", "ft", "fulltext", Seq("body"))
+      cat.incrementalMerge("ftdocs", Seq(
+        (5L, "graft segment merge engine"),
+        (900001L, "graft posting engine")).toDF("k", "body"))
+      cat.warehouse
+    }
+    new graft.kv.Catalog(s, wh)
+  }
 
   /** The shared lexical arm of the hybrid queries: tf-idf top-50 with
     * a dense rank (one window over ≤50 rows). */
@@ -377,6 +424,25 @@ object IndexQueries {
         |  SELECT 'graft' AS probe, k FROM m WHERE list_contains(toks, 'graft')
         |  UNION ALL
         |  SELECT 'spark' AS probe, k FROM m WHERE list_contains(toks, 'spark'))
+        |ORDER BY probe, k""".stripMargin,
+
+    "ft_ms_search" ->
+      // same planted corpus as idx_segment_ft (the driver path must
+      // serve exactly what the Spark segmented view serves), plus the
+      // two-term AND arm
+      """WITH t AS (
+        |  SELECT doc_id AS k,
+        |    CASE WHEN doc_id = 5 THEN 'graft segment merge engine' ELSE text END AS body
+        |  FROM documents WHERE doc_id < 300
+        |  UNION ALL SELECT CAST(900001 AS BIGINT), 'graft posting engine'),
+        |m AS (SELECT k, string_split_regex(lower(body), '[^a-z0-9]+') AS toks FROM t)
+        |SELECT probe, k FROM (
+        |  SELECT 'graft' AS probe, k FROM m WHERE list_contains(toks, 'graft')
+        |  UNION ALL
+        |  SELECT 'spark' AS probe, k FROM m WHERE list_contains(toks, 'spark')
+        |  UNION ALL
+        |  SELECT 'spark+join' AS probe, k FROM m
+        |  WHERE list_contains(toks, 'spark') AND list_contains(toks, 'join'))
         |ORDER BY probe, k""".stripMargin,
 
     "ft_search_stem" ->

@@ -356,10 +356,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     else KvLayout.writeSorted(df, pk, path, partitions)
   }
 
-  /** Bulk load rows (the "Bulk read/write" path): write the next
-    * snapshot, then swap the pointer. `rows` may derive from the
-    * table's current snapshot (COW merge) — the write targets a new
-    * directory, so that lineage stays valid. */
+  /** Bulk load rows (the "Bulk read/write" path): stage the next
+    * snapshot in a grant-scoped dir, then rename + swap the pointer
+    * behind the commit-point fence ([[publishVersion]]). `rows` may
+    * derive from the table's current snapshot (COW merge) — the write
+    * targets a new directory, so that lineage stays valid. */
   def bulkLoad(name: String, rows: DataFrame, partitions: Int = 0,
                expectedVersion: Option[Int] = None): Unit = {
     withRecoveredWriteLock(name) {
@@ -367,10 +368,33 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       checkExpected(name, cur, expectedVersion)
       val next = cur + 1
       val nextDir = tableDir(name).resolve(s"data_v$next")
-      writeData(name, rows, nextDir.toString, partitions)
-      maintainIndexes(name, next, nextDir, pre = None, post = None)
-      publishVersion(name, next)
+      val stage = newSnapshotStaging(name)
+      writeData(name, rows, stage.toString, partitions)
+      val idxRenames = maintainIndexes(name, next, stage, pre = None, post = None)
+      publishVersion(name, next, staged = (stage -> nextDir) +: idxRenames)
     }
+  }
+
+  /** Grant-scoped unique staging dir for a table-snapshot write. Every
+    * write path stages its heavy data write here and lets
+    * [[publishVersion]] rename it onto the version-numbered dir AFTER
+    * the commit-point fence passes — so a lease holder that lapses
+    * MID-STAGE keeps writing only into its own dir and can never
+    * cross-write the files the NEW owner staged or published under the
+    * same version number (the HDFS/object-store "task attempt dir"
+    * recipe). The `.staging_` prefix keeps a crashed attempt inside
+    * vacuum's existing sweep; the grant epoch in the name is operator
+    * forensics, uniqueness comes from the UUID. Reads that target a
+    * staged dir (index rebuild's post-image scan, the merge's
+    * scanRanges) work — Spark's hidden-path filter applies to
+    * DIRECTORY CHILDREN during listing, not to an explicitly given
+    * root (verified against the DSv2 stagingPath precedent; the
+    * "All paths were ignored" DataSource log line is cosmetic). */
+  private def newSnapshotStaging(name: String,
+                                 handle: Option[LockProvider.Handle] = None): Path = {
+    val tok = handle.orElse(heldWriteLock.value).map(_.fencingToken).getOrElse(0L)
+    tableDir(name).resolve(s".staging_grant${tok}_" +
+      java.util.UUID.randomUUID().toString.replace("-", ""))
   }
 
   /** Optimistic CAS for writers whose post-image derives from a pinned
@@ -487,6 +511,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       s"primary key $keyCol may not be null in a merge batch")
     val (touched, untouched) = splitByKeyIntersect(manifest, patchKeys)
     val nextDir = tableDir(name).resolve(s"data_v${cur + 1}")
+    val stage = newSnapshotStaging(name)
     val tableCols = schemaOf(name).fieldNames.toSeq
     val touchedDf =
       if (touched.isEmpty)
@@ -510,17 +535,17 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     // semantics), so they stand in for the row estimate.
     val patchParts =
       ((patchKeys.length + mergeTargetRowsPerFile - 1) / mergeTargetRowsPerFile).toInt
-    writeData(name, merged.df, nextDir.toString,
+    writeData(name, merged.df, stage.toString,
       partitions = math.max(math.max(1, touched.size), patchParts))
-    val newEntries = scanRanges(nextDir, keyCol, secondCol)
+    val newEntries = scanRanges(stage, keyCol, secondCol)
     // carry untouched files into the new snapshot without touching data
-    untouched.foreach(e => linkOrCopy(curDir.resolve(e.file), nextDir.resolve(e.file)))
-    writeRangeManifest(nextDir, newEntries ++ untouched)
+    untouched.foreach(e => linkOrCopy(curDir.resolve(e.file), stage.resolve(e.file)))
+    writeRangeManifest(stage, newEntries ++ untouched)
     // synchronous KV-index maintenance (reference KVIndexTable.kt:
     // every base Put deletes the stale index row and writes the new
     // one): incremental when the touched entry set is bounded, else a
     // rebuild from the complete next snapshot
-    maintainIndexes(name, cur + 1, nextDir,
+    val idxRenames = maintainIndexes(name, cur + 1, stage,
       pre = Some(touchedDf), post = Some(merged.df))
     // analytic flavors (fulltext/bitmap) stay fresh through CDC via
     // patch-sized segments + tombstones — the Lucene segment model
@@ -532,7 +557,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       touchedDf.join(
         patch.select(pk.map(org.apache.spark.sql.functions.col): _*).distinct(),
         pk, "left_semi"))
-    publishVersion(name, cur + 1)
+    publishVersion(name, cur + 1, staged = (stage -> nextDir) +: idxRenames)
   }
   }
 
@@ -745,13 +770,14 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       val (big, small) = files.partition(f => Files.size(f) >= targetFileBytes)
       if (small.size > 1) {
         val nextDir = tableDir(name).resolve(s"data_v${cur + 1}")
+        val stage = newSnapshotStaging(name)
         val totalBytes = small.map(Files.size(_)).sum
         val parts = math.max(1,
           math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
         writeData(name,
           spark.read.schema(schemaOf(name)).parquet(small.map(_.toString): _*),
-          nextDir.toString, parts)
-        big.foreach(src => linkOrCopy(src, nextDir.resolve(src.getFileName.toString)))
+          stage.toString, parts)
+        big.foreach(src => linkOrCopy(src, stage.resolve(src.getFileName.toString)))
         // compaction changes layout, not content: every index that was
         // fresh at cur stays valid — carry its as-of forward. An index
         // data_v(cur+1) dir left by a CRASHED earlier writer (which
@@ -770,7 +796,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           if (indexStatus(name, iname, ty) == "FRESH")
             setIndexAsOf(name, iname, ty, cur + 1)
         }
-        publishVersion(name, cur + 1)
+        publishVersion(name, cur + 1, staged = Seq(stage -> nextDir))
       }
     }
   }
@@ -1409,6 +1435,67 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     else driverMultiGetAt(table, rks.map(Seq(_)), v)
   }
 
+  /** Driver-side full-text AND search — the Lucene QUERY-path analog
+    * completing the serving family (kv_ms_get / driverIndexGet): a
+    * term lookup runs ENTIRELY on the calling thread, no Spark job.
+    * Query terms go through the index's OWN analyzer (stopword terms
+    * impose no constraint — the Spark path's searchAllAnalyzed
+    * contract), then each term seeks the term-sorted postings of the
+    * SEGMENTED view: the resolved base at or below the published
+    * version plus every seg_v appended since, with tomb_v rk sets
+    * masking older artifacts' rows (the same base+segment−tombstone
+    * semantics fulltextSegView plans for Spark). Postings reads go
+    * through DriverRead's three pruning layers (manifest / footer
+    * stats / pushed term predicate); tombstones and dictionary
+    * deltas are PATCH-SIZED by the CDC contract, so reading them
+    * whole on the driver is bounded. Returns the matching rowkeys
+    * (ascending by toString — callers order their frame).
+    * `maxPostings` is the serving contract: a broader query belongs
+    * on the Spark path (FullText.searchAll over indexData). */
+  def driverFtSearch(table: String, indexName: String, terms: Seq[String],
+                     maxPostings: Int = 100000): Seq[Any] = {
+    val dir = indexDir(table, indexName, "fulltext")
+    require(Files.exists(dir), s"$table $indexName fulltext not exists")
+    val analyzed = graft.index.FullText
+      .analyzeTerms(terms, indexAnalyzer(table, indexName)).distinct
+    require(analyzed.nonEmpty,
+      "every query term is a stopword under this analyzer")
+    val live = dataVersionOf(table)
+    val base = resolveIndexVersioned(dir, "data", live)
+    val baseVer = indexBaseVersion(base)
+    val segs = versionedDirs(dir, "seg_v", baseVer, live)
+    val tombs = versionedDirs(dir, "tomb_v", baseVer, live)
+    val rkType = schemaOf(table)(primaryKeyOf(table).head).dataType
+    val postSchema = StructType(Seq(
+      StructField("term", StringType, nullable = true),
+      StructField("doc_id", rkType, nullable = true),
+      StructField("tf", LongType, nullable = true)))
+    val tombSchema = StructType(Seq(StructField("rk", rkType, nullable = true)))
+    val tombSets: Seq[(Int, Set[Any])] = tombs.map { case (v, p) =>
+      (v, DriverRead.readAll(p, tombSchema, maxPostings).map(_.get(0)).toSet)
+    }
+    def maskedAt(v: Int, docId: Any): Boolean =
+      tombSets.exists { case (tv, s) => tv > v && s.contains(docId) }
+    val keys = analyzed.map(t => Seq(t: Any))
+    val perDoc = scala.collection.mutable.Map[Any, scala.collection.mutable.Set[String]]()
+    var n = 0
+    ((baseVer, base) +: segs).foreach { case (v, p) =>
+      val ranges = readManifestJson(p).getOrElse(Nil).map(r => (r.file, r.lo, r.hi))
+      DriverRead.get(p, postSchema, Seq("term"), keys, ranges).foreach { r =>
+        n += 1
+        require(n <= maxPostings,
+          s"query matched more than $maxPostings postings — " +
+            "use the Spark search path")
+        val docId = r.get(1)
+        if (!maskedAt(v, docId))
+          perDoc.getOrElseUpdate(docId,
+            scala.collection.mutable.Set[String]()) += r.getString(0)
+      }
+    }
+    perDoc.collect { case (id, ts) if ts.size == analyzed.size => id }
+      .toSeq.sortBy(_.toString)
+  }
+
   /** Live snapshot path — the V2 catalog (GraftCatalog) reads/writes
     * this directory directly. */
   def liveDataPath(name: String): String = dataDir(name)
@@ -1516,9 +1603,10 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         withRecoveredWriteLock(name) {
         val next = dataVersionOf(name) + 1
         val nextDir = tableDir(name).resolve(s"data_v$next")
-        writeData(name, table(name).upsert(batch).df, nextDir.toString)
-        maintainIndexes(name, next, nextDir, pre = None, post = None)
-        publishVersion(name, next)
+        val stage = newSnapshotStaging(name)
+        writeData(name, table(name).upsert(batch).df, stage.toString)
+        val idxRenames = maintainIndexes(name, next, stage, pre = None, post = None)
+        publishVersion(name, next, staged = (stage -> nextDir) +: idxRenames)
         }
       }
     } finally discardStaged(stagedDir)
@@ -1556,15 +1644,15 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     }
     val next = cur + 1
     val target = tableDir(name).resolve(s"data_v$next")
-    // a data_v(next) left by a publish that failed before its bump
-    // (e.g. in index maintenance) is unpublished garbage — the pointer
-    // never reached it, readers never resolved it; writeData's
-    // overwrite clears it so later statements aren't wedged
+    // republish through THIS writer's own grant-scoped staging dir —
+    // a data_v(next) left by a crashed earlier writer is unpublished
+    // garbage the publish-time rename clears behind the fence
     val staged = spark.read.schema(schemaOf(name)).parquet(stagedDir)
-    writeData(name, staged, target.toString)
+    val stage = newSnapshotStaging(name)
+    writeData(name, staged, stage.toString)
     deleteRecursively(Paths.get(stagedDir))
-    maintainIndexes(name, next, target, pre = None, post = None)
-    publishVersion(name, next)
+    val idxRenames = maintainIndexes(name, next, stage, pre = None, post = None)
+    publishVersion(name, next, staged = (stage -> target) +: idxRenames)
   }
   }
 
@@ -1637,6 +1725,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     val locks = scala.collection.mutable.ListBuffer[LockProvider.Handle]()
     val lockFor = scala.collection.mutable.Map[String, LockProvider.Handle]()
     val stagedDirs = scala.collection.mutable.ListBuffer[Path]()
+    val renamedDsts = scala.collection.mutable.ListBuffer[Path]()
     val indexRollbacks = scala.collection.mutable.ListBuffer[() => Unit]()
     var journal: Option[Path] = None
     try {
@@ -1661,10 +1750,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       }
       val publishes = ordered.map { case (t, post, pinned) =>
         val next = pinned + 1
-        val dir = tableDir(t).resolve(s"data_v$next")
-        writeData(t, post, dir.toString)
-        stagedDirs += dir
-        // index maintenance writes index data_v(next) dirs AND persists
+        val dst = tableDir(t).resolve(s"data_v$next")
+        val stage = newSnapshotStaging(t, lockFor.get(t))
+        writeData(t, post, stage.toString)
+        stagedDirs += stage
+        // index maintenance stages index data_v(next) dirs AND persists
         // asOfVersion=next — both must unwind on a pre-journal abort,
         // or a later compact() publishing the same version number would
         // serve index content from this never-committed transaction.
@@ -1680,8 +1770,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
             setIndexAsOf(t, iname, ty, v)
           }
         }
-        maintainIndexes(t, next, dir, pre = None, post = None)
-        (t, next)
+        val idxRenames = maintainIndexes(t, next, stage, pre = None, post = None)
+        stagedDirs ++= idxRenames.map(_._1)
+        (t, next, (stage -> dst) +: idxRenames)
       }
       // the journal is THE txn commit point (recovery rolls forward
       // from it, so a journal written by a lapsed holder would be
@@ -1696,8 +1787,23 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       // on the journal store itself).
       locks.foreach(_.ensureValid())
       locks.foreach(_.fencedPublish(): Unit)
-      journal = Some(writeTxnJournal(publishes))
-      publishes.foreach { case (t, next) => publishVersion(t, next, lockFor.get(t)) }
+      // post-fence materialization: only NOW do the staged snapshots
+      // take their version-numbered names, so every heavy write above
+      // happened inside grant-scoped dirs a lapsed holder can't aim at
+      // the new owner's files. Recovery's "staged dir exists" check
+      // keys off these dirs, so they must land BEFORE the journal —
+      // the unfenced residual shrinks to a lapse strictly between the
+      // fencedPublish above and the journal rename below (same class,
+      // documented there). dsts tracked for the pre-journal unwind.
+      publishes.foreach { case (_, _, renames) =>
+        renames.foreach { case (src, dstDir) =>
+          if (Files.exists(dstDir)) deleteRecursively(dstDir)
+          Files.move(src, dstDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          renamedDsts += dstDir
+        }
+      }
+      journal = Some(writeTxnJournal(publishes.map { case (t, n, _) => (t, n) }))
+      publishes.foreach { case (t, next, _) => publishVersion(t, next, lockFor.get(t)) }
       // best-effort: once every pointer is bumped the transaction IS
       // committed — a failed unlink must not surface as a commit
       // failure. The orphan journal is harmless (recovery re-reads it,
@@ -1716,7 +1822,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           indexRollbacks.foreach { r =>
             try r() catch { case _: Exception => () }
           }
-          stagedDirs.foreach { d =>
+          (stagedDirs ++ renamedDsts).foreach { d =>
             try deleteRecursively(d)
             catch { case _: java.io.IOException => () }
           }
@@ -2276,14 +2382,24 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * table-sized. Analytic flavors are left stale on purpose. */
   private def maintainIndexes(name: String, next: Int, nextDataDir: Path,
                               pre: Option[DataFrame], post: Option[DataFrame],
-                              maxEntryKeys: Int = 100000): Unit = {
+                              maxEntryKeys: Int = 100000): Seq[(Path, Path)] = {
     val kvIndexes = indexesOf(name).filter(_._2.equalsIgnoreCase("kv"))
-    if (kvIndexes.isEmpty) return
+    if (kvIndexes.isEmpty) return Nil
     lazy val fullPost = spark.read.schema(schemaOf(name)).parquet(nextDataDir.toString)
-    kvIndexes.foreach { case (iname, ty, cols) =>
+    kvIndexes.map { case (iname, ty, cols) =>
       val dir = indexDir(name, iname, ty)
       val ikCols = ikColsOf(cols.size)
-      val nextIdxDir = dir.resolve(s"data_v$next")
+      // same grant-scoped stage→publish-rename protocol as the table
+      // snapshot: the version-numbered name materializes only behind
+      // publishVersion's fences, so a lapsed holder's index rebuild
+      // can't cross-write the new owner's index dir at the same
+      // version. Under the INDEX dir (same volume ⇒ atomic rename)
+      // and `.staging_`-prefixed (vacuum's index sweep reclaims
+      // crashed attempts).
+      val nextIdxDir = dir.resolve(s".staging_grant" +
+        heldWriteLock.value.map(_.fencingToken).getOrElse(0L) + "_" +
+        java.util.UUID.randomUUID().toString.replace("-", ""))
+      val finalIdxDir = dir.resolve(s"data_v$next")
       val incremental = (pre, post) match {
         case (Some(p), Some(q)) =>
           val remove = kvEntriesOf(name, p, cols)
@@ -2335,6 +2451,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         KvLayout.writeSorted(kvEntriesOf(name, fullPost, cols), ikCols,
           nextIdxDir.toString)
       setIndexAsOf(name, iname, ty, next)
+      nextIdxDir -> finalIdxDir
     }
   }
 
@@ -2431,7 +2548,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * long after publish, which would otherwise shift a snapshot's
     * apparent publish time forward. */
   private[graft] def publishVersion(table: String, version: Int,
-                                    handle: Option[LockProvider.Handle] = None): Unit = {
+                                    handle: Option[LockProvider.Handle] = None,
+                                    staged: Seq[(Path, Path)] = Nil): Unit = {
     val h = handle.orElse(heldWriteLock.value)
     // commit-point fence: prove the lock is still ours BEFORE the
     // pointer swap (no-op for providers whose locks can't lapse)
@@ -2464,11 +2582,18 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     // a central authority by the fencedPublish call above (the
     // authority serializes the compare); still open for token-less /
     // file-lock providers, where the lock itself cannot lapse so the
-    // compare runs under real exclusion anyway; (b) the STAGED DATA
-    // write preceding this swap targets the version-numbered dir
-    // directly, so a lapse mid-stage can cross-write the new owner's
-    // staged files (true end-to-end fencing = unique staging dirs
-    // renamed here) — documented, not closed.
+    // compare runs under real exclusion anyway; (b) the staged data
+    // write preceding this swap — CLOSED: every write path stages in
+    // a grant-scoped unique dir ([[newSnapshotStaging]]) and the
+    // version-numbered names materialize only below, AFTER the fences
+    // pass, so a lapse mid-stage keeps the lapsed holder's bytes
+    // inside its own dir; what remains is a lapse strictly between
+    // the fence and the rename, the same conditional-write-only class
+    // as (a). Analytic SEGMENT appends (maintainAnalyticIndexes) and
+    // in-maintenance auto-folds still target version-numbered dirs
+    // directly — bounded residual: segments are patch-sized, the new
+    // owner's own maintenance deletes version-`next` orphans before
+    // it writes (see the healing preamble there).
     val tok = h.map(_.fencingToken).getOrElse(0L)
     var epochAdvanced = false
     if (tok > 0L) {
@@ -2493,7 +2618,25 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       // otherwise the fence compares against a stale on-disk value
       // and a lapsed holder with an intermediate epoch passes it
       if (epochAdvanced) writeMeta(table, meta)
+      // replayed publish: the content is already live under its final
+      // name (the breaker's heal renamed and bumped) — any staging
+      // dirs THIS caller still holds are stale duplicates, never the
+      // published bytes. Reclaim instead of leaving them for vacuum.
+      staged.foreach { case (src, _) =>
+        if (Files.exists(src)) deleteRecursively(src)
+      }
       return
+    }
+    // post-fence materialization: the staged dirs take their
+    // version-numbered names only now, behind every fence above — a
+    // holder that lapsed mid-stage never got here, so it never wrote
+    // a byte outside its own grant-scoped dir. A dst that already
+    // exists is unpublished garbage from a CRASHED earlier writer
+    // (the pointer below is still < version, so no reader ever
+    // resolved it) — clear it so the rename lands.
+    staged.foreach { case (src, dst) =>
+      if (Files.exists(dst)) deleteRecursively(dst)
+      Files.move(src, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
     }
     meta.put("dataVersion", version): Unit
     val times = meta.get("publishTimes") match {

@@ -376,6 +376,25 @@ private[kv] object DriverRead {
     }
   }
 
+  /** Unfiltered read of a PATCH-SIZED artifact dir (tombstone rk
+    * sets, dictionary deltas — frames bounded by the CDC trigger, not
+    * the corpus) on the calling thread. `maxRows` is the serving
+    * contract: exceeding it means the artifact is not patch-sized and
+    * the caller belongs on the Spark path — fail loudly. */
+  def readAll(snapshotDir: Path, schema: StructType, maxRows: Int): Seq[Row] = {
+    val out = Seq.newBuilder[Row]
+    var n = 0
+    listParts(snapshotDir).foreach { file =>
+      val rows = readMatching(file, schema, FilterCompat.NOOP)
+      n += rows.length
+      require(n <= maxRows,
+        s"artifact dir $snapshotDir holds more than $maxRows rows — " +
+          "not patch-sized; use the Spark path")
+      out ++= rows
+    }
+    out.result()
+  }
+
   private def listParts(dir: Path): Seq[Path] = {
     val s = Files.list(dir)
     try s.iterator().asScala.filter(_.getFileName.toString.startsWith("part-")).toSeq

@@ -551,6 +551,91 @@ class ConcurrencySpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("fencing: a holder lapsing MID-STAGE never touches the new owner's snapshot bytes") {
+    // End-to-end staged-write fencing (publishVersion residual (b)):
+    // holder A stalls INSIDE its staging write, lapses, and the new
+    // owner B commits a DIFFERENT post-image at the same version
+    // number. A then resumes blind (ensureValid bypassed), completes
+    // its staging, and must fail at publish — with every byte of B's
+    // published snapshot exactly as B wrote it. Before grant-scoped
+    // staging dirs, A's resumed write targeted data_v2 directly and
+    // silently replaced B's published files with its own.
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val server = new graft.kv.LeaseLockServer().start()
+    try {
+      val real = new graft.kv.LeaseLockProvider(
+        "127.0.0.1", server.boundPort, leaseMs = 60000)
+      val blind = new graft.kv.LockProvider {
+        override def acquire(r: String, t: Long): graft.kv.LockProvider.Handle = {
+          val h = real.acquire(r, t)
+          new graft.kv.LockProvider.Handle {
+            override def release(): Unit = h.release()
+            override def fencingToken: Long = h.fencingToken
+            override def ensureValid(): Unit = () // deliberately bypassed
+          }
+        }
+      }
+      val wh = Files.createTempDirectory("graft_stagefence_wh").toString
+      val catA = new Catalog(spark, wh, lockProviderOpt = Some(blind))
+      val catB = new Catalog(spark, wh, lockProviderOpt = Some(real))
+      catA.createTable("t", kv, Seq("k"))
+      load(catA, "t", Seq(1L -> "base"))
+      FenceGate.reset()
+      val slow = spark.range(1).repartition(1).mapPartitions { it =>
+        FenceGate.started.countDown()
+        FenceGate.proceed.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        it
+      }.flatMap(_ => Seq(1L -> "lapsed")).toDF("k", "v")
+      var failure: Option[Throwable] = None
+      val t1 = new Thread(() => {
+        try catA.bulkLoad("t", slow)
+        catch { case e: Throwable => failure = Some(e) }
+      })
+      t1.start()
+      assert(FenceGate.started.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      server.expireNow("t")
+      catB.bulkLoad("t", Seq(1L -> "owner").toDF("k", "v"))
+      // fingerprint every byte of B's published snapshot
+      def fingerprint(): Map[String, String] = {
+        val d = Paths.get(wh, "t", "data_v2")
+        val s = Files.walk(d)
+        try s.iterator().asScala.filter(Files.isRegularFile(_)).map { p =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          p.toString ->
+            md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+        }.toMap
+        finally s.close()
+      }
+      val before = fingerprint()
+      assert(before.nonEmpty)
+      // A resumes: its write lands inside its own grant-scoped dir,
+      // then A loses at the fence without having renamed a thing
+      FenceGate.proceed.countDown()
+      t1.join(60000)
+      assert(failure.exists(_.isInstanceOf[IllegalStateException]) &&
+        failure.exists(_.getMessage.contains("fencing")),
+        s"lapsed holder's publish was not fenced: $failure")
+      assert(fingerprint() == before,
+        "the lapsed holder cross-wrote the new owner's published snapshot")
+      assert(new Catalog(spark, wh).table("t")
+        .pointGet(1L).head().getAs[String]("v") == "owner")
+      // the lapsed holder's bytes stay quarantined in its own staging
+      // dir until vacuum's sweep reclaims them
+      val strays = withListNames(Paths.get(wh, "t"))
+        .filter(_.startsWith(".staging_grant"))
+      assert(strays.nonEmpty,
+        "expected the lapsed holder's staged dir to remain for vacuum")
+    } finally server.stop()
+  }
+
+  private def withListNames(dir: java.nio.file.Path): List[String] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString).toList
+    finally s.close()
+  }
+
   test("lease: authority-side compare-and-publish fences a lapsed holder BEFORE the new owner commits") {
     // The meta-stamp fence is read→compare→write: it only rejects a
     // lapsed holder once the new owner HAS published a higher epoch.

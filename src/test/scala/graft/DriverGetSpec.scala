@@ -500,4 +500,74 @@ class DriverGetSpec extends AnyFunSuite {
     val got2 = cat.driverRangeScan("fkv", 0.0, hiBelow).map(_.getLong(1)).sorted
     assert(got2 == Seq(1L, 2L, 3L) && !got2.contains(5L))
   }
+
+  test("driver full-text search matches the Spark segmented view with zero jobs") {
+    import spark.implicits._
+    val cat = freshCat("ftsearch")
+    if (cat.tableExists("ftd")) cat.dropTable("ftd")
+    cat.createTable("ftd", StructType(Seq(
+      StructField("k", LongType, false),
+      StructField("body", StringType, true))), Seq("k"))
+    cat.bulkLoad("ftd", graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id").as("k"), col("text").as("body")), partitions = 4)
+    cat.createIndex("ftd", "ft", "fulltext", Seq("body"))
+    // CDC freshness: doc 5 rewritten (old terms must be masked by the
+    // tombstone), one doc inserted — the driver path reads THROUGH
+    // the base+segment−tombstone stack, not just the base
+    cat.incrementalMerge("ftd", Seq(
+      (5L, "graft tomb probe body"),
+      (900001L, "graft fresh body")).toDF("k", "body"))
+    val pre5Terms = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") === 5).select(col("text")).head().getString(0)
+      .toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    def sparkPath(terms: Seq[String]): Seq[Long] = {
+      val view = cat.indexData("ftd", "ft", "fulltext")
+      graft.index.FullText.searchAll(cat.table("ftd").df, "k", view, terms)
+        .select(col("k")).collect().map(_.getLong(0)).toSeq.sorted
+    }
+    def driverPath(terms: Seq[String]): Seq[Long] =
+      cat.driverFtSearch("ftd", "ft", terms).map(_.asInstanceOf[Long]).sorted
+    // merge-only term, corpus terms, and an AND — hash-for-hash vs
+    // the Spark segmented view
+    for (probe <- Seq(Seq("graft"), Seq("spark"), Seq("spark", "join"),
+        Seq("tomb"), Seq(pre5Terms.head))) {
+      assert(driverPath(probe) == sparkPath(probe),
+        s"driver/Spark divergence for $probe")
+    }
+    // freshness pinned directly: doc 5 serves its NEW terms only
+    assert(driverPath(Seq("tomb")).contains(5L))
+    val firstUnique = pre5Terms.distinct
+    // every pre-merge doc-5-only posting is masked: doc 5 appears for
+    // a pre-merge term ONLY if other docs carry it (spot-check via
+    // the Spark path equality above); the tombstone itself is pinned
+    // by the 'graft' AND 'fresh' insert arriving whole
+    assert(driverPath(Seq("graft")).toSet == Set(5L, 900001L))
+    assert(firstUnique.nonEmpty) // guard the plant stays meaningful
+    // zero Spark jobs on the warm driver path
+    @volatile var jobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(cat.driverFtSearch("ftd", "ft", Seq("graft")).nonEmpty)
+      Thread.sleep(800)
+      assert(jobs == 0, s"driver ft search scheduled $jobs Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // analyzed index: the english analyzer's stem/stopword chain runs
+    // on the QUERY terms too, and all-stopword queries fail loudly
+    cat.createIndex("ftd", "aft", "fulltext", Seq("body"), analyzer = "english")
+    val viaStem = cat.driverFtSearch("ftd", "aft", Seq("sparks", "the"))
+      .map(_.asInstanceOf[Long]).sorted
+    val sparkStem = {
+      val view = cat.indexData("ftd", "aft", "fulltext")
+      graft.index.FullText.searchAllAnalyzed(cat.table("ftd").df, "k",
+          view, Seq("sparks", "the"), "english")
+        .select(col("k")).collect().map(_.getLong(0)).toSeq.sorted
+    }
+    assert(viaStem == sparkStem && viaStem.nonEmpty)
+    intercept[IllegalArgumentException](
+      cat.driverFtSearch("ftd", "aft", Seq("the", "of")))
+  }
 }
