@@ -818,6 +818,72 @@ object StreamQueries {
         .select($"doc_a", $"doc_b", $"hamming")
         .orderBy($"doc_a", $"doc_b")
     },
+
+    "mm_pair_dedup" -> { (s, d) =>
+      import s.implicits._
+      // CROSS-MODAL pair-level dedup — the (image, caption) training-
+      // pair contamination check: a pair is a duplicate ONLY when
+      // BOTH modalities near-match (LAION-style pair dedup). Image
+      // arm = mm_phash's banded dHash over the container-stripped
+      // body (hamming ≤ 6, candidates from band collisions — never
+      // all-pairs); caption arm = token-set Jaccard ≥ 0.8 computed
+      // ONLY for image-candidate pairs (a per-pair projection, so
+      // the composition adds no corpus-sized join). Plants pin both
+      // negatives: +2e6 = SAME image with an unrelated caption, +3e6
+      // = SAME caption with a reversed-bytes image — neither may
+      // dedup — while +1e6 (3 corrupted bytes + one appended caption
+      // token) must. Deterministic byte-sampling decode stub ⇒ the
+      // whole cross-modal composition replays in SQL.
+      val docs = Tables.documents(s, d)
+        .filter(octet_length($"text") === length($"text"))
+      val base = docs.select($"doc_id", $"text",
+        substring($"text", 1, 80).as("caption"))
+      val seed = base.filter($"doc_id" < 10)
+      val pairs = base
+        .unionByName(seed.select(($"doc_id" + 1000000L).as("doc_id"),
+          expr(PhashPerturbSql).as("text"),
+          concat($"caption", lit(" graftdup")).as("caption")))
+        .unionByName(seed.select(($"doc_id" + 2000000L).as("doc_id"), $"text",
+          concat(lit("unrelated pair caption number "),
+            $"doc_id".cast("string")).as("caption")))
+        .unionByName(seed.select(($"doc_id" + 3000000L).as("doc_id"),
+          reverse($"text").as("text"), $"caption"))
+      // one signature pass, checkpointed like mm_phash (the payload
+      // synthesis must not inline into every byte-sample site);
+      // withPayload projects to the media columns, so the caption
+      // rides back on one doc_id equi-join — a single hash shuffle
+      // at any scale
+      val ph = Multimodal.withPayload(pairs)
+        .select($"doc_id",
+          Multimodal.dhashBands(Multimodal.body($"payload")).as("bands"))
+        .join(pairs.select($"doc_id", $"caption"), Seq("doc_id"))
+        .localCheckpoint(true)
+      val banded = ph.select($"doc_id", $"caption", $"bands",
+          posexplode($"bands"))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      def toks(c: Column): Column = array_distinct(
+        filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0))
+      banded.as("a").join(banded.as("b").hint("shuffle_hash"),
+          $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          $"a.bands".as("ba"), $"b.bands".as("bb"),
+          $"a.caption".as("ca"), $"b.caption".as("cb"))
+        .dropDuplicates("doc_a", "doc_b")
+        .withColumn("hamming", (0 until 4).map(i =>
+            bit_count(element_at($"ba", i + 1)
+              .bitwiseXOR(element_at($"bb", i + 1)))).reduce(_ + _)
+          .cast("int"))
+        .filter($"hamming" <= 6)
+        .withColumn("ta", toks($"ca")).withColumn("tb", toks($"cb"))
+        .withColumn("jaccard",
+          size(array_intersect($"ta", $"tb")).cast("double") /
+            size(array_union($"ta", $"tb")))
+        .filter($"jaccard" >= 0.8)
+        .select($"doc_a", $"doc_b", $"hamming",
+          round($"jaccard", 4).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+    },
   )
 
   /** GATE-ONLY witness probe: the exact top-15 heavy hitters (a
@@ -1311,6 +1377,64 @@ object StreamQueries {
          |    (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
          |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM cand
          |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "mm_pair_dedup" -> {
+      // the mm_phash band/hamming replay plus the caption arm:
+      // token-set Jaccard on the candidate pairs only
+      def px(a: Int) =
+        s"ascii(substr(text, CAST(1 + ($a * blen) // 72 AS INT), 1))"
+      val bandExprs = (0 until 4).map { b =>
+        val bits = (0 until 16).map { j =>
+          val k = b * 16 + j
+          val a = (k / 8) * 9 + (k % 8)
+          s"CASE WHEN ${px(a)} < ${px(a + 1)} THEN ${1L << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"($bits) AS b$b"
+      }.mkString(", ")
+      val tok = (c: String) =>
+        s"list_distinct(list_filter(string_split_regex(lower($c), " +
+          s"'[^a-z0-9]+'), x -> length(x) > 0))"
+      s"""WITH ascii_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE octet_length(encode(text)) = length(text)),
+         |base AS (SELECT doc_id, text, substr(text, 1, 80) AS caption
+         |         FROM ascii_docs),
+         |corpus AS (
+         |  SELECT doc_id, text, caption FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, $PhashPerturbSql AS text,
+         |    caption || ' graftdup' AS caption
+         |  FROM base WHERE doc_id < 10
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, text,
+         |    'unrelated pair caption number ' || CAST(doc_id AS STRING) AS caption
+         |  FROM base WHERE doc_id < 10
+         |  UNION ALL
+         |  SELECT doc_id + 3000000 AS doc_id, reverse(text) AS text, caption
+         |  FROM base WHERE doc_id < 10),
+         |sized AS (SELECT doc_id, text, caption,
+         |          octet_length(encode(text)) AS blen FROM corpus),
+         |ph AS (SELECT doc_id, caption, $bandExprs FROM sized),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.caption AS ca, b.caption AS cb,
+         |    bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+         |    bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hamming
+         |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id AND
+         |    (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+         |tok AS (
+         |  SELECT doc_a, doc_b, hamming,
+         |    ${tok("ca")} AS ta, ${tok("cb")} AS tb
+         |  FROM cand WHERE hamming <= 6),
+         |j AS (
+         |  SELECT doc_a, doc_b, hamming,
+         |    CAST(len(list_intersect(ta, tb)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(ta, tb))) AS jaccard
+         |  FROM tok)
+         |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming,
+         |  ROUND(jaccard, 4) AS jaccard
+         |FROM j WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
     },
   )
 }

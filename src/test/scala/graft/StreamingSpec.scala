@@ -405,4 +405,88 @@ class StreamingSpec extends AnyFunSuite {
     assert(versions(whB) == before,
       "a replayed batch published a new version — replay is not idempotent")
   }
+
+  test("streaming CDC keeps fulltext search correct after EVERY micro-batch") {
+    // the streaming ∘ analytic-index composition: a file-streamed CDC
+    // feed foreachBatch-merges through incrementalMerge, and after
+    // EACH batch's commit the segmented read view (base + seg_v −
+    // tomb_v, folded dictionary) must serve exactly what a from-
+    // scratch index rebuild of the CURRENT table would — per
+    // micro-batch freshness, not just per bulk merge. Probes cover a
+    // patch-only term, a corpus term, and a rewritten doc whose OLD
+    // terms must be tombstone-masked the moment its batch lands.
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_stream_ftfresh").toString
+    val cat = new graft.kv.Catalog(spark, wh)
+    cat.createTable("sdocs", StructType(Seq(
+      StructField("k", LongType, false),
+      StructField("body", StringType, true))), Seq("k"))
+    cat.bulkLoad("sdocs", Tables.documents(spark, sf)
+      .filter($"doc_id" < 100)
+      .select($"doc_id".as("k"), $"text".as("body")), partitions = 2)
+    cat.createIndex("sdocs", "ft", "fulltext", Seq("body"))
+    // stage three CDC drops as separate files (one per micro-batch):
+    // rewrites (incl. a doc rewritten TWICE across batches) + inserts
+    val land = java.nio.file.Files.createTempDirectory("graft_ftfresh_land")
+    Seq(
+      Seq((1L, "graft alpha body"), (900001L, "graft beta insert")),
+      Seq((2L, "graft gamma body"), (1L, "graft alpha second form")),
+      Seq((900002L, "graft delta insert"), (3L, "graft epsilon body"))
+    ).zipWithIndex.foreach { case (rows, i) =>
+      val tmp = land.resolve(s"tmp$i")
+      rows.toDF("k", "body").coalesce(1).write.parquet(tmp.toString)
+      val s = java.nio.file.Files.list(tmp)
+      try s.filter(_.getFileName.toString.startsWith("part-")).forEach { p =>
+        java.nio.file.Files.move(p, land.resolve(s"drop$i.parquet")); ()
+      } finally s.close()
+    }
+    val probeTerms = Seq(Seq("graft"), Seq("spark"), Seq("alpha"),
+      Seq("graft", "insert"))
+    def searchVia(postings: org.apache.spark.sql.DataFrame,
+                  terms: Seq[String]): Seq[Long] =
+      graft.index.FullText.searchAll(cat.table("sdocs").df, "k",
+          postings, terms)
+        .select($"k").collect().map(_.getLong(0)).toSeq.sorted
+    val failures = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    var batches = 0
+    val q = spark.readStream
+      .schema(StructType(Seq(
+        StructField("k", LongType, false),
+        StructField("body", StringType, true))))
+      .option("maxFilesPerTrigger", 1).parquet(land.toString)
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+        if (!batch.isEmpty) {
+          cat.incrementalMerge("sdocs", batch)
+          batches += 1
+          val segView = cat.indexData("sdocs", "ft", "fulltext")
+          val rebuilt = graft.index.FullText.buildPostings(
+            cat.table("sdocs").df, "k", "body")
+          probeTerms.foreach { ts =>
+            val (got, want) = (searchVia(segView, ts), searchVia(rebuilt, ts))
+            if (got != want)
+              failures.add(s"batch $batches terms $ts: $got != $want"): Unit
+          }
+          // folded dictionary freshness rides the same per-batch gate
+          val dictGot = cat.indexDictionary("sdocs", "ft", "fulltext")
+            .filter($"term" === "graft").select($"df")
+            .collect().map(_.getLong(0)).toSeq
+          val dictWant = rebuilt.filter($"term" === "graft")
+            .count()
+          if (dictGot != Seq(dictWant))
+            failures.add(s"batch $batches dict df: $dictGot != $dictWant"): Unit
+        }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 3, s"expected >=3 micro-batches, got $batches")
+    assert(failures.isEmpty, s"per-batch index staleness: $failures")
+    // end state: the twice-rewritten doc serves only its final form
+    val finalView = cat.indexData("sdocs", "ft", "fulltext")
+    assert(searchVia(finalView, Seq("second")) == Seq(1L))
+    assert(!searchVia(finalView, Seq("alpha")).isEmpty &&
+      searchVia(finalView, Seq("alpha")) == Seq(1L))
+  }
 }
