@@ -181,6 +181,24 @@ object DedupQueries {
       (view.cache(), cent.cache(), meta)
     }
 
+  /** The sharded navigable-graph index (graph, centroids, delta) over
+    * the SAME persisted vector index every other ANN flavor serves
+    * from: the graph artifact is built at the PRE-merge base (DDL,
+    * like the centroid fit), and the CDC-merged segment rows surface
+    * through the DELTA BUFFER — derived structurally as view ∖ graph
+    * (left_anti on rk), the DiskANN fresh-buffer recipe — so the
+    * recall gate genuinely runs through the CDC merge. */
+  private def hnswParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val (view, cent, _) = vecIndex(s, d)
+    val graph = graft.QueryCaches.frame(s"hnsw_graph:$d")(
+      graft.similarity.Hnsw.buildGraph(
+        view.filter(col("rk") < Tables.PlantedIdBase)
+          .select(col("rk"), col("cluster"), col("v"))))
+    val delta = view.select(col("rk"), col("v"))
+      .join(graph.select(col("rk")), Seq("rk"), "left_anti")
+    (graph, cent, delta)
+  }
+
   private def ivfIdx(s: SparkSession, d: String): Ann.IvfIndex = {
     val (view, cent, _) = vecIndex(s, d)
     val idx = graft.similarity.VectorIndex.ivfOf(cent, view)
@@ -706,6 +724,23 @@ object DedupQueries {
         .orderBy($"qid", $"rn")
     },
 
+    "sim_hnsw_ann" -> { (s, d) =>
+      import s.implicits._
+      // Graph-based ANN (the HNSW/DiskANN family — the last major
+      // axis beside LSH/IVF/PQ): bounded beam descent over per-shard
+      // navigable graphs persisted beside the vector index, the CDC
+      // segment served from the fresh-delta buffer, shortlist union
+      // re-ranked exactly. rows-only (graph edges derive from the
+      // seeded k-means shards); RecallGateSpec gates recall@10 ≥ 0.9
+      // through the CDC merge and HnswSpec pins the sublinear kernel
+      // budget on a clustered corpus.
+      val (graph, cent, delta) = hnswParts(s, d)
+      graft.similarity.Hnsw.search(graph, cent, delta,
+          Tables.embeddings(s, d).filter($"vec_id" < 6),
+          "vec_id", "embedding", k = 10, nprobe = 4, ef = 16, maxVisits = 64)
+        .orderBy($"qid", $"rn")
+    },
+
     "sim_radius_brute" -> { (s, d) =>
       import s.implicits._
       // radius (range) retrieval: EVERY neighbor with cosine ≥ τ —
@@ -954,6 +989,14 @@ object DedupQueries {
         .unionByName(recallRow("pq",
           graft.similarity.Pq.pqSearch(pqIdx(s, d), e, probes,
             "vec_id", "embedding", topK = 10)))
+        .unionByName(recallRow("hnsw", {
+          // the planted probes are CDC-segment rows the pre-merge
+          // graph never saw — this arm gates the delta-buffer path
+          val (graph, cent, delta) = hnswParts(s, d)
+          graft.similarity.Hnsw.search(graph, cent, delta, probes,
+            "vec_id", "embedding", k = 10, nprobe = 4,
+            ef = 16, maxVisits = 64)
+        }))
         .orderBy($"flavor")
     },
   )

@@ -562,6 +562,30 @@ object TextQueries {
         .select($"doc_id", $"main_text", $"n_blocks", $"n_dropped", $"n_chars")
         .orderBy($"doc_id")
     },
+
+    "txt_link_graph" -> { (s, d) =>
+      import s.implicits._
+      // crawl LINK-GRAPH construction — the HTML layer composed with
+      // the URL layer: extract every ABSOLUTE outlink from the
+      // dressed page (relative hrefs excluded by the pattern),
+      // canonicalize each target's host (case/www/userinfo/port
+      // noise planted in the links), and reduce to the host-level
+      // edge list with link and distinct-page counts — the frontier/
+      // authority input a crawler feeds PageRank. One extraction
+      // pass + one (src,dst) hash shuffle at any scale.
+      val pages = Tables.documents(s, d)
+        .withColumn("html", expr(s"($HtmlRawSql || $HtmlLinksSql)"))
+        .withColumn("src_host", UrlFunctions.host(expr(UrlRawSql)))
+      pages.select($"doc_id", $"src_host",
+          explode(expr(
+            """regexp_extract_all(html, 'href="(http[^"]*)"', 1)"""))
+            .as("raw"))
+        .withColumn("dst_host", UrlFunctions.host($"raw"))
+        .groupBy($"src_host", $"dst_host")
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct($"doc_id").as("n_pages"))
+        .orderBy($"src_host", $"dst_host")
+    },
   )
 
   /** The hashed-linear-classifier token fold, SQL that parses in BOTH
@@ -624,6 +648,20 @@ object TextQueries {
       |  ELSE '' END ||
       |  '<footer><a href="/about">about</a> <a href="/terms">terms</a></footer></body></html>')"""
       .stripMargin.replace('\n', ' ')
+
+  /** Outlink dressing for the link-graph operator, in shared SQL:
+    * two absolute links per page onto a 7-host ring keyed off doc_id
+    * — one with scheme/host case noise + www + a tracking param, one
+    * with an explicit default port + fragment — plus a RELATIVE link
+    * on every fourth page that extraction must ignore. */
+  private[graft] val HtmlLinksSql: String =
+    """('<div>see <a href="HTTP://WWW.h' || CAST((doc_id * 3 + 1) % 7 AS STRING) ||
+      |  '.Example.COM/p/' || CAST(doc_id % 50 AS STRING) ||
+      |  '?utm_source=feed&ref=' || CAST(doc_id % 5 AS STRING) || '">ref1</a> and ' ||
+      |  '<a href="http://h' || CAST((doc_id * 5 + 2) % 7 AS STRING) ||
+      |  '.example.com:80/q/' || CAST(doc_id % 30 AS STRING) || '#frag">ref2</a>' ||
+      |  CASE WHEN doc_id % 4 = 0 THEN ' and <a href="/local/rel">rel</a>' ELSE '' END ||
+      |  '</div>')""".stripMargin.replace('\n', ' ')
 
   /** (doc_id, …, url_raw, url_canon, host) over a (doc_id, source,
     * n_chars…) corpus. */
@@ -995,6 +1033,32 @@ object TextQueries {
          |    CASE WHEN link_chars * 2 <= length(visible) THEN visible END,
          |    ' ' ORDER BY pos), '')) AS BIGINT) AS n_chars
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "txt_link_graph" -> {
+      // independent host derivation (lowercase prefix → strip
+      // userinfo → strip www → host before any port), applied to the
+      // page's own URL and to every extracted absolute link
+      def hostSql(u: String) =
+        s"""regexp_extract(regexp_replace(regexp_replace(
+           |  lower(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)),
+           |  '^([a-z0-9+.-]*://)[^/?#@]*@', '\\1'),
+           |  '^(https?://)www\\.', '\\1'),
+           |  '^[a-z0-9+.-]*://([^:/]*)', 1)""".stripMargin.replace('\n', ' ')
+      s"""WITH page AS (
+         |  SELECT doc_id, source, ($HtmlRawSql || $HtmlLinksSql) AS html
+         |  FROM documents),
+         |links AS (SELECT doc_id, source,
+         |    unnest(regexp_extract_all(html, 'href="(http[^"]*)"', 1)) AS raw
+         |  FROM page),
+         |hosts AS (SELECT doc_id,
+         |    ${hostSql(UrlRawSql)} AS src_host,
+         |    ${hostSql("raw")} AS dst_host
+         |  FROM links)
+         |SELECT src_host, dst_host, COUNT(*) AS n_links,
+         |  COUNT(DISTINCT doc_id) AS n_pages
+         |FROM hosts GROUP BY src_host, dst_host
+         |ORDER BY src_host, dst_host""".stripMargin
+    },
   )
 
   /** The oracle's INDEPENDENT canonicalization: the same dirty-URL

@@ -41,6 +41,12 @@ object FullText {
     * term must normalize the same way or it can never match. */
   private def norm(t: String): String = t.toLowerCase(java.util.Locale.ROOT)
 
+  /** Lowercased non-empty query tokens — the phrase-analysis front
+    * step, shared with the driver-side phrase serving path
+    * (Catalog.driverFtPhrase) so the two cannot tokenize apart. */
+  def normTokens(phrase: String): Seq[String] =
+    norm(phrase).split(TokenPattern).filter(_.nonEmpty).toSeq
+
   // ---- Analyzers -----------------------------------------------------
   // The reference's Lucene stack puts an analyzer pipeline (tokenize →
   // stopwords → stem) behind every index (index/lucene/

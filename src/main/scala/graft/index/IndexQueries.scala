@@ -324,6 +324,26 @@ object IndexQueries {
       }
       rows.toDF("probe", "k").orderBy($"probe", $"k")
     },
+
+    "ft_ms_phrase" -> { (s, d) =>
+      import s.implicits._
+      // Driver-side PHRASE serving (the Lucene PhraseQuery analog,
+      // ft_ms_search's positional counterpart): adjacency verified
+      // against the positional postings stack (pos base + posseg_v −
+      // tombstones) entirely on the calling thread. Probes: a phrase
+      // only the CDC segment contains (doc 5's pre-merge positions
+      // must be tombstone-masked), the merge-inserted doc's phrase,
+      // and a natural corpus bigram.
+      val cat = ftMsCatalog(s, d)
+      val rows = Seq(
+        "segment merge" -> "segment merge",
+        "posting engine" -> "posting engine",
+        "spark join" -> "spark join").flatMap { case (probe, ph) =>
+        cat.driverFtPhrase("ftdocs", "ft", ph)
+          .map(k => (probe, k.asInstanceOf[Long]))
+      }
+      rows.toDF("probe", "k").orderBy($"probe", $"k")
+    },
   )
 
   /** The driver-side full-text serving table, built ONCE per (JVM,
@@ -443,6 +463,26 @@ object IndexQueries {
         |  UNION ALL
         |  SELECT 'spark+join' AS probe, k FROM m
         |  WHERE list_contains(toks, 'spark') AND list_contains(toks, 'join'))
+        |ORDER BY probe, k""".stripMargin,
+
+    "ft_ms_phrase" ->
+      // adjacency replayed over the token arrays of the same planted
+      // corpus (i ranges over 1-based positions with a next token)
+      """WITH t AS (
+        |  SELECT doc_id AS k,
+        |    CASE WHEN doc_id = 5 THEN 'graft segment merge engine' ELSE text END AS body
+        |  FROM documents WHERE doc_id < 300
+        |  UNION ALL SELECT CAST(900001 AS BIGINT), 'graft posting engine'),
+        |m AS (SELECT k,
+        |  list_filter(string_split_regex(lower(body), '[^a-z0-9]+'),
+        |    x -> length(x) > 0) AS toks FROM t),
+        |ph AS (SELECT * FROM (VALUES
+        |  ('segment merge', 'segment', 'merge'),
+        |  ('posting engine', 'posting', 'engine'),
+        |  ('spark join', 'spark', 'join')) AS v(probe, w1, w2))
+        |SELECT probe, k FROM m CROSS JOIN ph
+        |WHERE len(list_filter(range(1, len(toks)),
+        |  i -> toks[CAST(i AS INT)] = w1 AND toks[CAST(i + 1 AS INT)] = w2)) > 0
         |ORDER BY probe, k""".stripMargin,
 
     "ft_search_stem" ->

@@ -1496,6 +1496,77 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       .toSeq.sortBy(_.toString)
   }
 
+  /** Driver-side PHRASE search — [[driverFtSearch]]'s positional
+    * counterpart (the Lucene PhraseQuery serving path): query terms
+    * through the index's analyzer with Lucene's position-increment
+    * contract (stopwords drop but keep their offsets, the
+    * searchPhraseAnalyzed rule), each surviving term a pruned seek of
+    * the POSITIONAL postings (pos base paired at the data base's
+    * version + posseg_v segments − tomb_v masks), adjacency verified
+    * in memory per candidate doc. Zero Spark jobs. */
+  def driverFtPhrase(table: String, indexName: String, phrase: String,
+                     maxPostings: Int = 100000): Seq[Any] = {
+    val dir = indexDir(table, indexName, "fulltext")
+    require(Files.exists(dir), s"$table $indexName fulltext not exists")
+    val an = indexAnalyzer(table, indexName)
+    val raw = graft.index.FullText.normTokens(phrase)
+    require(raw.nonEmpty, "empty phrase")
+    val terms: Seq[(String, Int)] =
+      if (an == "standard") raw.zipWithIndex
+      else {
+        val t = raw.zipWithIndex
+          .filterNot { case (w, _) => graft.index.FullText.StopWordsEn.contains(w) }
+          .map { case (w, off) => (graft.plans.HashOps.stemWord(w), off) }
+        require(t.nonEmpty,
+          "every phrase term is a stopword under this analyzer")
+        t
+      }
+    val live = dataVersionOf(table)
+    val dataBaseVer = indexBaseVersion(resolveIndexVersioned(dir, "data", live))
+    val posBase = resolveIndexVersioned(dir, "pos", dataBaseVer)
+    require(Files.exists(posBase),
+      s"no positional postings under $dir — the index predates " +
+        "positional support; CALL system.refresh_index to rebuild")
+    val segs = versionedDirs(dir, "posseg_v", dataBaseVer, live)
+    val tombs = versionedDirs(dir, "tomb_v", dataBaseVer, live)
+    val rkType = schemaOf(table)(primaryKeyOf(table).head).dataType
+    val posSchema = StructType(Seq(
+      StructField("term", StringType, nullable = true),
+      StructField("doc_id", rkType, nullable = true),
+      StructField("pos", IntegerType, nullable = true)))
+    val tombSchema = StructType(Seq(StructField("rk", rkType, nullable = true)))
+    val tombSets: Seq[(Int, Set[Any])] = tombs.map { case (v, p) =>
+      (v, DriverRead.readAll(p, tombSchema, maxPostings).map(_.get(0)).toSet)
+    }
+    def maskedAt(v: Int, docId: Any): Boolean =
+      tombSets.exists { case (tv, s) => tv > v && s.contains(docId) }
+    val keys = terms.map(_._1).distinct.map(t => Seq(t: Any))
+    // per-doc, per-term position sets across the whole artifact stack
+    val perDoc = scala.collection.mutable.Map[Any,
+      scala.collection.mutable.Map[String, scala.collection.mutable.Set[Int]]]()
+    var n = 0
+    ((dataBaseVer, posBase) +: segs).foreach { case (v, p) =>
+      val ranges = readManifestJson(p).getOrElse(Nil).map(r => (r.file, r.lo, r.hi))
+      DriverRead.get(p, posSchema, Seq("term"), keys, ranges).foreach { r =>
+        n += 1
+        require(n <= maxPostings,
+          s"phrase matched more than $maxPostings positional postings — " +
+            "use the Spark search path")
+        val docId = r.get(1)
+        if (!maskedAt(v, docId))
+          perDoc.getOrElseUpdate(docId, scala.collection.mutable.Map())
+            .getOrElseUpdate(r.getString(0), scala.collection.mutable.Set[Int]())
+            .add(r.getInt(2)): Unit
+      }
+    }
+    val (t0, o0) = terms.head
+    perDoc.collect { case (id, byTerm)
+      if byTerm.get(t0).exists(_.exists(p0 =>
+        terms.forall { case (t, off) =>
+          byTerm.get(t).exists(_.contains(p0 + (off - o0))) })) => id
+    }.toSeq.sortBy(_.toString)
+  }
+
   /** Live snapshot path — the V2 catalog (GraftCatalog) reads/writes
     * this directory directly. */
   def liveDataPath(name: String): String = dataDir(name)

@@ -1,0 +1,207 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph-based ANN — the navigable-small-world / DiskANN family, the
+  * last major ANN axis beside the LSH / IVF / PQ flavors already in
+  * graft.similarity. (Malkov & Yashunin 2016, HNSW; Subramanya et al.
+  * 2019, DiskANN. The reference engine has no vector surface — this
+  * extends the pipeline the brief's similarity-search mandate adds.)
+  *
+  * Spark-first adaptation — a SEQUENTIAL global graph build/traverse
+  * does not distribute, so the graph is SHARDED BY COARSE CLUSTER
+  * (the persisted vector flavor's IVF assignment, list size ~√N by
+  * construction):
+  *
+  *   - BUILD (DDL): per cluster, an m-NN graph over the list —
+  *     symmetrized out-edges (in-edges appended, capped at 2m) so
+  *     greedy descent cannot get stuck on a sink. One
+  *     `flatMapGroups` per cluster; O(|list|²) kernel evaluations
+  *     inside one task, the same within-list cost class as SemDeDup
+  *     — a bounded DDL pass, amortized across every later search.
+  *     Persisted shape: (cluster, rk, v, neighbors) — rides the
+  *     `vector` flavor's dirs like cent/vmeta.
+  *   - SEARCH: coarse-probe nprobe lists per query (the IVF probe),
+  *     then per (query, probed list) a BOUNDED BEAM descent over the
+  *     persisted adjacency: best-first from deterministic entry
+  *     seeds, beam width `ef`, hard visit cap `maxVisits`. Kernel
+  *     evaluations per query ≤ nprobe·maxVisits — SUBLINEAR in the
+  *     list size (HnswSpec pins the visited fraction on a clustered
+  *     corpus), where ivfSearch pays the full probed-list kernel
+  *     cost. Data MOVEMENT is one shuffle of the probed lists per
+  *     query batch (the same envelope as ivfSearch — the win is the
+  *     distance-kernel budget, exactly the DiskANN serving trade).
+  *   - FRESHNESS: view rows NOT yet in the graph artifact (CDC
+  *     segments appended since the last graph build) form the DELTA
+  *     BUFFER, scanned exhaustively per query batch — patch-sized
+  *     between index rebuilds, the DiskANN fresh-buffer recipe — and
+  *     unioned into the shortlist before the exact re-rank.
+  *
+  * Scores are EXACT cosines throughout (vectors ride with the graph
+  * rows), rounded like ivfSearch — the graph only decides WHICH
+  * candidates are scored, so the shortlist-union re-rank is exact.
+  */
+object Hnsw {
+
+  /** Persisted per-cluster navigable graph: (cluster, rk, v,
+    * neighbors). Deterministic — edges are top-m by (cosine desc, rk
+    * asc), in-edges appended in rk order, so two builds of the same
+    * snapshot are identical. */
+  def buildGraph(entries: DataFrame, m: Int = 8): DataFrame = {
+    require(m > 0, s"m must be positive, got $m")
+    val spark = entries.sparkSession
+    import spark.implicits._
+    val slim = entries.select(col("cluster").cast("int"),
+      col("rk").cast("long"), col("v"))
+    slim.as[(Int, Long, Seq[Float])].groupByKey(_._1)
+      .flatMapGroups { (cluster: Int, it: Iterator[(Int, Long, Seq[Float])]) =>
+        val rows = it.map { case (_, rk, v) => (rk, v.toArray) }.toArray
+          .sortBy(_._1)
+        val n = rows.length
+        val out = Array.fill(n)(scala.collection.mutable.ArrayBuffer[Long]())
+        val idxOf = rows.iterator.map(_._1).zipWithIndex.toMap
+        var i = 0
+        while (i < n) {
+          // top-m out-edges by (cosine desc, rk asc)
+          val cands = new Array[(Double, Long)](n - 1)
+          var j = 0; var w = 0
+          while (j < n) {
+            if (j != i) {
+              cands(w) = (cos(rows(i)._2, rows(j)._2), rows(j)._1); w += 1
+            }
+            j += 1
+          }
+          val edgeOrd: Ordering[(Double, Long)] =
+            Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+          java.util.Arrays.sort(cands, edgeOrd)
+          out(i) ++= cands.iterator.take(m).map(_._2)
+          i += 1
+        }
+        // symmetrize: append in-edges (rk order), cap at 2m
+        val in = Array.fill(n)(scala.collection.mutable.ArrayBuffer[Long]())
+        i = 0
+        while (i < n) {
+          out(i).foreach(t => in(idxOf(t)) += rows(i)._1)
+          i += 1
+        }
+        rows.iterator.zipWithIndex.map { case ((rk, v), ix) =>
+          val nbrs = (out(ix) ++ in(ix).sorted).distinct.take(2 * m)
+          (cluster, rk, v.toSeq, nbrs.toSeq)
+        }
+      }
+      .toDF("cluster", "rk", "v", "neighbors")
+  }
+
+  /** Beam search over the sharded graph + exhaustive delta scan →
+    * exact-rescored top-k per query: (qid, rn, nn, score). `delta` is
+    * the fresh buffer (rk, v) — pass an empty frame when the graph
+    * covers the whole view. */
+  def search(nodes: DataFrame, centroids: DataFrame, delta: DataFrame,
+             queries: DataFrame, idCol: String, vecCol: String, k: Int,
+             nprobe: Int = 4, ef: Int = 16, maxVisits: Int = 64): DataFrame =
+    Ann.rank(searchStats(nodes, centroids, delta, queries, idCol, vecCol,
+      nprobe, ef, maxVisits).drop("visited"), k)
+
+  /** The shortlist WITH per-(query,list) visit counts — the
+    * sublinearity diagnostic HnswSpec pins ((qid, nn, score,
+    * visited); `visited` repeats per emitted candidate of one
+    * (query, list) descent, and is 0 on delta-buffer rows). */
+  private[graft] def searchStats(nodes: DataFrame, centroids: DataFrame,
+                                 delta: DataFrame, queries: DataFrame,
+                                 idCol: String, vecCol: String,
+                                 nprobe: Int, ef: Int,
+                                 maxVisits: Int): DataFrame = {
+    require(ef > 0 && maxVisits >= ef,
+      s"need maxVisits ($maxVisits) >= ef ($ef) > 0")
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val probes = Ann.coarseProbes(centroids, q, nprobe, keep = Seq("qv"))
+      .select(col("qid"), col("qv"), col("cluster"))
+    // one shuffle of the probed lists per query batch (the ivfSearch
+    // envelope); the beam then bounds the KERNEL work per group
+    val grouped = nodes
+      .join(broadcast(probes), Seq("cluster"))
+      .select(col("qid").cast("long"), col("cluster").cast("int"),
+        col("qv"), col("rk").cast("long"), col("v"), col("neighbors"))
+      .as[(Long, Int, Seq[Float], Long, Seq[Float], Seq[Long])]
+    val beamHits = grouped.groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_: (Long, Int), it: Iterator[(Long, Int, Seq[Float], Long, Seq[Float], Seq[Long])]) =>
+        val rows = it.toArray
+        val qid = rows(0)._1
+        val qv = rows(0)._3.toArray
+        val byRk = rows.iterator.map(r => r._4 -> r).toMap
+        // deterministic multi-seed entry: evenly spaced in rk order —
+        // the flat-graph stand-in for HNSW's upper layers; bounded,
+        // and it bridges a disconnected component the m-NN graph may
+        // leave
+        val sortedRks = rows.map(_._4).sorted
+        val nSeeds = math.max(1, ef / 4)
+        val seeds = (0 until nSeeds)
+          .map(s => sortedRks(((s.toLong * sortedRks.length) / nSeeds).toInt))
+          .distinct
+        val visited = scala.collection.mutable.Set[Long]()
+        // frontier: best-first by similarity; shortlist: top-ef found
+        implicit val ord: Ordering[(Double, Long)] =
+          Ordering.Tuple2(Ordering[Double], Ordering[Long].reverse)
+        val frontier = scala.collection.mutable.PriorityQueue[(Double, Long)]()
+        val short = scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord.reverse)
+        def visit(rk: Long): Unit = if (visited.add(rk)) {
+          val s = cos(qv, byRk(rk)._5.toArray)
+          frontier.enqueue((s, rk))
+          short.enqueue((s, rk))
+          if (short.size > ef) { short.dequeue(); () }
+        }
+        seeds.foreach(visit)
+        var expanded = 0
+        while (frontier.nonEmpty && visited.size < maxVisits &&
+            expanded < maxVisits) {
+          val (s, rk) = frontier.dequeue()
+          // beam bound: stop descending from nodes worse than the
+          // current ef-th best once the shortlist is full
+          if (short.size < ef || s >= short.head._1) {
+            expanded += 1
+            byRk(rk)._6.foreach { nb =>
+              if (visited.size < maxVisits && byRk.contains(nb)) visit(nb)
+            }
+          }
+        }
+        val nVisited = visited.size
+        short.dequeueAll.iterator.map { sr: (Double, Long) =>
+          (qid, sr._2, sr._1, nVisited)
+        }
+      }
+      .toDF("qid", "nn", "score", "visited")
+    // fresh-delta buffer: exhaustive exact scan (patch-sized between
+    // graph rebuilds), broadcast against the query batch
+    val deltaHits = delta.select(col("rk").as("nn"), col("v"))
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("nn"),
+        cosineCol(col("qv"), col("v")).as("score"), lit(0).as("visited"))
+    beamHits.select(col("qid"), col("nn"),
+        round(col("score"), 3).as("score"), col("visited"))
+      .unionByName(deltaHits
+        .select(col("qid"), col("nn"), round(col("score"), 3).as("score"),
+          col("visited")))
+      .filter(col("nn") =!= col("qid"))
+  }
+
+  private def cosineCol(a: Column, b: Column): Column =
+    graft.plans.HashExpressions.cosineSim(a, b)
+
+  /** Scala-side cosine, matching the codegen kernel's arithmetic
+    * (double accumulation over float inputs). */
+  private[similarity] def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

@@ -569,5 +569,29 @@ class DriverGetSpec extends AnyFunSuite {
     assert(viaStem == sparkStem && viaStem.nonEmpty)
     intercept[IllegalArgumentException](
       cat.driverFtSearch("ftd", "aft", Seq("the", "of")))
+    // phrase path: adjacency through the positional stack agrees with
+    // the Spark positional view, with zero jobs on the warm path
+    def sparkPhrase(index: String, ph: String): Seq[Long] =
+      graft.index.FullText.searchPhrase(cat.table("ftd").df, "k",
+          cat.indexPositional("ftd", index, "fulltext"), ph)
+        .select(col("k")).collect().map(_.getLong(0)).toSeq.sorted
+    for (ph <- Seq("graft tomb", "tomb probe", "spark join", "graft fresh")) {
+      val viaDriver = cat.driverFtPhrase("ftd", "ft", ph)
+        .map(_.asInstanceOf[Long]).sorted
+      assert(viaDriver == sparkPhrase("ft", ph),
+        s"driver/Spark phrase divergence for '$ph'")
+    }
+    assert(cat.driverFtPhrase("ftd", "ft", "graft tomb")
+      .map(_.asInstanceOf[Long]) == Seq(5L))
+    val listener2 = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobs += 1
+    }
+    val before = jobs
+    spark.sparkContext.addSparkListener(listener2)
+    try {
+      assert(cat.driverFtPhrase("ftd", "ft", "graft fresh").nonEmpty)
+      Thread.sleep(800)
+      assert(jobs == before, "driver phrase search scheduled Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(listener2)
   }
 }

@@ -1,0 +1,138 @@
+package graft
+
+import graft.similarity.{Ann, Hnsw}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The sharded navigable-graph ANN (graft.similarity.Hnsw): exactness
+  * of what it scores, sublinearity of the kernel budget on a clustered
+  * corpus, delta-buffer freshness, and build determinism. */
+class HnswSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Clustered unit-sphere corpus (the RecallGateSpec construction,
+    * bigger lists so the beam bound has room to matter). */
+  private lazy val corpus = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    // ±0.25 noise: blobs stay separated (cross-blob cosine ≪ in-blob)
+    // while in-blob scores stay DISTINCT at the search's 3-dp rounding
+    // — a tighter blob would tie every score at 1.000 and turn top-k
+    // into a pure id tie-break, which measures nothing about the beam
+    val rows = for {
+      c <- centers.indices
+      i <- 0 until 200
+    } yield ((c * 200 + i).toLong,
+      centers(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.5f).toSeq)
+    rows.toDF("vec_id", "embedding").cache()
+  }
+
+  private lazy val built = {
+    val ivf = Ann.buildIvf(corpus, "vec_id", "embedding")
+    val graph = Hnsw.buildGraph(
+      ivf.assigned.select(col("nn").as("rk"), col("cluster"), col("v")))
+      .cache()
+    (graph, ivf.centroids.cache())
+  }
+
+  private def emptyDelta = corpus.sparkSession
+    .createDataFrame(corpus.sparkSession.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "rk long, v array<float>"))
+
+  test("beam search finds the brute top-k neighbors on a clustered corpus") {
+    import spark.implicits._
+    val (graph, cents) = built
+    val q = corpus.filter($"vec_id" % 200 === 3)
+    val got = Hnsw.search(graph, cents, emptyDelta, q,
+      "vec_id", "embedding", k = 10, nprobe = 2, ef = 24, maxVisits = 96)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"qid", $"nn").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotSet = pairSet(got)
+    // vs ivfSearch at the SAME probes: the full probed-list kernel
+    // scan — this isolates the BEAM's candidate coverage from the
+    // IVF probe coverage both flavors share
+    val ivfSet = pairSet(Ann.ivfSearch(
+      graft.similarity.Ann.IvfIndex(
+        graph.select($"rk".as("nn"), $"v", $"cluster"), cents),
+      q, "vec_id", "embedding", k = 10, nprobe = 2))
+    val beamRecall = (ivfSet & gotSet).size.toDouble / ivfSet.size
+    assert(beamRecall >= 0.9,
+      s"beam recall@10 $beamRecall vs the full probed-list scan")
+    // vs brute with a generous probe budget: end-to-end recall
+    val wide = pairSet(Hnsw.search(graph, cents, emptyDelta, q,
+      "vec_id", "embedding", k = 10, nprobe = 8, ef = 32, maxVisits = 160))
+    val bruteSet = pairSet(Ann.bruteTopK(corpus, "vec_id", "embedding", q, k = 10))
+    val recall = (bruteSet & wide).size.toDouble / bruteSet.size
+    assert(recall >= 0.9, s"end-to-end recall@10 $recall vs brute")
+    val brute = Ann.bruteTopK(corpus, "vec_id", "embedding", q, k = 10)
+    // scores are EXACT cosines: every returned pair matches brute's
+    // score for that pair (the re-rank is exact, approximation only
+    // picks candidates)
+    val bruteScores = brute.collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    got.collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      bruteScores.get(key).foreach(b =>
+        assert(math.abs(b - r.getDouble(3)) < 1e-9,
+          s"score mismatch at $key: ${r.getDouble(3)} vs $b"))
+    }
+  }
+
+  test("kernel budget is sublinear: visited nodes a small fraction of probed lists") {
+    import spark.implicits._
+    val (graph, cents) = built
+    val q = corpus.filter($"vec_id" % 200 === 0)
+    val ef = 12; val maxVisits = 40
+    val stats = Hnsw.searchStats(graph, cents, emptyDelta, q,
+        "vec_id", "embedding", nprobe = 2, ef = ef, maxVisits = maxVisits)
+      .filter($"visited" > 0)
+      .select($"qid", $"visited").distinct()
+      .groupBy($"qid").agg(sum($"visited").as("v"))
+      .collect().map(r => r.getLong(1))
+    assert(stats.nonEmpty)
+    // per query: 2 probed lists of ~200 nodes = ~400 candidate rows;
+    // the beam must touch at most 2·maxVisits of them — and the cap
+    // is itself ≪ the probed mass (the sublinearity claim: kernel
+    // evaluations bounded by the beam, not the list)
+    stats.foreach { v =>
+      assert(v <= 2L * maxVisits, s"visited $v exceeds the beam cap")
+      assert(v * 4 < 2L * 200, s"visited $v is not sublinear in the probed mass")
+    }
+  }
+
+  test("CDC delta-buffer rows are found without a graph rebuild") {
+    import spark.implicits._
+    val (graph, cents) = built
+    // a fresh row EQUAL to the query vector, absent from the graph —
+    // the segment row a CDC merge appends between graph rebuilds;
+    // cosine 1.0 beats every corpus score, so missing it can only
+    // mean the delta buffer was skipped
+    val q = corpus.filter($"vec_id" === 3L)
+    val fresh = q.select(lit(900001L).as("rk"), $"embedding".as("v"))
+    val got = Hnsw.search(graph, cents, fresh, q,
+        "vec_id", "embedding", k = 10, nprobe = 2, ef = 24, maxVisits = 96)
+      .select($"nn").collect().map(_.getLong(0)).toSet
+    assert(got.contains(900001L),
+      "delta-buffer row missing from the shortlist union")
+  }
+
+  test("graph build is deterministic and edges stay within 2m") {
+    val (graph, _) = built
+    val a = graph.orderBy(col("rk")).collect()
+      .map(r => (r.getLong(1), r.getSeq[Long](3)))
+    val b = Hnsw.buildGraph(graph.select(col("rk"), col("cluster"), col("v")))
+      .orderBy(col("rk")).collect()
+      .map(r => (r.getLong(1), r.getSeq[Long](3)))
+    assert(a.toSeq == b.toSeq, "two builds of the same snapshot differ")
+    a.foreach { case (rk, nbrs) =>
+      assert(nbrs.size <= 16, s"node $rk has ${nbrs.size} edges (> 2m)")
+      assert(!nbrs.contains(rk), s"node $rk links to itself")
+      assert(nbrs.distinct.size == nbrs.size, s"node $rk has dup edges")
+    }
+  }
+}

@@ -16,8 +16,8 @@ class RecallGateSpec extends AnyFunSuite {
   test("sim_recall emits one row per ANN flavor with recall@10 >= 0.9") {
     val rows = SparkEntry.queries("sim_recall")(spark, sf).collect()
     val flavors = rows.map(_.getAs[String]("flavor")).toSet
-    assert(flavors == Set("ivf", "ivfpq", "lsh", "pq"),
-      s"expected all four ANN flavors, got $flavors")
+    assert(flavors == Set("ivf", "ivfpq", "lsh", "pq", "hnsw"),
+      s"expected all five ANN flavors, got $flavors")
     rows.foreach { r =>
       val flavor = r.getAs[String]("flavor")
       val n = r.getAs[Long]("n_queries")
