@@ -364,6 +364,29 @@ object DedupQueries {
       Dedup.dropList(minhashPairsHex(s, d)).orderBy($"doc_id")
     },
 
+    "dd_dedup_pipeline" -> { (s, d) =>
+      import s.implicits._
+      // the END-TO-END fuzzy-dedup pipeline a corpus curator runs
+      // (the SlimPajama/RefinedWeb recipe, every stage already §2-
+      // gated alone, composed here under ONE oracle): LSH candidate
+      // generation (the hex family) → EXACT n-gram-Jaccard
+      // verification of just the candidate pairs (per-pair shingle
+      // intersect — candidate-bounded, never corpus²; kills LSH
+      // false positives the estimate lets through) → connected
+      // components → min-id drop list.
+      val cands = minhashPairsHex(s, d)
+      val sh = Dedup.shingles(plantedDocs(s, d), "doc_id", "text", n = 3)
+      val verified = cands
+        .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sha")), Seq("doc_a"))
+        .join(sh.select($"doc_id".as("doc_b"), $"sh".as("shb")), Seq("doc_b"))
+        .withColumn("jaccard",
+          size(array_intersect($"sha", $"shb")).cast("double") /
+            size(array_union($"sha", $"shb")))
+        .filter($"jaccard" >= 0.8)
+        .select($"doc_a", $"doc_b", $"jaccard")
+      Dedup.dropList(verified).orderBy($"doc_id")
+    },
+
     "dd_cc_labels" -> { (s, d) =>
       import s.implicits._
       // The iterative connected-components operator under a FULL
@@ -1001,6 +1024,24 @@ object DedupQueries {
     },
   )
 
+  /** One unrolled PageRank round in oracle SQL — the 9-dp DECIMAL
+    * contribution-sum discipline Dedup.pagerank mirrors. Expects CTEs
+    * `edges(src,dst)`, `deg(doc_id,degree)`, `nn(n)` and the previous
+    * round `prev(doc_id,degree,rank)` in scope. Shared by dd_pagerank
+    * and the host-authority oracle (TextQueries). */
+  private[graft] def pagerankStepSql(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT g.doc_id, g.degree,
+       |    ROUND(CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
+       |      CAST(COALESCE(s.s, 0) AS DOUBLE), 9) AS rank
+       |  FROM deg g
+       |  LEFT JOIN (
+       |    SELECT e.dst AS doc_id,
+       |      SUM(CAST(ROUND(r.rank / r.degree, 9) AS DECIMAL(24,9))) AS s
+       |    FROM edges e JOIN $prev r ON r.doc_id = e.src
+       |    GROUP BY e.dst) s USING (doc_id),
+       |  nn)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "dd_exact" ->
       s"""WITH corpus AS ($plantedDocsSql)
@@ -1035,18 +1076,7 @@ object DedupQueries {
       // (order-independent), the 0.15/n + 0.85*s mix runs in DOUBLE
       // (single mul + add — IEEE-identical), and the result
       // re-quantizes to 9 dp before feeding the next round
-      def step(prev: String, out: String) =
-        s"""$out AS (
-           |  SELECT g.doc_id, g.degree,
-           |    ROUND(CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
-           |      CAST(COALESCE(s.s, 0) AS DOUBLE), 9) AS rank
-           |  FROM deg g
-           |  LEFT JOIN (
-           |    SELECT e.dst AS doc_id,
-           |      SUM(CAST(ROUND(r.rank / r.degree, 9) AS DECIMAL(24,9))) AS s
-           |    FROM edges e JOIN $prev r ON r.doc_id = e.src
-           |    GROUP BY e.dst) s USING (doc_id),
-           |  nn)""".stripMargin
+      def step(prev: String, out: String) = pagerankStepSql(prev, out)
       s"""WITH $jaccardCtes,
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jpairs
          |          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM jpairs),
@@ -1550,6 +1580,26 @@ object DedupQueries {
       s"""WITH RECURSIVE ${minhashHexCtesFor(plantedDocsSql)},
          |edges AS (SELECT doc_a AS s, doc_b AS d FROM lshpairs
          |          UNION ALL SELECT doc_b AS s, doc_a AS d FROM lshpairs),
+         |reach AS (SELECT s, d FROM edges
+         |          UNION
+         |          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         |SELECT s AS doc_id, LEAST(MIN(d), s) AS keeper
+         |FROM reach GROUP BY s HAVING LEAST(MIN(d), s) < s
+         |ORDER BY doc_id""".stripMargin,
+
+    "dd_dedup_pipeline" ->
+      // the whole pipeline replayed: hex LSH candidates → exact
+      // shingle-set Jaccard verify on just those pairs → recursive
+      // closure → min-id drop list
+      s"""WITH RECURSIVE ${minhashHexCtesFor(plantedDocsSql)},
+         |ver AS (
+         |  SELECT doc_a, doc_b FROM lshpairs
+         |  JOIN sh sa ON sa.doc_id = lshpairs.doc_a
+         |  JOIN sh sb ON sb.doc_id = lshpairs.doc_b
+         |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM ver
+         |          UNION ALL SELECT doc_b AS s, doc_a AS d FROM ver),
          |reach AS (SELECT s, d FROM edges
          |          UNION
          |          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)

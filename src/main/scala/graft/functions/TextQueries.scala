@@ -586,6 +586,33 @@ object TextQueries {
           countDistinct($"doc_id").as("n_pages"))
         .orderBy($"src_host", $"dst_host")
     },
+
+    "txt_host_authority" -> { (s, d) =>
+      import s.implicits._
+      // host AUTHORITY ranking — the full crawl stack composed end to
+      // end: HTML outlink extraction → host canonicalization →
+      // canonical undirected host edges (least/greatest + distinct,
+      // self-loops dropped) → the cross-engine-deterministic 3-round
+      // PageRank (Dedup.pagerank's 9-dp DECIMAL discipline) — the
+      // crawl-priority signal a frontier scheduler feeds on. Full
+      // oracle: independent extraction + host rules + the unrolled
+      // rounds.
+      val pages = Tables.documents(s, d)
+        .withColumn("html", expr(s"($HtmlRawSql || $HtmlLinksSql)"))
+        .withColumn("src_host", UrlFunctions.host(expr(UrlRawSql)))
+      val edges = pages.select($"src_host",
+          explode(expr(
+            """regexp_extract_all(html, 'href="(http[^"]*)"', 1)"""))
+            .as("raw"))
+        .withColumn("dst_host", UrlFunctions.host($"raw"))
+        .filter($"src_host" =!= $"dst_host")
+        .select(least($"src_host", $"dst_host").as("doc_a"),
+          greatest($"src_host", $"dst_host").as("doc_b"))
+        .distinct()
+      graft.dedup.Dedup.pagerank(edges, iters = 3)
+        .select($"doc_id".as("host"), $"degree", $"rank")
+        .orderBy($"host")
+    },
   )
 
   /** The hashed-linear-classifier token fold, SQL that parses in BOTH
@@ -1058,6 +1085,39 @@ object TextQueries {
          |  COUNT(DISTINCT doc_id) AS n_pages
          |FROM hosts GROUP BY src_host, dst_host
          |ORDER BY src_host, dst_host""".stripMargin
+    },
+
+    "txt_host_authority" -> {
+      def hostSql(u: String) =
+        s"""regexp_extract(regexp_replace(regexp_replace(
+           |  lower(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)),
+           |  '^([a-z0-9+.-]*://)[^/?#@]*@', '\\1'),
+           |  '^(https?://)www\\.', '\\1'),
+           |  '^[a-z0-9+.-]*://([^:/]*)', 1)""".stripMargin.replace('\n', ' ')
+      val step = graft.dedup.DedupQueries.pagerankStepSql _
+      s"""WITH page AS (
+         |  SELECT doc_id, source, ($HtmlRawSql || $HtmlLinksSql) AS html
+         |  FROM documents),
+         |links AS (SELECT doc_id, source,
+         |    unnest(regexp_extract_all(html, 'href="(http[^"]*)"', 1)) AS raw
+         |  FROM page),
+         |hosts AS (SELECT ${hostSql(UrlRawSql)} AS src_host,
+         |    ${hostSql("raw")} AS dst_host
+         |  FROM links),
+         |cpairs AS (SELECT DISTINCT least(src_host, dst_host) AS a,
+         |    greatest(src_host, dst_host) AS b
+         |  FROM hosts WHERE src_host <> dst_host),
+         |edges AS (SELECT a AS src, b AS dst FROM cpairs
+         |          UNION ALL SELECT b AS src, a AS dst FROM cpairs),
+         |deg AS (SELECT src AS doc_id, COUNT(*) AS degree
+         |        FROM edges GROUP BY src),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+         |r0 AS (SELECT doc_id, degree, ROUND(CAST(1 AS DOUBLE) / nn.n, 9) AS rank
+         |       FROM deg, nn),
+         |${step("r0", "r1")},
+         |${step("r1", "r2")},
+         |${step("r2", "r3")}
+         |SELECT doc_id AS host, degree, rank FROM r3 ORDER BY host""".stripMargin
     },
   )
 
