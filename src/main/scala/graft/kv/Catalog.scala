@@ -785,6 +785,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         // never-committed content; publishing cur+1 here without
         // clearing it would make resolveIndexVersioned serve it —
         // delete orphans before the pointer bump
+        // fence BEFORE deleting "orphans": a lapsed compactor's
+        // cur+1 may be the new owner's PUBLISHED version, and these
+        // would be its live index artifacts (the
+        // maintainAnalyticIndexes preamble reasoning)
+        heldWriteLock.value.foreach { h => h.ensureValid(); h.fencedPublish(): Unit }
         indexesOf(name).foreach { case (iname, ty, _) =>
           // every flavor of version-(cur+1) index dir is suspect: base
           // snapshots (kv rebuilds) AND segment/tombstone/delta dirs a
@@ -1001,14 +1006,25 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     // sees the truth. (as-of == next implies it was next-1 before the
     // dead attempt: stale indexes are excluded by the gate and never
     // bumped.)
+    // fence BEFORE the healing deletes below, not only before this
+    // attempt's own renames: the preamble's "version `next` is
+    // unpublished" premise is exactly what a LAPSED holder gets wrong
+    // — a new owner may have published `next` (live segments, asOf
+    // bumped) while we were paused, and deleting "orphans" here would
+    // destroy its LIVE index artifacts and un-fresh its registry
+    // entry. The authority compare rejects a superseded grant the
+    // moment a newer one exists, so only the rightful holder reaches
+    // the deletes. (No-op for token-less providers, whose locks
+    // cannot lapse — the premise holds there unconditionally.)
+    heldWriteLock.value.foreach { h => h.ensureValid(); h.fencedPublish(): Unit }
     analytic.foreach { case (iname, ty, _) =>
       // delete version-`next` artifacts UNCONDITIONALLY, not only when
       // the dead attempt reached its as-of bump: an attempt that died
       // between an auto-fold's data_v(next) rename and setIndexAsOf
       // leaves orphans with as-of still at next-1, and a retry that
       // kept them would resolve the dead fold's base as its own.
-      // Always safe here — THIS attempt has written nothing yet, and
-      // `next` is unpublished so no reader resolves it.
+      // Safe under the fence above — THIS attempt has written nothing
+      // yet, and `next` is provably unpublished for a current grant.
       IndexDirPrefixes.foreach { p =>
         val orphan = indexDir(name, iname, ty).resolve(s"$p$next")
         if (Files.exists(orphan)) deleteRecursively(orphan)
@@ -1025,6 +1041,17 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       indexAsOfVersion(name, iname, ty) == next - 1
     }.foreach { case (iname, ty, cols) =>
       val dir = indexDir(name, iname, ty)
+      // segment appends get the SAME grant-scoped stage→fence→rename
+      // protocol as the table snapshot: the heavy artifact writes land
+      // under a unique staging root, and the version-numbered names
+      // materialize only after the fence below passes — a holder
+      // lapsing mid-append can never cross-write the new owner's
+      // segment dirs. (Renamed HERE, not at publishVersion: the
+      // auto-fold a few lines down must see this batch's segments at
+      // their final names to fold them.)
+      val segStage = dir.resolve(".staging_seg" +
+        java.util.UUID.randomUUID().toString.replace("-", ""))
+      Files.createDirectories(segStage)
       val c = cols.head
       ty.toUpperCase match {
         case "FULLTEXT" =>
@@ -1052,7 +1079,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
             else Array.empty
           if (probe.nonEmpty && probe.length <= maxDriver) {
             val pre = preRows.select(col(rk), col(c)).collect()
-            DriverSegment.writeFulltext(dir, next, probe, pre, an, rkType)
+            DriverSegment.writeFulltext(segStage, next, probe, pre, an, rkType)
           } else {
           val segPos =
             graft.index.FullText.buildPositional(patchRows, rk, c, an).cache()
@@ -1062,11 +1089,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
             // Lucene segment shape): an explicit single partition
             // skips repartitionByRange's range-sampling job per write
             KvLayout.writeSorted(segPos, Seq("term"),
-              dir.resolve(s"posseg_v$next").toString, partitions = 1)
+              segStage.resolve(s"posseg_v$next").toString, partitions = 1)
             KvLayout.writeSorted(segPost, Seq("term"),
-              dir.resolve(s"seg_v$next").toString, partitions = 1)
+              segStage.resolve(s"seg_v$next").toString, partitions = 1)
             patchRows.select(col(rk).as("rk")).distinct().coalesce(1)
-              .write.mode("overwrite").parquet(dir.resolve(s"tomb_v$next").toString)
+              .write.mode("overwrite").parquet(segStage.resolve(s"tomb_v$next").toString)
             // df delta: +1 per term newly in a patched doc, -1 per term
             // that was in its pre-image — the dictionary view folds
             // these without re-counting the corpus
@@ -1077,12 +1104,12 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
               .select(col("term"), (-col("df")).cast("long").as("ddf"))
             add.unionByName(remove).groupBy("term").agg(sum("ddf").as("ddf"))
               .filter(col("ddf") =!= 0L).coalesce(1)
-              .write.mode("overwrite").parquet(dir.resolve(s"dictdelta_v$next").toString)
+              .write.mode("overwrite").parquet(segStage.resolve(s"dictdelta_v$next").toString)
           } finally { segPos.unpersist(); () }
           }
         case "BITMAP" =>
           graft.index.BitmapIndex.build(patchRows, rk, c)
-            .write.mode("overwrite").parquet(dir.resolve(s"seg_v$next").toString)
+            .write.mode("overwrite").parquet(segStage.resolve(s"seg_v$next").toString)
           // one tombstone bitmap per id-shard: clears the patched rows'
           // bits from EVERY value's older bitmaps (their old value is
           // whatever it was; the new value's bits live in this segment)
@@ -1092,7 +1119,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
             .groupBy(shiftrightunsigned(col("__rk"),
               graft.index.BitmapIndex.ShardBits).as("shard"))
             .agg(agg(col("__rk")).as("bm"))
-            .write.mode("overwrite").parquet(dir.resolve(s"tomb_v$next").toString)
+            .write.mode("overwrite").parquet(segStage.resolve(s"tomb_v$next").toString)
         case "VECTOR" =>
           // patch vectors assign to the nearest EXISTING centroid and
           // encode against the EXISTING codebooks (cheap write-path
@@ -1104,12 +1131,28 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           KvLayout.writeSorted(
             graft.similarity.VectorIndex.encodeEntries(
               patchRows, rk, c, cent, vmeta),
-            Seq("cluster"), dir.resolve(s"seg_v$next").toString,
+            Seq("cluster"), segStage.resolve(s"seg_v$next").toString,
             partitions = 1)
           patchRows.select(col(rk).as("rk")).distinct().coalesce(1)
-            .write.mode("overwrite").parquet(dir.resolve(s"tomb_v$next").toString)
+            .write.mode("overwrite").parquet(segStage.resolve(s"tomb_v$next").toString)
         case _ => ()
       }
+      // post-write fence + rename: prove the grant is still ours (and
+      // still the CURRENT one at the authority) before the staged
+      // segment dirs take their version-numbered names — the same
+      // microsecond fence→rename residual class as publishVersion's.
+      // A lapsed holder throws here with its bytes still quarantined
+      // in the staging root (vacuum's `.staging_` sweep reclaims).
+      // A dst that exists is a crashed attempt's orphan the healing
+      // preamble above missed only if it appeared mid-merge — ours to
+      // replace either way (version `next` is unpublished).
+      heldWriteLock.value.foreach { h => h.ensureValid(); h.fencedPublish(): Unit }
+      withList(segStage)(_.toList).foreach { child =>
+        val dst = dir.resolve(child.getFileName.toString)
+        if (Files.exists(dst)) deleteRecursively(dst)
+        Files.move(child, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      }
+      deleteRecursively(segStage)
       // tiered-merge analog (Lucene merges segments automatically):
       // past `autoFold` live segments the stack folds into a fresh
       // base right here, still under the table write lock — read
@@ -2660,11 +2703,13 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     // pass, so a lapse mid-stage keeps the lapsed holder's bytes
     // inside its own dir; what remains is a lapse strictly between
     // the fence and the rename, the same conditional-write-only class
-    // as (a). Analytic SEGMENT appends (maintainAnalyticIndexes) and
-    // in-maintenance auto-folds still target version-numbered dirs
-    // directly — bounded residual: segments are patch-sized, the new
-    // owner's own maintenance deletes version-`next` orphans before
-    // it writes (see the healing preamble there).
+    // as (a). Analytic SEGMENT appends run the same protocol inside
+    // maintainAnalyticIndexes (stage root → fence → rename, before
+    // the auto-fold consumes them); the one remaining direct write is
+    // the IN-MAINTENANCE auto-fold's writeIndexDirAtomic at version
+    // `next` — bounded: it runs immediately after that same fence,
+    // reads only already-fenced artifacts, and the new owner's
+    // healing preamble deletes version-`next` orphans before writing.
     val tok = h.map(_.fencingToken).getOrElse(0L)
     var epochAdvanced = false
     if (tok > 0L) {

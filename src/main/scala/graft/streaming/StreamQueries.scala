@@ -137,8 +137,13 @@ object StreamQueries {
       // — a re-crawled URL variant never re-enters the corpus. The
       // emitted set is exactly the originals, so the full oracle is
       // the batch canonicalization over plain documents.
-      val src = broadcast(Tables.documents(s, d)
-        .select($"doc_id".as("eff_id"), $"source"))
+      // the static dim is CACHED (QueryCaches memo): a stream-static
+      // join re-evaluates its static side every micro-batch, and
+      // re-reading the parquet per trigger is pure waste — at crawl
+      // scale this side is the bounded source/host dim, exactly what
+      // you pin in memory
+      val src = broadcast(graft.QueryCaches.frame(s"urldedup_src:$d")(
+        Tables.documents(s, d).select($"doc_id".as("eff_id"), $"source")))
       val stream = Tables.documentsStream(s, d)
         .withColumn("eff_id", $"doc_id" % Tables.PlantedIdBase)
         .join(src, "eff_id")

@@ -636,6 +636,92 @@ class ConcurrencySpec extends AnyFunSuite {
     finally s.close()
   }
 
+  test("fencing: a lapsed CDC merge never touches the new owner's live index segments") {
+    // The segment-append protocol (maintainAnalyticIndexes): a holder
+    // lapsing MID-STAGE must die at the early fence — BEFORE the
+    // healing preamble's version-`next` deletes, which would otherwise
+    // destroy the new owner's PUBLISHED live segments, and BEFORE its
+    // own staged segment dirs take version-numbered names.
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val server = new graft.kv.LeaseLockServer().start()
+    try {
+      val real = new graft.kv.LeaseLockProvider(
+        "127.0.0.1", server.boundPort, leaseMs = 60000)
+      val blind = new graft.kv.LockProvider {
+        override def acquire(r: String, t: Long): graft.kv.LockProvider.Handle = {
+          val h = real.acquire(r, t)
+          new graft.kv.LockProvider.Handle {
+            override def release(): Unit = h.release()
+            override def fencingToken: Long = h.fencingToken
+            override def ensureValid(): Unit = () // deliberately bypassed
+            override def fencedPublish(): Boolean = h.fencedPublish()
+          }
+        }
+      }
+      val wh = Files.createTempDirectory("graft_segfence_wh").toString
+      val catA = new Catalog(spark, wh, lockProviderOpt = Some(blind))
+      val catB = new Catalog(spark, wh, lockProviderOpt = Some(real))
+      catA.createTable("t", StructType(Seq(
+        StructField("k", LongType, false),
+        StructField("body", StringType, true))), Seq("k"))
+      catA.bulkLoad("t", graft.Tables.documents(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("doc_id") < 100)
+        .select(org.apache.spark.sql.functions.col("doc_id").as("k"),
+          org.apache.spark.sql.functions.col("text").as("body")),
+        partitions = 2)
+      catA.createIndex("t", "ft", "fulltext", Seq("body"))
+      FenceGate.reset()
+      val slow = spark.range(1).repartition(1).mapPartitions { it =>
+        FenceGate.started.countDown()
+        FenceGate.proceed.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        it
+      }.flatMap(_ => Seq(5L -> "graft lapsed body")).toDF("k", "body")
+      var failure: Option[Throwable] = None
+      val t1 = new Thread(() => {
+        try catA.incrementalMerge("t", slow)
+        catch { case e: Throwable => failure = Some(e) }
+      })
+      t1.start()
+      assert(FenceGate.started.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      server.expireNow("t")
+      catB.incrementalMerge("t",
+        Seq(7L -> "graft owner body").toDF("k", "body")) // publishes v2 + seg_v2
+      def idxFp(): Map[String, String] = {
+        val d = Paths.get(wh, "t.fulltext.ft")
+        val s = Files.walk(d)
+        try s.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            !p.toString.contains(".staging_"))
+          .map { p =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            p.toString ->
+              md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+          }.toMap
+        finally s.close()
+      }
+      val before = idxFp()
+      assert(before.keys.exists(_.contains("seg_v2")),
+        "the new owner's segment should be live before the race resolves")
+      FenceGate.proceed.countDown()
+      t1.join(60000)
+      assert(failure.exists(_.isInstanceOf[IllegalStateException]),
+        s"lapsed merge was not fenced: $failure")
+      assert(idxFp() == before,
+        "the lapsed holder touched the new owner's live index artifacts")
+      // the live view serves B's patch, not A's
+      val cat = new Catalog(spark, wh)
+      val view = cat.indexData("t", "ft", "fulltext")
+      val base = cat.table("t").df
+      def hits(term: String): Seq[Long] =
+        graft.index.FullText.searchAll(base, "k", view, Seq(term))
+          .select(org.apache.spark.sql.functions.col("k"))
+          .collect().map(_.getLong(0)).toSeq.sorted
+      assert(hits("owner") == Seq(7L))
+      assert(hits("lapsed").isEmpty)
+    } finally server.stop()
+  }
+
   test("lease: authority-side compare-and-publish fences a lapsed holder BEFORE the new owner commits") {
     // The meta-stamp fence is read→compare→write: it only rejects a
     // lapsed holder once the new owner HAS published a higher epoch.
