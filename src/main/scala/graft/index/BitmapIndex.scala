@@ -346,6 +346,22 @@ object BitmapIndex {
     index.filter(col("iv") === lit(value))
       .select(explode(Ops.bitmapIds(col("bm"))).as("rk"))
 
+  /** Range retrieval over the value-keyed bitmap rows — the
+    * Pinot/Druid-style range scan (their classic use: a time-range
+    * predicate served from the date column's bitmaps): select the
+    * [lo,hi] value rows (an index-row predicate, tiny vs the base),
+    * OR-fold each id-shard's bitmaps with the codegen kernels inside
+    * one HOF (no UDF boxing), explode ids. Work spreads across
+    * shards like every other bitmap op; the fold is
+    * |values-in-range| bitmaps per shard. */
+  def rangeIds(index: DataFrame, lo: Any, hi: Any): DataFrame =
+    index.filter(col("iv") >= lit(lo) && col("iv") <= lit(hi))
+      .groupBy(col("shard"))
+      .agg(collect_list(col("bm")).as("bms"))
+      .select(explode(Ops.bitmapIds(
+        aggregate(expr("slice(bms, 2, size(bms))"), col("bms").getItem(0),
+          (acc, b) => Ops.bitmapOr(acc, b)))).as("rk"))
+
   /** Combine two values' bitmaps (possibly from different indexes)
     * with AND/OR: a shard-keyed zip — each id-shard pair combines
     * independently, so a hot value's work spreads across tasks.

@@ -47,6 +47,22 @@ object IndexQueries {
         .orderBy($"o_orderkey")
     },
 
+    "idx_bitmap_range" -> { (s, d) =>
+      import s.implicits._
+      // bitmap RANGE retrieval (the Pinot/Druid time-range scan): a
+      // quarter of order dates served by OR-folding the in-range
+      // values' bitmaps per id-shard — an index-row predicate plus
+      // codegen bitmap folds, never a base-table scan. Served from
+      // the catalog-persisted index's segmented view like the other
+      // bitmap gates.
+      val dateIdx = graft.QueryCaches.ordersBitmap(s, d, "o_orderdate")
+      BitmapIndex.rangeIds(dateIdx,
+          java.sql.Timestamp.valueOf("1996-01-01 00:00:00"),
+          java.sql.Timestamp.valueOf("1996-03-31 00:00:00"))
+        .select($"rk".as("o_orderkey"))
+        .orderBy($"o_orderkey")
+    },
+
     "idx_bitmap_and_or" -> { (s, d) =>
       import s.implicits._
       val statusIdx = graft.QueryCaches.ordersBitmap(s, d, "o_orderstatus")
@@ -413,6 +429,12 @@ object IndexQueries {
 
     "idx_bitmap_eq" ->
       """SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "idx_bitmap_range" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <= TIMESTAMP '1996-03-31 00:00:00'
         |ORDER BY o_orderkey""".stripMargin,
 
     "idx_bitmap_and_or" ->

@@ -148,4 +148,33 @@ class BitmapPropertySpec extends AnyFunSuite {
     val dense = bitmapOf(0L until 60000L)
     assert(dense.length >= 8 * 1024 && dense.length < 9 * 1024)
   }
+
+  test("rangeIds == the union of per-value lookups for any value interval") {
+    // the range scan's HOF OR-fold (aggregate over collect_list) must
+    // agree with folding value-by-value through lookupIds — pins the
+    // new fold wiring, incl. shards present for only SOME in-range
+    // values and ids crossing the shard boundary
+    import TestSpark._
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 4000).map { i =>
+      // ids straddle the 16Mi shard boundary; values 0..9
+      val id = if (i % 3 == 0) i.toLong else (1L << 24) * (i % 5) + i
+      (id, rnd.nextInt(10))
+    }
+    val idx = graft.index.BitmapIndex.build(
+      rows.toDF("k", "v"), "k", "v")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    for ((lo, hi) <- Seq((2, 5), (0, 9), (7, 7), (8, 20))) {
+      val ranged = ids(graft.index.BitmapIndex.rangeIds(idx, lo, hi))
+      val unioned = (lo to math.min(hi, 9))
+        .map(v => ids(graft.index.BitmapIndex.lookupIds(idx, v)))
+        .foldLeft(Set.empty[Long])(_ ++ _)
+      assert(ranged == unioned, s"range [$lo,$hi] diverged from the union")
+      val expect = rows.filter { case (_, v) => v >= lo && v <= hi }
+        .map(_._1).toSet
+      assert(ranged == expect, s"range [$lo,$hi] diverged from ground truth")
+    }
+  }
 }
