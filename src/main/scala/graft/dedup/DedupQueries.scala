@@ -747,6 +747,26 @@ object DedupQueries {
         .orderBy($"qid", $"rn")
     },
 
+    "sim_hnsw_filtered" -> { (s, d) =>
+      import s.implicits._
+      // label-FILTERED graph ANN (the filtered-HNSW recipe,
+      // completing the filtered axis across the flavor families):
+      // only label matches enter the shortlist, the beam traverses
+      // through non-matches (filtering the graph itself would
+      // disconnect it for rare labels); labels join rk-keyed AFTER
+      // the probe join — probe-bounded, the filteredIvfSearch
+      // join-order contract. rows-only; HnswSpec pins the
+      // all-rows-match invariant and a recall floor vs the exact
+      // filtered scan.
+      val (graph, cent, delta) = hnswParts(s, d)
+      graft.similarity.Hnsw.filteredSearch(graph, cent, delta,
+          plantedEmbs(s, d).select($"vec_id", $"label"),
+          Tables.embeddings(s, d).filter($"vec_id" < 6),
+          "vec_id", "embedding", "label", k = 10, nprobe = 8,
+          ef = 24, maxVisits = 96)
+        .orderBy($"qid", $"rn")
+    },
+
     "sim_hnsw_ann" -> { (s, d) =>
       import s.implicits._
       // Graph-based ANN (the HNSW/DiskANN family — the last major

@@ -187,6 +187,93 @@ object Hnsw {
       .filter(col("nn") =!= col("qid"))
   }
 
+  /** Label-FILTERED beam search — the filtered-HNSW recipe (and
+    * filteredIvfSearch's contract, re-expressed on the graph): only
+    * label-matching nodes enter the SHORTLIST, but the beam TRAVERSES
+    * through non-matching nodes — filtering the graph itself would
+    * disconnect it exactly for the rare labels that need the index
+    * most. Labels join rk-keyed AFTER the probe join (probe-bounded,
+    * the filteredIvfSearch join-order contract); the delta buffer
+    * filters on the label directly (patch-sized). Returns (qid, rn,
+    * nn, score) with EVERY row label-matching by construction. */
+  def filteredSearch(nodes: DataFrame, centroids: DataFrame,
+                     delta: DataFrame, attrs: DataFrame,
+                     queries: DataFrame, idCol: String, vecCol: String,
+                     attrCol: String, k: Int, nprobe: Int = 4,
+                     ef: Int = 16, maxVisits: Int = 64): DataFrame = {
+    require(ef > 0 && maxVisits >= ef,
+      s"need maxVisits ($maxVisits) >= ef ($ef) > 0")
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      col(attrCol).cast("long").as("qattr"))
+    val probes = Ann.coarseProbes(centroids, q, nprobe,
+        keep = Seq("qv", "qattr"))
+      .select(col("qid"), col("qv"), col("qattr"), col("cluster"))
+    val lbl = attrs.select(col(idCol).as("rk"),
+      col(attrCol).cast("long").as("label"))
+    val grouped = nodes
+      .join(broadcast(probes), Seq("cluster"))
+      .join(lbl, Seq("rk"))
+      .select(col("qid").cast("long"), col("cluster").cast("int"),
+        col("qv"), col("qattr"), col("rk").cast("long"), col("v"),
+        col("neighbors"), col("label"))
+      .as[(Long, Int, Seq[Float], Long, Long, Seq[Float], Seq[Long], Long)]
+    val beamHits = grouped.groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_: (Long, Int), it: Iterator[(Long, Int, Seq[Float], Long, Long, Seq[Float], Seq[Long], Long)]) =>
+        val rows = it.toArray
+        val qid = rows(0)._1
+        val qv = rows(0)._3.toArray
+        val qattr = rows(0)._4
+        val byRk = rows.iterator.map(r => r._5 -> r).toMap
+        val sortedRks = rows.map(_._5).sorted
+        val nSeeds = math.max(1, ef / 4)
+        val seeds = (0 until nSeeds)
+          .map(s => sortedRks(((s.toLong * sortedRks.length) / nSeeds).toInt))
+          .distinct
+        val visited = scala.collection.mutable.Set[Long]()
+        implicit val ord: Ordering[(Double, Long)] =
+          Ordering.Tuple2(Ordering[Double], Ordering[Long].reverse)
+        val frontier = scala.collection.mutable.PriorityQueue[(Double, Long)]()
+        val short = scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord.reverse)
+        def visit(rk: Long): Unit = if (visited.add(rk)) {
+          val s = cos(qv, byRk(rk)._6.toArray)
+          frontier.enqueue((s, rk))
+          // the traversal crosses every label; only matches SCORE
+          if (byRk(rk)._8 == qattr) {
+            short.enqueue((s, rk))
+            if (short.size > ef) { short.dequeue(); () }
+          }
+        }
+        seeds.foreach(visit)
+        var expanded = 0
+        while (frontier.nonEmpty && visited.size < maxVisits &&
+            expanded < maxVisits) {
+          val (s, rk) = frontier.dequeue()
+          if (short.size < ef || s >= short.head._1) {
+            expanded += 1
+            byRk(rk)._7.foreach { nb =>
+              if (visited.size < maxVisits && byRk.contains(nb)) visit(nb)
+            }
+          }
+        }
+        short.dequeueAll.iterator.map { sr: (Double, Long) =>
+          (qid, sr._2, sr._1)
+        }
+      }
+      .toDF("qid", "nn", "score")
+    val deltaHits = delta.select(col("rk").as("nn"), col("v"))
+      .join(lbl.select(col("rk").as("nn"), col("label")), Seq("nn"))
+      .crossJoin(broadcast(q))
+      .filter(col("label") === col("qattr"))
+      .select(col("qid"), col("nn"), cosineCol(col("qv"), col("v")).as("score"))
+    Ann.rank(
+      beamHits.select(col("qid"), col("nn"), round(col("score"), 3).as("score"))
+        .unionByName(deltaHits
+          .select(col("qid"), col("nn"), round(col("score"), 3).as("score")))
+        .filter(col("nn") =!= col("qid")), k)
+  }
+
   private def cosineCol(a: Column, b: Column): Column =
     graft.plans.HashExpressions.cosineSim(a, b)
 

@@ -121,6 +121,49 @@ class HnswSpec extends AnyFunSuite {
       "delta-buffer row missing from the shortlist union")
   }
 
+  test("filtered beam: every hit matches the label; recall holds vs the exact filtered scan") {
+    import spark.implicits._
+    val (graph, cents) = built
+    // labels orthogonal to the geometry (vec_id % 3), so the filter
+    // genuinely thins every probed list instead of aligning with it
+    val attrs = corpus.select($"vec_id", ($"vec_id" % 3).as("label"))
+    val labeled = corpus.join(attrs, Seq("vec_id"))
+    val q = labeled.filter($"vec_id" % 200 === 3)
+    // budget scaled by 1/f like filteredIvfSearch documents: labels
+    // cover f = 1/3 of every list, so probe and visit ~3× the
+    // unfiltered budget to hold the same MATCHING candidate mass
+    val got = Hnsw.filteredSearch(graph, cents, emptyDelta, attrs, q,
+      "vec_id", "embedding", "label", k = 10, nprobe = 6,
+      ef = 32, maxVisits = 280)
+    // hard invariant: no cross-label row, ever
+    val lblOf = attrs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.collect().foreach { r =>
+      assert(lblOf(r.getLong(2)) == lblOf(r.getLong(0)),
+        s"cross-label hit: ${r.getLong(2)} for query ${r.getLong(0)}")
+    }
+    // recall vs the exact filtered scan
+    val exact = Ann.filteredTopK(labeled, "vec_id", "embedding", "label",
+      q, k = 10)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"qid", $"nn").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (e, g) = (pairSet(exact), pairSet(got))
+    val recall = (e & g).size.toDouble / e.size
+    assert(recall >= 0.85, s"filtered beam recall@10 $recall vs exact")
+    // the delta-buffer path honors the label too: a fresh row with
+    // the query's vector but the WRONG label must not surface
+    val freshWrong = q.limit(1).select(lit(900002L).as("rk"),
+      $"embedding".as("v"))
+    val attrsPlus = attrs.unionByName(
+      q.limit(1).select(lit(900002L).as("vec_id"),
+        (($"label" + 1) % 3).as("label")))
+    val got2 = Hnsw.filteredSearch(graph, cents, freshWrong, attrsPlus, q,
+      "vec_id", "embedding", "label", k = 10, nprobe = 6,
+      ef = 32, maxVisits = 280)
+    assert(!got2.select($"nn").collect().map(_.getLong(0)).contains(900002L),
+      "a wrong-label delta row surfaced through the filtered search")
+  }
+
   test("graph build is deterministic and edges stay within 2m") {
     val (graph, _) = built
     val a = graph.orderBy(col("rk")).collect()
