@@ -73,6 +73,32 @@ class PlanSpec extends AnyFunSuite {
       s"nearest as-of regressed to an inequality join:\n$p")
   }
 
+  test("txt_link_graph is one extraction pass + one edge-key aggregate, no join") {
+    val p = planOf("txt_link_graph")
+    assert(!p.contains("Join"),
+      s"link extraction grew a join (the dressing and host rules are pure exprs):\n$p")
+    assert(p.contains("HashAggregate"), s"edge aggregation lost its hash form:\n$p")
+  }
+
+  test("mm_pair_dedup keeps the banded candidate join shuffled (no inflated broadcast)") {
+    val p = planOf("mm_pair_dedup")
+    assert(p.contains("ShuffledHashJoin"),
+      s"band join lost its shuffle-hash form (both sides are corpus-sized):\n$p")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"cross-modal dedup planned an unbounded join:\n$p")
+  }
+
+  test("sim_hnsw_ann broadcasts the probe frame into the graph join") {
+    val p = planOf("sim_hnsw_ann")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probed-list join not broadcast (probes are nprobe-bounded):\n$p")
+    // the fresh-delta arm IS a broadcast nested loop by design
+    // (patch-sized buffer × broadcast query batch) — the forbidden
+    // shape is a SHUFFLED cartesian, covered by the global audit
+    assert(!p.contains("CartesianProduct"),
+      s"graph search planned a shuffled cartesian:\n$p")
+  }
+
   test("q4 star join broadcasts the dimension tables") {
     val p = planOf("q4_broadcast_join")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
