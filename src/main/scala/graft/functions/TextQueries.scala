@@ -578,7 +578,7 @@ object TextQueries {
         .withColumn("src_host", UrlFunctions.host(expr(UrlRawSql)))
       pages.select($"doc_id", $"src_host",
           explode(expr(
-            """regexp_extract_all(html, 'href="(http[^"]*)"', 1)"""))
+            """regexp_extract_all(html, 'href="([hH][tT][tT][pP][^"]*)"', 1)"""))
             .as("raw"))
         .withColumn("dst_host", UrlFunctions.host($"raw"))
         .groupBy($"src_host", $"dst_host")
@@ -602,7 +602,7 @@ object TextQueries {
         .withColumn("src_host", UrlFunctions.host(expr(UrlRawSql)))
       val edges = pages.select($"src_host",
           explode(expr(
-            """regexp_extract_all(html, 'href="(http[^"]*)"', 1)"""))
+            """regexp_extract_all(html, 'href="([hH][tT][tT][pP][^"]*)"', 1)"""))
             .as("raw"))
         .withColumn("dst_host", UrlFunctions.host($"raw"))
         .filter($"src_host" =!= $"dst_host")
@@ -1075,7 +1075,7 @@ object TextQueries {
          |  SELECT doc_id, source, ($HtmlRawSql || $HtmlLinksSql) AS html
          |  FROM documents),
          |links AS (SELECT doc_id, source,
-         |    unnest(regexp_extract_all(html, 'href="(http[^"]*)"', 1)) AS raw
+         |    unnest(regexp_extract_all(html, 'href="([hH][tT][tT][pP][^"]*)"', 1)) AS raw
          |  FROM page),
          |hosts AS (SELECT doc_id,
          |    ${hostSql(UrlRawSql)} AS src_host,
@@ -1099,7 +1099,7 @@ object TextQueries {
          |  SELECT doc_id, source, ($HtmlRawSql || $HtmlLinksSql) AS html
          |  FROM documents),
          |links AS (SELECT doc_id, source,
-         |    unnest(regexp_extract_all(html, 'href="(http[^"]*)"', 1)) AS raw
+         |    unnest(regexp_extract_all(html, 'href="([hH][tT][tT][pP][^"]*)"', 1)) AS raw
          |  FROM page),
          |hosts AS (SELECT ${hostSql(UrlRawSql)} AS src_host,
          |    ${hostSql("raw")} AS dst_host

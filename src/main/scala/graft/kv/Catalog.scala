@@ -1892,15 +1892,29 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       // from it, so a journal written by a lapsed holder would be
       // replayed over the new owner's work even though publishVersion
       // fences): fence every held lease HERE, and at the AUTHORITY —
-      // fencedPublish atomically proves each grant is still the
-      // resource's current one inside the authority's serialization,
-      // rejecting this committer the moment a newer grant exists.
-      // ensureValid alone is check-then-act; the authority compare
-      // shrinks the residual to a lapse strictly between this line
-      // and the journal rename (closable only by conditional writes
-      // on the journal store itself).
+      // commitSwap atomically proves each grant is still the
+      // resource's current one inside the authority's serialization
+      // AND claims each table's next version number at the
+      // authority-held commit pointer, rejecting this committer the
+      // moment a newer grant exists and preventing any newer grant
+      // from ever allocating ONTO these numbers. ensureValid alone is
+      // check-then-act; the conditional swap shrinks the residual to
+      // a lapse strictly between this line and the journal rename
+      // (closable only by conditional writes on the journal store
+      // itself). Superseded (pointer already past `next` with the
+      // durable meta behind — a newer commit in flight) aborts
+      // pre-journal, unwinding cleanly through the catch below.
       locks.foreach(_.ensureValid())
-      locks.foreach(_.fencedPublish(): Unit)
+      publishes.foreach { case (t, next, _) =>
+        lockFor(t).commitSwap(next.toLong) match {
+          case LockProvider.Superseded(cur) =>
+            throw new IllegalStateException(
+              s"fencing: authority commit pointer for $t is already at $cur, " +
+              s"past this transaction's $next — a newer grant committed; " +
+              "aborting before the journal")
+          case _ => ()
+        }
+      }
       // post-fence materialization: only NOW do the staged snapshots
       // take their version-numbered names, so every heavy write above
       // happened inside grant-scoped dirs a lapsed holder can't aim at
@@ -2668,17 +2682,34 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     // commit-point fence: prove the lock is still ours BEFORE the
     // pointer swap (no-op for providers whose locks can't lapse)
     h.foreach(_.ensureValid())
-    // compare-and-publish AT THE AUTHORITY (throws when this grant is
-    // superseded): providers with a central lease service make the
-    // fence check atomic in the authority's own serialization —
-    // closing the read→compare→write window of the meta-stamp compare
-    // below on stores without conditional writes, and rejecting a
-    // lapsed holder the moment a newer grant EXISTS, before the new
-    // owner publishes anything. Providers without an authority (file
-    // locks, in-process) return false and rely on the meta compare
-    // alone — for them the lock itself cannot lapse, so the compare
-    // is already race-free under it.
-    h.foreach(_.fencedPublish(): Unit)
+    // CONDITIONAL COMMIT SWAP at the authority (the CommitStore seam,
+    // throws when this grant is superseded): in one serialized
+    // authority action the grant is fenced AND the authority-held
+    // commit pointer advances to `version` — the fence and the
+    // pointer move can no longer be split by a holder pause, so a
+    // holder that lapses after this line has already serialized its
+    // claim on the version number: any newer grant's swap lands
+    // STRICTLY after it in the authority's monitor and allocates past
+    // it, never onto it. Superseded (pointer already above `version`)
+    // is not thrown — with the durable meta also at/above `version`
+    // it is the legitimate replay (graceful skip below); with the
+    // meta behind, a newer grant's commit is in flight and this
+    // holder aborts before touching any final name. Providers without
+    // an authority (file locks, in-process) return NoAuthority and
+    // rely on the meta compare alone — for them the lock itself
+    // cannot lapse, so the compare is already race-free under it.
+    val swapRes = h.map(_.commitSwap(version.toLong))
+    val authoritySuperseded = swapRes.exists {
+      case LockProvider.Superseded(_) => true
+      case _ => false
+    }
+    // true iff the authority says WE claimed this version number first
+    // (pointer advanced from below it) — used to tell a legitimate
+    // replay from a number stolen while this holder paused post-claim
+    val claimedFirst = swapRes.exists {
+      case LockProvider.Committed(prev) => prev < version.toLong
+      case _ => false
+    }
     val meta = readMeta(table)
     // fencing token at the swap ITSELF (ensureValid is check-then-act
     // — a lease can lapse between the check and this write): the meta
@@ -2693,23 +2724,28 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     // published must fail loudly, not report silent success.
     // Residuals: (a) this read→compare→write is itself unfenced on
     // storage without conditional writes — CLOSED for providers with
-    // a central authority by the fencedPublish call above (the
-    // authority serializes the compare); still open for token-less /
+    // a central authority by the commitSwap above (the authority
+    // serializes the compare WITH the pointer move, so fence and swap
+    // can't be split by a pause); still open for token-less /
     // file-lock providers, where the lock itself cannot lapse so the
     // compare runs under real exclusion anyway; (b) the staged data
     // write preceding this swap — CLOSED: every write path stages in
     // a grant-scoped unique dir ([[newSnapshotStaging]]) and the
     // version-numbered names materialize only below, AFTER the fences
     // pass, so a lapse mid-stage keeps the lapsed holder's bytes
-    // inside its own dir; what remains is a lapse strictly between
-    // the fence and the rename, the same conditional-write-only class
-    // as (a). Analytic SEGMENT appends run the same protocol inside
+    // inside its own dir; (c) the old fence→rename lapse window —
+    // CLOSED for authority providers by the conditional swap: the
+    // version number is claimed atomically with the fence, so a
+    // post-swap lapse can't be overtaken onto the SAME number, and
+    // the pre-writeMeta re-swap below re-proves the grant after the
+    // renames. What remains is a lapse strictly between that re-proof
+    // and the one writeMeta file op — a pure write with no
+    // read→compare gap, the conditional-write-only floor. Analytic
+    // SEGMENT appends run the same protocol inside
     // maintainAnalyticIndexes (stage root → fence → rename, before
-    // the auto-fold consumes them); the one remaining direct write is
-    // the IN-MAINTENANCE auto-fold's writeIndexDirAtomic at version
-    // `next` — bounded: it runs immediately after that same fence,
-    // reads only already-fenced artifacts, and the new owner's
-    // healing preamble deletes version-`next` orphans before writing.
+    // the auto-fold consumes them), and the in-maintenance auto-fold
+    // rides foldIndexStack's own stage→fence→rename with its
+    // dict-before-data rename ordering preserved.
     val tok = h.map(_.fencingToken).getOrElse(0L)
     var epochAdvanced = false
     if (tok > 0L) {
@@ -2729,6 +2765,23 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     // version — and may have published its own write on top; replaying
     // the stale bump must not roll the newer snapshot back.
     if (meta.path("dataVersion").asInt() >= version) {
+      // the authority tells a REPLAY from a STOLEN number: a holder
+      // whose swap advanced the pointer from BELOW `version` was the
+      // first (and, at the authority, only) claimant of this number —
+      // finding the durable meta already at/above it means a newer
+      // grant took the number over while this holder paused after its
+      // claim. Its staged content was superseded, not replayed;
+      // reporting silent success would drop a caller's write on the
+      // floor. (A legitimate replay — journal roll-forward, a
+      // breaker's heal — re-swaps a pointer already AT the version,
+      // or runs on a provider with no authority, and keeps the
+      // graceful skip.)
+      if (claimedFirst)
+        throw new IllegalStateException(
+          s"fencing: this grant claimed version $version of $table first " +
+          "at the authority, but a newer grant has published it while " +
+          "this holder paused — the staged write was superseded, not " +
+          "replayed; aborting instead of reporting success")
       // a replayed publish by the highest-epoch holder still has to
       // PERSIST its advanced epoch before this skip returns —
       // otherwise the fence compares against a stale on-disk value
@@ -2743,6 +2796,16 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       }
       return
     }
+    // authority pointer above `version` while the durable meta is
+    // still behind it: a NEWER grant committed past this version and
+    // its publish is in flight — materializing final names here could
+    // interleave with that writer's renames. Abort with this holder's
+    // bytes still quarantined in their grant-scoped staging dirs.
+    if (authoritySuperseded)
+      throw new IllegalStateException(
+        s"fencing: authority commit pointer for $table has advanced past " +
+        s"$version while the durable meta is behind — a newer grant's " +
+        "commit is in flight; aborting instead of materializing over it")
     // post-fence materialization: the staged dirs take their
     // version-numbered names only now, behind every fence above — a
     // holder that lapsed mid-stage never got here, so it never wrote
@@ -2754,6 +2817,24 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       if (Files.exists(dst)) deleteRecursively(dst)
       Files.move(src, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
     }
+    // re-prove the swap immediately before the durable pointer mirror:
+    // idempotent at the authority (same grant, same `version`), and it
+    // atomically re-verifies the grant is STILL the current one after
+    // the renames above — a holder that lapsed mid-rename throws here
+    // with the meta untouched (its renamed dirs are unpublished
+    // orphans at final names; the next writer's rename clears them).
+    // What remains is a lapse strictly between this re-proof and the
+    // single writeMeta file op below — a pure-write residual with no
+    // read→compare gap left to pause inside, closable only by a store
+    // whose pointer write is itself conditional.
+    h.foreach(_.commitSwap(version.toLong) match {
+      case LockProvider.Superseded(cur) =>
+        throw new IllegalStateException(
+          s"fencing: authority commit pointer for $table advanced to $cur " +
+          s"during materialization of $version — a newer grant committed; " +
+          "aborting before the pointer mirror")
+      case _ => ()
+    })
     meta.put("dataVersion", version): Unit
     val times = meta.get("publishTimes") match {
       case o: ObjectNode => o

@@ -28,6 +28,7 @@ import java.util.concurrent.atomic.AtomicBoolean
   *   RENEW   <resource> <owner> <leaseMs>  -> OK | GONE
   *   RELEASE <resource> <owner>            -> OK | GONE
   *   PUBLISH <resource> <owner> <epoch>    -> OK | FENCED <epoch> | GONE
+  *   SWAP    <resource> <owner> <epoch> <next> -> OK <prev> | STALE <cur> | FENCED <epoch> | GONE
   * ACQUIRE is granted when the resource is free, its lease has
   * expired, or the same owner re-acquires (renewal semantics). Every
   * grant carries a server-wide monotonically increasing EPOCH — the
@@ -49,6 +50,22 @@ import java.util.concurrent.atomic.AtomicBoolean
   * record stays the storage-side fenceEpoch stamp, which commit
   * points compare AFTER this call — the two layers compose across an
   * authority restart.
+  *
+  * SWAP is PUBLISH graduated into a commit coordinator (the
+  * CommitStore seam): the same grant/epoch validation, plus a
+  * CONDITIONAL advance of a per-resource commit POINTER, all inside
+  * the one monitor — so the fence check and the pointer move can
+  * never be split by a holder pause. `next` above the held pointer
+  * advances it (OK, previous value returned); `next` EQUAL to it is
+  * the idempotent re-swap a journal roll-forward or burned-number
+  * takeover performs (OK — the grant check above already proves the
+  * caller is the rightful current holder); `next` BELOW it means a
+  * newer commit exists (STALE, pointer returned — the caller
+  * adjudicates replay vs abort against the durable meta). Like the
+  * published register, the pointer is in-memory per authority
+  * lifetime; the durable pointer stays the storage-side meta, written
+  * AFTER the swap, and a restarted authority simply re-learns the
+  * floor from the swaps that follow.
   */
 final class LeaseLockServer(port: Int = 0,
                             persistDir: Option[java.nio.file.Path] = None) {
@@ -57,6 +74,9 @@ final class LeaseLockServer(port: Int = 0,
   // highest epoch PUBLISHED per resource (the compare-and-publish
   // register); monotone within this authority's lifetime
   private val published = new ConcurrentHashMap[String, java.lang.Long]()
+  // authority-held commit POINTER per resource (the SWAP verb's CAS
+  // target); monotone within this authority's lifetime
+  private val pointers = new ConcurrentHashMap[String, java.lang.Long]()
   // Epochs must outlive the SERVER process: table meta persists the
   // highest epoch that ever published (Catalog fenceEpoch), so a
   // restart that re-minted from 0 would fence out every legitimate
@@ -197,6 +217,27 @@ final class LeaseLockServer(port: Int = 0,
         else {
           published.put(res, java.lang.Long.valueOf(epoch)): Unit
           "OK"
+        }
+      case Seq("SWAP", res, owner, epochStr, nextStr) =>
+        val epoch = epochStr.toLong
+        val next = nextStr.toLong
+        val cur = leases.get(res)
+        val pub = Option(published.get(res)).map(_.longValue).getOrElse(0L)
+        if (cur == null || cur.expiresAt <= now)
+          "GONE" // no current grant to validate against — cannot prove
+        else if (cur.owner != owner || cur.epoch != epoch || epoch < pub)
+          s"FENCED ${math.max(cur.epoch, pub)}"
+        else {
+          val p = Option(pointers.get(res)).map(_.longValue).getOrElse(0L)
+          if (next < p) s"STALE $p" // a newer commit already swapped past
+          else {
+            // next >= p: advance (or idempotently re-affirm) the
+            // pointer AND record the epoch as published, atomically
+            // with the grant check above
+            pointers.put(res, java.lang.Long.valueOf(next)): Unit
+            published.put(res, java.lang.Long.valueOf(epoch)): Unit
+            s"OK $p"
+          }
         }
       case Seq("RENEW", res, owner, leaseMs) =>
         val cur = leases.get(res)
@@ -370,6 +411,39 @@ final class LeaseLockProvider(host: String, port: Int,
             fail("authority has no current grant for this holder at publish")
           case other =>
             fail(s"authority unreachable at publish ($other) — cannot " +
+              "prove the grant is current")
+        }
+      }
+      override def commitSwap(next: Long): LockProvider.SwapResult = {
+        if (released.get()) fail("already released")
+        if (lost.get()) fail("service reports lease taken over")
+        // same retry/fail-safe stance as fencedPublish: an authority
+        // that stays unreachable cannot vouch for the swap, and an
+        // unproven commit pointer move is what this verb prevents
+        var resp = "ERR"
+        var attempt = 0
+        while (resp == "ERR" && attempt < 3) {
+          if (attempt > 0) Thread.sleep(math.min(100L, math.max(leaseMs / 10, 10L)))
+          resp = try call(s"SWAP $resource $owner $grantedEpoch $next")
+            catch { case _: Exception => "ERR" }
+          attempt += 1
+        }
+        resp.split("\\s+").toSeq match {
+          case Seq("OK", prev) =>
+            LockProvider.Committed(
+              scala.util.Try(prev.toLong).getOrElse(0L))
+          case Seq("STALE", cur) =>
+            LockProvider.Superseded(
+              scala.util.Try(cur.toLong).getOrElse(Long.MaxValue))
+          case "FENCED" +: rest =>
+            lost.set(true)
+            fail(s"fencing: authority reports grant epoch $grantedEpoch " +
+              s"superseded by ${rest.headOption.getOrElse("?")} at commit swap")
+          case Seq("GONE") =>
+            lost.set(true)
+            fail("authority has no current grant for this holder at commit swap")
+          case other =>
+            fail(s"authority unreachable at commit swap ($other) — cannot " +
               "prove the grant is current")
         }
       }

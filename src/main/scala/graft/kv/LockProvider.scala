@@ -86,7 +86,50 @@ object LockProvider {
       * meta-stamp compare alone is already race-free because the lock
       * itself still excludes). */
     def fencedPublish(): Boolean = false
+
+    /** Conditional COMMIT-POINTER swap at the authority — the
+      * CommitStore seam ([[fencedPublish]] graduated from a fence
+      * into a commit coordinator): in ONE serialized authority action,
+      * prove this grant is the resource's current one (else throw,
+      * the fencedPublish contract) AND advance the authority-held
+      * commit pointer to `next`. The pointer makes the publish itself
+      * conditional: a holder that lapses after this call can no
+      * longer be overtaken-then-overwrite, because any newer grant's
+      * swap is serialized against this one by the same monitor, and a
+      * superseded grant's swap is rejected the moment the newer grant
+      * exists — the fence and the pointer move can never be split by
+      * a pause. Re-swapping the same `next` by the rightful current
+      * grant is idempotent (the journal roll-forward / burned-number
+      * takeover case). Returns [[LockProvider.Committed]] when the
+      * authority swapped (or re-affirmed) the pointer,
+      * [[LockProvider.Superseded]] when the pointer already sits
+      * ABOVE `next` (a newer commit exists — the caller decides
+      * replay-skip vs abort against the durable meta), and the
+      * default [[LockProvider.NoAuthority]] for providers without a
+      * central authority, whose locks cannot lapse and whose commit
+      * compare therefore runs race-free under the lock itself. The
+      * pointer lives for the authority's lifetime; the durable layer
+      * stays the storage-side meta, and the two compose exactly like
+      * the published-epoch register. */
+    def commitSwap(next: Long): LockProvider.SwapResult =
+      LockProvider.NoAuthority
   }
+
+  /** Outcome of [[Handle.commitSwap]]. */
+  sealed trait SwapResult
+  /** The authority atomically fenced the grant and advanced (or
+    * re-affirmed) the resource's commit pointer to the requested
+    * version; `prev` is the pointer it replaced. */
+  final case class Committed(prev: Long) extends SwapResult
+  /** The authority's pointer already sits above the requested version
+    * — a NEWER grant committed past it. Not thrown: with the durable
+    * meta also past the version this is a legitimate replay
+    * (graceful skip); below it, the caller must abort. */
+  final case class Superseded(current: Long) extends SwapResult
+  /** Provider has no central authority (file locks, in-process
+    * semaphores) — locks that cannot lapse, where the meta compare
+    * under the lock is already race-free. */
+  case object NoAuthority extends SwapResult
 }
 
 /** Default: one lock file per resource under `dir(resource)`, held by

@@ -101,12 +101,15 @@ object Hnsw {
              queries: DataFrame, idCol: String, vecCol: String, k: Int,
              nprobe: Int = 4, ef: Int = 16, maxVisits: Int = 64): DataFrame =
     Ann.rank(searchStats(nodes, centroids, delta, queries, idCol, vecCol,
-      nprobe, ef, maxVisits).drop("visited"), k)
+      nprobe, ef, maxVisits).drop("visited", "cluster"), k)
 
   /** The shortlist WITH per-(query,list) visit counts — the
-    * sublinearity diagnostic HnswSpec pins ((qid, nn, score,
+    * sublinearity diagnostic HnswSpec pins ((qid, cluster, nn, score,
     * visited); `visited` repeats per emitted candidate of one
-    * (query, list) descent, and is 0 on delta-buffer rows). */
+    * (query, list) descent, `cluster` identifies THAT descent so two
+    * probed lists with equal visit counts never collapse under a
+    * distinct, and delta-buffer rows carry (cluster = -1,
+    * visited = 0)). */
   private[graft] def searchStats(nodes: DataFrame, centroids: DataFrame,
                                  delta: DataFrame, queries: DataFrame,
                                  idCol: String, vecCol: String,
@@ -127,9 +130,10 @@ object Hnsw {
         col("qv"), col("rk").cast("long"), col("v"), col("neighbors"))
       .as[(Long, Int, Seq[Float], Long, Seq[Float], Seq[Long])]
     val beamHits = grouped.groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (_: (Long, Int), it: Iterator[(Long, Int, Seq[Float], Long, Seq[Float], Seq[Long])]) =>
+      .flatMapGroups { (key: (Long, Int), it: Iterator[(Long, Int, Seq[Float], Long, Seq[Float], Seq[Long])]) =>
         val rows = it.toArray
         val qid = rows(0)._1
+        val cluster = key._2
         val qv = rows(0)._3.toArray
         val byRk = rows.iterator.map(r => r._4 -> r).toMap
         // deterministic multi-seed entry: evenly spaced in rk order —
@@ -169,21 +173,21 @@ object Hnsw {
         }
         val nVisited = visited.size
         short.dequeueAll.iterator.map { sr: (Double, Long) =>
-          (qid, sr._2, sr._1, nVisited)
+          (qid, cluster, sr._2, sr._1, nVisited)
         }
       }
-      .toDF("qid", "nn", "score", "visited")
+      .toDF("qid", "cluster", "nn", "score", "visited")
     // fresh-delta buffer: exhaustive exact scan (patch-sized between
     // graph rebuilds), broadcast against the query batch
     val deltaHits = delta.select(col("rk").as("nn"), col("v"))
       .crossJoin(broadcast(q))
-      .select(col("qid"), col("nn"),
+      .select(col("qid"), lit(-1).as("cluster"), col("nn"),
         cosineCol(col("qv"), col("v")).as("score"), lit(0).as("visited"))
-    beamHits.select(col("qid"), col("nn"),
+    beamHits.select(col("qid"), col("cluster"), col("nn"),
         round(col("score"), 3).as("score"), col("visited"))
       .unionByName(deltaHits
-        .select(col("qid"), col("nn"), round(col("score"), 3).as("score"),
-          col("visited")))
+        .select(col("qid"), col("cluster"), col("nn"),
+          round(col("score"), 3).as("score"), col("visited")))
       .filter(col("nn") =!= col("qid"))
   }
 
@@ -212,12 +216,18 @@ object Hnsw {
       .select(col("qid"), col("qv"), col("qattr"), col("cluster"))
     val lbl = attrs.select(col(idCol).as("rk"),
       col(attrCol).cast("long").as("label"))
+    // LEFT join: a graph node absent from attrs still enters the
+    // TRAVERSAL (dropping it would re-introduce the disconnection the
+    // beam design avoids for partial labelings) — its null label maps
+    // to a sentinel no qattr can equal, so it never reaches the
+    // shortlist.
     val grouped = nodes
       .join(broadcast(probes), Seq("cluster"))
-      .join(lbl, Seq("rk"))
+      .join(lbl, Seq("rk"), "left")
       .select(col("qid").cast("long"), col("cluster").cast("int"),
         col("qv"), col("qattr"), col("rk").cast("long"), col("v"),
-        col("neighbors"), col("label"))
+        col("neighbors"),
+        coalesce(col("label"), lit(Long.MinValue)).as("label"))
       .as[(Long, Int, Seq[Float], Long, Long, Seq[Float], Seq[Long], Long)]
     val beamHits = grouped.groupByKey(r => (r._1, r._2))
       .flatMapGroups { (_: (Long, Int), it: Iterator[(Long, Int, Seq[Float], Long, Long, Seq[Float], Seq[Long], Long)]) =>

@@ -746,6 +746,8 @@ class ConcurrencySpec extends AnyFunSuite {
             // forwarded: the point under test is the AUTHORITY's
             // compare, not the handle's local state
             override def fencedPublish(): Boolean = h.fencedPublish()
+            override def commitSwap(next: Long): graft.kv.LockProvider.SwapResult =
+              h.commitSwap(next)
           }
         }
       }
@@ -935,5 +937,105 @@ class ConcurrencySpec extends AnyFunSuite {
     // and the table stays writable afterwards
     spark.sql("INSERT INTO gdel.t VALUES (9,'z')")
     assert(spark.sql("SELECT v FROM gdel.t WHERE k = 9").head().getString(0) == "z")
+  }
+
+  test("lease: SWAP verb — conditional pointer swap semantics at the authority") {
+    // Protocol-level pin of the CommitStore seam: fresh claim,
+    // idempotent re-affirm, STALE below the pointer, FENCED for a
+    // superseded grant, takeover of a dead claimant's number by the
+    // new current grant, GONE with no grant.
+    val server = new graft.kv.LeaseLockServer()
+    def line(s: String): String = server.handleLineForTest(s)
+    val e1 = line("ACQUIRE r o1 60000").split(" ")(1).toLong
+    assert(line(s"SWAP r o1 $e1 2") == "OK 0", "fresh claim")
+    assert(line(s"SWAP r o1 $e1 2") == "OK 2", "same-grant re-affirm")
+    assert(line(s"SWAP r o1 $e1 1") == "STALE 2", "below the pointer")
+    assert(line(s"SWAP r o1 $e1 3") == "OK 2", "advance")
+    server.expireNow("r")
+    val e2 = line("ACQUIRE r o2 60000").split(" ")(1).toLong
+    assert(e2 > e1)
+    assert(line(s"SWAP r o1 $e1 4").startsWith("FENCED"),
+      "superseded grant must be rejected no matter the version")
+    assert(line(s"SWAP r o2 $e2 3") == "OK 3",
+      "new current grant takes over the dead claimant's number")
+    assert(line(s"SWAP r o2 $e2 5") == "OK 3")
+    line("RELEASE r o2")
+    assert(line(s"SWAP r o2 $e2 6") == "GONE", "no grant to validate against")
+  }
+
+  test("lease: a holder lapsing BETWEEN its commit swap and the rename still loses, pointer intact") {
+    // The round-16 residual (fence→rename lapse, conditional-write-
+    // only class), closed by the CommitStore seam: holder A passes
+    // the authority fence — its commitSwap CLAIMS version 2 at the
+    // authority-held pointer — then pauses before materializing a
+    // single final name. Its lease lapses, B acquires, takes the
+    // number over at the authority (A's claim is provably dead: B's
+    // grant could only exist because A's lease expired) and commits
+    // its own content at 2. A then resumes and must fail LOUDLY —
+    // before this round, A's publish replayed into the graceful skip
+    // and reported silent success over a write that was dropped.
+    import spark.implicits._
+    val server = new graft.kv.LeaseLockServer().start()
+    try {
+      val real = new graft.kv.LeaseLockProvider(
+        "127.0.0.1", server.boundPort, leaseMs = 60000)
+      // pause INSIDE the commit point: the first commitSwap performs
+      // the real authority swap (the claim), then blocks until the
+      // race has played out — exactly "strictly between the fence and
+      // the rename"
+      val firstSwapGate = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val pausing = new graft.kv.LockProvider {
+        override def acquire(r: String, t: Long): graft.kv.LockProvider.Handle = {
+          val h = real.acquire(r, t)
+          new graft.kv.LockProvider.Handle {
+            override def release(): Unit = h.release()
+            override def fencingToken: Long = h.fencingToken
+            override def ensureValid(): Unit = h.ensureValid()
+            override def fencedPublish(): Boolean = h.fencedPublish()
+            override def commitSwap(next: Long): graft.kv.LockProvider.SwapResult = {
+              val res = h.commitSwap(next)
+              if (firstSwapGate.compareAndSet(true, false)) {
+                FenceGate.started.countDown()
+                FenceGate.proceed.await(60, java.util.concurrent.TimeUnit.SECONDS): Unit
+              }
+              res
+            }
+          }
+        }
+      }
+      val wh = Files.createTempDirectory("graft_swapfence_wh").toString
+      val catA = new Catalog(spark, wh, lockProviderOpt = Some(pausing))
+      val catB = new Catalog(spark, wh, lockProviderOpt = Some(real))
+      catA.createTable("t", kv, Seq("k"))
+      // seed through the REAL provider: the pausing one gates the
+      // first swap it ever sees
+      load(catB, "t", Seq(1L -> "base"))
+      FenceGate.reset()
+      var failure: Option[Throwable] = None
+      val t1 = new Thread(() => {
+        try load(catA, "t", Seq(1L -> "stale"))
+        catch { case e: Throwable => failure = Some(e) }
+      })
+      t1.start()
+      // A has claimed version 2 at the authority and is paused with
+      // ZERO final names touched
+      assert(FenceGate.started.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      server.expireNow("t")
+      load(catB, "t", Seq(1L -> "next")) // B takes the number over and commits
+      FenceGate.proceed.countDown()
+      t1.join(60000)
+      // A must lose LOUDLY (epoch compare, the claimed-first guard, or
+      // its handle marking itself lost — all fencing failures), never
+      // report success for a dropped write
+      assert(failure.exists(_.isInstanceOf[IllegalStateException]) &&
+        failure.exists(e => e.getMessage.contains("fencing") ||
+          e.getMessage.contains("taken over") ||
+          e.getMessage.contains("lease")),
+        s"lapsed post-claim holder did not fail loudly: $failure")
+      // pointer intact at B's commit, serving B's bytes
+      val catR = new Catalog(spark, wh)
+      assert(catR.dataVersionOf("t") == 2)
+      assert(catR.table("t").pointGet(1L).head().getAs[String]("v") == "next")
+    } finally server.stop()
   }
 }

@@ -91,7 +91,10 @@ class HnswSpec extends AnyFunSuite {
     val stats = Hnsw.searchStats(graph, cents, emptyDelta, q,
         "vec_id", "embedding", nprobe = 2, ef = ef, maxVisits = maxVisits)
       .filter($"visited" > 0)
-      .select($"qid", $"visited").distinct()
+      // key the dedup on the DESCENT (qid, cluster) — two probed
+      // lists that happen to visit the same number of nodes must both
+      // count toward the per-query kernel budget
+      .select($"qid", $"cluster", $"visited").distinct()
       .groupBy($"qid").agg(sum($"visited").as("v"))
       .collect().map(r => r.getLong(1))
     assert(stats.nonEmpty)
