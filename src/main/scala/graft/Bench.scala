@@ -50,6 +50,7 @@ object Bench {
       QueryCaches.corpusSize(spark, sfDir)
       QueryCaches.doclens(spark, sfDir).count()
       QueryCaches.avgDocLen(spark, sfDir)
+      QueryCaches.blockmax(spark, sfDir).count()
       ()
     }
     if (anySelected(_.startsWith("idx_bitmap")))

@@ -104,6 +104,19 @@ object QueryCaches {
     memo(s"doclens:$d")(index.FullText.buildDocLens(p))
   }
 
+  /** The block-max summary for WAND-pruned ranked top-k, derived once
+    * from the persisted postings/norms/dictionary frames (the Lucene
+    * 8+ impact structure beside each postings list; a production
+    * index persists it next to the doclens norms, same as
+    * buildDocLens's contract). */
+  def blockmax(s: SparkSession, d: String): DataFrame = {
+    val p = postings(s, d); val dl = doclens(s, d)
+    val dict = dictionary(s, d)
+    val n = corpusSize(s, d); val ad = avgDocLen(s, d)
+    memo(s"blockmax:$d")(
+      index.FullText.buildBlockMax(p, dl, dict, n, ad))
+  }
+
   /** Average document length for BM25, computed as exact-integer
     * totalTokens / N so every engine derives the identical double
     * (a floating AVG would be summation-order-dependent). */

@@ -356,15 +356,117 @@ object FullText {
     require(terms.nonEmpty, "empty term list")
     require(nDocs > 0 && avgdl > 0, "BM25 needs a non-empty corpus")
     val q = terms.map(norm)
+    val scored = bm25Score(postings.filter(col("term").isin(q: _*)),
+      dictionary.filter(col("term").isin(q: _*)), doclens, nDocs, avgdl, k1, b)
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  /** The shared exact BM25 scoring tail: per-doc rounded score over an
+    * already-term-filtered postings frame (both the exhaustive scorer
+    * and the WAND survivors run through this, so they are
+    * score-identical by construction). */
+  private def bm25Score(qpost: DataFrame, qdict: DataFrame,
+                        doclens: DataFrame, nDocs: Long, avgdl: Double,
+                        k1: Double, b: Double): DataFrame = {
     val idf = log(lit(1.0) +
       (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val w = idf * (col("tf") * lit(k1 + 1)) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
-    val scored = postings.filter(col("term").isin(q: _*))
-      .join(broadcast(dictionary.filter(col("term").isin(q: _*))), "term")
+    qpost.join(broadcast(qdict), "term")
       .join(doclens, "doc_id")
       .withColumn("w", w)
       .groupBy("doc_id").agg(round(sum(col("w")), 4).as("score"))
-    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
   }
+
+  /** Per-(term, doc-id block) MAX BM25 impact — the block-max index
+    * Lucene 8+ persists beside every postings list (the Block-Max
+    * WAND structure; Ding & Suel 2011, "Faster top-k document
+    * retrieval using block-max indexes"): each posting's full
+    * document-dependent impact is computable at INDEX time (tf, dl
+    * and df are all index-time values), so the summary stores, per
+    * term and per fixed doc-id range of 2^blockBits docs, the largest
+    * score any document in that range could contribute for the term.
+    * Derived from the persisted postings/norms/dictionary frames
+    * alone — the corpus is never re-scanned — and cost ∝ |postings|,
+    * once, amortized over every ranked query. */
+  def buildBlockMax(postings: DataFrame, doclens: DataFrame,
+                    dictionary: DataFrame, nDocs: Long, avgdl: Double,
+                    blockBits: Int = 6, k1: Double = 1.2,
+                    b: Double = 0.75): DataFrame = {
+    require(nDocs > 0 && avgdl > 0, "block-max needs a non-empty corpus")
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val impact = idf * (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
+    postings.join(doclens, "doc_id")
+      .join(dictionary, "term")
+      .withColumn("block",
+        shiftrightunsigned(col("doc_id").cast("long"), blockBits))
+      .withColumn("impact", impact)
+      .groupBy("term", "block").agg(max(col("impact")).as("ub"))
+  }
+
+  /** BM25 ranked top-k with BLOCK-MAX WAND pruning — result
+    * hash-identical to [[bm25TopK]] (same scoring tail, and the
+    * pruning bound is proven safe below), but only the postings of
+    * SURVIVING blocks are ever scored: the difference between scoring
+    * |matching postings| and |candidate postings| at 100 TB, exactly
+    * the trade Lucene ships as its default since 8.0.
+    *
+    * The Spark-set-based adaptation of the cursor algorithm — two
+    * bounded phases instead of a sequential document-at-a-time walk
+    * (which cannot distribute):
+    *   1. SEED: the `seedBlocks` blocks with the highest summed
+    *      per-term upper bounds are scored exactly; the k-th best
+    *      seed score is the pruning threshold θ. (Driver state:
+    *      `seedBlocks` block ids + one double — k-bounded.)
+    *   2. PRUNE + SCORE: every block whose summed upper bound is
+    *      below θ − 1e-4 is dropped WITHOUT scoring a posting — for
+    *      any doc d in block B, score(d) ≤ Σ_t ub(t,B) = ubsum(B),
+    *      and round4(score) ≤ score + 5e-5 < θ strictly, so no
+    *      pruned doc can reach or TIE the k-th seed (ties would
+    *      reorder on doc_id). Surviving blocks (the seed always
+    *      survives its own θ) run the shared exact scoring tail.
+    * Returns (top-k frame, surviving postings, matching postings) —
+    * the counts WandSpec pins; callers use [[bm25WandTopK]]. */
+  private[graft] def bm25WandPlan(postings: DataFrame, dictionary: DataFrame,
+                                  doclens: DataFrame, blockmax: DataFrame,
+                                  nDocs: Long, avgdl: Double,
+                                  terms: Seq[String], k: Int,
+                                  k1: Double = 1.2, b: Double = 0.75,
+                                  blockBits: Int = 6, seedBlocks: Int = 4)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(terms.nonEmpty, "empty term list")
+    require(nDocs > 0 && avgdl > 0, "BM25 needs a non-empty corpus")
+    val q = terms.map(norm)
+    val qdict = dictionary.filter(col("term").isin(q: _*))
+    val qpost = postings.filter(col("term").isin(q: _*))
+      .withColumn("block",
+        shiftrightunsigned(col("doc_id").cast("long"), blockBits))
+    val blockUb = blockmax.filter(col("term").isin(q: _*))
+      .groupBy("block").agg(sum(col("ub")).as("ubsum"))
+    val seed = blockUb.orderBy(col("ubsum").desc, col("block"))
+      .limit(seedBlocks).collect().map(_.getLong(0)).toSeq
+    val seedTop = bm25Score(qpost.filter(col("block").isin(seed: _*)),
+        qdict, doclens, nDocs, avgdl, k1, b)
+      .orderBy(col("score").desc, col("doc_id")).limit(k).collect()
+    val theta =
+      if (seedTop.length < k) Double.NegativeInfinity
+      else seedTop.last.getAs[Double]("score")
+    val surviving = qpost
+      .join(broadcast(blockUb.filter(col("ubsum") >= lit(theta - 1e-4))
+        .select("block")), "block")
+    val topk = bm25Score(surviving, qdict, doclens, nDocs, avgdl, k1, b)
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+    (topk, surviving, qpost)
+  }
+
+  /** See [[bm25WandPlan]]. */
+  def bm25WandTopK(postings: DataFrame, dictionary: DataFrame,
+                   doclens: DataFrame, blockmax: DataFrame, nDocs: Long,
+                   avgdl: Double, terms: Seq[String], k: Int,
+                   k1: Double = 1.2, b: Double = 0.75, blockBits: Int = 6,
+                   seedBlocks: Int = 4): DataFrame =
+    bm25WandPlan(postings, dictionary, doclens, blockmax, nDocs, avgdl,
+      terms, k, k1, b, blockBits, seedBlocks)._1
 }

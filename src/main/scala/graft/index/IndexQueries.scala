@@ -257,6 +257,22 @@ object IndexQueries {
         Seq("spark", "join"), 20)
     },
 
+    "ft_bm25_wand" -> { (s, d) =>
+      // Block-max-WAND-pruned BM25 top-k (FullText.bm25WandPlan):
+      // hash-identical to the exhaustive scorer — the oracle IS the
+      // exhaustive SQL — but only surviving blocks' postings are
+      // scored (WandSpec pins scored < matched on a skewed corpus).
+      // The per-term max-impact summary rides QueryCaches beside the
+      // postings/norms frames, the Lucene 8 block-max structure.
+      val postings = graft.QueryCaches.postings(s, d)
+      val dict = graft.QueryCaches.dictionary(s, d)
+      val doclens = graft.QueryCaches.doclens(s, d)
+      FullText.bm25WandTopK(postings, dict, doclens,
+        graft.QueryCaches.blockmax(s, d),
+        graft.QueryCaches.corpusSize(s, d), graft.QueryCaches.avgDocLen(s, d),
+        Seq("merge", "window", "batch"), 20)
+    },
+
     "ft_hybrid_rrf" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -649,6 +665,33 @@ object IndexQueries {
         |df AS (
         |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
         |  WHERE term IN ('spark','join') GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / (SELECT COUNT(*) FROM documents) AS avgdl FROM dl)
+        |SELECT tf.doc_id,
+        |  ROUND(SUM(
+        |    ln(1 + (CAST(n.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)) *
+        |    (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / ad.avgdl))
+        |  ), 4) AS score
+        |FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+        |CROSS JOIN n CROSS JOIN ad
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin,
+
+    // the WAND gate's oracle is deliberately the EXHAUSTIVE scorer:
+    // pruning must be invisible in the result, hash-for-hash
+    "ft_bm25_wand" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('merge','window','batch') GROUP BY doc_id, term),
+        |df AS (
+        |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+        |  WHERE term IN ('merge','window','batch') GROUP BY term),
         |n AS (SELECT COUNT(*) AS n FROM documents),
         |ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / (SELECT COUNT(*) FROM documents) AS avgdl FROM dl)
         |SELECT tf.doc_id,

@@ -370,8 +370,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       val nextDir = tableDir(name).resolve(s"data_v$next")
       val stage = newSnapshotStaging(name)
       writeData(name, rows, stage.toString, partitions)
-      val idxRenames = maintainIndexes(name, next, stage, pre = None, post = None)
-      publishVersion(name, next, staged = (stage -> nextDir) +: idxRenames)
+      val maint = maintainIndexes(name, next, stage, pre = None, post = None)
+      publishGuardingIndexAsOf(name, next, Seq(stage -> nextDir), maint)
     }
   }
 
@@ -545,7 +545,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     // every base Put deletes the stale index row and writes the new
     // one): incremental when the touched entry set is bounded, else a
     // rebuild from the complete next snapshot
-    val idxRenames = maintainIndexes(name, cur + 1, stage,
+    val maint = maintainIndexes(name, cur + 1, stage,
       pre = Some(touchedDf), post = Some(merged.df))
     // analytic flavors (fulltext/bitmap) stay fresh through CDC via
     // patch-sized segments + tombstones — the Lucene segment model
@@ -557,7 +557,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       touchedDf.join(
         patch.select(pk.map(org.apache.spark.sql.functions.col): _*).distinct(),
         pk, "left_semi"))
-    publishVersion(name, cur + 1, staged = (stage -> nextDir) +: idxRenames)
+    publishGuardingIndexAsOf(name, cur + 1, Seq(stage -> nextDir), maint)
   }
   }
 
@@ -1199,9 +1199,23 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
 
   /** The fold body, callable under an already-held write lock with an
     * explicit version bound (`upTo` may be the version being
-    * published, which the table pointer hasn't reached yet). Writes
-    * data_v(upTo) (+ dict_v(upTo) for fulltext) from the segmented
-    * view; returns false when there is no stack to fold. */
+    * published, which the table pointer hasn't reached yet). Folds
+    * the segmented view into data_v(upTo) (+ dict/pos for fulltext,
+    * cent/vmeta for vector) through the SAME grant-scoped
+    * stage→fence→rename protocol as every other write path: the
+    * heavy artifact writes land under one `.staging_fold` root, the
+    * version-numbered names materialize only after the commit-point
+    * fence passes, and the RENAME ORDER preserves the crash contract
+    * the direct writes used to carry — dict and pos (and cent/vmeta)
+    * land strictly BEFORE data, because the folded DATA base is the
+    * effective publish point: vacuum's segment/delta retention keys
+    * off the resolved data base version and readers pair the sibling
+    * artifacts at it, so a crash (or fence loss) between any two
+    * renames leaves the OLD data base live with a consistent old
+    * view and every delta/posseg it needs still retained, while the
+    * already-renamed siblings are orphans the next fold's healing
+    * preamble deletes. IndexSpec pins the mid-fold-crash state.
+    * Returns false when there is no stack to fold. */
   private def foldIndexStack(table: String, indexName: String,
                              indexType: String, upTo: Int): Boolean = {
     val dir = indexDir(table, indexName, indexType)
@@ -1209,10 +1223,26 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     val baseVer = indexBaseVersion(base)
     val segs = versionedDirs(dir, "seg_v", baseVer, upTo)
     val tombs = versionedDirs(dir, "tomb_v", baseVer, upTo)
-    if (segs.isEmpty && tombs.isEmpty) false
-    else indexType.toUpperCase match {
+    if (segs.isEmpty && tombs.isEmpty) return false
+    // fence BEFORE the healing deletes below (the maintainAnalytic-
+    // Indexes preamble rule): their "these artifacts are orphans"
+    // premise is only provable for the CURRENT grant
+    heldWriteLock.value.foreach { h => h.ensureValid(); h.fencedPublish(): Unit }
+    // grant-scoped staging root for the WHOLE fold; `.staging_` keeps
+    // a crashed attempt inside vacuum's sweep
+    val foldStage = dir.resolve(".staging_fold" +
+      heldWriteLock.value.map(_.fencingToken).getOrElse(0L) + "_" +
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    // final names in REQUIRED rename order (appended as staged)
+    val renames = scala.collection.mutable.ListBuffer[String]()
+    def stageArtifact(finalName: String)(write: String => Unit): Unit = {
+      write(foldStage.resolve(finalName).toString)
+      renames += finalName: Unit
+    }
+    val built =
+    try indexType.toUpperCase match {
       case "FULLTEXT" =>
-        // crashed-fold healing: a prior fold may have written
+        // crashed-fold healing: a prior fold may have renamed
         // dict_v(upTo) and died before data_v(upTo) — reaching here
         // proves the data base is older (else segs would be empty), so
         // that dict is an orphan. It must go BEFORE dictSegView runs:
@@ -1223,14 +1253,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         if (Files.exists(orphanDict)) deleteRecursively(orphanDict)
         val orphanPos = dir.resolve(s"pos_v$upTo")
         if (Files.exists(orphanPos)) deleteRecursively(orphanPos)
-        // dict and pos BEFORE data: the folded DATA base is the
-        // effective publish point — vacuum's segment/delta retention
-        // keys off the resolved data base version, and readers pair
-        // the positional base at it. A crash between the writes must
-        // leave the old data base live (consistent old view, all
-        // deltas/possegs still retained); the reverse order would let
-        // vacuum reclaim dirs the still-unfolded frames need.
-        writeIndexDirAtomic(dir, s"dict_v$upTo") { p =>
+        stageArtifact(s"dict_v$upTo") { p =>
           KvLayout.writeSorted(dictSegView(dir, upTo), Seq("term"), p)
         }
         // an index built before positional support has no pos base —
@@ -1239,16 +1262,16 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         // skip the family and let refresh_index backfill it. Orphaned
         // posseg dirs below the advanced base are vacuum-reclaimed.
         if (Files.exists(resolveIndexVersioned(dir, "pos", baseVer)))
-          writeIndexDirAtomic(dir, s"pos_v$upTo") { p =>
+          stageArtifact(s"pos_v$upTo") { p =>
             KvLayout.writeSorted(posSegView(dir, upTo), Seq("term"), p)
           }
-        writeIndexDirAtomic(dir, s"data_v$upTo") { p =>
+        stageArtifact(s"data_v$upTo") { p =>
           KvLayout.writeSorted(fulltextSegView(base, baseVer, segs, tombs),
             Seq("term"), p)
         }
         true
       case "BITMAP" =>
-        writeIndexDirAtomic(dir, s"data_v$upTo") { p =>
+        stageArtifact(s"data_v$upTo") { p =>
           bitmapSegView(base, baseVer, segs, tombs)
             .write.mode("overwrite").parquet(p)
         }
@@ -1256,7 +1279,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       case "VECTOR" =>
         // crashed-fold healing (the fulltext orphan-dict reasoning):
         // cent_v/vmeta_v at upTo with an OLDER data base are artifacts
-        // of a fold that died before its data write — readers never
+        // of a fold that died before its data rename — readers never
         // resolved them (artifacts pair at the data base's version, see
         // vectorArtifacts), but the re-train below must not read its
         // own output paths
@@ -1268,30 +1291,61 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         // (every patch assigned to backfill-time centroids), so the
         // fold refits coarse quantizer + codebooks from the folded
         // entries — reading ONLY index frames (the vectors live in the
-        // index), never the corpus. cent/vmeta land BEFORE data: the
-        // data base is the publish point (readers and vacuum pair
-        // artifacts at ITS version), so a crash between the writes
-        // leaves the old triple fully live.
+        // index), never the corpus.
         val folded = vectorSegView(base, baseVer, segs, tombs)
           .select("rk", "v").cache()
         try {
-          val built = graft.similarity.VectorIndex.build(folded, "rk", "v")
+          val b = graft.similarity.VectorIndex.build(folded, "rk", "v")
           try {
-            writeIndexDirAtomic(dir, s"vmeta_v$upTo") { p =>
-              graft.similarity.VectorIndex.metaFrame(spark, built.meta)
+            stageArtifact(s"vmeta_v$upTo") { p =>
+              graft.similarity.VectorIndex.metaFrame(spark, b.meta)
                 .write.mode("overwrite").parquet(p)
             }
-            writeIndexDirAtomic(dir, s"cent_v$upTo") { p =>
-              built.centroids.write.mode("overwrite").parquet(p)
+            stageArtifact(s"cent_v$upTo") { p =>
+              b.centroids.write.mode("overwrite").parquet(p)
             }
-            writeIndexDirAtomic(dir, s"data_v$upTo") { p =>
-              KvLayout.writeSorted(built.entries, Seq("cluster"), p)
+            stageArtifact(s"data_v$upTo") { p =>
+              KvLayout.writeSorted(b.entries, Seq("cluster"), p)
             }
-          } finally built.release()
+          } finally b.release()
         } finally folded.unpersist()
         true
       case _ => false // kv indexes never write segments
+    } catch {
+      case e: Throwable =>
+        // a failed stage write leaves only the quarantined root
+        try deleteRecursively(foldStage) catch { case _: Exception => () }
+        throw e
     }
+    if (!built) {
+      if (Files.exists(foldStage)) deleteRecursively(foldStage)
+      return false
+    }
+    // post-stage fence + ordered renames: prove the grant is still
+    // ours (and still current at the authority) before any staged
+    // artifact takes its final name — a lapsed holder throws here
+    // with its whole fold quarantined in the staging root. The rename
+    // sequence then lands dict/pos (cent/vmeta) strictly before data,
+    // so any interruption leaves the old triple live (the crash
+    // contract in the scaladoc above).
+    heldWriteLock.value.foreach { h => h.ensureValid(); h.fencedPublish(): Unit }
+    renames.foreach { n =>
+      val src = foldStage.resolve(n)
+      val dst = dir.resolve(n)
+      if (!Files.exists(dst))
+        Files.move(src, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      else {
+        // replace atomically for lock-free readers (the
+        // writeIndexDirAtomic move-aside dance)
+        val aside = dir.resolve(".staging_old_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""))
+        Files.move(dst, aside, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        Files.move(src, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(aside)
+      }
+    }
+    deleteRecursively(foldStage)
+    true
   }
 
   /** Centroids + codebook meta paired at the resolved DATA base's
@@ -1719,8 +1773,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         val nextDir = tableDir(name).resolve(s"data_v$next")
         val stage = newSnapshotStaging(name)
         writeData(name, table(name).upsert(batch).df, stage.toString)
-        val idxRenames = maintainIndexes(name, next, stage, pre = None, post = None)
-        publishVersion(name, next, staged = (stage -> nextDir) +: idxRenames)
+        val maint = maintainIndexes(name, next, stage, pre = None, post = None)
+        publishGuardingIndexAsOf(name, next, Seq(stage -> nextDir), maint)
         }
       }
     } finally discardStaged(stagedDir)
@@ -1765,8 +1819,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     val stage = newSnapshotStaging(name)
     writeData(name, staged, stage.toString)
     deleteRecursively(Paths.get(stagedDir))
-    val idxRenames = maintainIndexes(name, next, stage, pre = None, post = None)
-    publishVersion(name, next, staged = (stage -> target) +: idxRenames)
+    val maint = maintainIndexes(name, next, stage, pre = None, post = None)
+    publishGuardingIndexAsOf(name, next, Seq(stage -> target), maint)
   }
   }
 
@@ -1884,7 +1938,10 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
             setIndexAsOf(t, iname, ty, v)
           }
         }
-        val idxRenames = maintainIndexes(t, next, stage, pre = None, post = None)
+        // the tuple's prevAsOf is unused here: the txn path registered
+        // its own indexRollbacks above (they also delete renamed dirs)
+        val idxRenames = maintainIndexes(t, next, stage,
+          pre = None, post = None).renames
         stagedDirs ++= idxRenames.map(_._1)
         (t, next, (stage -> dst) +: idxRenames)
       }
@@ -2510,11 +2567,18 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * table-sized. Analytic flavors are left stale on purpose. */
   private def maintainIndexes(name: String, next: Int, nextDataDir: Path,
                               pre: Option[DataFrame], post: Option[DataFrame],
-                              maxEntryKeys: Int = 100000): Seq[(Path, Path)] = {
+                              maxEntryKeys: Int = 100000): IndexMaintenance = {
     val kvIndexes = indexesOf(name).filter(_._2.equalsIgnoreCase("kv"))
-    if (kvIndexes.isEmpty) return Nil
+    if (kvIndexes.isEmpty) return IndexMaintenance(Nil, Nil)
+    // pre-bump as-of snapshot, so a publish that is FENCED OUT can
+    // restore the registry: the bump below persists asOfVersion=next
+    // before publishVersion's fence/rename, and a holder that never
+    // materializes data_v(next) must not leave the registry claiming
+    // freshness at a version a later compact() could re-mint
+    val prevAsOf = kvIndexes.map { case (iname, ty, _) =>
+      (iname, ty, indexAsOfVersion(name, iname, ty)) }
     lazy val fullPost = spark.read.schema(schemaOf(name)).parquet(nextDataDir.toString)
-    kvIndexes.map { case (iname, ty, cols) =>
+    val renames = kvIndexes.map { case (iname, ty, cols) =>
       val dir = indexDir(name, iname, ty)
       val ikCols = ikColsOf(cols.size)
       // same grant-scoped stage→publish-rename protocol as the table
@@ -2581,7 +2645,40 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       setIndexAsOf(name, iname, ty, next)
       nextIdxDir -> finalIdxDir
     }
+    IndexMaintenance(renames, prevAsOf)
   }
+
+  /** Output of [[maintainIndexes]]: the grant-scoped staged-dir →
+    * final-name renames for [[publishVersion]], plus the pre-bump
+    * as-of registry values for [[publishGuardingIndexAsOf]]'s
+    * fence-failure rollback. */
+  private case class IndexMaintenance(renames: Seq[(Path, Path)],
+                                      prevAsOf: Seq[(String, String, Int)])
+
+  /** Publish `next` with the kv-index as-of bumps UNWOUND on a throw
+    * (the single-table analog of commitTxn's indexRollbacks): a
+    * holder fenced out at publish would otherwise leave
+    * asOfVersion=next with no data_v(next) index artifact ever
+    * materialized — a later compact() publishing the same version
+    * number would then make the registry claim freshness at `next`
+    * while resolution silently falls back to the older dir. The
+    * restore is guarded: only while the durable table version is
+    * still BEHIND `next` and the registry still carries this
+    * attempt's bump — if a new owner published `next` in the
+    * meantime, the claim is its own (correct) maintenance, not ours
+    * to unwind. */
+  private def publishGuardingIndexAsOf(name: String, next: Int,
+      staged: Seq[(Path, Path)], maint: IndexMaintenance): Unit =
+    try publishVersion(name, next, staged = staged ++ maint.renames)
+    catch {
+      case e: Throwable =>
+        try maint.prevAsOf.foreach { case (iname, ty, v) =>
+          if (metaVersionOf(name) < next &&
+              indexAsOfVersion(name, iname, ty) == next)
+            setIndexAsOf(name, iname, ty, v)
+        } catch { case _: Exception => () } // best-effort under a lost grant
+        throw e
+    }
 
   /** Rebuild one index at the live version (any flavor) — the SQL
     * surface is `CALL <cat>.system.refresh_index(...)`. The analytic

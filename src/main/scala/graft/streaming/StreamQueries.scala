@@ -144,14 +144,25 @@ object StreamQueries {
       // you pin in memory
       val src = broadcast(graft.QueryCaches.frame(s"urldedup_src:$d")(
         Tables.documents(s, d).select($"doc_id".as("eff_id"), $"source")))
+      // the dressing + canonicalization regex chain is the per-row
+      // cost of this stream; a one-file micro-batch arrives as ONE
+      // input task, so repartition fans the chain across cores before
+      // the dedup shuffle (the standard move before an expensive
+      // narrow transform — at crawl scale this is the map-side
+      // parallelism knob, the tiny exchange is noise next to the
+      // regex work). The canonical key is provably non-null (source
+      // is a non-null dim column and the dressing is a total string
+      // expression), so the dedup skips the null-passthrough branch
+      // that would re-run the whole chain a second time per batch.
       val stream = Tables.documentsStream(s, d)
         .withColumn("eff_id", $"doc_id" % Tables.PlantedIdBase)
         .join(src, "eff_id")
+        .repartition(8)
         .withColumn("url_raw", expr(graft.functions.TextQueries.UrlRawSql))
         .withColumn("url_canon",
           graft.functions.UrlFunctions.canonicalize($"url_raw"))
       val deduped = Streams.dedupStream(stream, "ts", $"url_canon",
-        watermark = "3650 days")
+        watermark = "3650 days", keyNonNull = true)
       runToBatch(s, deduped, "append", "st_stream_urldedup")
         .select($"doc_id", $"url_canon")
         .orderBy($"doc_id")

@@ -167,17 +167,27 @@ object Streams {
     * actually runs at 100 TB/day. */
   def dedupStream(stream: DataFrame, tsCol: String,
                   key: org.apache.spark.sql.Column,
-                  watermark: String = "1 hour"): DataFrame = {
+                  watermark: String = "1 hour",
+                  keyNonNull: Boolean = false): DataFrame = {
     // NULL-key rows pass through un-deduped: dropDuplicates groups
     // NULL keys as equal, so a null content key (e.g. null text) would
     // keep ONE such event per watermark and silently drop the rest —
-    // distinct documents lost in ingest
+    // distinct documents lost in ingest. The passthrough union scans
+    // the source a SECOND time per micro-batch (both branches
+    // re-evaluate the whole upstream, key expression included) — a
+    // caller that can PROVE its key non-null (e.g. a canonical URL
+    // derived from a non-null dim join) sets keyNonNull and skips the
+    // second scan entirely, halving per-batch key computation.
     val keyed = stream.withColumn("__graft_dedup_key", key)
       .withWatermark(tsCol, watermark)
-    keyed.filter(col("__graft_dedup_key").isNotNull)
-      .dropDuplicatesWithinWatermark("__graft_dedup_key")
-      .unionByName(keyed.filter(col("__graft_dedup_key").isNull))
-      .drop("__graft_dedup_key")
+    if (keyNonNull)
+      keyed.dropDuplicatesWithinWatermark("__graft_dedup_key")
+        .drop("__graft_dedup_key")
+    else
+      keyed.filter(col("__graft_dedup_key").isNotNull)
+        .dropDuplicatesWithinWatermark("__graft_dedup_key")
+        .unionByName(keyed.filter(col("__graft_dedup_key").isNull))
+        .drop("__graft_dedup_key")
   }
 
   /** One micro-batch of a streaming upsert into a catalog KV table:

@@ -495,6 +495,65 @@ class SegmentedIndexSpec extends AnyFunSuite {
         .select($"term", $"df".cast("long"))))
   }
 
+  test("a fold interrupted between its dict and data renames leaves the old triple live") {
+    // The fold's crash-ordering CONTRACT (now that the auto-fold and
+    // compact_index both ride stage→fence→rename): dict and pos take
+    // their final names strictly BEFORE data, so an interruption
+    // between any two renames leaves the OLD data base live with a
+    // consistent view — the dict/pos families self-pair (each folds
+    // its own deltas above its own base), the data family still folds
+    // base+segments, and the next fold's healing preamble deletes the
+    // orphaned siblings before converging.
+    import spark.implicits._
+    val (cat, wh) = freshCat("midfold")
+    cat.createTable("t", schema, Seq("k"))
+    cat.bulkLoad("t",
+      (0L until 300L).map(i => (i, "s0", s"alpha beta doc$i")).toDF("k", "seg", "body"),
+      partitions = 2)
+    cat.createIndex("t", "ft", "fulltext", Seq("body"))
+    cat.incrementalMerge("t", Seq((7L, "sX", "gamma delta")).toDF("k", "seg", "body"))
+    val live = cat.dataVersionOf("t")
+    val idxDir = Paths.get(wh, "t.fulltext.ft")
+    assert(Files.exists(idxDir.resolve(s"seg_v$live")), "no segment to fold")
+    // run the fold for real, then reproduce the crash point by
+    // removing the LAST artifact it renamed: dict_v/pos_v live, data
+    // base old, segments still present — exactly the state a crash
+    // between the dict/pos renames and the data rename leaves
+    cat.compactIndex("t", "ft", "fulltext")
+    assert(Files.exists(idxDir.resolve(s"dict_v$live")))
+    assert(Files.exists(idxDir.resolve(s"data_v$live")))
+    deleteRecursively(idxDir.resolve(s"data_v$live"))
+    // the old triple is live: postings fold old base + segments, the
+    // dictionary serves the already-folded dict_v (its delta range is
+    // empty above its own version) — both equal the rebuild
+    assert(sortedRows(cat.indexData("t", "ft", "fulltext")) ==
+      sortedRows(rebuildPostings(cat, "t")),
+      "mid-fold crash state broke the postings view")
+    assert(sortedRows(cat.indexDictionary("t", "ft", "fulltext")
+        .select($"term", $"df".cast("long"))) ==
+      sortedRows(FullText.buildDictionary(rebuildPostings(cat, "t"))
+        .select($"term", $"df".cast("long"))),
+      "mid-fold crash state broke the dictionary view")
+    assert(cat.indexStatus("t", "ft", "fulltext") == "FRESH")
+    // the next fold heals the orphaned siblings and completes
+    cat.compactIndex("t", "ft", "fulltext")
+    assert(Files.exists(idxDir.resolve(s"data_v$live")),
+      "re-fold did not materialize the data base")
+    assert(sortedRows(cat.indexData("t", "ft", "fulltext")) ==
+      sortedRows(rebuildPostings(cat, "t")))
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) deleteRecursively(it.next())
+      } finally s.close()
+    }
+    Files.deleteIfExists(p): Unit
+  }
+
   test("a crashed merge attempt's segments are healed, never served as FRESH") {
     import spark.implicits._
     val (cat, wh) = freshCat("mergecrash")
