@@ -215,6 +215,35 @@ object Multimodal {
     }: _*)
   }
 
+  /** 64-bit chromaprint-style AUDIO fingerprint of the media body as
+    * FOUR 16-bit band values — the acoustic arm of the perceptual
+    * family (Chromaprint/AcoustID's public design: per-frame spectral
+    * band energies, fingerprint bits from energy GRADIENTS across
+    * consecutive frames; the Shazam landmark family, Wang 2003, is
+    * the sparser cousin). The spectral DECODE is the deterministic
+    * byte-sampling stub (the [[dhashBands]] contract): a 5-frame ×
+    * 16-band "energy" grid where E(t, b) sums 3 evenly spaced body
+    * bytes (pos = 1 + ⌊idx·len/240⌋), and bit j of band value t is
+    * the sign of E(t+1, j) − E(t, j) — 4 time-deltas × 16 spectral
+    * bands = 64 bits. A real FFT/chroma filterbank slots in at the
+    * energy() seam, everything downstream (banding join, hamming
+    * cut) unchanged. Fully unrolled codegen'd expressions, one pass
+    * per row, never per pair. */
+  def audioFpBands(bodyCol: Column): Column = {
+    val blen = octet_length(bodyCol)
+    def byteAt(idx: Int): Column =
+      conv(hex(bodyCol.substr(
+        (floor(lit(idx) * blen / 240) + 1).cast("int"), lit(1))), 16, 10)
+        .cast("long")
+    def energy(t: Int, b: Int): Column =
+      (0 until 3).map(i => byteAt(t * 48 + b * 3 + i)).reduce(_ + _)
+    array((0 until 4).map { t =>
+      (0 until 16).map { j =>
+        when(energy(t + 1, j) > energy(t, j), lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
   /** Deterministic frame/chunk sampling over the media BODY: split
     * into `frameBytes` chunks, keep every `stride`-th. Typed
     * mapPartitions shape — this is where a real per-partition codec

@@ -172,4 +172,109 @@ object Sketches {
         coalesce(col("n_match"), lit(0L)).as("n_match"),
         expr(s"(coalesce(n_match, 0L) * ${M}L) div theta_num").as("n_est"))
   }
+
+  // ---- KLL-family quantile sketch (Karnin, Lang & Liberty 2016) ------
+  //
+  // The mergeable BOUNDED-RANK quantile family beside the equi-width
+  // histogram (evt_quantile_hist): compactor levels where level ℓ
+  // halves its input and doubles the survivors' weight, sketch size
+  // O(cap) per group at ANY n, rank error bounded in units of n/cap.
+  // Spark-first + oracle-replayable adaptation: classic KLL flips a
+  // COIN per compaction (not replayable across engines, and the
+  // result depends on arrival order); here the compaction decision is
+  // the item's own affine ROW-HASH — an item survives compactor ℓ iff
+  // bit ℓ of h(id) is 0, so survival to level L ⇔ h(id) mod 2^L == 0.
+  // That makes the levels NESTED (the level-L+1 sample ⊆ the level-L
+  // sample), the construction ORDER-INDEPENDENT (merge = union + a
+  // pure re-filter to the merged level — the compactor-merge law with
+  // no state to carry), and the whole sketch a two-expression SQL
+  // replay (the evt_kmv recipe). Trade, stated honestly: the rank
+  // error becomes probabilistic over the hash family (±O(√(n/2^L))
+  // per level, the standard Bernoulli-compaction envelope KllSpec
+  // pins empirically) instead of KLL's coin-flip-unbiased guarantee;
+  // a production id wider than ~31 bits swaps xxhash64 in (same
+  // plans, rows-only gate).
+
+  /** Compaction depth for a group of `n` items under a `cap`-item
+    * budget: the smallest L with ceil(n / 2^L) <= cap, computed with
+    * INTEGER arithmetic only — L = bitlength((n−1) div cap) — so
+    * every engine derives the identical level (a log2 double could
+    * round differently at the boundaries). bin() exists in both
+    * Spark and DuckDB. */
+  def kllLevel(n: Column, cap: Int): Column =
+    // (n−1) div cap via explicit floor(): Spark's `/` on longs is
+    // DOUBLE division, and a bare double→int CAST diverges across
+    // engines (Spark truncates, DuckDB rounds) — floor() is the one
+    // form both define identically
+    when(n <= cap, lit(0))
+      .otherwise(length(bin(floor((n - 1) / cap).cast("long"))).cast("int"))
+
+  /** One-pass sketch build: (group..., value, h, n, lvl, w) with ≤ cap
+    * sampled rows per group — the single corpus scan (count + filter;
+    * the survivor filter needs the group's exact n for its level, the
+    * same n KLL itself tracks for rank arithmetic). */
+  def kllSketch(rows: DataFrame, valueCol: String, idCol: String,
+                groupCols: Seq[String], cap: Int = 256): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val counts = rows.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lvl", kllLevel(col("n"), cap))
+    val hashed = rows.select(groupCols.map(col) ++ Seq(
+      col(valueCol).as("value"), kmvHash(col(idCol)).as("h")): _*)
+    hashed.join(broadcast(counts), groupCols)
+      .withColumn("w", expr("cast(pow(2, lvl) as bigint)"))
+      .filter(col("h") % col("w") === 0L)
+  }
+
+  /** Compactor-merge law: union the sketch frames, re-derive the
+    * merged group sizes and level, and RE-FILTER — the nested-sample
+    * property makes the finer filter a pure subset selection, so a
+    * streaming fold of per-batch sketches equals the batch sketch
+    * bit-for-bit (KllSpec pins the law). */
+  def kllMerge(sketches: Seq[DataFrame], groupCols: Seq[String],
+               cap: Int = 256): DataFrame = {
+    // per-SKETCH group sizes first (n is constant over one sketch's
+    // group rows, so the within-sketch distinct is exact) — a distinct
+    // over the UNION would collapse two sketches that happen to carry
+    // identical (group, n) pairs and undercount the merged n
+    val merged = sketches.map(s =>
+        s.select(groupCols.map(col) :+ col("n"): _*).distinct())
+      .reduce(_ unionByName _)
+      .groupBy(groupCols.map(col): _*).agg(sum(col("n")).as("n"))
+      .withColumn("lvl", kllLevel(col("n"), cap))
+    sketches.reduce(_ unionByName _)
+      .drop("n", "lvl", "w")
+      .join(broadcast(merged), groupCols)
+      .withColumn("w", expr("cast(pow(2, lvl) as bigint)"))
+      .filter(col("h") % col("w") === 0L)
+  }
+
+  /** SKETCH-ONLY quantile estimates: for each requested integer
+    * percentile p, the smallest sampled value whose cumulative weight
+    * reaches p% of the group's n — integer rank arithmetic
+    * (100·cumw ≥ p·n, the evt_quantile_hist rule) and RAW data values
+    * (no interpolation), so the estimates replay bit-for-bit. Windows
+    * run over the ≤ cap sampled rows per group, never the corpus. */
+  def kllQuantiles(sketch: DataFrame, groupCols: Seq[String],
+                   ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 100),
+      s"percentiles must be in (0, 100], got $ps")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("value"), col("h"))
+    val cum = sketch.withColumn("cumw", sum(col("w")).over(w))
+      // the sample's total weight tracks n but need not reach it (the
+      // last compactor's survivors are a hash draw) — clamp the rank
+      // target to it so a tail percentile still resolves to the
+      // largest sampled value instead of vanishing
+      .withColumn("totw", sum(col("w")).over(
+        Window.partitionBy(groupCols.map(col): _*)))
+    val pFrame = sketch.sparkSession.range(1)
+      .select(explode(array(ps.map(lit): _*)).as("p"))
+    cum.crossJoin(broadcast(pFrame))
+      .filter(col("cumw") * 100 >= least(col("p") * col("n"),
+        col("totw") * 100))
+      .groupBy(groupCols.map(col) :+ col("p"): _*)
+      .agg(min(col("value")).as("q_est"))
+  }
 }

@@ -673,6 +673,38 @@ object StreamQueries {
         .orderBy($"event_type", $"p")
     },
 
+    "evt_kll_quantiles" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // KLL-family bounded-rank quantile sketch (Sketches.kllSketch —
+      // hash-driven compactor levels, merge = union + re-filter, the
+      // mergeable quantile family beside evt_quantile_hist's
+      // equi-width histogram): one corpus pass builds a ≤ cap-row
+      // sample per event type whose weighted ranks answer any
+      // percentile; the affine row-hash makes the whole sketch replay
+      // bit-for-bit in the oracle (the evt_kmv recipe). The exact
+      // quantiles ride along as the GATE-ONLY error witness (the
+      // corpus-wide window lives here, never in the sketch path);
+      // KllSpec pins the rank-error envelope and the streaming
+      // merge == batch law.
+      val ev = Tables.events(s, d).select($"event_type", $"event_id", $"value")
+      val sk = Sketches.kllSketch(ev, "value", "event_id",
+        Seq("event_type"), cap = 256)
+      val est = Sketches.kllQuantiles(sk, Seq("event_type"),
+        Seq(25, 50, 75, 95, 99))
+      val ranked = ev
+        .withColumn("r", row_number().over(
+          Window.partitionBy($"event_type").orderBy($"value", $"event_id")))
+        .withColumn("nn", count(lit(1)).over(
+          Window.partitionBy($"event_type")))
+      val pf = Seq(25, 50, 75, 95, 99).toDF("p")
+      val exact = ranked.join(broadcast(pf), $"r" * 100 >= $"p" * $"nn")
+        .groupBy($"event_type", $"p").agg(min($"value").as("q_exact"))
+      est.join(exact, Seq("event_type", "p"))
+        .select($"event_type", $"p", $"q_est", $"q_exact")
+        .orderBy($"event_type", $"p")
+    },
+
     "evt_hll_users" -> { (s, d) =>
       import s.implicits._
       // mergeable distinct-count sketches (DataSketches HLL, Spark
@@ -820,6 +852,54 @@ object StreamQueries {
       // (both sides are corpus-sized); the hint also stops Catalyst
       // from broadcasting a side whose size ESTIMATE is inflated by
       // the payload-synthesis lineage it would re-execute
+      banded.as("a").join(banded.as("b").hint("shuffle_hash"),
+          $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          $"a.bands".as("ba"), $"b.bands".as("bb"))
+        .dropDuplicates("doc_a", "doc_b")
+        .withColumn("hamming", (0 until 4).map(i =>
+            bit_count(element_at($"ba", i + 1)
+              .bitwiseXOR(element_at($"bb", i + 1)))).reduce(_ + _)
+          .cast("int"))
+        .filter($"hamming" <= 6)
+        .select($"doc_a", $"doc_b", $"hamming")
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    "mm_audio_fp" -> { (s, d) =>
+      import s.implicits._
+      // AUDIO fingerprint near-dup — the WAV arm of the perceptual
+      // family (mm_phash covers images): chromaprint-style banded
+      // spectral-gradient fingerprints (Multimodal.audioFpBands) over
+      // the CONTAINER-STRIPPED body, candidates from 16-bit band
+      // collisions (never all-pairs), hamming ≤ 6 cut. The plants pin
+      // exactly what exact body/payload hashing cannot catch:
+      // +1000000 re-containers the SAME audio (1e6 ≡ 1 mod 3 shifts
+      // the container class, so the payload bytes differ while the
+      // stripped body is identical — hamming 0), +2000000 re-encodes
+      // with three corrupted body bytes AND a new container (small
+      // hamming, must still collide). Deterministic byte-sampling
+      // decode stub ⇒ the whole detector replays in SQL (the mm_phash
+      // recipe on the audio shard).
+      val docs = Tables.documents(s, d)
+        .filter(octet_length($"text") === length($"text"))
+        .filter($"doc_id" % 3 === 1) // the audio shard of the corpus
+      val seed = docs.filter($"doc_id" < 30)
+      val planted = docs
+        .unionByName(seed.withColumn("doc_id", $"doc_id" + 1000000L))
+        .unionByName(seed.withColumn("doc_id", $"doc_id" + 2000000L)
+          .withColumn("text", expr(PhashPerturbSql)))
+      // one signature pass, checkpointed (the mm_phash rule: the
+      // payload synthesis must not inline into the 480 byte-sample
+      // sites of the unrolled fingerprint)
+      val fp = graft.multimodal.Multimodal.withPayload(planted)
+        .select($"doc_id",
+          graft.multimodal.Multimodal.audioFpBands(
+            graft.multimodal.Multimodal.body($"payload")).as("bands"))
+        .localCheckpoint(true)
+      val banded = fp.select($"doc_id", $"bands", posexplode($"bands"))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
       banded.as("a").join(banded.as("b").hint("shuffle_hash"),
           $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
             $"a.doc_id" < $"b.doc_id")
@@ -1213,6 +1293,46 @@ object StreamQueries {
         |GROUP BY event_type, p, n
         |ORDER BY event_type, p""".stripMargin,
 
+    "evt_kll_quantiles" ->
+      """WITH n AS (
+        |  SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+        |lv AS (
+        |  SELECT event_type, n,
+        |    CASE WHEN n <= 256 THEN 0
+        |         ELSE length(bin(CAST(floor((n - 1) / 256) AS BIGINT))) END AS lvl
+        |  FROM n),
+        |sk AS (
+        |  SELECT e.event_type, e.value,
+        |    ((e.event_id % 2147483647) * 2654435761 + 97) % 2147483647 AS h,
+        |    lv.n, CAST(pow(2, lv.lvl) AS BIGINT) AS w
+        |  FROM events e JOIN lv USING (event_type)
+        |  WHERE (((e.event_id % 2147483647) * 2654435761 + 97) % 2147483647)
+        |        % CAST(pow(2, lv.lvl) AS BIGINT) = 0),
+        |cum AS (
+        |  SELECT event_type, value, n,
+        |    CAST(SUM(w) OVER (PARTITION BY event_type ORDER BY value, h)
+        |      AS BIGINT) AS cumw,
+        |    CAST(SUM(w) OVER (PARTITION BY event_type) AS BIGINT) AS totw
+        |  FROM sk),
+        |ps AS (SELECT CAST(unnest([25, 50, 75, 95, 99]) AS INT) AS p),
+        |est AS (
+        |  SELECT event_type, p, MIN(value) AS q_est
+        |  FROM cum, ps WHERE cumw * 100 >= least(p * n, totw * 100)
+        |  GROUP BY event_type, p),
+        |ranked AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id)
+        |      AS r,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nn
+        |  FROM events),
+        |exact AS (
+        |  SELECT event_type, p, MIN(value) AS q_exact
+        |  FROM ranked, ps WHERE r * 100 >= p * nn
+        |  GROUP BY event_type, p)
+        |SELECT event_type, p, q_est, q_exact
+        |FROM est JOIN exact USING (event_type, p)
+        |ORDER BY event_type, p""".stripMargin,
+
     "evt_funnel" ->
       """SELECT user_id,
         |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
@@ -1390,6 +1510,48 @@ object StreamQueries {
          |    bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
          |    bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hamming
          |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id AND
+         |    (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+         |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM cand
+         |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "mm_audio_fp" -> {
+      // the mm_phash replay recipe on the audio shard: the oracle
+      // fingerprints the TEXT directly (body bytes == text chars under
+      // the pure-ASCII filter; the containers the plants shuffle are
+      // stripped by body() on the Spark side, so they never reach the
+      // fingerprint on either side)
+      def px(idx: Int) =
+        s"ascii(substr(text, CAST(1 + ($idx * blen) // 240 AS INT), 1))"
+      def energy(t: Int, b: Int) =
+        (0 until 3).map(i => px(t * 48 + b * 3 + i)).mkString(" + ")
+      val bandExprs = (0 until 4).map { t =>
+        val bits = (0 until 16).map { j =>
+          s"CASE WHEN (${energy(t + 1, j)}) > (${energy(t, j)}) " +
+            s"THEN ${1L << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"($bits) AS b$t"
+      }.mkString(", ")
+      s"""WITH audio_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE octet_length(encode(text)) = length(text)
+         |    AND doc_id % 3 = 1),
+         |corpus AS (
+         |  SELECT doc_id, text FROM audio_docs
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text
+         |  FROM audio_docs WHERE doc_id < 30
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, $PhashPerturbSql AS text
+         |  FROM audio_docs WHERE doc_id < 30),
+         |sized AS (SELECT doc_id, text, octet_length(encode(text)) AS blen
+         |          FROM corpus),
+         |fp AS (SELECT doc_id, $bandExprs FROM sized),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+         |    bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hamming
+         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id AND
          |    (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
          |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM cand
          |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
