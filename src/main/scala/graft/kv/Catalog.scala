@@ -867,7 +867,10 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           resolveIndexVersioned(dir, "vmeta", baseVer).getFileName.toString,
           // positional postings are written by the same backfill/fold
           // as the postings base — pair at the data base's version
-          resolveIndexVersioned(dir, "pos", baseVer).getFileName.toString)
+          resolveIndexVersioned(dir, "pos", baseVer).getFileName.toString,
+          // the navigable graph folds forward with the data base
+          // (foldIndexStack's graph-era branch) — pair at baseVer
+          resolveIndexVersioned(dir, "graph", baseVer).getFileName.toString)
         withList(dir) { it =>
           it.filter { p =>
             val n = p.getFileName.toString
@@ -875,7 +878,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
               v > baseVer && v <= liveV)
             (n.startsWith("data") || n.startsWith("dict") ||
               n.startsWith("cent") || n.startsWith("vmeta") ||
-              n.startsWith("pos") ||
+              n.startsWith("pos") || n.startsWith("graph") ||
               n.startsWith("seg_v") || n.startsWith("tomb_v") ||
               n.startsWith("dictdelta_v") ||
               // fold/refresh staging dirs stranded by a crash mid-build
@@ -924,6 +927,18 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     catch { case _: UnsupportedOperationException | _: java.io.IOException =>
       Files.copy(src, dst): Unit }
 
+  /** Carry a whole (flat) index-artifact dir forward by per-file
+    * [[linkOrCopy]] — the graph-era fold's cent/vmeta carry, where
+    * the bytes are version-identical and only the name advances. */
+  private def copyArtifactDir(src: Path, dstRoot: String): Unit = {
+    val dst = Paths.get(dstRoot)
+    Files.createDirectories(dst)
+    withList(src)(_.toList).foreach { f =>
+      if (!Files.isDirectory(f))
+        linkOrCopy(f, dst.resolve(f.getFileName.toString))
+    }
+  }
+
   /** The segment-maintenance dir prefixes, and the full set of
     * versioned index-artifact prefixes (base + dictionary + segments).
     * Single source of truth: compact's orphan cleanup, vacuum's sweep
@@ -932,7 +947,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
   private final val SegmentDirPrefixes =
     Seq("seg_v", "tomb_v", "dictdelta_v", "posseg_v")
   private final val IndexDirPrefixes =
-    Seq("data_v", "dict_v", "pos_v", "cent_v", "vmeta_v") ++ SegmentDirPrefixes
+    Seq("data_v", "dict_v", "pos_v", "cent_v", "vmeta_v", "graph_v") ++
+      SegmentDirPrefixes
 
   /** Version carried by a segment/tombstone/dict-delta dir name, if any. */
   private def segmentVersion(dirName: String): Option[Int] =
@@ -1278,15 +1294,46 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         true
       case "VECTOR" =>
         // crashed-fold healing (the fulltext orphan-dict reasoning):
-        // cent_v/vmeta_v at upTo with an OLDER data base are artifacts
-        // of a fold that died before its data rename — readers never
-        // resolved them (artifacts pair at the data base's version, see
-        // vectorArtifacts), but the re-train below must not read its
-        // own output paths
-        Seq(s"cent_v$upTo", s"vmeta_v$upTo").foreach { n =>
+        // cent_v/vmeta_v/graph_v at upTo with an OLDER data base are
+        // artifacts of a fold that died before its data rename —
+        // readers never resolved them (artifacts pair at the data
+        // base's version, see vectorArtifacts), but the writes below
+        // must not read their own output paths
+        Seq(s"cent_v$upTo", s"vmeta_v$upTo", s"graph_v$upTo").foreach { n =>
           val orphan = dir.resolve(n)
           if (Files.exists(orphan)) deleteRecursively(orphan)
         }
+        val graphBase = resolveIndexVersioned(dir, "graph", baseVer)
+        if (Files.exists(graphBase)) {
+          // GRAPH-ERA fold: the coarse structure is FIXED between
+          // refreshes (the DiskANN trade — re-fitting the quantizer
+          // would re-key every list and force a FULL graph rebuild;
+          // refresh_index owns the re-train), so the fold is
+          // list-bounded end to end: cent/vmeta carry forward as
+          // links, the segmented entries fold at their existing
+          // encodings, and the fresh-delta rows fold into only the
+          // TOUCHED per-list graphs (Hnsw.foldDelta — untouched lists
+          // carry over row-identical, HnswSpec pins it).
+          val folded = vectorSegView(base, baseVer, segs, tombs).cache()
+          try {
+            import org.apache.spark.sql.functions.col
+            val entries = folded.select(col("cluster"), col("rk"), col("v"))
+            val newGraph = graft.similarity.Hnsw.foldDelta(
+              spark.read.parquet(graphBase.toString), entries)
+            stageArtifact(s"vmeta_v$upTo") { p =>
+              copyArtifactDir(resolveIndexVersioned(dir, "vmeta", baseVer), p)
+            }
+            stageArtifact(s"cent_v$upTo") { p =>
+              copyArtifactDir(resolveIndexVersioned(dir, "cent", baseVer), p)
+            }
+            stageArtifact(s"graph_v$upTo") { p =>
+              newGraph.write.mode("overwrite").parquet(p)
+            }
+            stageArtifact(s"data_v$upTo") { p =>
+              KvLayout.writeSorted(folded, Seq("cluster"), p)
+            }
+          } finally folded.unpersist()
+        } else {
         // compact RE-TRAINS: centroids drift as CDC patches accumulate
         // (every patch assigned to backfill-time centroids), so the
         // fold refits coarse quantizer + codebooks from the folded
@@ -1309,6 +1356,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
             }
           } finally b.release()
         } finally folded.unpersist()
+        }
         true
       case _ => false // kv indexes never write segments
     } catch {
@@ -2357,6 +2405,53 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     (indexData(table, indexName, "vector"), cent, meta)
   }
 
+  /** Build (or same-version rebuild) the NAVIGABLE-GRAPH artifact of a
+    * `vector` index — the graph-ANN serving layer (Hnsw.buildGraph:
+    * per-coarse-list m-NN graphs) persisted as `graph_v` beside
+    * cent/vmeta/data, paired like them at the data base's version.
+    * Build is DDL (O(|list|²) kernels per list, the SemDeDup cost
+    * class, amortized over every search); after it, CDC rows appended
+    * as segments surface through [[vectorGraphView]]'s structural
+    * fresh-delta buffer until `CALL system.compact_index` folds them
+    * into only the TOUCHED per-list graphs (foldIndexStack). */
+  def buildVectorGraph(table: String, indexName: String, m: Int = 8): Unit =
+    withWriteLock(table) {
+      val dir = indexDir(table, indexName, "vector")
+      require(Files.exists(dir), s"$table $indexName vector not exists")
+      import org.apache.spark.sql.functions.col
+      val bv = indexBaseVersion(resolveIndexDataDir(dir, table))
+      val view = indexData(table, indexName, "vector")
+      writeIndexDirAtomic(dir, s"graph_v$bv") { p =>
+        graft.similarity.Hnsw.buildGraph(
+          view.select(col("cluster"), col("rk"), col("v")), m)
+          .write.mode("overwrite").parquet(p)
+      }
+    }
+
+  /** The graph-ANN serving pair: (graph, delta). The graph is the
+    * persisted `graph_v` base; the DELTA BUFFER is derived
+    * STRUCTURALLY as view ∖ graph (left_anti on rk — the DiskANN
+    * fresh-buffer recipe): exactly the CDC rows merged since the last
+    * graph build/fold, patch-sized between compactions. */
+  def vectorGraphView(table: String, indexName: String): (DataFrame, DataFrame) = {
+    val dir = indexDir(table, indexName, "vector")
+    // paired at the DATA BASE's version like cent/vmeta
+    // (vectorArtifacts): a graph_v orphaned above the data base by a
+    // crashed fold/refresh must not resolve — its lists key by a
+    // coarse structure the live artifacts don't carry
+    val bv = indexBaseVersion(resolveIndexDataDir(dir, table))
+    val g = resolveIndexVersioned(dir, "graph", bv)
+    require(Files.exists(g),
+      s"$table $indexName vector has no graph artifact — " +
+        "call buildVectorGraph first")
+    import org.apache.spark.sql.functions.col
+    val graph = spark.read.parquet(g.toString)
+    val delta = indexData(table, indexName, "vector")
+      .select(col("cluster"), col("rk"), col("v"))
+      .join(graph.select(col("rk")), Seq("rk"), "left_anti")
+    (graph, delta)
+  }
+
   /** Live positional postings (term, doc_id, pos) — the frame phrase
     * search consumes. Base pairs at the resolved data base's version
     * (written by the same backfill/refresh/fold as the postings);
@@ -2744,6 +2839,21 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
             writeIndexDirAtomic(dir, s"cent_v$cur") { p =>
               built.centroids.write.mode("overwrite").parquet(p)
             }
+            // an index serving graph-ANN rebuilds its graph with the
+            // NEW coarse structure (a stale graph would key its lists
+            // by the pre-refresh cluster ids, silently mismatching
+            // every probe against the refreshed centroids). BEFORE
+            // data, like cent/vmeta: readers pair the graph at the
+            // resolved DATA base's version (vectorGraphView), so a
+            // crash here leaves the old quadruple fully live and the
+            // graph_v(cur) orphan unresolvable until data lands.
+            if (Files.exists(resolveIndexVersioned(dir, "graph", cur)))
+              writeIndexDirAtomic(dir, s"graph_v$cur") { p =>
+                import org.apache.spark.sql.functions.col
+                graft.similarity.Hnsw.buildGraph(
+                  built.entries.select(col("cluster"), col("rk"), col("v")))
+                  .write.mode("overwrite").parquet(p)
+              }
             writeIndexDirAtomic(dir, s"data_v$cur") { p =>
               KvLayout.writeSorted(built.entries, Seq("cluster"), p)
             }

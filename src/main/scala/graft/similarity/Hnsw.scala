@@ -191,6 +191,36 @@ object Hnsw {
       .filter(col("nn") =!= col("qid"))
   }
 
+  /** Fold the CURRENT entry set into a persisted per-list graph — the
+    * index-maintenance kernel `CALL system.compact_index` runs so the
+    * exhaustive-scan fresh-delta buffer stays patch-sized under
+    * continuous CDC (the DiskANN merge step, list-sharded): a list is
+    * TOUCHED iff it gained a row (a CDC append outside the graph) or
+    * lost one (a tombstoned node still in the graph); touched lists
+    * rebuild from the current entries — O(|list|²) kernels per
+    * touched list, the same cost class as the original build but paid
+    * only where the data moved — and untouched lists carry over
+    * UNCHANGED (HnswSpec pins row-identity). `entries` is the folded
+    * view (cluster, rk, v); determinism follows from buildGraph's. */
+  def foldDelta(graph: DataFrame, entries: DataFrame, m: Int = 8): DataFrame = {
+    val cur = entries.select(col("cluster").cast("int"),
+      col("rk").cast("long"), col("v"))
+    val addedLists = cur
+      .join(graph.select(col("rk")), Seq("rk"), "left_anti")
+      .select(col("cluster"))
+    val removedLists = graph
+      .join(cur.select(col("rk")), Seq("rk"), "left_anti")
+      .select(col("cluster"))
+    val touched = addedLists.unionByName(removedLists).distinct()
+    val untouched = graph
+      .join(touched, Seq("cluster"), "left_anti")
+      .select(col("cluster"), col("rk"), col("v"), col("neighbors"))
+    val rebuilt = buildGraph(
+      cur.join(touched, Seq("cluster"), "left_semi"), m)
+      .select(col("cluster"), col("rk"), col("v"), col("neighbors"))
+    untouched.unionByName(rebuilt)
+  }
+
   /** Label-FILTERED beam search — the filtered-HNSW recipe (and
     * filteredIvfSearch's contract, re-expressed on the graph): only
     * label-matching nodes enter the SHORTLIST, but the beam TRAVERSES

@@ -167,6 +167,76 @@ class HnswSpec extends AnyFunSuite {
       "a wrong-label delta row surfaced through the filtered search")
   }
 
+  test("compact_index folds the fresh delta into only the touched lists") {
+    // The graph-maintenance law (Catalog.foldIndexStack's graph-era
+    // branch): after a CDC merge the appended rows surface through
+    // the structural fresh-delta buffer; CALL system.compact_index
+    // folds them into the per-list graphs — after it the delta is
+    // EMPTY, searches return the same neighbors, and only the lists
+    // the patch touched were rebuilt (untouched lists carry over
+    // row-identical, coarse structure unchanged).
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_hnswfold_wh").toString
+    val cat = new graft.kv.Catalog(spark, wh)
+    // the catalog's vector flavor trains PQ codebooks over m=8
+    // subspaces — pad the 4-dim spec corpus to 8 dims (zeros change
+    // no cosine)
+    val corpus8 = corpus.withColumn("embedding",
+      concat($"embedding", array(lit(0f), lit(0f), lit(0f), lit(0f))))
+    val base = corpus8.filter($"vec_id" < 590)
+    cat.createTable("emb", base.schema, Seq("vec_id"))
+    cat.bulkLoad("emb", base, partitions = 2)
+    cat.createIndex("emb", "ann", "vector", Seq("embedding"))
+    cat.buildVectorGraph("emb", "ann")
+    // CDC-merge a patch near ONE blob center (cluster-local rows)
+    val patch = corpus8.filter($"vec_id" >= 590)
+      .withColumn("vec_id", $"vec_id" + 1000L)
+    cat.incrementalMerge("emb", patch)
+    val (g0, d0) = cat.vectorGraphView("emb", "ann")
+    val graphBefore = g0.collect()
+      .map(r => (r.getLong(1), r.getInt(0), r.getSeq[Long](3))).toSeq
+    val deltaBefore = d0.select($"rk").collect().map(_.getLong(0)).toSet
+    assert(deltaBefore.nonEmpty, "merge produced no fresh delta")
+    val (_, cent, _) = cat.vectorIndexView("emb", "ann")
+    val q = corpus8.filter($"vec_id" === 3L)
+    def run(graph: org.apache.spark.sql.DataFrame,
+            delta: org.apache.spark.sql.DataFrame) =
+      Hnsw.search(graph, cent, delta.select($"rk", $"v"), q,
+        "vec_id", "embedding", k = 10, nprobe = 3, ef = 24, maxVisits = 96)
+        .select($"qid", $"nn", $"score").collect().map(_.toString).sorted.toSeq
+    val before = run(g0, d0)
+    cat.compactIndex("emb", "ann", "vector")
+    val (g1, d1) = cat.vectorGraphView("emb", "ann")
+    // 1. the delta buffer is EMPTY after the fold
+    assert(d1.count() == 0, "fresh delta survived compact_index")
+    // 2. every delta row is now a graph node
+    val nodes1 = g1.select($"rk").collect().map(_.getLong(0)).toSet
+    assert(deltaBefore.subsetOf(nodes1), "folded rows missing from the graph")
+    // 3. searches identical (the delta rows moved from the exhaustive
+    // buffer into the beam's reach; exact re-rank keeps scores equal)
+    assert(run(g1, d1) == before,
+      "search results changed across the graph fold")
+    // 4. only TOUCHED lists rebuilt: untouched clusters' rows carry
+    // over with identical neighbor lists
+    val touched = g1.collect()
+      .map(r => (r.getLong(1), r.getInt(0), r.getSeq[Long](3)))
+      .filter { case (rk, _, _) => deltaBefore.contains(rk) }
+      .map(_._2).toSet
+    assert(touched.nonEmpty)
+    val afterByRk = g1.collect()
+      .map(r => (r.getLong(1), (r.getInt(0), r.getSeq[Long](3)))).toMap
+    val untouchedBefore = graphBefore.filter {
+      case (_, cl, _) => !touched.contains(cl)
+    }
+    assert(untouchedBefore.nonEmpty,
+      "patch touched every list — the locality claim is untestable here")
+    untouchedBefore.foreach { case (rk, cl, nbrs) =>
+      val (cl2, nbrs2) = afterByRk(rk)
+      assert(cl2 == cl && nbrs2 == nbrs,
+        s"untouched node $rk changed across the fold")
+    }
+  }
+
   test("graph build is deterministic and edges stay within 2m") {
     val (graph, _) = built
     val a = graph.orderBy(col("rk")).collect()
