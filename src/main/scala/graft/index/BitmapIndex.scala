@@ -338,6 +338,8 @@ object BitmapIndex {
       graft.plans.BitmapExpressions.ids(_)
     val bitmapCard: Column => Column =
       graft.plans.BitmapExpressions.cardinality(_)
+    val bitmapAndNot: (Column, Column) => Column =
+      graft.plans.BitmapExpressions.andNot(_, _)
   }
 
   /** Equality: fetch the value's shard rows, expand each to rowids
@@ -361,6 +363,35 @@ object BitmapIndex {
       .select(explode(Ops.bitmapIds(
         aggregate(expr("slice(bms, 2, size(bms))"), col("bms").getItem(0),
           (acc, b) => Ops.bitmapOr(acc, b)))).as("rk"))
+
+  /** NEGATION retrieval (`col <> value`) — the complement op that
+    * closes the bitmap predicate algebra (eq/range/and/or/NOT): per
+    * id-shard, OR-fold every value's bitmap into the shard's
+    * EXISTENCE bitmap (the universe a real engine maintains beside
+    * the per-value bitmaps — derived here in one index-row pass with
+    * the same HOF fold as [[rangeIds]]), then ANDNOT the target
+    * value's bitmap out with the codegen kernel. SQL `<>` semantics
+    * require excluding NULL-valued rows — and [[build]]'s groupBy
+    * KEEPS a null group (Spark groups null keys), so the universe
+    * fold must drop the iv=null bitmap explicitly or nulls would
+    * surface in every negation. A shard where the value has no
+    * bitmap passes its whole universe through. Work spreads across
+    * shards; everything runs on index rows, never the base table. */
+  def notIds(index: DataFrame, value: Any): DataFrame = {
+    val universe = index
+      .filter(col("iv").isNotNull)
+      .groupBy(col("shard"))
+      .agg(collect_list(col("bm")).as("bms"))
+      .select(col("shard"),
+        aggregate(expr("slice(bms, 2, size(bms))"), col("bms").getItem(0),
+          (acc, b) => Ops.bitmapOr(acc, b)).as("ubm"))
+    val v = index.filter(col("iv") === lit(value))
+      .select(col("shard"), col("bm"))
+    universe.join(v, Seq("shard"), "left_outer")
+      .select(when(col("bm").isNull, col("ubm"))
+        .otherwise(Ops.bitmapAndNot(col("ubm"), col("bm"))).as("nbm"))
+      .select(explode(Ops.bitmapIds(col("nbm"))).as("rk"))
+  }
 
   /** Combine two values' bitmaps (possibly from different indexes)
     * with AND/OR: a shard-keyed zip — each id-shard pair combines

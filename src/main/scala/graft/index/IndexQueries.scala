@@ -63,6 +63,21 @@ object IndexQueries {
         .orderBy($"o_orderkey")
     },
 
+    "idx_bitmap_not" -> { (s, d) =>
+      import s.implicits._
+      // NEGATION retrieval (`o_orderstatus <> 'P'`) — the complement
+      // op closing the bitmap predicate algebra: per shard the
+      // existence bitmap (OR-fold of every value's bitmap, one
+      // index-row pass) ANDNOTs the target value's bitmap out with
+      // the codegen kernel; 'P' is the rare status, so this is the
+      // realistic "everything except the open orders" scan served
+      // without touching the base table.
+      val idx = graft.QueryCaches.ordersBitmap(s, d, "o_orderstatus")
+      BitmapIndex.notIds(idx, "P")
+        .select($"rk".as("o_orderkey"))
+        .orderBy($"o_orderkey")
+    },
+
     "idx_bitmap_and_or" -> { (s, d) =>
       import s.implicits._
       val statusIdx = graft.QueryCaches.ordersBitmap(s, d, "o_orderstatus")
@@ -451,6 +466,10 @@ object IndexQueries {
       """SELECT o_orderkey FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate <= TIMESTAMP '1996-03-31 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "idx_bitmap_not" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderstatus <> 'P'
         |ORDER BY o_orderkey""".stripMargin,
 
     "idx_bitmap_and_or" ->

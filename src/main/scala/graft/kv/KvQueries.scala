@@ -39,6 +39,18 @@ object KvQueries {
         .orderBy($"o_orderkey")
     },
 
+    "kv_scan_reverse" -> { (s, d) =>
+      import s.implicits._
+      // HBase Scan.setReversed + setLimit (the reference's Scan
+      // surface supports reversed iteration): newest-first bounded
+      // read of a key range — the "latest N in range" serving shape a
+      // time-keyed table answers constantly. Bounded heap, never a
+      // corpus sort.
+      KvTable(Tables.orders(s, d), Seq("o_orderkey"))
+        .reverseScan(500L, 900L, limit = 50)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    },
+
     "kv_composite_get" -> { (s, d) =>
       import s.implicits._
       // full two-column rowkey point get (reference rowkey = the whole
@@ -426,6 +438,11 @@ object KvQueries {
     "kv_range_scan" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey >= 500 AND o_orderkey < 600 ORDER BY o_orderkey""".stripMargin,
+
+    "kv_scan_reverse" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey >= 500 AND o_orderkey < 900
+        |ORDER BY o_orderkey DESC LIMIT 50""".stripMargin,
 
     "kv_composite_get" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem

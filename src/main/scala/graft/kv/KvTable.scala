@@ -107,6 +107,18 @@ final case class KvTable(df: DataFrame, keyCols: Seq[String]) {
     df.filter(lexGe(keyCols, start) && upper)
   }
 
+  /** HBase Scan.setReversed(true) + setLimit: the newest-first bounded
+    * read (the tail of a time- or sequence-keyed table — "latest N
+    * orders in the range"), [start, stop) in DESCENDING key order
+    * capped at `limit`. Declarative filter + orderBy + limit compiles
+    * to a bounded-heap TakeOrderedAndProject over the pruned scan —
+    * per-partition heaps of `limit` rows merged on the driver, never
+    * a corpus sort (PlanSpec pins the shape). */
+  def reverseScan(start: Any, stopExclusive: Any, limit: Int): DataFrame = {
+    require(limit > 0, s"limit must be positive, got $limit")
+    rangeScan(start, stopExclusive).orderBy(key.desc).limit(limit)
+  }
+
   /** FilterList(MUST_PASS_ALL): conjunction of pushed predicates. */
   def filterScan(preds: Column*): DataFrame =
     preds.foldLeft(df)((acc, p) => acc.filter(p))

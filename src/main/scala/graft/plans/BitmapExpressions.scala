@@ -24,6 +24,7 @@ import org.apache.spark.sql.types._
 object BitmapKernel {
   def and(a: Array[Byte], b: Array[Byte]): Array[Byte] = Bitmap.and(a, b)
   def or(a: Array[Byte], b: Array[Byte]): Array[Byte] = Bitmap.or(a, b)
+  def andNot(a: Array[Byte], b: Array[Byte]): Array[Byte] = Bitmap.andNot(a, b)
   // expression-space ids: the primitive long array wrapped as ArrayData
   // (UnsafeArrayData — no per-element boxing on the way out)
   def ids(a: Array[Byte]): ArrayData =
@@ -69,6 +70,22 @@ case class BitmapOrExpr(left: Expression, right: Expression) extends BinaryExpre
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (l, r) => s"graft.plans.BitmapKernel.or($l, $r)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BitmapOrExpr =
+    copy(left = l, right = r)
+}
+
+/** Word-wise AND-NOT (a ∖ b) of two serialized bitmaps — the kernel
+  * negation retrieval uses to subtract a value's bitmap from its
+  * shard's existence bitmap. */
+case class BitmapAndNotExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelChecks.both(KernelChecks.binary(left.dataType, "graft_bitmap_andnot"),
+      KernelChecks.binary(right.dataType, "graft_bitmap_andnot"))
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    BitmapKernel.andNot(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.plans.BitmapKernel.andNot($l, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BitmapAndNotExpr =
     copy(left = l, right = r)
 }
 
@@ -128,6 +145,8 @@ object BitmapExpressions {
     column(BitmapAndExpr(expression(a), expression(b)))
   def or(a: Column, b: Column): Column =
     column(BitmapOrExpr(expression(a), expression(b)))
+  def andNot(a: Column, b: Column): Column =
+    column(BitmapAndNotExpr(expression(a), expression(b)))
   def ids(c: Column): Column = column(BitmapIdsExpr(expression(c)))
   def cardinality(c: Column): Column = column(BitmapCardExpr(expression(c)))
   def fold(parts: Column, tombs: Column): Column =

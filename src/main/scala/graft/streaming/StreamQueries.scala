@@ -250,6 +250,76 @@ object StreamQueries {
       est.crossJoin(exact).select($"k_eff", $"h_k", $"n_est", $"n_exact")
     },
 
+    "st_stream_kll" -> { (s, d) =>
+      import s.implicits._
+      // Streaming QUANTILE-sketch maintenance — the kllMerge law run
+      // as a stream (the st_stream_kmv recipe for the quantile
+      // family): each micro-batch contributes its own per-type KLL
+      // sketch (the SAME Sketches.kllSketch the batch gate runs), and
+      // the driver folds it with the identical integer hash-compaction
+      // arithmetic — nested samples make the fold a union + re-filter,
+      // so the drained state is BIT-identical to the batch sketch over
+      // the same rows no matter how files split into micro-batches,
+      // and the gate shares evt_kll_quantiles' full SQL oracle
+      // verbatim. Driver state: ≤ cap sampled rows per event type —
+      // constant at any corpus size. The exact quantiles ride as the
+      // gate-only error witness, batch-side like every sketch gate.
+      val cap = 256
+      val stream = Tables.eventsStream(s, d)
+      // per type: (n, rows of (value, h)) — the folded compactor state
+      val state = scala.collection.mutable.Map[
+        String, (Long, Vector[(Double, Long)])]()
+      def lvlOf(n: Long): Int =
+        if (n <= cap) 0
+        else 64 - java.lang.Long.numberOfLeadingZeros((n - 1) / cap)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      val q =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "2")
+          stream.writeStream.foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              val bs = Sketches.kllSketch(
+                  batch.select($"event_type", $"event_id", $"value"),
+                  "value", "event_id", Seq("event_type"), cap)
+                .select($"event_type", $"value", $"h", $"n")
+                .collect()
+              bs.groupBy(_.getString(0)).foreach { case (g, rows) =>
+                val nB = rows.head.getLong(3)
+                val rowsB = rows.iterator
+                  .map(r => (r.getDouble(1), r.getLong(2))).toVector
+                val (n0, rows0) = state.getOrElse(g, (0L, Vector.empty))
+                val n1 = n0 + nB
+                val w1 = 1L << lvlOf(n1)
+                state(g) = (n1,
+                  (rows0 ++ rowsB).filter { case (_, h) => h % w1 == 0L })
+              }
+              ()
+          }.start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      try q.processAllAvailable() finally q.stop()
+      val drained = state.toSeq.flatMap { case (g, (n, rows)) =>
+        val l = lvlOf(n)
+        rows.map { case (v, h) => (g, v, h, n, l, 1L << l) }
+      }.toDF("event_type", "value", "h", "n", "lvl", "w")
+      val est = Sketches.kllQuantiles(drained, Seq("event_type"),
+        Seq(25, 50, 75, 95, 99))
+      val ev = Tables.events(s, d).select($"event_type", $"event_id", $"value")
+      val ranked = ev
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"event_type").orderBy($"value", $"event_id")))
+        .withColumn("nn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"event_type")))
+      val pf = Seq(25, 50, 75, 95, 99).toDF("p")
+      val exact = ranked.join(broadcast(pf), $"r" * 100 >= $"p" * $"nn")
+        .groupBy($"event_type", $"p").agg(min($"value").as("q_exact"))
+      est.join(exact, Seq("event_type", "p"))
+        .select($"event_type", $"p", $"q_est", $"q_exact")
+        .orderBy($"event_type", $"p")
+    },
+
     "st_stream_join" -> { (s, d) =>
       import s.implicits._
       // Stream-stream inner join (watermarked state on BOTH sides):
@@ -1049,6 +1119,51 @@ object StreamQueries {
     "concat(substr(text,1,10),'q',substr(text,12,11),'z'," +
       "substr(text,24,13),'x',substr(text,38))"
 
+  /** The KLL-quantile contract, shared verbatim by the batch gate
+    * (evt_kll_quantiles) and the streaming fold (st_stream_kll) —
+    * the merge law makes the streamed sketch bit-identical to the
+    * batch sketch, so one oracle gates both (the hourlyAggSql
+    * contract). */
+  private val kllQuantilesSql =
+    """WITH n AS (
+      |  SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+      |lv AS (
+      |  SELECT event_type, n,
+      |    CASE WHEN n <= 256 THEN 0
+      |         ELSE length(bin(CAST(floor((n - 1) / 256) AS BIGINT))) END AS lvl
+      |  FROM n),
+      |sk AS (
+      |  SELECT e.event_type, e.value,
+      |    ((e.event_id % 2147483647) * 2654435761 + 97) % 2147483647 AS h,
+      |    lv.n, CAST(pow(2, lv.lvl) AS BIGINT) AS w
+      |  FROM events e JOIN lv USING (event_type)
+      |  WHERE (((e.event_id % 2147483647) * 2654435761 + 97) % 2147483647)
+      |        % CAST(pow(2, lv.lvl) AS BIGINT) = 0),
+      |cum AS (
+      |  SELECT event_type, value, n,
+      |    CAST(SUM(w) OVER (PARTITION BY event_type ORDER BY value, h)
+      |      AS BIGINT) AS cumw,
+      |    CAST(SUM(w) OVER (PARTITION BY event_type) AS BIGINT) AS totw
+      |  FROM sk),
+      |ps AS (SELECT CAST(unnest([25, 50, 75, 95, 99]) AS INT) AS p),
+      |est AS (
+      |  SELECT event_type, p, MIN(value) AS q_est
+      |  FROM cum, ps WHERE cumw * 100 >= least(p * n, totw * 100)
+      |  GROUP BY event_type, p),
+      |ranked AS (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id)
+      |      AS r,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS nn
+      |  FROM events),
+      |exact AS (
+      |  SELECT event_type, p, MIN(value) AS q_exact
+      |  FROM ranked, ps WHERE r * 100 >= p * nn
+      |  GROUP BY event_type, p)
+      |SELECT event_type, p, q_est, q_exact
+      |FROM est JOIN exact USING (event_type, p)
+      |ORDER BY event_type, p""".stripMargin
+
   /** The hourly-agg contract, shared verbatim by the batch and
     * streaming variants — they gate against the SAME SQL by
     * construction, so a future edit cannot silently split them. */
@@ -1293,45 +1408,12 @@ object StreamQueries {
         |GROUP BY event_type, p, n
         |ORDER BY event_type, p""".stripMargin,
 
-    "evt_kll_quantiles" ->
-      """WITH n AS (
-        |  SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
-        |lv AS (
-        |  SELECT event_type, n,
-        |    CASE WHEN n <= 256 THEN 0
-        |         ELSE length(bin(CAST(floor((n - 1) / 256) AS BIGINT))) END AS lvl
-        |  FROM n),
-        |sk AS (
-        |  SELECT e.event_type, e.value,
-        |    ((e.event_id % 2147483647) * 2654435761 + 97) % 2147483647 AS h,
-        |    lv.n, CAST(pow(2, lv.lvl) AS BIGINT) AS w
-        |  FROM events e JOIN lv USING (event_type)
-        |  WHERE (((e.event_id % 2147483647) * 2654435761 + 97) % 2147483647)
-        |        % CAST(pow(2, lv.lvl) AS BIGINT) = 0),
-        |cum AS (
-        |  SELECT event_type, value, n,
-        |    CAST(SUM(w) OVER (PARTITION BY event_type ORDER BY value, h)
-        |      AS BIGINT) AS cumw,
-        |    CAST(SUM(w) OVER (PARTITION BY event_type) AS BIGINT) AS totw
-        |  FROM sk),
-        |ps AS (SELECT CAST(unnest([25, 50, 75, 95, 99]) AS INT) AS p),
-        |est AS (
-        |  SELECT event_type, p, MIN(value) AS q_est
-        |  FROM cum, ps WHERE cumw * 100 >= least(p * n, totw * 100)
-        |  GROUP BY event_type, p),
-        |ranked AS (
-        |  SELECT event_type, value,
-        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id)
-        |      AS r,
-        |    COUNT(*) OVER (PARTITION BY event_type) AS nn
-        |  FROM events),
-        |exact AS (
-        |  SELECT event_type, p, MIN(value) AS q_exact
-        |  FROM ranked, ps WHERE r * 100 >= p * nn
-        |  GROUP BY event_type, p)
-        |SELECT event_type, p, q_est, q_exact
-        |FROM est JOIN exact USING (event_type, p)
-        |ORDER BY event_type, p""".stripMargin,
+    "evt_kll_quantiles" -> kllQuantilesSql,
+
+    // the streaming fold is BIT-identical to the batch sketch (the
+    // kllMerge nested-sample law, KllSpec), so the streamed gate
+    // shares the batch oracle verbatim — the hourlyAggSql contract
+    "st_stream_kll" -> kllQuantilesSql,
 
     "evt_funnel" ->
       """SELECT user_id,
@@ -1342,6 +1424,7 @@ object StreamQueries {
         |HAVING MIN(CASE WHEN event_type = 'view' THEN ts END)
         |     < MAX(CASE WHEN event_type = 'purchase' THEN ts END)
         |ORDER BY user_id""".stripMargin,
+
 
     // the mm_ oracles model the synthesized container headers with
     // arithmetic: header length 33 (PNG) / 44 (WAV) / 124 (MP4) by

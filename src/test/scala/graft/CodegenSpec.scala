@@ -102,6 +102,8 @@ class CodegenSpec extends AnyFunSuite {
             BitmapExpressions.and($"ba", $"bb"))).as("andIds"),
           array_sort(BitmapExpressions.ids(
             BitmapExpressions.or($"ba", $"bb"))).as("orIds"),
+          array_sort(BitmapExpressions.ids(
+            BitmapExpressions.andNot($"ba", $"bb"))).as("andNotIds"),
           // version fold (compact_index path): tombstone {2} at v2
           // masks both parts (v0, v1), survivors OR together
           array_sort(BitmapExpressions.ids(BitmapExpressions.fold(
@@ -126,10 +128,11 @@ class CodegenSpec extends AnyFunSuite {
     // hand-computed ground truth, not just mode agreement
     assert(gen.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getSeq[Long](3), r.getSeq[Long](4), r.getSeq[Long](5),
-        r.getSeq[Long](6))) == Seq(
+        r.getSeq[Long](6), r.getSeq[Long](7))) == Seq(
       (1L, 3L, 3L, Seq(2L), Seq(1L, 2L, 3L, 70000L, 100000L),
-        Seq(1L, 3L, 70000L, 100000L), Seq(1L, 2L, 100000L)),
-      (2L, 1L, 1L, Seq.empty[Long], Seq(0L, 1L << 30),
+        Seq(1L, 100000L), Seq(1L, 3L, 70000L, 100000L),
+        Seq(1L, 2L, 100000L)),
+      (2L, 1L, 1L, Seq.empty[Long], Seq(0L, 1L << 30), Seq(0L),
         Seq(0L, 1L << 30), Seq(0L))))
   }
 

@@ -30,6 +30,24 @@ class IndexSpec extends AnyFunSuite {
     assert(viaIndex.sameElements(direct))
   }
 
+  test("bitmap negation matches <> semantics, NULL-valued rows excluded") {
+    import spark.implicits._
+    // NULL-valued rows never enter any value's bitmap, so they are
+    // absent from the existence universe too — exactly what SQL's
+    // `col <> v` excludes; the shard where 'b' has no bitmap must
+    // pass its whole universe through
+    val base = Seq[(Long, String)]((1L, "a"), (2L, "b"), (3L, "a"),
+        (40L * 1024 * 1024, "a"), (41L * 1024 * 1024, "c"))
+      .toDF("k", "v")
+      .unionByName(Seq(5L).toDF("k").withColumn("v",
+        org.apache.spark.sql.functions.lit(null: String)))
+    val idx = BitmapIndex.build(base, "k", "v")
+    val got = BitmapIndex.notIds(idx, "b").collect().map(_.getLong(0)).sorted
+    val want = base.filter(col("v") =!= "b")
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want), s"${got.toSeq} vs ${want.toSeq}")
+  }
+
   test("hot values shard across id-ranges; AND/OR zip per shard") {
     import spark.implicits._
     // ids straddling three 16Mi-id shards, two values
