@@ -227,8 +227,48 @@ object Multimodal {
     * the sign of E(t+1, j) − E(t, j) — 4 time-deltas × 16 spectral
     * bands = 64 bits. A real FFT/chroma filterbank slots in at the
     * energy() seam, everything downstream (banding join, hamming
-    * cut) unchanged. Fully unrolled codegen'd expressions, one pass
-    * per row, never per pair. */
+    * cut) unchanged.
+    *
+    * The 5-frame × 16-band energy GRID as one array<long> column (row
+    * major, frame-outer; grid cell g = frame·16 + band sums sampled
+    * bytes 3g..3g+2 — the flattened index IS contiguous in the sample
+    * sequence). Built with HOF lambdas instead of 240 unrolled
+    * sample sites: the unrolled form's ~2000-node tree cost ~3.5 s of
+    * DRIVER-side Catalyst analysis per plan (measured — row work and
+    * codegen were not the bottleneck), where the two-lambda form is
+    * ~50 nodes and per-element interpretation over 240×|rows| values
+    * is noise. Callers materialize this column (checkpoint — the
+    * mm_phash rule) before [[audioFpBandsFromGrid]], since each
+    * interior frame's energy feeds TWO gradient bits. */
+  def audioEnergyGrid(bodyCol: Column): Column = {
+    val blen = octet_length(bodyCol)
+    // ONE lambda, three direct extractions per cell — a nested
+    // bytes-array lambda would re-evaluate the whole inner transform
+    // per element_at (HOFs interpret their subtree per element),
+    // turning 240 extractions/row into 57,600
+    transform(sequence(lit(0), lit(79)), g =>
+      (0 until 3).map { i =>
+        conv(hex(bodyCol.substr(
+          (floor((g * 3 + lit(i)) * blen / 240) + lit(1)).cast("int"),
+          lit(1))), 16, 10).cast("long")
+      }.reduce(_ + _))
+  }
+
+  /** Fingerprint bands from a MATERIALIZED energy grid: 64 cell
+    * comparisons on element_at — a small tree over an already-computed
+    * column. */
+  def audioFpBandsFromGrid(gridCol: Column): Column = {
+    def cell(t: Int, b: Int): Column = element_at(gridCol, t * 16 + b + 1)
+    array((0 until 4).map { t =>
+      (0 until 16).map { j =>
+        when(cell(t + 1, j) > cell(t, j), lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** One-shot form (each gradient bit re-derives its two energies —
+    * ~2× the sample sites; prefer the grid/bands split with a
+    * checkpoint in between for query plans). */
   def audioFpBands(bodyCol: Column): Column = {
     val blen = octet_length(bodyCol)
     def byteAt(idx: Int): Column =

@@ -960,13 +960,28 @@ object StreamQueries {
         .unionByName(seed.withColumn("doc_id", $"doc_id" + 1000000L))
         .unionByName(seed.withColumn("doc_id", $"doc_id" + 2000000L)
           .withColumn("text", expr(PhashPerturbSql)))
-      // one signature pass, checkpointed (the mm_phash rule: the
-      // payload synthesis must not inline into the 480 byte-sample
-      // sites of the unrolled fingerprint)
-      val fp = graft.multimodal.Multimodal.withPayload(planted)
+      // TWO materialization points (the mm_phash rule, applied twice):
+      // the energy GRID checkpoints first so neither the payload
+      // synthesis nor the 240 byte-sample sites inline into the 128
+      // gradient-bit references (the fingerprint's cost at gate sizes
+      // is Janino compile time per plan — the split halves the
+      // unrolled tree), then the bands frame checkpoints for the two
+      // join sides
+      // repartition BEFORE the heavy per-row chain (the
+      // st_stream_urldedup rule): the audio shard arrives as one or
+      // two parquet splits, and 240 byte-sample sites × header
+      // synthesis per row at one-task parallelism IS the query's cost
+      // — fanning the narrow work across cores is the standard move,
+      // and the tiny shuffle is noise next to it
+      val grid = graft.multimodal.Multimodal.withPayload(
+          planted.repartition(32))
         .select($"doc_id",
-          graft.multimodal.Multimodal.audioFpBands(
-            graft.multimodal.Multimodal.body($"payload")).as("bands"))
+          graft.multimodal.Multimodal.audioEnergyGrid(
+            graft.multimodal.Multimodal.body($"payload")).as("grid"))
+        .localCheckpoint(true)
+      val fp = grid
+        .select($"doc_id",
+          graft.multimodal.Multimodal.audioFpBandsFromGrid($"grid").as("bands"))
         .localCheckpoint(true)
       val banded = fp.select($"doc_id", $"bands", posexplode($"bands"))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")

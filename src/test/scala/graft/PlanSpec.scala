@@ -73,6 +73,22 @@ class PlanSpec extends AnyFunSuite {
       s"nearest as-of regressed to an inequality join:\n$p")
   }
 
+  test("kv_scan_reverse compiles to a bounded-heap take, never a corpus sort") {
+    val p = planOf("kv_scan_reverse")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"reverse bounded scan lost its heap form:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"reverse scan planned a corpus range-sort:\n$p")
+  }
+
+  test("ft_bm25_wand broadcasts the surviving-block set and never cross-joins") {
+    val p = planOf("ft_bm25_wand")
+    assert(p.contains("BroadcastHashJoin"),
+      s"surviving-block prune join not broadcast (blocks are a tiny summary):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"WAND plan grew an unbounded join:\n$p")
+  }
+
   test("txt_link_graph is one extraction pass + one edge-key aggregate, no join") {
     val p = planOf("txt_link_graph")
     assert(!p.contains("Join"),
