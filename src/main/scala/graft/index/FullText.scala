@@ -406,6 +406,31 @@ object FullText {
       .groupBy("term", "block").agg(max(col("impact")).as("ub"))
   }
 
+  /** Per-(term, doc-id block) SCALAR-FREE block statistics — the
+    * PERSISTED form of the block-max summary ([[buildBlockMax]]) the
+    * driver-side ranked serving path seeks (Catalog.driverFtTopK).
+    * Stores (max tf, min dl) per (term, block of 2^blockBits doc ids)
+    * instead of a precomputed impact: the BM25 impact
+    *   idf(df) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * is monotone INCREASING in tf and DECREASING in dl for any
+    * positive (k1, b, avgdl), and idf is a per-term factor — so
+    *   impact(tf, dl) ≤ idf_now(t) · f(max_tf, min_dl | avgdl_now)
+    * holds under the LIVE (N, df, avgdl) scalars, whatever they have
+    * drifted to since the summary was built. A stored impact would
+    * NOT survive that drift (avgdl growth raises true impacts above
+    * a stale bound — unsafe pruning); (max_tf, min_dl) does, which is
+    * what lets CDC segments append without invalidating the persisted
+    * summary. Derived from the persisted postings/norms frames alone;
+    * cost ∝ |postings|, once per backfill/fold/refresh. */
+  def buildBlockStats(postings: DataFrame, doclens: DataFrame,
+                      blockBits: Int = 6): DataFrame =
+    postings.join(doclens, "doc_id")
+      .withColumn("block",
+        shiftrightunsigned(col("doc_id").cast("long"), blockBits))
+      .groupBy("term", "block")
+      .agg(max(col("tf")).cast("long").as("max_tf"),
+        min(col("dl")).cast("long").as("min_dl"))
+
   /** BM25 ranked top-k with BLOCK-MAX WAND pruning — result
     * hash-identical to [[bm25TopK]] (same scoring tail, and the
     * pruning bound is proven safe below), but only the postings of

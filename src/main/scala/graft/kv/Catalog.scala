@@ -39,7 +39,33 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * multi-process / object-store story. Default: file locks under
     * each table dir. */
   private val lockProvider: LockProvider =
-    lockProviderOpt.getOrElse(new FsLockProvider(tableDir))
+    lockProviderOpt.getOrElse(
+      new FsLockProvider(res => tableDir(res.takeWhile(_ != '@'))))
+
+  /** Stable warehouse identity baked into every lock/lease resource
+    * name ([[lockResource]]). Lease resources used to be keyed by the
+    * BARE table name, so two catalogs over DIFFERENT warehouses
+    * sharing one lease authority and a same-named table shared one
+    * lease AND one authority-held commit pointer — the lower-versioned
+    * warehouse's commitSwap then returned STALE with its durable meta
+    * behind, which publishVersion/commitTxn read as "a newer grant's
+    * commit in flight" and aborted permanently. Qualifying the
+    * resource with the canonical warehouse path's digest gives each
+    * warehouse its own lease + pointer namespace at any shared
+    * authority. */
+  private val warehouseId: String = {
+    val canon = Paths.get(warehouse).toAbsolutePath.normalize.toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.take(6).map(b => f"$b%02x").mkString
+  }
+
+  /** The authority-side resource name for a table's write lock: the
+    * table name (valid chars [A-Za-z0-9_], so '@' is unambiguous)
+    * qualified by [[warehouseId]]. Test-visible so the concurrency
+    * specs can contend with the exact resource this catalog holds. */
+  private[graft] def lockResource(name: String): String =
+    s"$name@$warehouseId"
 
   private def tableDir(name: String): Path = Paths.get(warehouse, name)
   private def metaFile(name: String): Path = tableDir(name).resolve("_graft_meta.json")
@@ -468,7 +494,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * scoped [[withWriteLock]]. */
   private def acquireWriteLock(name: String,
                                timeoutMs: Long = 600000L): LockProvider.Handle =
-    lockProvider.acquire(name, timeoutMs)
+    lockProvider.acquire(lockResource(name), timeoutMs)
 
   /** File-granular incremental COW merge — the CDC-ingest path. A
     * whole-table rewrite per micro-batch would rewrite 100 TB for a
@@ -870,7 +896,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           resolveIndexVersioned(dir, "pos", baseVer).getFileName.toString,
           // the navigable graph folds forward with the data base
           // (foldIndexStack's graph-era branch) — pair at baseVer
-          resolveIndexVersioned(dir, "graph", baseVer).getFileName.toString)
+          resolveIndexVersioned(dir, "graph", baseVer).getFileName.toString,
+          // the ranked-serving pair (norms + block stats) is written
+          // by the same backfill/fold as the postings — pair at baseVer
+          resolveIndexVersioned(dir, "norms", baseVer).getFileName.toString,
+          resolveIndexVersioned(dir, "bmx", baseVer).getFileName.toString)
         withList(dir) { it =>
           it.filter { p =>
             val n = p.getFileName.toString
@@ -879,6 +909,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
             (n.startsWith("data") || n.startsWith("dict") ||
               n.startsWith("cent") || n.startsWith("vmeta") ||
               n.startsWith("pos") || n.startsWith("graph") ||
+              n.startsWith("norm") || n.startsWith("bmx") ||
               n.startsWith("seg_v") || n.startsWith("tomb_v") ||
               n.startsWith("dictdelta_v") ||
               // fold/refresh staging dirs stranded by a crash mid-build
@@ -945,10 +976,10 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * and segmentVersion all reason over the same families — a new
     * artifact flavor added here is covered everywhere at once. */
   private final val SegmentDirPrefixes =
-    Seq("seg_v", "tomb_v", "dictdelta_v", "posseg_v")
+    Seq("seg_v", "tomb_v", "dictdelta_v", "posseg_v", "normseg_v")
   private final val IndexDirPrefixes =
-    Seq("data_v", "dict_v", "pos_v", "cent_v", "vmeta_v", "graph_v") ++
-      SegmentDirPrefixes
+    Seq("data_v", "dict_v", "pos_v", "cent_v", "vmeta_v", "graph_v",
+      "norms_v", "bmx_v") ++ SegmentDirPrefixes
 
   /** Version carried by a segment/tombstone/dict-delta dir name, if any. */
   private def segmentVersion(dirName: String): Option[Int] =
@@ -1108,6 +1139,15 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
               segStage.resolve(s"posseg_v$next").toString, partitions = 1)
             KvLayout.writeSorted(segPost, Seq("term"),
               segStage.resolve(s"seg_v$next").toString, partitions = 1)
+            // norms delta: token count per patched doc (+ scalar meta)
+            // — the ranked serving path's per-artifact dl source
+            locally {
+              val segDl = graft.index.FullText.buildDocLens(segPost)
+              val p = segStage.resolve(s"normseg_v$next")
+              KvLayout.writeSorted(segDl, Seq("doc_id"), p.toString,
+                partitions = 1)
+              writeNormMeta(p, segDl)
+            }
             patchRows.select(col(rk).as("rk")).distinct().coalesce(1)
               .write.mode("overwrite").parquet(segStage.resolve(s"tomb_v$next").toString)
             // df delta: +1 per term newly in a patched doc, -1 per term
@@ -1265,10 +1305,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         // the view would resolve it as its own base and the write
         // below would read from its own output path (Spark refuses, so
         // every retry would fail and wedge CDC on this table).
-        val orphanDict = dir.resolve(s"dict_v$upTo")
-        if (Files.exists(orphanDict)) deleteRecursively(orphanDict)
-        val orphanPos = dir.resolve(s"pos_v$upTo")
-        if (Files.exists(orphanPos)) deleteRecursively(orphanPos)
+        Seq(s"dict_v$upTo", s"pos_v$upTo", s"norms_v$upTo", s"bmx_v$upTo")
+          .foreach { n =>
+            val orphan = dir.resolve(n)
+            if (Files.exists(orphan)) deleteRecursively(orphan)
+          }
         stageArtifact(s"dict_v$upTo") { p =>
           KvLayout.writeSorted(dictSegView(dir, upTo), Seq("term"), p)
         }
@@ -1281,10 +1322,36 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           stageArtifact(s"pos_v$upTo") { p =>
             KvLayout.writeSorted(posSegView(dir, upTo), Seq("term"), p)
           }
-        stageArtifact(s"data_v$upTo") { p =>
-          KvLayout.writeSorted(fulltextSegView(base, baseVer, segs, tombs),
-            Seq("term"), p)
-        }
+        // the folded postings feed data + norms + block stats — cache
+        // across the three writes. Norms/bmx land BEFORE data (the
+        // dict-before-data rename contract): readers pair them at the
+        // resolved data base's version, so a crash between renames
+        // leaves the OLD quadruple live and these as healed orphans.
+        // A pre-norms index gains the ranked artifacts at its first
+        // fold (the metas derive from the folded frame, complete).
+        val foldedPost = fulltextSegView(base, baseVer, segs, tombs).cache()
+        try {
+          val rkT = schemaOf(table)(primaryKeyOf(table).head).dataType
+          val doclens = graft.index.FullText.buildDocLens(foldedPost).cache()
+          try {
+            stageArtifact(s"norms_v$upTo") { p =>
+              KvLayout.writeSorted(doclens, Seq("doc_id"), p)
+              writeNormMeta(Paths.get(p), doclens)
+            }
+            rkT match {
+              case LongType | IntegerType =>
+                stageArtifact(s"bmx_v$upTo") { p =>
+                  KvLayout.writeSorted(
+                    graft.index.FullText.buildBlockStats(foldedPost, doclens),
+                    Seq("term"), p)
+                }
+              case _ => ()
+            }
+          } finally { doclens.unpersist(); () }
+          stageArtifact(s"data_v$upTo") { p =>
+            KvLayout.writeSorted(foldedPost, Seq("term", "doc_id"), p)
+          }
+        } finally { foldedPost.unpersist(); () }
         true
       case "BITMAP" =>
         stageArtifact(s"data_v$upTo") { p =>
@@ -1318,8 +1385,12 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           try {
             import org.apache.spark.sql.functions.col
             val entries = folded.select(col("cluster"), col("rk"), col("v"))
+            // fold at the degree the graph was BUILT with (persisted
+            // beside it) — the default would mix degrees after the
+            // first fold of a non-default-m graph
+            val graphM = readGraphM(graphBase)
             val newGraph = graft.similarity.Hnsw.foldDelta(
-              spark.read.parquet(graphBase.toString), entries)
+              spark.read.parquet(graphBase.toString), entries, graphM)
             stageArtifact(s"vmeta_v$upTo") { p =>
               copyArtifactDir(resolveIndexVersioned(dir, "vmeta", baseVer), p)
             }
@@ -1328,6 +1399,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
             }
             stageArtifact(s"graph_v$upTo") { p =>
               newGraph.write.mode("overwrite").parquet(p)
+              writeGraphM(p, graphM)
             }
             stageArtifact(s"data_v$upTo") { p =>
               KvLayout.writeSorted(folded, Seq("cluster"), p)
@@ -1712,6 +1784,255 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     }.toSeq.sortBy(_.toString)
   }
 
+  /** Driver-side RANKED BM25 top-k — the Lucene TopScoreDocCollector
+    * analog completing the serving family (driverFtSearch serves
+    * boolean AND, driverFtPhrase phrases; this serves the DEFAULT read
+    * pattern of a search path: scored, ranked, k-bounded), entirely on
+    * the calling thread with block-max pruning. Result rows are
+    * (doc_id, round4 BM25 score) ordered (score desc, doc_id asc) —
+    * hash-identical to the Spark path's bm25TopK/bm25WandTopK over the
+    * segmented view with (N, avgdl) derived from the live norms
+    * (DriverGetSpec pins zero jobs, equality and CDC freshness).
+    *
+    * Reads, all through DriverRead's pruning layers:
+    *   1. dictionary stack (term seeks on the dict base + patch-sized
+    *      dictdelta reads) → exact LIVE df per query term;
+    *   2. norms scalar metas (base + normseg) minus tombstone-masked
+    *      rows → live (N, avgdl) with NO corpus aggregate — the masked
+    *      rows' (count, Σdl) come from norms seeks of just the
+    *      tombstoned rowkeys, patch-sized by the CDC contract;
+    *   3. the scalar-free block summary (bmx: per (term, block)
+    *      (max_tf, min_dl); FullText.buildBlockStats documents why
+    *      stored impacts would NOT survive CDC scalar drift but these
+    *      monotone inputs do) → live per-block upper bounds;
+    *   4. postings: CDC segments' query-term lists read whole
+    *      (patch-sized, never in the summary); the BASE read only for
+    *      SURVIVING blocks — the `seedBlocks` best blocks by summed
+    *      upper bound score exactly, the k-th exact score so far is θ,
+    *      and every block with ubsum < θ − 1e-4 is dropped WITHOUT
+    *      reading a posting or seeking a norm (safety: score(d) ≤
+    *      ubsum(B), and round4(score) ≤ score + 5e-5 < θ strictly, so
+    *      no pruned doc can reach or tie the k-th exact score; ties at
+    *      θ reorder on doc_id only among docs actually scored). The
+    *      surviving blocks reach parquet as (term IN q AND doc_id
+    *      range) predicates over the (term, doc_id)-sorted base —
+    *      pruned blocks are never assembled;
+    *   5. norms seeks for exactly the scored docs' dl.
+    * `maxPostings` is the serving contract, as everywhere: a broader
+    * query belongs on the Spark path (FullText.bm25WandTopK). */
+  def driverFtTopK(table: String, indexName: String, terms: Seq[String],
+                   k: Int, k1: Double = 1.2, b: Double = 0.75,
+                   seedBlocks: Int = 4,
+                   maxPostings: Int = 100000): Seq[(Any, Double)] =
+    driverFtTopKStats(table, indexName, terms, k, k1, b, seedBlocks,
+      maxPostings)._1
+
+  /** [[driverFtTopK]] plus the pruning observables DriverGetSpec pins:
+    * (rows, base blocks carrying query-term postings, base blocks
+    * actually read). */
+  private[graft] def driverFtTopKStats(table: String, indexName: String,
+                                       terms: Seq[String], k: Int,
+                                       k1: Double, b: Double,
+                                       seedBlocks: Int, maxPostings: Int)
+      : (Seq[(Any, Double)], Int, Int) = {
+    require(k > 0, "k must be positive")
+    val dir = indexDir(table, indexName, "fulltext")
+    require(Files.exists(dir), s"$table $indexName fulltext not exists")
+    val analyzed = graft.index.FullText
+      .analyzeTerms(terms, indexAnalyzer(table, indexName)).distinct
+    require(analyzed.nonEmpty,
+      "every query term is a stopword under this analyzer")
+    val live = dataVersionOf(table)
+    val base = resolveIndexVersioned(dir, "data", live)
+    val baseVer = indexBaseVersion(base)
+    val segs = versionedDirs(dir, "seg_v", baseVer, live)
+    val tombs = versionedDirs(dir, "tomb_v", baseVer, live)
+    val normBase = resolveIndexVersioned(dir, "norms", baseVer)
+    require(Files.exists(normBase),
+      s"no norms artifact under $dir — the index predates ranked " +
+        "serving; CALL system.refresh_index to rebuild")
+    val normStack: Seq[(Int, Path)] =
+      (baseVer, normBase) +: versionedDirs(dir, "normseg_v", baseVer, live)
+    val rkType = schemaOf(table)(primaryKeyOf(table).head).dataType
+    def manifest(p: Path): Seq[(String, Any, Any)] =
+      readManifestJson(p).getOrElse(Nil).map(r => (r.file, r.lo, r.hi))
+
+    val tombSchema = StructType(Seq(StructField("rk", rkType, nullable = true)))
+    val tombSets: Seq[(Int, Set[Any])] = tombs.map { case (v, p) =>
+      (v, DriverRead.readAll(p, tombSchema, maxPostings).map(_.get(0)).toSet)
+    }
+    def maskedAt(v: Int, docId: Any): Boolean =
+      tombSets.exists { case (tv, s) => tv > v && s.contains(docId) }
+
+    // 1. live df per query term (the dictSegView fold, driver-side)
+    val dictBase = resolveIndexVersioned(dir, "dict", live)
+    val dictBaseVer = {
+      val n = dictBase.getFileName.toString
+      if (n.startsWith("dict_v"))
+        scala.util.Try(n.stripPrefix("dict_v").toInt).getOrElse(-1)
+      else -1
+    }
+    val dictSchema = StructType(Seq(
+      StructField("term", StringType, nullable = true),
+      StructField("df", LongType, nullable = true)))
+    val dfAcc = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    DriverRead.get(dictBase, dictSchema, Seq("term"),
+        analyzed.map(t => Seq(t: Any)), manifest(dictBase))
+      .foreach(r => dfAcc(r.getString(0)) += r.getLong(1))
+    val deltaSchema = StructType(Seq(
+      StructField("term", StringType, nullable = true),
+      StructField("ddf", LongType, nullable = true)))
+    versionedDirs(dir, "dictdelta_v", dictBaseVer, live).foreach { case (_, p) =>
+      DriverRead.readAll(p, deltaSchema, maxPostings).foreach { r =>
+        val t = r.getString(0)
+        if (analyzed.contains(t)) dfAcc(t) += r.getLong(1)
+      }
+    }
+
+    // 2. live (N, avgdl): Σ metas − tombstone-masked norms rows
+    var nLive = 0L
+    var dlLive = 0L
+    normStack.foreach { case (_, p) =>
+      val (n, t) = readNormMeta(p); nLive += n; dlLive += t
+    }
+    val normSchema = StructType(Seq(
+      StructField("doc_id", rkType, nullable = true),
+      StructField("dl", LongType, nullable = true)))
+    val allTombRks: Seq[Any] = tombSets.flatMap(_._2).distinct
+    if (allTombRks.nonEmpty) normStack.foreach { case (v, p) =>
+      DriverRead.get(p, normSchema, Seq("doc_id"),
+          allTombRks.map(x => Seq(x)), manifest(p))
+        .foreach { r =>
+          if (maskedAt(v, r.get(0))) { nLive -= 1; dlLive -= r.getLong(1) }
+        }
+    }
+    require(nLive > 0, "BM25 needs a non-empty corpus")
+    val avgdl = dlLive.toDouble / nLive
+    def idf(t: String): Double = {
+      val d = dfAcc(t).toDouble
+      math.log(1.0 + (nLive.toDouble - d + 0.5) / (d + 0.5))
+    }
+    def impact(tf: Double, dl: Double): Double =
+      tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    // per-doc dl, seeked lazily for exactly the scored docs
+    val dlCache = scala.collection.mutable.Map[Any, Long]()
+    def seekDl(docIds: Seq[Any]): Unit = {
+      val need = docIds.filterNot(dlCache.contains).distinct
+      if (need.nonEmpty) normStack.foreach { case (v, p) =>
+        DriverRead.get(p, normSchema, Seq("doc_id"),
+            need.map(x => Seq(x)), manifest(p))
+          .foreach { r =>
+            val id = r.get(0)
+            if (!maskedAt(v, id)) dlCache(id) = r.getLong(1)
+          }
+      }
+    }
+
+    // 3.+4. postings: segments whole, base by surviving blocks
+    val postSchema = StructType(Seq(
+      StructField("term", StringType, nullable = true),
+      StructField("doc_id", rkType, nullable = true),
+      StructField("tf", LongType, nullable = true)))
+    var nRead = 0
+    val acc = scala.collection.mutable.Map[Any,
+      scala.collection.mutable.Map[String, Long]]()
+    def ingest(v: Int, rows: Seq[Row]): Unit = rows.foreach { r =>
+      nRead += 1
+      require(nRead <= maxPostings,
+        s"query matched more than $maxPostings postings — " +
+          "use the Spark search path")
+      val id = r.get(1)
+      if (!maskedAt(v, id))
+        acc.getOrElseUpdate(id,
+          scala.collection.mutable.Map[String, Long]())(r.getString(0)) =
+          r.getLong(2)
+    }
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def scoreAll(): Seq[(Any, Double)] = {
+      seekDl(acc.keys.toSeq)
+      acc.iterator.flatMap { case (id, tfs) =>
+        dlCache.get(id).map { dl =>
+          id -> round4(tfs.iterator.map { case (t, tf) =>
+            idf(t) * impact(tf.toDouble, dl.toDouble) }.sum)
+        }
+      }.toSeq
+    }
+    segs.foreach { case (v, p) =>
+      ingest(v, DriverRead.get(p, postSchema, Seq("term"),
+        analyzed.map(t => Seq(t: Any)), manifest(p)))
+    }
+    val blockBits = 6
+    val bmxPath = resolveIndexVersioned(dir, "bmx", baseVer)
+    val integral = rkType == LongType || rkType == IntegerType
+    var blocksTotal = 0
+    var blocksRead = 0
+    if (!integral || !Files.exists(bmxPath)) {
+      // no block space (string rowkeys) / pre-upgrade index: exact
+      // scoring of every matching base posting — correct, unpruned
+      ingest(baseVer, DriverRead.get(base, postSchema, Seq("term"),
+        analyzed.map(t => Seq(t: Any)), manifest(base)))
+    } else {
+      val bmxSchema = StructType(Seq(
+        StructField("term", StringType, nullable = true),
+        StructField("block", LongType, nullable = true),
+        StructField("max_tf", LongType, nullable = true),
+        StructField("min_dl", LongType, nullable = true)))
+      val ub = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      DriverRead.get(bmxPath, bmxSchema, Seq("term"),
+          analyzed.map(t => Seq(t: Any)), manifest(bmxPath))
+        .foreach { r =>
+          ub(r.getLong(1)) +=
+            idf(r.getString(0)) *
+              impact(r.getLong(2).toDouble, r.getLong(3).toDouble)
+        }
+      blocksTotal = ub.size
+      def mergeRanges(rs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+        rs.foldLeft(List.empty[(Long, Long)]) {
+          case ((plo, phi) :: rest, (lo, hi)) if lo <= phi + 1 =>
+            (plo, math.max(phi, hi)) :: rest
+          case (acc0, r) => r :: acc0
+        }.reverse
+      def readBlocks(bks: Seq[Long]): Seq[Row] =
+        if (bks.isEmpty) Nil
+        else {
+          val merged = mergeRanges(bks.sorted.map(bk =>
+            (bk << blockBits, (bk << blockBits) + ((1L << blockBits) - 1))))
+          // a predicate of hundreds of ranges costs more than it saves
+          // — degrade to the plain multi-term seek past a bound
+          val ranges = if (merged.size > 32) Nil else merged
+          DriverRead.getTermsInDocRanges(base, postSchema, analyzed,
+            ranges, manifest(base))
+        }
+      val seeds = ub.toSeq.sortBy { case (bk, u) => (-u, bk) }
+        .take(math.max(seedBlocks, 1)).map(_._1)
+      ingest(baseVer, readBlocks(seeds))
+      blocksRead += seeds.size
+      val seedScores = scoreAll().map(_._2).sorted(Ordering[Double].reverse)
+      val theta =
+        if (seedScores.size < k) Double.NegativeInfinity
+        else seedScores(k - 1)
+      val seedSet = seeds.toSet
+      val survivors = ub.iterator.collect {
+        case (bk, u) if !seedSet.contains(bk) && u >= theta - 1e-4 => bk
+      }.toSeq
+      ingest(baseVer, readBlocks(survivors))
+      blocksRead += survivors.size
+    }
+    def idLt(a: Any, bId: Any): Boolean = (a, bId) match {
+      case (x: Number, y: Number) => x.longValue() < y.longValue()
+      case (x: String, y: String) => x.compareTo(y) < 0
+      case _ => a.toString < bId.toString
+    }
+    val top = scoreAll()
+      .sortWith { case ((ida, sa), (idb, sb)) =>
+        if (sa != sb) sa > sb else idLt(ida, idb) }
+      .take(k)
+    (top, blocksTotal, blocksRead)
+  }
+
   /** Live snapshot path — the V2 catalog (GraftCatalog) reads/writes
     * this directory directly. */
   def liveDataPath(name: String): String = dataDir(name)
@@ -2020,6 +2341,26 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           case _ => ()
         }
       }
+      // pre-rename epoch guard — publishVersion's fenceEpoch compare,
+      // hoisted to BEFORE any final name is touched: a committer that
+      // paused past its lease between the swaps above and here (the
+      // authority re-affirms the number to the NEW current grant, which
+      // then commits and stamps its higher epoch into the meta) must
+      // abort with every byte still in grant-scoped staging — renaming
+      // first would replace the new owner's published snapshot before
+      // the re-affirm below could reject this holder. Token-less
+      // grants (epoch 0) skip, as everywhere.
+      publishes.foreach { case (t, _, _) =>
+        val tok = lockFor(t).fencingToken
+        if (tok > 0L) {
+          val seen = readMeta(t).path("fenceEpoch").asLong(0L)
+          if (tok < seen)
+            throw new IllegalStateException(
+              s"fencing: grant epoch $tok for $t is behind published epoch " +
+              s"$seen — a newer writer committed while this transaction " +
+              "staged; aborting before touching any final name")
+        }
+      }
       // post-fence materialization: only NOW do the staged snapshots
       // take their version-numbered names, so every heavy write above
       // happened inside grant-scoped dirs a lapsed holder can't aim at
@@ -2033,6 +2374,32 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           if (Files.exists(dstDir)) deleteRecursively(dstDir)
           Files.move(src, dstDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           renamedDsts += dstDir
+        }
+      }
+      // JOURNAL-SWAP fence: the journal is the cross-table atomic
+      // visibility point (recovery rolls it forward), so the same
+      // conditioned-commit rule publishVersion applies one level down
+      // must hold here one level up — a holder that lapsed anywhere
+      // between the per-table commitSwaps above and this line must
+      // LOSE before the journal takes its final name, or its journal
+      // would be replayed over a newer grant's committed work.
+      // Re-affirming each table's claimed number at the authority is
+      // the idempotent same-number swap (the grant check inside the
+      // authority's monitor is the fence; Superseded means a newer
+      // commit passed our claim — abort pre-journal, unwinding through
+      // the catch below). The residual shrinks to a lapse strictly
+      // between this loop and the journal rename — the same
+      // microsecond class as publishVersion's swap→meta window,
+      // closable only by conditional writes on the journal store
+      // itself. ConcurrencySpec pins the paused-committer race.
+      publishes.foreach { case (t, next, _) =>
+        lockFor(t).commitSwap(next.toLong) match {
+          case LockProvider.Superseded(cur) =>
+            throw new IllegalStateException(
+              s"fencing: authority commit pointer for $t moved to $cur past " +
+              s"this transaction's $next while it staged — a newer grant " +
+              "committed; aborting before the journal")
+          case _ => ()
         }
       }
       journal = Some(writeTxnJournal(publishes.map { case (t, n, _) => (t, n) }))
@@ -2221,7 +2588,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * and cluster-sorted encoded entries — the ANN analog of the
     * reference's persisted Lucene directory). */
   def createIndex(table: String, indexName: String, indexType: String,
-                  cols: Seq[String], analyzer: String = "standard"): Unit = {
+                  cols: Seq[String], analyzer: String = "standard",
+                  graph: Boolean = false, graphM: Int = 8): Unit = {
     require(tableExists(table), s"table $table does not exist")
     require(cols.nonEmpty, "index needs at least one column")
     // the analyzer option belongs to the fulltext flavor (the Lucene
@@ -2230,6 +2598,14 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       s"unknown analyzer $analyzer")
     require(analyzer == "standard" || indexType.equalsIgnoreCase("fulltext"),
       s"analyzer option applies to fulltext indexes, not $indexType")
+    // graph=>true builds the navigable-graph artifact IN the backfill
+    // (`CALL system.create_index(..., options => 'graph=true')`), so a
+    // vector index serves graph-ANN with an EMPTY delta buffer from
+    // version 1 — without it, the index serves only after a separate
+    // buildVectorGraph DDL, a window where sim_hnsw_ann has no graph
+    require(!graph || indexType.equalsIgnoreCase("vector"),
+      s"graph option applies to vector indexes, not $indexType")
+    require(graphM > 0, s"graph degree m must be positive, got $graphM")
     val dir = indexDir(table, indexName, indexType)
     withWriteLock(table) {
     // existence checks INSIDE the lock: two concurrent createIndex
@@ -2278,18 +2654,28 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           // plus positional postings — the frame phrase queries need
           // (Lucene stores positions per posting the same way). ONE
           // tokenize pass: positions are the source of truth, the
-          // postings/dictionary derive from them.
+          // postings/dictionary/norms/block stats derive from them.
           val positional =
             graft.index.FullText.buildPositional(t.df, pk, cols.head,
               analyzer).cache()
           try {
-            val postings = graft.index.FullText.postingsFromPositional(positional)
-            KvLayout.writeSorted(positional, Seq("term"),
-              dir.resolve("pos").toString)
-            KvLayout.writeSorted(postings, Seq("term"),
-              dir.resolve("data").toString)
-            KvLayout.writeSorted(graft.index.FullText.buildDictionary(postings),
-              Seq("term"), dir.resolve("dict").toString)
+            val postings = graft.index.FullText
+              .postingsFromPositional(positional).cache()
+            try {
+              KvLayout.writeSorted(positional, Seq("term"),
+                dir.resolve("pos").toString)
+              // (term, doc_id) sort — within one term the postings are
+              // doc-id ordered (the Lucene postings-list order), so
+              // the ranked driver path's surviving-block doc ranges
+              // prune pages through the parquet column index
+              KvLayout.writeSorted(postings, Seq("term", "doc_id"),
+                dir.resolve("data").toString)
+              KvLayout.writeSorted(graft.index.FullText.buildDictionary(postings),
+                Seq("term"), dir.resolve("dict").toString)
+              writeFtRanked(dir.resolve("norms").toString,
+                dir.resolve("bmx").toString, postings,
+                schemaOf(table)(pk).dataType)
+            } finally { postings.unpersist(); () }
           } finally { positional.unpersist(); () }
         case "vector" =>
           require(cols.size == 1, "vector indexes are single-column")
@@ -2304,6 +2690,21 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
               .write.mode("overwrite").parquet(dir.resolve("vmeta").toString)
             KvLayout.writeSorted(built.entries, Seq("cluster"),
               dir.resolve("data").toString)
+            // graph=>true: the navigable-graph artifact lands in the
+            // SAME backfill (plain `graph`, resolved like the other
+            // unversioned creation artifacts) — the index serves
+            // graph-ANN from version 1 with an empty delta buffer.
+            // No staging needed: the index is unregistered until the
+            // meta write below, and a failed backfill deletes the dir.
+            if (graph) {
+              import org.apache.spark.sql.functions.col
+              val g = dir.resolve("graph").toString
+              graft.similarity.Hnsw.buildGraph(
+                built.entries.select(col("cluster"), col("rk"), col("v")),
+                graphM)
+                .write.mode("overwrite").parquet(g)
+              writeGraphM(g, graphM)
+            }
           } finally built.release()
         case other => throw new IllegalArgumentException(s"index type $other")
       }
@@ -2326,6 +2727,56 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         throw e
     } finally setMetaAttr(table, "lockStatus", "UNLOCK")
     }
+  }
+
+  /** The RANKED-serving artifact pair beside a fulltext postings base
+    * (backfill/fold/refresh all write it through here): per-doc norms
+    * (doc_id, dl) sorted by doc_id — the Lucene length-norms family,
+    * what BM25 needs per candidate and per-doc seeks prune row groups
+    * for — plus, for integral rowkeys, the scalar-free block-max
+    * summary (FullText.buildBlockStats) the driver-side ranked path
+    * prunes with. One doclens aggregate feeds both. Non-integral
+    * rowkeys have no block space; the ranked path then scores every
+    * matching posting (correct, just unpruned). */
+  private def writeFtRanked(normsPath: String, bmxPath: String,
+                            postings: DataFrame, rkType: DataType): Unit = {
+    val doclens = graft.index.FullText.buildDocLens(postings).cache()
+    try {
+      KvLayout.writeSorted(doclens, Seq("doc_id"), normsPath)
+      writeNormMeta(Paths.get(normsPath), doclens)
+      rkType match {
+        case LongType | IntegerType =>
+          KvLayout.writeSorted(
+            graft.index.FullText.buildBlockStats(postings, doclens),
+            Seq("term"), bmxPath)
+        case _ => ()
+      }
+    } finally { doclens.unpersist(); () }
+  }
+
+  /** Scalar meta beside a norms artifact: the frame's (row count,
+    * Σ dl), so the live corpus scalars (N, avgdl) derive at query time
+    * from metas + patch-sized tombstone adjustments — never a
+    * corpus-sized aggregate on the serving thread. Underscore name
+    * keeps the file invisible to parquet reads. */
+  private def writeNormMeta(dir: Path, doclens: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+    import org.apache.spark.sql.functions.col
+    val r = doclens.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("total")).head()
+    val node = mapper.createObjectNode()
+    node.put("n", r.getLong(0))
+    node.put("total", r.getLong(1)): Unit
+    Files.writeString(dir.resolve("_graft_norm_meta.json"),
+      mapper.writeValueAsString(node)): Unit
+  }
+
+  private def readNormMeta(dir: Path): (Long, Long) = {
+    val f = dir.resolve("_graft_norm_meta.json")
+    require(Files.exists(f),
+      s"norms artifact $dir has no scalar meta — CALL system.refresh_index")
+    val n = mapper.readTree(Files.readString(f))
+    (n.path("n").asLong(), n.path("total").asLong())
   }
 
   def lockStatusOf(table: String): String =
@@ -2425,14 +2876,39 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         graft.similarity.Hnsw.buildGraph(
           view.select(col("cluster"), col("rk"), col("v")), m)
           .write.mode("overwrite").parquet(p)
+        writeGraphM(p, m)
       }
     }
 
+  /** The graph artifact's persisted build degree `m` (Hnsw.buildGraph's
+    * parameter), written beside the graph rows: compact-folds rebuild
+    * TOUCHED lists and refresh_index re-builds the whole graph, and
+    * both must do so at the degree the graph was BUILT with — folding
+    * a non-default-m graph at the default would silently mix degrees
+    * (touched lists at 8, untouched at the original m). Underscore
+    * name keeps the file invisible to the parquet read. Pre-upgrade
+    * graphs without the file read as the historical default 8. */
+  private def writeGraphM(graphDir: String, m: Int): Unit =
+    Files.writeString(Paths.get(graphDir).resolve("_graft_graph_m"),
+      m.toString): Unit
+
+  private def readGraphM(graphDir: Path): Int = {
+    val f = graphDir.resolve("_graft_graph_m")
+    if (!Files.exists(f)) 8
+    else scala.util.Try(Files.readString(f).trim.toInt).getOrElse(8)
+  }
+
   /** The graph-ANN serving pair: (graph, delta). The graph is the
     * persisted `graph_v` base; the DELTA BUFFER is derived
-    * STRUCTURALLY as view ∖ graph (left_anti on rk — the DiskANN
-    * fresh-buffer recipe): exactly the CDC rows merged since the last
-    * graph build/fold, patch-sized between compactions. */
+    * STRUCTURALLY as view ∖ graph (left_anti on CONTENT keys
+    * (rk, cluster, v) — the DiskANN fresh-buffer recipe): exactly the
+    * CDC rows merged since the last graph build/fold, patch-sized
+    * between compactions. Content keys, not rk alone: an upsert that
+    * re-encoded an EXISTING rk (same key, fresh v/cluster) must
+    * surface in the buffer — rk-only derivation classified it as
+    * already-served and graph searches kept scoring the pre-update
+    * vector forever (Hnsw.searchStats masks the superseded graph row
+    * out of the shortlist; foldDelta's content keys fold it away). */
   def vectorGraphView(table: String, indexName: String): (DataFrame, DataFrame) = {
     val dir = indexDir(table, indexName, "vector")
     // paired at the DATA BASE's version like cent/vmeta
@@ -2448,7 +2924,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     val graph = spark.read.parquet(g.toString)
     val delta = indexData(table, indexName, "vector")
       .select(col("cluster"), col("rk"), col("v"))
-      .join(graph.select(col("rk")), Seq("rk"), "left_anti")
+      .join(graph.select(col("rk"), col("cluster"), col("v")),
+        Seq("rk", "cluster", "v"), "left_anti")
     (graph, delta)
   }
 
@@ -2812,20 +3289,40 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
             graft.index.FullText.buildPositional(t, pk, cols.head,
               indexAnalyzer(table, indexName)).cache()
           try {
-            val postings = graft.index.FullText.postingsFromPositional(positional)
-            writeIndexDirAtomic(dir, s"pos_v$cur") { p =>
-              KvLayout.writeSorted(positional, Seq("term"), p)
-            }
-            writeIndexDirAtomic(dir, s"data_v$cur") { p =>
-              KvLayout.writeSorted(postings, Seq("term"), p)
-            }
-            // dict is versioned like the postings — rewriting a shared
-            // dict/ in place would clobber the snapshot a concurrent
-            // reader resolved
-            writeIndexDirAtomic(dir, s"dict_v$cur") { p =>
-              KvLayout.writeSorted(graft.index.FullText.buildDictionary(postings),
-                Seq("term"), p)
-            }
+            val postings = graft.index.FullText
+              .postingsFromPositional(positional).cache()
+            try {
+              writeIndexDirAtomic(dir, s"pos_v$cur") { p =>
+                KvLayout.writeSorted(positional, Seq("term"), p)
+              }
+              // norms + block stats BEFORE data, like pos/dict — they
+              // pair at the resolved data base's version
+              writeIndexDirAtomic(dir, s"norms_v$cur") { p =>
+                val doclens = graft.index.FullText.buildDocLens(postings)
+                KvLayout.writeSorted(doclens, Seq("doc_id"), p)
+                writeNormMeta(Paths.get(p), doclens)
+              }
+              schemaOf(table)(pk).dataType match {
+                case LongType | IntegerType =>
+                  writeIndexDirAtomic(dir, s"bmx_v$cur") { p =>
+                    KvLayout.writeSorted(
+                      graft.index.FullText.buildBlockStats(postings,
+                        graft.index.FullText.buildDocLens(postings)),
+                      Seq("term"), p)
+                  }
+                case _ => ()
+              }
+              writeIndexDirAtomic(dir, s"data_v$cur") { p =>
+                KvLayout.writeSorted(postings, Seq("term", "doc_id"), p)
+              }
+              // dict is versioned like the postings — rewriting a shared
+              // dict/ in place would clobber the snapshot a concurrent
+              // reader resolved
+              writeIndexDirAtomic(dir, s"dict_v$cur") { p =>
+                KvLayout.writeSorted(graft.index.FullText.buildDictionary(postings),
+                  Seq("term"), p)
+              }
+            } finally { postings.unpersist(); () }
           } finally { positional.unpersist(); () }
         case "VECTOR" =>
           // full corpus re-train at the live version; cent/vmeta land
@@ -2847,13 +3344,21 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
             // resolved DATA base's version (vectorGraphView), so a
             // crash here leaves the old quadruple fully live and the
             // graph_v(cur) orphan unresolvable until data lands.
-            if (Files.exists(resolveIndexVersioned(dir, "graph", cur)))
-              writeIndexDirAtomic(dir, s"graph_v$cur") { p =>
-                import org.apache.spark.sql.functions.col
-                graft.similarity.Hnsw.buildGraph(
-                  built.entries.select(col("cluster"), col("rk"), col("v")))
-                  .write.mode("overwrite").parquet(p)
+            locally {
+              val oldGraph = resolveIndexVersioned(dir, "graph", cur)
+              if (Files.exists(oldGraph)) {
+                // rebuild at the persisted degree, and carry it forward
+                val graphM = readGraphM(oldGraph)
+                writeIndexDirAtomic(dir, s"graph_v$cur") { p =>
+                  import org.apache.spark.sql.functions.col
+                  graft.similarity.Hnsw.buildGraph(
+                    built.entries.select(col("cluster"), col("rk"), col("v")),
+                    graphM)
+                    .write.mode("overwrite").parquet(p)
+                  writeGraphM(p, graphM)
+                }
               }
+            }
             writeIndexDirAtomic(dir, s"data_v$cur") { p =>
               KvLayout.writeSorted(built.entries, Seq("cluster"), p)
             }

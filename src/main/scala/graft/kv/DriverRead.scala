@@ -376,6 +376,42 @@ private[kv] object DriverRead {
     }
   }
 
+  /** Term seek RESTRICTED to doc-id ranges — the block-max WAND read
+    * shape (Catalog.driverFtTopK): `term IN terms AND doc_id ∈ one of
+    * ranges`, handed to parquet-hadoop whole. On postings sorted
+    * (term, doc_id) the term predicate prunes row groups like [[get]]
+    * and the doc ranges prune PAGES through the column index — the
+    * I/O-level form of "pruned blocks are never read". Empty `ranges`
+    * means no doc restriction (plain multi-term seek). Bounds are
+    * inclusive block bounds in LONG space; int-typed doc columns clamp
+    * like [[range]]. */
+  def getTermsInDocRanges(snapshotDir: Path, schema: StructType,
+                          terms: Seq[String], ranges: Seq[(Long, Long)],
+                          fileRanges: Seq[(String, Any, Any)]): Seq[Row] = {
+    require(terms.nonEmpty, "empty term list")
+    val termPred = terms.map(t =>
+      FilterApi.eq(FilterApi.binaryColumn("term"),
+        Binary.fromString(t)): FilterPredicate).reduce(FilterApi.or)
+    val pred =
+      if (ranges.isEmpty) termPred
+      else FilterApi.and(termPred,
+        ranges.map { case (lo, hi) =>
+          rangePredicate(schema, "doc_id", lo, hi) }.reduce(FilterApi.or))
+    val filter = FilterCompat.get(pred)
+    val leadKeys = terms.map(t => prepare(t))
+    val parts = listParts(snapshotDir)
+    val files: Seq[Path] =
+      if (fileRanges.nonEmpty &&
+          fileRanges.map(_._1).toSet == parts.map(_.getFileName.toString).toSet)
+        fileRanges.filter(r => anyKeyIn(r._2, r._3, leadKeys))
+          .map(r => snapshotDir.resolve(r._1))
+      else parts
+    files.flatMap { file =>
+      if (!rowGroupRanges(file, "term").exists(r => anyKeyIn(r._1, r._2, leadKeys))) Nil
+      else readMatching(file, schema, filter)
+    }
+  }
+
   /** Unfiltered read of a PATCH-SIZED artifact dir (tombstone rk
     * sets, dictionary deltas — frames bounded by the CDC trigger, not
     * the corpus) on the calling thread. `maxRows` is the serving

@@ -141,6 +141,27 @@ private[kv] object DriverSegment {
         write(g)
       }
     }
+    // norms segment: token count per patched doc, plus the scalar
+    // meta (n, Σdl) — the ranked serving path's per-artifact source
+    // for dl seeks and the live (N, avgdl) derivation
+    val norms = positional.groupBy(_._1)
+      .map { case (rk, rows) => (rk, rows.length.toLong) }
+      .toArray.sortBy(_._1.toString)
+    val normDir = indexDir.resolve(s"normseg_v$next")
+    writeFile(normDir,
+      Types.buildMessage()
+        .addField(rkField(rkType).named("doc_id"))
+        .addField(Types.optional(PrimitiveTypeName.INT64).named("dl"))
+        .named("spark_schema")) { (schema, write) =>
+      norms.foreach { case (rk, dl) =>
+        val g = new SimpleGroup(schema)
+        addRk(g, "doc_id", rk); g.add("dl", dl)
+        write(g)
+      }
+    }
+    Files.writeString(normDir.resolve("_graft_norm_meta.json"),
+      s"""{"n":${norms.length},"total":${norms.map(_._2).sum}}"""): Unit
+
     // tombstones: distinct patched rowkeys
     val tombs = patch.map(_.get(0)).distinct
     writeFile(indexDir.resolve(s"tomb_v$next"),

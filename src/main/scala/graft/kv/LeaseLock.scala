@@ -4,6 +4,7 @@ import java.io.{BufferedReader, InputStreamReader, PrintWriter}
 import java.net.{ServerSocket, Socket}
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicBoolean
+import scala.collection.JavaConverters._
 
 /** Lease-based coordination-service locking — the [[LockProvider]]
   * implementation the reference gets from Redis
@@ -256,11 +257,17 @@ final class LeaseLockServer(port: Int = 0,
   /** Test hook: force a lease's expiry into the past — simulates a
     * holder paused beyond its lease (the next ACQUIRE wins, the old
     * holder's next RENEW gets GONE), without real multi-second waits
-    * in specs. */
+    * in specs. Matches the exact resource OR any warehouse-qualified
+    * form of it (`<resource>@<warehouseId>`, the Catalog lockResource
+    * scheme) so specs name tables without computing the digest. */
   private[graft] def expireNow(resource: String): Unit = synchronized {
-    val cur = leases.get(resource)
-    if (cur != null)
-      leases.put(resource, Lease(cur.owner, 0L, cur.epoch)): Unit
+    leases.keySet().asScala
+      .filter(r => r == resource || r.startsWith(resource + "@"))
+      .foreach { r =>
+        val cur = leases.get(r)
+        if (cur != null)
+          leases.put(r, Lease(cur.owner, 0L, cur.epoch)): Unit
+      }
   }
 
   /** Test hook: drive the protocol without the TCP round-trip — lets

@@ -41,9 +41,28 @@ object GraftProcedures {
         r => cat.vacuum(str(r, 0), r.getLong(1)))
       case "create_index" => proc("create_index",
         Array(in("table", StringType), in("index", StringType),
-          in("index_type", StringType), in("cols", StringType)),
-        r => cat.createIndex(str(r, 0), str(r, 1), str(r, 2),
-          str(r, 3).split(",").map(_.trim).toSeq))
+          in("index_type", StringType), in("cols", StringType),
+          // flavor options, `k=v` comma-joined: `analyzer=english`
+          // (fulltext), `graph=true` / `m=8` (vector — build the
+          // navigable-graph artifact in the backfill)
+          inDefault("options", StringType, "''")),
+        { r =>
+          val opts = str(r, 4).split(",").map(_.trim).filter(_.contains("="))
+            .map { kv =>
+              val Array(k, v) = kv.split("=", 2)
+              k.trim.toLowerCase -> v.trim
+            }.toMap
+          val known = Set("analyzer", "graph", "m")
+          val unknown = opts.keySet.diff(known)
+          require(unknown.isEmpty,
+            s"unknown create_index options: ${unknown.mkString(", ")} " +
+              s"(have: ${known.mkString(", ")})")
+          cat.createIndex(str(r, 0), str(r, 1), str(r, 2),
+            str(r, 3).split(",").map(_.trim).toSeq,
+            analyzer = opts.getOrElse("analyzer", "standard"),
+            graph = opts.get("graph").exists(_.toBoolean),
+            graphM = opts.get("m").map(_.toInt).getOrElse(8))
+        })
       case "drop_index" => proc("drop_index",
         Array(in("table", StringType), in("index", StringType),
           in("index_type", StringType)),

@@ -183,7 +183,15 @@ object Hnsw {
       .crossJoin(broadcast(q))
       .select(col("qid"), lit(-1).as("cluster"), col("nn"),
         cosineCol(col("qv"), col("v")).as("score"), lit(0).as("visited"))
-    beamHits.select(col("qid"), col("cluster"), col("nn"),
+    // a delta row can SUPERSEDE a graph node (a content-keyed delta
+    // carries an upsert that re-encoded an existing rk): the stale
+    // graph row still serves the TRAVERSAL above, but only the fresh
+    // encoding may reach the shortlist — anti-join the beam hits
+    // against the (patch-sized, broadcast) delta rk set
+    val beamLive = beamHits.join(
+      broadcast(delta.select(col("rk").as("nn")).distinct()),
+      Seq("nn"), "left_anti")
+    beamLive.select(col("qid"), col("cluster"), col("nn"),
         round(col("score"), 3).as("score"), col("visited"))
       .unionByName(deltaHits
         .select(col("qid"), col("cluster"), col("nn"),
@@ -195,30 +203,114 @@ object Hnsw {
     * index-maintenance kernel `CALL system.compact_index` runs so the
     * exhaustive-scan fresh-delta buffer stays patch-sized under
     * continuous CDC (the DiskANN merge step, list-sharded): a list is
-    * TOUCHED iff it gained a row (a CDC append outside the graph) or
-    * lost one (a tombstoned node still in the graph); touched lists
-    * rebuild from the current entries — O(|list|²) kernels per
-    * touched list, the same cost class as the original build but paid
-    * only where the data moved — and untouched lists carry over
-    * UNCHANGED (HnswSpec pins row-identity). `entries` is the folded
-    * view (cluster, rk, v); determinism follows from buildGraph's. */
+    * TOUCHED iff it gained a row (a CDC append outside the graph),
+    * lost one (a tombstoned node still in the graph), or holds a row
+    * whose CONTENT changed; touched lists rebuild from the current
+    * entries — O(|list|²) kernels per touched list, the same cost
+    * class as the original build but paid only where the data moved —
+    * and untouched lists carry over UNCHANGED (HnswSpec pins
+    * row-identity).
+    *
+    * Change detection keys on CONTENT, not just rk: an
+    * incrementalMerge upsert that re-encodes an EXISTING key (same
+    * rk, new v, possibly a new cluster) is in neither rk-only
+    * anti-join — content keys classify it as removed from the list
+    * holding the stale encoding AND added to the list the fresh one
+    * lands in, so both rebuild and the stale (cluster, v, neighbors)
+    * row cannot be carried forward forever (HnswSpec pins the upsert
+    * round-trip). `entries` is the folded view (cluster, rk, v);
+    * determinism follows from buildGraph's. */
   def foldDelta(graph: DataFrame, entries: DataFrame, m: Int = 8): DataFrame = {
     val cur = entries.select(col("cluster").cast("int"),
       col("rk").cast("long"), col("v"))
-    val addedLists = cur
-      .join(graph.select(col("rk")), Seq("rk"), "left_anti")
-      .select(col("cluster"))
-    val removedLists = graph
-      .join(cur.select(col("rk")), Seq("rk"), "left_anti")
-      .select(col("cluster"))
+    val gKeys = graph.select(col("cluster").cast("int"),
+      col("rk").cast("long"), col("v"))
+    val added = cur.join(gKeys, Seq("rk", "cluster", "v"), "left_anti")
+    val addedLists = added.select(col("cluster")).distinct()
+    val removedLists = gKeys
+      .join(cur, Seq("rk", "cluster", "v"), "left_anti")
+      .select(col("cluster")).distinct()
+    // Two grades of touched list, the DiskANN merge split:
+    //   - a list that LOST content (tombstone, or a re-encode's stale
+    //     row) REBUILDS in full — removing a node invalidates every
+    //     edge selected against it, so the O(|list|²) kernel is the
+    //     honest cost;
+    //   - an INSERT-ONLY list greedy-links just the new nodes
+    //     (exact top-m out-edges over the current members, back-edges
+    //     appended capped at 2m — existing nodes keep their edge list
+    //     as a PREFIX), so a pure-add fold costs O(|delta|·|list|)
+    //     kernels instead of O(|list|²) (HnswSpec pins both the
+    //     prefix law and the tombstone rebuild).
+    val rebuildLists = removedLists
+    val insertLists = addedLists.join(removedLists, Seq("cluster"), "left_anti")
     val touched = addedLists.unionByName(removedLists).distinct()
     val untouched = graph
       .join(touched, Seq("cluster"), "left_anti")
       .select(col("cluster"), col("rk"), col("v"), col("neighbors"))
     val rebuilt = buildGraph(
-      cur.join(touched, Seq("cluster"), "left_semi"), m)
+      cur.join(rebuildLists, Seq("cluster"), "left_semi"), m)
       .select(col("cluster"), col("rk"), col("v"), col("neighbors"))
-    untouched.unionByName(rebuilt)
+    val inserted = insertGreedy(
+      graph.join(insertLists, Seq("cluster"), "left_semi")
+        .select(col("cluster"), col("rk"), col("v"), col("neighbors")),
+      added.join(insertLists, Seq("cluster"), "left_semi"), m)
+    untouched.unionByName(rebuilt).unionByName(inserted)
+  }
+
+  /** Patch-proportional insert fold for PURE-ADD lists (the DiskANN
+    * single-node insert): new nodes enter in rk order, each taking
+    * exact top-m out-edges by (cosine desc, rk asc) over the list's
+    * CURRENT members (existing + previously inserted — so a batch of
+    * mutually-near inserts still links together), and appending a
+    * back-edge on each target while its degree is under 2m. Existing
+    * nodes' edge lists only ever APPEND (their old list is a prefix —
+    * the observable that proves no rebuild ran), and determinism
+    * follows from the rk ordering. A list with NO existing graph rows
+    * (an empty coarse cell receiving its first entries) degenerates
+    * to the same greedy chain — bounded, searchable through the
+    * evenly-spaced entry seeds. */
+  private[graft] def insertGreedy(existing: DataFrame, added: DataFrame,
+                                  m: Int): DataFrame = {
+    val spark = existing.sparkSession
+    import spark.implicits._
+    val ex = existing.select(col("cluster").cast("int"),
+        col("rk").cast("long"), col("v"), col("neighbors"))
+      .as[(Int, Long, Seq[Float], Seq[Long])]
+      .map(r => (r._1, r._2, r._3, r._4, false))
+    val ad = added.select(col("cluster").cast("int"),
+        col("rk").cast("long"), col("v"))
+      .as[(Int, Long, Seq[Float])]
+      .map(r => (r._1, r._2, r._3, Seq.empty[Long], true))
+    ex.union(ad).groupByKey(_._1)
+      .flatMapGroups { (cluster: Int, it: Iterator[(Int, Long, Seq[Float], Seq[Long], Boolean)]) =>
+        val rows = it.toArray
+        val (news, olds) = rows.partition(_._5)
+        val adj = scala.collection.mutable.LinkedHashMap[Long,
+          (Array[Float], scala.collection.mutable.ArrayBuffer[Long])]()
+        olds.sortBy(_._2).foreach { r =>
+          adj(r._2) = (r._3.toArray,
+            scala.collection.mutable.ArrayBuffer(r._4: _*))
+        }
+        val edgeOrd: Ordering[(Double, Long)] =
+          Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+        news.sortBy(_._2).foreach { r =>
+          val rk = r._2
+          val v = r._3.toArray
+          val cands = adj.iterator
+            .map { case (orK, (ov, _)) => (cos(v, ov), orK) }.toArray
+          java.util.Arrays.sort(cands, edgeOrd)
+          val out = cands.iterator.take(m).map(_._2).toSeq
+          adj(rk) = (v, scala.collection.mutable.ArrayBuffer(out: _*))
+          out.foreach { t =>
+            val tbuf = adj(t)._2
+            if (tbuf.length < 2 * m && !tbuf.contains(rk)) tbuf += rk
+          }
+        }
+        adj.iterator.map { case (rk, (v, nb)) =>
+          (cluster, rk, v.toSeq, nb.distinct.take(2 * m).toSeq)
+        }
+      }
+      .toDF("cluster", "rk", "v", "neighbors")
   }
 
   /** Label-FILTERED beam search — the filtered-HNSW recipe (and
@@ -307,8 +399,13 @@ object Hnsw {
       .crossJoin(broadcast(q))
       .filter(col("label") === col("qattr"))
       .select(col("qid"), col("nn"), cosineCol(col("qv"), col("v")).as("score"))
+    // same supersede rule as searchStats: a graph row whose rk has a
+    // fresh delta encoding traverses but never scores
+    val beamLive = beamHits.join(
+      broadcast(delta.select(col("rk").as("nn")).distinct()),
+      Seq("nn"), "left_anti")
     Ann.rank(
-      beamHits.select(col("qid"), col("nn"), round(col("score"), 3).as("score"))
+      beamLive.select(col("qid"), col("nn"), round(col("score"), 3).as("score"))
         .unionByName(deltaHits
           .select(col("qid"), col("nn"), round(col("score"), 3).as("score")))
         .filter(col("nn") =!= col("qid")), k)

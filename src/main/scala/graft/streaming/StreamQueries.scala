@@ -56,6 +56,20 @@ object StreamQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** Fan-out for a heavy NARROW per-row chain ahead of its shuffle
+    * (the st_stream_urldedup / mm_audio_fp repartition): derived from
+    * the session's own parallelism knobs — the smaller of
+    * spark.sql.shuffle.partitions and the cluster's default
+    * parallelism — never a hard-coded literal. A constant right for
+    * this box (8 or 32) would cap a 1000-executor cluster at that
+    * many tasks for exactly the chains whose per-row cost makes the
+    * fan-out worth a shuffle; conf-derived, the one knob SURVEY §4
+    * promises governs these plans too (PlanSpec pins it). */
+  private[graft] def mapFanout(s: SparkSession): Int =
+    math.max(1, math.min(
+      s.conf.get("spark.sql.shuffle.partitions").toInt,
+      s.sparkContext.defaultParallelism))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_stream_agg" -> { (s, d) =>
       import s.implicits._
@@ -150,14 +164,18 @@ object StreamQueries {
       // the dedup shuffle (the standard move before an expensive
       // narrow transform — at crawl scale this is the map-side
       // parallelism knob, the tiny exchange is noise next to the
-      // regex work). The canonical key is provably non-null (source
+      // regex work). The fan-out is CONF-DERIVED, not a literal —
+      // spark.sql.shuffle.partitions is the one parallelism knob the
+      // scale design promises, and a hard-coded 8 right for this box
+      // would cap a 1000-executor cluster at 8 tasks.
+      // The canonical key is provably non-null (source
       // is a non-null dim column and the dressing is a total string
       // expression), so the dedup skips the null-passthrough branch
       // that would re-run the whole chain a second time per batch.
       val stream = Tables.documentsStream(s, d)
         .withColumn("eff_id", $"doc_id" % Tables.PlantedIdBase)
         .join(src, "eff_id")
-        .repartition(8)
+        .repartition(mapFanout(s))
         .withColumn("url_raw", expr(graft.functions.TextQueries.UrlRawSql))
         .withColumn("url_canon",
           graft.functions.UrlFunctions.canonicalize($"url_raw"))
@@ -972,9 +990,10 @@ object StreamQueries {
       // two parquet splits, and 240 byte-sample sites × header
       // synthesis per row at one-task parallelism IS the query's cost
       // — fanning the narrow work across cores is the standard move,
-      // and the tiny shuffle is noise next to it
+      // and the tiny shuffle is noise next to it. Conf-derived fan
+      // (the one parallelism knob), never a literal.
       val grid = graft.multimodal.Multimodal.withPayload(
-          planted.repartition(32))
+          planted.repartition(mapFanout(s)))
         .select($"doc_id",
           graft.multimodal.Multimodal.audioEnergyGrid(
             graft.multimodal.Multimodal.body($"payload")).as("grid"))

@@ -32,12 +32,19 @@ object ChildLockProc {
     // optional trailing "--lease=<port>:<leaseMs>" switches the child
     // onto the lease provider against the parent's LeaseLockServer —
     // the same modes then exercise lease expiry instead of
-    // pid-liveness as the stale-break mechanism
-    val (leaseSpec, args) = args0.partition(_.startsWith("--lease="))
+    // pid-liveness as the stale-break mechanism. Optional
+    // "--lockres=<resource>" names the authority-side resource to
+    // acquire when it differs from the table name (the Catalog
+    // qualifies lease resources with a warehouse id); file paths keep
+    // using the bare table name.
+    val (flags, args) = args0.partition(_.startsWith("--"))
+    val leaseSpec = flags.find(_.startsWith("--lease="))
     val mode = args(0)
     val wh = args(1)
     val table = args(2)
-    val provider: graft.kv.LockProvider = leaseSpec.headOption match {
+    val lockRes = flags.find(_.startsWith("--lockres="))
+      .map(_.stripPrefix("--lockres=")).getOrElse(table)
+    val provider: graft.kv.LockProvider = leaseSpec match {
       case Some(spec) =>
         val Array(port, lease) = spec.stripPrefix("--lease=").split(":")
         new graft.kv.LeaseLockProvider("127.0.0.1", port.toInt, lease.toLong)
@@ -45,18 +52,18 @@ object ChildLockProc {
     }
     mode match {
       case "acquire-hold" =>
-        val h = provider.acquire(table, 30000)
+        val h = provider.acquire(lockRes, 30000)
         println("ACQUIRED"); Console.flush()
         while (System.in.read() != -1) {}
         h.release()
 
       case "acquire-die" =>
-        provider.acquire(table, 30000)
+        provider.acquire(lockRes, 30000)
         println("ACQUIRED"); Console.flush()
         Runtime.getRuntime.halt(0)
 
       case "acquire-publish" =>
-        val h = provider.acquire(table, 30000)
+        val h = provider.acquire(lockRes, 30000)
         println("ACQUIRED"); Console.flush()
         // wait for the parent's go-signal (one line), then race
         val r = new java.io.BufferedReader(
@@ -70,7 +77,7 @@ object ChildLockProc {
       case "crash-commit" =>
         val other = args(3)
         val next = args(4).toInt
-        provider.acquire(table, 30000)
+        provider.acquire(lockRes, 30000)
         // the committer's work up to the crash: other's pointer bumped
         // to `next` already (by the parent's real commit); this table's
         // meta rolled back to the pre-image, journal in place

@@ -456,7 +456,11 @@ class ConcurrencySpec extends AnyFunSuite {
       // child reconstructs the mid-commit crash HOLDING b's lease,
       // then halts: recovery needs lease expiry + the in-lock heal
       val child = spawnChild("crash-commit", wh, "b", "a", v.toString,
-        s"--lease=${server.boundPort}:1500")
+        s"--lease=${server.boundPort}:1500",
+        // hold the CATALOG's (warehouse-qualified) lease resource so
+        // the parent's next write genuinely waits out the dead
+        // holder's lease before healing
+        s"--lockres=${cat.lockResource("b")}")
       assert(child.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
       import spark.implicits._
       cat.incrementalMerge("b", Seq(9L -> "merged").toDF("k", "v"))
@@ -772,8 +776,9 @@ class ConcurrencySpec extends AnyFunSuite {
       server.expireNow("t")
       // the new owner ACQUIRES (minting a higher-epoch grant) but
       // does NOT publish — the meta compare alone would let the stale
-      // publish through
-      val newOwner = real.acquire("t", 5000)
+      // publish through. The catalog's resource is warehouse-qualified,
+      // so contend on exactly that name.
+      val newOwner = real.acquire(catA.lockResource("t"), 5000)
       FenceGate.proceed.countDown()
       t1.join(60000)
       // the deterministic path is the authority's FENCED response
@@ -1036,6 +1041,87 @@ class ConcurrencySpec extends AnyFunSuite {
       val catR = new Catalog(spark, wh)
       assert(catR.dataVersionOf("t") == 2)
       assert(catR.table("t").pointGet(1L).head().getAs[String]("v") == "next")
+    } finally server.stop()
+  }
+
+  test("lease: a txn committer lapsing between its commit swaps and the journal loses both-or-neither") {
+    // The JOURNAL-swap window (the multi-table analog of the
+    // fence→rename race): transaction A claims both tables' next
+    // version numbers at the authority, then pauses BEFORE touching a
+    // final name or the journal. Its lease lapses, B acquires table
+    // "a", takes the number over at the authority and commits its own
+    // content there. A resumes and must lose LOUDLY before the journal
+    // takes its final name — with NEITHER of A's tables showing its
+    // writes (both-or-neither), B's commit intact, and no journal left
+    // for recovery to roll A's dead transaction forward over B's work.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val server = new graft.kv.LeaseLockServer().start()
+    try {
+      val real = new graft.kv.LeaseLockProvider(
+        "127.0.0.1", server.boundPort, leaseMs = 60000)
+      // pause after the SECOND commit swap this provider performs —
+      // i.e. after BOTH tables' numbers are claimed, strictly inside
+      // the swaps→journal window
+      val swapCount = new java.util.concurrent.atomic.AtomicInteger(0)
+      val pausing = new graft.kv.LockProvider {
+        override def acquire(r: String, t: Long): graft.kv.LockProvider.Handle = {
+          val h = real.acquire(r, t)
+          new graft.kv.LockProvider.Handle {
+            override def release(): Unit = h.release()
+            override def fencingToken: Long = h.fencingToken
+            override def ensureValid(): Unit = h.ensureValid()
+            override def fencedPublish(): Boolean = h.fencedPublish()
+            override def commitSwap(next: Long): graft.kv.LockProvider.SwapResult = {
+              val res = h.commitSwap(next)
+              if (swapCount.incrementAndGet() == 2) {
+                FenceGate.started.countDown()
+                FenceGate.proceed.await(60, java.util.concurrent.TimeUnit.SECONDS): Unit
+              }
+              res
+            }
+          }
+        }
+      }
+      val wh = Files.createTempDirectory("graft_txnjournal_wh").toString
+      val catA = new Catalog(spark, wh, lockProviderOpt = Some(pausing))
+      val catB = new Catalog(spark, wh, lockProviderOpt = Some(real))
+      catA.createTable("a", kv, Seq("k"))
+      catA.createTable("b", kv, Seq("k"))
+      load(catB, "a", Seq(1L -> "pre"))
+      load(catB, "b", Seq(1L -> "pre"))
+      FenceGate.reset()
+      var failure: Option[Throwable] = None
+      val t1 = new Thread(() => {
+        try catA.transaction { txn =>
+          txn.updateWhere("a", col("k") === 1L, "v", lit("txn"))
+          txn.updateWhere("b", col("k") === 1L, "v", lit("txn"))
+        } catch { case e: Throwable => failure = Some(e) }
+      })
+      t1.start()
+      // A holds both claims and is paused with zero final names and no
+      // journal written
+      assert(FenceGate.started.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      server.expireNow("a")
+      server.expireNow("b")
+      load(catB, "a", Seq(1L -> "owner")) // B takes a's number over and commits
+      FenceGate.proceed.countDown()
+      t1.join(60000)
+      assert(failure.exists(_.isInstanceOf[IllegalStateException]) &&
+        failure.exists(e => e.getMessage.contains("fencing") ||
+          e.getMessage.contains("taken over") ||
+          e.getMessage.contains("lease")),
+        s"lapsed txn committer did not fail loudly: $failure")
+      // both-or-neither: NEITHER table shows A's write; B's commit and
+      // version stand; and no journal exists for recovery to replay
+      val catR = new Catalog(spark, wh)
+      catR.recoverTransactions() // must be a no-op
+      assert(catR.dataVersionOf("a") == 2, "B's committed version moved")
+      assert(catR.table("a").pointGet(1L).head().getAs[String]("v") == "owner",
+        "B's committed content was overwritten by the dead transaction")
+      assert(catR.dataVersionOf("b") == 1, "the dead txn half-published b")
+      assert(catR.table("b").pointGet(1L).head().getAs[String]("v") == "pre",
+        "the dead transaction's write surfaced on b")
     } finally server.stop()
   }
 }

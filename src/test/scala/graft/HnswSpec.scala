@@ -237,6 +237,125 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("an upsert that re-encodes an existing key serves fresh and folds through compact_index") {
+    // The content-keyed delta law: an incrementalMerge that changes an
+    // EXISTING rk's embedding (same key, new vector) must (1) surface
+    // in the fresh-delta buffer even though the rk is already a graph
+    // node, (2) mask the STALE graph row out of the shortlist while
+    // the fold is pending, and (3) fold away — after compact_index the
+    // graph holds exactly the fresh encoding and the delta is empty.
+    // Also pins create_index(graph=>true): the index serves graph-ANN
+    // with an EMPTY delta from version 1, at the persisted degree m.
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_hnswup_wh").toString
+    val cat = new graft.kv.Catalog(spark, wh)
+    val corpus8 = corpus.withColumn("embedding",
+      concat($"embedding", array(lit(0f), lit(0f), lit(0f), lit(0f))))
+    cat.createTable("emb", corpus8.schema, Seq("vec_id"))
+    cat.bulkLoad("emb", corpus8, partitions = 2)
+    cat.createIndex("emb", "ann", "vector", Seq("embedding"),
+      graph = true, graphM = 6)
+    // graph built IN the backfill: serves from version 1, empty delta
+    val (gInit, dInit) = cat.vectorGraphView("emb", "ann")
+    assert(dInit.count() == 0, "create_index(graph) left a fresh delta")
+    assert(gInit.count() == corpus8.count())
+    // re-encode vec_id 3 to a direction orthogonal to every blob
+    val freshVec = Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f)
+    cat.incrementalMerge("emb",
+      Seq((3L, freshVec)).toDF("vec_id", "embedding"))
+    val (g0, d0) = cat.vectorGraphView("emb", "ann")
+    assert(d0.select($"rk").collect().map(_.getLong(0)).toSet == Set(3L),
+      "the re-encoded key did not surface in the content-keyed delta")
+    val (_, cent, _) = cat.vectorIndexView("emb", "ann")
+    def run(graph: org.apache.spark.sql.DataFrame,
+            delta: org.apache.spark.sql.DataFrame,
+            qv: Seq[Float]) =
+      Hnsw.search(graph, cent, delta.select($"rk", $"v"),
+        Seq((999000L, qv)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 5, nprobe = 4, ef = 24, maxVisits = 96)
+        .select($"nn", $"score").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+    // a query AT the fresh vector finds rk 3 at cosine 1.0 via the
+    // delta buffer, pre-fold
+    assert(run(g0, d0, freshVec).exists { case (nn, s) => nn == 3L && s > 0.999 },
+      "fresh encoding not served from the delta buffer")
+    // a query AT the OLD vector must NOT see the stale graph row
+    // (cosine 1.0 to itself) — the supersede mask
+    val oldVec = corpus8.filter($"vec_id" === 3L)
+      .select($"embedding").head().getSeq[Float](0)
+    assert(!run(g0, d0, oldVec).exists { case (nn, s) => nn == 3L && s > 0.999 },
+      "the stale pre-update encoding still reached the shortlist")
+    cat.compactIndex("emb", "ann", "vector")
+    val (g1, d1) = cat.vectorGraphView("emb", "ann")
+    assert(d1.count() == 0, "delta survived the upsert fold")
+    assert(g1.filter($"rk" === 3L).count() == 1,
+      "the upserted key is not exactly-once in the folded graph")
+    assert(run(g1, d1, freshVec).exists { case (nn, s) => nn == 3L && s > 0.999 },
+      "fresh encoding not served from the folded graph")
+    // degree law at the persisted m=6 (fold must NOT re-degree at the
+    // default 8): every node, including rebuilt lists, stays <= 2m=12
+    val maxDeg = g1.select(size($"neighbors").as("d"))
+      .agg(max($"d")).head().getInt(0)
+    assert(maxDeg <= 12, s"fold re-degreed the graph: max degree $maxDeg > 12")
+  }
+
+  test("insert-only folds greedy-link (edge lists append); tombstones force a full rebuild") {
+    import spark.implicits._
+    val (graph, _) = built
+    // the cluster holding rk 3, and three NEW rows near its geometry
+    val c3 = graph.filter($"rk" === 3L).select($"cluster").head().getInt(0)
+    val member = graph.filter($"rk" === 3L).select($"v").head().getSeq[Float](0)
+    val newRows = Seq(
+      (9001L, member.updated(1, member(1) + 0.01f)),
+      (9002L, member.updated(2, member(2) + 0.02f)),
+      (9003L, member.updated(3, member(3) + 0.01f)))
+      .toDF("rk", "v").withColumn("cluster", lit(c3))
+    val entries = graph.select($"cluster", $"rk", $"v").unionByName(
+      newRows.select($"cluster", $"rk", $"v"))
+    val folded = Hnsw.foldDelta(graph, entries).cache()
+    val before = graph.filter($"cluster" === c3).collect()
+      .map(r => r.getLong(1) -> r.getSeq[Long](3)).toMap
+    val after = folded.filter($"cluster" === c3).collect()
+      .map(r => r.getLong(1) -> r.getSeq[Long](3)).toMap
+    // patch-proportional law: every pre-existing node's edge list is a
+    // PREFIX of its folded list (back-edges only append) — a full
+    // rebuild would re-select edges against the new members
+    before.foreach { case (rk, nbrs) =>
+      assert(after(rk).startsWith(nbrs),
+        s"insert-only fold rebuilt node $rk (old edges not a prefix)")
+    }
+    Seq(9001L, 9002L, 9003L).foreach { rk =>
+      assert(after.contains(rk), s"inserted $rk missing from the fold")
+      assert(after(rk).size <= 16, s"inserted $rk over 2m edges")
+      assert(after(rk).nonEmpty, s"inserted $rk linked to nothing")
+    }
+    // the inserted rows are REACHABLE: a beam query at an inserted
+    // vector finds it from the folded graph alone (no delta)
+    val (_, cents) = built
+    val got = Hnsw.search(folded, cents, emptyDelta,
+        newRows.limit(1).select(lit(999001L).as("vec_id"),
+          $"v".as("embedding")),
+        "vec_id", "embedding", k = 5, nprobe = 3, ef = 24, maxVisits = 96)
+      .select($"nn").collect().map(_.getLong(0)).toSet
+    assert(got.contains(9001L), "greedy-linked insert unreachable by the beam")
+    // tombstone: removing one row forces the FULL rebuild of its list
+    // — the folded list is bit-identical to buildGraph over the
+    // remaining members, and no edge dangles at the removed rk
+    val entries2 = graph.select($"cluster", $"rk", $"v").filter($"rk" =!= 3L)
+    val folded2 = Hnsw.foldDelta(graph, entries2).cache()
+    assert(folded2.filter($"rk" === 3L).count() == 0)
+    val rebuiltList = Hnsw.buildGraph(
+        graph.filter($"cluster" === c3 && $"rk" =!= 3L)
+          .select($"cluster", $"rk", $"v"))
+      .collect().map(r => r.getLong(1) -> r.getSeq[Long](3)).toMap
+    val foldedList = folded2.filter($"cluster" === c3).collect()
+      .map(r => r.getLong(1) -> r.getSeq[Long](3)).toMap
+    assert(foldedList == rebuiltList,
+      "tombstone fold did not fully rebuild the touched list")
+    assert(!folded2.collect().exists(_.getSeq[Long](3).contains(3L)),
+      "a folded edge dangles at the tombstoned node")
+  }
+
   test("graph build is deterministic and edges stay within 2m") {
     val (graph, _) = built
     val a = graph.orderBy(col("rk")).collect()
