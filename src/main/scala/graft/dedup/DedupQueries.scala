@@ -441,6 +441,29 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
 
+    "dd_minhash_cc" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // Representative-ranked keeper selection composed END-TO-END
+      // over the hex-LSH candidate graph (each stage already §2-gated
+      // alone; the composition runs under ONE oracle): MinHash-LSH
+      // banding → connected components (min-label fixpoint) →
+      // weighted PageRank centrality on the SAME pair graph →
+      // per-cluster keeper = the HIGHEST-RANK member (doc_id
+      // tie-break) — the medoid-ish doc a trainer keeps, where
+      // dd_keep_list keeps the arbitrary min id. The keeper window
+      // runs per dup CLUSTER (bounded at any corpus size — near-dup
+      // clusters are small by construction; no corpus-wide window).
+      val pairs = minhashPairsHex(s, d)
+      val cc = Dedup.clusters(pairs)
+      val pr = Dedup.pagerank(pairs)
+      val w = Window.partitionBy($"cluster").orderBy($"rank".desc, $"doc_id")
+      cc.join(pr.select($"doc_id", $"rank"), Seq("doc_id"))
+        .withColumn("keeper", first($"doc_id").over(w))
+        .select($"doc_id", $"cluster", $"rank", $"keeper")
+        .orderBy($"doc_id")
+    },
+
     "dd_source_overlap" -> { (s, d) =>
       import s.implicits._
       // Cross-SOURCE contamination matrix — "which sources duplicate
@@ -1631,6 +1654,35 @@ object DedupQueries {
          |SELECT s AS doc_id, LEAST(MIN(d), s) AS keeper
          |FROM reach GROUP BY s HAVING LEAST(MIN(d), s) < s
          |ORDER BY doc_id""".stripMargin,
+
+    "dd_minhash_cc" ->
+      // the composed keeper pipeline replayed whole: hex-LSH banding,
+      // recursive-closure components, three unrolled 9-dp decimal
+      // PageRank rounds over the same edges, and the per-cluster
+      // highest-rank keeper via FIRST_VALUE (both engines' default
+      // ordered-window frame is unbounded-preceding..current, so the
+      // first value IS the partition head by (rank desc, doc_id))
+      s"""WITH RECURSIVE ${minhashHexCtesFor(plantedDocsSql)},
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lshpairs
+         |          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM lshpairs),
+         |reach AS (SELECT src AS s, dst AS d FROM edges
+         |          UNION
+         |          SELECT r.s, e.dst AS d FROM reach r JOIN edges e ON r.d = e.src),
+         |cc AS (SELECT s AS doc_id, LEAST(MIN(d), s) AS cluster
+         |       FROM reach GROUP BY s),
+         |deg AS (SELECT src AS doc_id, COUNT(*) AS degree
+         |        FROM edges GROUP BY src),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+         |r0 AS (SELECT doc_id, degree, ROUND(CAST(1 AS DOUBLE) / nn.n, 9) AS rank
+         |       FROM deg, nn),
+         |${pagerankStepSql("r0", "r1")},
+         |${pagerankStepSql("r1", "r2")},
+         |${pagerankStepSql("r2", "r3")}
+         |SELECT c.doc_id, c.cluster, r.rank,
+         |  FIRST_VALUE(c.doc_id) OVER (
+         |    PARTITION BY c.cluster ORDER BY r.rank DESC, c.doc_id) AS keeper
+         |FROM cc c JOIN r3 r ON r.doc_id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
 
     "dd_dedup_pipeline" ->
       // the whole pipeline replayed: hex LSH candidates → exact

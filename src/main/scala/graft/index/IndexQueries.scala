@@ -372,6 +372,43 @@ object IndexQueries {
       rows.toDF("probe", "k").orderBy($"probe", $"k")
     },
 
+    "ft_ms_or" -> { (s, d) =>
+      import s.implicits._
+      // Driver-side DISJUNCTIVE serving (the Lucene BooleanQuery
+      // SHOULD-clause analog beside ft_ms_search's MUST): docs
+      // containing ANY query term, the same zero-Spark-jobs segmented
+      // seeks — only the in-memory intersection flips to a union.
+      // Probes: a merge-only term OR a corpus term (the union must
+      // span both the segment and the base), and two corpus terms.
+      val cat = ftMsCatalog(s, d)
+      val rows = Seq(
+        "graft|vector" -> Seq("graft", "vector"),
+        "posting|stream" -> Seq("posting", "stream")).flatMap { case (probe, ts) =>
+        cat.driverFtSearchAny("ftdocs", "ft", ts)
+          .map(k => (probe, k.asInstanceOf[Long]))
+      }
+      rows.toDF("probe", "k").orderBy($"probe", $"k")
+    },
+
+    "ft_ms_topk" -> { (s, d) =>
+      import s.implicits._
+      // Driver-side RANKED BM25 serving (Catalog.driverFtTopK — the
+      // Lucene TopScoreDocCollector analog, completing the serving
+      // family: ft_ms_search serves boolean AND, ft_ms_phrase phrases,
+      // this the default read pattern of a search path). Block-max
+      // pruned seeks through the segmented postings + norms + block
+      // summary stack, (N, avgdl, df) derived live from scalar metas
+      // and the dictionary fold — ZERO Spark jobs (DriverGetSpec pins
+      // jobs, hash-equality with bm25WandTopK, pruning, freshness).
+      // Terms span corpus docs AND both CDC-merged docs, so the
+      // ranking genuinely reads base + segment − tombstone.
+      val cat = ftMsCatalog(s, d)
+      cat.driverFtTopK("ftdocs", "ft", Seq("engine", "merge"), 10)
+        .map { case (id, score) => (id.asInstanceOf[Long], score) }
+        .toDF("k", "score")
+        .orderBy($"score".desc, $"k")
+    },
+
     "ft_ms_phrase" -> { (s, d) =>
       import s.implicits._
       // Driver-side PHRASE serving (the Lucene PhraseQuery analog,
@@ -521,6 +558,58 @@ object IndexQueries {
         |  SELECT 'spark+join' AS probe, k FROM m
         |  WHERE list_contains(toks, 'spark') AND list_contains(toks, 'join'))
         |ORDER BY probe, k""".stripMargin,
+
+    "ft_ms_or" ->
+      // any-term membership over the same planted segmented corpus
+      """WITH t AS (
+        |  SELECT doc_id AS k,
+        |    CASE WHEN doc_id = 5 THEN 'graft segment merge engine' ELSE text END AS body
+        |  FROM documents WHERE doc_id < 300
+        |  UNION ALL SELECT CAST(900001 AS BIGINT), 'graft posting engine'),
+        |m AS (SELECT k, string_split_regex(lower(body), '[^a-z0-9]+') AS toks FROM t)
+        |SELECT probe, k FROM (
+        |  SELECT 'graft|vector' AS probe, k FROM m
+        |  WHERE list_contains(toks, 'graft') OR list_contains(toks, 'vector')
+        |  UNION ALL
+        |  SELECT 'posting|stream' AS probe, k FROM m
+        |  WHERE list_contains(toks, 'posting') OR list_contains(toks, 'stream'))
+        |ORDER BY probe, k""".stripMargin,
+
+    "ft_ms_topk" ->
+      // exhaustive BM25 over the same planted segmented corpus — the
+      // driver's block-max pruning must be invisible in the result,
+      // hash-for-hash (the ft_bm25_wand oracle convention). N and
+      // avgdl are over docs with >= 1 token (the Lucene per-field
+      // docCount the norms artifact counts); every planted doc
+      // tokenizes non-empty, so this equals the corpus count.
+      """WITH t AS (
+        |  SELECT doc_id AS k,
+        |    CASE WHEN doc_id = 5 THEN 'graft segment merge engine' ELSE text END AS body
+        |  FROM documents WHERE doc_id < 300
+        |  UNION ALL SELECT CAST(900001 AS BIGINT), 'graft posting engine'),
+        |toks AS (
+        |  SELECT k, unnest(list_filter(
+        |    string_split_regex(lower(body), '[^a-z0-9]+'),
+        |    x -> length(x) > 0)) AS term
+        |  FROM t),
+        |dl AS (SELECT k, COUNT(*) AS dl FROM toks GROUP BY k),
+        |tf AS (
+        |  SELECT k, term, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('engine','merge') GROUP BY k, term),
+        |df AS (
+        |  SELECT term, COUNT(DISTINCT k) AS df FROM toks
+        |  WHERE term IN ('engine','merge') GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM dl),
+        |ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / (SELECT COUNT(*) FROM dl) AS avgdl FROM dl)
+        |SELECT tf.k,
+        |  ROUND(SUM(
+        |    ln(1 + (CAST(n.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)) *
+        |    (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / ad.avgdl))
+        |  ), 4) AS score
+        |FROM tf JOIN df USING (term) JOIN dl ON tf.k = dl.k
+        |CROSS JOIN n CROSS JOIN ad
+        |GROUP BY tf.k
+        |ORDER BY score DESC, tf.k LIMIT 10""".stripMargin,
 
     "ft_ms_phrase" ->
       // adjacency replayed over the token arrays of the same planted

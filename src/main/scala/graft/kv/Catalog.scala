@@ -1670,7 +1670,22 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * `maxPostings` is the serving contract: a broader query belongs
     * on the Spark path (FullText.searchAll over indexData). */
   def driverFtSearch(table: String, indexName: String, terms: Seq[String],
-                     maxPostings: Int = 100000): Seq[Any] = {
+                     maxPostings: Int = 100000): Seq[Any] =
+    driverFtBoolean(table, indexName, terms, requireAll = true, maxPostings)
+
+  /** Driver-side OR (disjunctive) search — the Lucene BooleanQuery
+    * SHOULD-clause analog beside [[driverFtSearch]]'s MUST: docs
+    * containing ANY query term, same segmented-stack seeks, same
+    * zero-Spark-jobs serving contract. The seeks are identical to the
+    * AND path (each term is one pruned postings seek either way); only
+    * the in-memory intersection flips to a union. */
+  def driverFtSearchAny(table: String, indexName: String, terms: Seq[String],
+                        maxPostings: Int = 100000): Seq[Any] =
+    driverFtBoolean(table, indexName, terms, requireAll = false, maxPostings)
+
+  private def driverFtBoolean(table: String, indexName: String,
+                              terms: Seq[String], requireAll: Boolean,
+                              maxPostings: Int): Seq[Any] = {
     val dir = indexDir(table, indexName, "fulltext")
     require(Files.exists(dir), s"$table $indexName fulltext not exists")
     val analyzed = graft.index.FullText
@@ -1709,7 +1724,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
             scala.collection.mutable.Set[String]()) += r.getString(0)
       }
     }
-    perDoc.collect { case (id, ts) if ts.size == analyzed.size => id }
+    perDoc.collect { case (id, ts)
+      if (if (requireAll) ts.size == analyzed.size else ts.nonEmpty) => id }
       .toSeq.sortBy(_.toString)
   }
 

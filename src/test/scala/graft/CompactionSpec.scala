@@ -122,11 +122,11 @@ class CompactionSpec extends AnyFunSuite {
       maxIndexEntries = math.max(maxIndexEntries, entries(idir).size)
     }
     // bounded DURING the chain: entries accrue only between maintenance
-    // passes (<= families x cadence + constant — four segment-dir
-    // families per merge: seg, posseg, tomb, dictdelta — never the
-    // 200-batch total)
+    // passes (<= families x cadence + constant — FIVE segment-dir
+    // families per merge: seg, posseg, tomb, dictdelta, normseg —
+    // never the 200-batch total)
     assert(maxTableEntries < 80, s"table dir peaked at $maxTableEntries entries")
-    assert(maxIndexEntries < 230, s"index dir peaked at $maxIndexEntries entries")
+    assert(maxIndexEntries < 290, s"index dir peaked at $maxIndexEntries entries")
 
     cat.compact("ch"); cat.compactIndex("ch", "ft", "fulltext")
     cat.vacuum("ch", graceMs = 0L)
@@ -141,8 +141,11 @@ class CompactionSpec extends AnyFunSuite {
     assert(iAfter.count(_.startsWith("data_v")) == 1, iAfter.toString)
     assert(iAfter.count(_.startsWith("dict_v")) == 1, iAfter.toString)
     assert(iAfter.count(_.startsWith("pos_v")) == 1, iAfter.toString)
+    assert(iAfter.count(_.startsWith("norms_v")) == 1, iAfter.toString)
+    assert(iAfter.count(_.startsWith("bmx_v")) == 1, iAfter.toString)
     assert(!iAfter.exists(n => n.startsWith("seg_v") || n.startsWith("tomb_v") ||
-      n.startsWith("dictdelta_v") || n.startsWith("posseg_v")), iAfter.toString)
+      n.startsWith("dictdelta_v") || n.startsWith("posseg_v") ||
+      n.startsWith("normseg_v")), iAfter.toString)
     assert(entries(java.nio.file.Paths.get(wh, "_graft_txn"))
       .count(_.endsWith(".json")) == 0, "journal backlog")
     // publishTimes pruned to the live version, not one entry per batch

@@ -594,4 +594,81 @@ class DriverGetSpec extends AnyFunSuite {
       assert(jobs == before, "driver phrase search scheduled Spark jobs")
     } finally spark.sparkContext.removeSparkListener(listener2)
   }
+
+  test("driver ranked BM25 top-k: WAND-equal, CDC-fresh, zero jobs, blocks really pruned") {
+    import spark.implicits._
+    val cat = freshCat("fttopk")
+    if (cat.tableExists("ftr")) cat.dropTable("ftr")
+    cat.createTable("ftr", StructType(Seq(
+      StructField("k", LongType, false),
+      StructField("body", StringType, true))), Seq("k"))
+    // 500 docs => 8 doc-id blocks of 64 — enough block space for the
+    // pruning observable to mean something
+    cat.bulkLoad("ftr", graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id").as("k"), col("text").as("body")), partitions = 4)
+    cat.createIndex("ftr", "ft", "fulltext", Seq("body"))
+    // CDC: doc 5 rewritten, plus a PLANTED heavy hitter whose exact
+    // score towers over every base block's upper bound — it arrives
+    // through a SEGMENT (outside the block summary), so finding it
+    // ranked first proves the segment arm, and the θ it sets is what
+    // makes base blocks prunable
+    val heavy = ("spark join " * 40).trim
+    cat.incrementalMerge("ftr", Seq(
+      (5L, "graft tomb probe body"),
+      (900001L, heavy)).toDF("k", "body"))
+    // Spark-path ground truth over the SAME segmented view, scalars
+    // derived the way the norms artifact defines them (docs with >= 1
+    // token)
+    val view = cat.indexData("ftr", "ft", "fulltext").cache()
+    try {
+      val dict = cat.indexDictionary("ftr", "ft", "fulltext")
+      val doclens = graft.index.FullText.buildDocLens(view).cache()
+      val agg = doclens.agg(count(lit(1)), sum(col("dl"))).head()
+      val nDocs = agg.getLong(0)
+      val avgdl = agg.getLong(1).toDouble / nDocs
+      val blockmax = graft.index.FullText.buildBlockMax(
+        view, doclens, dict, nDocs, avgdl)
+      def sparkTop(terms: Seq[String], k: Int): Seq[(Long, Double)] =
+        graft.index.FullText.bm25WandTopK(view, dict, doclens, blockmax,
+            nDocs, avgdl, terms, k)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      def driverTop(terms: Seq[String], k: Int): Seq[(Long, Double)] =
+        cat.driverFtTopK("ftr", "ft", terms, k)
+          .map { case (id, s) => (id.asInstanceOf[Long], s) }
+      // hash-for-hash with the Spark WAND path: common terms, a
+      // merge-only term, a single rare term
+      for ((terms, k) <- Seq(
+          (Seq("spark", "join"), 10),
+          (Seq("graft"), 5),
+          (Seq("tomb"), 5),
+          (Seq("spark"), 20))) {
+        assert(driverTop(terms, k) == sparkTop(terms, k),
+          s"driver/Spark ranked divergence for $terms@$k")
+      }
+      // CDC freshness: the planted segment doc ranks FIRST (its tf
+      // dwarfs the corpus), and rewritten doc 5 serves its new term
+      assert(driverTop(Seq("spark", "join"), 10).head._1 == 900001L)
+      assert(driverTop(Seq("tomb"), 5).map(_._1).contains(5L))
+      // pruning is REAL: with θ set by the planted doc, base blocks
+      // below it are never read (seed + survivors < all blocks)
+      val (rows, blocksTotal, blocksRead) = cat.driverFtTopKStats(
+        "ftr", "ft", Seq("spark", "join"), 1, 1.2, 0.75, 2, 100000)
+      assert(rows.head._1 == 900001L)
+      assert(blocksTotal >= 5, s"corpus spans only $blocksTotal blocks")
+      assert(blocksRead < blocksTotal,
+        s"no block pruned: read $blocksRead of $blocksTotal")
+      // zero Spark jobs on the warm ranked path
+      @volatile var jobs = 0
+      val listener = new SparkListener {
+        override def onJobStart(s: SparkListenerJobStart): Unit = jobs += 1
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        assert(cat.driverFtTopK("ftr", "ft", Seq("spark", "join"), 10).nonEmpty)
+        Thread.sleep(800)
+        assert(jobs == 0, s"driver ranked top-k scheduled $jobs Spark job(s)")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally { view.unpersist(); () }
+  }
 }
