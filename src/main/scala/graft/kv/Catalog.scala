@@ -612,9 +612,14 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * driver range scan on either z dimension prunes from the one
     * manifest read instead of opening O(files) footers cold. None =
     * written before the second-key upgrade or not a z table; such an
-    * entry is never pruned on the second key (footers stand in). */
+    * entry is never pruned on the second key (footers stand in).
+    * `bloom` is the per-file rowkey Bloom bitset (the HBase StoreFile
+    * BloomFilter ROW analog — see [[BloomBits]]): a driver point Get
+    * whose keys all miss it skips the file BEFORE any footer read.
+    * None (pre-upgrade entries, unsupported key types) never vetoes. */
   private[graft] case class FileRange(file: String, lo: Any, hi: Any,
-                                      second: Option[(Any, Any)] = None)
+                                      second: Option[(Any, Any)] = None,
+                                      bloom: Option[Array[Byte]] = None)
 
   /** (touched, untouched) split of file ranges against a patch-key
     * set: the keys are sorted once and each file's [lo,hi] does ONE
@@ -656,21 +661,41 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
 
   /** Per-file (min,max) of the leading key column — and of the second
     * key when asked (z tables) — scanning ONLY those columns
-    * (columnar read) of the given snapshot, one pass for both. */
+    * (columnar read) of the given snapshot, one pass for both. The
+    * SAME pass folds the per-file rowkey Bloom bitset ([[BloomBits]])
+    * for long/int/string keys: rows pre-hash with Spark's xxhash64
+    * and the distributive [[BloomAgg]] ORs bit positions per file —
+    * no extra scan, one more agg column. */
   private def scanRanges(dir: Path, keyCol: String,
                          secondCol: Option[String] = None): Seq[FileRange] = {
-    import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax}
+    import org.apache.spark.sql.functions.{input_file_name, udaf, xxhash64, min => fmin, max => fmax}
     val fcol = org.apache.spark.sql.functions.col _
+    val df0 = spark.read.parquet(dir.toString)
+    val bloomable = df0.schema.fields.find(_.name == keyCol)
+      .map(_.dataType).exists {
+        case LongType | IntegerType | StringType => true
+        case _ => false
+      }
+    val mBits = spark.conf.getOption("spark.graft.manifest.bloomBits")
+      .map(_.toInt).getOrElse(1 << 17)
     val keyCols = fcol(keyCol).as("k") +: secondCol.map(c => fcol(c).as("k2")).toSeq
+    val hashCols = if (bloomable) Seq(xxhash64(fcol(keyCol)).as("kh")) else Nil
     val aggs = Seq(fmin("k").as("lo"), fmax("k").as("hi")) ++
-      secondCol.toSeq.flatMap(_ => Seq(fmin("k2").as("lo2"), fmax("k2").as("hi2")))
-    spark.read.parquet(dir.toString)
-      .select(keyCols :+ input_file_name().as("f"): _*)
+      secondCol.toSeq.flatMap(_ => Seq(fmin("k2").as("lo2"), fmax("k2").as("hi2"))) ++
+      (if (bloomable)
+        Seq(udaf(new BloomAgg(mBits),
+          org.apache.spark.sql.Encoders.scalaLong)(fcol("kh")).as("kbloom"))
+      else Nil)
+    df0.select(keyCols ++ hashCols :+ input_file_name().as("f"): _*)
       .groupBy("f").agg(aggs.head, aggs.tail: _*)
       .collect().toSeq.map { r =>
         val fname = r.getString(0).split("/").last
-        val second = secondCol.map(_ => (canonKey(r.get(3)), canonKey(r.get(4))))
-        FileRange(fname, canonKey(r.get(1)), canonKey(r.get(2)), second)
+        val second = secondCol.map(_ =>
+          (canonKey(r.getAs[Any]("lo2")), canonKey(r.getAs[Any]("hi2"))))
+        val bloom =
+          if (bloomable) Option(r.getAs[Array[Byte]]("kbloom")) else None
+        FileRange(fname, canonKey(r.getAs[Any]("lo")),
+          canonKey(r.getAs[Any]("hi")), second, bloom)
       }
   }
 
@@ -712,8 +737,15 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         val second =
           if (e.has("lo2")) Some((v(e.path("lo2")), v(e.path("hi2"))))
           else None
+        // a bloom that fails to decode reads as ABSENT (no veto) —
+        // the same fail-open stance as the whole manifest
+        val bloom =
+          if (!e.has("bloom")) None
+          else scala.util.Try(
+            java.util.Base64.getDecoder.decode(e.path("bloom").asText()))
+            .toOption.filter(_.nonEmpty)
         FileRange(e.path("file").asText(), v(e.path("lo")), v(e.path("hi")),
-          second)
+          second, bloom)
       }.toSeq)
     } catch {
       case _: com.fasterxml.jackson.core.JacksonException => None
@@ -763,6 +795,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       e.second.foreach { case (lo2, hi2) =>
         n.set[JsonNode]("lo2", mapper.valueToTree[JsonNode](lo2))
         n.set[JsonNode]("hi2", mapper.valueToTree[JsonNode](hi2)): Unit
+      }
+      e.bloom.foreach { b =>
+        n.put("bloom", java.util.Base64.getEncoder.encodeToString(b)): Unit
       }
       arr.add(n): Unit
     }
@@ -1547,9 +1582,13 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
   private def driverMultiGetAt(name: String, keys: Seq[Seq[Any]],
                                version: Int): Seq[Row] = {
     val dir = tableDir(name).resolve(s"data_v$version")
-    val ranges = readManifestJson(dir).getOrElse(Nil)
-      .map(r => (r.file, r.lo, r.hi))
-    DriverRead.get(dir, schemaOf(name), primaryKeyOf(name), keys, ranges)
+    val mf = readManifestJson(dir).getOrElse(Nil)
+    val ranges = mf.map(r => (r.file, r.lo, r.hi))
+    // per-file rowkey blooms (when the manifest carries them): a miss
+    // vetoes the file before its footer is ever opened
+    val blooms = mf.flatMap(r => r.bloom.map(r.file -> _)).toMap
+    DriverRead.get(dir, schemaOf(name), primaryKeyOf(name), keys, ranges,
+      blooms)
   }
 
   /** Bounded driver-side range scan — the HBase `Scan(startRow,

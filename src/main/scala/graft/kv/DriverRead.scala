@@ -76,6 +76,30 @@ private[kv] object DriverRead {
     * the pin is about physical reads. */
   private[graft] val footerReadCount = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Files vetoed by the manifest's per-file rowkey Bloom BEFORE any
+    * footer read (the HBase StoreFile-bloom miss path) — the pruning
+    * observable DriverGetSpec pins. */
+  private[graft] val bloomSkipCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The driver-side replica of the bloom build's base hash — Spark's
+    * `xxhash64(keyCol)` (seed 42), evaluated through the same Catalyst
+    * function object the expression uses, on the value coerced to the
+    * DECLARED column type. */
+  private def bloomBaseHash(dt: DataType, v: Any): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    dt match {
+      case LongType => XxHash64Function.hash(
+        java.lang.Long.valueOf(v.asInstanceOf[Number].longValue()), dt, 42L)
+      case IntegerType => XxHash64Function.hash(
+        java.lang.Integer.valueOf(v.asInstanceOf[Number].intValue()), dt, 42L)
+      case StringType => XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          v.asInstanceOf[String]), dt, 42L)
+      case other => throw new IllegalArgumentException(
+        s"no manifest bloom for key type $other")
+    }
+  }
+
   private def footerKey(p: Path, keyCol: String): FooterKey =
     FooterKey(p.toAbsolutePath.toString, Files.size(p),
       Files.getLastModifiedTime(p).toMillis, keyCol)
@@ -347,7 +371,8 @@ private[kv] object DriverRead {
     * unordered across keys (callers sort). */
   def get(snapshotDir: Path, schema: StructType, pk: Seq[String],
           keys: Seq[Seq[Any]],
-          fileRanges: Seq[(String, Any, Any)]): Seq[Row] = {
+          fileRanges: Seq[(String, Any, Any)],
+          blooms: Map[String, Array[Byte]] = Map.empty): Seq[Row] = {
     require(keys.nonEmpty && keys.forall(_.length == pk.length),
       s"each get key must bind the full primary key ${pk.mkString(",")}")
     // a key value outside its int-family column's range can never
@@ -359,6 +384,12 @@ private[kv] object DriverRead {
     if (usable.isEmpty) return Nil
     val leadKeys = usable.map(k =>
       prepare(canon(schema(pk.head).dataType, k.head)))
+    // base hashes for the manifest-bloom probe (HBase's StoreFile-
+    // bloom miss path): computed once per get, only when the manifest
+    // carries blooms at all
+    val leadHashes: Seq[Long] =
+      if (blooms.isEmpty) Nil
+      else usable.map(k => bloomBaseHash(schema(pk.head).dataType, k.head))
     val parts = listParts(snapshotDir)
     val byManifest: Seq[Path] =
       if (fileRanges.nonEmpty &&
@@ -369,9 +400,20 @@ private[kv] object DriverRead {
     val pred = keyPredicate(schema, pk, usable)
     val filter = FilterCompat.get(pred)
     byManifest.flatMap { file =>
+      // per-file bloom veto BEFORE the footer: a key set that misses
+      // the file's bloom cannot match any stored row — zero I/O on
+      // the file, not even its footer (a false positive only costs
+      // the footer read the bloom tried to save)
+      val vetoed = leadHashes.nonEmpty &&
+        blooms.get(file.getFileName.toString).exists { bits =>
+          val possible = leadHashes.exists(BloomBits.mightContain(bits, _))
+          if (!possible) bloomSkipCount.incrementAndGet(): Unit
+          !possible
+        }
+      if (vetoed) Nil
       // footer row-group pruning: skip the whole file when no row
       // group's leading-key range can hold any requested key
-      if (!rowGroupRanges(file, pk.head).exists(r => anyKeyIn(r._1, r._2, leadKeys))) Nil
+      else if (!rowGroupRanges(file, pk.head).exists(r => anyKeyIn(r._1, r._2, leadKeys))) Nil
       else readMatching(file, schema, filter)
     }
   }

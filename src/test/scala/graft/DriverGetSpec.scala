@@ -595,6 +595,45 @@ class DriverGetSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener2)
   }
 
+  test("manifest rowkey blooms veto point-get misses before any footer read") {
+    import TestSpark.spark.implicits._
+    val cat = freshCat("bloomveto")
+    if (cat.tableExists("bv")) cat.dropTable("bv")
+    cat.createTable("bv", StructType(Seq(
+      StructField("k", LongType, false),
+      StructField("v", StringType, true))), Seq("k"))
+    // sparse keys (evens only): an ODD probe key sits INSIDE every
+    // range bound, so range pruning cannot exclude a single file —
+    // only the bloom can
+    cat.bulkLoad("bv",
+      (0L until 4000L by 2).map(k => (k, s"v$k")).toDF("k", "v"),
+      partitions = 4)
+    // one merge materializes the bloom-bearing manifest on the live
+    // snapshot (the z-manifest test's recipe)
+    cat.incrementalMerge("bv", Seq((0L, "v0b")).toDF("k", "v"))
+    val dir = Paths.get(cat.warehouse, "bv",
+      s"data_v${cat.dataVersionOf("bv")}")
+    val json = java.nio.file.Files.readString(dir.resolve("_graft_ranges.json"))
+    assert(json.contains("\"bloom\""), "manifest lacks per-file blooms")
+    // warm the footer cache with a PRESENT key first, so the absent
+    // probe's footer count isolates the bloom veto
+    assert(cat.driverPointGet("bv", 2000L).nonEmpty)
+    val beforeFooter = DriverRead.footerReadCount.get()
+    val beforeSkip = DriverRead.bloomSkipCount.get()
+    assert(cat.driverPointGet("bv", 2001L).isEmpty)
+    assert(DriverRead.bloomSkipCount.get() > beforeSkip,
+      "the bloom never vetoed a file for an absent in-range key")
+    assert(DriverRead.footerReadCount.get() == beforeFooter,
+      "an absent-key get opened parquet footers despite the blooms")
+    // mixed multi-get still serves the present keys exactly
+    val got = cat.driverMultiGet("bv", Seq(Seq(10L), Seq(11L), Seq(3998L)))
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((10L, "v10"), (3998L, "v3998")))
+    // and the rewritten key serves its merged value through the fresh
+    // manifest
+    assert(cat.driverPointGet("bv", 0L).head.getString(1) == "v0b")
+  }
+
   test("driver ranked BM25 top-k: WAND-equal, CDC-fresh, zero jobs, blocks really pruned") {
     import spark.implicits._
     val cat = freshCat("fttopk")
