@@ -1369,16 +1369,19 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           val rkT = schemaOf(table)(primaryKeyOf(table).head).dataType
           val doclens = graft.index.FullText.buildDocLens(foldedPost).cache()
           try {
+            val (nd, td) = aggDoclens(doclens)
+            val parts = ftRankedParts(nd)
             stageArtifact(s"norms_v$upTo") { p =>
-              KvLayout.writeSorted(doclens, Seq("doc_id"), p)
-              writeNormMeta(Paths.get(p), doclens)
+              KvLayout.writeSorted(doclens, Seq("doc_id"), p,
+                partitions = parts)
+              writeNormMetaJson(Paths.get(p), nd, td)
             }
             rkT match {
               case LongType | IntegerType =>
                 stageArtifact(s"bmx_v$upTo") { p =>
                   KvLayout.writeSorted(
                     graft.index.FullText.buildBlockStats(foldedPost, doclens),
-                    Seq("term"), p)
+                    Seq("term"), p, partitions = parts)
                 }
               case _ => ()
             }
@@ -2008,11 +2011,15 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
     def scoreAll(): Seq[(Any, Double)] = {
       seekDl(acc.keys.toSeq)
-      acc.iterator.flatMap { case (id, tfs) =>
-        dlCache.get(id).map { dl =>
-          id -> round4(tfs.iterator.map { case (t, tf) =>
-            idf(t) * impact(tf.toDouble, dl.toDouble) }.sum)
-        }
+      acc.iterator.map { case (id, tfs) =>
+        // an unmasked posting without a norms row can only mean a
+        // segment written before ranked-serving support — fail loudly
+        // (silently unranking the doc would be a wrong answer)
+        val dl = dlCache.getOrElse(id, throw new IllegalStateException(
+          s"doc $id has postings but no norms row — a segment predates " +
+            "ranked serving; CALL system.refresh_index to rebuild"))
+        id -> round4(tfs.iterator.map { case (t, tf) =>
+          idf(t) * impact(tf.toDouble, dl.toDouble) }.sum)
       }.toSeq
     }
     segs.foreach { case (v, p) =>
@@ -2797,16 +2804,39 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
                             postings: DataFrame, rkType: DataType): Unit = {
     val doclens = graft.index.FullText.buildDocLens(postings).cache()
     try {
-      KvLayout.writeSorted(doclens, Seq("doc_id"), normsPath)
-      writeNormMeta(Paths.get(normsPath), doclens)
+      // ONE action up front serves the scalar meta AND sizes the
+      // output files: the explicit partition count skips
+      // repartitionByRange's range-sampling job per write — two fewer
+      // Spark jobs per index build (measured: the gate catalogs'
+      // backfill cost, amortized in production but paid per build)
+      val (n, total) = aggDoclens(doclens)
+      val parts = ftRankedParts(n)
+      KvLayout.writeSorted(doclens, Seq("doc_id"), normsPath,
+        partitions = parts)
+      writeNormMetaJson(Paths.get(normsPath), n, total)
       rkType match {
         case LongType | IntegerType =>
           KvLayout.writeSorted(
             graft.index.FullText.buildBlockStats(postings, doclens),
-            Seq("term"), bmxPath)
+            Seq("term"), bmxPath, partitions = parts)
         case _ => ()
       }
     } finally { doclens.unpersist(); () }
+  }
+
+  /** Output files for the ranked artifacts, sized from the doc count
+    * already known to the meta agg (norms: one row per doc; the block
+    * summary is the same order — ≤ one row per (query-able term,
+    * 64-doc block) and empirically postings-shaped ÷ blocks). */
+  private def ftRankedParts(nDocs: Long): Int =
+    math.max(1L, (nDocs + mergeTargetRowsPerFile - 1) /
+      mergeTargetRowsPerFile).toInt
+
+  private def aggDoclens(doclens: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
+    val r = doclens.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("total")).head()
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Scalar meta beside a norms artifact: the frame's (row count,
@@ -2814,16 +2844,17 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * from metas + patch-sized tombstone adjustments — never a
     * corpus-sized aggregate on the serving thread. Underscore name
     * keeps the file invisible to parquet reads. */
-  private def writeNormMeta(dir: Path, doclens: DataFrame): Unit = {
-    import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
-    import org.apache.spark.sql.functions.col
-    val r = doclens.agg(count(lit(1)).as("n"),
-      coalesce(sum(col("dl")), lit(0L)).as("total")).head()
+  private def writeNormMetaJson(dir: Path, n: Long, total: Long): Unit = {
     val node = mapper.createObjectNode()
-    node.put("n", r.getLong(0))
-    node.put("total", r.getLong(1)): Unit
+    node.put("n", n)
+    node.put("total", total): Unit
     Files.writeString(dir.resolve("_graft_norm_meta.json"),
       mapper.writeValueAsString(node)): Unit
+  }
+
+  private def writeNormMeta(dir: Path, doclens: DataFrame): Unit = {
+    val (n, total) = aggDoclens(doclens)
+    writeNormMetaJson(dir, n, total)
   }
 
   private def readNormMeta(dir: Path): (Long, Long) = {
@@ -3352,20 +3383,28 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
               }
               // norms + block stats BEFORE data, like pos/dict — they
               // pair at the resolved data base's version
-              writeIndexDirAtomic(dir, s"norms_v$cur") { p =>
+              locally {
                 val doclens = graft.index.FullText.buildDocLens(postings)
-                KvLayout.writeSorted(doclens, Seq("doc_id"), p)
-                writeNormMeta(Paths.get(p), doclens)
-              }
-              schemaOf(table)(pk).dataType match {
-                case LongType | IntegerType =>
-                  writeIndexDirAtomic(dir, s"bmx_v$cur") { p =>
-                    KvLayout.writeSorted(
-                      graft.index.FullText.buildBlockStats(postings,
-                        graft.index.FullText.buildDocLens(postings)),
-                      Seq("term"), p)
+                  .cache()
+                try {
+                  val (nd, td) = aggDoclens(doclens)
+                  val parts = ftRankedParts(nd)
+                  writeIndexDirAtomic(dir, s"norms_v$cur") { p =>
+                    KvLayout.writeSorted(doclens, Seq("doc_id"), p,
+                      partitions = parts)
+                    writeNormMetaJson(Paths.get(p), nd, td)
                   }
-                case _ => ()
+                  schemaOf(table)(pk).dataType match {
+                    case LongType | IntegerType =>
+                      writeIndexDirAtomic(dir, s"bmx_v$cur") { p =>
+                        KvLayout.writeSorted(
+                          graft.index.FullText.buildBlockStats(postings,
+                            doclens),
+                          Seq("term"), p, partitions = parts)
+                      }
+                    case _ => ()
+                  }
+                } finally { doclens.unpersist(); () }
               }
               writeIndexDirAtomic(dir, s"data_v$cur") { p =>
                 KvLayout.writeSorted(postings, Seq("term", "doc_id"), p)

@@ -115,6 +115,34 @@ class PlanSpec extends AnyFunSuite {
       s"graph search planned a shuffled cartesian:\n$p")
   }
 
+  test("map fan-out repartitions derive from session conf, never a literal") {
+    // The one-knob claim (SURVEY §4): the heavy-narrow-chain fan-outs
+    // (st_stream_urldedup's regex chain, mm_audio_fp's byte-sample
+    // grid) must follow spark.sql.shuffle.partitions — a constant
+    // right for this box would cap a 1000-executor cluster at that
+    // many tasks. Pin the derivation at two conf values (including
+    // the defaultParallelism cap)...
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val par = spark.sparkContext.defaultParallelism
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      assert(graft.streaming.StreamQueries.mapFanout(spark) ==
+        math.max(1, math.min(2, par)))
+      spark.conf.set("spark.sql.shuffle.partitions", "4096")
+      assert(graft.streaming.StreamQueries.mapFanout(spark) ==
+        math.min(4096, par),
+        "fan-out must follow the conf up to the cluster's parallelism")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // ...and that no literal-count repartition survives in the
+    // streaming module's source (the shape the round-17 audit flagged:
+    // repartition(8) / repartition(32))
+    val src = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      "src/main/scala/graft/streaming/StreamQueries.scala"))
+    val literal = "repartition\\(\\s*\\d".r.findFirstIn(src)
+    assert(literal.isEmpty,
+      s"hard-coded repartition literal in StreamQueries: $literal")
+  }
+
   test("q4 star join broadcasts the dimension tables") {
     val p = planOf("q4_broadcast_join")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
