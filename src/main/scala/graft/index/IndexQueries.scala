@@ -390,6 +390,25 @@ object IndexQueries {
       rows.toDF("probe", "k").orderBy($"probe", $"k")
     },
 
+    "ft_ms_prefix" -> { (s, d) =>
+      import s.implicits._
+      // Driver-side PREFIX serving (the Lucene PrefixQuery analog —
+      // one [prefix, prefix⁺) range seek per artifact over the
+      // term-sorted postings, the FST prefix-seek shape, zero Spark
+      // jobs; DriverGetSpec pins equality + zero jobs). Probes: a
+      // corpus prefix ('vect' → vector...) and a merge-only prefix
+      // ('graf' → graft), so the union provably crosses the
+      // base/segment boundary.
+      val cat = ftMsCatalog(s, d)
+      val rows = Seq(
+        "graf" -> "graf",
+        "vect" -> "vect").flatMap { case (probe, pre) =>
+        cat.driverFtPrefix("ftdocs", "ft", pre)
+          .map(k => (probe, k.asInstanceOf[Long]))
+      }
+      rows.toDF("probe", "k").orderBy($"probe", $"k")
+    },
+
     "ft_ms_topk" -> { (s, d) =>
       import s.implicits._
       // Driver-side RANKED BM25 serving (Catalog.driverFtTopK — the
@@ -573,6 +592,24 @@ object IndexQueries {
         |  UNION ALL
         |  SELECT 'posting|stream' AS probe, k FROM m
         |  WHERE list_contains(toks, 'posting') OR list_contains(toks, 'stream'))
+        |ORDER BY probe, k""".stripMargin,
+
+    "ft_ms_prefix" ->
+      // token-prefix membership over the same planted segmented corpus
+      """WITH t AS (
+        |  SELECT doc_id AS k,
+        |    CASE WHEN doc_id = 5 THEN 'graft segment merge engine' ELSE text END AS body
+        |  FROM documents WHERE doc_id < 300
+        |  UNION ALL SELECT CAST(900001 AS BIGINT), 'graft posting engine'),
+        |m AS (SELECT k, list_filter(
+        |    string_split_regex(lower(body), '[^a-z0-9]+'),
+        |    x -> length(x) > 0) AS toks FROM t)
+        |SELECT probe, k FROM (
+        |  SELECT 'graf' AS probe, k FROM m
+        |  WHERE len(list_filter(toks, x -> x LIKE 'graf%')) > 0
+        |  UNION ALL
+        |  SELECT 'vect' AS probe, k FROM m
+        |  WHERE len(list_filter(toks, x -> x LIKE 'vect%')) > 0)
         |ORDER BY probe, k""".stripMargin,
 
     "ft_ms_topk" ->

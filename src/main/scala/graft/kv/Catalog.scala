@@ -1771,6 +1771,60 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       .toSeq.sortBy(_.toString)
   }
 
+  /** Driver-side PREFIX serving — the Lucene PrefixQuery analog
+    * beside [[driverFtSearch]]'s TermQuery: docs containing ANY term
+    * with the given prefix, served as ONE range seek per artifact
+    * over the term-sorted postings ([prefix, prefix⁺) in byte order —
+    * the FST prefix-seek shape, here parquet row-group pruning on the
+    * term column), tombstone-masked like every segmented read, zero
+    * Spark jobs. Lucene's PrefixQuery is NOT analyzed — the prefix is
+    * only normalized — and matching runs against the INDEXED terms
+    * (stemmed, for an `english` index), the same contract. The range
+    * row cap is the serving contract: a prefix matching more postings
+    * belongs on the Spark path (FullText.searchPrefix). */
+  def driverFtPrefix(table: String, indexName: String, prefix: String,
+                     maxPostings: Int = 100000): Seq[Any] = {
+    val dir = indexDir(table, indexName, "fulltext")
+    require(Files.exists(dir), s"$table $indexName fulltext not exists")
+    val toks = graft.index.FullText.normTokens(prefix)
+    require(toks.length == 1,
+      s"prefix search takes ONE non-empty alnum prefix, got '$prefix'")
+    val q = toks.head
+    // exclusive upper bound: the prefix with its last byte bumped —
+    // exact for the tokenizer's [a-z0-9] term charset; the final
+    // startsWith keeps the boundary term out of an inclusive range
+    val hi = q.init + (q.last + 1).toChar
+    val live = dataVersionOf(table)
+    val base = resolveIndexVersioned(dir, "data", live)
+    val baseVer = indexBaseVersion(base)
+    val segs = versionedDirs(dir, "seg_v", baseVer, live)
+    val tombs = versionedDirs(dir, "tomb_v", baseVer, live)
+    val rkType = schemaOf(table)(primaryKeyOf(table).head).dataType
+    val postSchema = StructType(Seq(
+      StructField("term", StringType, nullable = true),
+      StructField("doc_id", rkType, nullable = true),
+      StructField("tf", LongType, nullable = true)))
+    val tombSchema = StructType(Seq(StructField("rk", rkType, nullable = true)))
+    val tombSets: Seq[(Int, Set[Any])] = tombs.map { case (v, p) =>
+      (v, DriverRead.readAll(p, tombSchema, maxPostings).map(_.get(0)).toSet)
+    }
+    def maskedAt(v: Int, docId: Any): Boolean =
+      tombSets.exists { case (tv, s) => tv > v && s.contains(docId) }
+    val out = scala.collection.mutable.Set[Any]()
+    ((baseVer, base) +: segs).foreach { case (v, p) =>
+      val ranges = readManifestJson(p).getOrElse(Nil)
+        .map(r => (r.file, r.lo, r.hi))
+      DriverRead.range(p, postSchema, "term", q, hi, maxPostings, ranges)
+        .foreach { r =>
+          if (r.getString(0).startsWith(q)) {
+            val id = r.get(1)
+            if (!maskedAt(v, id)) out += id: Unit
+          }
+        }
+    }
+    out.toSeq.sortBy(_.toString)
+  }
+
   /** Driver-side PHRASE search — [[driverFtSearch]]'s positional
     * counterpart (the Lucene PhraseQuery serving path): query terms
     * through the index's analyzer with Lucene's position-increment

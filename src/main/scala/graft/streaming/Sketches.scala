@@ -127,6 +127,39 @@ object Sketches {
         expr(s"(coalesce(n_match, 0L) * ${M}L) div theta").as("n_est"))
   }
 
+  /** SKETCH-ONLY pairwise DIFFERENCE across the sketch's groups — the
+    * theta-sketch A-NOT-B operation (the DataSketches AnotB), closing
+    * the set algebra beside [[kmvEstimate]] (cardinality) and
+    * [[kmvIntersect]] (∩): |A∖B| ≈ |{h ∈ A : h < θ ∧ h ∉ B}| · M/θ,
+    * θ = min(θ_A, θ_B). Below θ each sketch retains EVERY hash of its
+    * distinct set, so sketch membership IS set membership on the
+    * surviving region and the anti-join is exact there — the same
+    * argument that makes the intersection unbiased. DIRECTED pairs
+    * (g_a ≠ g_b — A∖B and B∖A differ); every relation ≤ k·L rows, so
+    * the pairwise matrix never rescans the corpus. */
+  def kmvDifference(bottom: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val theta = bottom.groupBy(col(groupCol))
+      .agg(max(col("h")).as("h_k"), count(lit(1)).as("k_eff"))
+      .select(col(groupCol),
+        expr(s"case when k_eff < $k then ${M}L else h_k end").as("theta"))
+    val pairs = theta.select(col(groupCol).as("g_a"), col("theta").as("th_a"))
+      .crossJoin(theta.select(col(groupCol).as("g_b"), col("theta").as("th_b")))
+      .filter(col("g_a") =!= col("g_b"))
+      .select(col("g_a"), col("g_b"),
+        least(col("th_a"), col("th_b")).as("theta"))
+    val kept = bottom.select(col(groupCol).as("g_a"), col("h"))
+      .join(pairs, Seq("g_a"))
+      .filter(col("h") < col("theta"))
+      .join(bottom.select(col(groupCol).as("g_b"), col("h")),
+        Seq("g_b", "h"), "left_anti")
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("n_kept"))
+    pairs.join(kept, Seq("g_a", "g_b"), "left_outer")
+      .select(col("g_a"), col("g_b"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        expr(s"(coalesce(n_kept, 0L) * ${M}L) div theta").as("n_est"))
+  }
+
   /** [[kmvIntersect]] for sketches keyed by 32-char lowercase MD5 hex
     * strings (`h` column) — the variant for set elements WIDER than
     * ~31 bits that still has to replay in an oracle: fixed-width hex

@@ -728,6 +728,50 @@ object StreamQueries {
         .orderBy($"type_a", $"type_b")
     },
 
+    "evt_kmv_diff" -> { (s, d) =>
+      import s.implicits._
+      // Theta-sketch A-NOT-B (Sketches.kmvDifference) — the
+      // difference operation CLOSING the sketch set algebra
+      // (cardinality = evt_kmv_distinct, ∩ = evt_kmv_intersect, ∖ =
+      // here, the same completion move idx_bitmap_not made for the
+      // bitmap algebra): "how many distinct users did X but never Y"
+      // for every DIRECTED type pair, from the same one-corpus-pass
+      // bottom-k sketches — every pairwise relation is ≤ k·L sketch
+      // rows. Same affine hash ⇒ the oracle replays the sketches
+      // hash-for-hash; the exact per-pair difference rides along as
+      // the GATE-ONLY error witness (the corpus anti-join lives here,
+      // never in the production entry point).
+      val k = 64
+      val bottom = Sketches.kmvSketch(
+        Tables.events(s, d).select($"event_type", $"user_id"),
+        "user_id", Seq("event_type"), k)
+        .localCheckpoint(true)
+      val sk = Sketches.kmvDifference(bottom, "event_type", k)
+        .withColumnRenamed("g_a", "type_a").withColumnRenamed("g_b", "type_b")
+      // exact witness via inclusion-exclusion: |A∖B| = |A| − |A∩B|
+      // (one distinct pass + one self-join — gate-only; the
+      // production entry point never touches the corpus pairwise)
+      val exactTu = Tables.events(s, d)
+        .select($"event_type", $"user_id").distinct()
+      val perType = exactTu.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_a"))
+      val inter = exactTu.select($"event_type".as("type_a"), $"user_id")
+        .join(exactTu.select($"event_type".as("type_b"), $"user_id"),
+          Seq("user_id"))
+        .filter($"type_a" =!= $"type_b")
+        .groupBy($"type_a", $"type_b").agg(count(lit(1)).as("n_both"))
+      val exactDiff = perType.select($"event_type".as("type_a"), $"n_a")
+        .crossJoin(perType.select($"event_type".as("type_b")))
+        .filter($"type_a" =!= $"type_b")
+        .join(inter, Seq("type_a", "type_b"), "left_outer")
+        .select($"type_a", $"type_b",
+          ($"n_a" - coalesce($"n_both", lit(0L))).as("n_exact"))
+      sk.join(exactDiff, Seq("type_a", "type_b"), "left_outer")
+        .select($"type_a", $"type_b", $"n_kept", $"n_est",
+          coalesce($"n_exact", lit(0L)).as("n_exact"))
+        .orderBy($"type_a", $"type_b")
+    },
+
     "evt_quantile_hist" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -1422,6 +1466,48 @@ object StreamQueries {
         |FROM pairs p
         |LEFT JOIN m ON m.type_a = p.type_a AND m.type_b = p.type_b
         |LEFT JOIN ex ON ex.type_a = p.type_a AND ex.type_b = p.type_b
+        |ORDER BY p.type_a, p.type_b""".stripMargin,
+
+    "evt_kmv_diff" ->
+      // the A-NOT-B sketches replayed hash-for-hash: bottom-64 per
+      // type, θ = min pairwise, kept = A's sub-θ hashes anti-joined
+      // against B, scaled by M/θ; exact witness by |A| − |A∩B|
+      """WITH tu AS (SELECT DISTINCT event_type,
+        |    ((user_id % 2147483647) * 2654435761 + 97) % 2147483647 AS h
+        |  FROM events),
+        |bottom AS (SELECT event_type, h FROM (
+        |    SELECT event_type, h,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS r
+        |    FROM tu) WHERE r <= 64),
+        |theta AS (SELECT event_type,
+        |    CASE WHEN COUNT(*) < 64 THEN 2147483647 ELSE MAX(h) END AS theta
+        |  FROM bottom GROUP BY event_type),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    LEAST(a.theta, b.theta) AS theta
+        |  FROM theta a JOIN theta b ON a.event_type <> b.event_type),
+        |kept AS (SELECT p.type_a, p.type_b, COUNT(*) AS n_kept
+        |  FROM pairs p
+        |  JOIN bottom a ON a.event_type = p.type_a AND a.h < p.theta
+        |  WHERE NOT EXISTS (SELECT 1 FROM bottom b
+        |    WHERE b.event_type = p.type_b AND b.h = a.h)
+        |  GROUP BY 1, 2),
+        |na AS (SELECT event_type, COUNT(*) AS n_a
+        |  FROM (SELECT DISTINCT event_type, user_id FROM events)
+        |  GROUP BY event_type),
+        |nboth AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    COUNT(*) AS n_both
+        |  FROM (SELECT DISTINCT event_type, user_id FROM events) a
+        |  JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+        |    ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b,
+        |  COALESCE(k.n_kept, 0) AS n_kept,
+        |  (COALESCE(k.n_kept, 0) * 2147483647) // p.theta AS n_est,
+        |  na.n_a - COALESCE(nb.n_both, 0) AS n_exact
+        |FROM pairs p
+        |LEFT JOIN kept k ON k.type_a = p.type_a AND k.type_b = p.type_b
+        |JOIN na ON na.event_type = p.type_a
+        |LEFT JOIN nboth nb ON nb.type_a = p.type_a AND nb.type_b = p.type_b
         |ORDER BY p.type_a, p.type_b""".stripMargin,
 
     "evt_quantile_hist" ->

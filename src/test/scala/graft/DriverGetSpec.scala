@@ -593,6 +593,31 @@ class DriverGetSpec extends AnyFunSuite {
       Thread.sleep(800)
       assert(jobs == before, "driver phrase search scheduled Spark jobs")
     } finally spark.sparkContext.removeSparkListener(listener2)
+    // PREFIX serving: one term-range seek per artifact — agrees with
+    // the Spark prefix search through the same segmented view, and a
+    // merge-only prefix proves the segment arm; zero jobs on the warm
+    // path like its siblings
+    def sparkPrefix(pre: String): Seq[Long] =
+      graft.index.FullText.searchPrefix(cat.table("ftd").df, "k",
+          cat.indexData("ftd", "ft", "fulltext"), pre)
+        .select(col("k")).collect().map(_.getLong(0)).toSeq.sorted
+    for (pre <- Seq("graf", "tom", "spar", "z")) {
+      assert(cat.driverFtPrefix("ftd", "ft", pre)
+        .map(_.asInstanceOf[Long]).sorted == sparkPrefix(pre),
+        s"driver/Spark prefix divergence for '$pre'")
+    }
+    assert(cat.driverFtPrefix("ftd", "ft", "graf")
+      .map(_.asInstanceOf[Long]).toSet == Set(5L, 900001L))
+    val listener3 = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobs += 1
+    }
+    val before3 = jobs
+    spark.sparkContext.addSparkListener(listener3)
+    try {
+      assert(cat.driverFtPrefix("ftd", "ft", "graf").nonEmpty)
+      Thread.sleep(800)
+      assert(jobs == before3, "driver prefix search scheduled Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(listener3)
   }
 
   test("manifest rowkey blooms veto point-get misses before any footer read") {

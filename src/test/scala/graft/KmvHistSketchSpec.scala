@@ -92,6 +92,46 @@ class KmvHistSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("theta A-NOT-B is EXACT while both sketches are underfull, directed both ways") {
+    import spark.implicits._
+    // same planted overlap as the intersection law: view = 1..40,
+    // purchase = 21..80, overlap 20 — underfull sketches (θ = M) make
+    // the difference estimate exact, and the operation is DIRECTED:
+    // |view∖purchase| = 20, |purchase∖view| = 40
+    val rows = ((1L to 40L).map(u => ("view", u)) ++
+      (21L to 80L).map(u => ("purchase", u)))
+      .zipWithIndex.map { case ((t, u), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          u, t, 1.0, "{}")
+      }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_thetadiff").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("evt_kmv_diff")(spark, dir).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        (r.getAs[Long]("n_est"), r.getAs[Long]("n_exact"))).toMap
+    assert(out.size == 2, s"expected both directed pairs, got $out")
+    assert(out(("view", "purchase")) == ((20L, 20L)), out.toString)
+    assert(out(("purchase", "view")) == ((40L, 40L)), out.toString)
+  }
+
+  test("theta A-NOT-B estimates land in a loose k=64 envelope on real pairs") {
+    import spark.implicits._
+    val out = SparkEntry.queries("evt_kmv_diff")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // difference error grows as the kept sample shrinks; gate pairs
+    // with real support, like the intersection envelope
+    out.filter(r => r.getAs[Long]("n_exact") >= 50 &&
+        r.getAs[Long]("n_kept") >= 10).foreach { r =>
+      val est = r.getAs[Long]("n_est").toDouble
+      val exact = r.getAs[Long]("n_exact").toDouble
+      assert(math.abs(est - exact) / exact < 0.6,
+        s"${r.getAs[String]("type_a")}∖${r.getAs[String]("type_b")}: " +
+          s"est $est vs exact $exact strayed >60%")
+    }
+  }
+
   test("histogram quantile error is bounded by one bucket width") {
     import spark.implicits._
     val got = SparkEntry.queries("evt_quantile_hist")(spark, sf).collect()
