@@ -25,6 +25,13 @@ object FullText {
     * divergence between them makes phrase/term queries silently miss. */
   private val TokenPattern = "[^a-z0-9]+"
 
+  /** Doc-id block width (2^BlockBits docs per block) for the block-max
+    * family — ONE constant shared by the summary builders below and
+    * the driver-side ranked read path (Catalog.driverFtTopK), which
+    * reconstructs doc ranges from persisted block ids: a divergence
+    * between build and read would silently mis-prune whole blocks. */
+  val BlockBits: Int = 6
+
   /** Lowercase alnum tokenizer — deliberately simple and replicable in
     * the DuckDB oracle (string_split_regex with the same pattern).
     * Runs as the native single-pass kernel (plans.TokensExpr, output
@@ -178,6 +185,86 @@ object FullText {
     * of paying the explode-the-corpus pass twice. */
   def postingsFromPositional(positional: DataFrame): DataFrame =
     positional.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+
+  /** [[buildPositional]] carrying the per-doc ANALYZED token count on
+    * every exploded row: (doc_id, term, pos, dl). Positions keep their
+    * ORIGINAL offsets (the StopFilter position-increment contract
+    * [[buildPositional]] documents — the filter runs AFTER posexplode);
+    * dl is the surviving-token count, computed on the token ARRAY
+    * before the explode (for `english`, the stopword-filtered size —
+    * stemming never changes the count), so dl == Σ tf over the doc's
+    * analyzed postings by construction. Carrying dl on the rows is
+    * what lets the ranked-serving artifacts (norms + block stats)
+    * derive with NO postings⋈doclens join and no corpus-wide window —
+    * the dominant cost of the round-18 index backfill. */
+  def buildPositionalWithDl(docs: DataFrame, idCol: String, textCol: String,
+                            analyzer: String = "standard"): DataFrame = {
+    require(Analyzers.contains(analyzer), s"unknown analyzer $analyzer")
+    val toks = tokenize(col(textCol))
+    val dl =
+      if (analyzer == "english")
+        size(filter(toks, t => !t.isin(StopWordsEn.toSeq: _*)))
+      else size(toks)
+    val base = docs.select(col(idCol).as("doc_id"), dl.cast("long").as("dl"),
+        posexplode(toks))
+      .select(col("doc_id"), col("col").as("term"), col("pos"), col("dl"))
+    if (analyzer == "english") analyzeTermCol(base) else base
+  }
+
+  /** Postings carrying dl: (term, doc_id, tf, dl) from the dl-carrying
+    * positional frame — the per-doc token count rides the SAME
+    * (term, doc) aggregation (dl is constant per doc), so downstream
+    * artifact builds never join back to a norms frame. */
+  def postingsWithDl(positionalDl: DataFrame): DataFrame =
+    positionalDl.groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+
+  /** Norms frame (doc_id, dl) from dl-carrying postings: one
+    * first-value aggregation, no sum and no join — byte-identical to
+    * [[buildDocLens]] of the same postings because dl == Σ tf per doc
+    * by [[buildPositionalWithDl]] construction. */
+  def doclensFromPostings(postingsDl: DataFrame): DataFrame =
+    postingsDl.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+
+  /** [[buildBlockStats]] when the postings already carry dl: the
+    * scalar-free (max_tf, min_dl) block summary is ONE aggregation
+    * over the postings — the join the two-frame form pays (and the
+    * round-18 backfill regression) disappears. */
+  def buildBlockStatsWithDl(postingsDl: DataFrame,
+                            blockBits: Int = BlockBits): DataFrame =
+    postingsDl
+      .withColumn("block",
+        shiftrightunsigned(col("doc_id").cast("long"), blockBits))
+      .groupBy("term", "block")
+      .agg(max(col("tf")).cast("long").as("max_tf"),
+        min(col("dl")).cast("long").as("min_dl"))
+
+  /** Unit-cost Levenshtein distance — the driver-side replica of
+    * Spark's `levenshtein` function (and DuckDB's), shared with the
+    * fuzzy serving path (Catalog.driverFtFuzzy) so driver-side
+    * expansion and the Spark path's [[searchFuzzy]] can never
+    * disagree on which dictionary terms a query matches. Two-row DP,
+    * O(|a|·|b|) — bounded by dictionary term lengths. */
+  def editDistance(a: String, b: String): Int = {
+    if (a == b) return 0
+    if (a.isEmpty) return b.length
+    if (b.isEmpty) return a.length
+    var prev = Array.tabulate(b.length + 1)(identity)
+    var cur = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      var j = 1
+      while (j <= b.length) {
+        val sub = prev(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(b.length)
+  }
 
   /** Phrase search: docs containing the tokens of `phrase` adjacently
     * in order. Postings for term i are self-joined requiring
@@ -391,7 +478,7 @@ object FullText {
     * once, amortized over every ranked query. */
   def buildBlockMax(postings: DataFrame, doclens: DataFrame,
                     dictionary: DataFrame, nDocs: Long, avgdl: Double,
-                    blockBits: Int = 6, k1: Double = 1.2,
+                    blockBits: Int = BlockBits, k1: Double = 1.2,
                     b: Double = 0.75): DataFrame = {
     require(nDocs > 0 && avgdl > 0, "block-max needs a non-empty corpus")
     val idf = log(lit(1.0) +
@@ -423,7 +510,7 @@ object FullText {
     * summary. Derived from the persisted postings/norms frames alone;
     * cost ∝ |postings|, once per backfill/fold/refresh. */
   def buildBlockStats(postings: DataFrame, doclens: DataFrame,
-                      blockBits: Int = 6): DataFrame =
+                      blockBits: Int = BlockBits): DataFrame =
     postings.join(doclens, "doc_id")
       .withColumn("block",
         shiftrightunsigned(col("doc_id").cast("long"), blockBits))
@@ -459,7 +546,7 @@ object FullText {
                                   nDocs: Long, avgdl: Double,
                                   terms: Seq[String], k: Int,
                                   k1: Double = 1.2, b: Double = 0.75,
-                                  blockBits: Int = 6, seedBlocks: Int = 4)
+                                  blockBits: Int = BlockBits, seedBlocks: Int = 4)
       : (DataFrame, DataFrame, DataFrame) = {
     require(terms.nonEmpty, "empty term list")
     require(nDocs > 0 && avgdl > 0, "BM25 needs a non-empty corpus")
@@ -490,7 +577,7 @@ object FullText {
   def bm25WandTopK(postings: DataFrame, dictionary: DataFrame,
                    doclens: DataFrame, blockmax: DataFrame, nDocs: Long,
                    avgdl: Double, terms: Seq[String], k: Int,
-                   k1: Double = 1.2, b: Double = 0.75, blockBits: Int = 6,
+                   k1: Double = 1.2, b: Double = 0.75, blockBits: Int = BlockBits,
                    seedBlocks: Int = 4): DataFrame =
     bm25WandPlan(postings, dictionary, doclens, blockmax, nDocs, avgdl,
       terms, k, k1, b, blockBits, seedBlocks)._1

@@ -428,6 +428,52 @@ object IndexQueries {
         .orderBy($"score".desc, $"k")
     },
 
+    "ft_ms_fuzzy" -> { (s, d) =>
+      import s.implicits._
+      // Driver-side FUZZY serving (the Lucene FuzzyQuery analog — the
+      // LAST member of the query family to serve driver-side): the
+      // edit-distance-1 expansion runs as ONE range seek of the
+      // (tlen, term)-sorted fuzzy sidecar's [|q|−1, |q|+1] bands
+      // (levenshtein ≥ length difference makes the band lossless),
+      // candidates verify with the shared edit-distance kernel,
+      // dictdelta patches fold on top, and matched terms union doc-ids
+      // through the segmented postings stack — zero Spark jobs
+      // (DriverGetSpec pins jobs, Spark-path hash-equality, CDC
+      // freshness, and rows-read ≪ vocabulary). Probes: 'graff' (one
+      // edit from the MERGE-ONLY 'graft' — the match exists only via
+      // the delta fold) and 'vectr' (one edit from corpus terms).
+      val cat = ftMsCatalog(s, d)
+      val rows = Seq(
+        "graff" -> "graff",
+        "vectr" -> "vectr").flatMap { case (probe, t) =>
+        cat.driverFtFuzzy("ftdocs", "ft", t, maxEdits = 1)
+          .map(k => (probe, k.asInstanceOf[Long]))
+      }
+      rows.toDF("probe", "k").orderBy($"probe", $"k")
+    },
+
+    "ft_ms_or_topk" -> { (s, d) =>
+      import s.implicits._
+      // Driver-side RANKED DISJUNCTIVE serving — the Lucene
+      // BooleanQuery-SHOULD scored form of ft_ms_or (which returns the
+      // match SET): BM25 top-k over docs containing ANY query term.
+      // The set-based block-max WAND (Catalog.driverFtTopK) is
+      // disjunctive by construction — per-block upper bound = Σ over
+      // query terms present in the block, seeds = best blocks by that
+      // sum — so this key makes the OR-mode scoring contract an
+      // explicit gate on a SKEWED term pair: 'spark' (common corpus
+      // term) + 'graft' (merge-only, lives ONLY in the CDC segment),
+      // so the ranking provably fuses base + segment − tombstone and
+      // the oracle is the exhaustive OR-mode scorer, hash-for-hash.
+      // DriverGetSpec pins zero jobs + blocksRead < blocksTotal on a
+      // skewed corpus.
+      val cat = ftMsCatalog(s, d)
+      cat.driverFtTopK("ftdocs", "ft", Seq("spark", "graft"), 10)
+        .map { case (id, score) => (id.asInstanceOf[Long], score) }
+        .toDF("k", "score")
+        .orderBy($"score".desc, $"k")
+    },
+
     "ft_ms_phrase" -> { (s, d) =>
       import s.implicits._
       // Driver-side PHRASE serving (the Lucene PhraseQuery analog,
@@ -636,6 +682,60 @@ object IndexQueries {
         |df AS (
         |  SELECT term, COUNT(DISTINCT k) AS df FROM toks
         |  WHERE term IN ('engine','merge') GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM dl),
+        |ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / (SELECT COUNT(*) FROM dl) AS avgdl FROM dl)
+        |SELECT tf.k,
+        |  ROUND(SUM(
+        |    ln(1 + (CAST(n.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)) *
+        |    (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / ad.avgdl))
+        |  ), 4) AS score
+        |FROM tf JOIN df USING (term) JOIN dl ON tf.k = dl.k
+        |CROSS JOIN n CROSS JOIN ad
+        |GROUP BY tf.k
+        |ORDER BY score DESC, tf.k LIMIT 10""".stripMargin,
+
+    "ft_ms_fuzzy" ->
+      // exact Levenshtein over the token arrays of the same planted
+      // segmented corpus — the driver's length-band seek and delta
+      // fold must be invisible in the result
+      """WITH t AS (
+        |  SELECT doc_id AS k,
+        |    CASE WHEN doc_id = 5 THEN 'graft segment merge engine' ELSE text END AS body
+        |  FROM documents WHERE doc_id < 300
+        |  UNION ALL SELECT CAST(900001 AS BIGINT), 'graft posting engine'),
+        |m AS (SELECT k, list_filter(
+        |    string_split_regex(lower(body), '[^a-z0-9]+'),
+        |    x -> length(x) > 0) AS toks FROM t)
+        |SELECT probe, k FROM (
+        |  SELECT 'graff' AS probe, k FROM m
+        |  WHERE len(list_filter(toks, x -> levenshtein(x, 'graff') <= 1)) > 0
+        |  UNION ALL
+        |  SELECT 'vectr' AS probe, k FROM m
+        |  WHERE len(list_filter(toks, x -> levenshtein(x, 'vectr') <= 1)) > 0)
+        |ORDER BY probe, k""".stripMargin,
+
+    "ft_ms_or_topk" ->
+      // exhaustive OR-mode BM25 over the same planted segmented corpus
+      // (the ft_ms_topk oracle shape with the skewed term pair) — the
+      // driver's disjunctive WAND pruning must be invisible in the
+      // result, hash-for-hash
+      """WITH t AS (
+        |  SELECT doc_id AS k,
+        |    CASE WHEN doc_id = 5 THEN 'graft segment merge engine' ELSE text END AS body
+        |  FROM documents WHERE doc_id < 300
+        |  UNION ALL SELECT CAST(900001 AS BIGINT), 'graft posting engine'),
+        |toks AS (
+        |  SELECT k, unnest(list_filter(
+        |    string_split_regex(lower(body), '[^a-z0-9]+'),
+        |    x -> length(x) > 0)) AS term
+        |  FROM t),
+        |dl AS (SELECT k, COUNT(*) AS dl FROM toks GROUP BY k),
+        |tf AS (
+        |  SELECT k, term, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('spark','graft') GROUP BY k, term),
+        |df AS (
+        |  SELECT term, COUNT(DISTINCT k) AS df FROM toks
+        |  WHERE term IN ('spark','graft') GROUP BY term),
         |n AS (SELECT COUNT(*) AS n FROM dl),
         |ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / (SELECT COUNT(*) FROM dl) AS avgdl FROM dl)
         |SELECT tf.k,

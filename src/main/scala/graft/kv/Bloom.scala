@@ -21,15 +21,23 @@ import org.apache.spark.sql.expressions.Aggregator
   * splitmix64-finalizer second hash — ONE cross-engine hash to keep in
   * agreement, everything after it is shared code in this object.
   *
-  * Sizing: `mBits` is a per-file constant (conf
-  * `spark.graft.manifest.bloomBits`, default 2^17 = 16 KiB per file,
-  * k = 7). At the 128 MB/~1M-row file the scale design assumes, 16 KiB
-  * is ~0.13 bits/key — production sizes the knob up (10 bits/key ⇒
-  * ~1% false positives) or moves the bitsets to a per-file sidecar
-  * like HFile does; the manifest JSON carries base64, so the format
-  * already supports either. A false positive only costs the footer
-  * read the bloom tried to save — never correctness. */
-private[kv] object BloomBits {
+  * Sizing is PER-KEY, like HBase's io.storefile.bloom sizing: the
+  * aggregation builds every file's filter at a power-of-two cap
+  * (conf `spark.graft.manifest.bloomMaxBits`, default 2^23) and the
+  * manifest writer folds each file's bitset down ([[BloomBits.foldTo]]
+  * — lossless for the double-hash positions) to the smallest power of
+  * two ≥ rows × bits-per-key (conf
+  * `spark.graft.manifest.bloomBitsPerKey`, default 10 ⇒ ~1% FPR with
+  * k = 7), so the gate corpus and a 100-TB corpus get the same
+  * false-positive rate; at the cap (≥ ~800k rows/file) the FPR
+  * degrades gracefully instead of the filter growing unboundedly.
+  * Setting the legacy flat knob `spark.graft.manifest.bloomBits`
+  * overrides all of this with a fixed per-file size. At production
+  * file counts the bitsets belong in a per-file sidecar like HFile's
+  * bloom blocks; the manifest JSON carries base64 either way. A false
+  * positive only costs the footer read the bloom tried to save —
+  * never correctness. */
+private[graft] object BloomBits {
   val Hashes = 7
 
   /** splitmix64 finalizer — the second hash of the double-hash scheme,
@@ -68,6 +76,37 @@ private[kv] object BloomBits {
       (bits(p >>> 3) & (1 << (p & 7))) != 0
     }
   }
+
+  /** Fold a POWER-OF-TWO-sized filter down to `targetBits` (also a
+    * power of two): position p in the large filter maps to
+    * p mod targetBits — byte-wise, out[i mod outLen] |= in[i]. The
+    * membership law is preserved exactly because the position recipe
+    * reduces the (non-negative) combined hash mod m, and
+    * (h mod 2^a) mod 2^b = h mod 2^b for b ≤ a — so a probe against
+    * the folded filter (whose m comes from its array length) agrees
+    * with building at the small size directly. This is what lets ONE
+    * aggregation pass build every file's filter at the size cap and
+    * size each file's PERSISTED filter from its own row count
+    * afterwards (bits-per-key sizing, scale-invariant FPR). */
+  def foldTo(bits: Array[Byte], targetBits: Int): Array[Byte] = {
+    require(targetBits >= 8 && Integer.bitCount(targetBits) == 1,
+      s"target bloom size must be a power of two >= 8 bits: $targetBits")
+    val outLen = targetBits / 8
+    if (bits.length <= outLen) return bits
+    require(bits.length % outLen == 0,
+      s"can only fold power-of-two sizes: ${bits.length * 8} -> $targetBits")
+    val out = new Array[Byte](outLen)
+    var i = 0
+    while (i < bits.length) {
+      out(i % outLen) = (out(i % outLen) | bits(i)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Smallest power of two ≥ x (x ≥ 1). */
+  def nextPow2(x: Long): Long =
+    if (x <= 1L) 1L else java.lang.Long.highestOneBit(x - 1L) << 1
 }
 
 /** Bitset-OR aggregator over pre-hashed keys (input = `xxhash64(key)`

@@ -607,20 +607,6 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
   }
 
-  /** One manifest entry: per-file bounds of the LEADING key, plus —
-    * for z-ordered tables — the SECOND key's bounds (`second`), so a
-    * driver range scan on either z dimension prunes from the one
-    * manifest read instead of opening O(files) footers cold. None =
-    * written before the second-key upgrade or not a z table; such an
-    * entry is never pruned on the second key (footers stand in).
-    * `bloom` is the per-file rowkey Bloom bitset (the HBase StoreFile
-    * BloomFilter ROW analog — see [[BloomBits]]): a driver point Get
-    * whose keys all miss it skips the file BEFORE any footer read.
-    * None (pre-upgrade entries, unsupported key types) never vetoes. */
-  private[graft] case class FileRange(file: String, lo: Any, hi: Any,
-                                      second: Option[(Any, Any)] = None,
-                                      bloom: Option[Array[Byte]] = None)
-
   /** (touched, untouched) split of file ranges against a patch-key
     * set: the keys are sorted once and each file's [lo,hi] does ONE
     * binary search — O((F+K)·log K) driver CPU. The naive nested scan
@@ -676,14 +662,32 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         case LongType | IntegerType | StringType => true
         case _ => false
       }
-    val mBits = spark.conf.getOption("spark.graft.manifest.bloomBits")
-      .map(_.toInt).getOrElse(1 << 17)
+    // bloom sizing (see BloomBits' scaladoc): build every file's
+    // filter at the power-of-two cap in the ONE aggregation pass,
+    // fold each down to its own row count × bits-per-key afterwards —
+    // per-key sizing keeps the false-positive rate scale-invariant
+    // where a flat constant is all-pass at the 1M-row design point.
+    // The legacy flat knob, when set, disables per-key sizing.
+    val flatBits = spark.conf.getOption("spark.graft.manifest.bloomBits")
+      .map(_.toInt)
+    val bitsPerKey = spark.conf
+      .getOption("spark.graft.manifest.bloomBitsPerKey")
+      .map(_.toInt).getOrElse(10)
+    val maxBits = flatBits.getOrElse {
+      val m = spark.conf.getOption("spark.graft.manifest.bloomMaxBits")
+        .map(_.toInt).getOrElse(1 << 23)
+      require(m >= 1024 && Integer.bitCount(m) == 1,
+        s"spark.graft.manifest.bloomMaxBits must be a power of two >= 1024: $m")
+      m
+    }
     val keyCols = fcol(keyCol).as("k") +: secondCol.map(c => fcol(c).as("k2")).toSeq
     val hashCols = if (bloomable) Seq(xxhash64(fcol(keyCol)).as("kh")) else Nil
-    val aggs = Seq(fmin("k").as("lo"), fmax("k").as("hi")) ++
+    val aggs = Seq(fmin("k").as("lo"), fmax("k").as("hi"),
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt")) ++
       secondCol.toSeq.flatMap(_ => Seq(fmin("k2").as("lo2"), fmax("k2").as("hi2"))) ++
       (if (bloomable)
-        Seq(udaf(new BloomAgg(mBits),
+        Seq(udaf(new BloomAgg(maxBits),
           org.apache.spark.sql.Encoders.scalaLong)(fcol("kh")).as("kbloom"))
       else Nil)
     df0.select(keyCols ++ hashCols :+ input_file_name().as("f"): _*)
@@ -693,7 +697,15 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         val second = secondCol.map(_ =>
           (canonKey(r.getAs[Any]("lo2")), canonKey(r.getAs[Any]("hi2"))))
         val bloom =
-          if (bloomable) Option(r.getAs[Array[Byte]]("kbloom")) else None
+          if (!bloomable) None
+          else Option(r.getAs[Array[Byte]]("kbloom")).map { bits =>
+            if (flatBits.isDefined) bits
+            else {
+              val target = math.min(maxBits.toLong, math.max(1L << 10,
+                BloomBits.nextPow2(r.getAs[Long]("cnt") * bitsPerKey)))
+              BloomBits.foldTo(bits, target.toInt)
+            }
+          }
         FileRange(fname, canonKey(r.getAs[Any]("lo")),
           canonKey(r.getAs[Any]("hi")), second, bloom)
       }
@@ -724,9 +736,20 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * the next merge rewrites the file. Failing instead would wedge
     * every subsequent merge of the table on a scrap of bookkeeping. */
   private def readManifestJson(dir: Path): Option[Seq[FileRange]] =
-    if (!Files.exists(manifestFile(dir))) None
-    else try {
-      val root = mapper.readTree(Files.readString(manifestFile(dir)))
+    try {
+      if (!Files.exists(manifestFile(dir))) None
+      else ManifestCache.cached(manifestFile(dir)) {
+        parseManifestJson(manifestFile(dir))
+      }
+    } catch {
+      // the file can vanish between the existence check and the
+      // cache's size/mtime stat (vacuumed snapshot) — absent, not fatal
+      case _: java.io.IOException => None
+    }
+
+  private def parseManifestJson(f: Path): Option[Seq[FileRange]] =
+    try {
+      val root = mapper.readTree(Files.readString(f))
       if (root == null || !root.isArray) return None
       Some(root.elements().asScala.map { e =>
         def v(n: JsonNode): Any =
@@ -922,6 +945,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         val baseVer = indexBaseVersion(baseData)
         val keep = Set(baseData.getFileName.toString,
           resolveIndexVersioned(dir, "dict", liveV).getFileName.toString,
+          // the fuzzy sidecar folds with the dict stack — keep the one
+          // the live version resolves (deltas above it still apply)
+          resolveIndexVersioned(dir, "fz", liveV).getFileName.toString,
           // vector artifacts pair at the DATA base's version
           // (vectorArtifacts), so retention keys off baseVer, not liveV
           resolveIndexVersioned(dir, "cent", baseVer).getFileName.toString,
@@ -945,6 +971,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
               n.startsWith("cent") || n.startsWith("vmeta") ||
               n.startsWith("pos") || n.startsWith("graph") ||
               n.startsWith("norm") || n.startsWith("bmx") ||
+              n.startsWith("fz") ||
               n.startsWith("seg_v") || n.startsWith("tomb_v") ||
               n.startsWith("dictdelta_v") ||
               // fold/refresh staging dirs stranded by a crash mid-build
@@ -1014,7 +1041,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     Seq("seg_v", "tomb_v", "dictdelta_v", "posseg_v", "normseg_v")
   private final val IndexDirPrefixes =
     Seq("data_v", "dict_v", "pos_v", "cent_v", "vmeta_v", "graph_v",
-      "norms_v", "bmx_v") ++ SegmentDirPrefixes
+      "norms_v", "bmx_v", "fz_v") ++ SegmentDirPrefixes
 
   /** Version carried by a segment/tombstone/dict-delta dir name, if any. */
   private def segmentVersion(dirName: String): Option[Int] =
@@ -1340,13 +1367,23 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         // the view would resolve it as its own base and the write
         // below would read from its own output path (Spark refuses, so
         // every retry would fail and wedge CDC on this table).
-        Seq(s"dict_v$upTo", s"pos_v$upTo", s"norms_v$upTo", s"bmx_v$upTo")
+        Seq(s"dict_v$upTo", s"pos_v$upTo", s"norms_v$upTo", s"bmx_v$upTo",
+            s"fz_v$upTo")
           .foreach { n =>
             val orphan = dir.resolve(n)
             if (Files.exists(orphan)) deleteRecursively(orphan)
           }
+        val foldedDict = dictSegView(dir, upTo)
         stageArtifact(s"dict_v$upTo") { p =>
-          KvLayout.writeSorted(dictSegView(dir, upTo), Seq("term"), p)
+          KvLayout.writeSorted(foldedDict, Seq("term"), p)
+        }
+        // the fuzzy sidecar folds WITH the dict (same rows, (tlen,
+        // term) layout): its version number alone pairs it with the
+        // deltas still to apply, so a crash between the two renames
+        // leaves both self-consistent (driverFtFuzzy folds deltas
+        // above the fz base's OWN version)
+        stageArtifact(s"fz_v$upTo") { p =>
+          writeFtFuzzy(foldedDict, p, partitions = 0)
         }
         // an index built before positional support has no pos base —
         // the fold must not throw from the CDC write path (it would
@@ -1734,6 +1771,20 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       .analyzeTerms(terms, indexAnalyzer(table, indexName)).distinct
     require(analyzed.nonEmpty,
       "every query term is a stopword under this analyzer")
+    val perDoc = driverFtPerDoc(table, dir, analyzed, maxPostings)
+    perDoc.collect { case (id, ts)
+      if (if (requireAll) ts.size == analyzed.size else ts.nonEmpty) => id }
+      .toSeq.sortBy(_.toString)
+  }
+
+  /** The shared boolean-serving core: per-doc matched-term sets for a
+    * list of ALREADY-ANALYZED terms, seeked from the segmented
+    * postings stack (base + seg_v − tomb_v masks) on the calling
+    * thread — [[driverFtSearch]]/[[driverFtSearchAny]]/[[driverFtFuzzy]]
+    * differ only in how they combine these sets. */
+  private def driverFtPerDoc(table: String, dir: Path, terms: Seq[String],
+                             maxPostings: Int)
+      : scala.collection.Map[Any, scala.collection.Set[String]] = {
     val live = dataVersionOf(table)
     val base = resolveIndexVersioned(dir, "data", live)
     val baseVer = indexBaseVersion(base)
@@ -1750,7 +1801,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     }
     def maskedAt(v: Int, docId: Any): Boolean =
       tombSets.exists { case (tv, s) => tv > v && s.contains(docId) }
-    val keys = analyzed.map(t => Seq(t: Any))
+    val keys = terms.map(t => Seq(t: Any))
     val perDoc = scala.collection.mutable.Map[Any, scala.collection.mutable.Set[String]]()
     var n = 0
     ((baseVer, base) +: segs).foreach { case (v, p) =>
@@ -1766,9 +1817,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
             scala.collection.mutable.Set[String]()) += r.getString(0)
       }
     }
-    perDoc.collect { case (id, ts)
-      if (if (requireAll) ts.size == analyzed.size else ts.nonEmpty) => id }
-      .toSeq.sortBy(_.toString)
+    perDoc
   }
 
   /** Driver-side PREFIX serving — the Lucene PrefixQuery analog
@@ -1823,6 +1872,92 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         }
     }
     out.toSeq.sortBy(_.toString)
+  }
+
+  /** Driver-side FUZZY serving — the Lucene FuzzyQuery analog, the
+    * last member of the query family (term/AND/OR/prefix/phrase/
+    * ranked all serve driver-side): docs containing any term within
+    * `maxEdits` Levenshtein distance of the query term, zero Spark
+    * jobs. Expansion runs against the FUZZY SIDECAR (`fz`, the
+    * dictionary laid out sorted by (tlen, term) — [[writeFtFuzzy]]):
+    * levenshtein(a,b) ≥ |len(a)−len(b)|, so ONE range seek of the
+    * tlen ∈ [|q|−k, |q|+k] bands is lossless and reads a few length
+    * bands instead of the vocabulary (the Lucene term-automaton
+    * length constraint as a physical layout; the term-sorted dict
+    * could only serve this as a full scan). Candidates verify with
+    * the shared edit-distance kernel (FullText.editDistance — the
+    * same distance Spark's `levenshtein` and the oracle compute);
+    * dictdelta_v patches fold on top by version number, so
+    * merge-born terms match and fully-deleted terms (live df ≤ 0)
+    * never do. Matched terms then union doc-ids through the
+    * segmented postings stack exactly like [[driverFtSearchAny]].
+    * Like Lucene's FuzzyQuery (and the Spark path's searchFuzzy),
+    * the query term is normalized but NOT analyzed. */
+  def driverFtFuzzy(table: String, indexName: String, term: String,
+                    maxEdits: Int = 1, maxPostings: Int = 100000): Seq[Any] =
+    driverFtFuzzyStats(table, indexName, term, maxEdits, maxPostings)._1
+
+  /** [[driverFtFuzzy]] plus the banded-seek observable DriverGetSpec
+    * pins: the number of sidecar rows the band seek actually read
+    * (≪ vocabulary size — the point of the layout). */
+  private[graft] def driverFtFuzzyStats(table: String, indexName: String,
+                                        term: String, maxEdits: Int,
+                                        maxPostings: Int)
+      : (Seq[Any], Int) = {
+    val dir = indexDir(table, indexName, "fulltext")
+    require(Files.exists(dir), s"$table $indexName fulltext not exists")
+    val toks = graft.index.FullText.normTokens(term)
+    require(toks.length == 1,
+      s"fuzzy search takes ONE non-empty alnum term, got '$term'")
+    require(maxEdits >= 0 && maxEdits <= 2,
+      s"maxEdits must be 0..2 (the Lucene FuzzyQuery bound), got $maxEdits")
+    val q = toks.head
+    val live = dataVersionOf(table)
+    val fzBase = resolveIndexVersioned(dir, "fz", live)
+    require(Files.exists(fzBase),
+      s"no fuzzy dictionary sidecar under $dir — the index predates " +
+        "fuzzy serving; CALL system.refresh_index to rebuild")
+    val fzBaseVer = {
+      val n = fzBase.getFileName.toString
+      if (n.startsWith("fz_v"))
+        scala.util.Try(n.stripPrefix("fz_v").toInt).getOrElse(-1)
+      else -1
+    }
+    val fzSchema = StructType(Seq(
+      StructField("tlen", IntegerType, nullable = true),
+      StructField("term", StringType, nullable = true),
+      StructField("df", LongType, nullable = true)))
+    val band = DriverRead.range(fzBase, fzSchema, "tlen",
+      math.max(1, q.length - maxEdits), q.length + maxEdits,
+      maxPostings, Nil)
+    val dfAcc = scala.collection.mutable.Map[String, Long]()
+    band.foreach { r =>
+      val t = r.getString(1)
+      if (graft.index.FullText.editDistance(t, q) <= maxEdits)
+        dfAcc(t) = dfAcc.getOrElse(t, 0L) + r.getLong(2)
+    }
+    // patch-sized delta fold: terms born since the fz base (positive
+    // ddf — merge-inserted docs' new vocabulary) and terms dying
+    // (negative ddf — a term's every doc rewritten away reads as
+    // live df ≤ 0 and must not match)
+    val deltaSchema = StructType(Seq(
+      StructField("term", StringType, nullable = true),
+      StructField("ddf", LongType, nullable = true)))
+    versionedDirs(dir, "dictdelta_v", fzBaseVer, live).foreach { case (_, p) =>
+      DriverRead.readAll(p, deltaSchema, maxPostings).foreach { r =>
+        val t = r.getString(0)
+        if (math.abs(t.length - q.length) <= maxEdits &&
+            graft.index.FullText.editDistance(t, q) <= maxEdits)
+          dfAcc(t) = dfAcc.getOrElse(t, 0L) + r.getLong(1)
+      }
+    }
+    val matched = dfAcc.collect { case (t, d) if d > 0 => t }.toSeq
+    val ids =
+      if (matched.isEmpty) Nil
+      else driverFtPerDoc(table, dir, matched, maxPostings)
+        .collect { case (id, ts) if ts.nonEmpty => id }
+        .toSeq.sortBy(_.toString)
+    (ids, band.size)
   }
 
   /** Driver-side PHRASE search — [[driverFtSearch]]'s positional
@@ -2049,16 +2184,23 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     var nRead = 0
     val acc = scala.collection.mutable.Map[Any,
       scala.collection.mutable.Map[String, Long]]()
+    // budget charges each (doc, term) ONCE: the degrade-to-plain-seek
+    // branch below re-reads postings the seed pass already ingested
+    // (acc assignment is idempotent), and double-charging them could
+    // spuriously trip the contract error on a query near maxPostings
+    val charged = scala.collection.mutable.Set[(Any, String)]()
     def ingest(v: Int, rows: Seq[Row]): Unit = rows.foreach { r =>
-      nRead += 1
-      require(nRead <= maxPostings,
-        s"query matched more than $maxPostings postings — " +
-          "use the Spark search path")
       val id = r.get(1)
+      val t = r.getString(0)
+      if (charged.add((id, t))) {
+        nRead += 1
+        require(nRead <= maxPostings,
+          s"query matched more than $maxPostings postings — " +
+            "use the Spark search path")
+      }
       if (!maskedAt(v, id))
         acc.getOrElseUpdate(id,
-          scala.collection.mutable.Map[String, Long]())(r.getString(0)) =
-          r.getLong(2)
+          scala.collection.mutable.Map[String, Long]())(t) = r.getLong(2)
     }
     def round4(x: Double): Double =
       java.math.BigDecimal.valueOf(x)
@@ -2080,7 +2222,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       ingest(v, DriverRead.get(p, postSchema, Seq("term"),
         analyzed.map(t => Seq(t: Any)), manifest(p)))
     }
-    val blockBits = 6
+    // ONE shared constant with the summary builders — a build/read
+    // divergence would reconstruct wrong doc ranges and mis-prune
+    val blockBits = graft.index.FullText.BlockBits
     val bmxPath = resolveIndexVersioned(dir, "bmx", baseVer)
     val integral = rkType == LongType || rkType == IntegerType
     var blocksTotal = 0
@@ -2114,8 +2258,15 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       def readBlocks(bks: Seq[Long]): Seq[Row] =
         if (bks.isEmpty) Nil
         else {
-          val merged = mergeRanges(bks.sorted.map(bk =>
-            (bk << blockBits, (bk << blockBits) + ((1L << blockBits) - 1))))
+          // sort by the RECONSTRUCTED lo (signed), not the block id:
+          // negative doc_ids (legal rowkeys) hash to huge unsigned
+          // block ids whose lo (bk << blockBits) wraps back negative —
+          // block-id order would hand mergeRanges an lo-unsorted list
+          // and its fold would silently absorb (= never read) the
+          // negative-lo ranges' postings
+          val merged = mergeRanges(bks.map(bk =>
+            (bk << blockBits, (bk << blockBits) + ((1L << blockBits) - 1)))
+            .sortBy(_._1))
           // a predicate of hundreds of ranges costs more than it saves
           // — degrade to the plain multi-term seek past a bound
           val ranges = if (merged.size > 32) Nil else merged
@@ -2769,30 +2920,70 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           // (postings term-sorted ⇒ term filters prune row groups),
           // plus positional postings — the frame phrase queries need
           // (Lucene stores positions per posting the same way). ONE
-          // tokenize pass: positions are the source of truth, the
-          // postings/dictionary/norms/block stats derive from them.
-          val positional =
-            graft.index.FullText.buildPositional(t.df, pk, cols.head,
-              analyzer).cache()
+          // tokenize pass carrying the per-doc token count: positions
+          // are the source of truth, and postings/dictionary/norms/
+          // block stats all derive from them with no join back.
+          val posDl = graft.index.FullText
+            .buildPositionalWithDl(t.df, pk, cols.head, analyzer).cache()
           try {
-            val postings = graft.index.FullText
-              .postingsFromPositional(positional).cache()
+            val postingsDl = graft.index.FullText
+              .postingsWithDl(posDl).cache()
             try {
-              KvLayout.writeSorted(positional, Seq("term"),
-                dir.resolve("pos").toString)
-              // (term, doc_id) sort — within one term the postings are
-              // doc-id ordered (the Lucene postings-list order), so
-              // the ranked driver path's surviving-block doc ranges
-              // prune pages through the parquet column index
-              KvLayout.writeSorted(postings, Seq("term", "doc_id"),
-                dir.resolve("data").toString)
-              KvLayout.writeSorted(graft.index.FullText.buildDictionary(postings),
-                Seq("term"), dir.resolve("dict").toString)
-              writeFtRanked(dir.resolve("norms").toString,
-                dir.resolve("bmx").toString, postings,
-                schemaOf(table)(pk).dataType)
-            } finally { postings.unpersist(); () }
-          } finally { positional.unpersist(); () }
+              // ONE action (the norms meta agg) sizes EVERY artifact
+              // write up front: Σdl IS the positional row count and
+              // bounds the postings rows, so no write pays
+              // repartitionByRange's range-sampling execution of its
+              // (cached but non-trivial) input plan
+              val doclens = graft.index.FullText
+                .doclensFromPostings(postingsDl).cache()
+              try {
+                val (nd, td) = aggDoclens(doclens)
+                val partsDoc = ftRankedParts(nd)
+                val partsTok = ftRankedParts(td)
+                val dict = graft.index.FullText.buildDictionary(
+                  postingsDl.select("term", "doc_id", "tf"))
+                // the six artifacts are independent frames over the
+                // SAME cached pass, and nothing is visible until the
+                // meta registration below (a failed backfill deletes
+                // the dir) — so the writes run CONCURRENTLY: each is
+                // scheduler overhead + a small job, and sequencing six
+                // of them was most of the backfill's wall time (the
+                // gate floor; on a cluster, concurrent jobs also keep
+                // executors busy instead of draining between writes).
+                // (term, doc_id) postings sort — within one term the
+                // postings stay doc-id ordered (the Lucene
+                // postings-list order), so the ranked driver path's
+                // surviving-block doc ranges prune pages through the
+                // parquet column index.
+                val writes: Seq[() => Unit] = Seq(
+                  () => KvLayout.writeSorted(
+                    posDl.select("doc_id", "term", "pos"), Seq("term"),
+                    dir.resolve("pos").toString, partitions = partsTok),
+                  () => KvLayout.writeSorted(
+                    postingsDl.select("term", "doc_id", "tf"),
+                    Seq("term", "doc_id"), dir.resolve("data").toString,
+                    partitions = partsTok),
+                  () => KvLayout.writeSorted(dict, Seq("term"),
+                    dir.resolve("dict").toString, partitions = partsDoc),
+                  () => {
+                    KvLayout.writeSorted(doclens, Seq("doc_id"),
+                      dir.resolve("norms").toString, partitions = partsDoc)
+                    writeNormMetaJson(dir.resolve("norms"), nd, td)
+                  },
+                  () => writeFtFuzzy(dict, dir.resolve("fz").toString,
+                    partsDoc)) ++
+                  (schemaOf(table)(pk).dataType match {
+                    case LongType | IntegerType => Seq(
+                      () => KvLayout.writeSorted(
+                        graft.index.FullText.buildBlockStatsWithDl(postingsDl),
+                        Seq("term"), dir.resolve("bmx").toString,
+                        partitions = partsDoc))
+                    case _ => Nil
+                  })
+                runAllBlocking(writes)
+              } finally { doclens.unpersist(); () }
+            } finally { postingsDl.unpersist(); () }
+          } finally { posDl.unpersist(); () }
         case "vector" =>
           require(cols.size == 1, "vector indexes are single-column")
           val built = graft.similarity.VectorIndex.build(t.df, pk, cols.head)
@@ -2845,37 +3036,40 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     }
   }
 
-  /** The RANKED-serving artifact pair beside a fulltext postings base
-    * (backfill/fold/refresh all write it through here): per-doc norms
-    * (doc_id, dl) sorted by doc_id — the Lucene length-norms family,
-    * what BM25 needs per candidate and per-doc seeks prune row groups
-    * for — plus, for integral rowkeys, the scalar-free block-max
-    * summary (FullText.buildBlockStats) the driver-side ranked path
-    * prunes with. One doclens aggregate feeds both. Non-integral
-    * rowkeys have no block space; the ranked path then scores every
-    * matching posting (correct, just unpruned). */
-  private def writeFtRanked(normsPath: String, bmxPath: String,
-                            postings: DataFrame, rkType: DataType): Unit = {
-    val doclens = graft.index.FullText.buildDocLens(postings).cache()
-    try {
-      // ONE action up front serves the scalar meta AND sizes the
-      // output files: the explicit partition count skips
-      // repartitionByRange's range-sampling job per write — two fewer
-      // Spark jobs per index build (measured: the gate catalogs'
-      // backfill cost, amortized in production but paid per build)
-      val (n, total) = aggDoclens(doclens)
-      val parts = ftRankedParts(n)
-      KvLayout.writeSorted(doclens, Seq("doc_id"), normsPath,
-        partitions = parts)
-      writeNormMetaJson(Paths.get(normsPath), n, total)
-      rkType match {
-        case LongType | IntegerType =>
-          KvLayout.writeSorted(
-            graft.index.FullText.buildBlockStats(postings, doclens),
-            Seq("term"), bmxPath, partitions = parts)
-        case _ => ()
-      }
-    } finally { doclens.unpersist(); () }
+  /** Run independent Spark write actions concurrently and wait for
+    * ALL of them (success or failure) before returning — a failure
+    * rethrows only after every sibling finished, so a caller's
+    * cleanup (e.g. createIndex deleting the half-built dir) never
+    * races a still-running write. Used where artifact writes have no
+    * ordering contract (unregistered backfill dirs). */
+  private def runAllBlocking(writes: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val done = writes.map(w => Future(w()))
+      .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    done.collectFirst { case scala.util.Failure(e) => throw e }: Unit
+  }
+
+  /** The FUZZY-serving dictionary sidecar: the same rows as the term
+    * dictionary, laid out sorted by (tlen, term) so a driver-side
+    * edit-distance-k expansion ([[driverFtFuzzy]]) reads ONLY the
+    * [len−k, len+k] length bands as range seeks — the Lucene
+    * FuzzyQuery automaton's length constraint turned into a physical
+    * layout (the term-sorted dict can only serve that band as a full
+    * scan). Vocab-sized (tiny next to the postings); versioned with
+    * and derived from the dict stack, so dictdelta_v patches fold on
+    * top of it by version number exactly like the dictionary view. */
+  private def writeFtFuzzy(dict: DataFrame, path: String,
+                           partitions: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, length}
+    val withLen =
+      if (dict.columns.contains("tlen")) dict
+      else dict.withColumn("tlen", length(col("term")))
+    KvLayout.writeSorted(
+      withLen.select(col("tlen").cast("int").as("tlen"), col("term"),
+        col("df").cast("long").as("df")),
+      Seq("tlen", "term"), path, partitions = partitions)
   }
 
   /** Output files for the ranked artifacts, sized from the doc count
@@ -3420,58 +3614,66 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
               .write.mode("overwrite").parquet(p)
           }
         case "FULLTEXT" =>
-          // one tokenize pass (positions → postings → dictionary);
+          // one tokenize pass carrying per-doc dl (positions →
+          // postings → dictionary → norms/bmx/fz, no join back);
           // pos BEFORE data: readers pair the positional base at the
           // resolved data base's version, so a crash here must leave
           // the old (data, pos) pair live together. Rebuild with the
           // index's own analyzer.
-          val positional =
-            graft.index.FullText.buildPositional(t, pk, cols.head,
+          val posDl =
+            graft.index.FullText.buildPositionalWithDl(t, pk, cols.head,
               indexAnalyzer(table, indexName)).cache()
           try {
-            val postings = graft.index.FullText
-              .postingsFromPositional(positional).cache()
+            val postingsDl = graft.index.FullText
+              .postingsWithDl(posDl).cache()
             try {
-              writeIndexDirAtomic(dir, s"pos_v$cur") { p =>
-                KvLayout.writeSorted(positional, Seq("term"), p)
-              }
-              // norms + block stats BEFORE data, like pos/dict — they
-              // pair at the resolved data base's version
-              locally {
-                val doclens = graft.index.FullText.buildDocLens(postings)
-                  .cache()
-                try {
-                  val (nd, td) = aggDoclens(doclens)
-                  val parts = ftRankedParts(nd)
-                  writeIndexDirAtomic(dir, s"norms_v$cur") { p =>
-                    KvLayout.writeSorted(doclens, Seq("doc_id"), p,
-                      partitions = parts)
-                    writeNormMetaJson(Paths.get(p), nd, td)
-                  }
-                  schemaOf(table)(pk).dataType match {
-                    case LongType | IntegerType =>
-                      writeIndexDirAtomic(dir, s"bmx_v$cur") { p =>
-                        KvLayout.writeSorted(
-                          graft.index.FullText.buildBlockStats(postings,
-                            doclens),
-                          Seq("term"), p, partitions = parts)
-                      }
-                    case _ => ()
-                  }
-                } finally { doclens.unpersist(); () }
-              }
-              writeIndexDirAtomic(dir, s"data_v$cur") { p =>
-                KvLayout.writeSorted(postings, Seq("term", "doc_id"), p)
-              }
-              // dict is versioned like the postings — rewriting a shared
-              // dict/ in place would clobber the snapshot a concurrent
-              // reader resolved
-              writeIndexDirAtomic(dir, s"dict_v$cur") { p =>
-                KvLayout.writeSorted(graft.index.FullText.buildDictionary(postings),
-                  Seq("term"), p)
-              }
-            } finally { postings.unpersist(); () }
-          } finally { positional.unpersist(); () }
+              // ONE action sizes every write (the createIndex recipe)
+              val doclens = graft.index.FullText
+                .doclensFromPostings(postingsDl).cache()
+              try {
+                val (nd, td) = aggDoclens(doclens)
+                val partsDoc = ftRankedParts(nd)
+                val partsTok = ftRankedParts(td)
+                writeIndexDirAtomic(dir, s"pos_v$cur") { p =>
+                  KvLayout.writeSorted(posDl.select("doc_id", "term", "pos"),
+                    Seq("term"), p, partitions = partsTok)
+                }
+                // norms + block stats + fuzzy sidecar BEFORE data, like
+                // pos/dict — they pair at the resolved data base's version
+                val dict = graft.index.FullText.buildDictionary(
+                  postingsDl.select("term", "doc_id", "tf"))
+                writeIndexDirAtomic(dir, s"norms_v$cur") { p =>
+                  KvLayout.writeSorted(doclens, Seq("doc_id"), p,
+                    partitions = partsDoc)
+                  writeNormMetaJson(Paths.get(p), nd, td)
+                }
+                writeIndexDirAtomic(dir, s"fz_v$cur") { p =>
+                  writeFtFuzzy(dict, p, partsDoc)
+                }
+                schemaOf(table)(pk).dataType match {
+                  case LongType | IntegerType =>
+                    writeIndexDirAtomic(dir, s"bmx_v$cur") { p =>
+                      KvLayout.writeSorted(
+                        graft.index.FullText.buildBlockStatsWithDl(
+                          postingsDl),
+                        Seq("term"), p, partitions = partsDoc)
+                    }
+                  case _ => ()
+                }
+                writeIndexDirAtomic(dir, s"data_v$cur") { p =>
+                  KvLayout.writeSorted(postingsDl.select("term", "doc_id", "tf"),
+                    Seq("term", "doc_id"), p, partitions = partsTok)
+                }
+                // dict is versioned like the postings — rewriting a
+                // shared dict/ in place would clobber the snapshot a
+                // concurrent reader resolved
+                writeIndexDirAtomic(dir, s"dict_v$cur") { p =>
+                  KvLayout.writeSorted(dict, Seq("term"), p,
+                    partitions = partsDoc)
+                }
+              } finally { doclens.unpersist(); () }
+            } finally { postingsDl.unpersist(); () }
+          } finally { posDl.unpersist(); () }
         case "VECTOR" =>
           // full corpus re-train at the live version; cent/vmeta land
           // before data for the same crash reasoning as the fold
@@ -3782,5 +3984,39 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         StructField("is_primary", BooleanType, false),
         StructField("column_default", StringType, true),
         StructField("charset", StringType, false))))
+  }
+}
+
+/** One manifest entry: per-file bounds of the LEADING key, plus —
+  * for z-ordered tables — the SECOND key's bounds (`second`), so a
+  * driver range scan on either z dimension prunes from the one
+  * manifest read instead of opening O(files) footers cold. None =
+  * written before the second-key upgrade or not a z table; such an
+  * entry is never pruned on the second key (footers stand in).
+  * `bloom` is the per-file rowkey Bloom bitset (the HBase StoreFile
+  * BloomFilter ROW analog — see [[BloomBits]]): a driver point Get
+  * whose keys all miss it skips the file BEFORE any footer read.
+  * None (pre-upgrade entries, unsupported key types) never vetoes. */
+private[graft] case class FileRange(file: String, lo: Any, hi: Any,
+                                    second: Option[(Any, Any)] = None,
+                                    bloom: Option[Array[Byte]] = None)
+
+/** Process-wide parsed-manifest cache for the driver serving paths:
+  * a manifest is parsed once per CONTENT (path, size, mtime) — the
+  * same identity recipe as DriverRead's footer cache — instead of
+  * once per get (driverMultiGetAt re-reads the manifest JSON on every
+  * call, and with per-key-sized blooms the parse is no longer
+  * trivial). Manifests publish via atomic rename, so a rewrite always
+  * changes the key; stale entries age out at the cap. */
+private[kv] object ManifestCache {
+  private val cap = 4096
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Option[Seq[FileRange]]]()
+
+  def cached(f: Path)(parse: => Option[Seq[FileRange]]): Option[Seq[FileRange]] = {
+    val key = (f.toAbsolutePath.toString, Files.size(f),
+      Files.getLastModifiedTime(f).toMillis)
+    if (cache.size() > cap) cache.clear()
+    cache.computeIfAbsent(key, _ => parse)
   }
 }

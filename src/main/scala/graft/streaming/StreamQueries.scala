@@ -138,6 +138,30 @@ object StreamQueries {
         .orderBy($"fp")
     },
 
+    "st_stream_bloomdedup" -> { (s, d) =>
+      import s.implicits._
+      // BOUNDED-MEMORY streaming content dedup (Streams.
+      // stableBloomDedupStream — the stable-Bloom / rotating-
+      // generation filter): the production crawl-frontier shape
+      // st_stream_dedup's exact state cannot hold at unbounded ingest
+      // — state is buckets × 2 filters CONSTANT however long the
+      // stream runs, the explicit trade being a bounded false-positive
+      // rate instead of unbounded memory. Same corpus contract as
+      // st_stream_neardedup: documents arrive as a file stream, the
+      // planted re-ingested copies land in a LATER micro-batch and
+      // must be suppressed by filter state (intra-batch distinct
+      // can't catch them). At the gate corpus the filters are far
+      // undersaturated, so the emitted set equals batch
+      // first-per-content exactly (StreamingSpec pins that, plus the
+      // saturation/false-positive trade at a deliberately tiny
+      // filter). xxhash64 isn't DuckDB-replayable → rows-only.
+      val stream = Tables.documentsStream(s, d)
+      val emitted = Streams.stableBloomDedupStream(s, stream, $"text")
+      runToBatch(s, emitted, "append", "st_stream_bloomdedup")
+        .groupBy($"fp").agg(count(lit(1)).as("n_emitted"))
+        .orderBy($"fp")
+    },
+
     "st_stream_urldedup" -> { (s, d) =>
       import s.implicits._
       // Streaming URL-level dedup — the crawl-frontier integration of

@@ -190,6 +190,74 @@ object Streams {
         .drop("__graft_dedup_key")
   }
 
+  /** Per-bucket rotating-Bloom state for [[stableBloomDedupStream]]:
+    * two generations of one bit-set each plus the current generation's
+    * insert count — CONSTANT size however long the stream runs. */
+  case class BloomGen(cur: Array[Byte], prev: Array[Byte], n: Long)
+
+  /** BOUNDED-MEMORY streaming content dedup — the stable-Bloom
+    * (rotating-generation) form of [[dedupStream]], the production
+    * crawl-frontier shape: dropDuplicates' exact state grows one entry
+    * per distinct key forever, which an unbounded ingest cannot hold,
+    * while this operator's state is buckets × 2 × mBits/8 bytes
+    * CONSTANT (Deng & Rafiei 2006's stable Bloom filter, realized as
+    * the two-generation rotation memcached/Cassandra-style systems
+    * use: inserts land in the current generation; when it has absorbed
+    * `capacity` distinct keys the older generation is dropped and the
+    * pair rotates, so a key is remembered for at least `capacity` and
+    * at most 2×`capacity` subsequent distinct arrivals).
+    *
+    * The trade, explicitly: a Bloom hit may be a false positive — a
+    * genuinely-new key suppressed, at the standard ~(1−e^(−kn/m))^k
+    * rate — and a key re-arriving after its generation rotated away
+    * re-emits. Both are the documented semantics of an at-most-bounded
+    * -state dedup, NOT defects; the spec pins the undersaturated case
+    * exact (state far from capacity ⇒ emitted == first-per-key) and
+    * the saturated case bounded.
+    *
+    * Sharding: keys hash (xxhash64, the engine's one cross-component
+    * hash) and shard by hash mod `buckets`, one filter pair per bucket
+    * — each bucket is an independent stable Bloom, so the operator
+    * distributes like any keyed state (at 1000 executors, buckets
+    * spread across state-store partitions; memory per executor stays
+    * (buckets/executors) × 2 × mBits/8). Emits one row per ACCEPTED
+    * (first-seen) key: its 64-bit key hash, column `fp` — callers
+    * join or group downstream. */
+  def stableBloomDedupStream(spark: SparkSession, stream: DataFrame,
+                             key: org.apache.spark.sql.Column,
+                             buckets: Int = 32, mBits: Int = 1 << 20,
+                             capacity: Long = 0L): DataFrame = {
+    import spark.implicits._
+    require(buckets > 0, "buckets must be positive")
+    require(mBits >= 64 && (mBits & 7) == 0,
+      s"mBits must be a multiple of 8 >= 64: $mBits")
+    val cap = if (capacity > 0L) capacity else math.max(1L, mBits / 10L)
+    val empty = () => new Array[Byte](mBits / 8)
+    stream.select(xxhash64(key).as("h")).as[Long]
+      .groupByKey(h => java.lang.Math.floorMod(h, buckets.toLong).toInt)
+      .flatMapGroupsWithState[BloomGen, Long](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, hs: Iterator[Long], state: GroupState[BloomGen]) =>
+          val st = state.getOption.getOrElse(BloomGen(empty(), empty(), 0L))
+          var cur = st.cur
+          var prev = st.prev
+          var n = st.n
+          val out = scala.collection.mutable.ListBuffer.empty[Long]
+          hs.foreach { h =>
+            val seen = graft.kv.BloomBits.mightContain(cur, h) ||
+              graft.kv.BloomBits.mightContain(prev, h)
+            if (!seen) {
+              out += h
+              graft.kv.BloomBits.set(cur, h)
+              n += 1
+              if (n >= cap) { prev = cur; cur = empty(); n = 0 }
+            }
+          }
+          state.update(BloomGen(cur, prev, n))
+          out.iterator
+      }.toDF("fp")
+  }
+
   /** One micro-batch of a streaming upsert into a catalog KV table:
     * fold the batch to last-write-wins per key on the (tsCol, seqCol)
     * total order, then merge CONDITIONALLY — a row only overwrites a

@@ -735,4 +735,242 @@ class DriverGetSpec extends AnyFunSuite {
       } finally spark.sparkContext.removeSparkListener(listener)
     } finally { view.unpersist(); () }
   }
+
+  test("driver fuzzy serving: Spark-equal, CDC-fresh, zero jobs, band-seek bounded") {
+    import spark.implicits._
+    val cat = freshCat("ftfuzzy")
+    if (cat.tableExists("ftz")) cat.dropTable("ftz")
+    cat.createTable("ftz", StructType(Seq(
+      StructField("k", LongType, false),
+      StructField("body", StringType, true))), Seq("k"))
+    cat.bulkLoad("ftz", graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id").as("k"), col("text").as("body")), partitions = 4)
+    cat.createIndex("ftz", "ft", "fulltext", Seq("body"))
+    // CDC: doc 7 first carries a unique marker term, then a SECOND
+    // merge rewrites it away — its df goes 1 → 0 through the delta
+    // stack, so a fuzzy probe must stop matching it (deletion arm);
+    // doc 900001's 'zzyqx' exists ONLY via the dictdelta (birth arm)
+    cat.incrementalMerge("ftz", Seq(
+      (7L, "qwxzt marker body"),
+      (900001L, "zzyqx fresh body")).toDF("k", "body"))
+    cat.incrementalMerge("ftz", Seq(
+      (7L, "plain replacement body")).toDF("k", "body"))
+    def sparkFuzzy(t: String, e: Int): Seq[Long] =
+      graft.index.FullText.searchFuzzy(cat.table("ftz").df, "k",
+          cat.indexData("ftz", "ft", "fulltext"),
+          cat.indexDictionary("ftz", "ft", "fulltext"), t, e)
+        .select(col("k")).collect().map(_.getLong(0)).toSeq.sorted
+    def driverFuzzy(t: String, e: Int): Seq[Long] =
+      cat.driverFtFuzzy("ftz", "ft", t, e).map(_.asInstanceOf[Long]).sorted
+    // hash-for-hash with the Spark path through the same segmented
+    // view: corpus terms at 1 and 2 edits, the delta-born term, and
+    // the deleted term
+    for ((t, e) <- Seq(("spark", 1), ("part", 2), ("zzyqy", 1),
+        ("qwxzs", 1), ("join", 1))) {
+      assert(driverFuzzy(t, e) == sparkFuzzy(t, e),
+        s"driver/Spark fuzzy divergence for '$t'@$e")
+    }
+    // the delta-BORN term matches (df folds +1 from the dictdelta)...
+    assert(driverFuzzy("zzyqy", 1) == Seq(900001L))
+    // ...and the delta-DELETED term does not (df folded back to 0);
+    // guard that nothing else accidentally matches the probe
+    assert(!driverFuzzy("qwxzs", 1).contains(7L))
+    // banded seek is REAL: a long probe term reads only its [len−1,
+    // len+1] sidecar bands, a small fraction of the vocabulary
+    val vocab = cat.indexDictionary("ftz", "ft", "fulltext").count()
+    val (_, bandRows) = cat.driverFtFuzzyStats("ftz", "ft",
+      "streamings", 1, 100000)
+    assert(bandRows.toLong * 3 < vocab,
+      s"band seek read $bandRows of $vocab dictionary rows")
+    // zero Spark jobs on the warm fuzzy path
+    @volatile var jobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(cat.driverFtFuzzy("ftz", "ft", "spark", 1).nonEmpty)
+      Thread.sleep(800)
+      assert(jobs == 0, s"driver fuzzy search scheduled $jobs Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // contracts: Lucene's maxEdits bound, one-token probes only
+    intercept[IllegalArgumentException](
+      cat.driverFtFuzzy("ftz", "ft", "spark", 3))
+    intercept[IllegalArgumentException](
+      cat.driverFtFuzzy("ftz", "ft", "two words"))
+    // an index whose fz sidecar predates fuzzy serving fails loudly
+    // and refresh_index heals it
+    val fzDir = Paths.get(cat.warehouse, "ftz.fulltext.ft")
+    val fzDirs = java.nio.file.Files.list(fzDir).iterator()
+    val toKill = new scala.collection.mutable.ListBuffer[java.nio.file.Path]()
+    while (fzDirs.hasNext) {
+      val p = fzDirs.next()
+      if (p.getFileName.toString.startsWith("fz")) toKill += p
+    }
+    assert(toKill.nonEmpty, "no fz sidecar was ever written")
+    toKill.foreach { p =>
+      import scala.collection.JavaConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    val err = intercept[IllegalArgumentException](
+      cat.driverFtFuzzy("ftz", "ft", "spark", 1))
+    assert(err.getMessage.contains("refresh_index"))
+    cat.refreshIndex("ftz", "ft", "fulltext")
+    assert(driverFuzzy("spark", 1) == sparkFuzzy("spark", 1))
+  }
+
+  test("ranked + OR-mode serving survive negative rowkeys (signed block ranges)") {
+    import spark.implicits._
+    val cat = freshCat("ftneg")
+    if (cat.tableExists("ftn")) cat.dropTable("ftn")
+    cat.createTable("ftn", StructType(Seq(
+      StructField("k", LongType, false),
+      StructField("body", StringType, true))), Seq("k"))
+    // keys span −250..249: the negative half's doc-id blocks come back
+    // from bmx as huge UNSIGNED ids whose reconstructed lo wraps
+    // negative — pre-fix, merging block-id-sorted ranges silently
+    // absorbed the negative-lo ranges and never read their postings
+    cat.bulkLoad("ftn", graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 500)
+      .select((col("doc_id") - 250L).as("k"), col("text").as("body")),
+      partitions = 4)
+    cat.createIndex("ftn", "ft", "fulltext", Seq("body"))
+    cat.incrementalMerge("ftn", Seq(
+      (-5L, "graft tomb probe body")).toDF("k", "body"))
+    val view = cat.indexData("ftn", "ft", "fulltext").cache()
+    try {
+      val dict = cat.indexDictionary("ftn", "ft", "fulltext")
+      val doclens = graft.index.FullText.buildDocLens(view)
+      val agg = doclens.agg(count(lit(1)), sum(col("dl"))).head()
+      val nDocs = agg.getLong(0)
+      val avgdl = agg.getLong(1).toDouble / nDocs
+      val blockmax = graft.index.FullText.buildBlockMax(
+        view, doclens, dict, nDocs, avgdl)
+      def sparkTop(terms: Seq[String], k: Int): Seq[(Long, Double)] =
+        graft.index.FullText.bm25WandTopK(view, dict, doclens, blockmax,
+            nDocs, avgdl, terms, k)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      for ((terms, k) <- Seq(
+          (Seq("spark", "join"), 20),
+          (Seq("spark"), 50),
+          (Seq("tomb"), 5))) {
+        val driver = cat.driverFtTopK("ftn", "ft", terms, k)
+          .map { case (id, s) => (id.asInstanceOf[Long], s) }
+        assert(driver == sparkTop(terms, k),
+          s"driver/Spark ranked divergence on mixed-sign keys for $terms")
+        // the result must genuinely span both sign halves or the
+        // regression guard guards nothing
+        if (k >= 20) {
+          assert(driver.exists(_._1 < 0L) && driver.exists(_._1 >= 0L),
+            s"top-$k never crossed the sign boundary for $terms")
+        }
+      }
+      // the rewritten negative key serves its new term (norms +
+      // tombstone masking in negative key space)
+      assert(cat.driverFtTopK("ftn", "ft", Seq("tomb"), 5)
+        .map(_._1.asInstanceOf[Long]).contains(-5L))
+    } finally { view.unpersist(); () }
+  }
+
+  test("OR-mode ranked serving scores SHOULD-clause matches (skewed term pair)") {
+    import spark.implicits._
+    val cat = freshCat("ftortopk")
+    if (cat.tableExists("fto")) cat.dropTable("fto")
+    cat.createTable("fto", StructType(Seq(
+      StructField("k", LongType, false),
+      StructField("body", StringType, true))), Seq("k"))
+    cat.bulkLoad("fto", graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id").as("k"), col("text").as("body")), partitions = 4)
+    cat.createIndex("fto", "ft", "fulltext", Seq("body"))
+    // the rare term lives ONLY in the CDC segment — a doc matching
+    // ONLY it must still rank (BooleanQuery SHOULD, not MUST)
+    cat.incrementalMerge("fto", Seq(
+      (900001L, "graftonly graftonly graftonly body")).toDF("k", "body"))
+    val top = cat.driverFtTopK("fto", "ft", Seq("spark", "graftonly"), 15)
+      .map { case (id, s) => (id.asInstanceOf[Long], s) }
+    // the single-term segment doc ranks (its tf·idf dwarfs common
+    // 'spark' matches), and common-term-only docs rank beside it:
+    // genuinely disjunctive scoring
+    assert(top.map(_._1).contains(900001L),
+      "a SHOULD-only match was dropped from the ranking")
+    assert(top.map(_._1).exists(_ != 900001L))
+    // pruning observable on the skewed corpus, zero jobs
+    val (rows, blocksTotal, blocksRead) = cat.driverFtTopKStats(
+      "fto", "ft", Seq("spark", "graftonly"), 1, 1.2, 0.75, 2, 100000)
+    assert(rows.head._1 == 900001L)
+    assert(blocksTotal >= 5 && blocksRead < blocksTotal,
+      s"no block pruned under the skewed pair: $blocksRead of $blocksTotal")
+    @volatile var jobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(cat.driverFtTopK("fto", "ft", Seq("spark", "graftonly"), 10).nonEmpty)
+      Thread.sleep(800)
+      assert(jobs == 0, s"OR-mode ranked serving scheduled $jobs Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("manifest blooms size from per-file row counts (bits-per-key knob)") {
+    import TestSpark.spark.implicits._
+    val prevBpk = spark.conf.getOption("spark.graft.manifest.bloomBitsPerKey")
+    spark.conf.set("spark.graft.manifest.bloomBitsPerKey", "12")
+    try {
+      val cat = freshCat("bloomsize")
+      if (cat.tableExists("bs")) cat.dropTable("bs")
+      cat.createTable("bs", StructType(Seq(
+        StructField("k", LongType, false),
+        StructField("v", StringType, true))), Seq("k"))
+      // sparse keys (evens): absent odd probes sit inside every range
+      cat.bulkLoad("bs",
+        (0L until 6000L by 2).map(k => (k, s"v$k")).toDF("k", "v"),
+        partitions = 4)
+      cat.incrementalMerge("bs", Seq((0L, "v0b")).toDF("k", "v"))
+      val dir = Paths.get(cat.warehouse, "bs",
+        s"data_v${cat.dataVersionOf("bs")}")
+      // per-file sizing law: bloom bytes == nextPow2(rows × 12) / 8,
+      // floored at 1024 bits — NOT the old flat 2^17 constant
+      val rowsPerFile = spark.read.parquet(dir.toString)
+        .groupBy(input_file_name()).count().collect()
+        .map(r => (r.getString(0).split("/").last, r.getLong(1))).toMap
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(
+        java.nio.file.Files.readString(dir.resolve("_graft_ranges.json")))
+      var checked = 0
+      root.elements().forEachRemaining { e =>
+        if (e.has("bloom")) {
+          val bits = java.util.Base64.getDecoder
+            .decode(e.path("bloom").asText()).length * 8
+          val rows = rowsPerFile(e.path("file").asText())
+          val expected = math.max(1L << 10,
+            BloomBits.nextPow2(rows * 12L)).toInt
+          assert(bits == expected,
+            s"file with $rows rows carries $bits bloom bits, expected $expected")
+          checked += 1
+        }
+      }
+      assert(checked >= 2, "no bloom-bearing manifest entries to check")
+      // FPR-shaped gate: with ~12 bits/key the absent-key probes must
+      // overwhelmingly veto before any footer read
+      assert(cat.driverPointGet("bs", 2000L).nonEmpty) // warm footers
+      val beforeFooter = DriverRead.footerReadCount.get()
+      val beforeSkip = DriverRead.bloomSkipCount.get()
+      val probes = (1L to 399L by 2).toSeq
+      probes.foreach(k => assert(cat.driverPointGet("bs", k).isEmpty))
+      val footerDelta = DriverRead.footerReadCount.get() - beforeFooter
+      assert(DriverRead.bloomSkipCount.get() - beforeSkip >= probes.size * 9 / 10,
+        "per-key-sized blooms vetoed fewer than 90% of absent probes")
+      assert(footerDelta <= probes.size / 10,
+        s"absent probes opened $footerDelta footers — FPR far above the sizing target")
+    } finally {
+      prevBpk match {
+        case Some(v) => spark.conf.set("spark.graft.manifest.bloomBitsPerKey", v)
+        case None => spark.conf.unset("spark.graft.manifest.bloomBitsPerKey")
+      }
+    }
+  }
 }

@@ -168,4 +168,57 @@ class IndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       FullText.bm25TopK(postings, dict, doclens, 0L, 0.0, Seq("spark"), 10))
   }
+
+  test("dl-carrying build pipeline equals the two-frame builders, both analyzers") {
+    // the backfill/refresh paths now derive positional/postings/norms/
+    // block stats from ONE dl-carrying pass (no postings⋈doclens
+    // join); this pins frame-for-frame equality with the original
+    // two-frame builders on a real corpus slice, under BOTH analyzers
+    // (english exercises the stopword-filtered dl and the
+    // original-offset positions)
+    val docs = Tables.documents(spark, sf).limit(120)
+    for (an <- Seq("standard", "english")) {
+      val posDl = FullText.buildPositionalWithDl(docs, "doc_id", "text", an)
+      val postingsDl = FullText.postingsWithDl(posDl)
+      // positional: identical rows (original offsets kept)
+      val posOld = FullText.buildPositional(docs, "doc_id", "text", an)
+      assert(posDl.select("doc_id", "term", "pos").exceptAll(posOld).isEmpty &&
+        posOld.exceptAll(posDl.select("doc_id", "term", "pos")).isEmpty,
+        s"positional divergence under $an")
+      // postings: identical (term, doc, tf)
+      val postOld = FullText.postingsFromPositional(posOld)
+      assert(postingsDl.select("term", "doc_id", "tf").exceptAll(postOld).isEmpty &&
+        postOld.exceptAll(postingsDl.select("term", "doc_id", "tf")).isEmpty,
+        s"postings divergence under $an")
+      // norms: carried dl == summed tf per doc
+      val dlOld = FullText.buildDocLens(postOld)
+      val dlNew = FullText.doclensFromPostings(postingsDl)
+      assert(dlNew.exceptAll(dlOld).isEmpty && dlOld.exceptAll(dlNew).isEmpty,
+        s"doclens divergence under $an")
+      // block stats: join-free == join-based
+      val bsOld = FullText.buildBlockStats(postOld, dlOld)
+      val bsNew = FullText.buildBlockStatsWithDl(postingsDl)
+      assert(bsNew.exceptAll(bsOld).isEmpty && bsOld.exceptAll(bsNew).isEmpty,
+        s"block-stats divergence under $an")
+    }
+  }
+
+  test("editDistance matches Spark's levenshtein on corpus term pairs") {
+    import spark.implicits._
+    // the driver-side fuzzy kernel must agree with the Spark
+    // function's distance for every (dictionary term, probe) pair it
+    // will ever verify — sample real vocabulary against fixed probes
+    val terms = FullText.buildDictionary(
+        FullText.buildPostings(Tables.documents(spark, sf).limit(80),
+          "doc_id", "text"))
+      .select($"term").as[String].collect().take(300)
+    val probes = Seq("spark", "graff", "vectr", "streamings", "a", "")
+    val pairs = terms.flatMap(t => probes.map(p => (t, p))).toSeq
+    val viaSpark = pairs.toDF("a", "b")
+      .select(levenshtein($"a", $"b")).as[Int].collect()
+    pairs.zip(viaSpark).foreach { case ((a, b), d) =>
+      assert(FullText.editDistance(a, b) == d,
+        s"editDistance('$a','$b') != Spark levenshtein $d")
+    }
+  }
 }

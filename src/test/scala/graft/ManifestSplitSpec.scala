@@ -26,14 +26,14 @@ class ManifestSplitSpec extends AnyFunSuite {
     * (null-bounded entries are always touched). Same keyCmp as the
     * kernel — the property under test is the SEARCH, not the
     * comparator. */
-  private def naiveSplit(entries: Seq[cat.FileRange], keys: Array[Any])
-      : (Seq[cat.FileRange], Seq[cat.FileRange]) =
+  private def naiveSplit(entries: Seq[kv.FileRange], keys: Array[Any])
+      : (Seq[kv.FileRange], Seq[kv.FileRange]) =
     entries.partition(e => e.lo == null || e.hi == null ||
       keys.exists(k => cat.keyCmp(k, e.lo) >= 0 && cat.keyCmp(k, e.hi) <= 0))
 
   /** Entries from a bounded value pool so lo/hi boundary collisions
     * with keys are common, not vanishing-probability. */
-  private def cases[A](pool: Gen[A]): Gen[(List[cat.FileRange], Array[Any])] =
+  private def cases[A](pool: Gen[A]): Gen[(List[kv.FileRange], Array[Any])] =
     for {
       nFiles <- Gen.choose(0, 40)
       bounds <- Gen.listOfN(nFiles, Gen.zip(pool, pool))
@@ -43,10 +43,10 @@ class ManifestSplitSpec extends AnyFunSuite {
     } yield {
       val entries = bounds.zipWithIndex.map { case ((a, b), i) =>
         if (nullEvery > 0 && i % (nullEvery + 2) == nullEvery)
-          cat.FileRange(s"part-$i", null, null)
+          kv.FileRange(s"part-$i", null, null)
         else {
           val (lo, hi) = if (cat.keyCmp(a, b) <= 0) (a, b) else (b, a)
-          cat.FileRange(s"part-$i", lo, hi)
+          kv.FileRange(s"part-$i", lo, hi)
         }
       }
       (entries, keys.map(_.asInstanceOf[Any]).toArray)
@@ -85,17 +85,17 @@ class ManifestSplitSpec extends AnyFunSuite {
   }
 
   test("empty key set leaves only null-bounded entries touched") {
-    val entries = Seq(cat.FileRange("a", 1L, 5L), cat.FileRange("b", null, null))
+    val entries = Seq(kv.FileRange("a", 1L, 5L), kv.FileRange("b", null, null))
     val (t, u) = cat.splitByKeyIntersect(entries, Array.empty[Any])
     assert(t.map(_.file) == Seq("b") && u.map(_.file) == Seq("a"))
   }
 
   test("single key at exact lo and exact hi boundaries is touched") {
     val entries = Seq(
-      cat.FileRange("lo-hit", 10L, 20L),
-      cat.FileRange("hi-hit", 0L, 10L),
-      cat.FileRange("miss-below", 11L, 20L),
-      cat.FileRange("miss-above", 0L, 9L))
+      kv.FileRange("lo-hit", 10L, 20L),
+      kv.FileRange("hi-hit", 0L, 10L),
+      kv.FileRange("miss-below", 11L, 20L),
+      kv.FileRange("miss-above", 0L, 9L))
     val (t, u) = cat.splitByKeyIntersect(entries, Array[Any](java.lang.Long.valueOf(10L)))
     assert(t.map(_.file).toSet == Set("lo-hit", "hi-hit"))
     assert(u.map(_.file).toSet == Set("miss-below", "miss-above"))

@@ -90,6 +90,74 @@ class StreamingSpec extends AnyFunSuite {
       "no duplicate fingerprints in the staged corpus — test is vacuous")
   }
 
+  test("stable-bloom dedup: undersaturated == batch first-per-content, state bounded") {
+    import spark.implicits._
+    // the gated query's exact pipeline: staged doc stream with planted
+    // copies arriving a batch later, content-hash key through the
+    // bounded-memory rotating-Bloom state
+    val result = SparkEntry.queries("st_stream_bloomdedup")(spark, sf)
+      .collect()
+    // batch ground truth: the distinct content hashes of docs ∪ copies
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val all = docs.unionByName(docs.filter($"doc_id" < 10)
+      .withColumn("doc_id", $"doc_id" + Tables.PlantedIdBase))
+    val fps = all.select(xxhash64($"text").as("fp"))
+      .distinct().as[Long].collect().toSet
+    // far under capacity ⇒ no rotation, FPR ~0 ⇒ the emitted set is
+    // EXACTLY batch first-per-content and nothing emits twice
+    assert(result.map(_.getLong(0)).toSet == fps,
+      "emitted hash set != batch distinct content hashes")
+    assert(result.forall(_.getLong(1) == 1L),
+      "a content hash was emitted more than once")
+    // the planted cross-batch copies genuinely collide (non-vacuous)
+    assert(result.length < all.count(),
+      "no duplicate content in the staged corpus — test is vacuous")
+  }
+
+  test("stable-bloom dedup saturation: rotation re-emits, sized state suppresses") {
+    import spark.implicits._
+    // two micro-batches carrying the SAME 100 documents (a re-crawl):
+    // an adequately sized filter suppresses every batch-2 replay
+    // (nothing rotated away), while a DELIBERATELY tiny filter
+    // (capacity 8, one bucket) has rotated a 100-key generation away
+    // by the time the replay arrives and RE-EMITS most keys — the
+    // documented bounded-memory trade (a key is remembered for at
+    // least `capacity` and at most 2×capacity distinct arrivals),
+    // pinned from both sides so neither case is vacuous
+    val dir = java.nio.file.Files.createTempDirectory("graft_sbloom")
+    val batch = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .limit(100).coalesce(1)
+    batch.write.mode("overwrite").parquet(dir.resolve("b1").toString)
+    batch.write.mode("overwrite").parquet(dir.resolve("b2").toString)
+    val schema = spark.read.parquet(dir.resolve("b1").toString).schema
+    def run(name: String, mBits: Int, cap: Long): Seq[Long] = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString + "/*")
+      val emitted = Streams.stableBloomDedupStream(spark, stream,
+        $"text", buckets = 1, mBits = mBits, capacity = cap)
+      val q = emitted.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).as[Long].collect().toSeq
+    }
+    val trueFps = batch.select(xxhash64($"text").as("fp")).as[Long]
+      .collect().toSet
+    // sized filter: exact-dedup behavior — every replay suppressed
+    val sized = run("sbloom_sized", 1 << 16, 6000L)
+    assert(sized.toSet == trueFps && sized.length == trueFps.size,
+      "sized filter failed to suppress the cross-batch replay")
+    // tiny filter: every emission is still a genuine input key, but
+    // the replay RE-EMITS keys whose generation rotated away — state
+    // stayed at 2 × 256 bits while the trade surfaced as re-emission
+    val tiny = run("sbloom_tiny", 256, 8L)
+    assert(tiny.forall(trueFps.contains), "emitted a hash not in the input")
+    assert(tiny.length > trueFps.size,
+      "tiny filter never re-emitted — rotation was not exercised")
+    assert(tiny.groupBy(identity).values.map(_.size).max <= 2,
+      "a key emitted more than once per rotation epoch pair")
+  }
+
   test("stream-stream attribution join equals the batch time-range join") {
     def staged = stagedStream
     val q = graft.streaming.Streams.attributionJoin(
