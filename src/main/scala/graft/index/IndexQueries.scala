@@ -474,6 +474,49 @@ object IndexQueries {
         .orderBy($"score".desc, $"k")
     },
 
+    "ft_ms_snippet" -> { (s, d) =>
+      import s.implicits._
+      // Driver-side SNIPPET serving (the Lucene highlighter analog —
+      // completing the serving family's presentation layer): first
+      // occurrence + count from a pruned POSITIONAL-stack seek, doc
+      // text fetched through the driver multi-get path for exactly
+      // the matched docs, window sliced with the index tokenizer —
+      // zero Spark jobs (DriverGetSpec pins jobs + Spark-path
+      // equality + CDC freshness: doc 5's snippet must come from its
+      // REWRITTEN text, the merge-inserted doc highlights too).
+      // probes: 'engine' lives ONLY in the two CDC-merged docs (the
+      // segment/tombstone arm), 'stream' across the base corpus
+      val cat = ftMsCatalog(s, d)
+      val rows = Seq("engine", "stream").flatMap { t =>
+        cat.driverFtSnippet("ftdocs", "ft", t).map {
+          case (id, first, hits, snip) =>
+            (t, id.asInstanceOf[Long], first, hits, snip)
+        }
+      }
+      rows.toDF("probe", "k", "first_pos", "n_hits", "snippet")
+        .orderBy($"probe", $"k")
+    },
+
+    "idx_ms_bitmap" -> { (s, d) =>
+      import s.implicits._
+      // Driver-side BITMAP equality serving — the LAST index flavor
+      // to join the millisecond serving family (kv_ms_get serves the
+      // primary key, idx_ms_lookup the kv secondary index, ft_ms_*
+      // the fulltext index): rowkeys for a value decoded from the
+      // persisted bitmap index's segmented stack (iv-seek per
+      // artifact + patch-sized tombstone bitmaps + the SAME
+      // Bitmap.foldVersions kernel the Spark view evaluates), zero
+      // Spark jobs. Probes cover every status so the CDC-rewritten
+      // row's OLD bit is provably tombstone-masked whatever its
+      // pre-image status was, and 'G' (segment-only) proves the
+      // segment arm.
+      val cat = msBmCatalog(s, d)
+      val rows = Seq("F", "O", "P", "G").flatMap { v =>
+        cat.driverBitmapIds("bmords", "bst", v).map(k => (v, k))
+      }
+      rows.toDF("probe", "rk").orderBy($"probe", $"rk")
+    },
+
     "ft_ms_phrase" -> { (s, d) =>
       import s.implicits._
       // Driver-side PHRASE serving (the Lucene PhraseQuery analog,
@@ -516,6 +559,30 @@ object IndexQueries {
       cat.incrementalMerge("ftdocs", Seq(
         (5L, "graft segment merge engine"),
         (900001L, "graft posting engine")).toDF("k", "body"))
+      cat.warehouse
+    }
+    new graft.kv.Catalog(s, wh)
+  }
+
+  /** The driver-side bitmap serving table, built ONCE per (JVM,
+    * sf-dir): an orders slice with a bitmap index on o_orderstatus,
+    * then one CDC merge rewriting the slice's MIN orderkey to status
+    * 'G' and inserting a new 'G' order — so serving must fold base +
+    * segment bitmaps under the tombstone mask. */
+  private def msBmCatalog(s: SparkSession, d: String): graft.kv.Catalog = {
+    import s.implicits._
+    val wh = graft.QueryCaches.obj(s"msbm_wh:$d") {
+      val cat = new graft.kv.Catalog(s, graft.TempWarehouses.scoped("msbm", d))
+      if (cat.tableExists("bmords")) cat.dropTable("bmords")
+      val slice = Tables.orders(s, d).filter(col("o_orderkey") < 3000)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      cat.createTable("bmords", slice.schema, Seq("o_orderkey"))
+      cat.bulkLoad("bmords", slice, partitions = 2)
+      cat.createIndex("bmords", "bst", "bitmap", Seq("o_orderstatus"))
+      val minKey = slice.agg(min(col("o_orderkey"))).head().getLong(0)
+      cat.incrementalMerge("bmords", Seq(
+        (minKey, "G"),
+        (9000001L, "G")).toDF("o_orderkey", "o_orderstatus"))
       cat.warehouse
     }
     new graft.kv.Catalog(s, wh)
@@ -693,6 +760,40 @@ object IndexQueries {
         |CROSS JOIN n CROSS JOIN ad
         |GROUP BY tf.k
         |ORDER BY score DESC, tf.k LIMIT 10""".stripMargin,
+
+    "ft_ms_snippet" ->
+      // the ft_snippet oracle shape replayed over the planted
+      // segmented corpus — first-occurrence window, 1-based position
+      """WITH t AS (
+        |  SELECT doc_id AS k,
+        |    CASE WHEN doc_id = 5 THEN 'graft segment merge engine' ELSE text END AS body
+        |  FROM documents WHERE doc_id < 300
+        |  UNION ALL SELECT CAST(900001 AS BIGINT), 'graft posting engine'),
+        |m AS (SELECT k, list_filter(
+        |    string_split_regex(lower(body), '[^a-z0-9]+'),
+        |    x -> length(x) > 0) AS toks FROM t),
+        |h AS (SELECT probe, k, toks, list_position(toks, probe) AS p,
+        |    len(list_filter(toks, x -> x = probe)) AS n_hits
+        |  FROM m CROSS JOIN (VALUES ('engine'), ('stream')) v(probe)
+        |  WHERE list_contains(toks, probe))
+        |SELECT probe, k, CAST(p AS INT) AS first_pos, n_hits,
+        |  array_to_string(toks[CAST(greatest(p - 3, 1) AS INT):
+        |    CAST(least(p + 4, len(toks)) AS INT)], ' ') AS snippet
+        |FROM h ORDER BY probe, k""".stripMargin,
+
+    "idx_ms_bitmap" ->
+      // post-image membership per status over the merged slice — the
+      // driver's segment/tombstone fold must be invisible in the set
+      """WITH t AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey = (SELECT MIN(o_orderkey) FROM orders
+        |                            WHERE o_orderkey < 3000)
+        |      THEN 'G' ELSE o_orderstatus END AS st
+        |  FROM orders WHERE o_orderkey < 3000
+        |  UNION ALL SELECT CAST(9000001 AS BIGINT), 'G')
+        |SELECT v.probe, t.o_orderkey AS rk
+        |FROM t JOIN (VALUES ('F'),('O'),('P'),('G')) v(probe) ON t.st = v.probe
+        |ORDER BY probe, rk""".stripMargin,
 
     "ft_ms_fuzzy" ->
       // exact Levenshtein over the token arrays of the same planted

@@ -2031,6 +2031,145 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     }.toSeq.sortBy(_.toString)
   }
 
+  /** Driver-side SNIPPET (hit-highlighting) serving — the Lucene
+    * highlighter analog beside the query family: for every live doc
+    * containing `term`, the first occurrence position (1-based), the
+    * occurrence count, and a ±-token window around the first hit,
+    * entirely on the calling thread. First position and count come
+    * from a pruned seek of the POSITIONAL stack (pos base + posseg_v
+    * − tomb_v masks — never a corpus scan); only the MATCHED docs'
+    * text is then fetched, through the driver multi-get path (bounded
+    * by the hit set), and tokenized with the index tokenizer for the
+    * window slice — the FullText.snippets contract, served without a
+    * Spark job. Results sort ascending by doc id. */
+  def driverFtSnippet(table: String, indexName: String, term: String,
+                      before: Int = 3, after: Int = 4,
+                      maxPostings: Int = 100000): Seq[(Any, Int, Long, String)] = {
+    val dir = indexDir(table, indexName, "fulltext")
+    require(Files.exists(dir), s"$table $indexName fulltext not exists")
+    val toks = graft.index.FullText.normTokens(term)
+    require(toks.length == 1, s"snippets take ONE term, got '$term'")
+    val t = toks.head
+    val live = dataVersionOf(table)
+    val dataBaseVer = indexBaseVersion(resolveIndexVersioned(dir, "data", live))
+    val posBase = resolveIndexVersioned(dir, "pos", dataBaseVer)
+    require(Files.exists(posBase),
+      s"no positional postings under $dir — the index predates " +
+        "positional support; CALL system.refresh_index to rebuild")
+    val segs = versionedDirs(dir, "posseg_v", dataBaseVer, live)
+    val tombs = versionedDirs(dir, "tomb_v", dataBaseVer, live)
+    val rkType = schemaOf(table)(primaryKeyOf(table).head).dataType
+    val posSchema = StructType(Seq(
+      StructField("term", StringType, nullable = true),
+      StructField("doc_id", rkType, nullable = true),
+      StructField("pos", IntegerType, nullable = true)))
+    val tombSchema = StructType(Seq(StructField("rk", rkType, nullable = true)))
+    val tombSets: Seq[(Int, Set[Any])] = tombs.map { case (v, p) =>
+      (v, DriverRead.readAll(p, tombSchema, maxPostings).map(_.get(0)).toSet)
+    }
+    def maskedAt(v: Int, docId: Any): Boolean =
+      tombSets.exists { case (tv, s) => tv > v && s.contains(docId) }
+    // per live doc: (min position, occurrence count) across the stack
+    val perDoc = scala.collection.mutable.Map[Any, (Int, Long)]()
+    var n = 0
+    ((dataBaseVer, posBase) +: segs).foreach { case (v, p) =>
+      val ranges = readManifestJson(p).getOrElse(Nil).map(r => (r.file, r.lo, r.hi))
+      DriverRead.get(p, posSchema, Seq("term"), Seq(Seq(t: Any)), ranges)
+        .foreach { r =>
+          n += 1
+          require(n <= maxPostings,
+            s"term matched more than $maxPostings positional postings — " +
+              "use the Spark search path")
+          val id = r.get(1)
+          if (!maskedAt(v, id)) {
+            val pos = r.getInt(2)
+            val (mn, c) = perDoc.getOrElse(id, (Int.MaxValue, 0L))
+            perDoc(id) = (math.min(mn, pos), c + 1)
+          }
+        }
+    }
+    if (perDoc.isEmpty) return Nil
+    // only matched docs' text is fetched — the driver get path prunes
+    // by manifest/bloom/footer like every serving read
+    val schema = schemaOf(table)
+    val pkIdx = schema.fieldNames.indexOf(primaryKeyOf(table).head)
+    val textCol = indexesOf(table)
+      .find(i => i._1 == indexName && i._2.equalsIgnoreCase("fulltext"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table $indexName fulltext not registered"))._3.head
+    val textIdx = schema.fieldNames.indexOf(textCol)
+    driverMultiGet(table, perDoc.keys.toSeq.map(Seq(_))).flatMap { row =>
+      val id = row.get(pkIdx)
+      perDoc.get(id).map { case (mn, c) =>
+        val body = Option(row.getString(textIdx)).getOrElse("")
+        val arr = graft.index.FullText.normTokens(body)
+        val first = mn + 1 // 1-based, the positional frame is 0-based
+        val s = math.max(first - before, 1)
+        val e = math.min(first + after, arr.length)
+        (id, first, c, arr.slice(s - 1, e).mkString(" "))
+      }
+    }.sortBy(_._1.toString)
+  }
+
+  /** Driver-side BITMAP equality serving — the last index flavor to
+    * join the serving family (kv_ms_get serves the kv index,
+    * idx_ms_lookup the secondary kv index, ft_ms_* the fulltext
+    * index): all rowkeys where the indexed column equals `value`,
+    * decoded from the persisted bitmap index's SEGMENTED stack on the
+    * calling thread — an iv-seek of the value's (shard, bitmap) rows
+    * per artifact (the per-value rows are shard-count-bounded however
+    * hot the value), patch-sized tombstone bitmaps read whole, and
+    * the per-shard versioned fold runs the SAME Bitmap.foldVersions
+    * kernel the Spark segmented view evaluates — driver path and
+    * Spark path cannot disagree on masking semantics. Zero Spark
+    * jobs; `maxIds` is the serving contract (a hotter value belongs
+    * on the Spark path, BitmapIndex.lookupIds). */
+  def driverBitmapIds(table: String, indexName: String, value: Any,
+                      maxIds: Int = 100000): Seq[Long] = {
+    val dir = indexDir(table, indexName, "bitmap")
+    require(Files.exists(dir), s"$table $indexName bitmap not exists")
+    val ivType = schemaOf(table)(indexesOf(table)
+      .find(i => i._1 == indexName && i._2.equalsIgnoreCase("bitmap"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table $indexName bitmap not registered"))._3.head).dataType
+    val live = dataVersionOf(table)
+    val base = resolveIndexVersioned(dir, "data", live)
+    val baseVer = indexBaseVersion(base)
+    val segs = versionedDirs(dir, "seg_v", baseVer, live)
+    val tombs = versionedDirs(dir, "tomb_v", baseVer, live)
+    val rowSchema = StructType(Seq(
+      StructField("iv", ivType, nullable = true),
+      StructField("shard", LongType, nullable = true),
+      StructField("bm", BinaryType, nullable = true)))
+    val parts = scala.collection.mutable.Map[Long,
+      scala.collection.mutable.ListBuffer[(Int, Array[Byte])]]()
+    ((baseVer, base) +: segs).foreach { case (v, p) =>
+      DriverRead.get(p, rowSchema, Seq("iv"), Seq(Seq(value)), Nil)
+        .foreach { r =>
+          parts.getOrElseUpdate(r.getLong(1),
+            scala.collection.mutable.ListBuffer()) += ((v, r.getAs[Array[Byte]](2)))
+        }
+    }
+    val tombSchema = StructType(Seq(
+      StructField("shard", LongType, nullable = true),
+      StructField("bm", BinaryType, nullable = true)))
+    val tombsByShard = scala.collection.mutable.Map[Long,
+      scala.collection.mutable.ListBuffer[(Int, Array[Byte])]]()
+    tombs.foreach { case (v, p) =>
+      DriverRead.readAll(p, tombSchema, maxIds).foreach { r =>
+        tombsByShard.getOrElseUpdate(r.getLong(0),
+          scala.collection.mutable.ListBuffer()) += ((v, r.getAs[Array[Byte]](1)))
+      }
+    }
+    val out = parts.iterator.flatMap { case (shard, ps) =>
+      graft.index.Bitmap.ids(graft.index.Bitmap.foldVersions(ps.toSeq,
+        tombsByShard.get(shard).map(_.toSeq).getOrElse(Nil)))
+    }.toSeq
+    require(out.size <= maxIds,
+      s"value matched more than $maxIds rowkeys — use the Spark path")
+    out.sorted
+  }
+
   /** Driver-side RANKED BM25 top-k — the Lucene TopScoreDocCollector
     * analog completing the serving family (driverFtSearch serves
     * boolean AND, driverFtPhrase phrases; this serves the DEFAULT read

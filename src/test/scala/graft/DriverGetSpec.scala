@@ -915,6 +915,93 @@ class DriverGetSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("driver snippet serving: Spark-equal, CDC-fresh, zero jobs") {
+    import spark.implicits._
+    val cat = freshCat("ftsnip")
+    if (cat.tableExists("fts")) cat.dropTable("fts")
+    cat.createTable("fts", StructType(Seq(
+      StructField("k", LongType, false),
+      StructField("body", StringType, true))), Seq("k"))
+    cat.bulkLoad("fts", graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id").as("k"), col("text").as("body")), partitions = 4)
+    cat.createIndex("fts", "ft", "fulltext", Seq("body"))
+    cat.incrementalMerge("fts", Seq(
+      (5L, "graft tomb probe body tomb"),
+      (900001L, "graft fresh tomb body")).toDF("k", "body"))
+    def sparkSnip(term: String): Seq[(Long, Int, Long, String)] =
+      graft.index.FullText.snippets(cat.table("fts").df, "k", "body",
+          cat.indexPositional("fts", "ft", "fulltext"), term)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getString(3))).toSeq.sortBy(_._1)
+    def driverSnip(term: String): Seq[(Long, Int, Long, String)] =
+      cat.driverFtSnippet("fts", "ft", term)
+        .map { case (id, f, c, s) => (id.asInstanceOf[Long], f, c, s) }
+        .sortBy(_._1)
+    for (term <- Seq("tomb", "graft", "spark", "stream")) {
+      assert(driverSnip(term) == sparkSnip(term),
+        s"driver/Spark snippet divergence for '$term'")
+    }
+    // CDC freshness: doc 5's snippet comes from its REWRITTEN text
+    // (two 'tomb' hits, first at position 2), never the pre-merge body
+    val d5 = driverSnip("tomb").find(_._1 == 5L).get
+    assert(d5 == ((5L, 2, 2L, "graft tomb probe body tomb")))
+    @volatile var jobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(cat.driverFtSnippet("fts", "ft", "graft").nonEmpty)
+      Thread.sleep(800)
+      assert(jobs == 0, s"driver snippet serving scheduled $jobs Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("driver bitmap serving folds base+segment-tombstone, zero jobs") {
+    import spark.implicits._
+    val cat = freshCat("msbm")
+    if (cat.tableExists("bmo")) cat.dropTable("bmo")
+    val slice = graft.Tables.orders(spark, sf)
+      .filter(col("o_orderkey") < 3000)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    cat.createTable("bmo", slice.schema, Seq("o_orderkey"))
+    cat.bulkLoad("bmo", slice, partitions = 2)
+    cat.createIndex("bmo", "bst", "bitmap", Seq("o_orderstatus"))
+    val minKey = slice.agg(min(col("o_orderkey"))).head().getLong(0)
+    cat.incrementalMerge("bmo", Seq(
+      (minKey, "G"), (9000001L, "G")).toDF("o_orderkey", "o_orderstatus"))
+    def sparkIds(v: String): Seq[Long] =
+      graft.index.BitmapIndex.lookupIds(
+          cat.indexData("bmo", "bst", "bitmap"), v)
+        .collect().map(_.getLong(0)).toSeq.sorted
+    for (v <- Seq("F", "O", "P", "G")) {
+      assert(cat.driverBitmapIds("bmo", "bst", v) == sparkIds(v),
+        s"driver/Spark bitmap divergence for '$v'")
+    }
+    // segment arm: 'G' holds exactly the rewritten min key + the
+    // merge-inserted key; tombstone arm: the min key's OLD status no
+    // longer serves it
+    assert(cat.driverBitmapIds("bmo", "bst", "G") == Seq(minKey, 9000001L))
+    val oldStatus = slice.filter(col("o_orderkey") === minKey)
+      .head().getString(1)
+    assert(!cat.driverBitmapIds("bmo", "bst", oldStatus).contains(minKey),
+      "the rewritten row's old bit was not tombstone-masked")
+    @volatile var jobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(cat.driverBitmapIds("bmo", "bst", "G").nonEmpty)
+      Thread.sleep(800)
+      assert(jobs == 0, s"driver bitmap serving scheduled $jobs Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // serving contract: an over-hot value fails loudly onto Spark
+    intercept[IllegalArgumentException](
+      cat.driverBitmapIds("bmo", "bst", "F", maxIds = 1))
+  }
+
   test("manifest blooms size from per-file row counts (bits-per-key knob)") {
     import TestSpark.spark.implicits._
     val prevBpk = spark.conf.getOption("spark.graft.manifest.bloomBitsPerKey")
