@@ -160,6 +160,45 @@ object Sketches {
         expr(s"(coalesce(n_kept, 0L) * ${M}L) div theta").as("n_est"))
   }
 
+  /** SKETCH-ONLY pairwise UNION across the sketch's groups — the
+    * theta-sketch Union (the op DataSketches builds the whole theta
+    * framework around), completing the visible set algebra beside
+    * [[kmvEstimate]] (cardinality), [[kmvIntersect]] (∩) and
+    * [[kmvDifference]] (∖): |A∪B| ≈ |{distinct h ∈ A∪B : h < θ}|·M/θ,
+    * θ = min(θ_A, θ_B). Below the COMMON θ each sketch retains every
+    * hash of its distinct set, so the pooled-distinct count on the
+    * surviving region is the exact union cardinality of the sampled
+    * region — the same membership argument as the other two ops.
+    * Underfull pairs (both θ = M) are EXACT. Every relation is
+    * sketch-bounded (≤ k·L pooled rows per pair side); the corpus is
+    * never rescanned per pair. Output (g_a, g_b, n_union, n_est) for
+    * g_a < g_b. */
+  def kmvUnion(bottom: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val theta = bottom.groupBy(col(groupCol))
+      .agg(max(col("h")).as("h_k"), count(lit(1)).as("k_eff"))
+      .select(col(groupCol),
+        expr(s"case when k_eff < $k then ${M}L else h_k end").as("theta"))
+    val pairs = theta.select(col(groupCol).as("g_a"), col("theta").as("th_a"))
+      .crossJoin(theta.select(col(groupCol).as("g_b"), col("theta").as("th_b")))
+      .filter(col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"), least(col("th_a"), col("th_b")).as("theta"))
+    val left = bottom.select(col(groupCol).as("g_a"), col("h"))
+      .join(pairs, Seq("g_a"))
+      .filter(col("h") < col("theta"))
+      .select(col("g_a"), col("g_b"), col("h"))
+    val right = bottom.select(col(groupCol).as("g_b"), col("h"))
+      .join(pairs, Seq("g_b"))
+      .filter(col("h") < col("theta"))
+      .select(col("g_a"), col("g_b"), col("h"))
+    val pooled = left.unionByName(right).distinct()
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("n_union"))
+    pairs.join(pooled, Seq("g_a", "g_b"), "left_outer")
+      .select(col("g_a"), col("g_b"),
+        coalesce(col("n_union"), lit(0L)).as("n_union"),
+        expr(s"(coalesce(n_union, 0L) * ${M}L) div theta").as("n_est"))
+  }
+
   /** [[kmvIntersect]] for sketches keyed by 32-char lowercase MD5 hex
     * strings (`h` column) — the variant for set elements WIDER than
     * ~31 bits that still has to replay in an oracle: fixed-width hex

@@ -796,6 +796,50 @@ object StreamQueries {
         .orderBy($"type_a", $"type_b")
     },
 
+    "evt_kmv_union" -> { (s, d) =>
+      import s.implicits._
+      // Theta-sketch UNION (Sketches.kmvUnion) — the operation the
+      // theta framework is BUILT around, making the visible algebra
+      // complete: cardinality (evt_kmv_distinct), ∩
+      // (evt_kmv_intersect), ∖ (evt_kmv_diff), ∪ (here): "how many
+      // distinct users did X or Y" for every type pair from the same
+      // one-corpus-pass bottom-k sketches — below the common θ each
+      // sketch retains its WHOLE sub-θ distinct set, so the pooled
+      // distinct count is exact on the sampled region and scales by
+      // M/θ; underfull pairs are exact. Every pairwise relation is
+      // sketch-bounded; same affine hash ⇒ the oracle replays the
+      // sketches hash-for-hash; exact union counts ride along as the
+      // GATE-ONLY error witness (inclusion-exclusion over one
+      // distinct pass — the corpus never joins pairwise in the
+      // production entry point).
+      val k = 64
+      val bottom = Sketches.kmvSketch(
+        Tables.events(s, d).select($"event_type", $"user_id"),
+        "user_id", Seq("event_type"), k)
+        .localCheckpoint(true)
+      val sk = Sketches.kmvUnion(bottom, "event_type", k)
+        .withColumnRenamed("g_a", "type_a").withColumnRenamed("g_b", "type_b")
+      val exactTu = Tables.events(s, d)
+        .select($"event_type", $"user_id").distinct()
+      val perType = exactTu.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_t"))
+      val inter = exactTu.select($"event_type".as("type_a"), $"user_id")
+        .join(exactTu.select($"event_type".as("type_b"), $"user_id"),
+          Seq("user_id"))
+        .filter($"type_a" < $"type_b")
+        .groupBy($"type_a", $"type_b").agg(count(lit(1)).as("n_both"))
+      val exact = perType.select($"event_type".as("type_a"), $"n_t".as("n_a"))
+        .crossJoin(perType.select($"event_type".as("type_b"), $"n_t".as("n_b")))
+        .filter($"type_a" < $"type_b")
+        .join(inter, Seq("type_a", "type_b"), "left_outer")
+        .select($"type_a", $"type_b",
+          ($"n_a" + $"n_b" - coalesce($"n_both", lit(0L))).as("n_exact"))
+      sk.join(exact, Seq("type_a", "type_b"), "left_outer")
+        .select($"type_a", $"type_b", $"n_union", $"n_est",
+          coalesce($"n_exact", lit(0L)).as("n_exact"))
+        .orderBy($"type_a", $"type_b")
+    },
+
     "evt_quantile_hist" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -1531,6 +1575,49 @@ object StreamQueries {
         |FROM pairs p
         |LEFT JOIN kept k ON k.type_a = p.type_a AND k.type_b = p.type_b
         |JOIN na ON na.event_type = p.type_a
+        |LEFT JOIN nboth nb ON nb.type_a = p.type_a AND nb.type_b = p.type_b
+        |ORDER BY p.type_a, p.type_b""".stripMargin,
+
+    "evt_kmv_union" ->
+      // the union sketches replayed hash-for-hash: bottom-64 per
+      // type, θ = min pairwise, pooled distinct sub-θ hashes scaled
+      // by M/θ; exact witness by inclusion-exclusion
+      """WITH tu AS (SELECT DISTINCT event_type,
+        |    ((user_id % 2147483647) * 2654435761 + 97) % 2147483647 AS h
+        |  FROM events),
+        |bottom AS (SELECT event_type, h FROM (
+        |    SELECT event_type, h,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS r
+        |    FROM tu) WHERE r <= 64),
+        |theta AS (SELECT event_type,
+        |    CASE WHEN COUNT(*) < 64 THEN 2147483647 ELSE MAX(h) END AS theta
+        |  FROM bottom GROUP BY event_type),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    LEAST(a.theta, b.theta) AS theta
+        |  FROM theta a JOIN theta b ON a.event_type < b.event_type),
+        |pooled AS (SELECT type_a, type_b, COUNT(*) AS n_union FROM (
+        |    SELECT DISTINCT p.type_a, p.type_b, x.h
+        |    FROM pairs p JOIN bottom x
+        |      ON (x.event_type = p.type_a OR x.event_type = p.type_b)
+        |     AND x.h < p.theta)
+        |  GROUP BY 1, 2),
+        |na AS (SELECT event_type, COUNT(*) AS n_t
+        |  FROM (SELECT DISTINCT event_type, user_id FROM events)
+        |  GROUP BY event_type),
+        |nboth AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    COUNT(*) AS n_both
+        |  FROM (SELECT DISTINCT event_type, user_id FROM events) a
+        |  JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b,
+        |  COALESCE(u.n_union, 0) AS n_union,
+        |  (COALESCE(u.n_union, 0) * 2147483647) // p.theta AS n_est,
+        |  na_a.n_t + na_b.n_t - COALESCE(nb.n_both, 0) AS n_exact
+        |FROM pairs p
+        |LEFT JOIN pooled u ON u.type_a = p.type_a AND u.type_b = p.type_b
+        |JOIN na na_a ON na_a.event_type = p.type_a
+        |JOIN na na_b ON na_b.event_type = p.type_b
         |LEFT JOIN nboth nb ON nb.type_a = p.type_a AND nb.type_b = p.type_b
         |ORDER BY p.type_a, p.type_b""".stripMargin,
 

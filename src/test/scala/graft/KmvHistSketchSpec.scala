@@ -132,6 +132,42 @@ class KmvHistSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("theta union is EXACT while both sketches are underfull") {
+    import spark.implicits._
+    // planted overlap: view = 1..40, purchase = 21..80, union 80 —
+    // underfull sketches (θ = M) retain their whole sets, so the
+    // pooled-distinct union estimate is exact
+    val rows = ((1L to 40L).map(u => ("view", u)) ++
+      (21L to 80L).map(u => ("purchase", u)))
+      .zipWithIndex.map { case ((t, u), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          u, t, 1.0, "{}")
+      }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_thetaunion").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("evt_kmv_union")(spark, dir).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        (r.getAs[Long]("n_est"), r.getAs[Long]("n_exact"))).toMap
+    assert(out.size == 1, s"expected one undirected pair, got $out")
+    assert(out(("purchase", "view")) == ((80L, 80L)), out.toString)
+  }
+
+  test("theta union estimates land in a loose k=64 envelope on real pairs") {
+    import spark.implicits._
+    val out = SparkEntry.queries("evt_kmv_union")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.filter(r => r.getAs[Long]("n_exact") >= 50 &&
+        r.getAs[Long]("n_union") >= 10).foreach { r =>
+      val est = r.getAs[Long]("n_est").toDouble
+      val exact = r.getAs[Long]("n_exact").toDouble
+      assert(math.abs(est - exact) / exact < 0.6,
+        s"${r.getAs[String]("type_a")}∪${r.getAs[String]("type_b")}: " +
+          s"est $est vs exact $exact strayed >60%")
+    }
+  }
+
   test("histogram quantile error is bounded by one bucket width") {
     import spark.implicits._
     val got = SparkEntry.queries("evt_quantile_hist")(spark, sf).collect()
