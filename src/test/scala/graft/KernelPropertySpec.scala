@@ -66,6 +66,27 @@ class KernelPropertySpec extends AnyFunSuite {
     }, "wordNgrams")
   }
 
+  test("bloom foldTo preserves membership; folded == built-small directly") {
+    import graft.kv.BloomBits
+    // the per-key manifest-bloom sizing law rests on this: folding a
+    // power-of-two filter down (a) never loses an inserted key, and
+    // (b) equals building at the small size directly — because
+    // (h mod 2^a) mod 2^b = h mod 2^b for the double-hash positions
+    val keys = Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))
+    val sizes = Gen.oneOf(Seq((1 << 17, 1 << 10), (1 << 17, 1 << 13),
+      (1 << 20, 1 << 12), (4096, 1024), (1024, 1024)))
+    val p = Prop.forAll(keys, sizes) { (ks: List[Long], sz: (Int, Int)) =>
+      val (big, small) = sz
+      val bigBits = new Array[Byte](big / 8)
+      val smallBits = new Array[Byte](small / 8)
+      ks.foreach { k => BloomBits.set(bigBits, k); BloomBits.set(smallBits, k) }
+      val folded = BloomBits.foldTo(bigBits, small)
+      java.util.Arrays.equals(folded, smallBits) &&
+        ks.forall(BloomBits.mightContain(folded, _))
+    }
+    check(p, "bloom foldTo")
+  }
+
   test("minhash obeys the min-merge law: sig(A ++ B) = min(sig(A), sig(B))") {
     val toks = Gen.listOf(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString))
     check(Prop.forAll(toks, toks) { (a, b) =>
