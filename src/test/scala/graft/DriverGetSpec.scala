@@ -799,6 +799,21 @@ class DriverGetSpec extends AnyFunSuite {
       cat.driverFtFuzzy("ftz", "ft", "spark", 3))
     intercept[IllegalArgumentException](
       cat.driverFtFuzzy("ftz", "ft", "two words"))
+    // FOLD the stack (compact_index): the fz sidecar rebuilds at the
+    // folded dict version, the delta fold restarts from it — served
+    // answers must not move
+    cat.compactIndex("ftz", "ft", "fulltext")
+    for ((t, e) <- Seq(("spark", 1), ("zzyqy", 1), ("qwxzs", 1))) {
+      assert(driverFuzzy(t, e) == sparkFuzzy(t, e),
+        s"post-fold driver/Spark fuzzy divergence for '$t'")
+    }
+    assert(driverFuzzy("zzyqy", 1) == Seq(900001L))
+    // a delta ABOVE the folded fz base folds on top of it
+    cat.incrementalMerge("ftz", Seq(
+      (8L, "vvqpt newterm body")).toDF("k", "body"))
+    assert(driverFuzzy("vvqps", 1) == Seq(8L),
+      "a post-fold dictdelta-born term did not match")
+    assert(driverFuzzy("vvqps", 1) == sparkFuzzy("vvqps", 1))
     // an index whose fz sidecar predates fuzzy serving fails loudly
     // and refresh_index heals it
     val fzDir = Paths.get(cat.warehouse, "ftz.fulltext.ft")
@@ -956,6 +971,15 @@ class DriverGetSpec extends AnyFunSuite {
       Thread.sleep(800)
       assert(jobs == 0, s"driver snippet serving scheduled $jobs Spark job(s)")
     } finally spark.sparkContext.removeSparkListener(listener)
+    // FOLD the stack: positions fold into pos_v(upTo) and the served
+    // snippets must not move
+    cat.compactIndex("fts", "ft", "fulltext")
+    for (term <- Seq("tomb", "graft", "spark")) {
+      assert(driverSnip(term) == sparkSnip(term),
+        s"post-fold driver/Spark snippet divergence for '$term'")
+    }
+    assert(driverSnip("tomb").find(_._1 == 5L).get ==
+      ((5L, 2, 2L, "graft tomb probe body tomb")))
   }
 
   test("driver bitmap serving folds base+segment-tombstone, zero jobs") {
@@ -1000,6 +1024,14 @@ class DriverGetSpec extends AnyFunSuite {
     // serving contract: an over-hot value fails loudly onto Spark
     intercept[IllegalArgumentException](
       cat.driverBitmapIds("bmo", "bst", "F", maxIds = 1))
+    // FOLD the stack: the folded base must serve the identical sets
+    // with the segments and tombstones gone
+    cat.compactIndex("bmo", "bst", "bitmap")
+    for (v <- Seq("F", "O", "P", "G")) {
+      assert(cat.driverBitmapIds("bmo", "bst", v) == sparkIds(v),
+        s"post-fold driver/Spark bitmap divergence for '$v'")
+    }
+    assert(cat.driverBitmapIds("bmo", "bst", "G") == Seq(minKey, 9000001L))
   }
 
   test("manifest blooms size from per-file row counts (bits-per-key knob)") {
