@@ -517,6 +517,24 @@ object IndexQueries {
       rows.toDF("probe", "rk").orderBy($"probe", $"rk")
     },
 
+    "idx_ms_bitmap_range" -> { (s, d) =>
+      import s.implicits._
+      // Driver-side bitmap RANGE serving (driverBitmapRangeIds — the
+      // Pinot/Druid range scan idx_bitmap_range runs on Spark, served
+      // from the calling thread): one iv-range seek per artifact
+      // selects the in-range values' shard rows, each (value, shard)
+      // stack folds under the versioned tombstone masks, per-value
+      // results OR together — the BitmapIndex.rangeIds composition
+      // over the same segmented stack, zero Spark jobs. The probed
+      // range ['F','O'] INCLUDES the CDC segment's 'G' — the range
+      // must pick up segment bits and drop the rewritten row's old
+      // status bit whatever it was ('F'/'O' in range, masked; 'P'
+      // out of range either way).
+      val cat = msBmCatalog(s, d)
+      cat.driverBitmapRangeIds("bmords", "bst", "F", "O")
+        .toDF("rk").orderBy($"rk")
+    },
+
     "ft_ms_phrase" -> { (s, d) =>
       import s.implicits._
       // Driver-side PHRASE serving (the Lucene PhraseQuery analog,
@@ -794,6 +812,20 @@ object IndexQueries {
         |SELECT v.probe, t.o_orderkey AS rk
         |FROM t JOIN (VALUES ('F'),('O'),('P'),('G')) v(probe) ON t.st = v.probe
         |ORDER BY probe, rk""".stripMargin,
+
+    "idx_ms_bitmap_range" ->
+      // post-image value-range membership over the merged slice —
+      // ['F','O'] catches the segment's 'G' and excludes 'P'
+      """WITH t AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey = (SELECT MIN(o_orderkey) FROM orders
+        |                            WHERE o_orderkey < 3000)
+        |      THEN 'G' ELSE o_orderstatus END AS st
+        |  FROM orders WHERE o_orderkey < 3000
+        |  UNION ALL SELECT CAST(9000001 AS BIGINT), 'G')
+        |SELECT o_orderkey AS rk FROM t
+        |WHERE st >= 'F' AND st <= 'O'
+        |ORDER BY rk""".stripMargin,
 
     "ft_ms_fuzzy" ->
       // exact Levenshtein over the token arrays of the same planted

@@ -2170,6 +2170,67 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     out.sorted
   }
 
+  /** Driver-side BITMAP RANGE serving — [[driverBitmapIds]]'s range
+    * form (the Pinot/Druid-style range scan idx_bitmap_range serves
+    * on Spark): all rowkeys whose indexed value falls in [lo, hi],
+    * decoded from the segmented bitmap stack on the calling thread.
+    * One iv-range seek per artifact selects the in-range values'
+    * (shard, bitmap) rows (an index-row predicate — tiny next to the
+    * base table); each (value, shard) stack folds under the
+    * versioned tombstone masks exactly like the equality path, and
+    * the per-value results OR together — the same composition
+    * BitmapIndex.rangeIds runs over the Spark segmented view, so the
+    * two paths cannot disagree. Zero Spark jobs; `maxIds` fails
+    * over-wide ranges loudly onto the Spark path. */
+  def driverBitmapRangeIds(table: String, indexName: String,
+                           lo: Any, hi: Any,
+                           maxIds: Int = 100000): Seq[Long] = {
+    val dir = indexDir(table, indexName, "bitmap")
+    require(Files.exists(dir), s"$table $indexName bitmap not exists")
+    val ivType = schemaOf(table)(indexesOf(table)
+      .find(i => i._1 == indexName && i._2.equalsIgnoreCase("bitmap"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table $indexName bitmap not registered"))._3.head).dataType
+    val live = dataVersionOf(table)
+    val base = resolveIndexVersioned(dir, "data", live)
+    val baseVer = indexBaseVersion(base)
+    val segs = versionedDirs(dir, "seg_v", baseVer, live)
+    val tombs = versionedDirs(dir, "tomb_v", baseVer, live)
+    val rowSchema = StructType(Seq(
+      StructField("iv", ivType, nullable = true),
+      StructField("shard", LongType, nullable = true),
+      StructField("bm", BinaryType, nullable = true)))
+    // per (value, shard): the versioned part stack — tombstones mask
+    // per version whatever the value, so the fold keys on the pair
+    val parts = scala.collection.mutable.Map[(Any, Long),
+      scala.collection.mutable.ListBuffer[(Int, Array[Byte])]]()
+    ((baseVer, base) +: segs).foreach { case (v, p) =>
+      DriverRead.range(p, rowSchema, "iv", lo, hi, maxIds, Nil)
+        .foreach { r =>
+          parts.getOrElseUpdate((r.get(0), r.getLong(1)),
+            scala.collection.mutable.ListBuffer()) += ((v, r.getAs[Array[Byte]](2)))
+        }
+    }
+    val tombSchema = StructType(Seq(
+      StructField("shard", LongType, nullable = true),
+      StructField("bm", BinaryType, nullable = true)))
+    val tombsByShard = scala.collection.mutable.Map[Long,
+      scala.collection.mutable.ListBuffer[(Int, Array[Byte])]]()
+    tombs.foreach { case (v, p) =>
+      DriverRead.readAll(p, tombSchema, maxIds).foreach { r =>
+        tombsByShard.getOrElseUpdate(r.getLong(0),
+          scala.collection.mutable.ListBuffer()) += ((v, r.getAs[Array[Byte]](1)))
+      }
+    }
+    val out = parts.iterator.flatMap { case ((_, shard), ps) =>
+      graft.index.Bitmap.ids(graft.index.Bitmap.foldVersions(ps.toSeq,
+        tombsByShard.get(shard).map(_.toSeq).getOrElse(Nil)))
+    }.toSet
+    require(out.size <= maxIds,
+      s"range matched more than $maxIds rowkeys — use the Spark path")
+    out.toSeq.sorted
+  }
+
   /** Driver-side RANKED BM25 top-k — the Lucene TopScoreDocCollector
     * analog completing the serving family (driverFtSearch serves
     * boolean AND, driverFtPhrase phrases; this serves the DEFAULT read

@@ -1024,6 +1024,21 @@ class DriverGetSpec extends AnyFunSuite {
     // serving contract: an over-hot value fails loudly onto Spark
     intercept[IllegalArgumentException](
       cat.driverBitmapIds("bmo", "bst", "F", maxIds = 1))
+    // RANGE serving: ['F','O'] spans base values AND the segment's
+    // 'G'; equality with the Spark segmented range composition, and
+    // the segment keys provably inside
+    def sparkRange(lo: String, hi: String): Seq[Long] =
+      graft.index.BitmapIndex.rangeIds(
+          cat.indexData("bmo", "bst", "bitmap"), lo, hi)
+        .collect().map(_.getLong(0)).toSeq.sorted
+    assert(cat.driverBitmapRangeIds("bmo", "bst", "F", "O") ==
+      sparkRange("F", "O"))
+    assert(cat.driverBitmapRangeIds("bmo", "bst", "F", "O")
+      .contains(9000001L))
+    assert(cat.driverBitmapRangeIds("bmo", "bst", "P", "P") ==
+      sparkIds("P"))
+    intercept[IllegalArgumentException](
+      cat.driverBitmapRangeIds("bmo", "bst", "F", "P", maxIds = 3))
     // FOLD the stack: the folded base must serve the identical sets
     // with the segments and tombstones gone
     cat.compactIndex("bmo", "bst", "bitmap")
@@ -1032,6 +1047,8 @@ class DriverGetSpec extends AnyFunSuite {
         s"post-fold driver/Spark bitmap divergence for '$v'")
     }
     assert(cat.driverBitmapIds("bmo", "bst", "G") == Seq(minKey, 9000001L))
+    assert(cat.driverBitmapRangeIds("bmo", "bst", "F", "O") ==
+      sparkRange("F", "O"))
   }
 
   test("manifest blooms size from per-file row counts (bits-per-key knob)") {
