@@ -834,6 +834,22 @@ class DriverGetSpec extends AnyFunSuite {
     assert(err.getMessage.contains("refresh_index"))
     cat.refreshIndex("ftz", "ft", "fulltext")
     assert(driverFuzzy("spark", 1) == sparkFuzzy("spark", 1))
+    // an ENGLISH index's dictionary holds stemmed terms — fuzzy (not
+    // analyzed, the FuzzyQuery contract) expands against those
+    // indexed forms on both paths identically
+    cat.createIndex("ftz", "aft", "fulltext", Seq("body"),
+      analyzer = "english")
+    def sparkFuzzyEn(t: String, e: Int): Seq[Long] =
+      graft.index.FullText.searchFuzzy(cat.table("ftz").df, "k",
+          cat.indexData("ftz", "aft", "fulltext"),
+          cat.indexDictionary("ftz", "aft", "fulltext"), t, e)
+        .select(col("k")).collect().map(_.getLong(0)).toSeq.sorted
+    for ((t, e) <- Seq(("spark", 1), ("join", 1), ("part", 2))) {
+      assert(cat.driverFtFuzzy("ftz", "aft", t, e)
+        .map(_.asInstanceOf[Long]).sorted == sparkFuzzyEn(t, e),
+        s"driver/Spark english-fuzzy divergence for '$t'@$e")
+    }
+    assert(sparkFuzzyEn("spark", 1).nonEmpty)
   }
 
   test("ranked + OR-mode serving survive negative rowkeys (signed block ranges)") {
