@@ -1046,6 +1046,35 @@ object DedupQueries {
         .orderBy($"qid", $"rn")
     },
 
+    "sim_ms_ann" -> { (s, d) =>
+      import s.implicits._
+      // Driver-side VECTOR serving (Catalog.driverAnnTopK) — the last
+      // index flavor to join the millisecond family: centroids read
+      // whole (~√N rows), nprobe coarse probe by the shared negL2
+      // metric, ONE cluster-keyed seek per probed list against the
+      // cluster-sorted entries base, CDC segments read whole
+      // (patch-sized) and tombstone-masked like vectorSegView, exact
+      // cosine re-rank on the calling thread — zero Spark jobs,
+      // rank-identical to Ann.ivfSearch over the segmented view
+      // (DriverGetSpec pins zero jobs, ivfSearch parity, CDC
+      // freshness — each query's merge-inserted exact copy surfaces
+      // at score 1.0 — and entries-rows-read << corpus). k-means
+      // lists → rows-only, like every IVF-served key.
+      vecIndex(s, d) // ensure the persisted index exists (DDL, memoized)
+      val cat = new graft.kv.Catalog(s, graft.TempWarehouses.scoped("vec", d))
+      val qs = Tables.embeddings(s, d).filter($"vec_id" < 5)
+        .select($"vec_id", $"embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+        .sortBy(_._1)
+      qs.flatMap { case (qid, qv) =>
+        cat.driverAnnTopK("emb", "ann", qv, k = 3, nprobe = 4,
+            exclude = Some(qid))
+          .zipWithIndex.map { case ((nn, score), i) =>
+            (qid, i + 1, nn.asInstanceOf[Long], score) }
+      }.toSeq.toDF("qid", "rn", "nn", "score")
+        .orderBy($"qid", $"rn")
+    },
+
     "sim_recall" -> { (s, d) =>
       import s.implicits._
       // Driver-visible ANN quality gate: each planted exact-copy

@@ -1053,12 +1053,19 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
   /** Version a resolved base index dir was built at (`data` backfill
     * dirs predate versioning and count as version of the backfill —
     * every segment applies on top of them). */
-  private def indexBaseVersion(baseData: Path): Int = {
-    val n = baseData.getFileName.toString
-    if (n.startsWith("data_v"))
-      scala.util.Try(n.stripPrefix("data_v").toInt).getOrElse(-1)
+  /** The version of a `<prefix>_v<n>` artifact dir name, −1 for the
+    * unversioned creation artifact (plain `<prefix>`) or anything
+    * unparsable. ONE parser for every artifact family (data bases,
+    * the fz fuzzy sidecar, …): the fold logic keys patch application
+    * on these numbers, and two hand-rolled parsers only have to
+    * drift once for a fold to silently re-apply or skip a delta. */
+  private def versionOf(prefix: String, dirName: String): Int =
+    if (dirName.startsWith(s"${prefix}_v"))
+      scala.util.Try(dirName.stripPrefix(s"${prefix}_v").toInt).getOrElse(-1)
     else -1
-  }
+
+  private def indexBaseVersion(baseData: Path): Int =
+    versionOf("data", baseData.getFileName.toString)
 
   /** Versioned dirs `<prefix><v>` with loExcl < v <= hiIncl, ascending
     * — the segments/tombstones/deltas contributing to a base built at
@@ -1745,7 +1752,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * stats / pushed term predicate); tombstones and dictionary
     * deltas are PATCH-SIZED by the CDC contract, so reading them
     * whole on the driver is bounded. Returns the matching rowkeys
-    * (ascending by toString — callers order their frame).
+    * ascending in their NATIVE order ([[Catalog.rowkeyOrd]] — numeric
+    * keys numerically, strings lexicographically).
     * `maxPostings` is the serving contract: a broader query belongs
     * on the Spark path (FullText.searchAll over indexData). */
   def driverFtSearch(table: String, indexName: String, terms: Seq[String],
@@ -1774,7 +1782,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     val perDoc = driverFtPerDoc(table, dir, analyzed, maxPostings)
     perDoc.collect { case (id, ts)
       if (if (requireAll) ts.size == analyzed.size else ts.nonEmpty) => id }
-      .toSeq.sortBy(_.toString)
+      .toSeq.sorted(Catalog.rowkeyOrd)
   }
 
   /** The shared boolean-serving core: per-doc matched-term sets for a
@@ -1871,7 +1879,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           }
         }
     }
-    out.toSeq.sortBy(_.toString)
+    out.toSeq.sorted(Catalog.rowkeyOrd)
   }
 
   /** Driver-side FUZZY serving — the Lucene FuzzyQuery analog, the
@@ -1917,12 +1925,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     require(Files.exists(fzBase),
       s"no fuzzy dictionary sidecar under $dir — the index predates " +
         "fuzzy serving; CALL system.refresh_index to rebuild")
-    val fzBaseVer = {
-      val n = fzBase.getFileName.toString
-      if (n.startsWith("fz_v"))
-        scala.util.Try(n.stripPrefix("fz_v").toInt).getOrElse(-1)
-      else -1
-    }
+    val fzBaseVer = versionOf("fz", fzBase.getFileName.toString)
     val fzSchema = StructType(Seq(
       StructField("tlen", IntegerType, nullable = true),
       StructField("term", StringType, nullable = true),
@@ -1956,7 +1959,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       if (matched.isEmpty) Nil
       else driverFtPerDoc(table, dir, matched, maxPostings)
         .collect { case (id, ts) if ts.nonEmpty => id }
-        .toSeq.sortBy(_.toString)
+        .toSeq.sorted(Catalog.rowkeyOrd)
     (ids, band.size)
   }
 
@@ -2028,7 +2031,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       if byTerm.get(t0).exists(_.exists(p0 =>
         terms.forall { case (t, off) =>
           byTerm.get(t).exists(_.contains(p0 + (off - o0))) })) => id
-    }.toSeq.sortBy(_.toString)
+    }.toSeq.sorted(Catalog.rowkeyOrd)
   }
 
   /** Driver-side SNIPPET (hit-highlighting) serving — the Lucene
@@ -2108,7 +2111,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         val e = math.min(first + after, arr.length)
         (id, first, c, arr.slice(s - 1, e).mkString(" "))
       }
-    }.sortBy(_._1.toString)
+    }.sortBy(_._1)(Catalog.rowkeyOrd)
   }
 
   /** Driver-side BITMAP equality serving — the last index flavor to
@@ -2230,6 +2233,167 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       s"range matched more than $maxIds rowkeys — use the Spark path")
     out.toSeq.sorted
   }
+
+  /** Driver-side VECTOR top-k serving — the LAST index flavor to join
+    * the millisecond family (kv, secondary-kv, bitmap and fulltext all
+    * serve on the calling thread; this closes the vector gap, so
+    * serving parity holds across EVERY persisted index flavor — the
+    * reference's contract that the index IS the serving surface,
+    * index/lucene/LuceneIndexTable.kt: query-path reads never scan the
+    * base table). The FAISS IVF serving recipe on the persisted
+    * artifacts, zero Spark jobs:
+    *
+    *   1. centroids: the `cent` artifact read whole (~√N rows —
+    *      kilobytes; paired at the data base's version exactly like
+    *      [[vectorArtifacts]]);
+    *   2. coarse probe: the SAME negL2 metric every Spark-side search
+    *      uses (Ann.coarseProbes), ties on the lower cluster id → the
+    *      `nprobe` nearest lists;
+    *   3. entries: ONE cluster-keyed seek per probed list against the
+    *      cluster-sorted base (row-group stats prune — the read is
+    *      probed-lists-sized, ≪ corpus: the stats variant returns the
+    *      rows actually read so DriverGetSpec can pin it); CDC
+    *      segments read WHOLE (patch-sized by the merge contract) and
+    *      filtered to the probed lists; versioned tombstones mask
+    *      exactly like [[vectorSegView]] (a later tombstone kills an
+    *      earlier entry, last-writer-wins per rk);
+    *   4. exact cosine re-rank on the calling thread — the same
+    *      kernel arithmetic as the codegen'd expression (double
+    *      accumulation, zero-norm → 0, 3-dp HALF_UP), ties on the
+    *      rowkey ascending — rank-identical to `Ann.ivfSearch` over
+    *      the segmented view with the same query/nprobe.
+    *
+    * `query` is the query vector (float/double values); `exclude`
+    * drops a rowkey from the shortlist (the nn =!= qid self-exclusion
+    * of the Spark path). `maxEntries` is the serving contract: a
+    * probe set wider than it belongs on the Spark path — fail loudly,
+    * never truncate. Returns (rowkey, score) ordered
+    * (score desc, rowkey asc — native key order). */
+  def driverAnnTopK(table: String, indexName: String, query: Seq[Double],
+                    k: Int, nprobe: Int = 4, exclude: Option[Any] = None,
+                    maxEntries: Int = 100000): Seq[(Any, Double)] =
+    driverAnnTopKStats(table, indexName, query, k, nprobe, exclude,
+      maxEntries)._1
+
+  /** [[driverAnnTopK]] plus the sublinearity observable DriverGetSpec
+    * pins: the number of entry rows actually read (base seeks + CDC
+    * segments, before tombstone masking) — ≪ corpus by the
+    * cluster-sorted layout. */
+  private[graft] def driverAnnTopKStats(table: String, indexName: String,
+                                        query: Seq[Double], k: Int,
+                                        nprobe: Int, exclude: Option[Any],
+                                        maxEntries: Int)
+      : (Seq[(Any, Double)], Int) = {
+    require(k > 0, "k must be positive")
+    require(nprobe > 0, "nprobe must be positive")
+    val dir = indexDir(table, indexName, "vector")
+    require(Files.exists(dir), s"$table $indexName vector not exists")
+    val vecCol = indexesOf(table)
+      .find(i => i._1 == indexName && i._2.equalsIgnoreCase("vector"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table $indexName vector not registered"))._3.head
+    val rkType = schemaOf(table)(primaryKeyOf(table).head).dataType
+    val live = dataVersionOf(table)
+    val base = resolveIndexVersioned(dir, "data", live)
+    val baseVer = indexBaseVersion(base)
+    val segs = versionedDirs(dir, "seg_v", baseVer, live)
+    val tombs = versionedDirs(dir, "tomb_v", baseVer, live)
+    val qv = query.toArray
+    // 1+2: centroid read + coarse probe. cent pairs at the data
+    // base's version (vectorArtifacts' crash-consistency rule).
+    val centSchema = StructType(Seq(
+      StructField("cluster", IntegerType, nullable = true),
+      StructField("centroid", ArrayType(DoubleType), nullable = true)))
+    val cents = DriverRead.readAll(
+      resolveIndexVersioned(dir, "cent", baseVer), centSchema, maxEntries)
+    require(cents.nonEmpty, s"$table $indexName vector has no centroids")
+    val probed: Seq[Int] = cents.iterator.map { r =>
+      (negL2Driver(qv, anySeqToDoubles(r.getSeq[Any](1))), r.getInt(0))
+    }.toSeq.sortBy { case (d, c) => (-d, c) }.take(nprobe).map(_._2)
+    // 3: probed-list seeks + patch-sized CDC overlays
+    val entrySchema = StructType(Seq(
+      StructField("rk", rkType, nullable = true),
+      StructField("cluster", IntegerType, nullable = true),
+      StructField("v", ArrayType(schemaOf(table)(vecCol).dataType match {
+        case ArrayType(et, _) => et
+        case other => other
+      }), nullable = true)))
+    var entriesRead = 0
+    val cand = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, Array[Double])]
+    val probeKeys = probed.map(c => Seq(c: Any))
+    ((baseVer, base) +: segs).foreach { case (v, p) =>
+      val rows =
+        if (v == baseVer)
+          DriverRead.get(p, entrySchema, Seq("cluster"), probeKeys, Nil)
+        else
+          // a segment is patch-sized: read whole, then keep only the
+          // probed lists — identical candidate set to the Spark
+          // view's cluster join
+          DriverRead.readAll(p, entrySchema, maxEntries)
+            .filter(r => probed.contains(r.getInt(1)))
+      entriesRead += rows.length
+      rows.foreach { r =>
+        cand += ((v, r.get(0), anySeqToDoubles(r.getSeq[Any](2))))
+      }
+    }
+    require(cand.size <= maxEntries,
+      s"probed lists hold more than $maxEntries entries — use the Spark path")
+    // tombstone masks: (version, rk), a mask kills any entry from an
+    // EARLIER artifact version (vectorSegView's last-writer-wins)
+    val tombSchema = StructType(Seq(StructField("rk", rkType, nullable = true)))
+    val masks: Seq[(Int, Set[Any])] = tombs.map { case (tv, p) =>
+      (tv, DriverRead.readAll(p, tombSchema, maxEntries).map(_.get(0)).toSet)
+    }
+    // 4: exact re-rank
+    val scored = cand.iterator
+      .filter { case (v, rk, _) =>
+        !masks.exists { case (tv, s) => tv > v && s.contains(rk) } }
+      .filter { case (_, rk, _) => !exclude.contains(rk) }
+      .map { case (_, rk, vec) => (rk, round3(cosineDriver(qv, vec))) }
+      .toSeq
+    implicit val rkOrd: Ordering[Any] = Catalog.rowkeyOrd
+    (scored.sortBy { case (rk, s) => (-s, rk) }.take(k), entriesRead)
+  }
+
+  /** The coarse-probe metric on the calling thread — same arithmetic
+    * as the codegen'd kernel (graft.plans.HashOps.negL2: sequential
+    * double accumulation, nulls→0 handled upstream). */
+  private def negL2Driver(a: Array[Double], b: Array[Double]): Double = {
+    require(a.length == b.length,
+      s"negL2 over ragged vectors: ${a.length} vs ${b.length} dims")
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    -s
+  }
+
+  /** Exact cosine, matching HashOps.cosine (zero-norm → 0). */
+  private def cosineDriver(a: Array[Double], b: Array[Double]): Double = {
+    require(a.length == b.length,
+      s"cosine over ragged vectors: ${a.length} vs ${b.length} dims")
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /** Spark Round's HALF_UP at 3 dp — the score rounding every ANN
+    * search applies before ranking. */
+  private def round3(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Float/double array column values → double[] (float widening is
+    * exact — the same coercion the codegen kernels apply); a null
+    * element reads as 0.0 like HashOps. */
+  private def anySeqToDoubles(xs: Seq[Any]): Array[Double] =
+    xs.iterator.map {
+      case null => 0.0
+      case n: java.lang.Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"non-numeric vector element $other")
+    }.toArray
 
   /** Driver-side RANKED BM25 top-k — the Lucene TopScoreDocCollector
     * analog completing the serving family (driverFtSearch serves
@@ -4184,6 +4348,39 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         StructField("is_primary", BooleanType, false),
         StructField("column_default", StringType, true),
         StructField("charset", StringType, false))))
+  }
+}
+
+object Catalog {
+  /** Deterministic NATIVE ordering for driver-serving rowkeys:
+    * numeric keys compare numerically (integral in long space,
+    * fractional in double space), strings/booleans/date-times by
+    * their own Comparable — matching the Spark path's ORDER BY on the
+    * same column, where the old `_.toString` sort put rowkey 10 before
+    * 9. Cross-family comparisons (a long vs a string — impossible for
+    * one table's single-typed rowkey column) fall back to the
+    * toString tie-break rather than throwing. */
+  private[graft] val rowkeyOrd: Ordering[Any] = new Ordering[Any] {
+    override def compare(a: Any, b: Any): Int = (a, b) match {
+      case (null, null) => 0
+      case (null, _) => -1
+      case (_, null) => 1
+      case (x: java.lang.Float, y: java.lang.Number) =>
+        java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+      case (x: java.lang.Double, y: java.lang.Number) =>
+        java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+      case (x: java.lang.Number, y: java.lang.Float) =>
+        java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+      case (x: java.lang.Number, y: java.lang.Double) =>
+        java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+      case (x: java.lang.Number, y: java.lang.Number) =>
+        java.lang.Long.compare(x.longValue(), y.longValue())
+      case (x: String, y: String) => x.compareTo(y)
+      case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
+      case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
+      case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
+      case (x, y) => x.toString.compareTo(y.toString)
+    }
   }
 }
 

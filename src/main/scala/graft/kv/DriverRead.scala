@@ -515,6 +515,14 @@ private[kv] object DriverRead {
   }
 
   private def readValue(g: Group, idx: Int, f: StructField): Any = {
+    // arrays (the vector index's centroid/embedding columns) ride
+    // parquet's 3-level LIST shape — a group, not a primitive; every
+    // scalar type below stays on the primitive path
+    f.dataType match {
+      case at: ArrayType if !g.getType.getType(idx).isPrimitive =>
+        return readArray(g.getGroup(idx, 0), at, f.name)
+      case _ => ()
+    }
     val pt = g.getType.getType(idx).asPrimitiveType()
     val logical: LogicalTypeAnnotation = pt.getLogicalTypeAnnotation
     (f.dataType, pt.getPrimitiveTypeName) match {
@@ -605,5 +613,34 @@ private[kv] object DriverRead {
       case (other, _) => throw new IllegalArgumentException(
         s"driver get does not read ${f.name}: $other columns (use the Spark path)")
     }
+  }
+
+  /** Spark's 3-level parquet LIST (`optional group col (LIST) {
+    * repeated group list { optional <t> element } }`) → Seq of the
+    * element type — what the vector-serving path needs for centroid
+    * (array<double>) and embedding (array<float>) columns. Null
+    * elements surface as null, like the Spark read. */
+  private def readArray(outer: Group, at: ArrayType, name: String): Seq[Any] = {
+    val n = outer.getFieldRepetitionCount(0)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val entry = outer.getGroup(0, i)
+      out(i) =
+        if (entry.getFieldRepetitionCount(0) == 0) null
+        else at.elementType match {
+          case DoubleType => entry.getDouble(0, 0)
+          case FloatType => entry.getFloat(0, 0)
+          case LongType => entry.getLong(0, 0)
+          case IntegerType => entry.getInteger(0, 0)
+          case StringType => entry.getString(0, 0)
+          case BooleanType => entry.getBoolean(0, 0)
+          case other => throw new IllegalArgumentException(
+            s"driver get does not read $name: array<$other> columns " +
+              "(use the Spark path)")
+        }
+      i += 1
+    }
+    out.toSeq
   }
 }

@@ -1067,6 +1067,106 @@ class DriverGetSpec extends AnyFunSuite {
       sparkRange("F", "O"))
   }
 
+  test("driver vector serving: ivfSearch-equal, CDC-fresh, zero jobs, probe-bounded") {
+    import spark.implicits._
+    val cat = freshCat("msann")
+    if (cat.tableExists("emb")) cat.dropTable("emb")
+    val e = graft.Tables.embeddings(spark, sf)
+    cat.createTable("emb", e.schema, Seq("vec_id"))
+    cat.bulkLoad("emb", e, partitions = 2)
+    cat.createIndex("emb", "ann", "vector", Seq("embedding"))
+    // CDC: exact copies of vec_id<5 planted at +1e6, AND vec_id 7
+    // REWRITTEN to vec_id 3's embedding — the rewrite tombstones 7's
+    // old entry and appends a fresh encoding in the segment
+    val v3 = e.filter($"vec_id" === 3L).head().getSeq[Float](1)
+    cat.incrementalMerge("emb",
+      e.filter($"vec_id" < 5)
+        .withColumn("vec_id", $"vec_id" + graft.Tables.PlantedIdBase)
+        .unionByName(e.filter($"vec_id" === 7L)
+          .withColumn("embedding", typedLit(v3))))
+    val (view, cent, _) = cat.vectorIndexView("emb", "ann")
+    val idx = graft.similarity.VectorIndex.ivfOf(cent, view)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val qdf = e.filter($"vec_id" < 5).select($"vec_id", $"embedding")
+    // rank parity with ivfSearch over the segmented view, per query
+    val viaSpark = graft.similarity.Ann
+      .ivfSearch(idx, qdf, "vec_id", "embedding", k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2),
+        r.getDouble(3)))).groupBy(_._1).view.mapValues(
+        _.map(_._2).sortBy(_._1).toSeq).toMap
+    val qvecs = qdf.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    qids.foreach { qid =>
+      val got = cat.driverAnnTopK("emb", "ann", qvecs(qid), k = 5,
+          nprobe = 4, exclude = Some(qid))
+        .zipWithIndex.map { case ((nn, s), i) =>
+          (i + 1, nn.asInstanceOf[Long], s) }
+      assert(got == viaSpark(qid),
+        s"driver/ivfSearch divergence for query $qid")
+      // CDC freshness: the merge-inserted exact copy surfaces at 1.0
+      // (rank 1 for every query but 3, whose rewritten twin 7 — also
+      // at 1.0 — wins the rowkey tie-break)
+      assert(got.exists { case (_, nn, s) =>
+        nn == qid + graft.Tables.PlantedIdBase && s == 1.0 },
+        s"query $qid's planted copy did not surface at score 1.0")
+      if (qid != 3L)
+        assert(got.head._2 == qid + graft.Tables.PlantedIdBase &&
+          got.head._3 == 1.0,
+          s"query $qid's planted copy did not surface at rank 1")
+    }
+    // tombstone mask: 7's OLD encoding must no longer serve — its old
+    // vector's search cannot return 7 at score 1.0 (the rewrite gave 7
+    // vec_id 3's embedding), while 3's vector finds the REWRITTEN 7
+    val old7 = e.filter($"vec_id" === 7L).head()
+      .getSeq[Float](1).map(_.toDouble)
+    val hits7 = cat.driverAnnTopK("emb", "ann", old7, k = 5, nprobe = 4)
+    assert(!hits7.exists { case (nn, s) => nn == 7L && s == 1.0 },
+      "the rewritten row's old encoding still serves (tombstone unmasked)")
+    assert(cat.driverAnnTopK("emb", "ann", qvecs(3L), k = 5, nprobe = 4,
+        exclude = Some(3L))
+      .exists { case (nn, s) => nn == 7L && s == 1.0 },
+      "the rewritten row's fresh encoding is not served")
+    // probe-bounded: rows read ≪ corpus (the cluster-sorted seeks)
+    val corpus = e.count()
+    val (_, entriesRead) = cat.driverAnnTopKStats("emb", "ann", qvecs(0L),
+      k = 5, nprobe = 4, exclude = Some(0L), maxEntries = 100000)
+    assert(entriesRead > 0 && entriesRead < corpus * 0.6,
+      s"probed-list read $entriesRead is not << corpus $corpus")
+    // zero Spark jobs on the serving path
+    @volatile var jobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(cat.driverAnnTopK("emb", "ann", qvecs(2L), k = 3,
+        nprobe = 4, exclude = Some(2L)).nonEmpty)
+      Thread.sleep(800)
+      assert(jobs == 0, s"driver vector serving scheduled $jobs Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // serving contract: an over-wide probe fails loudly onto Spark
+    intercept[IllegalArgumentException](
+      cat.driverAnnTopK("emb", "ann", qvecs(0L), k = 3, maxEntries = 2))
+    // FOLD the stack: the folded base serves identical ranks with the
+    // segments and tombstones gone (fresh view — the fold re-trains)
+    cat.compactIndex("emb", "ann", "vector")
+    val (view2, cent2, _) = cat.vectorIndexView("emb", "ann")
+    val idx2 = graft.similarity.VectorIndex.ivfOf(cent2, view2)
+    val viaSpark2 = graft.similarity.Ann
+      .ivfSearch(idx2, qdf, "vec_id", "embedding", k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2),
+        r.getDouble(3)))).groupBy(_._1).view.mapValues(
+        _.map(_._2).sortBy(_._1).toSeq).toMap
+    qids.foreach { qid =>
+      val got = cat.driverAnnTopK("emb", "ann", qvecs(qid), k = 5,
+          nprobe = 4, exclude = Some(qid))
+        .zipWithIndex.map { case ((nn, s), i) =>
+          (i + 1, nn.asInstanceOf[Long], s) }
+      assert(got == viaSpark2(qid),
+        s"post-fold driver/ivfSearch divergence for query $qid")
+    }
+  }
+
   test("manifest blooms size from per-file row counts (bits-per-key knob)") {
     import TestSpark.spark.implicits._
     val prevBpk = spark.conf.getOption("spark.graft.manifest.bloomBitsPerKey")
