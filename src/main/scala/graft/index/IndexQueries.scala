@@ -351,6 +351,35 @@ object IndexQueries {
       hybridFuse(lex, vec)
     },
 
+    "sql_ms_call" -> { (s, d) =>
+      import s.implicits._
+      // The millisecond serving family through the SQL FRONT DOOR
+      // (GraftProcedures.ms_get/ms_search): the reference's serving
+      // surface is Calcite SQL, so a SQL-only client must reach the
+      // driver paths — `CALL <cat>.system.ms_get('t','5')` runs
+      // Catalog.driverPointGet on the calling thread and returns the
+      // rows as a LocalScan → LocalRelation (zero Spark jobs for the
+      // whole CALL; DriverGetSpec pins the job count and the
+      // direct-call parity for all four serving procedures). Same
+      // planted segmented corpus as ft_ms_search, so the CDC arms
+      // (rewritten doc 5, merge-inserted 900001) gate through SQL.
+      val cat = ftMsCatalog(s, d)
+      val cname = "graftms_" +
+        java.lang.Integer.toHexString(cat.warehouse.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.kv.connector.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.warehouse", cat.warehouse)
+      s.sql(s"CALL $cname.system.ms_get('ftdocs', '5')")
+        .select(lit("get5").as("probe"), $"k", $"body")
+        .unionByName(s.sql(s"CALL $cname.system.ms_get('ftdocs', '900001')")
+          .select(lit("get900001").as("probe"), $"k", $"body"))
+        .unionByName(
+          s.sql(s"CALL $cname.system.ms_search('ftdocs', 'ft', 'graft engine')")
+            .select(lit("search").as("probe"), $"rk".as("k"),
+              lit(null).cast("string").as("body")))
+        .orderBy($"probe", $"k")
+    },
+
     "ft_ms_search" -> { (s, d) =>
       import s.implicits._
       // Driver-side full-text serving (the Lucene QUERY-path analog
@@ -688,6 +717,25 @@ object IndexQueries {
         |  SELECT 'graft' AS probe, k FROM m WHERE list_contains(toks, 'graft')
         |  UNION ALL
         |  SELECT 'spark' AS probe, k FROM m WHERE list_contains(toks, 'spark'))
+        |ORDER BY probe, k""".stripMargin,
+
+    "sql_ms_call" ->
+      // the SQL-front-door serving calls replay exactly: point gets
+      // against the planted segmented corpus, AND-search on its
+      // token sets
+      """WITH t AS (
+        |  SELECT doc_id AS k,
+        |    CASE WHEN doc_id = 5 THEN 'graft segment merge engine' ELSE text END AS body
+        |  FROM documents WHERE doc_id < 300
+        |  UNION ALL SELECT CAST(900001 AS BIGINT), 'graft posting engine'),
+        |m AS (SELECT k, string_split_regex(lower(body), '[^a-z0-9]+') AS toks FROM t)
+        |SELECT probe, k, body FROM (
+        |  SELECT 'get5' AS probe, k, body FROM t WHERE k = 5
+        |  UNION ALL
+        |  SELECT 'get900001' AS probe, k, body FROM t WHERE k = 900001
+        |  UNION ALL
+        |  SELECT 'search' AS probe, k, CAST(NULL AS VARCHAR) AS body FROM m
+        |  WHERE list_contains(toks, 'graft') AND list_contains(toks, 'engine'))
         |ORDER BY probe, k""".stripMargin,
 
     "ft_ms_search" ->

@@ -27,7 +27,8 @@ object GraftProcedures {
 
   val names: Array[String] =
     Array("compact", "vacuum", "create_index", "drop_index", "refresh_index",
-      "compact_index", "recover_txns")
+      "compact_index", "recover_txns",
+      "ms_get", "ms_search", "ms_topk", "ms_ann")
 
   def load(cat: => Catalog, procName: String): UnboundProcedure =
     procName.toLowerCase match {
@@ -80,6 +81,76 @@ object GraftProcedures {
       // and vacuum — this is the explicit operational handle)
       case "recover_txns" => proc("recover_txns",
         Array.empty, _ => cat.recoverTransactions())
+
+      // ---- millisecond serving, SQL-reachable --------------------
+      // The driver serving family (Catalog.driverPointGet /
+      // driverFtSearch / driverFtTopK / driverAnnTopK) runs entirely
+      // on the calling thread; these procedures are its SQL front
+      // door — the reference serves every read through Calcite SQL,
+      // so a SQL-only client must reach the millisecond paths too.
+      // Results come back as a LocalScan: the analyzer turns it into
+      // a LocalRelation, so `CALL graft.system.ms_get('t', '5')`
+      // returns rows with ZERO Spark jobs end to end.
+      case "ms_get" => rowsProc("ms_get",
+        Array(in("table", StringType), in("key", StringType)),
+        { r =>
+          val t = str(r, 0)
+          val schema = cat.schemaOf(t)
+          val pk = cat.primaryKeyOf(t)
+          // composite keys bind comma-separated, in pk order
+          val parts = str(r, 1).split(",", -1).map(_.trim).toSeq
+          require(parts.length == pk.length,
+            s"ms_get key must bind the full primary key ${pk.mkString(",")}")
+          val key = pk.zip(parts).map { case (c, s) =>
+            coerce(schema(c).dataType, s, c) }
+          (schema, cat.driverPointGet(t, key: _*))
+        })
+      case "ms_search" => rowsProc("ms_search",
+        Array(in("table", StringType), in("index", StringType),
+          in("query", StringType),
+          // 'all' = every term must match (the Lucene MUST clause),
+          // 'any' = at least one (SHOULD)
+          inDefault("mode", StringType, "'all'")),
+        { r =>
+          val t = str(r, 0)
+          val terms = str(r, 2).split("\\s+").filter(_.nonEmpty).toSeq
+          val ids = str(r, 3).toLowerCase match {
+            case "all" => cat.driverFtSearch(t, str(r, 1), terms)
+            case "any" => cat.driverFtSearchAny(t, str(r, 1), terms)
+            case other => throw new IllegalArgumentException(
+              s"ms_search mode must be all|any, got '$other'")
+          }
+          val kt = rowkeyType(cat, t)
+          (StructType(Seq(StructField("rk", kt, nullable = true))),
+            ids.map(org.apache.spark.sql.Row(_)))
+        })
+      case "ms_topk" => rowsProc("ms_topk",
+        Array(in("table", StringType), in("index", StringType),
+          in("query", StringType), inDefault("k", IntegerType, "10")),
+        { r =>
+          val t = str(r, 0)
+          val terms = str(r, 2).split("\\s+").filter(_.nonEmpty).toSeq
+          val rows = cat.driverFtTopK(t, str(r, 1), terms, r.getInt(3))
+          (StructType(Seq(
+            StructField("rk", rowkeyType(cat, t), nullable = true),
+            StructField("score", DoubleType, nullable = true))),
+            rows.map { case (id, s) => org.apache.spark.sql.Row(id, s) })
+        })
+      case "ms_ann" => rowsProc("ms_ann",
+        Array(in("table", StringType), in("index", StringType),
+          // the query vector, comma-separated numbers
+          in("query", StringType), inDefault("k", IntegerType, "10"),
+          inDefault("nprobe", IntegerType, "4")),
+        { r =>
+          val t = str(r, 0)
+          val qv = str(r, 2).split(",").map(_.trim.toDouble).toSeq
+          val rows = cat.driverAnnTopK(t, str(r, 1), qv, r.getInt(3),
+            r.getInt(4))
+          (StructType(Seq(
+            StructField("rk", rowkeyType(cat, t), nullable = true),
+            StructField("score", DoubleType, nullable = true))),
+            rows.map { case (id, s) => org.apache.spark.sql.Row(id, s) })
+        })
       case other =>
         throw new UnsupportedOperationException(s"unknown procedure $other " +
           s"(have: ${names.mkString(", ")})")
@@ -106,4 +177,52 @@ object GraftProcedures {
         java.util.Collections.emptyIterator[Scan]()
       }
     }
+
+  /** Row-returning serving procedure: the body computes (schema, rows)
+    * ON THE CALLING THREAD (the driver serving contract — zero Spark
+    * jobs), and the result rides back as a [[LocalScan]], which the
+    * analyzer (InvokeProcedures) rewrites to a LocalRelation — the
+    * whole CALL never schedules a job. */
+  private def rowsProc(n: String, ps: Array[ProcedureParameter],
+                       body: InternalRow =>
+                         (StructType, Seq[org.apache.spark.sql.Row])): UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = n
+      override def description(): String = s"graft serving procedure $n"
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def parameters(): Array[ProcedureParameter] = ps
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (schema, rows) = body(input)
+        val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(schema)
+        val data = rows.map(r => conv(r).asInstanceOf[InternalRow]).toArray
+        val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
+          override def readSchema(): StructType = schema
+          override def rows(): Array[InternalRow] = data
+        }
+        java.util.Collections.singletonList(scan).iterator()
+      }
+    }
+
+  /** The leading rowkey column's type — what the serving results'
+    * `rk` column carries. */
+  private def rowkeyType(cat: Catalog, table: String): DataType =
+    cat.schemaOf(table)(cat.primaryKeyOf(table).head).dataType
+
+  /** SQL-string → typed key value, per the pk column's type. The
+    * basic key families the serving paths accept; anything else is a
+    * loud error naming the column. */
+  private def coerce(dt: DataType, s: String, col: String): Any = dt match {
+    case LongType => s.toLong
+    case IntegerType => s.toInt
+    case ShortType => s.toShort
+    case ByteType => s.toByte
+    case DoubleType => s.toDouble
+    case FloatType => s.toFloat
+    case BooleanType => s.toBoolean
+    case StringType => s
+    case other => throw new IllegalArgumentException(
+      s"ms_get cannot bind key column $col of type $other from SQL")
+  }
 }

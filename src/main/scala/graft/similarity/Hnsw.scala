@@ -230,18 +230,28 @@ object Hnsw {
     val removedLists = gKeys
       .join(cur, Seq("rk", "cluster", "v"), "left_anti")
       .select(col("cluster")).distinct()
-    // Two grades of touched list, the DiskANN merge split:
-    //   - a list that LOST content (tombstone, or a re-encode's stale
-    //     row) REBUILDS in full — removing a node invalidates every
-    //     edge selected against it, so the O(|list|²) kernel is the
-    //     honest cost;
+    // Three grades of touched list, the DiskANN merge split:
+    //   - a MIXED list (lost AND gained content — e.g. a re-encode
+    //     whose stale row and fresh row land in the same list)
+    //     REBUILDS in full — the conservative arm;
+    //   - a DELETE-ONLY list consolidates in place
+    //     ([[deleteConsolidate]] — the DiskANN delete-consolidation
+    //     recipe): tombstoned nodes are masked out of the adjacency
+    //     and ONLY their ex-neighbors re-link, each patching its
+    //     dangling edges with ranked candidates drawn from the
+    //     deleted node's own edge list — O(|deleted|·deg²) kernels
+    //     instead of O(|list|²), and nodes that never pointed at a
+    //     deleted node keep their edge lists IDENTICAL (the
+    //     no-rebuild observable HnswSpec pins, alongside
+    //     search-equality with a from-scratch rebuild);
     //   - an INSERT-ONLY list greedy-links just the new nodes
     //     (exact top-m out-edges over the current members, back-edges
     //     appended capped at 2m — existing nodes keep their edge list
     //     as a PREFIX), so a pure-add fold costs O(|delta|·|list|)
     //     kernels instead of O(|list|²) (HnswSpec pins both the
-    //     prefix law and the tombstone rebuild).
-    val rebuildLists = removedLists
+    //     prefix law and the consolidation laws).
+    val rebuildLists = removedLists.join(addedLists, Seq("cluster"), "left_semi")
+    val deleteLists = removedLists.join(addedLists, Seq("cluster"), "left_anti")
     val insertLists = addedLists.join(removedLists, Seq("cluster"), "left_anti")
     val touched = addedLists.unionByName(removedLists).distinct()
     val untouched = graph
@@ -250,11 +260,78 @@ object Hnsw {
     val rebuilt = buildGraph(
       cur.join(rebuildLists, Seq("cluster"), "left_semi"), m)
       .select(col("cluster"), col("rk"), col("v"), col("neighbors"))
+    val consolidated = deleteConsolidate(
+      graph.join(deleteLists, Seq("cluster"), "left_semi")
+        .select(col("cluster"), col("rk"), col("v"), col("neighbors")),
+      gKeys.join(cur, Seq("rk", "cluster", "v"), "left_anti")
+        .join(deleteLists, Seq("cluster"), "left_semi")
+        .select(col("cluster"), col("rk")), m)
     val inserted = insertGreedy(
       graph.join(insertLists, Seq("cluster"), "left_semi")
         .select(col("cluster"), col("rk"), col("v"), col("neighbors")),
       added.join(insertLists, Seq("cluster"), "left_semi"), m)
-    untouched.unionByName(rebuilt).unionByName(inserted)
+    untouched.unionByName(rebuilt).unionByName(consolidated)
+      .unionByName(inserted)
+  }
+
+  /** DiskANN delete-consolidation for DELETE-ONLY lists (Subramanya
+    * et al. 2019 §4; the FreshDiskANN merge's delete phase): deleted
+    * nodes leave the graph, and each SURVIVOR that pointed at one
+    * patches its dangling edges by ranking the deleted node's own
+    * neighbors (the standard candidate set — the deleted node's edges
+    * are exactly the short-cuts its removal severs) and appending the
+    * best `dropped` of them (cosine desc, rk asc; capped at 2m, never
+    * a duplicate/self/deleted target). Survivors with NO deleted
+    * neighbor keep their edge lists IDENTICAL — the observable that
+    * proves no rebuild ran. Kernel cost: O(|deleted|·deg²) — each
+    * (affected survivor × candidate) pair measured once — vs the full
+    * rebuild's O(|list|²). Deterministic: candidate ranking has a
+    * total order and survivors fold independently. */
+  private[graft] def deleteConsolidate(existing: DataFrame,
+                                       removedKeys: DataFrame,
+                                       m: Int): DataFrame = {
+    val spark = existing.sparkSession
+    import spark.implicits._
+    val ex = existing.select(col("cluster").cast("int"),
+        col("rk").cast("long"), col("v"), col("neighbors"))
+      .as[(Int, Long, Seq[Float], Seq[Long])]
+      .map(r => (r._1, r._2, r._3, r._4, false))
+    val rm = removedKeys.select(col("cluster").cast("int"),
+        col("rk").cast("long"))
+      .as[(Int, Long)]
+      .map(r => (r._1, r._2, Seq.empty[Float], Seq.empty[Long], true))
+    ex.union(rm).groupByKey(_._1)
+      .flatMapGroups { (cluster: Int, it: Iterator[(Int, Long, Seq[Float], Seq[Long], Boolean)]) =>
+        val rows = it.toArray
+        val deleted = rows.iterator.filter(_._5).map(_._2).toSet
+        val nodes = rows.filter(!_._5)
+        val byRk = nodes.iterator.map(r => r._2 -> r).toMap
+        val edgeOrd: Ordering[(Double, Long)] =
+          Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+        nodes.iterator.filter(r => !deleted.contains(r._2)).map { r =>
+          val rk = r._2
+          val nbrs = r._4
+          if (!nbrs.exists(deleted.contains)) (cluster, rk, r._3, nbrs)
+          else {
+            val kept = nbrs.filterNot(deleted.contains)
+            val dropped = nbrs.size - kept.size
+            val keptSet = kept.toSet
+            val va = r._3.toArray
+            val cands = nbrs.iterator.filter(deleted.contains)
+              .flatMap(d => byRk.get(d).iterator.flatMap(_._4.iterator))
+              .filter(c => !deleted.contains(c) && c != rk &&
+                !keptSet.contains(c) && byRk.contains(c))
+              .toSeq.distinct
+              .map(c => (cos(va, byRk(c)._3.toArray), c))
+              .sorted(edgeOrd)
+            val add = cands.iterator.map(_._2)
+              .take(math.min(dropped, math.max(0, 2 * m - kept.size)))
+              .toSeq
+            (cluster, rk, r._3, kept ++ add)
+          }
+        }
+      }
+      .toDF("cluster", "rk", "v", "neighbors")
   }
 
   /** Patch-proportional insert fold for PURE-ADD lists (the DiskANN

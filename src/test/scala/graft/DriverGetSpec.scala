@@ -1167,6 +1167,75 @@ class DriverGetSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL front door: CALL system.ms_* serves driver paths with zero jobs") {
+    import spark.implicits._
+    val cat = freshCat("sqlms")
+    // fulltext arm: planted segmented corpus (rewritten 5, inserted
+    // 900001) — the ftMsCatalog recipe, spec-local
+    if (cat.tableExists("docs")) cat.dropTable("docs")
+    cat.createTable("docs", StructType(Seq(
+      StructField("k", LongType, false),
+      StructField("body", StringType, true))), Seq("k"))
+    cat.bulkLoad("docs", graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 120)
+      .select(col("doc_id").as("k"), col("text").as("body")), partitions = 2)
+    cat.createIndex("docs", "ft", "fulltext", Seq("body"))
+    cat.incrementalMerge("docs", Seq(
+      (5L, "graft segment merge engine"),
+      (900001L, "graft posting engine")).toDF("k", "body"))
+    // vector arm
+    val e = graft.Tables.embeddings(spark, sf)
+    if (cat.tableExists("emb")) cat.dropTable("emb")
+    cat.createTable("emb", e.schema, Seq("vec_id"))
+    cat.bulkLoad("emb", e, partitions = 2)
+    cat.createIndex("emb", "ann", "vector", Seq("embedding"))
+    val q0 = e.filter(col("vec_id") === 0L).head().getSeq[Float](1)
+      .map(_.toDouble)
+    val cname = "sqlms_" + java.lang.Integer.toHexString(cat.warehouse.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$cname",
+      classOf[graft.kv.connector.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cname.warehouse", cat.warehouse)
+    def call(sql: String) = spark.sql(s"CALL $cname.system.$sql").collect()
+    // parity with the direct driver calls, every serving procedure
+    assert(call("ms_get('docs', '5')").map(r => (r.getLong(0), r.getString(1)))
+      .toSeq == Seq((5L, "graft segment merge engine")))
+    assert(call("ms_get('docs', '900001')").map(_.getLong(0)).toSeq ==
+      Seq(900001L))
+    assert(call("ms_get('docs', '424242')").isEmpty)
+    assert(call("ms_search('docs', 'ft', 'graft engine')")
+      .map(_.getLong(0)).toSeq ==
+      cat.driverFtSearch("docs", "ft", Seq("graft", "engine"))
+        .map(_.asInstanceOf[Long]))
+    assert(call("ms_search('docs', 'ft', 'graft posting', 'any')")
+      .map(_.getLong(0)).toSeq ==
+      cat.driverFtSearchAny("docs", "ft", Seq("graft", "posting"))
+        .map(_.asInstanceOf[Long]))
+    assert(call("ms_topk('docs', 'ft', 'graft engine', 3)")
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      cat.driverFtTopK("docs", "ft", Seq("graft", "engine"), 3))
+    val qcsv = q0.mkString(",")
+    assert(call(s"ms_ann('emb', 'ann', '$qcsv', 4, 4)")
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      cat.driverAnnTopK("emb", "ann", q0, k = 4, nprobe = 4))
+    // the whole CALL — parse, procedure body, LocalScan collect —
+    // schedules ZERO Spark jobs
+    @volatile var jobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(call("ms_get('docs', '5')").nonEmpty)
+      assert(call("ms_search('docs', 'ft', 'graft')").nonEmpty)
+      assert(call(s"ms_ann('emb', 'ann', '$qcsv', 3)").nonEmpty)
+      Thread.sleep(800)
+      assert(jobs == 0, s"SQL serving CALL scheduled $jobs Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // loud errors: bad mode, unknown procedure
+    intercept[Exception](call("ms_search('docs', 'ft', 'x', 'fuzzy')"))
+    intercept[Exception](call("ms_frobnicate('docs')"))
+  }
+
   test("manifest blooms size from per-file row counts (bits-per-key knob)") {
     import TestSpark.spark.implicits._
     val prevBpk = spark.conf.getOption("spark.graft.manifest.bloomBitsPerKey")

@@ -338,22 +338,93 @@ class HnswSpec extends AnyFunSuite {
         "vec_id", "embedding", k = 5, nprobe = 3, ef = 24, maxVisits = 96)
       .select($"nn").collect().map(_.getLong(0)).toSet
     assert(got.contains(9001L), "greedy-linked insert unreachable by the beam")
-    // tombstone: removing one row forces the FULL rebuild of its list
-    // — the folded list is bit-identical to buildGraph over the
-    // remaining members, and no edge dangles at the removed rk
+    // tombstone on a DELETE-ONLY list: the fold CONSOLIDATES instead
+    // of rebuilding (the DiskANN delete-consolidation recipe) — see
+    // the dedicated consolidation test below for the full laws; here
+    // just the dangling-edge invariant and node removal
     val entries2 = graph.select($"cluster", $"rk", $"v").filter($"rk" =!= 3L)
     val folded2 = Hnsw.foldDelta(graph, entries2).cache()
     assert(folded2.filter($"rk" === 3L).count() == 0)
-    val rebuiltList = Hnsw.buildGraph(
-        graph.filter($"cluster" === c3 && $"rk" =!= 3L)
-          .select($"cluster", $"rk", $"v"))
-      .collect().map(r => r.getLong(1) -> r.getSeq[Long](3)).toMap
-    val foldedList = folded2.filter($"cluster" === c3).collect()
-      .map(r => r.getLong(1) -> r.getSeq[Long](3)).toMap
-    assert(foldedList == rebuiltList,
-      "tombstone fold did not fully rebuild the touched list")
     assert(!folded2.collect().exists(_.getSeq[Long](3).contains(3L)),
       "a folded edge dangles at the tombstoned node")
+    // a list that BOTH lost and gained content stays on the
+    // conservative full-rebuild arm: bit-identical to buildGraph
+    // over the current members
+    val mixedEntries = graph.select($"cluster", $"rk", $"v")
+      .filter($"rk" =!= 3L)
+      .unionByName(newRows.select($"cluster", $"rk", $"v"))
+    val foldedMixed = Hnsw.foldDelta(graph, mixedEntries).cache()
+    val rebuiltMixed = Hnsw.buildGraph(
+        mixedEntries.filter($"cluster" === c3))
+      .collect().map(r => r.getLong(1) -> r.getSeq[Long](3)).toMap
+    val foldedMixedList = foldedMixed.filter($"cluster" === c3).collect()
+      .map(r => r.getLong(1) -> r.getSeq[Long](3)).toMap
+    assert(foldedMixedList == rebuiltMixed,
+      "mixed add+delete fold did not fully rebuild the touched list")
+  }
+
+  test("tombstone folds consolidate: only ex-neighbors re-link, searches match a rebuild") {
+    import spark.implicits._
+    val (graph, cents) = built
+    // delete three nodes from ONE list
+    val c3 = graph.filter($"rk" === 3L).select($"cluster").head().getInt(0)
+    val members = graph.filter($"cluster" === c3).select($"rk")
+      .collect().map(_.getLong(0)).sorted
+    val dead = members.take(3).toSet
+    val entries = graph.select($"cluster", $"rk", $"v")
+      .filter(!$"rk".isin(dead.toSeq: _*))
+    val folded = Hnsw.foldDelta(graph, entries).cache()
+    // (1) only the deleted nodes' list is touched: every OTHER list
+    // carries over row-identical
+    val beforeOther = graph.filter($"cluster" =!= c3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](3))).toSet
+    val afterOther = folded.filter($"cluster" =!= c3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](3))).toSet
+    assert(afterOther == beforeOther,
+      "a list without deletions was touched by the tombstone fold")
+    // (2) within the touched list: survivors that never pointed at a
+    // deleted node keep their edge lists IDENTICAL (no rebuild ran),
+    // and affected survivors keep their surviving edges as a PREFIX
+    // with ranked replacements appended
+    val before = graph.filter($"cluster" === c3).collect()
+      .map(r => r.getLong(1) -> r.getSeq[Long](3)).toMap
+    val after = folded.filter($"cluster" === c3).collect()
+      .map(r => r.getLong(1) -> r.getSeq[Long](3)).toMap
+    assert(dead.forall(d => !after.contains(d)))
+    var unaffected = 0
+    before.foreach { case (rk, nbrs) =>
+      if (!dead.contains(rk)) {
+        if (!nbrs.exists(dead.contains)) {
+          assert(after(rk) == nbrs,
+            s"unaffected survivor $rk was re-linked (rebuild ran)")
+          unaffected += 1
+        } else {
+          val kept = nbrs.filterNot(dead.contains)
+          assert(after(rk).startsWith(kept),
+            s"affected survivor $rk lost its surviving-edge prefix")
+          assert(after(rk).size <= 16, s"survivor $rk over 2m edges")
+          assert(!after(rk).exists(dead.contains),
+            s"survivor $rk still points at a deleted node")
+        }
+      }
+    }
+    assert(unaffected > 0,
+      "fixture too dense: every survivor pointed at a deleted node")
+    // (3) searches over the consolidated graph match a from-scratch
+    // rebuild exactly on this corpus
+    val rebuilt = Hnsw.buildGraph(entries).cache()
+    val queries = corpus.filter($"vec_id" % 37 === 0)
+      .select($"vec_id", $"embedding")
+    val viaFold = Hnsw.search(folded, cents, emptyDelta, queries,
+        "vec_id", "embedding", k = 5, nprobe = 3, ef = 24, maxVisits = 96)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val viaRebuild = Hnsw.search(rebuilt, cents, emptyDelta, queries,
+        "vec_id", "embedding", k = 5, nprobe = 3, ef = 24, maxVisits = 96)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(viaFold == viaRebuild,
+      "consolidated-graph searches diverge from a from-scratch rebuild")
   }
 
   test("graph build is deterministic and edges stay within 2m") {
