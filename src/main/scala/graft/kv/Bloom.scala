@@ -24,17 +24,27 @@ import org.apache.spark.sql.expressions.Aggregator
   * Sizing is PER-KEY, like HBase's io.storefile.bloom sizing: the
   * aggregation builds every file's filter at a power-of-two cap
   * (conf `spark.graft.manifest.bloomMaxBits`, default 2^23) and the
-  * manifest writer folds each file's bitset down ([[BloomBits.foldTo]]
-  * — lossless for the double-hash positions) to the smallest power of
-  * two ≥ rows × bits-per-key (conf
+  * aggregator's `finish` folds each file's bitset down EXECUTOR-SIDE
+  * ([[BloomBits.foldTo]] — lossless for the double-hash positions) to
+  * the smallest power of two ≥ rows × bits-per-key (conf
   * `spark.graft.manifest.bloomBitsPerKey`, default 10 ⇒ ~1% FPR with
   * k = 7), so the gate corpus and a 100-TB corpus get the same
-  * false-positive rate; at the cap (≥ ~800k rows/file) the FPR
-  * degrades gracefully instead of the filter growing unboundedly.
-  * Setting the legacy flat knob `spark.graft.manifest.bloomBits`
-  * overrides all of this with a fixed per-file size. At production
-  * file counts the bitsets belong in a per-file sidecar like HFile's
-  * bloom blocks; the manifest JSON carries base64 either way. A false
+  * false-positive rate, and the aggregation OUTPUT (the shuffle to
+  * the final agg and the driver collect) carries only the folded
+  * filter — never the 1 MiB cap per file; at the cap (≥ ~800k
+  * rows/file) the FPR degrades gracefully instead of the filter
+  * growing unboundedly. Setting the legacy flat knob
+  * `spark.graft.manifest.bloomBits` overrides all of this with a
+  * fixed per-file size.
+  *
+  * Persistence: small tables inline the bitsets as base64 in the
+  * manifest JSON; past `spark.graft.manifest.bloomSidecarBytes`
+  * (default 256 KiB) of total filter bytes they spill to a
+  * CONTENT-ADDRESSED binary sidecar beside the manifest
+  * (`_graft_blooms_<crc>.bin` — HFile's bloom-block shape), which the
+  * manifest references by exact name, so the atomic manifest rename
+  * always pairs with the sidecar it was written against; range-scan
+  * readers that never probe blooms keep parsing a small JSON. A false
   * positive only costs the footer read the bloom tried to save —
   * never correctness. */
 private[graft] object BloomBits {
@@ -111,22 +121,38 @@ private[graft] object BloomBits {
 
 /** Bitset-OR aggregator over pre-hashed keys (input = `xxhash64(key)`
   * column values), one filter per group — used per part-file by the
-  * manifest scan. Buffers are byte arrays of mBits/8; merge ORs. */
-private[kv] class BloomAgg(mBits: Int)
-    extends Aggregator[Long, Array[Byte], Array[Byte]] {
+  * manifest scan. Buffers carry (rowCount, bits of mBits/8); merge
+  * sums counts and ORs bits. With `foldBitsPerKey` set (per-key
+  * sizing, the default path), `finish` folds the cap-sized bitset
+  * down to nextPow2(rows × bitsPerKey) EXECUTOR-SIDE — the final
+  * aggregation output, shuffle-to-driver transfer and the manifest
+  * collect carry the small folded filter, never the 1 MiB cap, at
+  * any file count. None (the legacy flat knob) emits the raw bits. */
+private[kv] class BloomAgg(mBits: Int, foldBitsPerKey: Option[Int] = None)
+    extends Aggregator[Long, (Long, Array[Byte]), Array[Byte]] {
   require(mBits >= 8 && (mBits & 7) == 0, s"mBits must be a multiple of 8: $mBits")
-  override def zero: Array[Byte] = new Array[Byte](mBits / 8)
-  override def reduce(b: Array[Byte], h: Long): Array[Byte] = {
-    BloomBits.set(b, h); b
+  override def zero: (Long, Array[Byte]) = (0L, new Array[Byte](mBits / 8))
+  override def reduce(b: (Long, Array[Byte]), h: Long): (Long, Array[Byte]) = {
+    BloomBits.set(b._2, h); (b._1 + 1, b._2)
   }
-  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+  override def merge(a: (Long, Array[Byte]),
+                     b: (Long, Array[Byte])): (Long, Array[Byte]) = {
     var i = 0
-    while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
-    a
+    while (i < a._2.length) { a._2(i) = (a._2(i) | b._2(i)).toByte; i += 1 }
+    (a._1 + b._1, a._2)
   }
-  override def finish(r: Array[Byte]): Array[Byte] = r
-  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
-    org.apache.spark.sql.Encoders.BINARY
+  override def finish(r: (Long, Array[Byte])): Array[Byte] =
+    foldBitsPerKey match {
+      case Some(bpk) =>
+        val target = math.min(mBits.toLong,
+          math.max(1L << 10, BloomBits.nextPow2(r._1 * bpk)))
+        BloomBits.foldTo(r._2, target.toInt)
+      case None => r._2
+    }
+  override def bufferEncoder: org.apache.spark.sql.Encoder[(Long, Array[Byte])] =
+    org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.BINARY)
   override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
     org.apache.spark.sql.Encoders.BINARY
 }

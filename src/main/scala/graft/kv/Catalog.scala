@@ -663,11 +663,13 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         case _ => false
       }
     // bloom sizing (see BloomBits' scaladoc): build every file's
-    // filter at the power-of-two cap in the ONE aggregation pass,
-    // fold each down to its own row count × bits-per-key afterwards —
-    // per-key sizing keeps the false-positive rate scale-invariant
-    // where a flat constant is all-pass at the 1M-row design point.
-    // The legacy flat knob, when set, disables per-key sizing.
+    // filter at the power-of-two cap in the ONE aggregation pass; the
+    // aggregator's finish folds it down to the file's own row count ×
+    // bits-per-key EXECUTOR-SIDE, so the agg output and the collect
+    // carry only the small folded filter — per-key sizing keeps the
+    // false-positive rate scale-invariant where a flat constant is
+    // all-pass at the 1M-row design point. The legacy flat knob, when
+    // set, disables per-key sizing (no fold).
     val flatBits = spark.conf.getOption("spark.graft.manifest.bloomBits")
       .map(_.toInt)
     val bitsPerKey = spark.conf
@@ -680,14 +682,13 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         s"spark.graft.manifest.bloomMaxBits must be a power of two >= 1024: $m")
       m
     }
+    val foldBpk = if (flatBits.isDefined) None else Some(bitsPerKey)
     val keyCols = fcol(keyCol).as("k") +: secondCol.map(c => fcol(c).as("k2")).toSeq
     val hashCols = if (bloomable) Seq(xxhash64(fcol(keyCol)).as("kh")) else Nil
-    val aggs = Seq(fmin("k").as("lo"), fmax("k").as("hi"),
-      org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("cnt")) ++
+    val aggs = Seq(fmin("k").as("lo"), fmax("k").as("hi")) ++
       secondCol.toSeq.flatMap(_ => Seq(fmin("k2").as("lo2"), fmax("k2").as("hi2"))) ++
       (if (bloomable)
-        Seq(udaf(new BloomAgg(maxBits),
+        Seq(udaf(new BloomAgg(maxBits, foldBpk),
           org.apache.spark.sql.Encoders.scalaLong)(fcol("kh")).as("kbloom"))
       else Nil)
     df0.select(keyCols ++ hashCols :+ input_file_name().as("f"): _*)
@@ -698,14 +699,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           (canonKey(r.getAs[Any]("lo2")), canonKey(r.getAs[Any]("hi2"))))
         val bloom =
           if (!bloomable) None
-          else Option(r.getAs[Array[Byte]]("kbloom")).map { bits =>
-            if (flatBits.isDefined) bits
-            else {
-              val target = math.min(maxBits.toLong, math.max(1L << 10,
-                BloomBits.nextPow2(r.getAs[Long]("cnt") * bitsPerKey)))
-              BloomBits.foldTo(bits, target.toInt)
-            }
-          }
+          else Option(r.getAs[Array[Byte]]("kbloom"))
         FileRange(fname, canonKey(r.getAs[Any]("lo")),
           canonKey(r.getAs[Any]("hi")), second, bloom)
       }
@@ -751,6 +745,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     try {
       val root = mapper.readTree(Files.readString(f))
       if (root == null || !root.isArray) return None
+      // sidecar-referenced bitsets load once per referenced sidecar
+      // (content-addressed beside the manifest); a missing/corrupt
+      // sidecar degrades the blooms to ABSENT, never the bounds
+      val sidecars = scala.collection.mutable.Map[String,
+        Option[Map[String, Array[Byte]]]]()
       Some(root.elements().asScala.map { e =>
         def v(n: JsonNode): Any =
           if (n.isNull) null
@@ -760,14 +759,23 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         val second =
           if (e.has("lo2")) Some((v(e.path("lo2")), v(e.path("hi2"))))
           else None
+        val fname = e.path("file").asText()
         // a bloom that fails to decode reads as ABSENT (no veto) —
         // the same fail-open stance as the whole manifest
         val bloom =
-          if (!e.has("bloom")) None
-          else scala.util.Try(
-            java.util.Base64.getDecoder.decode(e.path("bloom").asText()))
-            .toOption.filter(_.nonEmpty)
-        FileRange(e.path("file").asText(), v(e.path("lo")), v(e.path("hi")),
+          if (e.has("bloomref")) {
+            val ref = e.path("bloomref").asText()
+            // reject path separators: the ref is a sibling file name,
+            // never a path
+            if (ref.contains('/') || ref.contains('\\')) None
+            else sidecars.getOrElseUpdate(ref,
+              readBloomSidecar(f.getParent.resolve(ref))).flatMap(_.get(fname))
+          } else if (e.has("bloom"))
+            scala.util.Try(
+              java.util.Base64.getDecoder.decode(e.path("bloom").asText()))
+              .toOption.filter(_.nonEmpty)
+          else None
+        FileRange(fname, v(e.path("lo")), v(e.path("hi")),
           second, bloom)
       }.toSeq)
     } catch {
@@ -809,6 +817,21 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
   }
 
   private def writeRangeManifest(dir: Path, entries: Seq[FileRange]): Unit = {
+    // sidecar graduation (HFile's bloom blocks — see BloomBits'
+    // scaladoc): past the threshold of total filter bytes the bitsets
+    // spill to a CONTENT-ADDRESSED binary sidecar the manifest
+    // references by exact name — the JSON stays small for range-scan
+    // readers that never probe blooms, and the atomic manifest rename
+    // always pairs with the sidecar it was written against (the
+    // sidecar lands BEFORE the manifest move publishes its name)
+    val bloomBytes = entries.iterator.flatMap(_.bloom)
+      .map(_.length.toLong).sum
+    val threshold = spark.conf
+      .getOption("spark.graft.manifest.bloomSidecarBytes")
+      .map(_.toLong).getOrElse(256L * 1024)
+    val sidecar: Option[String] =
+      if (bloomBytes > threshold) Some(writeBloomSidecar(dir, entries))
+      else None
     val arr = mapper.createArrayNode()
     entries.foreach { e =>
       val n = mapper.createObjectNode()
@@ -820,7 +843,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         n.set[JsonNode]("hi2", mapper.valueToTree[JsonNode](hi2)): Unit
       }
       e.bloom.foreach { b =>
-        n.put("bloom", java.util.Base64.getEncoder.encodeToString(b)): Unit
+        sidecar match {
+          case Some(name) => n.put("bloomref", name): Unit
+          case None =>
+            n.put("bloom", java.util.Base64.getEncoder.encodeToString(b)): Unit
+        }
       }
       arr.add(n): Unit
     }
@@ -832,7 +859,78 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     Files.move(tmp, manifestFile(dir),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    // the rewrite is a new content even when size+mtime tie on a
+    // coarse-clock filesystem — drop any cached parse of this path
+    ManifestCache.invalidate(manifestFile(dir))
+    // reap superseded sidecars only AFTER the manifest stopped
+    // referencing them; a racing lock-free reader of the OLD manifest
+    // degrades fail-open (bloom → None, the standing stance)
+    withList(dir) { it =>
+      it.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("_graft_blooms_") && !sidecar.contains(n)
+      }.toList
+    }.foreach(p => scala.util.Try(Files.deleteIfExists(p)): Unit)
   }
+
+  /** Serialize the per-file bitsets to `_graft_blooms_<crc32>.bin`
+    * (magic + count + [nameLen name bitsLen bits]*), written via tmp +
+    * atomic move; returns the content-addressed file name. */
+  private def writeBloomSidecar(dir: Path, entries: Seq[FileRange]): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(0x4746424c) // "GFBL"
+    val withBloom = entries.filter(_.bloom.isDefined)
+    out.writeInt(withBloom.size)
+    withBloom.foreach { e =>
+      val nb = e.file.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeShort(nb.length)
+      out.write(nb)
+      val bits = e.bloom.get
+      out.writeInt(bits.length)
+      out.write(bits)
+    }
+    out.flush()
+    val payload = bos.toByteArray
+    val crc = new java.util.zip.CRC32()
+    crc.update(payload)
+    val name = f"_graft_blooms_${crc.getValue}%08x.bin"
+    val tmp = dir.resolve(s"$name.tmp")
+    Files.write(tmp, payload)
+    Files.move(tmp, dir.resolve(name),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    name
+  }
+
+  /** Parse a bloom sidecar → file name → bitset. Any structural
+    * problem reads as ABSENT (fail-open, like the manifest itself). */
+  private def readBloomSidecar(f: Path): Option[Map[String, Array[Byte]]] =
+    try {
+      if (!Files.exists(f)) return None
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(Files.readAllBytes(f)))
+      if (in.readInt() != 0x4746424c) return None
+      val n = in.readInt()
+      require(n >= 0 && n <= 10000000)
+      val out = Map.newBuilder[String, Array[Byte]]
+      var i = 0
+      while (i < n) {
+        val nameLen = in.readUnsignedShort()
+        val nb = new Array[Byte](nameLen)
+        in.readFully(nb)
+        val bitsLen = in.readInt()
+        require(bitsLen >= 0)
+        val bits = new Array[Byte](bitsLen)
+        in.readFully(bits)
+        out += new String(nb, java.nio.charset.StandardCharsets.UTF_8) -> bits
+        i += 1
+      }
+      Some(out.result())
+    } catch {
+      case _: java.io.IOException => None
+      case _: IllegalArgumentException => None
+    }
 
   /** Compaction — the HBase minor/major-compaction analog (HBase
     * compacts a region's accumulated HFiles into fewer larger ones;
@@ -3412,7 +3510,13 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     import scala.concurrent.ExecutionContext.Implicits.global
     val done = writes.map(w => Future(w()))
       .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
-    done.collectFirst { case scala.util.Failure(e) => throw e }: Unit
+    val failures = done.collect { case scala.util.Failure(e) => e }
+    failures.headOption.foreach { first =>
+      // sibling failures ride along as suppressed — a multi-write
+      // backfill failure must not lose the other artifacts' causes
+      failures.tail.filter(_ ne first).foreach(first.addSuppressed)
+      throw first
+    }
   }
 
   /** The FUZZY-serving dictionary sidecar: the same rows as the term
@@ -4403,17 +4507,45 @@ private[graft] case class FileRange(file: String, lo: Any, hi: Any,
   * same identity recipe as DriverRead's footer cache — instead of
   * once per get (driverMultiGetAt re-reads the manifest JSON on every
   * call, and with per-key-sized blooms the parse is no longer
-  * trivial). Manifests publish via atomic rename, so a rewrite always
-  * changes the key; stale entries age out at the cap. */
+  * trivial). Manifests publish via atomic rename, so a rewrite
+  * normally changes the key; the writer ALSO invalidates the path
+  * explicitly (same-length rewrite inside one mtime tick on a
+  * coarse-clock filesystem would otherwise serve the stale parse).
+  * Eviction is LRU at the cap — at production file counts the
+  * hottest tables' manifests stay parsed instead of the whole cache
+  * periodically cold-starting. A None parse (corrupt/mid-write
+  * observation) is returned but never cached: the next read
+  * re-parses — absence must not be pinned until the key changes. */
 private[kv] object ManifestCache {
   private val cap = 4096
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long), Option[Seq[FileRange]]]()
+  private val cache =
+    new java.util.LinkedHashMap[(String, Long, Long), Option[Seq[FileRange]]](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), Option[Seq[FileRange]]])
+          : Boolean = size() > cap
+    }
 
   def cached(f: Path)(parse: => Option[Seq[FileRange]]): Option[Seq[FileRange]] = {
     val key = (f.toAbsolutePath.toString, Files.size(f),
       Files.getLastModifiedTime(f).toMillis)
-    if (cache.size() > cap) cache.clear()
-    cache.computeIfAbsent(key, _ => parse)
+    val hit = cache.synchronized(cache.get(key))
+    if (hit != null) hit
+    else {
+      // parse OUTSIDE the lock: a slow sidecar read must not block
+      // every other table's cache hit
+      val v = parse
+      if (v.isDefined) cache.synchronized(cache.put(key, v)): Unit
+      v
+    }
+  }
+
+  /** Drop every cached parse of this path — the manifest writer's
+    * explicit publish hook. */
+  def invalidate(f: Path): Unit = {
+    val p = f.toAbsolutePath.toString
+    cache.synchronized {
+      cache.keySet.removeIf(_._1 == p): Unit
+    }
   }
 }

@@ -659,6 +659,62 @@ class DriverGetSpec extends AnyFunSuite {
     assert(cat.driverPointGet("bv", 0L).head.getString(1) == "v0b")
   }
 
+  test("bloom sidecar: past the threshold the bitsets spill beside the manifest, veto intact") {
+    import TestSpark.spark.implicits._
+    val cat = freshCat("bloomsc")
+    if (cat.tableExists("bsc")) cat.dropTable("bsc")
+    cat.createTable("bsc", StructType(Seq(
+      StructField("k", LongType, false),
+      StructField("v", StringType, true))), Seq("k"))
+    cat.bulkLoad("bsc",
+      (0L until 4000L by 2).map(k => (k, s"v$k")).toDF("k", "v"),
+      partitions = 4)
+    // force the sidecar arm: ANY bloom bytes exceed a 1-byte threshold
+    spark.conf.set("spark.graft.manifest.bloomSidecarBytes", "1")
+    try {
+      cat.incrementalMerge("bsc", Seq((0L, "v0b")).toDF("k", "v"))
+      val dir = Paths.get(cat.warehouse, "bsc",
+        s"data_v${cat.dataVersionOf("bsc")}")
+      val json = java.nio.file.Files.readString(dir.resolve("_graft_ranges.json"))
+      assert(!json.contains("\"bloom\""),
+        "manifest still inlines base64 bitsets past the sidecar threshold")
+      assert(json.contains("\"bloomref\""), "manifest lacks a sidecar reference")
+      val sidecars = java.nio.file.Files.list(dir).iterator()
+      val scNames = scala.collection.mutable.ArrayBuffer[String]()
+      while (sidecars.hasNext) {
+        val n = sidecars.next().getFileName.toString
+        if (n.startsWith("_graft_blooms_")) scNames += n
+      }
+      assert(scNames.size == 1, s"expected one sidecar, found $scNames")
+      assert(json.contains(scNames.head),
+        "manifest does not reference the sidecar it was written with")
+      // the veto still works from the sidecar bitsets: absent in-range
+      // key → files skipped BEFORE any footer read
+      assert(cat.driverPointGet("bsc", 2000L).nonEmpty) // warm footers
+      val beforeFooter = DriverRead.footerReadCount.get()
+      val beforeSkip = DriverRead.bloomSkipCount.get()
+      assert(cat.driverPointGet("bsc", 2001L).isEmpty)
+      assert(DriverRead.bloomSkipCount.get() > beforeSkip,
+        "sidecar blooms never vetoed a file for an absent in-range key")
+      assert(DriverRead.footerReadCount.get() == beforeFooter,
+        "an absent-key get opened parquet footers despite sidecar blooms")
+      // served values are unaffected by where the bitsets live
+      assert(cat.driverPointGet("bsc", 0L).head.getString(1) == "v0b")
+      assert(cat.driverPointGet("bsc", 10L).head.getString(1) == "v10")
+      // a second merge re-addresses the sidecar and reaps the old one
+      cat.incrementalMerge("bsc", Seq((2L, "v2b")).toDF("k", "v"))
+      val dir2 = Paths.get(cat.warehouse, "bsc",
+        s"data_v${cat.dataVersionOf("bsc")}")
+      val sc2 = java.nio.file.Files.list(dir2).iterator()
+      var n2 = 0
+      while (sc2.hasNext) {
+        if (sc2.next().getFileName.toString.startsWith("_graft_blooms_")) n2 += 1
+      }
+      assert(n2 == 1, s"superseded sidecars not reaped (found $n2)")
+      assert(cat.driverPointGet("bsc", 2L).head.getString(1) == "v2b")
+    } finally spark.conf.unset("spark.graft.manifest.bloomSidecarBytes")
+  }
+
   test("driver ranked BM25 top-k: WAND-equal, CDC-fresh, zero jobs, blocks really pruned") {
     import spark.implicits._
     val cat = freshCat("fttopk")
