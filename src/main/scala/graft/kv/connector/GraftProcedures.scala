@@ -28,7 +28,7 @@ object GraftProcedures {
   val names: Array[String] =
     Array("compact", "vacuum", "create_index", "drop_index", "refresh_index",
       "compact_index", "recover_txns",
-      "ms_get", "ms_search", "ms_topk", "ms_ann")
+      "ms_get", "ms_scan", "ms_search", "ms_topk", "ms_ann")
 
   def load(cat: => Catalog, procName: String): UnboundProcedure =
     procName.toLowerCase match {
@@ -104,6 +104,16 @@ object GraftProcedures {
           val key = pk.zip(parts).map { case (c, s) =>
             coerce(schema(c).dataType, s, c) }
           (schema, cat.driverPointGet(t, key: _*))
+        })
+      case "ms_scan" => rowsProc("ms_scan",
+        Array(in("table", StringType), in("lo", StringType),
+          in("hi", StringType), inDefault("max_rows", IntegerType, "10000")),
+        { r =>
+          val t = str(r, 0)
+          val schema = cat.schemaOf(t)
+          val kt = schema(cat.primaryKeyOf(t).head).dataType
+          (schema, cat.driverRangeScan(t, coerce(kt, str(r, 1), "lo"),
+            coerce(kt, str(r, 2), "hi"), r.getInt(3)))
         })
       case "ms_search" => rowsProc("ms_search",
         Array(in("table", StringType), in("index", StringType),

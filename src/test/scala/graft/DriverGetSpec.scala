@@ -1258,6 +1258,8 @@ class DriverGetSpec extends AnyFunSuite {
     assert(call("ms_get('docs', '900001')").map(_.getLong(0)).toSeq ==
       Seq(900001L))
     assert(call("ms_get('docs', '424242')").isEmpty)
+    assert(call("ms_scan('docs', '3', '8')").map(_.getLong(0)).toSeq ==
+      cat.driverRangeScan("docs", 3L, 8L).map(_.getLong(0)))
     assert(call("ms_search('docs', 'ft', 'graft engine')")
       .map(_.getLong(0)).toSeq ==
       cat.driverFtSearch("docs", "ft", Seq("graft", "engine"))
