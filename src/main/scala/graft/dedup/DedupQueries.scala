@@ -1066,11 +1066,17 @@ object DedupQueries {
         .select($"vec_id", $"embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
         .sortBy(_._1)
-      qs.flatMap { case (qid, qv) =>
-        cat.driverAnnTopK("emb", "ann", qv, k = 3, nprobe = 4,
-            exclude = Some(qid))
-          .zipWithIndex.map { case ((nn, score), i) =>
-            (qid, i + 1, nn.asInstanceOf[Long], score) }
+      // the BATCH serving face (driverAnnTopKBatch): one artifact
+      // resolution + centroid read + union-of-lists base seek + one
+      // patch-sized segment/tombstone read serve all five queries —
+      // per-query results identical to five driverAnnTopK calls
+      // (same core, DriverGetSpec pins the parity)
+      val res = cat.driverAnnTopKBatch("emb", "ann",
+        qs.toSeq.map { case (qid, qv) => (qv, Some(qid: Any)) },
+        k = 3, nprobe = 4)
+      qs.zip(res).flatMap { case ((qid, _), topk) =>
+        topk.zipWithIndex.map { case ((nn, score), i) =>
+          (qid, i + 1, nn.asInstanceOf[Long], score) }
       }.toSeq.toDF("qid", "rn", "nn", "score")
         .orderBy($"qid", $"rn")
     },

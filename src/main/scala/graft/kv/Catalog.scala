@@ -511,6 +511,24 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * min/max pruning reasons. Patch keys are collected to the driver:
     * micro-batches are bounded by the trigger, so this is a small set
     * by construction. */
+  /** Streaming-sink merge entry: ONE bounded job collects the patch's
+    * distinct keys, decides emptiness (an empty patch commits NOTHING
+    * — the replay-idempotence contract a foreachBatch sink needs) and
+    * feeds the merge's file pruning, so the merge never re-collects
+    * and the caller never runs a separate emptiness probe — two
+    * Spark actions saved per micro-batch (the upsertStaged recipe,
+    * exposed for sinks). Returns whether a merge was committed. */
+  def incrementalMergeIfNonEmpty(name: String, patch: DataFrame): Boolean = {
+    val keyCol = primaryKeyOf(name).head
+    val keys = patch.select(keyCol).distinct().collect()
+      .map(r => canonKey(r.get(0)))
+    if (keys.isEmpty) false
+    else {
+      incrementalMerge(name, patch, precollectedKeys = Some(keys))
+      true
+    }
+  }
+
   def incrementalMerge(name: String, patch: DataFrame,
                        precollectedKeys: Option[Array[Any]] = None): Unit = {
     withRecoveredWriteLock(name) {
@@ -2373,6 +2391,26 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     driverAnnTopKStats(table, indexName, query, k, nprobe, exclude,
       maxEntries)._1
 
+  /** Multi-query form of [[driverAnnTopK]] — the serving-path
+    * multi-get (the kv_multi_get shape applied to vectors): one
+    * artifact resolution, ONE centroid read, ONE cluster-keyed base
+    * seek over the UNION of every query's probed lists and one
+    * patch-sized CDC segment/tombstone read serve the whole query
+    * batch; the per-query candidate set, masking, exclusion and exact
+    * re-rank are computed per query from the shared reads, so each
+    * query's result is IDENTICAL to its own driverAnnTopK call (the
+    * per-query candidates are exactly the rows of its probed lists).
+    * A serving loop issuing Q queries otherwise pays Q full artifact
+    * read passes for artifacts that cannot change under it (COW
+    * snapshots). Queries are (vector, exclude) pairs; returns one
+    * (rowkey, score) list per query, order-aligned. */
+  def driverAnnTopKBatch(table: String, indexName: String,
+                         queries: Seq[(Seq[Double], Option[Any])],
+                         k: Int, nprobe: Int = 4,
+                         maxEntries: Int = 100000): Seq[Seq[(Any, Double)]] =
+    driverAnnTopKBatchCore(table, indexName, queries, k, nprobe,
+      maxEntries).map(_._1)
+
   /** [[driverAnnTopK]] plus the sublinearity observable DriverGetSpec
     * pins: the number of entry rows actually read (base seeks + CDC
     * segments, before tombstone masking) — ≪ corpus by the
@@ -2381,9 +2419,20 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
                                         query: Seq[Double], k: Int,
                                         nprobe: Int, exclude: Option[Any],
                                         maxEntries: Int)
-      : (Seq[(Any, Double)], Int) = {
+      : (Seq[(Any, Double)], Int) =
+    driverAnnTopKBatchCore(table, indexName, Seq((query, exclude)), k,
+      nprobe, maxEntries).head
+
+  /** Shared core: per query, (top-k results, entry rows read for its
+    * probed lists). Single-query calls are a batch of one, so the two
+    * public faces cannot diverge. */
+  private def driverAnnTopKBatchCore(table: String, indexName: String,
+                                     queries: Seq[(Seq[Double], Option[Any])],
+                                     k: Int, nprobe: Int, maxEntries: Int)
+      : Seq[(Seq[(Any, Double)], Int)] = {
     require(k > 0, "k must be positive")
     require(nprobe > 0, "nprobe must be positive")
+    require(queries.nonEmpty, "empty query batch")
     val dir = indexDir(table, indexName, "vector")
     require(Files.exists(dir), s"$table $indexName vector not exists")
     val vecCol = indexesOf(table)
@@ -2396,19 +2445,25 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     val baseVer = indexBaseVersion(base)
     val segs = versionedDirs(dir, "seg_v", baseVer, live)
     val tombs = versionedDirs(dir, "tomb_v", baseVer, live)
-    val qv = query.toArray
-    // 1+2: centroid read + coarse probe. cent pairs at the data
-    // base's version (vectorArtifacts' crash-consistency rule).
+    val qvs = queries.map(_._1.toArray)
+    // 1+2: ONE centroid read + per-query coarse probe. cent pairs at
+    // the data base's version (vectorArtifacts' crash-consistency
+    // rule).
     val centSchema = StructType(Seq(
       StructField("cluster", IntegerType, nullable = true),
       StructField("centroid", ArrayType(DoubleType), nullable = true)))
     val cents = DriverRead.readAll(
       resolveIndexVersioned(dir, "cent", baseVer), centSchema, maxEntries)
     require(cents.nonEmpty, s"$table $indexName vector has no centroids")
-    val probed: Seq[Int] = cents.iterator.map { r =>
-      (negL2Driver(qv, anySeqToDoubles(r.getSeq[Any](1))), r.getInt(0))
-    }.toSeq.sortBy { case (d, c) => (-d, c) }.take(nprobe).map(_._2)
-    // 3: probed-list seeks + patch-sized CDC overlays
+    val centVecs = cents.map(r => (r.getInt(0), anySeqToDoubles(r.getSeq[Any](1))))
+    val probedPer: Seq[Seq[Int]] = qvs.map { qv =>
+      centVecs.iterator.map { case (c, cv) => (negL2Driver(qv, cv), c) }
+        .toSeq.sortBy { case (d, c) => (-d, c) }.take(nprobe).map(_._2)
+    }
+    val union: Seq[Int] = probedPer.flatten.distinct.sorted
+    // 3: ONE cluster-keyed base seek over the union of probed lists +
+    // patch-sized CDC overlays, cluster kept per candidate so each
+    // query filters down to exactly its own probed lists
     val entrySchema = StructType(Seq(
       StructField("rk", rkType, nullable = true),
       StructField("cluster", IntegerType, nullable = true),
@@ -2416,9 +2471,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
         case ArrayType(et, _) => et
         case other => other
       }), nullable = true)))
-    var entriesRead = 0
-    val cand = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, Array[Double])]
-    val probeKeys = probed.map(c => Seq(c: Any))
+    val cand = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, Int, Array[Double])]
+    val probeKeys = union.map(c => Seq(c: Any))
     ((baseVer, base) +: segs).foreach { case (v, p) =>
       val rows =
         if (v == baseVer)
@@ -2428,29 +2482,34 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
           // probed lists — identical candidate set to the Spark
           // view's cluster join
           DriverRead.readAll(p, entrySchema, maxEntries)
-            .filter(r => probed.contains(r.getInt(1)))
-      entriesRead += rows.length
+            .filter(r => union.contains(r.getInt(1)))
       rows.foreach { r =>
-        cand += ((v, r.get(0), anySeqToDoubles(r.getSeq[Any](2))))
+        cand += ((v, r.get(0), r.getInt(1), anySeqToDoubles(r.getSeq[Any](2))))
       }
     }
-    require(cand.size <= maxEntries,
-      s"probed lists hold more than $maxEntries entries — use the Spark path")
     // tombstone masks: (version, rk), a mask kills any entry from an
     // EARLIER artifact version (vectorSegView's last-writer-wins)
     val tombSchema = StructType(Seq(StructField("rk", rkType, nullable = true)))
     val masks: Seq[(Int, Set[Any])] = tombs.map { case (tv, p) =>
       (tv, DriverRead.readAll(p, tombSchema, maxEntries).map(_.get(0)).toSet)
     }
-    // 4: exact re-rank
-    val scored = cand.iterator
-      .filter { case (v, rk, _) =>
-        !masks.exists { case (tv, s) => tv > v && s.contains(rk) } }
-      .filter { case (_, rk, _) => !exclude.contains(rk) }
-      .map { case (_, rk, vec) => (rk, round3(cosineDriver(qv, vec))) }
-      .toSeq
     implicit val rkOrd: Ordering[Any] = Catalog.rowkeyOrd
-    (scored.sortBy { case (rk, s) => (-s, rk) }.take(k), entriesRead)
+    // 4: per-query candidate cut + exact re-rank (identical to the
+    // single-query path over its own probed lists)
+    queries.zipWithIndex.map { case ((_, exclude), qi) =>
+      val qv = qvs(qi)
+      val probed = probedPer(qi).toSet
+      val mine = cand.iterator.filter { case (_, _, c, _) => probed.contains(c) }.toSeq
+      require(mine.size <= maxEntries,
+        s"probed lists hold more than $maxEntries entries — use the Spark path")
+      val scored = mine.iterator
+        .filter { case (v, rk, _, _) =>
+          !masks.exists { case (tv, s) => tv > v && s.contains(rk) } }
+        .filter { case (_, rk, _, _) => !exclude.contains(rk) }
+        .map { case (_, rk, _, vec) => (rk, round3(cosineDriver(qv, vec))) }
+        .toSeq
+      (scored.sortBy { case (rk, s) => (-s, rk) }.take(k), mine.size)
+    }
   }
 
   /** The coarse-probe metric on the calling thread — same arithmetic

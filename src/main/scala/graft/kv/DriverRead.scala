@@ -454,6 +454,53 @@ private[kv] object DriverRead {
     }
   }
 
+  /** Decoded-rows cache for WHOLE-FILE artifact reads — the
+    * ManifestCache recipe one layer down (the serving-process analog
+    * of HBase's block cache): a serving loop between compactions
+    * re-reads the same COW artifact files (CDC segments, tombstone
+    * sets, dictionary deltas, centroid tables) on every call, and the
+    * decode — parquet-mr Group assembly — is the dominant per-call
+    * cost. Keyed (path, size, mtime, schema): COW snapshots never
+    * rewrite a file in place, so the coordinates identify content and
+    * a compaction/vacuum naturally invalidates by changing them.
+    * Access-ordered LRU bounded by TOTAL CACHED ROWS (entries are
+    * patch-sized by the readAll contract, so the row bound is the
+    * memory bound); only NOOP-filtered whole-file reads cache —
+    * predicate reads ([[get]]/[[range]]) are genuinely selective and
+    * stay uncached. */
+  private case class FileKey(path: String, size: Long, mtime: Long,
+                             schema: StructType)
+  private val fileRowsLock = new Object
+  private val fileRows =
+    new java.util.LinkedHashMap[FileKey, Seq[Row]](64, 0.75f, true)
+  private var fileRowsCached = 0L
+  private val FileRowsCapRows = 2L * 1024 * 1024
+
+  private def readWholeCached(file: Path, schema: StructType): Seq[Row] = {
+    val key = FileKey(file.toAbsolutePath.toString, Files.size(file),
+      Files.getLastModifiedTime(file).toMillis, schema)
+    fileRowsLock.synchronized {
+      val hit = fileRows.get(key)
+      if (hit != null) return hit
+    }
+    val rows = readMatching(file, schema, FilterCompat.NOOP)
+    fileRowsLock.synchronized {
+      if (!fileRows.containsKey(key)) {
+        fileRows.put(key, rows)
+        fileRowsCached += rows.length
+        val it = fileRows.entrySet().iterator()
+        while (fileRowsCached > FileRowsCapRows && it.hasNext) {
+          val eldest = it.next()
+          if (!eldest.getKey.equals(key)) {
+            fileRowsCached -= eldest.getValue.length
+            it.remove()
+          }
+        }
+      }
+    }
+    rows
+  }
+
   /** Unfiltered read of a PATCH-SIZED artifact dir (tombstone rk
     * sets, dictionary deltas — frames bounded by the CDC trigger, not
     * the corpus) on the calling thread. `maxRows` is the serving
@@ -463,7 +510,7 @@ private[kv] object DriverRead {
     val out = Seq.newBuilder[Row]
     var n = 0
     listParts(snapshotDir).foreach { file =>
-      val rows = readMatching(file, schema, FilterCompat.NOOP)
+      val rows = readWholeCached(file, schema)
       n += rows.length
       require(n <= maxRows,
         s"artifact dir $snapshotDir holds more than $maxRows rows — " +

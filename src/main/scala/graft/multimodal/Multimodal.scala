@@ -215,6 +215,42 @@ object Multimodal {
     }: _*)
   }
 
+  /** The 72 dHash byte samples as ONE array<long> column — the
+    * [[audioEnergyGrid]] recipe applied to the image arm: the unrolled
+    * [[dhashBands]] form inlines the body-strip subtree into all 144
+    * sample sites (~5k expression nodes once the header when-chain is
+    * substituted), and at gate sizes that tree's per-plan Catalyst
+    * analysis, not row work, was the query's cost (the audio arm
+    * measured ~3.5 s of driver-side analysis for its 240-site unroll
+    * and split exactly this way). One transform lambda ≈ 15 nodes;
+    * sample t is pos = 1 + ⌊t·len/72⌋ — bit-identical arithmetic to
+    * dhashBands' px(). Callers materialize this column (checkpoint)
+    * before [[dhashBandsFromGrid]], since interior samples feed two
+    * gradient bits. */
+  def dhashSampleGrid(bodyCol: Column): Column = {
+    val blen = octet_length(bodyCol)
+    transform(sequence(lit(0), lit(71)), t =>
+      conv(hex(bodyCol.substr(
+        (floor(t * blen / 72) + lit(1)).cast("int"), lit(1))), 16, 10)
+        .cast("long"))
+  }
+
+  /** dHash bands from a MATERIALIZED sample grid: 64 comparisons on
+    * element_at — a small tree over an already-computed column, the
+    * [[audioFpBandsFromGrid]] shape. Identical bit layout to
+    * [[dhashBands]]: bit j of band b compares grid cells a and a+1
+    * with a = (k/8)·9 + k%8, k = 16b + j. */
+  def dhashBandsFromGrid(gridCol: Column): Column = {
+    def px(t: Int): Column = element_at(gridCol, t + 1)
+    array((0 until 4).map { b =>
+      (0 until 16).map { j =>
+        val k = b * 16 + j
+        val a = (k / 8) * 9 + (k % 8)
+        when(px(a) < px(a + 1), lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
   /** 64-bit chromaprint-style AUDIO fingerprint of the media body as
     * FOUR 16-bit band values — the acoustic arm of the perceptual
     * family (Chromaprint/AcoustID's public design: per-frame spectral

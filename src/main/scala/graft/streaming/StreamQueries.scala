@@ -42,12 +42,29 @@ object StreamQueries {
     // start(), so restoring the session conf afterwards does not
     // affect the running stream.
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = s.conf.get(
+      "spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val q =
       try {
         s.conf.set("spark.sql.shuffle.partitions", "2")
+        // No-data micro-batches exist to evict state / emit closed
+        // windows eagerly between data arrivals; every gate here emits
+        // through DATA batches by construction (append-mode dedup and
+        // inner joins emit eagerly; flatMapGroupsWithState runs
+        // NoTimeout; the expiry gate stages trailing SENTINEL data
+        // batches precisely so its final windows do not depend on a
+        // no-data batch — see Tables.eventsStreamExpiry). Leaving them
+        // on nearly doubles the micro-batch count (one extra planning
+        // + state-commit round per watermark advance) for identical
+        // emitted sets, so the gates run with them off — the standard
+        // throughput knob for sinks that don't need eager eviction.
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         out.writeStream.format("memory").queryName(name)
           .outputMode(mode).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
     try q.processAllAvailable() finally q.stop()
     val sink = s.table(name)
     val rows = sink.collect()
@@ -1037,14 +1054,20 @@ object StreamQueries {
       val planted = docs.unionByName(docs.filter($"doc_id" < 10)
         .withColumn("doc_id", $"doc_id" + 1000000L)
         .withColumn("text", expr(PhashPerturbSql)))
-      // materialize the (doc_id, bands) signature frame ONCE: project
-      // collapse would otherwise inline the payload synthesis into
-      // all 144 byte-sample sites of the unrolled dHash (the
-      // signature pass is one corpus scan at any scale; both join
-      // sides and the hamming arrays then read 36 bytes/row)
-      val ph = Multimodal.withPayload(planted)
+      // TWO materialization points (the mm_audio_fp grid/bands split,
+      // now on the image arm too): the 72-sample GRID checkpoints
+      // first so neither the payload synthesis nor the body-strip
+      // when-chain inlines into the 144 byte-sample sites of the
+      // unrolled dHash — that inlined tree's per-plan Catalyst
+      // analysis (~5k nodes), not row work, was this query's cost at
+      // gate sizes — then the small bands frame checkpoints for the
+      // two join sides and the hamming arrays (36 bytes/row).
+      val grid = Multimodal.withPayload(planted)
         .select($"doc_id",
-          Multimodal.dhashBands(Multimodal.body($"payload")).as("bands"))
+          Multimodal.dhashSampleGrid(Multimodal.body($"payload")).as("grid"))
+        .localCheckpoint(true)
+      val ph = grid
+        .select($"doc_id", Multimodal.dhashBandsFromGrid($"grid").as("bands"))
         .localCheckpoint(true)
       val banded = ph.select($"doc_id", $"bands", posexplode($"bands"))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
@@ -1160,14 +1183,18 @@ object StreamQueries {
             $"doc_id".cast("string")).as("caption")))
         .unionByName(seed.select(($"doc_id" + 3000000L).as("doc_id"),
           reverse($"text").as("text"), $"caption"))
-      // one signature pass, checkpointed like mm_phash (the payload
-      // synthesis must not inline into every byte-sample site);
+      // grid → bands split, checkpointed like mm_phash (the payload
+      // synthesis and body-strip chain must not inline into every
+      // byte-sample site — per-plan analysis cost, see dhashSampleGrid);
       // withPayload projects to the media columns, so the caption
       // rides back on one doc_id equi-join — a single hash shuffle
       // at any scale
-      val ph = Multimodal.withPayload(pairs)
+      val grid = Multimodal.withPayload(pairs)
         .select($"doc_id",
-          Multimodal.dhashBands(Multimodal.body($"payload")).as("bands"))
+          Multimodal.dhashSampleGrid(Multimodal.body($"payload")).as("grid"))
+        .localCheckpoint(true)
+      val ph = grid
+        .select($"doc_id", Multimodal.dhashBandsFromGrid($"grid").as("bands"))
         .join(pairs.select($"doc_id", $"caption"), Seq("doc_id"))
         .localCheckpoint(true)
       val banded = ph.select($"doc_id", $"caption", $"bands",

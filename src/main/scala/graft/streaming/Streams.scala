@@ -280,10 +280,21 @@ object Streams {
       .select(col(keyCol) +: others.map(o => col(s"__w.$o").as(o)): _*)
     val cur = cat.table(table).df
       .select(col(keyCol), col(tsCol).as("__old_ts"), col(seqCol).as("__old_seq"))
+    // Materialize the winners ONCE (they are micro-batch-bounded —
+    // patch-sized by the trigger contract): without this, the
+    // emptiness/keys probe and the merge's snapshot write each
+    // re-execute the batch-fold + current-table join from scratch.
+    // localCheckpoint truncates to the materialized blocks; the merge
+    // entry then collects keys + decides emptiness + prunes files in
+    // ONE bounded job (empty winners commit nothing — the
+    // replay-idempotence contract); unpersist releases the blocks at
+    // batch end.
     val winners = latest.join(cur, Seq(keyCol), "left")
       .filter(col("__old_ts").isNull ||
         struct(col(tsCol), col(seqCol)) > struct(col("__old_ts"), col("__old_seq")))
       .select(cols.map(col): _*)
-    if (!winners.isEmpty) cat.incrementalMerge(table, winners)
+      .localCheckpoint(true)
+    try cat.incrementalMergeIfNonEmpty(table, winners): Unit
+    finally { winners.unpersist(); () }
   }
 }

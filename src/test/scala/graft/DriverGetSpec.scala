@@ -1170,6 +1170,17 @@ class DriverGetSpec extends AnyFunSuite {
           got.head._3 == 1.0,
           s"query $qid's planted copy did not surface at rank 1")
     }
+    // BATCH face: one shared artifact pass (union of probed lists),
+    // per-query results identical to the per-query calls above — the
+    // two faces share driverAnnTopKBatchCore, and this pins that the
+    // union-read + per-query cut cannot diverge from a solo probe
+    val viaBatch = cat.driverAnnTopKBatch("emb", "ann",
+      qids.map(q => (qvecs(q), Some(q: Any))), k = 5, nprobe = 4)
+    qids.zip(viaBatch).foreach { case (qid, got) =>
+      assert(got == cat.driverAnnTopK("emb", "ann", qvecs(qid), k = 5,
+        nprobe = 4, exclude = Some(qid)),
+        s"batch/single serving divergence for query $qid")
+    }
     // tombstone mask: 7's OLD encoding must no longer serve — its old
     // vector's search cannot return 7 at score 1.0 (the rewrite gave 7
     // vec_id 3's embedding), while 3's vector finds the REWRITTEN 7

@@ -1,0 +1,40 @@
+package graft.scratch
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Scratch profiling main (not shipped in src/main): prints one line
+  * per Spark job a query schedules — callsite + description — so the
+  * per-action cost structure of a multi-job operator is readable.
+  * runMain graft.scratch.JobTrace <sfDir> <query> */
+object JobTrace {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val name = args(1)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.timeType.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fn = graft.SparkEntry.queries(name)
+    // warm rep
+    fn(spark, sfDir).count()
+    val t = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val site = Option(j.properties.getProperty("callSite.short")).getOrElse("?")
+        val desc = Option(j.properties.getProperty("spark.job.description")).getOrElse("")
+        println(f"JOB ${t.incrementAndGet()}%3d stages=${j.stageInfos.size}%2d  $site  $desc")
+      }
+    })
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).count()
+    println(f"TIMED ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    Thread.sleep(200)
+    spark.stop()
+  }
+}
