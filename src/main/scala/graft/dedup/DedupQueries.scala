@@ -28,6 +28,20 @@ object DedupQueries {
     docs.unionByName(exactCopies).unionByName(nearCopies)
   }
 
+  /** [[plantedDocs]] fanned across cores BEFORE a heavy narrow text
+    * chain (tokenize → shingle → hash) — the st_stream_urldedup /
+    * mm_audio_fp rule: a small corpus arrives as ONE scan split, and
+    * per-row shingling at one-task parallelism IS those queries' cost
+    * (profiled: 1-2 s exec with <30 tasks at sf0.1). Conf-derived
+    * fan-out, never a literal; the exchange moves the text bytes
+    // once, noise next to the shingling it parallelizes. Used ONLY by
+    * the shingle-heavy consumers — for light consumers (exact hash,
+    * embedding math) the extra text shuffle measured as a net LOSS,
+    * so they stay on the un-fanned source. */
+  private def plantedDocsFanned(s: SparkSession, d: String): DataFrame =
+    plantedDocs(s, d)
+      .repartition(graft.streaming.StreamQueries.mapFanout(s))
+
   private val plantedDocsSql =
     s"""SELECT * FROM documents
       |  UNION ALL
@@ -112,7 +126,7 @@ object DedupQueries {
     * the full-text postings. */
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
     graft.QueryCaches.frame(s"minhash_pairs:$d")(
-      Dedup.minhashLsh(plantedDocs(s, d), "doc_id", "text", threshold = 0.5))
+      Dedup.minhashLsh(plantedDocsFanned(s, d), "doc_id", "text", threshold = 0.5))
 
   /** The gate-facing LSH pair set on the md5-hex hash family
     * (Dedup.minhashLshHex) — same banding pipeline, every hash
@@ -121,7 +135,7 @@ object DedupQueries {
     * stay on [[minhashPairs]]' native xxhash64 signatures. */
   private def minhashPairsHex(s: SparkSession, d: String): DataFrame =
     graft.QueryCaches.frame(s"minhash_pairs_hex:$d")(
-      Dedup.minhashLshHex(plantedDocs(s, d), "doc_id", "text",
+      Dedup.minhashLshHex(plantedDocsFanned(s, d), "doc_id", "text",
         sigLen = 16, rowsPerBand = 4, threshold = 0.5))
 
   /** DuckDB replay of [[Dedup.minhashLshHex]] (sigLen 16, 4 rows per
@@ -357,7 +371,7 @@ object DedupQueries {
 
     "dd_ngram_jaccard" -> { (s, d) =>
       import s.implicits._
-      Dedup.ngramJaccard(plantedDocs(s, d), "doc_id", "text", n = 3, threshold = 0.8)
+      Dedup.ngramJaccard(plantedDocsFanned(s, d), "doc_id", "text", n = 3, threshold = 0.8)
         .orderBy($"doc_a", $"doc_b")
     },
 
@@ -371,7 +385,7 @@ object DedupQueries {
 
     "dd_simhash" -> { (s, d) =>
       import s.implicits._
-      Dedup.simhashPairs(plantedDocs(s, d), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashPairs(plantedDocsFanned(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy($"doc_a", $"doc_b")
     },
 
@@ -400,7 +414,7 @@ object DedupQueries {
       // false positives the estimate lets through) → connected
       // components → min-id drop list.
       val cands = minhashPairsHex(s, d)
-      val sh = Dedup.shingles(plantedDocs(s, d), "doc_id", "text", n = 3)
+      val sh = Dedup.shingles(plantedDocsFanned(s, d), "doc_id", "text", n = 3)
       val verified = cands
         .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sha")), Seq("doc_a"))
         .join(sh.select($"doc_id".as("doc_b"), $"sh".as("shb")), Seq("doc_b"))
@@ -420,7 +434,7 @@ object DedupQueries {
       // transitive closure. dd_keep_list exercises the same operator
       // over MinHash pairs (rows-only — xxhash64 signatures); this
       // key proves the fixpoint itself, label for label.
-      Dedup.clusters(Dedup.ngramJaccard(plantedDocs(s, d), "doc_id",
+      Dedup.clusters(Dedup.ngramJaccard(plantedDocsFanned(s, d), "doc_id",
           "text", n = 3, threshold = 0.8))
         .orderBy($"doc_id")
     },
@@ -436,7 +450,7 @@ object DedupQueries {
       // sums + per-round 9-dp re-quantization make the power
       // iteration bit-identical across engines; the oracle unrolls
       // the same three rounds as CTEs.
-      Dedup.pagerank(Dedup.ngramJaccard(plantedDocs(s, d), "doc_id",
+      Dedup.pagerank(Dedup.ngramJaccard(plantedDocsFanned(s, d), "doc_id",
           "text", n = 3, threshold = 0.8), iters = 3)
         .orderBy($"doc_id")
     },
@@ -683,7 +697,9 @@ object DedupQueries {
       // pipeline (posting self-join + df-cut) once, not per arm; the
       // pair set is candidate-sized (near-linear in the corpus, the
       // LshDiagSpec bound), so the checkpoint is cheap at any scale
-      val e = Dedup.ngramJaccard(triDocs(s, d), "doc_id", "text",
+      val e = Dedup.ngramJaccard(triDocs(s, d)
+          .repartition(graft.streaming.StreamQueries.mapFanout(s)),
+        "doc_id", "text",
           n = 3, threshold = 0.8)
         .select($"doc_a".as("a"), $"doc_b".as("b"))
         .localCheckpoint(true)
