@@ -14,12 +14,23 @@ object Sql {
     "embeddings")
 
   /** Register every test table as a temp view + the graft SQL
-    * functions. Idempotent. */
+    * functions. Idempotent — and MEMOIZED per (session, dir): a
+    * re-register against the same dir re-reads ten parquet footers
+    * and re-binds every function for views that cannot have changed
+    * (~0.6 s of driver work per call, paid by every sql_* query rep).
+    * A session that switches data dirs re-registers (the views must
+    * follow the latest dir), which also keeps the old behavior for
+    * multi-dir callers. */
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   def register(spark: SparkSession, dir: String): Unit = {
+    if (dir == registeredDir.get(spark)) return
     TableNames.foreach(t =>
       Tables.load(spark, dir, t).createOrReplaceTempView(t))
     Tables.events(spark, dir).createOrReplaceTempView("events")
     plans.GraftExtensions.register(spark)
+    registeredDir.put(spark, dir): Unit
   }
 
   /** Reference uuid primary-key generator (HBaseUtils.kt:22
