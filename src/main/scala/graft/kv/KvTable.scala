@@ -178,16 +178,7 @@ object KvLayout {
   def writeSorted(df: DataFrame, keyCols: Seq[String], path: String, partitions: Int = 0): Unit = {
     val cols = keyCols.map(col)
     val ranged =
-      // single output file: range bounds are moot, and
-      // repartitionByRange ALWAYS runs a range-sampling job (a full
-      // execution of the input plan) before the write even with an
-      // explicit count — skipping it halves the write's job count for
-      // every patch-sized artifact (CDC segments, small merges), the
-      // dominant fixed cost of the serving-path commit. repartition
-      // (not coalesce) so the input still computes in parallel; the
-      // one-partition shuffle of a patch is noise.
-      if (partitions == 1) df.repartition(1)
-      else if (partitions > 0) df.repartitionByRange(partitions, cols: _*)
+      if (partitions > 0) df.repartitionByRange(partitions, cols: _*)
       else df.repartitionByRange(cols: _*)
     ranged.sortWithinPartitions(cols: _*)
       .write.mode("overwrite").parquet(path)
@@ -235,10 +226,7 @@ object KvLayout {
     }.reduce(_.bitwiseOR(_))
     val withZ = df.withColumn("__graft_z", z)
     val ranged =
-      // same single-partition shortcut as writeSorted: no range
-      // bounds needed for one output file, skip the sampling job
-      if (partitions == 1) withZ.repartition(1)
-      else if (partitions > 0) withZ.repartitionByRange(partitions, col("__graft_z"))
+      if (partitions > 0) withZ.repartitionByRange(partitions, col("__graft_z"))
       else withZ.repartitionByRange(col("__graft_z"))
     ranged.sortWithinPartitions(col("__graft_z"))
       .drop("__graft_z")
