@@ -652,7 +652,13 @@ object DedupQueries {
         .withColumn("doc_id", $"doc_id" + 3 * Tables.PlantedIdBase)
         .withColumn("text", expr("substr(text, 1, length(text) div 2)"))
       val corpus = docs.unionByName(excerpts)
-      val posting = Dedup.shingles(corpus, "doc_id", "text", 3)
+      // same conf-derived fanout as plantedDocsFanned: the shingle
+      // chain is the heavy narrow work and the scan arrives as one
+      // split at bench scale; corpus stays un-fanned for the tiny
+      // `cut` count below
+      val posting = Dedup.shingles(
+          corpus.repartition(graft.streaming.StreamQueries.mapFanout(s)),
+          "doc_id", "text", 3)
         .select($"doc_id", explode($"sh").as("s0"))
         .select($"doc_id", xxhash64($"s0").as("s"))
       val byDf = posting.groupBy("s").agg(count(lit(1)).as("df"))
@@ -738,7 +744,9 @@ object DedupQueries {
       // single-machine suffix array). Corpus carries planted mirrors
       // AND two-chunk chimeras so single- and multi-island merges are
       // both exercised under the oracle.
-      Dedup.substringSpans(substrCorpus(s, d), "doc_id", "text",
+      Dedup.substringSpans(substrCorpus(s, d)
+          .repartition(graft.streaming.StreamQueries.mapFanout(s)),
+        "doc_id", "text",
           w = 16, minDocs = 2)
         .orderBy($"doc_id")
     },
@@ -753,7 +761,11 @@ object DedupQueries {
       // broadcast; the corpus side is a map-side shingle explode +
       // semi-join-style aggregation — no O(n²), 100 TB-safe.
       val (corpus, evalGrams) = decontamFrames(s, d)
-      Dedup.shingles(corpus, "doc_id", "text", 8)
+      // conf-derived fanout ahead of the 8-gram shingle chain (the
+      // plantedDocsFanned rule; the corpus scan is one split here)
+      Dedup.shingles(corpus
+            .repartition(graft.streaming.StreamQueries.mapFanout(s)),
+          "doc_id", "text", 8)
         .select($"doc_id", explode($"sh").as("g"))
         .join(evalGrams, Seq("g"))
         .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
@@ -778,7 +790,9 @@ object DedupQueries {
       val (corpus, evalGrams) = decontamFrames(s, d)
       val bloom = Dedup.bloomOf(
         evalGrams.select(xxhash64($"g").as("h")), "h", fpp = 0.01)
-      Dedup.shingles(corpus, "doc_id", "text", 8)
+      Dedup.shingles(corpus
+            .repartition(graft.streaming.StreamQueries.mapFanout(s)),
+          "doc_id", "text", 8)
         .select($"doc_id", explode($"sh").as("g"))
         .filter(graft.plans.HashExpressions.bloomContains(xxhash64($"g"), bloom))
         .join(evalGrams, Seq("g"))
