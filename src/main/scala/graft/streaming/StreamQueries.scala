@@ -1062,7 +1062,8 @@ object StreamQueries {
       // analysis (~5k nodes), not row work, was this query's cost at
       // gate sizes — then the small bands frame checkpoints for the
       // two join sides and the hamming arrays (36 bytes/row).
-      val grid = Multimodal.withPayload(planted)
+      val grid = Multimodal.withPayload(
+          planted.repartition(mapFanout(s)))
         .select($"doc_id",
           Multimodal.dhashSampleGrid(Multimodal.body($"payload")).as("grid"))
         .localCheckpoint(true)
