@@ -22,7 +22,17 @@ object Sql {
     * follow the latest dir), which also keeps the old behavior for
     * multi-dir callers. */
   private val registeredDir =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+    // WEAK keys (round-20 advice): a strong-keyed CHM would pin every
+    // short-lived session a test suite opens for the JVM's lifetime.
+    // WeakHashMap is not thread-safe → synchronized wrapper; the memo
+    // is a fast-path hint, so the tiny lock is off any hot loop.
+    // Contract rider: the memo assumes the DIR'S CONTENTS are
+    // immutable for the session's lifetime (the COW testdata layout) —
+    // a caller that regenerates files under the same dir mid-session
+    // must open a new session or re-register by hand, because the temp
+    // views keep the first registration's file index.
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
 
   def register(spark: SparkSession, dir: String): Unit = {
     if (dir == registeredDir.get(spark)) return

@@ -39,8 +39,21 @@ object DedupQueries {
     * embedding math) the extra text shuffle measured as a net LOSS,
     * so they stay on the un-fanned source. */
   private def plantedDocsFanned(s: SparkSession, d: String): DataFrame =
-    plantedDocs(s, d)
-      .repartition(graft.streaming.StreamQueries.mapFanout(s))
+    graft.streaming.StreamQueries.fanned(s, plantedDocs(s, d),
+      graft.QueryCaches.scanParallelism(s, d, "documents"))
+
+  /** The n-gram-Jaccard candidate pair graph (n=3, threshold 0.8),
+    * memoized per (JVM, dir) like [[minhashPairs]]: dd_ngram_jaccard,
+    * dd_cc_labels and dd_pagerank all iterate over this SAME pair set
+    * — rebuilding the posting self-join per query misrepresents both
+    * the design (one candidate graph, several consumers) and the
+    * benchmark, exactly the shared-index rule QueryCaches documents.
+    * The first consumer pays the build; the oracle replays the
+    * identical pipeline per query, so values are unchanged. */
+  private def ngramPairs(s: SparkSession, d: String): DataFrame =
+    graft.QueryCaches.frame(s"ngram_pairs:$d")(
+      Dedup.ngramJaccard(plantedDocsFanned(s, d), "doc_id", "text",
+        n = 3, threshold = 0.8))
 
   private val plantedDocsSql =
     s"""SELECT * FROM documents
@@ -371,8 +384,7 @@ object DedupQueries {
 
     "dd_ngram_jaccard" -> { (s, d) =>
       import s.implicits._
-      Dedup.ngramJaccard(plantedDocsFanned(s, d), "doc_id", "text", n = 3, threshold = 0.8)
-        .orderBy($"doc_a", $"doc_b")
+      ngramPairs(s, d).orderBy($"doc_a", $"doc_b")
     },
 
     "dd_minhash_lsh" -> { (s, d) =>
@@ -434,9 +446,7 @@ object DedupQueries {
       // transitive closure. dd_keep_list exercises the same operator
       // over MinHash pairs (rows-only — xxhash64 signatures); this
       // key proves the fixpoint itself, label for label.
-      Dedup.clusters(Dedup.ngramJaccard(plantedDocsFanned(s, d), "doc_id",
-          "text", n = 3, threshold = 0.8))
-        .orderBy($"doc_id")
+      Dedup.clusters(ngramPairs(s, d)).orderBy($"doc_id")
     },
 
     "dd_pagerank" -> { (s, d) =>
@@ -450,9 +460,7 @@ object DedupQueries {
       // sums + per-round 9-dp re-quantization make the power
       // iteration bit-identical across engines; the oracle unrolls
       // the same three rounds as CTEs.
-      Dedup.pagerank(Dedup.ngramJaccard(plantedDocsFanned(s, d), "doc_id",
-          "text", n = 3, threshold = 0.8), iters = 3)
-        .orderBy($"doc_id")
+      Dedup.pagerank(ngramPairs(s, d), iters = 3).orderBy($"doc_id")
     },
 
     "dd_minhash_cc" -> { (s, d) =>
@@ -657,7 +665,8 @@ object DedupQueries {
       // split at bench scale; corpus stays un-fanned for the tiny
       // `cut` count below
       val posting = Dedup.shingles(
-          corpus.repartition(graft.streaming.StreamQueries.mapFanout(s)),
+          graft.streaming.StreamQueries.fanned(s, corpus,
+            graft.QueryCaches.scanParallelism(s, d, "documents")),
           "doc_id", "text", 3)
         .select($"doc_id", explode($"sh").as("s0"))
         .select($"doc_id", xxhash64($"s0").as("s"))
@@ -703,8 +712,9 @@ object DedupQueries {
       // pipeline (posting self-join + df-cut) once, not per arm; the
       // pair set is candidate-sized (near-linear in the corpus, the
       // LshDiagSpec bound), so the checkpoint is cheap at any scale
-      val e = Dedup.ngramJaccard(triDocs(s, d)
-          .repartition(graft.streaming.StreamQueries.mapFanout(s)),
+      val e = Dedup.ngramJaccard(
+          graft.streaming.StreamQueries.fanned(s, triDocs(s, d),
+            graft.QueryCaches.scanParallelism(s, d, "documents")),
         "doc_id", "text",
           n = 3, threshold = 0.8)
         .select($"doc_a".as("a"), $"doc_b".as("b"))
@@ -744,8 +754,9 @@ object DedupQueries {
       // single-machine suffix array). Corpus carries planted mirrors
       // AND two-chunk chimeras so single- and multi-island merges are
       // both exercised under the oracle.
-      Dedup.substringSpans(substrCorpus(s, d)
-          .repartition(graft.streaming.StreamQueries.mapFanout(s)),
+      Dedup.substringSpans(
+          graft.streaming.StreamQueries.fanned(s, substrCorpus(s, d),
+            graft.QueryCaches.scanParallelism(s, d, "documents")),
         "doc_id", "text",
           w = 16, minDocs = 2)
         .orderBy($"doc_id")
@@ -763,8 +774,8 @@ object DedupQueries {
       val (corpus, evalGrams) = decontamFrames(s, d)
       // conf-derived fanout ahead of the 8-gram shingle chain (the
       // plantedDocsFanned rule; the corpus scan is one split here)
-      Dedup.shingles(corpus
-            .repartition(graft.streaming.StreamQueries.mapFanout(s)),
+      Dedup.shingles(graft.streaming.StreamQueries.fanned(s, corpus,
+            graft.QueryCaches.scanParallelism(s, d, "documents")),
           "doc_id", "text", 8)
         .select($"doc_id", explode($"sh").as("g"))
         .join(evalGrams, Seq("g"))
@@ -790,8 +801,8 @@ object DedupQueries {
       val (corpus, evalGrams) = decontamFrames(s, d)
       val bloom = Dedup.bloomOf(
         evalGrams.select(xxhash64($"g").as("h")), "h", fpp = 0.01)
-      Dedup.shingles(corpus
-            .repartition(graft.streaming.StreamQueries.mapFanout(s)),
+      Dedup.shingles(graft.streaming.StreamQueries.fanned(s, corpus,
+            graft.QueryCaches.scanParallelism(s, d, "documents")),
           "doc_id", "text", 8)
         .select($"doc_id", explode($"sh").as("g"))
         .filter(graft.plans.HashExpressions.bloomContains(xxhash64($"g"), bloom))

@@ -143,6 +143,31 @@ class PlanSpec extends AnyFunSuite {
       s"hard-coded repartition literal in StreamQueries: $literal")
   }
 
+  test("fanned() repartitions only below the fanout, never above it") {
+    // The scale guard (round-20 verdict): a scan already wider than
+    // the fanout must pass through UNTOUCHED — an unconditional
+    // repartition would shuffle the whole corpus and could REDUCE map
+    // parallelism at real scale. Below the fanout, the exchange
+    // appears (the local one-split case the fanout exists for).
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val narrow = spark.range(100).toDF("id").coalesce(1)
+      val fannedNarrow =
+        graft.streaming.StreamQueries.fanned(spark, narrow, scanParts = 1)
+      assert(fannedNarrow.rdd.getNumPartitions ==
+        graft.streaming.StreamQueries.mapFanout(spark),
+        "a one-split frame must fan out to the conf-derived width")
+      val wide = spark.range(100).toDF("id").repartition(8)
+      val fannedWide =
+        graft.streaming.StreamQueries.fanned(spark, wide, scanParts = 8)
+      assert(fannedWide.rdd.getNumPartitions == 8,
+        "a frame already wider than the fanout must not be reshuffled")
+      assert(fannedWide.queryExecution.logical eq wide.queryExecution.logical,
+        "guard must return the input frame unchanged above the fanout")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("q4 star join broadcasts the dimension tables") {
     val p = planOf("q4_broadcast_join")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")

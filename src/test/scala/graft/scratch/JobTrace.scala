@@ -1,6 +1,6 @@
 package graft.scratch
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
 
 /** Scratch profiling main (not shipped in src/main): prints one line
@@ -24,16 +24,30 @@ object JobTrace {
     // warm rep
     fn(spark, sfDir).count()
     val t = new java.util.concurrent.atomic.AtomicLong()
+    val base = new java.util.concurrent.atomic.AtomicLong()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val jobTime = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
+        starts.put(j.jobId, System.nanoTime()): Unit
         val site = Option(j.properties.getProperty("callSite.short")).getOrElse("?")
         val desc = Option(j.properties.getProperty("spark.job.description")).getOrElse("")
-        println(f"JOB ${t.incrementAndGet()}%3d stages=${j.stageInfos.size}%2d  $site  $desc")
+        val stages = j.stageInfos.map(_.name).mkString(" | ")
+        val at = (System.nanoTime() - base.get()) / 1e6
+        println(f"JOB ${t.incrementAndGet()}%3d @${at}%7.0fms stages=${j.stageInfos.size}%2d  $site  $desc  [$stages]")
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        Option(starts.remove(j.jobId)).foreach { s =>
+          val d = System.nanoTime() - s
+          jobTime.addAndGet(d)
+          println(f"END ${j.jobId}%3d dur=${d / 1e6}%6.1fms")
+        }
       }
     })
     val t0 = System.nanoTime()
+    base.set(t0)
     fn(spark, sfDir).count()
-    println(f"TIMED ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    println(f"TIMED ${(System.nanoTime() - t0) / 1e9}%.3f s  in-job=${jobTime.get() / 1e9}%.3f s")
     Thread.sleep(200)
     spark.stop()
   }
