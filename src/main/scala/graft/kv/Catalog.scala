@@ -518,15 +518,55 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * and the caller never runs a separate emptiness probe — two
     * Spark actions saved per micro-batch (the upsertStaged recipe,
     * exposed for sinks). Returns whether a merge was committed. */
-  def incrementalMergeIfNonEmpty(name: String, patch: DataFrame): Boolean = {
+  def incrementalMergeIfNonEmpty(name: String, patch: DataFrame,
+                                 maxIncrementalKeys: Int = 100000): Boolean = {
     val keyCol = primaryKeyOf(name).head
-    val keys = patch.select(keyCol).distinct().collect()
-      .map(r => canonKey(r.get(0)))
+    // BOUNDED collect (round-20 advice — mirror upsertStaged): a
+    // misconfigured trigger or a backfill replay can hand a sink a
+    // patch with millions of keys, and an unbounded collect would
+    // blow up driver memory and merge pruning. Past the bound the
+    // statement falls back to the full snapshot rewrite, exactly
+    // upsertStaged's bulk branch (same final content: the merge is a
+    // PK upsert either way; analytic indexes go stale under a bulk
+    // write by the documented staleness rule).
+    val keys = patch.select(keyCol).distinct()
+      .limit(maxIncrementalKeys + 1).collect().map(r => canonKey(r.get(0)))
     if (keys.isEmpty) false
-    else {
+    else if (keys.length <= maxIncrementalKeys) {
       incrementalMerge(name, patch, precollectedKeys = Some(keys))
       true
+    } else {
+      withRecoveredWriteLock(name) {
+        val next = dataVersionOf(name) + 1
+        val nextDir = tableDir(name).resolve(s"data_v$next")
+        val stage = newSnapshotStaging(name)
+        writeData(name, table(name).upsert(patch).df, stage.toString)
+        val maint = maintainIndexes(name, next, stage, pre = None, post = None)
+        publishGuardingIndexAsOf(name, next, Seq(stage -> nextDir), maint)
+      }
+      true
     }
+  }
+
+  /** Driver-resident merge entry for PATCH-SIZED batches a sink has
+    * already collected (micro-batch-bounded by the trigger contract):
+    * the patch becomes a LocalRelation, so the merge's key pruning and
+    * the rewrite's anti-join build side need NO re-execution of the
+    * batch lineage and no extra collect — the whole per-batch commit
+    * schedules only the rewrite write + range scan. Same semantics as
+    * [[incrementalMerge]] on the equivalent distributed frame (the
+    * rows ARE the patch); returns false for an empty batch, committing
+    * nothing — the replay-idempotence contract a foreachBatch sink
+    * needs. */
+  def incrementalMergeRows(name: String, rows: Array[Row]): Boolean = {
+    if (rows.isEmpty) return false
+    val schema = schemaOf(name)
+    val keyIdx = schema.fieldIndex(primaryKeyOf(name).head)
+    val keys = rows.map(r => canonKey(r.get(keyIdx))).distinct
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+    incrementalMerge(name, local, precollectedKeys = Some(keys))
+    true
   }
 
   def incrementalMerge(name: String, patch: DataFrame,
@@ -540,13 +580,15 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     // driver range scan on that dimension serves from the manifest
     // instead of opening every footer cold (one extra min/max pair in
     // the same columnar scan — no additional pass)
+    val tableSchema = schemaOf(name)
     val secondCol =
       if (layoutOf(name) == "zorder" && pk.size == 2 &&
-          manifestPersistable(schemaOf(name).apply(pk(1)).dataType))
+          manifestPersistable(tableSchema(pk(1)).dataType))
         Some(pk(1))
       else None
     val manifest = ensureRangeManifest(curDir, keyCol,
-      manifestPersistable(schemaOf(name).apply(keyCol).dataType), secondCol)
+      manifestPersistable(tableSchema(keyCol).dataType), secondCol,
+      schema = Some(tableSchema))
     val patchKeys = precollectedKeys.getOrElse(
       patch.select(keyCol).distinct().collect().map(r => canonKey(r.get(0))))
     // rowkeys are non-null (HBase rowkey semantics); a null here would
@@ -556,11 +598,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     val (touched, untouched) = splitByKeyIntersect(manifest, patchKeys)
     val nextDir = tableDir(name).resolve(s"data_v${cur + 1}")
     val stage = newSnapshotStaging(name)
-    val tableCols = schemaOf(name).fieldNames.toSeq
+    val tableCols = tableSchema.fieldNames.toSeq
     val touchedDf =
       if (touched.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemaOf(name))
-      else spark.read.schema(schemaOf(name))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
+      else spark.read.schema(tableSchema)
         .parquet(touched.map(e => curDir.resolve(e.file).toString): _*)
     // upsert keeps new keys too: patch rows outside every file range
     // simply don't anti-join away anything
@@ -581,7 +623,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       ((patchKeys.length + mergeTargetRowsPerFile - 1) / mergeTargetRowsPerFile).toInt
     writeData(name, merged.df, stage.toString,
       partitions = math.max(math.max(1, touched.size), patchParts))
-    val newEntries = scanRanges(stage, keyCol, secondCol)
+    val newEntries = scanRanges(stage, keyCol, secondCol,
+      schema = Some(tableSchema))
     // carry untouched files into the new snapshot without touching data
     untouched.foreach(e => linkOrCopy(curDir.resolve(e.file), stage.resolve(e.file)))
     writeRangeManifest(stage, newEntries ++ untouched)
@@ -671,10 +714,15 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
     * and the distributive [[BloomAgg]] ORs bit positions per file —
     * no extra scan, one more agg column. */
   private def scanRanges(dir: Path, keyCol: String,
-                         secondCol: Option[String] = None): Seq[FileRange] = {
+                         secondCol: Option[String] = None,
+                         schema: Option[StructType] = None): Seq[FileRange] = {
     import org.apache.spark.sql.functions.{input_file_name, udaf, xxhash64, min => fmin, max => fmax}
     val fcol = org.apache.spark.sql.functions.col _
-    val df0 = spark.read.parquet(dir.toString)
+    // callers that know the files' schema (table meta, a just-written
+    // index layout) pass it: schema inference re-reads every footer,
+    // and the merge path runs this once per micro-batch
+    val df0 = schema.map(spark.read.schema(_)).getOrElse(spark.read)
+      .parquet(dir.toString)
     val bloomable = df0.schema.fields.find(_.name == keyCol)
       .map(_.dataType).exists {
         case LongType | IntegerType | StringType => true
@@ -803,8 +851,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
 
   private def ensureRangeManifest(dir: Path, keyCol: String,
                                   persistable: Boolean,
-                                  secondCol: Option[String] = None): Seq[FileRange] = {
-    if (!persistable) return scanRanges(dir, keyCol, secondCol)
+                                  secondCol: Option[String] = None,
+                                  schema: Option[StructType] = None): Seq[FileRange] = {
+    if (!persistable) return scanRanges(dir, keyCol, secondCol, schema)
     val cached: Option[Seq[FileRange]] = readManifestJson(dir)
     // a manifest is only trustworthy if it covers exactly the part
     // files present: SQL INSERT INTO appends files into the live
@@ -822,7 +871,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
             entries.forall(e => e.second.isDefined || e.lo == null)) =>
         entries
       case _ =>
-        val scanned = scanRanges(dir, keyCol, secondCol)
+        val scanned = scanRanges(dir, keyCol, secondCol, schema)
         // zero-row part files yield no agg group; record them with null
         // bounds (always "touched", contribute nothing) so the manifest
         // still covers exactly the present files
@@ -1714,7 +1763,15 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
       primaryKeyOf(name))
 
   def table(name: String): KvTable =
-    KvTable(spark.read.parquet(dataDir(name)), primaryKeyOf(name))
+    // explicit schema from the table meta (the incrementalMerge
+    // precedent): schema INFERENCE re-reads parquet footers on every
+    // call, and the commit paths call table() once or twice per
+    // micro-batch — stack sampling measured the repeated footer reads
+    // at ~0.4 s per st_stream_upsert rep. The meta JSON is the schema
+    // of record (createTable wrote it; every write path selects the
+    // declared columns), so inference adds I/O, not information.
+    KvTable(spark.read.schema(schemaOf(name)).parquet(dataDir(name)),
+      primaryKeyOf(name))
 
   /** Millisecond point read served on the calling thread — NO Spark
     * job (the reference's HBase `Get` path: HBaseEnumerator.kt reads
@@ -4044,9 +4101,10 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
             // column's type (ik1 = first indexed column).
             val leadPersistable = manifestPersistable(
               schemaOf(name).apply(cols.head).dataType)
-            val ranges = ensureRangeManifest(curIdx, lead, leadPersistable)
-            val (touched, untouched) = splitByKeyIntersect(ranges, keys)
             val idxSchema = spark.read.parquet(curIdx.toString).schema
+            val ranges = ensureRangeManifest(curIdx, lead, leadPersistable,
+              schema = Some(idxSchema))
+            val (touched, untouched) = splitByKeyIntersect(ranges, keys)
             val touchedIdx =
               if (touched.isEmpty)
                 spark.createDataFrame(spark.sparkContext.emptyRDD[Row], idxSchema)
@@ -4063,7 +4121,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String,
             // scan only the freshly-written files (untouched not yet
             // linked in), then record new + carried entries — the
             // table merge's carry-forward pattern
-            val newIdxEntries = scanRanges(nextIdxDir, lead)
+            val newIdxEntries = scanRanges(nextIdxDir, lead,
+              schema = Some(idxSchema))
             untouched.foreach(e =>
               linkOrCopy(curIdx.resolve(e.file), nextIdxDir.resolve(e.file)))
             if (leadPersistable)

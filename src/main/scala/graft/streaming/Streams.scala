@@ -272,29 +272,40 @@ object Streams {
   def upsertLatestBatch(cat: graft.kv.Catalog, table: String,
                         batch: DataFrame, keyCol: String, tsCol: String,
                         seqCol: String): Unit = {
-    val cols = cat.table(table).df.columns.toSeq
+    val curDf = cat.table(table).df // ONE snapshot frame: cols + join side
+    val cols = curDf.columns.toSeq
     val others = cols.filterNot(_ == keyCol)
     val latest = batch.groupBy(col(keyCol))
       .agg(max_by(struct(others.map(col): _*),
         struct(col(tsCol), col(seqCol))).as("__w"))
       .select(col(keyCol) +: others.map(o => col(s"__w.$o").as(o)): _*)
-    val cur = cat.table(table).df
+    val cur = curDf
       .select(col(keyCol), col(tsCol).as("__old_ts"), col(seqCol).as("__old_seq"))
-    // Materialize the winners ONCE (they are micro-batch-bounded —
-    // patch-sized by the trigger contract): without this, the
-    // emptiness/keys probe and the merge's snapshot write each
-    // re-execute the batch-fold + current-table join from scratch.
-    // localCheckpoint truncates to the materialized blocks; the merge
-    // entry then collects keys + decides emptiness + prunes files in
-    // ONE bounded job (empty winners commit nothing — the
-    // replay-idempotence contract); unpersist releases the blocks at
-    // batch end.
+    // Materialize the winners ONCE, on the DRIVER (they are
+    // micro-batch-bounded — patch-sized by the trigger contract): one
+    // bounded collect replaces the round-20 localCheckpoint + separate
+    // key-collect pair, and the merge receives a LocalRelation patch,
+    // so its key pruning and the rewrite's anti-join build side never
+    // re-execute the batch-fold + current-table join (2-4 scheduled
+    // jobs saved per micro-batch; A/B in OPTIMIZATION_r21.md). Memory
+    // class: ≤ maxRows winner rows on the driver — the same bound the
+    // fulltext driver-segment path (driverSegmentMaxRows) and
+    // upsertStaged's key probe already assume. An over-bound batch
+    // (misconfigured trigger, backfill replay) falls back to the
+    // distributed merge, whose own key collect is bounded too.
     val winners = latest.join(cur, Seq(keyCol), "left")
       .filter(col("__old_ts").isNull ||
         struct(col(tsCol), col(seqCol)) > struct(col("__old_ts"), col("__old_seq")))
       .select(cols.map(col): _*)
-      .localCheckpoint(true)
-    try cat.incrementalMergeIfNonEmpty(table, winners): Unit
-    finally { winners.unpersist(); () }
+    val maxRows = cat.spark.conf
+      .getOption("spark.graft.merge.driverPatchMaxRows")
+      .map(_.toInt).getOrElse(10000)
+    val probe = winners.limit(maxRows + 1).collect()
+    if (probe.length <= maxRows) cat.incrementalMergeRows(table, probe): Unit
+    else {
+      val materialized = winners.localCheckpoint(true)
+      try cat.incrementalMergeIfNonEmpty(table, materialized): Unit
+      finally { materialized.unpersist(); () }
+    }
   }
 }
